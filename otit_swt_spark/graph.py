@@ -1,0 +1,278 @@
+"""GraphStore — the triples DataFrame.
+
+The reference never stores the knowledge graph; it POSTs SPARQL to an
+external endpoint (hybrid/src/static_sparql.rs:46-99). Spark-first design:
+the graph is an ordinary DataFrame ``(s, p, o_iri, o_lex, o_dt, o_lang)``
+and SPARQL basic graph patterns become self-joins over it (S2RDF-style).
+Exactly one of ``o_iri`` / ``o_lex`` is non-null per row; ``o_dt`` is the
+literal datatype IRI (null for IRI/blank objects), ``o_lang`` the language
+tag.
+
+Loaders accept programmatic triples, N-Triples text, and the reference test
+suite's ``INSERT DATA``/Turtle-lite syntax
+(hybrid/tests/query_execution_testdata/testdata.sparql).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from otit_swt_spark.terms import (
+    XSD_STRING,
+    BlankNode,
+    IRI,
+    Literal,
+    Term,
+)
+
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.StringType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("o_iri", T.StringType(), True),
+        T.StructField("o_lex", T.StringType(), True),
+        T.StructField("o_dt", T.StringType(), True),
+        T.StructField("o_lang", T.StringType(), True),
+    ]
+)
+
+
+def _term_to_row(s: Term, p: Term, o: Term) -> tuple:
+    s_str = str(s) if isinstance(s, BlankNode) else s.value if isinstance(s, IRI) else str(s)
+    p_str = p.value if isinstance(p, IRI) else str(p)
+    if isinstance(o, Literal):
+        return (s_str, p_str, None, o.lexical, o.datatype or XSD_STRING, o.language)
+    if isinstance(o, BlankNode):
+        return (s_str, p_str, str(o), None, None, None)
+    return (s_str, p_str, o.value if isinstance(o, IRI) else str(o), None, None, None)
+
+
+class GraphStore:
+    """A knowledge graph held as a Spark DataFrame of triples.
+
+    For 100 TB posture the triples DataFrame can be a partitioned parquet
+    table (partition by predicate is the classic vertical-partitioning
+    layout); BGP self-joins then get predicate partition pruning for free.
+    """
+
+    def __init__(self, spark: SparkSession, df: DataFrame | None = None):
+        self.spark = spark
+        self.df = df if df is not None else spark.createDataFrame([], TRIPLES_SCHEMA)
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_triples(
+        cls, spark: SparkSession, triples: Iterable[tuple[Term, Term, Term]]
+    ) -> "GraphStore":
+        rows = [_term_to_row(s, p, o) for (s, p, o) in triples]
+        return cls(spark, spark.createDataFrame(rows, TRIPLES_SCHEMA))
+
+    @classmethod
+    def from_ntriples(cls, spark: SparkSession, text: str) -> "GraphStore":
+        triples = list(parse_ntriples(text))
+        return cls.from_triples(spark, triples)
+
+    @classmethod
+    def from_sparql_insert(cls, spark: SparkSession, text: str) -> "GraphStore":
+        """Parse the reference testdata format: PREFIX decls + INSERT DATA {...}."""
+        triples = list(parse_turtle_lite(text))
+        return cls.from_triples(spark, triples)
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "GraphStore":
+        return cls(spark, spark.read.parquet(path))
+
+    # -- mutation ----------------------------------------------------------
+
+    def add_triples_df(self, df: DataFrame) -> "GraphStore":
+        self.df = self.df.unionByName(df.select(*[f.name for f in TRIPLES_SCHEMA]))
+        return self
+
+    # -- sinks -------------------------------------------------------------
+
+    def write_parquet(self, path: str, partition_by_predicate: bool = False) -> None:
+        w = self.df.write.mode("overwrite")
+        if partition_by_predicate:
+            w = w.partitionBy("p")
+        w.parquet(path)
+
+    def to_ntriples_df(self) -> DataFrame:
+        """Serialize to one N-Triples line per row (reference:
+        mapper/src/mapping/ntriples_write.rs:52). Pure built-in functions —
+        stays in whole-stage codegen."""
+        df = self.df
+        s_term = F.when(F.col("s").startswith("_:"), F.col("s")).otherwise(
+            F.concat(F.lit("<"), F.col("s"), F.lit(">"))
+        )
+        esc = F.regexp_replace(
+            F.regexp_replace(F.col("o_lex"), r"\\", r"\\\\"), '"', '\\\\"'
+        )
+        lit_term = (
+            F.when(
+                F.col("o_lang").isNotNull(),
+                F.concat(F.lit('"'), esc, F.lit('"@'), F.col("o_lang")),
+            )
+            .when(
+                F.col("o_dt").isNotNull() & (F.col("o_dt") != XSD_STRING),
+                F.concat(F.lit('"'), esc, F.lit('"^^<'), F.col("o_dt"), F.lit(">")),
+            )
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+        )
+        o_term = (
+            F.when(F.col("o_iri").isNotNull() & F.col("o_iri").startswith("_:"), F.col("o_iri"))
+            .when(F.col("o_iri").isNotNull(), F.concat(F.lit("<"), F.col("o_iri"), F.lit(">")))
+            .otherwise(lit_term)
+        )
+        return df.select(
+            F.concat_ws(
+                " ", s_term, F.concat(F.lit("<"), F.col("p"), F.lit(">")), o_term, F.lit(".")
+            ).alias("value")
+        )
+
+    def write_ntriples(self, path: str) -> None:
+        self.to_ntriples_df().write.mode("overwrite").text(path)
+
+
+# -- text parsers (driver-side; graphs arrive as small text documents) -----
+
+_IRIREF = r"<([^>]*)>"
+_PNAME = r"([A-Za-z_][\w.-]*)?:([A-Za-z_][\w.-]*)"
+_BNODE = r"_:([A-Za-z_][\w.-]*)"
+_STRING = r'"((?:[^"\\]|\\.)*)"'
+
+_TOKEN_RE = re.compile(
+    rf"""(?x)
+    (?P<iri>{_IRIREF})
+  | (?P<string>{_STRING})(?:\^\^<(?P<dt_iri>[^>]*)>|\^\^(?P<dt_pn>{_PNAME})|@(?P<lang>[A-Za-z-]+))?
+  | (?P<bnode>{_BNODE})
+  | (?P<a>\ba\b)
+  | (?P<pname>{_PNAME})
+  | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<bool>\btrue\b|\bfalse\b)
+  | (?P<punct>[;,.\{{\}}])
+  """
+)
+
+_PREFIX_RE = re.compile(r"(?i)PREFIX\s+([A-Za-z_][\w-]*)?\s*:\s*<([^>]*)>")
+_INSERT_RE = re.compile(r"(?i)INSERT\s+DATA\s*\{")
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+        .replace('\\"', '"').replace("\\\\", "\\")
+    )
+
+
+def parse_turtle_lite(text: str) -> Iterable[tuple[Term, Term, Term]]:
+    """Parse PREFIX decls + triples in Turtle-ish syntax, with optional
+    ``INSERT DATA { ... }`` wrapper. Supports `;` and `,` continuation,
+    `a` for rdf:type, prefixed names, typed/tagged literals, numbers,
+    booleans."""
+    from otit_swt_spark.terms import RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER
+
+    prefixes = dict(_PREFIX_RE.findall(text))
+    prefixes = {(k or ""): v for k, v in prefixes.items()}
+    body = _PREFIX_RE.sub(" ", text)
+    m = _INSERT_RE.search(body)
+    if m:
+        start = m.end()
+        end = body.rfind("}")
+        body = body[start:end]
+
+    def resolve(prefix: str, local: str) -> IRI:
+        if prefix not in prefixes:
+            raise ValueError(f"unknown prefix '{prefix}:' in graph document")
+        return IRI(prefixes[prefix] + local)
+
+    terms: list[Term | str] = []
+    for tok in _TOKEN_RE.finditer(body):
+        kind = tok.lastgroup
+        if kind == "iri":
+            terms.append(IRI(tok.group(2)))
+        elif kind == "string":
+            lex = _unescape(tok.group(4))
+            if tok.group("dt_iri"):
+                terms.append(Literal(lex, tok.group("dt_iri")))
+            elif tok.group("dt_pn"):
+                pfx, local = tok.group("dt_pn").split(":", 1)
+                terms.append(Literal(lex, resolve(pfx, local).value))
+            elif tok.group("lang"):
+                terms.append(Literal(lex, XSD_STRING, tok.group("lang")))
+            else:
+                terms.append(Literal(lex))
+        elif kind == "bnode":
+            terms.append(BlankNode(tok.group(0)[2:]))
+        elif kind == "a":
+            terms.append(IRI(RDF_TYPE))
+        elif kind == "pname":
+            pfx = tok.group(0).split(":", 1)
+            terms.append(resolve(pfx[0], pfx[1]))
+        elif kind == "num":
+            lex = tok.group(0)
+            dt = XSD_DOUBLE if ("." in lex or "e" in lex or "E" in lex) else XSD_INTEGER
+            terms.append(Literal(lex, dt))
+        elif kind == "bool":
+            terms.append(Literal(tok.group(0), XSD_BOOLEAN))
+        elif kind == "punct":
+            terms.append(tok.group(0))
+
+    s = p = None
+    expect = "s"
+    for t in terms:
+        if t in ("{", "}"):
+            continue
+        if t == ".":
+            s = p = None
+            expect = "s"
+            continue
+        if t == ";":
+            expect = "p"
+            continue
+        if t == ",":
+            expect = "o"
+            continue
+        if expect == "s":
+            s = t
+            expect = "p"
+        elif expect == "p":
+            p = t
+            expect = "o"
+        else:
+            yield (s, p, t)
+            expect = "punct_or_o"
+
+
+_NT_LINE = re.compile(
+    rf"""(?x)^\s*
+    (?:<(?P<s>[^>]*)>|(?P<sb>_:[A-Za-z_][\w.-]*))\s+
+    <(?P<p>[^>]*)>\s+
+    (?:<(?P<o>[^>]*)>
+      |(?P<ob>_:[A-Za-z_][\w.-]*)
+      |{_STRING}(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z-]+))?)
+    \s*\.\s*$"""
+)
+
+
+def parse_ntriples(text: str) -> Iterable[tuple[Term, Term, Term]]:
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _NT_LINE.match(line)
+        if not m:
+            raise ValueError(f"bad N-Triples line: {line!r}")
+        s: Term = IRI(m.group("s")) if m.group("s") else BlankNode(m.group("sb")[2:])
+        p = IRI(m.group("p"))
+        if m.group("o") is not None:
+            o: Term = IRI(m.group("o"))
+        elif m.group("ob"):
+            o = BlankNode(m.group("ob")[2:])
+        else:
+            lex = _unescape(m.group(6))
+            o = Literal(lex, m.group("dt") or XSD_STRING, m.group("lang"))
+        yield (s, p, o)

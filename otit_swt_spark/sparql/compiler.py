@@ -1,0 +1,772 @@
+"""SPARQL algebra -> single Spark DataFrame plan.
+
+This replaces the reference's whole split/rewrite/prepare/combine pipeline
+(hybrid/src/{rewriting,preparing,combiner}*): because the knowledge graph
+AND the time-series rows are both DataFrames in one Spark plan, the
+static/dynamic query splitting, ChangeType relaxation, filter/group pushdown
+and id-pruning machinery collapse into plan construction — Catalyst performs
+predicate pushdown, column pruning, partition pruning and join selection on
+the unified plan (SURVEY §4.1).
+
+Semantics notes:
+- The right-hand sides of LeftJoin/Minus and Extend/Filter are compiled with
+  the left solution *threaded through*, exactly like the reference combiner
+  (hybrid/src/combiner.rs:106-127 threads columns through sequential
+  patterns). The row-id trick (combiner.rs:137-143 cumsum) becomes
+  ``monotonically_increasing_id``.
+- Union keeps duplicates (SPARQL multiset semantics). The reference appends
+  a ``unique()`` (combiner.rs:233-287) — a set-semantics divergence from the
+  SPARQL spec that we deliberately do NOT copy (SURVEY §2.6).
+- BOUND is ``isNotNull`` — the reference implements it inverted
+  (lazy_expressions.rs:362-364), a bug we do not copy.
+- hasDataPoint/hasTimestamp/hasValue triple patterns are *virtual*: they are
+  lowered onto joins against registered time-series tables
+  (hybrid/src/combiner/lazy_triple.rs:9-47 + join_timeseries.rs:6-44).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from otit_swt_spark.sparql import algebra as A
+from otit_swt_spark.sparql.expressions import INTEGRAL, NUMERIC, Typed, compile_expr, literal_typed
+from otit_swt_spark.terms import (
+    HAS_DATA_POINT,
+    HAS_EXTERNAL_ID,
+    HAS_TIMESTAMP,
+    HAS_VALUE,
+    IRI,
+    Literal,
+    NEST_AGGREGATION,
+    Variable,
+    XSD_BOOLEAN,
+    XSD_DATETIME,
+    XSD_STRING,
+    spark_type_for_xsd,
+    xsd_for_spark_type,
+)
+
+RID = "__rid"
+
+
+@dataclass(frozen=True)
+class VarMeta:
+    kind: str  # 'term' (canonical string + optional __dt/__lang cols) | 'native'
+    hint: str | None = None  # spark-ish type hint for native columns
+    xsd: str | None = None  # statically-known datatype IRI, if any
+
+
+@dataclass
+class SolutionMapping:
+    """A solution multiset: DataFrame + per-variable metadata.
+
+    Mirrors the reference's Polars frame + column conventions
+    (hybrid/src/combiner.rs), with datatype fidelity carried in ``<v>__dt``
+    companion columns instead of struct-typed cells."""
+
+    df: DataFrame
+    vars: dict[str, VarMeta]
+    dt_vars: set[str] = field(default_factory=set)
+    lang_vars: set[str] = field(default_factory=set)
+    ts_chains: dict[str, dict] = field(default_factory=dict)
+
+    def meta(self, name: str) -> VarMeta | None:
+        return self.vars.get(name)
+
+    def dt_col(self, name: str) -> Column | None:
+        return F.col(f"{name}__dt") if name in self.dt_vars else None
+
+    def lang_col(self, name: str) -> Column | None:
+        return F.col(f"{name}__lang") if name in self.lang_vars else None
+
+    def aux_cols(self, name: str) -> list[str]:
+        out = []
+        if name in self.dt_vars:
+            out.append(f"{name}__dt")
+        if name in self.lang_vars:
+            out.append(f"{name}__lang")
+        return out
+
+
+def _common_hint(a: str | None, b: str | None) -> str:
+    if a == b and a is not None:
+        return a
+    if a in NUMERIC and b in NUMERIC:
+        return "long" if (a in INTEGRAL and b in INTEGRAL) else "double"
+    if "timestamp" in (a, b):
+        return "timestamp"
+    if a in NUMERIC or b in NUMERIC:
+        return "double"
+    return "string"
+
+
+def _cast_var_to_native(sm: SolutionMapping, name: str, hint: str) -> SolutionMapping:
+    df = sm.df.withColumn(name, F.col(name).cast(_spark_type(hint)))
+    for aux in sm.aux_cols(name):
+        df = df.drop(aux)
+    vars2 = dict(sm.vars)
+    vars2[name] = VarMeta("native", hint)
+    return replace(sm, df=df, vars=vars2,
+                   dt_vars=sm.dt_vars - {name}, lang_vars=sm.lang_vars - {name})
+
+
+def _spark_type(hint: str) -> str:
+    return {
+        "long": "long", "int": "int", "double": "double", "float": "float",
+        "bool": "boolean", "string": "string", "timestamp": "timestamp",
+        "date": "date", "iri": "string",
+    }.get(hint, "string")
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None):
+        self.spark = spark
+        self.graph_df = graph_df
+        self.ts_tables = ts_tables or []
+        self._counter = itertools.count()
+        self._ts_df: DataFrame | None = None
+        self._ts_hint: str | None = None
+
+    # ------------------------------------------------------------------ util
+
+    def fresh(self, hint: str) -> str:
+        return f"__{hint}_{next(self._counter)}"
+
+    def ts_relation(self) -> tuple[DataFrame, str]:
+        """The tall (id, timestamp, value) relation = union of registered
+        tables. One logical time-series store, like the reference's single
+        TimeSeriesQueryable backend."""
+        if self._ts_df is None:
+            if not self.ts_tables:
+                raise ValueError("query touches time-series data but no TimeSeriesTable registered")
+            dfs, hints = [], []
+            for t in self.ts_tables:
+                df = t.normalized(self.spark)
+                hints.append(
+                    {"long": "long", "bigint": "long", "int": "long", "smallint": "long",
+                     "tinyint": "long", "double": "double", "float": "double",
+                     "boolean": "bool", "string": "string"}.get(
+                        df.schema["value"].dataType.simpleString(), "double")
+                )
+                dfs.append(df)
+            hint = hints[0] if len(set(hints)) == 1 else "double"
+            if len(set(hints)) != 1:
+                dfs = [d.withColumn("value", F.col("value").cast("double")) for d in dfs]
+            elif hint == "long":
+                dfs = [d.withColumn("value", F.col("value").cast("long")) for d in dfs]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            self._ts_df, self._ts_hint = out, hint
+        return self._ts_df, self._ts_hint
+
+    # --------------------------------------------------------------- joining
+
+    def join_solutions(self, left: SolutionMapping, right: SolutionMapping,
+                       how: str = "inner") -> SolutionMapping:
+        shared = [v for v in left.vars if v in right.vars]
+        # kind/type coercion on join keys
+        for v in shared:
+            lm, rm = left.vars[v], right.vars[v]
+            if lm.kind == "native" and rm.kind == "term":
+                right = _cast_var_to_native(right, v, lm.hint or "string")
+            elif lm.kind == "term" and rm.kind == "native":
+                left = _cast_var_to_native(left, v, rm.hint or "string")
+            elif lm.kind == "native" and rm.kind == "native" and lm.hint != rm.hint:
+                h = _common_hint(lm.hint, rm.hint)
+                left = _cast_var_to_native(left, v, h)
+                right = _cast_var_to_native(right, v, h)
+        # drop right-side aux duplicates for shared term vars (values agree on
+        # matched rows), and resolve any other duplicate non-var columns
+        rdf = right.df
+        for v in shared:
+            for aux in right.aux_cols(v):
+                if aux in left.df.columns:
+                    rdf = rdf.drop(aux)
+        dup_extra = [c for c in rdf.columns
+                     if c in left.df.columns and c not in shared]
+        for c in dup_extra:
+            rdf = rdf.drop(c)
+        if shared:
+            df = left.df.join(rdf, on=shared, how=how)
+        elif how == "inner":
+            df = left.df.crossJoin(rdf)
+        else:
+            df = left.df.crossJoin(rdf)  # left join without keys = cross for our uses
+        vars2 = dict(right.vars)
+        vars2.update(left.vars)
+        # right-only var meta wins for right-only vars; recompute aux sets
+        for v, m in right.vars.items():
+            if v not in left.vars:
+                vars2[v] = m
+        dt = set(left.dt_vars) | {v for v in right.dt_vars if f"{v}__dt" in df.columns}
+        lang = set(left.lang_vars) | {v for v in right.lang_vars if f"{v}__lang" in df.columns}
+        chains = dict(left.ts_chains)
+        chains.update(right.ts_chains)
+        return SolutionMapping(df, vars2, dt, lang, chains)
+
+    def harmonize_for_union(self, l: SolutionMapping, r: SolutionMapping
+                            ) -> tuple[SolutionMapping, SolutionMapping]:
+        for v in [v for v in l.vars if v in r.vars]:
+            lm, rm = l.vars[v], r.vars[v]
+            if lm.kind != rm.kind:
+                if lm.kind == "term":
+                    l = _cast_var_to_native(l, v, rm.hint or "string")
+                else:
+                    r = _cast_var_to_native(r, v, lm.hint or "string")
+            elif lm.kind == "native" and lm.hint != rm.hint:
+                h = _common_hint(lm.hint, rm.hint)
+                l = _cast_var_to_native(l, v, h)
+                r = _cast_var_to_native(r, v, h)
+        return l, r
+
+    # --------------------------------------------------------------- compile
+
+    def compile_query(self, q: A.SelectQuery) -> SolutionMapping:
+        return self.compile_pattern(q.pattern, None)
+
+    def compile_pattern(self, p: A.GraphPattern, input: SolutionMapping | None) -> SolutionMapping:
+        if isinstance(p, A.BGP):
+            return self.compile_bgp(p, input)
+        if isinstance(p, A.Join):
+            left = self.compile_pattern(p.left, input)
+            return self.compile_pattern(p.right, left)
+        if isinstance(p, A.Filter):
+            sm = self.compile_pattern(p.inner, input)
+            return self.apply_filter(sm, p.expr)
+        if isinstance(p, A.Extend):
+            sm = self.compile_pattern(p.inner, input)
+            return self.apply_extend(sm, p.var, p.expr)
+        if isinstance(p, A.LeftJoin):
+            return self.compile_leftjoin(p, input)
+        if isinstance(p, A.Minus):
+            return self.compile_minus(p, input)
+        if isinstance(p, A.Union):
+            lsm = self.compile_pattern(p.left, input)
+            rsm = self.compile_pattern(p.right, input)
+            lsm, rsm = self.harmonize_for_union(lsm, rsm)
+            df = lsm.df.unionByName(rsm.df, allowMissingColumns=True)
+            vars2 = dict(rsm.vars)
+            vars2.update(lsm.vars)
+            return SolutionMapping(df, vars2, lsm.dt_vars | rsm.dt_vars,
+                                   lsm.lang_vars | rsm.lang_vars,
+                                   {**rsm.ts_chains, **lsm.ts_chains})
+        if isinstance(p, A.Values):
+            vsm = self.compile_values(p)
+            return self.join_solutions(input, vsm) if input is not None else vsm
+        if isinstance(p, A.Group):
+            return self.compile_group(p, input)
+        if isinstance(p, A.OrderBy):
+            sm = self.compile_pattern(p.inner, input)
+            return self.apply_order(sm, p.keys)
+        if isinstance(p, A.Project):
+            sm = self.compile_pattern(p.inner, None)
+            sm = self.apply_project(sm, p.variables)
+            return self.join_solutions(input, sm) if input is not None else sm
+        if isinstance(p, A.Distinct):
+            sm = self.compile_pattern(p.inner, input)
+            keys = [v for v in sm.vars]
+            return replace(sm, df=sm.df.dropDuplicates(keys))
+        if isinstance(p, A.Reduced):
+            sm = self.compile_pattern(p.inner, input)
+            return replace(sm, df=sm.df.dropDuplicates([v for v in sm.vars]))
+        if isinstance(p, A.Slice):
+            sm = self.compile_pattern(p.inner, input)
+            df = sm.df
+            if p.offset:
+                df = df.offset(p.offset)
+            if p.limit is not None:
+                df = df.limit(p.limit)
+            return replace(sm, df=df)
+        raise NotImplementedError(f"pattern {type(p).__name__}")
+
+    # -- BGP + virtual time-series patterns ---------------------------------
+
+    def compile_bgp(self, bgp: A.BGP, input: SolutionMapping | None) -> SolutionMapping:
+        patterns = list(bgp.patterns)
+        ts_joins, patterns = self._lower_ts_chains(patterns, input)
+
+        sm: SolutionMapping | None = None
+        for tp in patterns:
+            tsm = self.compile_triple(tp)
+            sm = tsm if sm is None else self.join_solutions(sm, tsm)
+
+        if input is not None:
+            sm = input if sm is None else self.join_solutions(input, sm)
+        if sm is None:
+            if not ts_joins:
+                return SolutionMapping(self.spark.range(1).select(), {})
+            sm = SolutionMapping(self.spark.range(1).select(), {})
+
+        for tj in ts_joins:
+            sm = self._apply_ts_join(sm, tj)
+        return sm
+
+    def _lower_ts_chains(self, patterns: list[A.TriplePattern],
+                         input: SolutionMapping | None):
+        """Detect hasDataPoint/hasTimestamp/hasValue chains and replace them
+        with time-series joins (the Spark form of the reference's
+        BasicTimeSeriesQuery wiring, hybrid/src/rewriting/graph_patterns/
+        bgp_pattern.rs:157-260)."""
+        def pred(tp):
+            return tp.p.value if isinstance(tp.p, IRI) else None
+
+        chains: dict[str, dict] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in patterns:
+            pv = pred(tp)
+            if pv == HAS_DATA_POINT and isinstance(tp.o, Variable):
+                chains.setdefault(tp.o.name, {})["ts_var"] = tp.s
+            elif pv == HAS_TIMESTAMP and isinstance(tp.s, Variable):
+                chains.setdefault(tp.s.name, {})["t"] = tp.o
+            elif pv == HAS_VALUE and isinstance(tp.s, Variable):
+                chains.setdefault(tp.s.name, {})["v"] = tp.o
+            else:
+                rest.append(tp)
+
+        ts_joins = []
+        for dp, info in chains.items():
+            if "ts_var" not in info:
+                pre = (input.ts_chains.get(dp) if input is not None else None)
+                if pre is None:
+                    raise ValueError(
+                        f"data point variable ?{dp} has no hasDataPoint pattern "
+                        "and no prior binding")
+                # re-matching an already-bound data point: values/timestamps
+                # are functionally determined -> bind or no-op
+                ts_joins.append({"dp": dp, "rebind": pre,
+                                 "t": info.get("t"), "v": info.get("v")})
+                continue
+            eid = Variable(self.fresh("eid"))
+            rest.append(A.TriplePattern(info["ts_var"], IRI(HAS_EXTERNAL_ID), eid))
+            ts_joins.append({"dp": dp, "eid": eid.name,
+                             "t": info.get("t"), "v": info.get("v")})
+        return ts_joins, rest
+
+    def _apply_ts_join(self, sm: SolutionMapping, tj: dict) -> SolutionMapping:
+        if "rebind" in tj:
+            pre = tj["rebind"]
+            for key in ("t", "v"):
+                term = tj.get(key)
+                if term is None:
+                    continue
+                if not isinstance(term, Variable):
+                    src = pre.get(key)
+                    t = compile_expr(A.ELiteral(term), sm) if isinstance(term, Literal) else None
+                    sm = replace(sm, df=sm.df.filter(F.col(src) == t.col))
+                    continue
+                src = pre.get(key)
+                if src is None:
+                    raise ValueError(f"cannot rebind ?{term.name}: prior chain lacks {key}")
+                if term.name == src:
+                    continue
+                m = sm.vars[src]
+                vars2 = dict(sm.vars)
+                vars2[term.name] = m
+                sm = replace(sm, df=sm.df.withColumn(term.name, F.col(src)), vars=vars2)
+            return sm
+
+        ts_df, value_hint = self.ts_relation()
+        eid = tj["eid"]
+        cols = [F.col("id").alias(eid)]
+        vars2: dict[str, VarMeta] = {eid: VarMeta("native", "string")}
+        chain_info: dict = {}
+        for key, hint, src in (("t", "timestamp", "timestamp"), ("v", value_hint, "value")):
+            term = tj.get(key)
+            if term is None:
+                continue
+            if isinstance(term, Variable):
+                cols.append(F.col(src).alias(term.name))
+                vars2[term.name] = VarMeta("native", hint)
+                chain_info[key] = term.name
+            else:
+                lit = literal_typed(term)
+                ts_df = ts_df.filter(F.col(src) == lit.col)
+        tsm = SolutionMapping(ts_df.select(*cols), vars2)
+        out = self.join_solutions(sm, tsm)
+        # project the synthetic external-id var away
+        out_vars = dict(out.vars)
+        del out_vars[eid]
+        out = replace(out, df=out.df.drop(eid), vars=out_vars)
+        out.ts_chains[tj["dp"]] = chain_info
+        return out
+
+    # -- triple patterns ------------------------------------------------------
+
+    def compile_triple(self, tp: A.TriplePattern) -> SolutionMapping:
+        if isinstance(tp.p, (A.PathAlternative, A.PathInverse, A.PathZeroOrMore,
+                             A.PathOneOrMore, A.PathZeroOrOne, A.PathSequence)):
+            return self._compile_path_triple(tp)
+        df = self.graph_df
+        vars2: dict[str, VarMeta] = {}
+        dt_vars: set[str] = set()
+        lang_vars: set[str] = set()
+        cols: list[Column] = []
+
+        if isinstance(tp.s, Variable):
+            cols.append(F.col("s").alias(tp.s.name))
+            vars2[tp.s.name] = VarMeta("term")
+        else:
+            df = df.filter(F.col("s") == str(tp.s) if not isinstance(tp.s, IRI) else F.col("s") == tp.s.value)
+
+        pred = tp.p
+        if isinstance(pred, A.PathPredicate):
+            pred = pred.iri
+        if isinstance(pred, Variable):
+            cols.append(F.col("p").alias(pred.name))
+            vars2[pred.name] = VarMeta("term")
+        else:
+            df = df.filter(F.col("p") == pred.value)
+
+        if isinstance(tp.o, Variable):
+            name = tp.o.name
+            if name in vars2:  # ?x p ?x
+                df = df.filter(F.coalesce(F.col("o_iri"), F.col("o_lex")) == F.col("s"))
+            else:
+                cols.append(F.coalesce(F.col("o_iri"), F.col("o_lex")).alias(name))
+                cols.append(F.col("o_dt").alias(f"{name}__dt"))
+                cols.append(F.col("o_lang").alias(f"{name}__lang"))
+                vars2[name] = VarMeta("term")
+                dt_vars.add(name)
+                lang_vars.add(name)
+        elif isinstance(tp.o, Literal):
+            df = df.filter(F.col("o_lex") == tp.o.lexical)
+            if tp.o.datatype and tp.o.datatype != XSD_STRING:
+                df = df.filter(F.col("o_dt") == tp.o.datatype)
+        else:
+            df = df.filter(F.col("o_iri") == (tp.o.value if isinstance(tp.o, IRI) else str(tp.o)))
+
+        return SolutionMapping(df.select(*cols) if cols else df.select().limit(1),
+                               vars2, dt_vars, lang_vars)
+
+    # -- property paths (beyond sequences, which the parser lowers) ----------
+
+    def _path_pairs(self, path) -> DataFrame:
+        g = self.graph_df
+        if isinstance(path, A.PathPredicate):
+            return (g.filter(F.col("p") == path.iri.value)
+                     .select(F.col("s").alias("src"),
+                             F.coalesce(F.col("o_iri"), F.col("o_lex")).alias("dst")))
+        if isinstance(path, A.PathInverse):
+            inner = self._path_pairs(path.inner)
+            return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if isinstance(path, A.PathSequence):
+            out = self._path_pairs(path.parts[0])
+            for part in path.parts[1:]:
+                nxt = self._path_pairs(part).withColumnRenamed("src", "mid_src")
+                out = (out.join(nxt, out["dst"] == nxt["mid_src"])
+                          .select(out["src"], nxt["dst"]))
+            return out
+        if isinstance(path, A.PathAlternative):
+            out = self._path_pairs(path.parts[0])
+            for part in path.parts[1:]:
+                out = out.unionByName(self._path_pairs(part))
+            return out
+        if isinstance(path, A.PathZeroOrOne):
+            return self._path_pairs(path.inner).unionByName(self._graph_nodes()).distinct()
+        if isinstance(path, A.PathOneOrMore):
+            return self._kleene(self._path_pairs(path.inner))
+        if isinstance(path, A.PathZeroOrMore):
+            step = self._kleene(self._path_pairs(path.inner))
+            return step.unionByName(self._graph_nodes()).distinct()
+        raise NotImplementedError(f"path {type(path).__name__}")
+
+    def _graph_nodes(self) -> DataFrame:
+        g = self.graph_df
+        nodes = (g.select(F.col("s").alias("n"))
+                  .unionByName(g.filter(F.col("o_iri").isNotNull())
+                                .select(F.col("o_iri").alias("n")))
+                  .distinct())
+        return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
+    def _kleene(self, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+        """Transitive closure by iterated self-join; the graph side is small
+        (it is the reference's 'static' half), so driver-looped fixpoint is
+        acceptable. At cluster scale swap in GraphFrames/Pregel."""
+        edges = edges.distinct().cache()
+        paths = edges
+        frontier = edges
+        for _ in range(max_iter):
+            nxt = (frontier.withColumnRenamed("dst", "mid")
+                   .join(edges.withColumnRenamed("src", "mid"), "mid")
+                   .select("src", "dst")
+                   .distinct())
+            new = nxt.join(paths, ["src", "dst"], "left_anti").cache()
+            if new.isEmpty():
+                break
+            paths = paths.unionByName(new).cache()
+            frontier = new
+        return paths
+
+    def _compile_path_triple(self, tp: A.TriplePattern) -> SolutionMapping:
+        pairs = self._path_pairs(tp.p)
+        vars2: dict[str, VarMeta] = {}
+        df = pairs
+        cols = []
+        if isinstance(tp.s, Variable):
+            cols.append(F.col("src").alias(tp.s.name))
+            vars2[tp.s.name] = VarMeta("term")
+        else:
+            df = df.filter(F.col("src") == (tp.s.value if isinstance(tp.s, IRI) else str(tp.s)))
+        if isinstance(tp.o, Variable):
+            if tp.o.name in vars2:
+                df = df.filter(F.col("dst") == F.col("src"))
+            else:
+                cols.append(F.col("dst").alias(tp.o.name))
+                vars2[tp.o.name] = VarMeta("term")
+        elif isinstance(tp.o, Literal):
+            df = df.filter(F.col("dst") == tp.o.lexical)
+        else:
+            df = df.filter(F.col("dst") == tp.o.value)
+        return SolutionMapping(df.select(*cols), vars2)
+
+    # -- filter / extend -------------------------------------------------------
+
+    def resolve_exists(self, sm: SolutionMapping, expr: A.Expr
+                       ) -> tuple[SolutionMapping, dict[int, Column], list[str]]:
+        exists_nodes: list[A.EExists] = []
+
+        def walk(e):
+            if isinstance(e, A.EExists):
+                exists_nodes.append(e)
+            elif isinstance(e, (A.EOr, A.EAnd, A.ECmp, A.EArith)):
+                walk(e.left); walk(e.right)
+            elif isinstance(e, (A.ENot, A.ENeg)):
+                walk(e.inner)
+            elif isinstance(e, A.EIn):
+                walk(e.expr)
+                for o in e.options:
+                    walk(o)
+            elif isinstance(e, A.EFunc):
+                for a in e.args:
+                    walk(a)
+
+        walk(expr)
+        exists_cols: dict[int, Column] = {}
+        flags: list[str] = []
+        for node in exists_nodes:
+            inner = self.compile_pattern(node.pattern, None)
+            shared = [v for v in inner.vars if v in sm.vars and not v.startswith("__")]
+            if not shared:
+                nonempty = not inner.df.isEmpty()
+                exists_cols[id(node)] = F.lit(nonempty)
+                continue
+            flag = self.fresh("exists")
+            keys = replace(inner,
+                           df=inner.df.select(*[c for v in shared
+                                                for c in [v, *inner.aux_cols(v)]])
+                                     .dropDuplicates(shared)
+                                     .withColumn(flag, F.lit(True)),
+                           vars={**{v: inner.vars[v] for v in shared},
+                                 flag: VarMeta("native", "bool")},
+                           dt_vars={v for v in inner.dt_vars if v in shared},
+                           lang_vars={v for v in inner.lang_vars if v in shared},
+                           ts_chains={})
+            sm = self.join_solutions(sm, keys, how="left")
+            exists_cols[id(node)] = F.coalesce(F.col(flag), F.lit(False))
+            flags.append(flag)
+        return sm, exists_cols, flags
+
+    def apply_filter(self, sm: SolutionMapping, expr: A.Expr) -> SolutionMapping:
+        sm2, exists_cols, flags = self.resolve_exists(sm, expr)
+        cond = compile_expr(expr, sm2, exists_cols)
+        df = sm2.df.filter(cond.col.cast("boolean"))
+        for flag in flags:
+            df = df.drop(flag)
+        vars2 = {v: m for v, m in sm2.vars.items() if v not in flags}
+        return replace(sm2, df=df, vars=vars2)
+
+    def apply_extend(self, sm: SolutionMapping, var: str, expr: A.Expr) -> SolutionMapping:
+        if isinstance(expr, A.EVar) and expr.name in sm.vars:
+            m = sm.vars[expr.name]
+            df = sm.df.withColumn(var, F.col(expr.name))
+            dt_vars, lang_vars = set(sm.dt_vars), set(sm.lang_vars)
+            if expr.name in sm.dt_vars:
+                df = df.withColumn(f"{var}__dt", F.col(f"{expr.name}__dt"))
+                dt_vars.add(var)
+            if expr.name in sm.lang_vars:
+                df = df.withColumn(f"{var}__lang", F.col(f"{expr.name}__lang"))
+                lang_vars.add(var)
+            return replace(sm, df=df, vars={**sm.vars, var: m},
+                           dt_vars=dt_vars, lang_vars=lang_vars)
+        sm2, exists_cols, flags = self.resolve_exists(sm, expr)
+        t = compile_expr(expr, sm2, exists_cols)
+        df = sm2.df.withColumn(var, t.col)
+        for flag in flags:
+            df = df.drop(flag)
+        vars2 = {v: m for v, m in sm2.vars.items() if v not in flags}
+        vars2[var] = VarMeta("native", t.hint or "string")
+        return replace(sm2, df=df, vars=vars2)
+
+    # -- optional / minus -------------------------------------------------------
+
+    def compile_leftjoin(self, p: A.LeftJoin, input: SolutionMapping | None) -> SolutionMapping:
+        left = self.compile_pattern(p.left, input)
+        left2 = replace(left, df=left.df.withColumn(RID, F.monotonically_increasing_id()))
+        right = self.compile_pattern(p.right, left2)
+        if p.expr is not None:
+            right = self.apply_filter(right, p.expr)
+        matched = right
+        unmatched_df = left2.df.join(matched.df.select(RID).distinct(), RID, "left_anti")
+        un_sm = replace(left2, df=unmatched_df)
+        m_sm, un_sm = self.harmonize_for_union(matched, un_sm)
+        df = m_sm.df.unionByName(un_sm.df, allowMissingColumns=True).drop(RID)
+        vars2 = dict(m_sm.vars)
+        vars2.update({k: v for k, v in un_sm.vars.items() if k not in vars2})
+        return SolutionMapping(df, vars2, m_sm.dt_vars | un_sm.dt_vars,
+                               m_sm.lang_vars | un_sm.lang_vars,
+                               {**un_sm.ts_chains, **m_sm.ts_chains})
+
+    def compile_minus(self, p: A.Minus, input: SolutionMapping | None) -> SolutionMapping:
+        left = self.compile_pattern(p.left, input)
+        rvars = A.pattern_variables(p.right)
+        if not (rvars & set(left.vars)):
+            return left  # SPARQL: disjoint domains remove nothing
+        left2 = replace(left, df=left.df.withColumn(RID, F.monotonically_increasing_id()))
+        right = self.compile_pattern(p.right, left2)
+        df = left2.df.join(right.df.select(RID).distinct(), RID, "left_anti").drop(RID)
+        return replace(left, df=df)
+
+    # -- values -------------------------------------------------------------------
+
+    def compile_values(self, p: A.Values) -> SolutionMapping:
+        from pyspark.sql import types as T
+
+        n = len(p.variables)
+        col_kind: list[VarMeta] = []
+        for i in range(n):
+            sample = next((row[i] for row in p.rows if row[i] is not None), None)
+            if isinstance(sample, Literal):
+                t = literal_typed(sample)
+                col_kind.append(VarMeta("native", t.hint))
+            else:
+                col_kind.append(VarMeta("term"))
+        fields = []
+        for v, m in zip(p.variables, col_kind):
+            fields.append(T.StructField(v, spark_type_for_xsd(
+                {"long": "http://www.w3.org/2001/XMLSchema#long",
+                 "double": "http://www.w3.org/2001/XMLSchema#double",
+                 "bool": XSD_BOOLEAN,
+                 "timestamp": XSD_DATETIME}.get(m.hint, XSD_STRING)), True))
+        rows = []
+        for row in p.rows:
+            out = []
+            for i, term in enumerate(row):
+                if term is None:
+                    out.append(None)
+                elif isinstance(term, Literal):
+                    h = col_kind[i].hint
+                    if h == "long":
+                        out.append(int(term.lexical))
+                    elif h == "double":
+                        out.append(float(term.lexical))
+                    elif h == "bool":
+                        out.append(term.lexical == "true")
+                    else:
+                        out.append(term.lexical)
+                else:
+                    out.append(term.value if isinstance(term, IRI) else str(term))
+            rows.append(tuple(out))
+        df = self.spark.createDataFrame(rows, T.StructType(fields))
+        return SolutionMapping(df, dict(zip(p.variables, col_kind)))
+
+    # -- group / aggregates ----------------------------------------------------
+
+    def compile_group(self, p: A.Group, input: SolutionMapping | None) -> SolutionMapping:
+        sm = self.compile_pattern(p.inner, input)
+        group_cols = []
+        for v in p.by:
+            group_cols.append(v)
+            group_cols.extend(sm.aux_cols(v))
+        aggs = []
+        vars2: dict[str, VarMeta] = {v: sm.vars[v] for v in p.by if v in sm.vars}
+        for a in p.aggregates:
+            col, meta = self._compile_aggregate(a, sm)
+            aggs.append(col.alias(a.var))
+            vars2[a.var] = meta
+        if aggs:
+            df = sm.df.groupBy(*group_cols).agg(*aggs)
+        else:
+            df = sm.df.select(*group_cols).distinct()
+        dt_vars = {v for v in sm.dt_vars if v in p.by}
+        lang_vars = {v for v in sm.lang_vars if v in p.by}
+        return SolutionMapping(df, vars2, dt_vars, lang_vars, {})
+
+    def _compile_aggregate(self, a: A.EAggregate, sm: SolutionMapping) -> tuple[Column, VarMeta]:
+        """SPARQL aggregate -> Spark aggregate (reference:
+        hybrid/src/combiner/lazy_aggregate.rs)."""
+        if a.expr is None:  # COUNT(*)
+            return F.count(F.lit(1)), VarMeta("native", "long")
+        t = compile_expr(a.expr, sm)
+        name = a.name
+        if name == "COUNT":
+            col = F.count_distinct(t.col) if a.distinct else F.count(t.col)
+            return col, VarMeta("native", "long")
+        if name == "SUM":
+            c = t.col if t.hint in NUMERIC else t.col.cast("double")
+            col = F.sum_distinct(c) if a.distinct else F.sum(c)
+            return col, VarMeta("native", "long" if t.hint in INTEGRAL else "double")
+        if name == "AVG":
+            c = t.col if t.hint in NUMERIC else t.col.cast("double")
+            if a.distinct:
+                return F.try_divide(F.sum_distinct(c), F.count_distinct(c)), VarMeta("native", "double")
+            return F.avg(c), VarMeta("native", "double")
+        if name == "MIN":
+            return F.min(t.col), VarMeta("native", t.hint)
+        if name == "MAX":
+            return F.max(t.col), VarMeta("native", t.hint)
+        if name == "SAMPLE":
+            return F.first(t.col, ignorenulls=True), VarMeta("native", t.hint)
+        if name == "GROUP_CONCAT":
+            c = t.col if t.hint in ("string", "iri") else t.col.cast("string")
+            lst = F.collect_set(c) if a.distinct else F.collect_list(c)
+            return F.array_join(lst, a.separator if a.separator is not None else " "), \
+                VarMeta("native", "string")
+        if name == NEST_AGGREGATION:
+            return F.collect_list(t.col), VarMeta("native", "array")
+        raise NotImplementedError(f"aggregate {name}")
+
+    # -- order / project ---------------------------------------------------------
+
+    def apply_order(self, sm: SolutionMapping, keys: list[tuple[A.Expr, bool]]) -> SolutionMapping:
+        sort_cols = []
+        helpers = []
+        df = sm.df
+        for i, (e, asc) in enumerate(keys):
+            if isinstance(e, A.EVar) and e.name in sm.vars:
+                c = F.col(e.name)
+            else:
+                h = f"__ord_{i}"
+                t = compile_expr(e, sm)
+                df = df.withColumn(h, t.col)
+                helpers.append(h)
+                c = F.col(h)
+            sort_cols.append(c.asc() if asc else c.desc())
+        df = df.orderBy(*sort_cols)
+        for h in helpers:
+            df = df.drop(h)
+        return replace(sm, df=df)
+
+    def apply_project(self, sm: SolutionMapping, variables: list[str]) -> SolutionMapping:
+        cols = []
+        vars2 = {}
+        dt_vars, lang_vars = set(), set()
+        df = sm.df
+        for v in variables:
+            if v not in sm.vars:
+                df = df.withColumn(v, F.lit(None).cast("string"))
+                vars2[v] = VarMeta("term")
+                cols.append(v)
+                continue
+            cols.append(v)
+            vars2[v] = sm.vars[v]
+            for aux in sm.aux_cols(v):
+                cols.append(aux)
+            if v in sm.dt_vars:
+                dt_vars.add(v)
+            if v in sm.lang_vars:
+                lang_vars.add(v)
+        return SolutionMapping(df.select(*cols), vars2, dt_vars, lang_vars, dict(sm.ts_chains))

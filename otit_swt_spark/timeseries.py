@@ -1,0 +1,91 @@
+"""Time-series table registration.
+
+Reference parity: ``TimeSeriesTable`` declaration at
+hybrid/src/timeseries_database/timeseries_sql_rewrite.rs:90-100
+(schema, value/timestamp/identifier columns, value XSD datatype, optional
+year/month/day partition columns) and the in-memory variant at
+hybrid/src/timeseries_database/simple_in_memory_timeseries.rs:17-19.
+
+Spark-first: the table is one tall DataFrame ``(id, timestamp, value, ...)``
+— ideally date-partitioned parquet so Catalyst prunes partitions from
+timestamp predicates. The reference's whole SQL-translation layer
+(timeseries_sql_rewrite.rs) disappears: predicates/aggregations "push down"
+by simply being part of the one Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otit_swt_spark.terms import XSD_DOUBLE, xsd_for_spark_type
+
+
+class TimeSeriesTable:
+    """Declares where time-series rows live and which columns carry the
+    identifier / timestamp / value."""
+
+    def __init__(
+        self,
+        df: DataFrame | None = None,
+        *,
+        path: str | None = None,
+        identifier_column: str = "id",
+        timestamp_column: str = "timestamp",
+        value_column: str = "value",
+        value_datatype: str | None = None,
+        year_column: str | None = None,
+        month_column: str | None = None,
+        day_column: str | None = None,
+    ):
+        if df is None and path is None:
+            raise ValueError("TimeSeriesTable needs df or path")
+        self._df = df
+        self.path = path
+        self.identifier_column = identifier_column
+        self.timestamp_column = timestamp_column
+        self.value_column = value_column
+        self.value_datatype = value_datatype
+        self.year_column = year_column
+        self.month_column = month_column
+        self.day_column = day_column
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self._df is not None:
+            return self._df
+        return spark.read.parquet(self.path)
+
+    def normalized(self, spark: SparkSession) -> DataFrame:
+        """Project to the canonical (id, timestamp, value) shape. Column
+        pruning keeps the scan narrow; partition columns stay implicit in the
+        file layout so partition pruning still applies to pushed filters."""
+        df = self.load(spark)
+        return df.select(
+            F.col(self.identifier_column).cast("string").alias("id"),
+            F.col(self.timestamp_column).alias("timestamp"),
+            F.col(self.value_column).alias("value"),
+        )
+
+    def value_xsd(self, spark: SparkSession) -> str:
+        if self.value_datatype:
+            return self.value_datatype
+        df = self.load(spark)
+        return xsd_for_spark_type(df.schema[self.value_column].dataType)
+
+
+def in_memory_timeseries(
+    spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
+) -> TimeSeriesTable:
+    """Reference's SimpleInMemoryTimeseriesDatabase: a dict of external id ->
+    pandas DataFrame(timestamp, value)
+    (simple_in_memory_timeseries.rs:17-19,73-100). Concatenated into one tall
+    Spark DataFrame."""
+    import pandas as pd
+
+    parts = []
+    for ext_id, pdf in frames.items():
+        p = pdf.copy()
+        p.insert(0, "id", ext_id)
+        parts.append(p)
+    tall = pd.concat(parts, ignore_index=True)
+    df = spark.createDataFrame(tall)
+    return TimeSeriesTable(df, value_datatype=value_datatype or XSD_DOUBLE)
