@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a single hash-shuffle on a 16-byte digest (not the text);
+- MinHash signatures are computed map-side with built-in functions
+  (xxhash64 over shingles, k linear permutations), so the only shuffle is
+  the band-bucket groupBy, whose keys are uniformly distributed;
+- candidate pair generation joins within LSH buckets only (no all-pairs);
+- verification (exact n-gram Jaccard) runs on the candidate pairs, which is
+  orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def _permute_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) params for k min-wise linear permutations.
+    Kept below 2^31 so a*h + b stays under 2^63 (no long overflow — relevant
+    under Spark ANSI mode and for correctness of the modulus)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(k)]
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>), lowercased."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    )
+
+
+def _perm_fn(a: int, b: int):
+    # closure factory — pyspark inspects lambda arity, so no default-arg trick
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)
+
+
+def minhash_signature(text: Column, k: int = 64, shingle_n: int = 3) -> Column:
+    """k-element MinHash signature (array<long>). One xxhash64 per shingle,
+    k linear permutations of it, array_min per permutation — all codegen'd."""
+    hashes = F.transform(shingles(text, shingle_n),
+                         lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 31))
+    params = _permute_params(k)
+    return F.array(*[F.array_min(F.transform(hashes, _perm_fn(a, b))) for a, b in params])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: keeps the minimum id per digest.
+    Shuffles only (digest, id) pairs."""
+    digest = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, sig_agreement) where sig_agreement estimates
+    Jaccard similarity. rows = k/bands hashes per band; two docs collide if
+    any band matches."""
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    band_entries = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                                  for r in range(rows)])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+    return pairs.select(
+        "id_a", "id_b",
+        (agree.cast("double") / F.size("sig_a")).alias("sig_agreement"),
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles. For each bit j, sum +-1 weighted by
+    the shingle-hash's bit j, then take the sign. Built from array exprs."""
+    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+
+    def bit_sum(j: int):
+        # shiftrightunsigned avoids materializing 1<<63 (> long max)
+        return lambda acc, h: acc + (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bits = [
+        F.when(F.aggregate(hashes, F.lit(0).cast("long"), bit_sum(j)) > 0,
+               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    out = bits[0]
+    for j in range(1, 64):
+        out = out + F.shiftleft(bits[j], j)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (any of 4 chunks
+    equal -> candidate; guarantees recall for distance <= 3), verify by
+    Hamming distance."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", "sh", "ck.chunk", "ck.key")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(r, (F.col("l.chunk") == F.col("r.chunk")) & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verify
+    stage after LSH. Joins text back in (broadcast-eligible when the pair
+    set is small), computes |A∩B| / |A∪B| with array ops."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    texts = docs.select(F.col(id_col).alias("id"), sh.alias("grams"))
+    out = (
+        df_pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; one pass, no shuffle until the
+  final top-k (which is a tiny sort).
+- LSH-bucketed ANN (random hyperplanes): the scale path — computes a
+  sign-bit sketch per vector, joins only within matching buckets (with
+  multi-probe via allowing <= 1 differing bit), so the candidate set stays
+  ~corpus/2^bits per query.
+
+All dot products use F.zip_with + F.aggregate (JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Column | list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. ``query_vec`` may be a
+    Column (e.g. from a 1-row DataFrame crossJoin) or a Python list."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]) if isinstance(query_vec, list) else query_vec
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q.cast("array<double>")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def lsh_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch (long) from random hyperplanes."""
+    bits = []
+    for j, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec.cast("array<double>"), pc) > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: only vectors whose sketch differs from
+    the query's by <= 1 bit are scored. 1/2^bits selectivity per probe, with
+    (n_bits+1) probes. IVF analog: the sketch is the 'inverted list' key."""
+    dim = dim or len(query_vec)
+    planes = _hyperplanes(dim, n_bits)
+    sketched = df.select(F.col(id_col), F.col(vec_col),
+                         lsh_sketch(F.col(vec_col), planes).alias("sketch"))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    # driver-side query sketch (tiny, deterministic)
+    qsketch = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qsketch |= 1 << j
+    probes = [qsketch] + [qsketch ^ (1 << j) for j in range(n_bits)]
+    cand = sketched.filter(F.col("sketch").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), qcol.cast("array<double>")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                              vec_col: str = "embedding", n_bits: int = 6) -> DataFrame:
+    """Approximate k-NN graph: bucket by sketch, join within buckets, rank
+    per source vector. The bucket join bounds the pair blowup."""
+    from pyspark.sql import Window as W
+
+    planes_df = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_sketch(F.col(vec_col), _hyperplanes(_dim_of(df, vec_col), n_bits)).alias("sketch"),
+    )
+    l, r = planes_df.alias("l"), planes_df.alias("r")
+    pairs = l.join(r, (F.col("l.sketch") == F.col("r.sketch")) & (F.col("l.id") != F.col("r.id")))
+    scored = pairs.select(
+        F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
+        cosine(F.col("l.v").cast("array<double>"), F.col("r.v").cast("array<double>")).alias("cos_sim"),
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])

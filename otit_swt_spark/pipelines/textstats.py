@@ -1,0 +1,115 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. Pure built-in functions — whole-stage codegen'd,
+no Python in the executor path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"\s+"
+# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny marker-word lists per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
+
+
+def n_tokens(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE)))
+
+
+def n_bpe_tokens(text: Column) -> Column:
+    """BPE-ish token count: words + numbers + punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    pat = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+    hits = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    return hits / F.greatest(n_tokens(text), F.lit(1))
+
+
+def mean_word_len(text: Column) -> Column:
+    t = F.trim(text)
+    toks = F.split(t, TOKEN_RE)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation soup,
+    plausible word lengths, some stopwords (prose-ness)."""
+    len_ok = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    wl = mean_word_len(text)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_ok = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return (len_ok + punct_ok + wl_ok + sw_ok) / 4.0
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"(?i)\b(" + "|".join(markers) + r")\b"
+        out.append((lang, F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language guess; deterministic tie-break by language code
+    order. At scale, replace marker lists with char-trigram profiles built
+    the same way (regexp counts + argmax)."""
+    scores = lang_scores(text)
+    pairs = F.array(*[F.struct(s.cast("long").alias("score"),
+                               F.lit(lang).alias("lang"))
+                      for lang, s in sorted(scores, key=lambda kv: kv[0])])
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse whitespace, md5."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_hash(text: Column, window: int = 8) -> Column:
+    """Cheap shift-rolling content hash over character codes — a locality
+    fingerprint usable for chunk-level dedup."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    # mask to 56 bits so acc*31 + x never overflows a long
+    mask = F.lit((1 << 56) - 1)
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(mask),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(t).alias("stat_n_chars"),
+        n_tokens(t).alias("stat_n_tokens"),
+        n_bpe_tokens(t).alias("stat_n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("stat_punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stat_stopword_ratio"),
+        F.round(quality_score(t), 6).alias("stat_quality"),
+        lang_id(t).alias("stat_lang"),
+        fingerprint(t).alias("stat_fingerprint"),
+    )

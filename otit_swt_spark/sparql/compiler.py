@@ -104,7 +104,7 @@ def _common_hint(a: str | None, b: str | None) -> str:
 
 
 def _cast_var_to_native(sm: SolutionMapping, name: str, hint: str) -> SolutionMapping:
-    df = sm.df.withColumn(name, F.col(name).cast(_spark_type(hint)))
+    df = sm.df.withColumn(name, F.col(name).try_cast(_spark_type(hint)))
     for aux in sm.aux_cols(name):
         df = df.drop(aux)
     vars2 = dict(sm.vars)
@@ -573,7 +573,7 @@ class Compiler:
     def apply_filter(self, sm: SolutionMapping, expr: A.Expr) -> SolutionMapping:
         sm2, exists_cols, flags = self.resolve_exists(sm, expr)
         cond = compile_expr(expr, sm2, exists_cols)
-        df = sm2.df.filter(cond.col.cast("boolean"))
+        df = sm2.df.filter(cond.col.try_cast("boolean"))
         for flag in flags:
             df = df.drop(flag)
         vars2 = {v: m for v, m in sm2.vars.items() if v not in flags}
@@ -683,50 +683,73 @@ class Compiler:
             group_cols.extend(sm.aux_cols(v))
         aggs = []
         vars2: dict[str, VarMeta] = {v: sm.vars[v] for v in p.by if v in sm.vars}
+        dt_vars = {v for v in sm.dt_vars if v in p.by}
+        lang_vars = {v for v in sm.lang_vars if v in p.by}
         for a in p.aggregates:
-            col, meta = self._compile_aggregate(a, sm)
+            col, meta, extras = self._compile_aggregate(a, sm)
             aggs.append(col.alias(a.var))
             vars2[a.var] = meta
+            for extra_name, extra_col in extras:
+                aggs.append(extra_col.alias(extra_name))
+                if extra_name.endswith("__dt"):
+                    dt_vars.add(a.var)
         if aggs:
             df = sm.df.groupBy(*group_cols).agg(*aggs)
         else:
             df = sm.df.select(*group_cols).distinct()
-        dt_vars = {v for v in sm.dt_vars if v in p.by}
-        lang_vars = {v for v in sm.lang_vars if v in p.by}
         return SolutionMapping(df, vars2, dt_vars, lang_vars, {})
 
-    def _compile_aggregate(self, a: A.EAggregate, sm: SolutionMapping) -> tuple[Column, VarMeta]:
+    def _compile_aggregate(self, a: A.EAggregate, sm: SolutionMapping
+                           ) -> tuple[Column, VarMeta, list[tuple[str, Column]]]:
         """SPARQL aggregate -> Spark aggregate (reference:
-        hybrid/src/combiner/lazy_aggregate.rs)."""
+        hybrid/src/combiner/lazy_aggregate.rs). Returns (column, meta,
+        extra aggregate columns — e.g. a carried datatype col)."""
+        no_extra: list[tuple[str, Column]] = []
         if a.expr is None:  # COUNT(*)
-            return F.count(F.lit(1)), VarMeta("native", "long")
+            return F.count(F.lit(1)), VarMeta("native", "long"), no_extra
         t = compile_expr(a.expr, sm)
         name = a.name
         if name == "COUNT":
             col = F.count_distinct(t.col) if a.distinct else F.count(t.col)
-            return col, VarMeta("native", "long")
+            return col, VarMeta("native", "long"), no_extra
         if name == "SUM":
-            c = t.col if t.hint in NUMERIC else t.col.cast("double")
+            c = t.col if t.hint in NUMERIC else t.col.try_cast("double")
             col = F.sum_distinct(c) if a.distinct else F.sum(c)
-            return col, VarMeta("native", "long" if t.hint in INTEGRAL else "double")
+            return col, VarMeta("native", "long" if t.hint in INTEGRAL else "double"), no_extra
         if name == "AVG":
-            c = t.col if t.hint in NUMERIC else t.col.cast("double")
+            c = t.col if t.hint in NUMERIC else t.col.try_cast("double")
             if a.distinct:
-                return F.try_divide(F.sum_distinct(c), F.count_distinct(c)), VarMeta("native", "double")
-            return F.avg(c), VarMeta("native", "double")
-        if name == "MIN":
-            return F.min(t.col), VarMeta("native", t.hint)
-        if name == "MAX":
-            return F.max(t.col), VarMeta("native", t.hint)
+                return F.try_divide(F.sum_distinct(c), F.count_distinct(c)), \
+                    VarMeta("native", "double"), no_extra
+            return F.avg(c), VarMeta("native", "double"), no_extra
+        if name in ("MIN", "MAX"):
+            fn = F.min if name == "MIN" else F.max
+            if t.hint is not None:
+                return fn(t.col), VarMeta("native", t.hint), no_extra
+            # term column: order numerically when values parse as numbers
+            # (SPARQL natural ordering), fall back to string collation;
+            # carry the datatype column so output typing survives
+            key = F.struct(t.col.try_cast("double").alias("num"), t.col.alias("lex"))
+            col = fn(key).getField("lex")
+            extras = []
+            if isinstance(a.expr, A.EVar) and a.expr.name in sm.dt_vars:
+                extras.append((f"{a.var}__dt",
+                               F.first(F.col(f"{a.expr.name}__dt"), ignorenulls=True)))
+            return col, VarMeta("term"), extras
         if name == "SAMPLE":
-            return F.first(t.col, ignorenulls=True), VarMeta("native", t.hint)
+            kind = "native" if t.hint is not None else "term"
+            extras = []
+            if kind == "term" and isinstance(a.expr, A.EVar) and a.expr.name in sm.dt_vars:
+                extras.append((f"{a.var}__dt",
+                               F.first(F.col(f"{a.expr.name}__dt"), ignorenulls=True)))
+            return F.first(t.col, ignorenulls=True), VarMeta(kind, t.hint), extras
         if name == "GROUP_CONCAT":
             c = t.col if t.hint in ("string", "iri") else t.col.cast("string")
             lst = F.collect_set(c) if a.distinct else F.collect_list(c)
             return F.array_join(lst, a.separator if a.separator is not None else " "), \
-                VarMeta("native", "string")
+                VarMeta("native", "string"), no_extra
         if name == NEST_AGGREGATION:
-            return F.collect_list(t.col), VarMeta("native", "array")
+            return F.collect_list(t.col), VarMeta("native", "array"), no_extra
         raise NotImplementedError(f"aggregate {name}")
 
     # -- order / project ---------------------------------------------------------

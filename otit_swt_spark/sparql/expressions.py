@@ -50,18 +50,23 @@ class Typed:
         self.hint = hint  # 'int','long','double','float','bool','string','timestamp','date','iri',None
 
 
+# try_cast everywhere: SPARQL semantics make an invalid cast an expression
+# error, which makes the enclosing FILTER false / BIND unbound — exactly
+# Spark's try_cast -> null behavior. Also keeps us safe under ANSI mode
+# (Spark 4 default), where a plain cast would abort the query.
+
 def _as_double(t: Typed) -> Column:
-    if t.hint in NUMERIC:
-        return t.col.cast("double") if t.hint != "double" else t.col
-    return t.col.cast("double")
+    if t.hint == "double":
+        return t.col
+    return t.col.try_cast("double")
 
 
 def _as_long(t: Typed) -> Column:
-    return t.col if t.hint == "long" else t.col.cast("long")
+    return t.col if t.hint == "long" else t.col.try_cast("long")
 
 
 def _as_ts(t: Typed) -> Column:
-    return t.col if t.hint == "timestamp" else t.col.cast("timestamp")
+    return t.col if t.hint == "timestamp" else t.col.try_cast("timestamp")
 
 
 def _as_str(t: Typed) -> Column:
@@ -69,7 +74,7 @@ def _as_str(t: Typed) -> Column:
 
 
 def _as_bool(t: Typed) -> Column:
-    return t.col if t.hint == "bool" else t.col.cast("boolean")
+    return t.col if t.hint == "bool" else t.col.try_cast("boolean")
 
 
 def literal_typed(lit) -> Typed:
@@ -155,7 +160,7 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
 
     def arith(op: str, lt: Typed, rt: Typed) -> Typed:
         if op == "/":
-            return Typed(_as_double(lt) / _as_double(rt), "double")
+            return Typed(F.try_divide(_as_double(lt), _as_double(rt)), "double")
         if lt.hint in INTEGRAL and rt.hint in INTEGRAL:
             lc, rc = _as_long(lt), _as_long(rt)
             hint = "long"
@@ -269,17 +274,17 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
         if name.startswith("XSD_CAST:"):
             target = name[len("XSD_CAST:"):]
             if target in (XSD + "integer", XSD + "long", XSD + "int"):
-                return Typed(args[0].col.cast("long"), "long")
+                return Typed(args[0].col.try_cast("long"), "long")
             if target in (XSD + "double", XSD + "decimal"):
-                return Typed(args[0].col.cast("double"), "double")
+                return Typed(args[0].col.try_cast("double"), "double")
             if target == XSD + "float":
-                return Typed(args[0].col.cast("float"), "float")
+                return Typed(args[0].col.try_cast("float"), "float")
             if target == XSD + "boolean":
-                return Typed(args[0].col.cast("boolean"), "bool")
+                return Typed(args[0].col.try_cast("boolean"), "bool")
             if target == XSD + "dateTime":
                 return Typed(_as_ts(args[0]), "timestamp")
             if target == XSD + "date":
-                return Typed(args[0].col.cast("date"), "date")
+                return Typed(args[0].col.try_cast("date"), "date")
             return Typed(_as_str(args[0]), "string")
         # otit_swt custom datetime functions (lazy_expressions.rs:565-601)
         if name == DATETIME_AS_SECONDS:

@@ -327,13 +327,19 @@ class Parser:
         else:
             variables = [v for v, _ in select_items]
 
-        if order:
+        # ORDER BY placement: normally before projection (keys may reference
+        # unprojected vars). Under DISTINCT, dedup would destroy row order in
+        # Spark, so apply the ordering after Distinct instead (keys must then
+        # be projected vars — the common case).
+        if order and not (distinct or reduced):
             pattern = A.OrderBy(pattern, order)
         pattern = A.Project(pattern, variables)
         if distinct:
             pattern = A.Distinct(pattern)
         elif reduced:
             pattern = A.Reduced(pattern)
+        if order and (distinct or reduced):
+            pattern = A.OrderBy(pattern, order)
         if limit is not None or offset:
             pattern = A.Slice(pattern, offset, limit)
         return A.SelectQuery(pattern, variables)
