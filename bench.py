@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: the flagship hybrid SPARQL+TS aggregation (the reference's
+wind-power-style workload shape: KG join -> TS scan -> grouped agg), the
+DSL-style tumbling window, TPC-H Q1/Q3, MinHash LSH dedup, and cosine top-k
+— the operators whose cost dominates at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from otit_swt_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "sparql_hybrid_ts_agg",
+    "sparql_hybrid_ts_window",
+    "sparql_group_agg",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "window_tumbling_events",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # forces full execution without driver collect cost
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,18 +37,28 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _perm_fn(a: int, b: int):
-    # closure factory — pyspark inspects lambda arity, so no default-arg trick
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)
-
-
 def minhash_signature(text: Column, k: int = 64, shingle_n: int = 3) -> Column:
-    """k-element MinHash signature (array<long>). One xxhash64 per shingle,
-    k linear permutations of it, array_min per permutation — all codegen'd."""
+    """k-element MinHash signature (array<long>).
+
+    Single pass: hash each shingle once (xxhash64), then fold the hash array
+    into a running element-wise minimum of the k linear permutations
+    (``aggregate`` + ``zip_with(least)``). Higher-order functions are
+    interpreted (not whole-stage-codegen), so evaluating the shingle array
+    once — instead of once per permutation — is a ~k× win on wide documents.
+    """
+    params = _permute_params(k)
     hashes = F.transform(shingles(text, shingle_n),
                          lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 31))
-    params = _permute_params(k)
-    return F.array(*[F.array_min(F.transform(hashes, _perm_fn(a, b))) for a, b in params])
+    init = F.array(*[F.lit(MERSENNE).cast("long") for _ in range(k)])
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE) for a, b in params]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -69,6 +79,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_pairs_per_entry: int = 8,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -76,12 +87,22 @@ def minhash_lsh_pairs(
     Jaccard similarity. rows = k/bands hashes per band; two docs collide if
     any band matches."""
     rows = k // bands
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     sig = minhash_signature(F.col(text_col), k, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # Signatures are tiny relative to the corpus (k longs + id per doc), so
+    # repartition the scan (a single small parquet file reads as one input
+    # split) and persist: both the band explode and the two agreement joins
+    # below reuse them without recomputing the text pass.
+    with_sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(par)
+        .select("id", sig.alias("sig"))
+        .persist()
+    )
 
     band_entries = with_sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -92,43 +113,70 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
+    # Pair generation per bucket (one groupBy shuffle on uniformly-hashed
+    # bucket keys — no self-join). Buckets of exact duplicates would blow up
+    # quadratically, so each doc pairs with at most `max_pairs_per_entry`
+    # successors in the sorted bucket: connected-component transitivity still
+    # links every duplicate cluster while pair count stays linear in docs.
+    ids = F.sort_array(F.collect_list("id"))
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.least(F.size(F.col("ids")) - i - 1, F.lit(max_pairs_per_entry))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     pairs = (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        band_entries.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sigs_a = with_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sigs_b = with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-    return pairs.select(
-        "id_a", "id_b",
-        (agree.cast("double") / F.size("sig_a")).alias("sig_agreement"),
+    return (
+        pairs.join(sigs_a, "id_a").join(sigs_b, "id_b")
+        .select("id_a", "id_b",
+                (agree.cast("double") / F.size("sig_a")).alias("sig_agreement"))
     )
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles. For each bit j, sum +-1 weighted by
-    the shingle-hash's bit j, then take the sign. Built from array exprs."""
+    the shingle-hash's bit j, then take the sign.
+
+    Single fold over the shingle-hash array keeping 64 running counters
+    (array<long> accumulator) — the shingle array is computed once, not once
+    per bit (higher-order functions are interpreted, so re-evaluation is the
+    dominant cost on wide documents)."""
     hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-
-    def bit_sum(j: int):
-        # shiftrightunsigned avoids materializing 1<<63 (> long max)
-        return lambda acc, h: acc + (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bits = [
-        F.when(F.aggregate(hashes, F.lit(0).cast("long"), bit_sum(j)) > 0,
-               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    out = bits[0]
-    for j in range(1, 64):
-        out = out + F.shiftleft(bits[j], j)
-    return out
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)).cast("long")
+                       * 2 - 1) for j in range(64)]),
+            lambda x, y: x + y,
+        ),
+    )
+    # bit j contributes 2^j; bit 63 is the sign bit of the result long
+    powers = F.array(*[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+                       for j in range(64)])
+    return F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -140,7 +188,13 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """Near-dup pairs by SimHash: block on 16-bit chunks (any of 4 chunks
     equal -> candidate; guarantees recall for distance <= 3), verify by
     Hamming distance."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(par)
+        .select("id", simhash64(F.col(text_col)).alias("sh"))
+        .persist()
+    )
     chunks = sh.select(
         "id", "sh",
         F.explode(F.array(*[
