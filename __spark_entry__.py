@@ -315,6 +315,71 @@ def q_embedding_topk(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+# --------------------------------------------------------------------------
+# Mapper (stOTTR template expansion, SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+NATION_TEMPLATE = """
+@prefix ex:<urn:tmpl:>.
+ex:NationT [xsd:anyURI ?nation, ?nation_name, xsd:anyURI ?region] :: {
+    ottr:Triple(?nation, <urn:p:hasName>, ?nation_name),
+    ottr:Triple(?nation, <urn:p:inRegion>, ?region)
+} .
+"""
+
+
+def _nation_mapping(spark, sf_dir):
+    from otit_swt_spark.mapper import Mapping
+
+    n = _t(spark, sf_dir, "nation")
+    df = n.select(
+        F.col("n_nationkey").cast("string").alias("Key"),
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("nation"),
+        F.col("n_name").alias("nation_name"),
+        F.concat(F.lit("urn:region:"), F.col("n_regionkey")).alias("region"),
+    )
+    m = Mapping.from_str(NATION_TEMPLATE, spark=spark)
+    m.expand("urn:tmpl:NationT", df)
+    return m
+
+
+def q_mapper_expand(spark, sf_dir):
+    m = _nation_mapping(spark, sf_dir)
+    t = m.triples_df()
+    return t.select("subject", "verb", F.coalesce("o_iri", "o_lex").alias("object"))
+
+
+def q_mapper_ntriples(spark, sf_dir):
+    m = _nation_mapping(spark, sf_dir)
+    return m.ntriples_lines()
+
+
+def q_mapper_list_cross(spark, sf_dir):
+    """cross list expander: per-nation supplier lists exploded back to
+    triples — equivalent to the plain join in the oracle."""
+    from otit_swt_spark.mapper import Mapping
+
+    s = _t(spark, sf_dir, "supplier")
+    df = s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list(F.concat(F.lit("urn:supp:"), F.col("s_suppkey"))))
+        .alias("supps")
+    ).select(
+        F.col("s_nationkey").cast("string").alias("Key"),
+        F.concat(F.lit("urn:nation:"), F.col("s_nationkey")).alias("nation"),
+        F.col("supps"),
+    )
+    doc = """
+    @prefix ex:<urn:tmpl:>.
+    ex:SuppT [xsd:anyURI ?nation, List<xsd:anyURI> ?supps] :: {
+        cross | ottr:Triple(?nation, <urn:p:hasSupplier>, ++?supps)
+    } .
+    """
+    m = Mapping.from_str(doc, spark=spark)
+    m.expand("urn:tmpl:SuppT", df)
+    op = m.object_property_triples()
+    return op.select("subject", "verb", "object")
+
+
 # rows-only entries (approximate / non-SQL-expressible; driver records a
 # weaker check — SURVEY §2 "custom operators")
 
@@ -382,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
         "window_tumbling_events": q_window_tumbling_events,
+        "mapper_expand": q_mapper_expand,
+        "mapper_ntriples": q_mapper_ntriples,
+        "mapper_list_cross": q_mapper_list_cross,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -536,6 +604,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "mapper_expand": """
+            SELECT 'urn:nation:' || n_nationkey AS subject,
+                   'urn:p:hasName' AS verb, n_name AS object FROM nation
+            UNION ALL
+            SELECT 'urn:nation:' || n_nationkey, 'urn:p:inRegion',
+                   'urn:region:' || n_regionkey FROM nation
+        """,
+        "mapper_ntriples": """
+            SELECT '<urn:nation:' || n_nationkey || '> <urn:p:hasName> "'
+                   || n_name || '" .' AS line FROM nation
+            UNION ALL
+            SELECT '<urn:nation:' || n_nationkey || '> <urn:p:inRegion> <urn:region:'
+                   || n_regionkey || '> .' FROM nation
+        """,
+        "mapper_list_cross": """
+            SELECT 'urn:nation:' || s_nationkey AS subject,
+                   'urn:p:hasSupplier' AS verb,
+                   'urn:supp:' || s_suppkey AS object
+            FROM supplier
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
