@@ -49,6 +49,15 @@ class Engine:
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
 
+    # -- entry point 3 (reference dsl/src/translator.rs via §3.3) -----------
+
+    def execute_dsl_query(self, dsl: str, translator) -> DataFrame:
+        """Path-DSL entry point: parse the ts query, translate to SPARQL
+        (otit_swt_spark.dsl.Translator), execute as one DataFrame plan."""
+        from otit_swt_spark.dsl import parse_ts_query
+
+        return self.query(translator.translate(parse_ts_query(dsl)))
+
     def _finalize(self, sm: SolutionMapping, variables: list[str]) -> DataFrame:
         """Type the output like the reference's dtype-inference over SPARQL
         JSON solutions (hybrid/src/sparql_result_to_polars.rs:119-160): for

@@ -22,6 +22,7 @@ from otit_swt_spark.sparql import algebra as A
 from otit_swt_spark.terms import (
     IRI,
     Literal,
+    NEST_AGGREGATION,
     RDF_TYPE,
     Variable,
     XSD,
@@ -635,6 +636,9 @@ class Parser:
                 args = tuple(self.parse_expr_list())
                 if iri.value.startswith(XSD):
                     return A.EFunc("XSD_CAST:" + iri.value, args)
+                if iri.value == NEST_AGGREGATION:
+                    # custom aggregate IRI (reference lazy_aggregate.rs:171-192)
+                    return A.EAggregate(NEST_AGGREGATION, args[0], False)
                 return A.EFunc(iri.value, args)
             return A.EIri(iri)
         if t.kind == "MINUS":  # rare: identifier clash
