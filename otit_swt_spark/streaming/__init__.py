@@ -1,0 +1,25 @@
+"""Structured Streaming sensor ingest (SURVEY §2.9 — additive work).
+
+The reference has no streaming operators; its closest analog is batch OPC UA
+history reads with server-side interval aggregation
+(reference hybrid/src/timeseries_database/opcua_history_read.rs:94-281).
+This package supplies the streaming half the driver's north star asks for:
+``readStream`` sources -> watermarked tumbling-window aggregation ->
+date-partitioned parquet sinks that register directly as
+:class:`otit_swt_spark.timeseries.TimeSeriesTable` for the batch SPARQL
+engine, plus an ``applyInPandasWithState`` stateful gap-detection operator.
+"""
+
+from otit_swt_spark.streaming.ingest import (
+    read_timeseries_stream,
+    session_gaps,
+    to_timeseries_sink,
+    windowed_downsample,
+)
+
+__all__ = [
+    "read_timeseries_stream",
+    "session_gaps",
+    "to_timeseries_sink",
+    "windowed_downsample",
+]

@@ -1,0 +1,172 @@
+"""Streaming time-series ingest operators.
+
+Scale design:
+- the window aggregation shuffles on (id, window) — uniformly distributed
+  keys at any sensor count; state store size is bounded by the watermark
+  horizon, not stream length;
+- the sink partitions by (year, month, day) so the batch engine's timestamp
+  predicates become partition pruning (the streaming analog of the
+  reference's partitioning_support.rs rewrite);
+- gap detection keeps one tiny state row per sensor id
+  (applyInPandasWithState), the Spark-native form of a custom stateful
+  operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TS_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_timeseries_stream(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema: T.StructType = TS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source with the canonical (id, timestamp, value)
+    schema. For production Kafka ingest, swap the reader; every downstream
+    operator only sees the canonical columns."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(format).load(path).select(
+        F.col("id").cast("string").alias("id"),
+        F.col("timestamp").alias("timestamp"),
+        F.col("value").alias("value"),
+    )
+
+
+def windowed_downsample(
+    df: DataFrame,
+    interval: str = "10 minutes",
+    watermark: str = "30 minutes",
+    aggs: tuple[str, ...] = ("avg", "min", "max", "count"),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation per sensor id — the streaming
+    twin of the reference's interval aggregation (OPC UA
+    ``find_grouping_interval``, opcua_history_read.rs:688-739) and of the
+    DSL's ``aggregate fn dur`` buckets."""
+    fns = {
+        "avg": F.avg("value").alias("avg_value"),
+        "min": F.min("value").alias("min_value"),
+        "max": F.max("value").alias("max_value"),
+        "count": F.count(F.lit(1)).alias("n_points"),
+        "sum": F.sum("value").alias("sum_value"),
+    }
+    aliases = {"avg": "avg_value", "min": "min_value", "max": "max_value",
+               "count": "n_points", "sum": "sum_value"}
+    w = df.withWatermark("timestamp", watermark)
+    return (
+        w.groupBy(F.col("id"), F.window("timestamp", interval).alias("w"))
+        .agg(*[fns[a] for a in aggs])
+        .select("id", F.col("w.start").alias("timestamp"),
+                *[F.col(aliases[a]) for a in aggs])
+    )
+
+
+def to_timeseries_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_column: str = "avg_value",
+    available_now: bool = False,
+):
+    """Write a (possibly aggregated) stream to date-partitioned parquet in
+    the TimeSeriesTable layout. Returns the StreamingQuery."""
+    out = df.withColumn("year", F.year("timestamp")) \
+            .withColumn("month", F.month("timestamp")) \
+            .withColumn("day", F.dayofmonth("timestamp"))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("year", "month", "day")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def registered_table(path: str, value_column: str = "avg_value",
+                     value_datatype: str | None = None):
+    """Register a streaming sink directory as a batch TimeSeriesTable."""
+    from otit_swt_spark.timeseries import TimeSeriesTable
+
+    return TimeSeriesTable(
+        path=path,
+        value_column=value_column,
+        value_datatype=value_datatype,
+        year_column="year", month_column="month", day_column="day",
+    )
+
+
+_GAP_STATE = T.StructType([
+    T.StructField("last_ts", T.DoubleType()),
+])
+_GAP_OUT = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("gap_start", T.TimestampType()),
+    T.StructField("gap_end", T.TimestampType()),
+    T.StructField("gap_seconds", T.DoubleType()),
+])
+
+
+def session_gaps(df: DataFrame, max_gap_seconds: float = 60.0,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: emit (id, gap_start, gap_end) whenever the
+    inter-arrival time within a sensor stream exceeds ``max_gap_seconds``.
+    One state row per id; works identically on batch DataFrames via
+    ``applyInPandas`` when ``df.isStreaming`` is false."""
+    import pandas as pd
+
+    if not df.isStreaming:
+        def find_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("timestamp")
+            prev = pdf["timestamp"].shift(1)
+            delta = (pdf["timestamp"] - prev).dt.total_seconds()
+            mask = delta > max_gap_seconds
+            return pd.DataFrame({
+                "id": pdf.loc[mask, "id"],
+                "gap_start": prev[mask],
+                "gap_end": pdf.loc[mask, "timestamp"],
+                "gap_seconds": delta[mask],
+            })
+
+        return df.groupBy("id").applyInPandas(find_gaps, _GAP_OUT)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def detect(key, pdf_iter, state):
+        import pandas as pd
+
+        last_ts = state.get[0] if state.exists else None
+        rows = {"id": [], "gap_start": [], "gap_end": [], "gap_seconds": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("timestamp")
+            for ts in pdf["timestamp"]:
+                cur = ts.timestamp()
+                if last_ts is not None and cur - last_ts > max_gap_seconds:
+                    rows["id"].append(key[0])
+                    rows["gap_start"].append(pd.Timestamp(last_ts, unit="s"))
+                    rows["gap_end"].append(ts)
+                    rows["gap_seconds"].append(cur - last_ts)
+                last_ts = cur
+        state.update((last_ts,))
+        yield pd.DataFrame(rows)
+
+    return (
+        df.withWatermark("timestamp", watermark)
+        .groupBy("id")
+        .applyInPandasWithState(
+            detect, _GAP_OUT, _GAP_STATE, "append",
+            GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,121 @@
+"""Structured Streaming ingest tests: file source -> watermarked window
+aggregation -> date-partitioned sink -> batch TimeSeriesTable -> SPARQL
+engine (full streaming-to-batch bridge), plus the stateful gap detector."""
+
+import glob
+import io
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from otit_swt_spark.engine import Engine
+from otit_swt_spark.graph import GraphStore
+from otit_swt_spark.streaming import (
+    read_timeseries_stream,
+    session_gaps,
+    to_timeseries_sink,
+    windowed_downsample,
+)
+from otit_swt_spark.streaming.ingest import registered_table
+
+from conftest import TESTDATA_SPARQL, rows
+
+
+def _write_input(spark, path):
+    ts = pd.date_range("2024-01-01 00:00:00", periods=120, freq="10s")
+    pdf = pd.DataFrame({
+        "id": ["ts1"] * 120,
+        "timestamp": ts,
+        "value": [float(i) for i in range(120)],
+    })
+    pdf2 = pdf.copy()
+    pdf2["id"] = "ts2"
+    pdf2["value"] = pdf2["value"] * 2
+    spark.createDataFrame(pd.concat([pdf, pdf2])).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def test_stream_windowed_downsample_to_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, src)
+
+    stream = read_timeseries_stream(spark, src)
+    assert stream.isStreaming
+    agg = windowed_downsample(stream, interval="5 minutes", watermark="1 minute")
+    q = to_timeseries_sink(agg, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    got = rows(out.select("id", "timestamp", "avg_value", "n_points"))
+    # 120 points @10s = 20 min -> 4 windows of 5 min per id; append mode
+    # emits only watermark-closed windows, so the final in-flight window
+    # stays in state: 3 emitted per id
+    assert len(got) == 6
+    # first ts1 window: avg(0..29) = 14.5
+    first_ts1 = [r for r in got if r[0] == "ts1"][0]
+    assert float(first_ts1[2]) == 14.5 and int(first_ts1[3]) == 30
+    # partition layout exists for pruning
+    assert glob.glob(f"{sink}/year=2024/month=1/day=1/*.parquet")
+
+
+def test_stream_sink_feeds_sparql_engine(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, src)
+    q = to_timeseries_sink(
+        windowed_downsample(read_timeseries_stream(spark, src),
+                            interval="5 minutes", watermark="1 minute"),
+        sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(registered_table(sink))
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    got = rows(df)
+    assert got == [("ts1", 3), ("ts2", 3)]
+
+
+def test_session_gaps_batch(spark):
+    pdf = pd.DataFrame({
+        "id": ["a"] * 4 + ["b"] * 2,
+        "timestamp": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:05:00", "2024-01-01 00:05:10",  # 290s gap
+            "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+        ]),
+        "value": [1.0] * 6,
+    })
+    df = spark.createDataFrame(pdf)
+    gaps = session_gaps(df, max_gap_seconds=60.0)
+    got = rows(gaps.select("id", "gap_seconds"))
+    assert got == [("a", 290.0)]
+
+
+def test_session_gaps_streaming(spark, tmp_path):
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame({
+        "id": ["a"] * 4,
+        "timestamp": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:05:00", "2024-01-01 00:05:10",
+        ]),
+        "value": [1.0] * 4,
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_timeseries_stream(spark, src)
+    gaps = session_gaps(stream, max_gap_seconds=60.0)
+    q = (gaps.writeStream.format("memory").queryName("gaps_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = rows(spark.sql("SELECT id, gap_seconds FROM gaps_out"))
+    assert got == [("a", 290.0)]
