@@ -98,7 +98,11 @@ def build_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     events = load_events(spark, sf_dir)
-    users = events.select("user_id").distinct()
+    # The user dimension is derived from the tall events table; persist it so
+    # the four bridge-triple branches (rdf:type / hasTimeseries /
+    # hasExternalId / hasDatatype) reuse one distinct scan instead of four
+    # full passes over events. It is one row per sensor — tiny at any scale.
+    users = events.select("user_id").distinct().persist()
 
     XSD_DEC = "http://www.w3.org/2001/XMLSchema#double"
     parts = [
@@ -126,7 +130,22 @@ def build_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ENGINE_CACHE: dict[tuple[str, str], Engine] = {}
+
+
 def build_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Memoized per (application, sf_dir): the KG plan and the persisted
+    user dimension are reusable across queries in one session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ENGINE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    engine = _build_engine_uncached(spark, sf_dir)
+    _ENGINE_CACHE[key] = engine
+    return engine
+
+
+def _build_engine_uncached(spark: SparkSession, sf_dir: str) -> Engine:
     engine = Engine(spark, GraphStore(spark, build_graph_df(spark, sf_dir)))
     events = load_events(spark, sf_dir)
     engine.add_timeseries_table(
