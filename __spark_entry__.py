@@ -315,6 +315,47 @@ def q_embedding_topk(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+def q_sparql_having(spark, sf_dir):
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?nation_name (COUNT(?c) AS ?n_cust) WHERE {
+        ?c <urn:p:inNation> ?n .
+        FILTER(STRSTARTS(STR(?c), "urn:cust:"))
+        ?n <urn:p:name> ?nation_name .
+    } GROUP BY ?nation_name HAVING(COUNT(?c) > 55)""")
+
+
+def q_sparql_group_concat(spark, sf_dir):
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?region_name (GROUP_CONCAT(?nation_name; SEPARATOR=",") AS ?nations)
+    WHERE {
+        ?n <urn:p:inRegion> ?r .
+        ?n <urn:p:name> ?nation_name .
+        ?r <urn:p:name> ?region_name .
+    } GROUP BY ?region_name""")
+
+
+def q_sparql_if_coalesce(spark, sf_dir):
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?cust_name ?standing ?seg2 WHERE {
+        ?c <urn:p:name> ?cust_name .
+        FILTER(STRSTARTS(STR(?c), "urn:cust:"))
+        ?c <urn:p:acctbal> ?bal .
+        OPTIONAL { ?c <urn:p:segment> ?seg . FILTER(?seg = "BUILDING") }
+        BIND(IF(?bal >= 0.0, "ok", "overdrawn") AS ?standing)
+        BIND(COALESCE(?seg, "other") AS ?seg2)
+    }""")
+
+
+def q_sparql_path_plus(spark, sf_dir):
+    """Transitive closure over the containment edges: customer-(inNation/
+    inRegion)+->{nation, region} plus nation->region, via iterated
+    self-joins (compiler _kleene)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?src ?dst WHERE {
+        ?src (<urn:p:inNation>|<urn:p:inRegion>)+ ?dst .
+    }""")
+
+
 # --------------------------------------------------------------------------
 # Mapper (stOTTR template expansion, SURVEY §2.8)
 # --------------------------------------------------------------------------
@@ -439,6 +480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
+        "sparql_having": q_sparql_having,
+        "sparql_group_concat": q_sparql_group_concat,
+        "sparql_if_coalesce": q_sparql_if_coalesce,
+        "sparql_path_plus": q_sparql_path_plus,
         "sparql_hybrid_ts_agg": q_sparql_hybrid_ts_agg,
         "sparql_hybrid_ts_window": q_sparql_hybrid_ts_window,
         "tpch_q1": q_tpch_q1,
@@ -538,6 +583,38 @@ def oracle_sql() -> dict[str, str]:
         "sparql_distinct_order_limit": """
             SELECT DISTINCT c_mktsegment AS segment FROM customer
             ORDER BY segment LIMIT 3
+        """,
+        "sparql_having": """
+            SELECT n_name AS nation_name, count(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name HAVING count(*) > 55
+        """,
+        "sparql_group_concat": """
+            SELECT r_name AS region_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "sparql_if_coalesce": """
+            SELECT c_name AS cust_name,
+                   CASE WHEN c_acctbal >= 0.0 THEN 'ok' ELSE 'overdrawn' END AS standing,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                        ELSE 'other' END AS seg2
+            FROM customer
+        """,
+        "sparql_path_plus": """
+            SELECT 'urn:cust:' || c_custkey AS src,
+                   'urn:nation:' || c_nationkey AS dst FROM customer
+            UNION ALL
+            SELECT 'urn:supp:' || s_suppkey, 'urn:nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'urn:nation:' || n_nationkey, 'urn:region:' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'urn:cust:' || c_custkey, 'urn:region:' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'urn:supp:' || s_suppkey, 'urn:region:' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
         """,
         "sparql_hybrid_ts_agg": """
             SELECT 'urn:user:' || CAST(user_id AS VARCHAR) AS "user",

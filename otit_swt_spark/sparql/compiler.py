@@ -746,7 +746,10 @@ class Compiler:
         if name == "GROUP_CONCAT":
             c = t.col if t.hint in ("string", "iri") else t.col.cast("string")
             lst = F.collect_set(c) if a.distinct else F.collect_list(c)
-            return F.array_join(lst, a.separator if a.separator is not None else " "), \
+            # SPARQL leaves concatenation order unspecified; sort for
+            # determinism so results are stable across shuffles/partitions
+            return F.array_join(F.sort_array(lst),
+                                a.separator if a.separator is not None else " "), \
                 VarMeta("native", "string"), no_extra
         if name == NEST_AGGREGATION:
             return F.collect_list(t.col), VarMeta("native", "array"), no_extra
