@@ -19,7 +19,7 @@ pushdown, column pruning, partition pruning and join selection.
 
 from otit_swt_spark.engine import Engine
 from otit_swt_spark.graph import GraphStore
-from otit_swt_spark.timeseries import TimeSeriesTable
+from otit_swt_spark.timeseries import TimeSeriesTable, in_memory_timeseries
 
-__all__ = ["Engine", "GraphStore", "TimeSeriesTable"]
+__all__ = ["Engine", "GraphStore", "TimeSeriesTable", "in_memory_timeseries"]
 __version__ = "0.1.0"

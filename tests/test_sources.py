@@ -1,0 +1,64 @@
+"""Source connector tests (SURVEY §2.1): CSV time-series reader feeding the
+engine, OPC UA processed-read semantics, JDBC factory validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otit_swt_spark.engine import Engine
+from otit_swt_spark.graph import GraphStore
+from otit_swt_spark.sources import (
+    OPCUAHistoryRead,
+    csv_timeseries,
+    jdbc_timeseries,
+    processed_interval_aggregation,
+)
+from otit_swt_spark.terms import XSD_UNSIGNED_INT
+
+from conftest import TESTDATA_SPARQL, TS1_CSV, TS2_CSV, rows
+
+
+def test_csv_timeseries_feeds_engine(spark, tmp_path):
+    p1, p2 = tmp_path / "ts1.csv", tmp_path / "ts2.csv"
+    p1.write_text(TS1_CSV)
+    p2.write_text(TS2_CSV)
+    ts = csv_timeseries(spark, {"ts1": str(p1), "ts2": str(p2)},
+                        value_datatype=XSD_UNSIGNED_INT)
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) (SUM(?v) AS ?total) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    got = rows(df)
+    assert got == [("ts1", 8, 1226), ("ts2", 8, 1238)]
+
+
+def test_opcua_processed_read_semantics(spark):
+    import pandas as pd
+
+    ts = pd.date_range("2024-01-01 00:00:00", periods=8, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": ["s1"] * 8,
+        "timestamp": ts,
+        "value": [1.0, 10.0, 100.0, 301.0, 102.0, 303.0, 304.0, 105.0],
+    }))
+    out = processed_interval_aggregation(df, 4, "Average")
+    got = rows(out.select("id", "value"))
+    assert got == [("s1", 103.0), ("s1", 203.5)]
+    out_max = processed_interval_aggregation(df, 4, "Maximum")
+    assert {r[1] for r in rows(out_max.select("id", "value"))} == {301.0, 304.0}
+
+
+def test_opcua_transport_is_stubbed():
+    r = OPCUAHistoryRead(namespace=2, endpoint="opc.tcp://localhost:4840")
+    with pytest.raises(NotImplementedError):
+        r.execute()
+
+
+def test_jdbc_partition_validation(spark):
+    with pytest.raises(ValueError, match="partitioned JDBC"):
+        jdbc_timeseries(spark, "jdbc:postgresql://h/db", "ts",
+                        partition_column="id")
