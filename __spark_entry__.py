@@ -180,6 +180,24 @@ def q_sparql_hybrid_ts_window(spark, sf_dir):
 # DataFrame-level operator entries (joins/aggs/windows/sorts, SURVEY §2.3-2.6)
 # --------------------------------------------------------------------------
 
+def q_sparql_sync_join(spark, sf_dir):
+    """Synchronized time-series join (reference InnerSynchronized,
+    preparing/synchronization.rs:5-55): two datapoint patterns on one
+    series sharing ?t become an equi-join on (series, timestamp)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?user ?v1 ?v2 WHERE {
+        ?u a <urn:t:User> .
+        ?u otit_swt:hasTimeseries ?ts .
+        ?ts otit_swt:hasDataPoint ?dp1 .
+        ?dp1 otit_swt:hasTimestamp ?t .
+        ?dp1 otit_swt:hasValue ?v1 .
+        ?ts otit_swt:hasDataPoint ?dp2 .
+        ?dp2 otit_swt:hasTimestamp ?t .
+        ?dp2 otit_swt:hasValue ?v2 .
+        BIND(STR(?u) AS ?user)
+    }""")
+
+
 def q_tpch_q1(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
@@ -444,6 +462,14 @@ def q_ngram_jaccard_verify(spark, sf_dir):
     return ngram_jaccard(cands, docs)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from otit_swt_spark.pipelines.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, n_clusters=16, n_probe=4)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from otit_swt_spark.pipelines.similarity import ann_topk
 
@@ -486,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_plus": q_sparql_path_plus,
         "sparql_hybrid_ts_agg": q_sparql_hybrid_ts_agg,
         "sparql_hybrid_ts_window": q_sparql_hybrid_ts_window,
+        "sparql_sync_join": q_sparql_sync_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
         "join_semi_anti": q_join_semi_anti,
@@ -504,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -627,6 +655,12 @@ def oracle_sql() -> dict[str, str]:
                    600 * CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "sparql_sync_join": """
+            SELECT 'urn:user:' || CAST(a.user_id AS VARCHAR) AS "user",
+                   a.value AS v1, b.value AS v2
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.ts = b.ts
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

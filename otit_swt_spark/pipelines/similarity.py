@@ -97,6 +97,53 @@ def ann_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus, search only the
+    ``n_probe`` clusters nearest the query.
+
+    Scale path: centroids are tiny and live on the driver / in the closure
+    (broadcast), assignment is one map-side pass, and the probe filter turns
+    the scan into ~n_probe/n_clusters of the corpus. At 100 TB you train on
+    a sample (KMeans over a ``df.sample``) and persist assignments as a
+    partition column so probing becomes partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                   predictionCol="cluster").fit(vecs)
+    assigned = model.transform(vecs)
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probes = sorted(range(len(centers)),
+                    key=lambda c: -_cos(query_vec, centers[c]))[:n_probe]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       qcol.cast("array<double>")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                               vec_col: str = "embedding", n_bits: int = 6) -> DataFrame:
     """Approximate k-NN graph: bucket by sketch, join within buckets, rank
