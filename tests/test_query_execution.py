@@ -28,6 +28,39 @@ def ts(s):
     return datetime.fromisoformat(f"2022-06-01T08:46:{s}")
 
 
+def test_static_query(engine):
+    """reference query_execution.rs:83-119 (test_static_query): pure static
+    BGP, no time-series join."""
+    df = engine.query(PREFIXES + """
+    SELECT ?a ?b WHERE { ?a otit_swt:hasTimeseries ?b }
+    """)
+    assert rows(df) == [
+        (CASE + "mySensor1", CASE + "myTimeseries1"),
+        (CASE + "mySensor2", CASE + "myTimeseries2"),
+    ]
+
+
+def test_simple_hybrid(engine):
+    """reference query_execution.rs:124-165 (test_simple_hybrid_query),
+    expected_simple_hybrid.csv."""
+    df = engine.query(PREFIXES + """
+    SELECT ?w ?s ?t ?v WHERE {
+        ?w a types:BigWidget .
+        ?w types:hasSensor ?s .
+        ?s otit_swt:hasTimeseries ?ts .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t > "2022-06-01T08:46:53"^^xsd:dateTime && ?v < 200) .
+    }
+    """)
+    assert rows(df) == [
+        (W1, S1, ts(54), 100),
+        (W1, S1, ts(56), 102),
+        (W1, S1, ts(59), 105),
+    ]
+
+
 def test_complex_hybrid(engine):
     df = engine.query(PREFIXES + """
     SELECT ?w1 ?w2 ?t ?v1 ?v2 WHERE {
