@@ -28,7 +28,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: zero-norm vectors yield NULL instead of an ANSI-mode
+    # divide-by-zero error; NULLs sort last in the top-k descent
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

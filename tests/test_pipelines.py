@@ -1,0 +1,160 @@
+"""Unit + property tests for the training-data pipeline operators
+(dedup, similarity, text stats, multimodal plumbing). The reference has no
+analog (these are additive); test strategy follows SURVEY §5's rebuild
+plan: deterministic fixtures + hypothesis properties."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from otit_swt_spark.pipelines import textstats as tstats
+from otit_swt_spark.pipelines.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    minhash_signature_udf,
+    ngram_jaccard,
+    simhash64,
+    simhash_dedup_pairs,
+)
+from otit_swt_spark.pipelines.multimodal import (
+    attach_binary_column,
+    extract_image_features,
+    frame_sample_stub,
+)
+from otit_swt_spark.pipelines.similarity import brute_force_topk, ivf_topk, ann_topk
+
+from conftest import rows
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (4, "entirely different content about spark engines at scale"),
+    (5, "entirely different content about spark engines at scale!"),  # near dup of 4
+    (6, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_collapses(docs):
+    out = rows(exact_dedup(docs).select("doc_id", "n_copies"))
+    assert (1, 2) in out               # doc 1+2 collapse, min id kept
+    assert sum(n for _, n in out) == len(DOCS)
+    assert len(out) == len(DOCS) - 1
+
+
+def test_minhash_identical_sigs(spark, docs):
+    sigs = docs.select("doc_id", minhash_signature(F.col("text")).alias("s")) \
+               .orderBy("doc_id").collect()
+    assert sigs[0]["s"] == sigs[1]["s"]          # exact dups -> equal sigs
+    assert sigs[0]["s"] != sigs[3]["s"]
+
+
+def test_minhash_udf_matches_structure(spark, docs):
+    sig = minhash_signature_udf(32, 3)
+    out = docs.select(sig(F.col("text")).alias("s")).collect()
+    assert all(len(r["s"]) == 32 for r in out)
+    a, b = out[0]["s"], out[1]["s"]
+    assert a == b                                 # identical docs agree
+
+
+def test_minhash_lsh_finds_dups(docs):
+    # narrow bands (2 rows) for high near-dup recall: J=0.6 across 32
+    # 2-row bands -> collision probability 1-(1-0.36)^32 ~ 1
+    pairs = rows(minhash_lsh_pairs(docs, k=64, bands=32, shingle_n=2)
+                 .select("id_a", "id_b"))
+    assert (1, 2) in pairs                        # exact dup always collides
+    assert (1, 3) in pairs                        # near dup collides in a band
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agreement_bounds(docs):
+    out = rows(minhash_lsh_pairs(docs, k=64, bands=16))
+    for _, _, agreement in out:
+        assert 0.0 <= agreement <= 1.0
+    exact = [a for x, y, a in out if (x, y) == (1, 2)]
+    assert exact == [1.0]
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = docs.select("doc_id", simhash64(F.col("text")).alias("h")).orderBy("doc_id").collect()
+    assert sh[0]["h"] == sh[1]["h"]
+    pairs = rows(simhash_dedup_pairs(docs, max_distance=16).select("id_a", "id_b"))
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_verify(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    out = {(a, b): j for a, b, j in rows(ngram_jaccard(pairs, docs))}
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_brute_force_topk_self_first(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    out = rows(brute_force_topk(emb, [1.0] + [0.0] * 7, k=3))
+    assert (0, 1.0) in out
+
+    top = brute_force_topk(emb, [1.0] + [0.0] * 7, k=1).collect()
+    assert top[0]["vec_id"] == 0
+
+
+def test_ivf_topk_contains_self(spark):
+    import random
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ivf_topk(emb, qv, k=5, n_clusters=8, n_probe=3).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["cos_sim"] == 1.0
+
+
+def test_ann_lsh_topk_contains_self(spark):
+    import random
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    got = ann_topk(emb, qv, k=5, n_bits=4)
+    top = got.collect()[0]
+    assert top["vec_id"] == 11
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+               max_size=200))
+def test_token_count_property(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(tstats.n_tokens(F.col("text")).alias("n")).first()["n"]
+    assert got == len(text.split())
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = attach_binary_column(docs)
+    out1 = rows(extract_image_features(media, fake=True))
+    out2 = rows(extract_image_features(media, fake=True))
+    assert out1 == out2
+    assert all(r[3] >= 16 and r[4] >= 16 for r in out1)  # width/height
+
+
+def test_frame_sampling_counts(spark, docs):
+    media = attach_binary_column(docs)
+    out = frame_sample_stub(media, every_n=1)
+    per = {r[0]: r[1] for r in rows(
+        out.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")))}
+    # n_frames = len(payload)//100 + 1 per the stub
+    lens = {i: len(t.encode()) for i, t in DOCS}
+    for media_id, n in per.items():
+        assert n == lens[media_id] // 100 + 1
