@@ -571,6 +571,21 @@ class Compiler:
         return sm, exists_cols, flags
 
     def apply_filter(self, sm: SolutionMapping, expr: A.Expr) -> SolutionMapping:
+        # Fast path: a FILTER that is exactly EXISTS{...} / NOT EXISTS{...}
+        # compiles to a semi/anti join (reference lazy_expressions.rs:329-361
+        # does a row-id membership test; Spark's LeftSemi/LeftAnti avoid both
+        # the row id and the dedup+outer-join of the general flag path).
+        if isinstance(expr, A.EExists):
+            inner = self.compile_pattern(expr.pattern, None)
+            shared = [v for v in inner.vars
+                      if v in sm.vars and not v.startswith("__")]
+            if shared:
+                how = "left_anti" if expr.negated else "left_semi"
+                right = inner.df.select(*shared)
+                return replace(sm, df=sm.df.join(right, on=shared, how=how))
+            nonempty = not inner.df.isEmpty()
+            keep = (not nonempty) if expr.negated else nonempty
+            return sm if keep else replace(sm, df=sm.df.limit(0))
         sm2, exists_cols, flags = self.resolve_exists(sm, expr)
         cond = compile_expr(expr, sm2, exists_cols)
         df = sm2.df.filter(cond.col.try_cast("boolean"))

@@ -1,0 +1,101 @@
+"""Plan-shape assertions — the Spark analog of the reference's
+rewrite-assertion tests (hybrid/tests/rewrites.rs): instead of asserting a
+rewritten SPARQL string, assert the physical/optimized plan has the shape
+the operator mapping promises (semi/anti joins, pruned scans, partition
+filters on the predicate-partitioned triple store)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otit_swt_spark.engine import Engine
+from otit_swt_spark.graph import GraphStore
+
+PREFIXES = """
+PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>
+PREFIX otit_swt:<https://github.com/magbak/otit_swt#>
+PREFIX types:<http://example.org/types#>
+"""
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_compiles_to_semi_join(engine):
+    df = engine.query(PREFIXES + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        FILTER EXISTS { ?w a types:BigWidget }
+    }""")
+    assert "LeftSemi" in optimized(df)
+
+
+def test_not_exists_compiles_to_anti_join(engine):
+    df = engine.query(PREFIXES + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        FILTER NOT EXISTS { ?w a types:BigWidget }
+    }""")
+    assert "LeftAnti" in optimized(df)
+
+
+def test_minus_compiles_to_anti_join(engine):
+    df = engine.query(PREFIXES + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        MINUS { ?w a types:SmallWidget . }
+    }""")
+    assert "LeftAnti" in optimized(df)
+
+
+def test_optional_compiles_to_matched_union_anti(engine):
+    """OPTIONAL compiles to the SPARQL-correct matched-rows UNION
+    anti-join-null-padded form (SURVEY §2.3): an anti join against the
+    matched row ids plus a union, not a bare outer join (which would be
+    wrong for OPTIONAL{..FILTER(e)} on non-null-safe expressions)."""
+    df = engine.query(PREFIXES + """
+    SELECT ?w ?x WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x }
+    }""")
+    plan = optimized(df)
+    assert "LeftAnti" in plan and "Union" in plan
+
+
+def test_predicate_partitioned_store_prunes(spark, engine, tmp_path):
+    """Write the KG predicate-partitioned, reload, and check a BGP scan
+    only reads the matching predicate partitions (PartitionFilters) —
+    the triple-store scale path: per-predicate vertical partitioning."""
+    path = str(tmp_path / "kg_by_p")
+    engine.graph.write_parquet(path, partition_by_predicate=True)
+    g2 = GraphStore.read_parquet(spark, path)
+    eng2 = Engine(spark, g2)
+    df = eng2.query(PREFIXES + "SELECT ?a ?b WHERE { ?a types:hasSensor ?b }")
+    plan = physical(df)
+    assert "PartitionFilters" in plan
+    assert "hasSensor" in plan
+    got = {tuple(r) for r in df.collect()}
+    assert len(got) == 2
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Timestamp predicates on a parquet-backed TS table reach the scan
+    (PushedFilters), the Spark-native form of the reference's
+    ValueConditions pushdown."""
+    from otit_swt_spark.tpch_graph import build_engine
+
+    eng = build_engine(spark, "/root/testdata/sf0.001")
+    df = eng.query(PREFIXES + """
+    SELECT ?v WHERE {
+        ?u otit_swt:hasTimeseries ?ts .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?v > 50.0)
+    }""")
+    plan = physical(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(value,50.0)" in plan
