@@ -333,6 +333,29 @@ def q_embedding_topk(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+def q_sparql_strings(spark, sf_dir):
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?cust_name ?upper_name ?name_len ?prefix5 ?masked WHERE {
+        ?c <urn:p:segment> "MACHINERY" .
+        ?c <urn:p:name> ?cust_name .
+        BIND(UCASE(?cust_name) AS ?upper_name)
+        BIND(STRLEN(?cust_name) AS ?name_len)
+        BIND(SUBSTR(?cust_name, 1, 5) AS ?prefix5)
+        BIND(REPLACE(?cust_name, "[0-9]", "#") AS ?masked)
+        FILTER(CONTAINS(?cust_name, "1"))
+    }""")
+
+
+def q_sparql_order_offset(spark, sf_dir):
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?supp_name ?bal WHERE {
+        ?s <urn:p:inNation> ?n .
+        FILTER(STRSTARTS(STR(?s), "urn:supp:"))
+        ?s <urn:p:name> ?supp_name .
+        ?s <urn:p:acctbal> ?bal .
+    } ORDER BY DESC(?bal) ?supp_name LIMIT 5 OFFSET 3""")
+
+
 def q_sparql_having(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name (COUNT(?c) AS ?n_cust) WHERE {
@@ -506,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
+        "sparql_strings": q_sparql_strings,
+        "sparql_order_offset": q_sparql_order_offset,
         "sparql_having": q_sparql_having,
         "sparql_group_concat": q_sparql_group_concat,
         "sparql_if_coalesce": q_sparql_if_coalesce,
@@ -611,6 +636,19 @@ def oracle_sql() -> dict[str, str]:
         "sparql_distinct_order_limit": """
             SELECT DISTINCT c_mktsegment AS segment FROM customer
             ORDER BY segment LIMIT 3
+        """,
+        "sparql_strings": """
+            SELECT c_name AS cust_name, upper(c_name) AS upper_name,
+                   length(c_name) AS name_len,
+                   substr(c_name, 1, 5) AS prefix5,
+                   regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+            FROM customer
+            WHERE c_mktsegment = 'MACHINERY' AND contains(c_name, '1')
+        """,
+        "sparql_order_offset": """
+            SELECT s_name AS supp_name, s_acctbal AS bal
+            FROM supplier
+            ORDER BY bal DESC, supp_name LIMIT 5 OFFSET 3
         """,
         "sparql_having": """
             SELECT n_name AS nation_name, count(*) AS n_cust
