@@ -49,6 +49,20 @@ class Engine:
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
 
+    def register_views(self, triples_view: str = "triples",
+                       ts_view: str = "timeseries") -> "Engine":
+        """Spark-first interop: expose the triple store and the (unioned)
+        normalized time-series tables as temp views so users can mix
+        ``spark.sql`` with engine queries on the same session."""
+        self.graph.df.createOrReplaceTempView(triples_view)
+        ts = None
+        for t in self.ts_tables:
+            n = t.normalized(self.spark)
+            ts = n if ts is None else ts.unionByName(n)
+        if ts is not None:
+            ts.createOrReplaceTempView(ts_view)
+        return self
+
     # -- entry point 3 (reference dsl/src/translator.rs via §3.3) -----------
 
     def execute_dsl_query(self, dsl: str, translator) -> DataFrame:

@@ -111,6 +111,9 @@ class GraphStore:
         esc = F.regexp_replace(
             F.regexp_replace(F.col("o_lex"), r"\\", r"\\\\"), '"', '\\\\"'
         )
+        esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+        esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+        esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
         lit_term = (
             F.when(
                 F.col("o_lang").isNotNull(),
@@ -161,11 +164,14 @@ _PREFIX_RE = re.compile(r"(?i)PREFIX\s+([A-Za-z_][\w-]*)?\s*:\s*<([^>]*)>")
 _INSERT_RE = re.compile(r"(?i)INSERT\s+DATA\s*\{")
 
 
+_ESC_RE = re.compile(r"\\(.)")
+_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-        .replace('\\"', '"').replace("\\\\", "\\")
-    )
+    # single pass left-to-right: '\\n' is an escaped backslash followed by
+    # 'n', not a newline — sequential str.replace gets that wrong
+    return _ESC_RE.sub(lambda m: _ESC_MAP.get(m.group(1), m.group(1)), s)
 
 
 def parse_turtle_lite(text: str) -> Iterable[tuple[Term, Term, Term]]:

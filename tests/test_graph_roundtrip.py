@@ -1,0 +1,47 @@
+"""Graph store round-trip and SQL interop tests."""
+
+from hypothesis import given, settings, strategies as st
+
+from otit_swt_spark.graph import GraphStore, parse_ntriples
+
+from conftest import rows
+
+
+def test_ntriples_roundtrip_via_store(spark, engine):
+    """KG -> N-Triples text -> parse -> same triple set."""
+    nt = "\n".join(r["value"] for r in engine.graph.to_ntriples_df().collect())
+    g2 = GraphStore.from_ntriples(spark, nt)
+    a = {tuple(r) for r in engine.graph.df.collect()}
+    b = {tuple(r) for r in g2.df.collect()}
+    assert a == b
+
+
+def test_register_views_sql_interop(spark, engine):
+    engine.register_views()
+    got = rows(spark.sql(
+        "SELECT p, count(*) AS n FROM triples GROUP BY p ORDER BY p"))
+    assert sum(n for _, n in got) == engine.graph.df.count()
+    ts_rows = spark.sql(
+        "SELECT id, count(*) AS n FROM timeseries GROUP BY id ORDER BY id")
+    assert rows(ts_rows) == [("ts1", 8), ("ts2", 8)]
+
+
+_LEX = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                           whitelist_characters='"\\\n'),
+    max_size=40,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_LEX)
+def test_ntriples_literal_escaping_property(spark, lex):
+    """Literal lexical forms survive serialize -> parse for arbitrary
+    content including quotes, backslashes, and newlines."""
+    from otit_swt_spark.terms import IRI, Literal, XSD_STRING
+
+    g = GraphStore.from_triples(
+        spark, [(IRI("urn:s"), IRI("urn:p"), Literal(lex, IRI(XSD_STRING)))])
+    nt = g.to_ntriples_df().first()["value"]
+    [(s, p, o)] = list(parse_ntriples(nt))
+    assert o.lexical == lex
