@@ -465,6 +465,26 @@ def q_mapper_list_cross(spark, sf_dir):
 # rows-only entries (approximate / non-SQL-expressible; driver records a
 # weaker check — SURVEY §2 "custom operators")
 
+def q_chunk_docs(spark, sf_dir):
+    from otit_swt_spark.pipelines.textstats import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"), chunk_chars=120)
+
+
+def q_near_dedup_docs(spark, sf_dir):
+    from otit_swt_spark.pipelines.dedup import near_dedup
+
+    return near_dedup(_t(spark, sf_dir, "documents"), min_jaccard=0.8) \
+        .select("doc_id")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from otit_swt_spark.pipelines.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                   min_cosine=0.5, n_bits=6)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     from otit_swt_spark.pipelines.dedup import minhash_lsh_pairs
 
@@ -552,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "embedding_topk": q_embedding_topk,
+        "chunk_docs": q_chunk_docs,
+        "near_dedup_docs": q_near_dedup_docs,
+        "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -785,6 +808,12 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "chunk_docs": """
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, CAST(i*120+1 AS INT), 120) AS chunk
+            FROM documents CROSS JOIN generate_series(0, 1000) AS t(i)
+            WHERE i <= greatest(CAST(ceil(length(text)/120.0) AS BIGINT) - 1, 0)
         """,
         "lang_id": f"SELECT doc_id, {pick} AS lang_guess FROM documents",
         "quality_score": r"""

@@ -255,6 +255,63 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate near-dup pairs by iterative
+    min-label propagation: returns (id, cluster) where cluster is the
+    minimum doc id reachable through the pair graph.
+
+    Each round is one groupBy-min + one join (both shuffle on id — uniform
+    keys); rounds needed = graph diameter, which for dedup clusters
+    (star-ish around a few originals) is tiny. This is the standard
+    large-scale alternative to driver-side union-find."""
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                       F.col("id_a").alias("b"))))
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("cluster", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select("id", F.least(F.col("cluster"),
+                                  F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"))
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.cluster") != F.col("o.cluster")))
+        labels = new_labels.persist()
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float | None = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: LSH candidate pairs -> (optional)
+    exact n-gram Jaccard verification -> connected components -> keep the
+    minimum id per cluster. Returns the surviving rows of ``df``."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    if min_jaccard is not None:
+        verified = ngram_jaccard(pairs, df, text_col, id_col, shingle_n)
+        pairs = verified.filter(F.col("jaccard") >= min_jaccard)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("cluster") != F.col("id")) \
+                     .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verify

@@ -166,6 +166,32 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket by sign sketch
+    (near-identical vectors share all sign bits with high probability),
+    join within buckets only, verify by exact cosine. The bucket join keeps
+    the candidate set ~corpus/2^bits instead of all-pairs."""
+    planes = _hyperplanes(_dim_of(df, vec_col), n_bits)
+    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   lsh_sketch(F.col(vec_col), planes).alias("sketch"))
+    sk = sk.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    l, r = sk.alias("l"), sk.alias("r")
+    return (
+        l.join(r, (F.col("l.sketch") == F.col("r.sketch"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.round(cosine(F.col("l.v").cast("array<double>"),
+                               F.col("r.v").cast("array<double>")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])

@@ -113,3 +113,24 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("stat_lang"),
         fingerprint(t).alias("stat_fingerprint"),
     )
+
+
+def chunk_text(df: DataFrame, chunk_chars: int = 500, overlap: int = 0,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixed-window document chunking: one row per (doc, chunk_idx) with the
+    substring chunk — the splitting primitive for context-window-bounded
+    training pipelines. Pure built-in functions (sequence + explode +
+    substr); at scale this is a map-side explode, no shuffle."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.greatest(F.ceil((F.length(t) - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    idx = F.sequence(F.lit(0).cast("long"), (n - 1).cast("long"))
+    return df.select(
+        F.col(id_col), t.alias("__t"), F.explode(idx).alias("chunk_idx"),
+    ).select(
+        F.col(id_col), "chunk_idx",
+        F.substring(F.col("__t"), (F.col("chunk_idx") * step + 1).cast("int"),
+                    chunk_chars).alias("chunk"),
+    )

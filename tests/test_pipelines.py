@@ -158,3 +158,61 @@ def test_frame_sampling_counts(spark, docs):
     lens = {i: len(t.encode()) for i, t in DOCS}
     for media_id, n in per.items():
         assert n == lens[media_id] // 100 + 1
+
+
+def test_dedup_clusters_transitive(spark):
+    from otit_swt_spark.pipelines.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    from otit_swt_spark.pipelines.dedup import near_dedup
+
+    kept = {r["doc_id"] for r in near_dedup(docs, min_jaccard=0.99).collect()}
+    # exact dups 1/2 collapse to min id 1; everything else survives
+    assert 1 in kept and 2 not in kept
+    assert {3, 4, 5, 6} <= kept
+
+
+def test_chunk_text_windows(spark):
+    from otit_swt_spark.pipelines.textstats import chunk_text
+
+    df = spark.createDataFrame([(1, "a" * 250), (2, "b" * 99), (3, "")],
+                               "doc_id long, text string")
+    out = rows(chunk_text(df, chunk_chars=100))
+    by_doc = {}
+    for doc_id, idx, chunk in out:
+        by_doc.setdefault(doc_id, []).append((idx, chunk))
+    assert len(by_doc[1]) == 3
+    assert by_doc[1][0][1] == "a" * 100 and by_doc[1][2][1] == "a" * 50
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == "b" * 99
+    assert len(by_doc[3]) == 1 and by_doc[3][0][1] == ""
+
+
+def test_chunk_text_overlap(spark):
+    from otit_swt_spark.pipelines.textstats import chunk_text
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    out = sorted(rows(chunk_text(df, chunk_chars=4, overlap=2)))
+    chunks = [c for _, _, c in out]
+    assert chunks[0] == "abcd" and chunks[1] == "cdef"
+
+
+def test_embedding_neardup_finds_duplicate(spark):
+    from otit_swt_spark.pipelines.similarity import embedding_neardup_pairs
+
+    import random
+    rng = random.Random(1)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    vecs = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = rows(embedding_neardup_pairs(emb, min_cosine=0.99, n_bits=4)
+               .select("id_a", "id_b"))
+    assert (0, 1) in got
