@@ -133,9 +133,13 @@ def test_ann_lsh_topk_contains_self(spark):
 
 
 @settings(max_examples=25, deadline=None)
-@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                                      whitelist_characters=" \t"),
                max_size=200))
 def test_token_count_property(spark, text):
+    # n_tokens uses Java's ASCII \s (matching the DuckDB oracle's regex);
+    # Unicode spaces like \xa0 are deliberately NOT token separators, so the
+    # generator sticks to ASCII whitespace
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(tstats.n_tokens(F.col("text")).alias("n")).first()["n"]
     assert got == len(text.split())
