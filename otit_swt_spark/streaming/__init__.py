@@ -12,14 +12,18 @@ engine, plus an ``applyInPandasWithState`` stateful gap-detection operator.
 
 from otit_swt_spark.streaming.ingest import (
     read_timeseries_stream,
+    session_downsample,
     session_gaps,
+    sliding_downsample,
     to_timeseries_sink,
     windowed_downsample,
 )
 
 __all__ = [
     "read_timeseries_stream",
+    "session_downsample",
     "session_gaps",
+    "sliding_downsample",
     "to_timeseries_sink",
     "windowed_downsample",
 ]

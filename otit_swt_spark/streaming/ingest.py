@@ -72,6 +72,41 @@ def windowed_downsample(
     )
 
 
+def sliding_downsample(
+    df: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window average per sensor id — each event lands in
+    window/slide overlapping buckets (state bounded by the watermark)."""
+    w = df.withWatermark("timestamp", watermark)
+    return (
+        w.groupBy(F.col("id"), F.window("timestamp", window, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_points"))
+        .select("id", F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "avg_value", "n_points")
+    )
+
+
+def session_downsample(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session-window aggregation: a session closes after ``gap`` of
+    inactivity per sensor id (F.session_window — dynamic, data-driven
+    windows; the streaming complement of the gap detector)."""
+    w = df.withWatermark("timestamp", watermark)
+    return (
+        w.groupBy(F.col("id"), F.session_window("timestamp", gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.avg("value").alias("avg_value"))
+        .select("id", F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_points", "avg_value")
+    )
+
+
 def to_timeseries_sink(
     df: DataFrame,
     path: str,

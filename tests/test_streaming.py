@@ -119,3 +119,34 @@ def test_session_gaps_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = rows(spark.sql("SELECT id, gap_seconds FROM gaps_out"))
     assert got == [("a", 290.0)]
+
+
+def test_sliding_downsample_batch_semantics(spark):
+    import pandas as pd
+    from otit_swt_spark.streaming import sliding_downsample
+
+    ts = pd.date_range("2024-01-01 00:00:00", periods=60, freq="1min")
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": ["a"] * 60, "timestamp": ts,
+        "value": [float(i) for i in range(60)]}))
+    out = sliding_downsample(df, window="10 minutes", slide="5 minutes")
+    got = rows(out.select("window_start", "n_points"))
+    # 1 hour of data, 5-min slide -> windows starting every 5 min; interior
+    # windows hold 10 points, the two edge windows 5
+    counts = [n for _, n in got]
+    assert max(counts) == 10 and min(counts) == 5
+    assert len(got) == 13
+
+
+def test_session_downsample_batch_semantics(spark):
+    import pandas as pd
+    from otit_swt_spark.streaming import session_downsample
+
+    t = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+        "2024-01-01 01:00:00", "2024-01-01 01:01:00",
+    ])
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": ["a"] * 5, "timestamp": t, "value": [1.0] * 5}))
+    out = rows(session_downsample(df, gap="5 minutes").select("id", "n_points"))
+    assert sorted(n for _, n in out) == [2, 3]
