@@ -40,12 +40,28 @@ P_NAME = "urn:p:name"
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects; read nanos as long and convert to a proper
-    timestamp (micro precision) — stays entirely JVM-side."""
+    timestamp (micro precision) — stays entirely JVM-side.
+
+    The converted table is materialized once per scale factor into a local
+    cache dir: comparing `timestamp_micros(floor(ts/1000))` to a literal
+    defeats parquet predicate pushdown on every scan, whereas the normalized
+    copy gets plain `ts >= literal` PushedFilters (and at cluster scale this
+    is the land-raw -> normalize ETL step you would run anyway)."""
+    import os
+    import tempfile
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-    return df
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
+                         f"events_{tag}.parquet")
+    if not os.path.exists(cache):
+        conv = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        conv.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
 P_IN_REGION = "urn:p:inRegion"
 P_IN_NATION = "urn:p:inNation"
 P_ACCTBAL = "urn:p:acctbal"

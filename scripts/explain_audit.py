@@ -1,0 +1,52 @@
+"""Plan audit: for each headline query, dump scan pushdown / join strategy /
+codegen evidence from the executed plan. Usage:
+
+    python scripts/explain_audit.py [sf_dir] [name ...]
+
+Prints one block per query: scans with PushedFilters + read schema width,
+join operators, exchange count, and whole-stage-codegen span count — the
+things that must stay healthy for the 100 TB posture (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from otit_swt_spark.session import get_spark  # noqa: E402
+
+
+def audit(name: str, df) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
+    pushed = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                       r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
+    print(f"== {name}")
+    print(f"   scans: {len(scans)}; columns per scan: "
+          f"{[len(s.split(',')) for s in scans]}")
+    for p in pushed[:6]:
+        print(f"   pushed: {p[:140]}")
+    print(f"   joins: {dict((j, joins.count(j)) for j in set(joins))}")
+    print(f"   exchanges: {plan.count('Exchange')}, "
+          f"codegen spans: {plan.count('WholeStageCodegen')}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    spark = get_spark("explain_audit")
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            audit(name, fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"== {name}: ERROR {type(e).__name__}: {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()
