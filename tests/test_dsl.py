@@ -198,3 +198,21 @@ def test_dsl_optional_path(dsl_engine, translator):
     df = dsl_engine.query(sparql)
     got = rows(df)
     assert len(got) == 8  # left side survives, optional side null
+
+
+def test_dsl_like_condition(dsl_engine, translator):
+    # 'like' translates to REGEX(STR(?value), pattern)
+    sparql = translator.translate(parse_ts_query('''
+    ABC-[valve]"HLV"."Mvm"."stVal" like "30."
+    '''))
+    df = dsl_engine.query(sparql)
+    got = {int(r[1]) for r in rows(df)}
+    assert got == {301, 303, 304}
+
+
+def test_dsl_type_and_name_constraint():
+    q = parse_ts_query('''
+    "HLV":Valve."Mvm"
+    ''')
+    el = q.paths[0].path.elements[0]
+    assert el.name == "HLV" and el.type_name == "Valve"

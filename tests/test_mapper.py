@@ -326,3 +326,48 @@ def test_ntriples_roundtrip(spark, tmp_path):
         f'<{EX}o> <{EX}hasVal> "say \\"hi\\"\\nplease" .',
         f"<{EX}o> <{EX}linksTo> <{EX}other> .",
     ])
+
+
+def test_parameter_default_value(spark):
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:T [?subject, ?val = 42] :: {{
+        ottr:Triple(ex:o, ex:hasVal, ?val)
+    }} .
+    """
+    df = _df(spark, [("K1", EX + "s1")], "Key string, subject string")
+    m = Mapping.from_str(doc, spark=spark)
+    m.expand(EX + "T", df)
+    assert triple_set(m) == {
+        (EX + "o", EX + "hasVal", ("42", XSD + "integer", None)),
+    }
+
+
+def test_zip_max_expander(spark):
+    from pyspark.sql import types as T
+
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:T [?s, ?l1, ?l2] :: {{
+        zipMax | ex:N(?s, ++?l1, ++?l2)
+      }} .
+    ex:N [?s, ?a, ?b] :: {{
+        ottr:Triple(?s, ex:hasA, ?a),
+        ottr:Triple(?s, ex:hasB, ?b)
+    }} .
+    """
+    schema = T.StructType([
+        T.StructField("Key", T.StringType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("l1", T.ArrayType(T.IntegerType())),
+        T.StructField("l2", T.ArrayType(T.IntegerType())),
+    ])
+    df = _df(spark, [("K1", EX + "x", [1], [7, 8])], schema)
+    m = Mapping.from_str(doc, spark=spark)
+    m.expand(EX + "T", df)
+    got = triple_set(m)
+    # zipMax keeps the longer list's tail; missing left values are null and
+    # produce no triple for hasA
+    assert (EX + "x", EX + "hasA", ("1", XSD + "int", None)) in got
+    assert (EX + "x", EX + "hasB", ("7", XSD + "int", None)) in got
+    assert (EX + "x", EX + "hasB", ("8", XSD + "int", None)) in got

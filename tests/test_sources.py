@@ -62,3 +62,23 @@ def test_jdbc_partition_validation(spark):
     with pytest.raises(ValueError, match="partitioned JDBC"):
         jdbc_timeseries(spark, "jdbc:postgresql://h/db", "ts",
                         partition_column="id")
+
+
+def test_multiple_timeseries_tables_union(spark, tmp_path):
+    """Two separately-registered TS tables behave as one logical store
+    (compiler unions normalized relations)."""
+    p1, p2 = tmp_path / "ts1.csv", tmp_path / "ts2.csv"
+    p1.write_text(TS1_CSV)
+    p2.write_text(TS2_CSV)
+    t1 = csv_timeseries(spark, {"ts1": str(p1)}, value_datatype=XSD_UNSIGNED_INT)
+    t2 = csv_timeseries(spark, {"ts2": str(p2)}, value_datatype=XSD_UNSIGNED_INT)
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(t1).add_timeseries_table(t2)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (SUM(?v) AS ?total) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 1226), ("ts2", 1238)]
