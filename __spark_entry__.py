@@ -428,7 +428,8 @@ def _nation_mapping(spark, sf_dir):
 def q_mapper_expand(spark, sf_dir):
     m = _nation_mapping(spark, sf_dir)
     t = m.triples_df()
-    return t.select("subject", "verb", F.coalesce("o_iri", "o_lex").alias("object"))
+    return t.select(F.col("s").alias("subject"), F.col("p").alias("verb"),
+                    F.coalesce("o_iri", "o_lex").alias("object"))
 
 
 def q_mapper_ntriples(spark, sf_dir):

@@ -32,6 +32,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_topk",
     "text_stats",
+    "mapper_expand",
+    "chunk_docs",
 ]
 
 

@@ -402,13 +402,14 @@ class Mapping:
         return out
 
     def triples_df(self) -> DataFrame:
-        """Unified term-column view ``(subject, verb, o_iri, o_lex, o_dt,
-        o_lang)`` — feeds otit_swt_spark.graph directly."""
+        """Unified term-column view in the GraphStore schema ``(s, p, o_iri,
+        o_lex, o_dt, o_lang)`` — feeds otit_swt_spark.graph directly
+        (``GraphStore(spark, mapping.triples_df())``)."""
         parts = []
         op = self.object_property_triples()
         if op is not None:
             parts.append(op.select(
-                "subject", "verb",
+                F.col("subject").alias("s"), F.col("verb").alias("p"),
                 F.col("object").alias("o_iri"),
                 F.lit(None).cast("string").alias("o_lex"),
                 F.lit(None).cast("string").alias("o_dt"),
@@ -417,7 +418,7 @@ class Mapping:
         dp = self.data_property_triples()
         if dp is not None:
             parts.append(dp.select(
-                "subject", "verb",
+                F.col("subject").alias("s"), F.col("verb").alias("p"),
                 F.lit(None).cast("string").alias("o_iri"),
                 F.col("object.lexical_form").alias("o_lex"),
                 F.col("object.datatype_iri").alias("o_dt"),
@@ -425,7 +426,7 @@ class Mapping:
             ))
         if not parts:
             return self.spark.createDataFrame(
-                [], "subject string, verb string, o_iri string, o_lex string,"
+                [], "s string, p string, o_iri string, o_lex string,"
                     " o_dt string, o_lang string")
         out = parts[0]
         for p in parts[1:]:
@@ -447,7 +448,7 @@ class Mapping:
                      F.concat(F.lit('"'), esc, F.lit('"'))) \
                .otherwise(F.concat(F.lit('"'), esc, F.lit('"^^<'), F.col("o_dt"), F.lit(">")))
         return df.select(
-            F.concat(_fmt_resource(F.col("subject")), F.lit(" <"), F.col("verb"),
+            F.concat(_fmt_resource(F.col("s")), F.lit(" <"), F.col("p"),
                      F.lit("> "), obj, F.lit(" .")).alias("line"))
 
     def write_ntriples(self, path: str):

@@ -371,3 +371,42 @@ def test_zip_max_expander(spark):
     assert (EX + "x", EX + "hasA", ("1", XSD + "int", None)) in got
     assert (EX + "x", EX + "hasB", ("7", XSD + "int", None)) in got
     assert (EX + "x", EX + "hasB", ("8", XSD + "int", None)) in got
+
+
+def test_mapper_output_feeds_sparql_engine(spark):
+    """End-to-end product integration: DataFrame -> stOTTR expansion ->
+    triple store -> SPARQL query (mapper triples_df feeds GraphStore)."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:CityT [xsd:anyURI ?city, ?population, xsd:anyURI ?country] :: {{
+        ottr:Triple(?city, ex:hasPopulation, ?population),
+        ottr:Triple(?city, ex:inCountry, ?country)
+    }} .
+    """
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("Key", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("population", T.LongType()),
+        T.StructField("country", T.StringType()),
+    ])
+    df = _df(spark, [
+        ("1", "urn:city:oslo", 700000, "urn:country:no"),
+        ("2", "urn:city:bergen", 290000, "urn:country:no"),
+        ("3", "urn:city:stockholm", 980000, "urn:country:se"),
+    ], schema)
+    m = Mapping.from_str(doc, spark=spark)
+    m.expand(EX + "CityT", df)
+
+    eng = Engine(spark, GraphStore(spark, m.triples_df()))
+    out = eng.query(f"""
+    SELECT ?city ?pop WHERE {{
+        ?city <{EX}inCountry> <urn:country:no> .
+        ?city <{EX}hasPopulation> ?pop .
+        FILTER(?pop > 500000)
+    }}""")
+    got = [(r["city"], r["pop"]) for r in out.collect()]
+    assert got == [("urn:city:oslo", 700000)]
