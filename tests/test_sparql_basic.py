@@ -54,3 +54,73 @@ def test_simple_hybrid(engine):
         (datetime(2022, 6, 1, 8, 46, 59), 105),
     ]
     assert df.columns == ["w", "s", "t", "v"]
+
+
+PFX = """
+PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>
+PREFIX otit_swt:<https://github.com/magbak/otit_swt#>
+PREFIX types:<http://example.org/types#>
+"""
+
+
+def test_expr_regex_and_str(engine):
+    df = engine.query(PFX + """
+    SELECT ?a WHERE {
+        ?a otit_swt:hasTimeseries ?b .
+        FILTER(REGEX(STR(?a), "Sensor1$"))
+    }""")
+    assert rows(df) == [(CASE + "mySensor1",)]
+
+
+def test_expr_sameterm(engine):
+    df = engine.query(PFX + """
+    SELECT ?a ?b WHERE {
+        ?w types:hasSensor ?a .
+        ?w types:hasSensor ?b .
+        FILTER(!SAMETERM(?a, ?b))
+    }""")
+    assert rows(df) == []  # each widget has one sensor
+
+
+def test_expr_datatype_and_lang(engine):
+    df = engine.query(PFX + """
+    SELECT ?id ?dt WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        BIND(STR(DATATYPE(?id)) AS ?dt)
+    }""")
+    got = rows(df)
+    assert all(dt == "http://www.w3.org/2001/XMLSchema#string" for _, dt in got)
+
+
+def test_expr_iri_constructor(engine):
+    df = engine.query(PFX + """
+    SELECT ?u WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        BIND(IRI(CONCAT("urn:x:", ?id)) AS ?u)
+    }""")
+    assert rows(df) == [("urn:x:ts1",), ("urn:x:ts2",)]
+
+
+def test_expr_in_and_not_in(engine):
+    df = engine.query(PFX + """
+    SELECT ?id WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        FILTER(?id IN ("ts1", "ts999"))
+    }""")
+    assert rows(df) == [("ts1",)]
+    df2 = engine.query(PFX + """
+    SELECT ?id WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        FILTER(?id NOT IN ("ts1", "ts999"))
+    }""")
+    assert rows(df2) == [("ts2",)]
+
+
+def test_expr_bound_with_optional(engine):
+    df = engine.query(PFX + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x }
+        FILTER(BOUND(?x))
+    }""")
+    assert rows(df) == [(CASE + "myWidget1",)]
