@@ -333,6 +333,47 @@ def q_embedding_topk(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+def q_sparql_orders_agg(spark, sf_dir):
+    """Fact-scale BGP: per-nation urgent-order revenue through the graph
+    (orders are one subject per fact row — hundreds of thousands of
+    subjects at sf0.1, millions at sf10)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?nation_name (COUNT(?o) AS ?n_orders)
+           (ROUND(SUM(?price)) AS ?revenue) WHERE {
+        ?o <urn:p:byCustomer> ?c .
+        ?o <urn:p:priority> "1-URGENT" .
+        ?o <urn:p:totalprice> ?price .
+        ?c <urn:p:inNation> ?n .
+        ?n <urn:p:name> ?nation_name .
+    } GROUP BY ?nation_name""")
+
+
+def q_mapper_expand_lineitem(spark, sf_dir):
+    """Mapper at fact scale: expand a 3-triple template over lineitem
+    (600k rows -> 1.8M triples at sf0.1); expansion is one map stage."""
+    from otit_swt_spark.mapper import Mapping
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("Key"),
+        F.concat(F.lit("urn:li:"), F.col("l_orderkey"), F.lit("-"),
+                 F.col("l_linenumber")).alias("item"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.concat(F.lit("urn:part:"), F.col("l_partkey")).alias("part"),
+    )
+    doc = """
+    @prefix ex:<urn:tmpl:>.
+    ex:LineT [xsd:anyURI ?item, ?qty, xsd:anyURI ?part] :: {
+        ottr:Triple(?item, <urn:p:quantity>, ?qty),
+        ottr:Triple(?item, <urn:p:ofPart>, ?part)
+    } .
+    """
+    m = Mapping.from_str(doc, spark=spark)
+    m.expand("urn:tmpl:LineT", df)
+    t = m.triples_df()
+    return t.select("s", "p", F.coalesce("o_iri", "o_lex").alias("object"))
+
+
 def q_sparql_strings(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?cust_name ?upper_name ?name_len ?prefix5 ?masked WHERE {
@@ -550,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
+        "sparql_orders_agg": q_sparql_orders_agg,
+        "mapper_expand_lineitem": q_mapper_expand_lineitem,
         "sparql_strings": q_sparql_strings,
         "sparql_order_offset": q_sparql_order_offset,
         "sparql_having": q_sparql_having,
@@ -660,6 +703,25 @@ def oracle_sql() -> dict[str, str]:
         "sparql_distinct_order_limit": """
             SELECT DISTINCT c_mktsegment AS segment FROM customer
             ORDER BY segment LIMIT 3
+        """,
+        "sparql_orders_agg": """
+            SELECT n_name AS nation_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 0) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY n_name
+        """,
+        "mapper_expand_lineitem": """
+            SELECT 'urn:li:' || l_orderkey || '-' || l_linenumber AS s,
+                   'urn:p:quantity' AS p,
+                   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS object
+            FROM lineitem
+            UNION ALL
+            SELECT 'urn:li:' || l_orderkey || '-' || l_linenumber,
+                   'urn:p:ofPart', 'urn:part:' || l_partkey
+            FROM lineitem
         """,
         "sparql_strings": """
             SELECT c_name AS cust_name, upper(c_name) AS upper_name,

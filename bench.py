@@ -34,6 +34,8 @@ HEADLINE = [
     "text_stats",
     "mapper_expand",
     "chunk_docs",
+    "sparql_orders_agg",
+    "mapper_expand_lineitem",
 ]
 
 

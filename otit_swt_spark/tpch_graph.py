@@ -108,11 +108,21 @@ def user_iri(c):
     return F.concat(F.lit("urn:user:"), c.cast("string"))
 
 
+P_BY_CUSTOMER = "urn:p:byCustomer"
+P_TOTALPRICE = "urn:p:totalprice"
+P_PRIORITY = "urn:p:priority"
+
+
+def order_iri(c):
+    return F.concat(F.lit("urn:order:"), c.cast("string"))
+
+
 def build_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     events = load_events(spark, sf_dir)
     # The user dimension is derived from the tall events table; persist it so
     # the four bridge-triple branches (rdf:type / hasTimeseries /
@@ -139,6 +149,14 @@ def build_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                      HAS_EXTERNAL_ID, F.col("user_id"), XSD_STRING),
         _iri_triples(users, F.concat(F.lit("urn:ts:"), F.col("user_id").cast("string")),
                      HAS_DATATYPE, F.lit(XSD_DOUBLE)),
+        # fact-sized branch: orders (the graph's scale test — BGP joins over
+        # hundreds of thousands of subjects, not just dimensions)
+        _iri_triples(orders, order_iri(F.col("o_orderkey")), P_BY_CUSTOMER,
+                     cust_iri(F.col("o_custkey"))),
+        _lit_triples(orders, order_iri(F.col("o_orderkey")), P_TOTALPRICE,
+                     F.col("o_totalprice"), XSD_DEC),
+        _lit_triples(orders, order_iri(F.col("o_orderkey")), P_PRIORITY,
+                     F.col("o_orderpriority"), XSD_STRING),
     ]
     out = parts[0]
     for p in parts[1:]:
