@@ -49,6 +49,14 @@ class Engine:
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
 
+    def explain(self, sparql: str, mode: str = "formatted") -> str:
+        """Return Spark's explain output for a SPARQL query — the rebuild's
+        window into what the reference's rewrite stages became (pushdown,
+        pruning, join selection are visible in the physical plan)."""
+        df = self.execute_hybrid_query(sparql)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode)
+
     def register_views(self, triples_view: str = "triples",
                        ts_view: str = "timeseries") -> "Engine":
         """Spark-first interop: expose the triple store and the (unioned)

@@ -81,6 +81,45 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, duration_s double, "
+    "sample_rate int, rms double"
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> dict:
+    """STUB: real implementation would be soundfile/librosa. The
+    deterministic fake derives pseudo duration/rate/energy from bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; pass fake=True for the deterministic test decoder")
+    n = len(payload)
+    rate = 16000
+    duration = n / 2 / rate  # pretend 16-bit mono PCM
+    rms = (sum(b * b for b in payload[:512]) / max(min(n, 512), 1)) ** 0.5 / 255.0
+    return {"duration_s": duration, "sample_rate": rate, "rms": rms}
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas audio feature extraction (same Arrow-batched plumbing as
+    the image path)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "duration_s": [round(f["duration_s"], 6) for f in feats],
+                "sample_rate": [f["sample_rate"] for f in feats],
+                "rms": [round(f["rms"], 6) for f in feats],
+            })
+
+    return media.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payloads through the pandas kernel and tags
     target dimensions in metadata (real kernel would re-encode bytes)."""

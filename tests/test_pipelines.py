@@ -220,3 +220,15 @@ def test_embedding_neardup_finds_duplicate(spark):
     got = rows(embedding_neardup_pairs(emb, min_cosine=0.99, n_bits=4)
                .select("id_a", "id_b"))
     assert (0, 1) in got
+
+
+def test_audio_features_stub(spark, docs):
+    from otit_swt_spark.pipelines.multimodal import (
+        attach_binary_column,
+        extract_audio_features,
+    )
+
+    media = attach_binary_column(docs)
+    out = rows(extract_audio_features(media, fake=True))
+    assert len(out) == len(DOCS)
+    assert all(r[3] > 0 and r[4] == 16000 for r in out)  # duration, rate

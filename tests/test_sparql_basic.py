@@ -124,3 +124,9 @@ def test_expr_bound_with_optional(engine):
         FILTER(BOUND(?x))
     }""")
     assert rows(df) == [(CASE + "myWidget1",)]
+
+
+def test_engine_explain(engine):
+    plan = engine.explain(PFX + """
+    SELECT ?a WHERE { ?a otit_swt:hasTimeseries ?b }""")
+    assert "Physical Plan" in plan
