@@ -47,6 +47,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+|\#[^\n]*)
     | (?P<iri><[^<>"{}|^`\s]*>)
     | (?P<var>[?$][A-Za-z_][\w]*)
+    | (?P<bnode>_:[A-Za-z_][\w]*)
     | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[A-Za-z_](?:[\w.-]*[\w-])?)?)
@@ -162,6 +163,11 @@ class Parser:
         if t.kind == "var":
             self.next()
             return Variable(t.value[1:])
+        if t.kind == "bnode":
+            # blank nodes in patterns act as non-projected variables
+            # (reference renames them, preprocessing.rs:394-412)
+            self.next()
+            return Variable(f"__bnode_{t.value[2:]}")
         if t.kind in ("string", "num", "TRUE", "FALSE"):
             return self.parse_literal()
         return self.parse_iri()

@@ -130,3 +130,13 @@ def test_engine_explain(engine):
     plan = engine.explain(PFX + """
     SELECT ?a WHERE { ?a otit_swt:hasTimeseries ?b }""")
     assert "Physical Plan" in plan
+
+
+def test_blank_nodes_in_patterns(engine):
+    """Blank nodes act as non-projected join variables (reference renames
+    them to variables, preprocessing.rs:394-412)."""
+    df = engine.query(PFX + """
+    SELECT ?w WHERE { ?w types:hasSensor _:s . _:s otit_swt:hasTimeseries ?ts }""")
+    assert rows(df) == [(CASE + "myWidget1",), (CASE + "myWidget2",)]
+    star = engine.query(PFX + "SELECT * WHERE { ?w types:hasSensor _:s }")
+    assert star.columns == ["w"]  # blank nodes never project
