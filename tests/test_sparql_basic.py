@@ -140,3 +140,16 @@ def test_blank_nodes_in_patterns(engine):
     assert rows(df) == [(CASE + "myWidget1",), (CASE + "myWidget2",)]
     star = engine.query(PFX + "SELECT * WHERE { ?w types:hasSensor _:s }")
     assert star.columns == ["w"]  # blank nodes never project
+
+
+def test_union_keeps_multiset_semantics(engine):
+    """SPARQL UNION is a multiset op: identical branches double the rows.
+    The reference appends a unique() (combiner.rs:233-287) — a set-semantics
+    bug we deliberately do NOT copy (SURVEY §2.6)."""
+    df = engine.query(PFX + """
+    SELECT ?a WHERE {
+        { ?a otit_swt:hasTimeseries ?b } UNION { ?a otit_swt:hasTimeseries ?b }
+    }""")
+    got = [r["a"] for r in df.collect()]
+    assert len(got) == 4  # 2 sensors x 2 branches
+    assert len(set(got)) == 2
