@@ -27,6 +27,9 @@ class Engine:
             graph = GraphStore(spark, graph)
         self.graph = graph or GraphStore(spark)
         self.ts_tables: list[TimeSeriesTable] = []
+        #: datatype-probe results per query text — the probe is a Spark job
+        #: (engine._finalize) and identical queries infer identical dtypes
+        self._dt_cache: dict[str, dict[str, str | None]] = {}
 
     def set_graph(self, graph: GraphStore | DataFrame) -> "Engine":
         self.graph = GraphStore(self.spark, graph) if isinstance(graph, DataFrame) else graph
@@ -44,7 +47,7 @@ class Engine:
         query = parse_query(sparql)
         compiler = Compiler(self.spark, self.graph.df, self.ts_tables)
         sm = compiler.compile_query(query)
-        return self._finalize(sm, query.variables)
+        return self._finalize(sm, query.variables, cache_key=sparql)
 
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
@@ -80,7 +83,8 @@ class Engine:
 
         return self.query(translator.translate(parse_ts_query(dsl)))
 
-    def _finalize(self, sm: SolutionMapping, variables: list[str]) -> DataFrame:
+    def _finalize(self, sm: SolutionMapping, variables: list[str],
+                  cache_key: str | None = None) -> DataFrame:
         """Type the output like the reference's dtype-inference over SPARQL
         JSON solutions (hybrid/src/sparql_result_to_polars.rs:119-160): for
         term columns, infer the datatype from the first non-null ``__dt`` and
@@ -88,7 +92,9 @@ class Engine:
         term_vars = [v for v in variables if sm.vars.get(v) and sm.vars[v].kind == "term"
                      and v in sm.dt_vars]
         dt_of: dict[str, str | None] = {}
-        if term_vars:
+        if term_vars and cache_key is not None and cache_key in self._dt_cache:
+            dt_of = self._dt_cache[cache_key]
+        elif term_vars:
             # probe only a prefix — datatype columns are constant per variable
             # in practice, and this avoids executing the full plan twice
             probe = (
@@ -99,6 +105,8 @@ class Engine:
             )
             if probe is not None:
                 dt_of = probe.asDict()
+            if cache_key is not None:
+                self._dt_cache[cache_key] = dt_of
         cols = []
         for v in variables:
             m = sm.vars.get(v)
