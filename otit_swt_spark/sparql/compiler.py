@@ -620,7 +620,14 @@ class Compiler:
 
     def compile_leftjoin(self, p: A.LeftJoin, input: SolutionMapping | None) -> SolutionMapping:
         left = self.compile_pattern(p.left, input)
-        left2 = replace(left, df=left.df.withColumn(RID, F.monotonically_increasing_id()))
+        # The row id must be IDENTICAL in the matched branch (which threads
+        # left2 through the right side) and the anti branch.
+        # monotonically_increasing_id depends on partition layout and
+        # shuffle arrival order, so the two independent evaluations of this
+        # subtree can disagree — persist + materialize pins the ids.
+        left2_df = left.df.withColumn(RID, F.monotonically_increasing_id()).persist()
+        left2_df.count()
+        left2 = replace(left, df=left2_df)
         right = self.compile_pattern(p.right, left2)
         if p.expr is not None:
             right = self.apply_filter(right, p.expr)
@@ -640,9 +647,38 @@ class Compiler:
         rvars = A.pattern_variables(p.right)
         if not (rvars & set(left.vars)):
             return left  # SPARQL: disjoint domains remove nothing
-        left2 = replace(left, df=left.df.withColumn(RID, F.monotonically_increasing_id()))
-        right = self.compile_pattern(p.right, left2)
-        df = left2.df.join(right.df.select(RID).distinct(), RID, "left_anti").drop(RID)
+        # SPARQL MINUS = remove left rows compatible with some right row on
+        # the shared variables. Preferred form: compile the right side
+        # standalone and anti-join on the shared vars — needs no row id
+        # (monotonically_increasing_id is not stable across the two plan
+        # branches); null shared vars don't match, which coincides with the
+        # unbound-variable compatibility rule here.
+        try:
+            right = self.compile_pattern(p.right, None)
+        except ValueError:
+            # right side references context only the left provides (e.g. a
+            # time-series chain bound in the left pattern): thread the left
+            # through and anti-join on a persisted (pinned) row id
+            left2_df = left.df.withColumn(
+                RID, F.monotonically_increasing_id()).persist()
+            left2_df.count()
+            left2 = replace(left, df=left2_df)
+            right = self.compile_pattern(p.right, left2)
+            df = left2_df.join(right.df.select(RID).distinct(), RID,
+                               "left_anti").drop(RID)
+            return replace(left, df=df)
+        shared = [v for v in right.vars
+                  if v in left.vars and not v.startswith("__")]
+        if not shared:
+            return left
+        right2 = right
+        for v in shared:
+            lm, rm = left.vars[v], right2.vars[v]
+            if lm.kind == "native" and rm.kind == "term":
+                right2 = _cast_var_to_native(right2, v, lm.hint or "string")
+            elif lm.kind == "term" and rm.kind == "native":
+                left = _cast_var_to_native(left, v, rm.hint or "string")
+        df = left.df.join(right2.df.select(*shared), on=shared, how="left_anti")
         return replace(left, df=df)
 
     # -- values -------------------------------------------------------------------

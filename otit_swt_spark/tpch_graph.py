@@ -179,8 +179,25 @@ def build_engine(spark: SparkSession, sf_dir: str) -> Engine:
     return engine
 
 
+def _graph_store(spark: SparkSession, sf_dir: str) -> GraphStore:
+    """Materialize the KG predicate-partitioned once per scale factor
+    (vertical partitioning, S2RDF-style): each BGP triple pattern then
+    scans exactly one predicate partition of pre-built term columns instead
+    of re-deriving IRIs from the base tables on every pattern."""
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
+                         f"kg_{tag}.parquet")
+    if not os.path.exists(cache):
+        g = GraphStore(spark, build_graph_df(spark, sf_dir))
+        g.write_parquet(cache, partition_by_predicate=True)
+    return GraphStore.read_parquet(spark, cache)
+
+
 def _build_engine_uncached(spark: SparkSession, sf_dir: str) -> Engine:
-    engine = Engine(spark, GraphStore(spark, build_graph_df(spark, sf_dir)))
+    engine = Engine(spark, _graph_store(spark, sf_dir))
     events = load_events(spark, sf_dir)
     engine.add_timeseries_table(
         TimeSeriesTable(
