@@ -620,11 +620,23 @@ class Compiler:
 
     def compile_leftjoin(self, p: A.LeftJoin, input: SolutionMapping | None) -> SolutionMapping:
         left = self.compile_pattern(p.left, input)
-        # The row id must be IDENTICAL in the matched branch (which threads
-        # left2 through the right side) and the anti branch.
-        # monotonically_increasing_id depends on partition layout and
-        # shuffle arrival order, so the two independent evaluations of this
-        # subtree can disagree — persist + materialize pins the ids.
+        # Fast path: an OPTIONAL with no filter expression whose right side
+        # compiles standalone is exactly a left outer join on the shared
+        # variables — no row id, no union, left subtree evaluated once.
+        if p.expr is None:
+            try:
+                right = self.compile_pattern(p.right, None)
+            except ValueError:
+                right = None  # right side needs left-bound context
+            if right is not None:
+                return self.join_solutions(left, right, how="left")
+        # General (SPARQL-correct with filter expr) form: matched rows UNION
+        # anti-join-null-padded left rows. The row id must be IDENTICAL in
+        # the matched branch (which threads left2 through the right side)
+        # and the anti branch. monotonically_increasing_id depends on
+        # partition layout and shuffle arrival order, so the two independent
+        # evaluations of this subtree can disagree — persist + materialize
+        # pins the ids.
         left2_df = left.df.withColumn(RID, F.monotonically_increasing_id()).persist()
         left2_df.count()
         left2 = replace(left, df=left2_df)

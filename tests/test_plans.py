@@ -52,15 +52,26 @@ def test_minus_compiles_to_anti_join(engine):
     assert "LeftAnti" in optimized(df)
 
 
-def test_optional_compiles_to_matched_union_anti(engine):
-    """OPTIONAL compiles to the SPARQL-correct matched-rows UNION
-    anti-join-null-padded form (SURVEY §2.3): an anti join against the
-    matched row ids plus a union, not a bare outer join (which would be
-    wrong for OPTIONAL{..FILTER(e)} on non-null-safe expressions)."""
+def test_optional_simple_compiles_to_left_outer(engine):
+    """A filter-free OPTIONAL takes the left_outer fast path: one join on
+    the shared variables, left subtree evaluated once."""
     df = engine.query(PREFIXES + """
     SELECT ?w ?x WHERE {
         ?w types:hasSensor ?s .
         OPTIONAL { ?w types:hasSomething ?x }
+    }""")
+    assert "LeftOuter" in optimized(df)
+
+
+def test_optional_with_filter_compiles_to_matched_union_anti(engine):
+    """OPTIONAL{.. FILTER(e)} uses the SPARQL-correct matched-rows UNION
+    anti-join-null-padded form (SURVEY §2.3) — a bare outer join would be
+    wrong for non-null-safe expressions."""
+    df = engine.query(PREFIXES + """
+    SELECT ?w ?x WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x
+                   FILTER(STRSTARTS(STR(?x), "http")) }
     }""")
     plan = optimized(df)
     assert "LeftAnti" in plan and "Union" in plan
