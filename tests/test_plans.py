@@ -110,3 +110,29 @@ def test_filter_pushdown_reaches_scan(spark):
     }""")
     plan = physical(df)
     assert "PushedFilters: [" in plan and "GreaterThan(value,50.0)" in plan
+
+
+def test_streaming_sink_partition_pruning(spark, tmp_path):
+    """Timestamp-derived predicates on the streaming sink's year/month/day
+    layout become PartitionFilters — the streaming analog of the
+    reference's partitioning_support rewrite."""
+    import pandas as pd
+    from otit_swt_spark.streaming import (
+        read_timeseries_stream, to_timeseries_sink, windowed_downsample)
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ts = pd.date_range("2024-01-01", periods=600, freq="10min")  # ~4 days
+    spark.createDataFrame(pd.DataFrame({
+        "id": ["s"] * 600, "timestamp": ts,
+        "value": [1.0] * 600})).coalesce(1).write.parquet(src)
+    q = to_timeseries_sink(
+        windowed_downsample(read_timeseries_stream(spark, src),
+                            interval="1 hour", watermark="1 minute"),
+        sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink).filter(
+        (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 2))
+    plan = physical(out)
+    assert "PartitionFilters" in plan and "day" in plan
+    assert out.count() == 24  # one closed 1h window per hour of Jan 2
