@@ -100,6 +100,18 @@ class GraphStore:
             w = w.partitionBy("p")
         w.parquet(path)
 
+    def materialized(self, path: str, overwrite: bool = False) -> "GraphStore":
+        """Materialize predicate-partitioned (S2RDF-style vertical
+        partitioning) and return a store reading from the layout: each BGP
+        triple pattern then scans exactly one predicate partition
+        (PartitionFilters) instead of re-deriving the triple view. Skips
+        the write if ``path`` already exists unless ``overwrite``."""
+        import os
+
+        if overwrite or not os.path.exists(path):
+            self.write_parquet(path, partition_by_predicate=True)
+        return GraphStore.read_parquet(self.spark, path)
+
     def to_ntriples_df(self) -> DataFrame:
         """Serialize to one N-Triples line per row (reference:
         mapper/src/mapping/ntriples_write.rs:52). Pure built-in functions —

@@ -190,10 +190,7 @@ def _graph_store(spark: SparkSession, sf_dir: str) -> GraphStore:
     tag = sf_dir.strip("/").replace("/", "_")
     cache = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
                          f"kg_{tag}.parquet")
-    if not os.path.exists(cache):
-        g = GraphStore(spark, build_graph_df(spark, sf_dir))
-        g.write_parquet(cache, partition_by_predicate=True)
-    return GraphStore.read_parquet(spark, cache)
+    return GraphStore(spark, build_graph_df(spark, sf_dir)).materialized(cache)
 
 
 def _build_engine_uncached(spark: SparkSession, sf_dir: str) -> Engine:

@@ -45,3 +45,15 @@ def test_ntriples_literal_escaping_property(spark, lex):
     nt = g.to_ntriples_df().first()["value"]
     [(s, p, o)] = list(parse_ntriples(nt))
     assert o.lexical == lex
+
+
+def test_graphstore_materialized(spark, engine, tmp_path):
+    path = str(tmp_path / "kg_mat")
+    g2 = engine.graph.materialized(path)
+    assert g2.df.count() == engine.graph.df.count()
+    # second call reuses the layout (no rewrite)
+    import os
+    mtime = os.path.getmtime(path)
+    g3 = engine.graph.materialized(path)
+    assert os.path.getmtime(path) == mtime
+    assert g3.df.count() == g2.df.count()
