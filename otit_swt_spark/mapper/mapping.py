@@ -230,6 +230,20 @@ class Mapping:
             dt = schema[p.name]
             is_iri = p.name in iri_cols or (p.ptype is not None and p.ptype.is_iri_type)
             is_list = isinstance(dt, T.ArrayType)
+            # declared-shape validation (reference
+            # mapper/src/mapping/validation_inference.rs:38-130)
+            if p.ptype is not None and p.ptype.kind in ("list", "nelist") and not is_list:
+                raise ValueError(f"parameter ?{p.name} declared {p.ptype.kind} "
+                                 f"but column has non-array type {dt}")
+            if p.ptype is not None and p.ptype.kind == "nelist":
+                bad = df.filter(F.size(F.col(p.name)) == 0)
+                if not bad.isEmpty():
+                    raise ValueError(f"NEList parameter ?{p.name} has empty lists")
+            if p.non_blank and isinstance(dt, T.StringType):
+                bad = df.filter(F.col(p.name).startswith("_:"))
+                if not bad.isEmpty():
+                    raise ValueError(f"non-blank parameter ?{p.name} (!) "
+                                     "contains blank-node values")
             elem = dt.elementType if is_list else dt
             bindings[p.name] = _Bound(
                 F.col(p.name),

@@ -410,3 +410,34 @@ def test_mapper_output_feeds_sparql_engine(spark):
     }}""")
     got = [(r["city"], r["pop"]) for r in out.collect()]
     assert got == [("urn:city:oslo", 700000)]
+
+
+def test_nelist_validation(spark):
+    from pyspark.sql import types as T
+
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:T [NEList<xsd:integer> ?l] :: {{
+        cross | ottr:Triple(ex:o, ex:hasVal, ++?l)
+    }} .
+    """
+    schema = T.StructType([
+        T.StructField("Key", T.StringType()),
+        T.StructField("l", T.ArrayType(T.IntegerType())),
+    ])
+    m = Mapping.from_str(doc, spark=spark)
+    ok = _df(spark, [("K1", [1, 2])], schema)
+    m.expand(EX + "T", ok)
+    bad = _df(spark, [("K2", [])], schema)
+    with pytest.raises(ValueError, match="empty lists"):
+        m.expand(EX + "T", bad)
+
+
+def test_non_blank_validation(spark):
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:T [! xsd:anyURI ?s] :: {{ ottr:Triple(?s, ex:p, ex:o) }} .
+    """
+    m = Mapping.from_str(doc, spark=spark)
+    with pytest.raises(ValueError, match="non-blank"):
+        m.expand(EX + "T", _df(spark, [("K1", "_:b0")], "Key string, s string"))
