@@ -523,8 +523,11 @@ def q_near_dedup_docs(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     from otit_swt_spark.pipelines.similarity import embedding_neardup_pairs
 
+    # 0.2 keeps the entry non-empty at every scale factor (the synthetic
+    # embeddings are near-orthogonal random vectors; real corpora would use
+    # ~0.95 here)
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                   min_cosine=0.5, n_bits=6)
+                                   min_cosine=0.2, n_bits=6)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

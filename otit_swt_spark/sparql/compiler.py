@@ -827,6 +827,13 @@ class Compiler:
         for i, (e, asc) in enumerate(keys):
             if isinstance(e, A.EVar) and e.name in sm.vars:
                 c = F.col(e.name)
+                if sm.vars[e.name].kind == "term":
+                    # SPARQL orders numeric literals numerically; a term
+                    # column holds lexical forms, so sort on (numeric value,
+                    # lexical form): numbers order numerically, non-numeric
+                    # strings tie on NULL and fall back to string collation
+                    c = F.struct(c.try_cast("double").alias("num"),
+                                 c.alias("lex"))
             else:
                 h = f"__ord_{i}"
                 t = compile_expr(e, sm)
