@@ -485,8 +485,12 @@ class Compiler:
     def _kleene(self, edges: DataFrame, max_iter: int = 20) -> DataFrame:
         """Transitive closure by iterated self-join; the graph side is small
         (it is the reference's 'static' half), so driver-looped fixpoint is
-        acceptable. At cluster scale swap in GraphFrames/Pregel."""
-        edges = edges.distinct().cache()
+        acceptable. At cluster scale swap in GraphFrames/Pregel.
+
+        localCheckpoint truncates the lineage each round — without it the
+        final plan nests one full join tree per iteration (56 scans for a
+        two-hop closure) and driver-side planning blows up on deep graphs."""
+        edges = edges.distinct().localCheckpoint()
         paths = edges
         frontier = edges
         for _ in range(max_iter):
@@ -494,10 +498,10 @@ class Compiler:
                    .join(edges.withColumnRenamed("src", "mid"), "mid")
                    .select("src", "dst")
                    .distinct())
-            new = nxt.join(paths, ["src", "dst"], "left_anti").cache()
+            new = nxt.join(paths, ["src", "dst"], "left_anti").localCheckpoint()
             if new.isEmpty():
                 break
-            paths = paths.unionByName(new).cache()
+            paths = paths.unionByName(new).localCheckpoint()
             frontier = new
         return paths
 

@@ -107,3 +107,30 @@ def test_fuzz_grouped_aggregates(fuzz_engine, duck):
         if got != want:
             failures.append((i, sp_agg, t, got[:2], want[:2]))
     assert not failures, f"{len(failures)} mismatches: {failures[:3]}"
+
+
+def test_fuzz_order_limit_offset(fuzz_engine, duck):
+    """Regression guard for term-column ordering: random ORDER BY direction,
+    LIMIT and OFFSET windows compared against DuckDB (ordering must be
+    numeric for numeric literals, with name as deterministic tiebreak)."""
+    rng = random.Random(7)
+    failures = []
+    for i in range(12):
+        desc = rng.choice([True, False])
+        limit = rng.randint(1, 8)
+        offset = rng.randint(0, 6)
+        direction = "DESC(?bal)" if desc else "?bal"
+        sql_dir = "c_acctbal DESC" if desc else "c_acctbal"
+        df = fuzz_engine.query(PFX + f"""
+        SELECT ?name ?bal WHERE {{
+            ?c <urn:p:name> ?name .
+            FILTER(STRSTARTS(STR(?c), "urn:cust:"))
+            ?c <urn:p:acctbal> ?bal .
+        }} ORDER BY {direction} ?name LIMIT {limit} OFFSET {offset}""")
+        got = [(r["name"], float(r["bal"])) for r in df.collect()]
+        want = [(r[0], float(r[1])) for r in duck.execute(
+            f"SELECT c_name, c_acctbal FROM customer "
+            f"ORDER BY {sql_dir}, c_name LIMIT {limit} OFFSET {offset}").fetchall()]
+        if got != want:
+            failures.append((i, desc, limit, offset, got[:2], want[:2]))
+    assert not failures, f"{len(failures)} mismatches: {failures[:2]}"
