@@ -80,7 +80,8 @@ def q_sparql_optional(spark, sf_dir):
 
 def q_sparql_group_agg(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
-    SELECT ?nation_name (COUNT(?c) AS ?n_cust) (ROUND(SUM(?bal)) AS ?sum_bal)
+    SELECT ?nation_name (COUNT(?c) AS ?n_cust)
+           (xsd:double(ROUND(SUM(xsd:decimal(?bal)))) AS ?sum_bal)
            (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal) WHERE {
         ?c <urn:p:inNation> ?n .
         FILTER(STRSTARTS(STR(?c), "urn:cust:"))
@@ -148,7 +149,8 @@ def q_sparql_distinct_order_limit(spark, sf_dir):
 
 def q_sparql_hybrid_ts_agg(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
-    SELECT ?user (COUNT(?v) AS ?n_events) (ROUND(SUM(?v)) AS ?sum_value) WHERE {
+    SELECT ?user (COUNT(?v) AS ?n_events)
+           (xsd:double(ROUND(SUM(xsd:decimal(?v)))) AS ?sum_value) WHERE {
         ?u a <urn:t:User> .
         ?u otit_swt:hasTimeseries ?ts .
         ?ts otit_swt:hasDataPoint ?dp .
@@ -339,7 +341,7 @@ def q_sparql_orders_agg(spark, sf_dir):
     subjects at sf0.1, millions at sf10)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name (COUNT(?o) AS ?n_orders)
-           (ROUND(SUM(?price)) AS ?revenue) WHERE {
+           (xsd:double(ROUND(SUM(xsd:decimal(?price)))) AS ?revenue) WHERE {
         ?o <urn:p:byCustomer> ?c .
         ?o <urn:p:priority> "1-URGENT" .
         ?o <urn:p:totalprice> ?price .
@@ -673,7 +675,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sparql_group_agg": """
             SELECT n_name AS nation_name, count(*) AS n_cust,
-                   round(sum(c_acctbal), 0) AS sum_bal,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 0) AS DOUBLE) AS sum_bal,
                    min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
@@ -709,7 +711,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sparql_orders_agg": """
             SELECT n_name AS nation_name, count(*) AS n_orders,
-                   round(sum(o_totalprice), 0) AS revenue
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE)
+                       AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -773,7 +776,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sparql_hybrid_ts_agg": """
             SELECT 'urn:user:' || CAST(user_id AS VARCHAR) AS "user",
-                   count(*) AS n_events, round(sum(value), 0) AS sum_value
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(25,6))), 0) AS DOUBLE)
+                       AS sum_value
             FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
             GROUP BY user_id
         """,

@@ -37,7 +37,7 @@ from otit_swt_spark.terms import (
 )
 
 INTEGRAL = {"int", "long"}
-NUMERIC = INTEGRAL | {"double", "float"}
+NUMERIC = INTEGRAL | {"double", "float", "decimal"}
 
 
 class Typed:
@@ -275,8 +275,12 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
             target = name[len("XSD_CAST:"):]
             if target in (XSD + "integer", XSD + "long", XSD + "int"):
                 return Typed(args[0].col.try_cast("long"), "long")
-            if target in (XSD + "double", XSD + "decimal"):
+            if target == XSD + "double":
                 return Typed(args[0].col.try_cast("double"), "double")
+            if target == XSD + "decimal":
+                # true decimal for exact aggregation (float summation order
+                # makes ROUND(SUM(double)) nondeterministic at .5 boundaries)
+                return Typed(args[0].col.try_cast("decimal(25,6)"), "decimal")
             if target == XSD + "float":
                 return Typed(args[0].col.try_cast("float"), "float")
             if target == XSD + "boolean":
