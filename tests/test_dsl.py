@@ -216,3 +216,9 @@ def test_dsl_type_and_name_constraint():
     ''')
     el = q.paths[0].path.elements[0]
     assert el.name == "HLV" and el.type_name == "Valve"
+
+
+def test_parse_colon_connective():
+    q = parse_ts_query('ABC:"X"."y"')
+    assert q.paths[0].path.elements[1] == Connective(":", 1)
+    assert q.paths[0].path.elements[1].name_part() == "Colon"

@@ -153,3 +153,13 @@ def test_union_keeps_multiset_semantics(engine):
     got = [r["a"] for r in df.collect()]
     assert len(got) == 4  # 2 sensors x 2 branches
     assert len(set(got)) == 2
+
+
+def test_reduced_deduplicates(engine):
+    """REDUCED permits (does not require) dedup; we implement it as
+    distinct (SURVEY §2.6 — the reference leaves it todo!())."""
+    df = engine.query(PFX + """
+    SELECT REDUCED ?a WHERE {
+        { ?a otit_swt:hasTimeseries ?b } UNION { ?a otit_swt:hasTimeseries ?b }
+    }""")
+    assert len(rows(df)) == 2
