@@ -874,8 +874,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": f"""
             SELECT doc_id, length(text) AS n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '\\S+', 0)) AS n_tokens,
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
@@ -892,8 +891,7 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|a|in|that|it|for)\b', 0))
-                         / greatest(CASE WHEN trim(text) = '' THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6)
+                         / greatest(len(regexp_extract_all(text, '\S+', 0)), 1), 6)
                         AS stopword_ratio
             FROM documents
         """,

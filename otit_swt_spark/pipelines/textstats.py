@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TOKEN_RE = r"\s+"
+TOKEN_RE = r"\S+"
 # BPE-ish word/punct splitter: words, numbers, or single punctuation marks
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -23,9 +23,10 @@ STOPWORDS = LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
 
 
 def n_tokens(text: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE)))
+    """Whitespace token count = number of maximal ``\\S+`` runs. Counting
+    matches (instead of splitting on ``\\s+``) makes all-whitespace and
+    leading/trailing-whitespace text correct: ``"\\t"`` has 0 tokens, not 2."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
 
 
 def n_bpe_tokens(text: Column) -> Column:
@@ -45,8 +46,7 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def mean_word_len(text: Column) -> Column:
-    t = F.trim(text)
-    toks = F.split(t, TOKEN_RE)
+    toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0))
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return total / F.greatest(F.size(toks), F.lit(1))
 
