@@ -20,23 +20,39 @@ from otit_swt_spark.terms import XSD_STRING, spark_type_for_xsd
 from otit_swt_spark.timeseries import TimeSeriesTable
 
 
+class InconsistentDatatype(Exception):
+    """A projected variable binds literals of incompatible datatypes, so no
+    single column type is sound. Reference parity:
+    ``OrchestrationError::InconsistentDatatype`` (hybrid/src/engine.rs:20-43,
+    137-198). Construct the Engine with ``strict_types=False`` to coerce
+    instead (non-parsing lexical forms become null via try_cast)."""
+
+
 class Engine:
-    def __init__(self, spark: SparkSession, graph: GraphStore | DataFrame | None = None):
+    def __init__(self, spark: SparkSession, graph: GraphStore | DataFrame | None = None,
+                 strict_types: bool = True):
         self.spark = spark
         if isinstance(graph, DataFrame):
             graph = GraphStore(spark, graph)
         self.graph = graph or GraphStore(spark)
         self.ts_tables: list[TimeSeriesTable] = []
+        #: raise InconsistentDatatype for statically-detected mixed-datatype
+        #: output variables (reference behavior); False = coerce to the first
+        #: observed datatype, nulling lexical forms that do not parse
+        self.strict_types = strict_types
         #: datatype-probe results per query text — the probe is a Spark job
-        #: (engine._finalize) and identical queries infer identical dtypes
+        #: (engine._finalize) and identical queries infer identical dtypes.
+        #: Only consulted for variables the compile-time catalog cannot type.
         self._dt_cache: dict[str, dict[str, str | None]] = {}
 
     def set_graph(self, graph: GraphStore | DataFrame) -> "Engine":
         self.graph = GraphStore(self.spark, graph) if isinstance(graph, DataFrame) else graph
+        self._dt_cache.clear()  # probes are graph-dependent
         return self
 
     def add_timeseries_table(self, table: TimeSeriesTable) -> "Engine":
         self.ts_tables.append(table)
+        self._dt_cache.clear()  # probes may involve ts-derived columns
         return self
 
     # -- entry point 1 (reference engine.rs:57-134) -------------------------
@@ -45,7 +61,8 @@ class Engine:
         """Parse + compile + type-finalize. Returns a lazy DataFrame; the
         caller collects (the reference collects internally at engine.rs:127)."""
         query = parse_query(sparql)
-        compiler = Compiler(self.spark, self.graph.df, self.ts_tables)
+        compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
+                            pred_datatypes=self.graph.predicate_datatypes)
         sm = compiler.compile_query(query)
         return self._finalize(sm, query.variables, cache_key=sparql)
 
@@ -86,34 +103,52 @@ class Engine:
     def _finalize(self, sm: SolutionMapping, variables: list[str],
                   cache_key: str | None = None) -> DataFrame:
         """Type the output like the reference's dtype-inference over SPARQL
-        JSON solutions (hybrid/src/sparql_result_to_polars.rs:119-160): for
-        term columns, infer the datatype from the first non-null ``__dt`` and
-        cast the canonical lexical form to the matching Spark type."""
+        JSON solutions (hybrid/src/sparql_result_to_polars.rs:119-160).
+
+        Term columns carrying a compile-time datatype (from the graph's
+        predicate catalog, GraphStore.predicate_datatypes) are cast directly
+        — no extra Spark job. Variables the catalog flags as mixed raise
+        InconsistentDatatype (reference hybrid/src/engine.rs:137-198) under
+        strict_types, else coerce. Only catalog-blind variables (variable
+        predicates, path objects) fall back to the first-non-null ``__dt``
+        probe job."""
         term_vars = [v for v in variables if sm.vars.get(v) and sm.vars[v].kind == "term"
                      and v in sm.dt_vars]
-        dt_of: dict[str, str | None] = {}
-        if term_vars and cache_key is not None and cache_key in self._dt_cache:
-            dt_of = self._dt_cache[cache_key]
-        elif term_vars:
+        mixed = [v for v in term_vars if sm.vars[v].mixed]
+        if mixed and self.strict_types:
+            raise InconsistentDatatype(
+                f"variable(s) {', '.join('?' + v for v in mixed)} bind literals of "
+                "inconsistent datatypes; pass strict_types=False to coerce")
+        dt_of: dict[str, str | None] = {
+            v: sm.vars[v].xsd for v in term_vars
+            if sm.vars[v].xsd is not None and not sm.vars[v].mixed}
+        probe_vars = [v for v in term_vars if v not in dt_of]
+        if probe_vars and cache_key is not None and cache_key in self._dt_cache:
+            dt_of.update(self._dt_cache[cache_key])
+        elif probe_vars:
             # probe only a prefix — datatype columns are constant per variable
             # in practice, and this avoids executing the full plan twice
             probe = (
-                sm.df.select([F.col(f"{v}__dt").alias(v) for v in term_vars])
+                sm.df.select([F.col(f"{v}__dt").alias(v) for v in probe_vars])
                 .limit(100)
-                .agg(*[F.first(F.col(v), ignorenulls=True).alias(v) for v in term_vars])
+                .agg(*[F.first(F.col(v), ignorenulls=True).alias(v) for v in probe_vars])
                 .first()
             )
-            if probe is not None:
-                dt_of = probe.asDict()
+            probed = probe.asDict() if probe is not None else {}
             if cache_key is not None:
-                self._dt_cache[cache_key] = dt_of
+                self._dt_cache[cache_key] = probed
+            dt_of.update(probed)
         cols = []
         for v in variables:
             m = sm.vars.get(v)
             if m is None:
                 cols.append(F.lit(None).cast("string").alias(v))
             elif m.kind == "term" and dt_of.get(v) and dt_of[v] != XSD_STRING:
-                cols.append(F.col(v).cast(spark_type_for_xsd(dt_of[v])).alias(v))
+                # try_cast: under Spark 4's ANSI default a bare cast aborts
+                # the query on any malformed lexical form; SPARQL semantics
+                # (and the documented try_cast policy in expressions.py) is
+                # null for ill-typed literals
+                cols.append(F.col(v).try_cast(spark_type_for_xsd(dt_of[v])).alias(v))
             else:
                 cols.append(F.col(v).alias(v))
         return sm.df.select(*cols)

@@ -61,6 +61,45 @@ class GraphStore:
     def __init__(self, spark: SparkSession, df: DataFrame | None = None):
         self.spark = spark
         self.df = df if df is not None else spark.createDataFrame([], TRIPLES_SCHEMA)
+        self._pred_dt: dict[str, dict] | None = None
+
+    def predicate_datatypes(self) -> dict[str, dict]:
+        """Per-predicate object-datatype catalog:
+        ``{predicate: {"dt": datatype-iri-or-None, "mixed": bool}}``.
+
+        ``dt`` is the single literal datatype when every literal object of the
+        predicate agrees (None for IRI-only predicates); ``mixed`` marks
+        predicates whose objects mix literal datatypes, or mix IRIs with
+        non-string literals — the cases where one output column cannot be
+        typed soundly (the reference raises InconsistentDatatype for these,
+        hybrid/src/engine.rs:137-198).
+
+        One map-side-combinable aggregate over the graph, computed lazily and
+        cached per store: the compiler uses it to type object variables at
+        compile time, which removes the Engine's per-query datatype probe job
+        and makes mixed-datatype detection exact instead of probe-window-
+        limited. Invalidated by add_triples_df."""
+        if self._pred_dt is None:
+            rows = (
+                self.df.groupBy("p")
+                .agg(
+                    F.count_distinct("o_dt").alias("n_dt"),
+                    F.max("o_dt").alias("dt"),
+                    F.count("o_iri").alias("n_iri"),
+                    F.count("o_lex").alias("n_lex"),
+                )
+                .collect()
+            )
+            self._pred_dt = {
+                r["p"]: {
+                    "dt": r["dt"] if r["n_dt"] == 1 else None,
+                    "mixed": r["n_dt"] > 1
+                    or (r["n_iri"] > 0 and r["n_lex"] > 0
+                        and (r["dt"] or XSD_STRING) != XSD_STRING),
+                }
+                for r in rows
+            }
+        return self._pred_dt
 
     # -- constructors ------------------------------------------------------
 
@@ -90,6 +129,7 @@ class GraphStore:
 
     def add_triples_df(self, df: DataFrame) -> "GraphStore":
         self.df = self.df.unionByName(df.select(*[f.name for f in TRIPLES_SCHEMA]))
+        self._pred_dt = None  # datatype catalog is derived from df
         return self
 
     # -- sinks -------------------------------------------------------------

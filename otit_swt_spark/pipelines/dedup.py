@@ -225,10 +225,18 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        max_distance: int = 3) -> DataFrame:
+                        max_distance: int = 3,
+                        max_pairs_per_entry: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit chunks (any of 4 chunks
-    equal -> candidate; guarantees recall for distance <= 3), verify by
-    Hamming distance."""
+    equal -> candidate; guarantees recall for distance <= 3 before the
+    per-entry cap), verify by Hamming distance.
+
+    Pair generation mirrors the MinHash path: one groupBy on the chunk-key
+    buckets, each doc pairing with at most ``max_pairs_per_entry`` successors
+    in the sorted bucket. A degenerate bucket (e.g. millions of identical
+    docs sharing one 16-bit key) then yields a linear — not quadratic —
+    number of pairs; connected-component transitivity still links the whole
+    duplicate cluster."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col))
@@ -237,39 +245,63 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .persist()
     )
     chunks = sh.select(
-        "id", "sh",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
                      F.shiftrightunsigned("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
             for c in range(4)
         ])).alias("ck"),
-    ).select("id", "sh", "ck.chunk", "ck.key")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    return (
-        l.join(r, (F.col("l.chunk") == F.col("r.chunk")) & (F.col("l.key") == F.col("r.key"))
-               & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"))
-        .filter(F.col("hamming") <= max_distance)
+    ).select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    ids = F.sort_array(F.collect_list("id"))
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.least(F.size(F.col("ids")) - i - 1, F.lit(max_pairs_per_entry))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    pairs = (
+        chunks.groupBy("chunk", "key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("id_a", "id_b",
+                hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
     )
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over candidate near-dup pairs by iterative
-    min-label propagation: returns (id, cluster) where cluster is the
-    minimum doc id reachable through the pair graph.
+    """Connected components over candidate near-dup pairs: returns
+    (id, cluster) where cluster is the minimum doc id reachable through the
+    pair graph.
 
-    Each round is one groupBy-min + one join (both shuffle on id — uniform
-    keys); rounds needed = graph diameter, which for dedup clusters
-    (star-ish around a few originals) is tiny. This is the standard
+    Each round does (a) min-label propagation along edges and (b) pointer
+    jumping (cluster <- label of cluster), so convergence is O(log diameter)
+    rounds rather than O(diameter) — the per-entry pair caps in the LSH /
+    SimHash generators produce successor *chains* whose diameter grows with
+    cluster size, which plain propagation cannot afford. The (small) label
+    frame is localCheckpoint'ed per round: lineage stays flat (no nested
+    join tree for Catalyst to re-plan each round) and the isEmpty
+    convergence check runs on materialized data. This is the standard
     large-scale alternative to driver-side union-find."""
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                       F.col("id_a").alias("b"))))
+                                       F.col("id_a").alias("b")))
+             .localCheckpoint())
     labels = (edges.select(F.col("a").alias("id"))
               .distinct()
-              .withColumn("cluster", F.col("id")))
+              .withColumn("cluster", F.col("id"))
+              .localCheckpoint())
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -281,11 +313,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .select("id", F.least(F.col("cluster"),
                                   F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"))
         )
+        ptr = new_labels.select(F.col("id").alias("pid"),
+                                F.col("cluster").alias("pcluster"))
+        new_labels = (
+            new_labels.join(ptr, new_labels["cluster"] == ptr["pid"], "left")
+            .select("id", F.least(F.col("cluster"),
+                                  F.coalesce(F.col("pcluster"), F.col("cluster"))).alias("cluster"))
+            .localCheckpoint()
+        )
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.cluster") != F.col("o.cluster")))
-        labels = new_labels.persist()
-        if changed.isEmpty():
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
             break
     return labels
 

@@ -108,22 +108,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    train_fraction: float = 0.05,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-partition the corpus, search only the
     ``n_probe`` clusters nearest the query.
 
     Scale path: centroids are tiny and live on the driver / in the closure
     (broadcast), assignment is one map-side pass, and the probe filter turns
-    the scan into ~n_probe/n_clusters of the corpus. At 100 TB you train on
-    a sample (KMeans over a ``df.sample``) and persist assignments as a
-    partition column so probing becomes partition pruning."""
+    the scan into ~n_probe/n_clusters of the corpus. KMeans trains on a
+    bounded SAMPLE of the corpus (``train_fraction`` capped at
+    ``max_train_rows``; floor of 20×n_clusters rows so tiny corpora still
+    train well) — at 100 TB a full-corpus fit would be a multi-pass ML job
+    before the first probe. Persist assignments as a partition column to
+    turn probing into partition pruning."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = df.select(F.col(id_col), F.col(vec_col),
                      array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = vecs.select("features").sample(fraction=train_fraction, seed=seed) \
+                .limit(max_train_rows)
+    floor = n_clusters * 20
+    if train.count() < floor:
+        # sample too small (tiny corpus or tiny fraction): take a bounded
+        # prefix instead — still O(floor), never a full-corpus training pass
+        train = vecs.select("features").limit(max(floor, 1))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                   predictionCol="cluster").fit(vecs)
+                   predictionCol="cluster").fit(train)
     assigned = model.transform(vecs)
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]

@@ -52,11 +52,37 @@ from otit_swt_spark.terms import (
 RID = "__rid"
 
 
+def _with_deterministic_rid(df: DataFrame) -> DataFrame:
+    """Append a deterministic row id: struct(xxhash64 over all columns,
+    row_number within the hash group ordered by all columns).
+
+    The matched∪anti OPTIONAL/MINUS forms evaluate the left subtree twice —
+    once threaded through the right side, once for the anti branch — and the
+    two evaluations must assign IDENTICAL ids. monotonically_increasing_id
+    depends on partition layout, so round 1 pinned it with persist()+count(),
+    an eager cache of a potentially fact-scale frame. This id is instead a
+    pure function of row values plus a total order: duplicates of the same
+    row get row_numbers 1..k (which duplicate gets which is arbitrary but
+    harmless — they are identical); hash-colliding distinct rows are
+    separated deterministically by the order-by over the actual values.
+    Cost: one shuffle (the window), no materialization, scale-safe."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in df.columns]
+    h = F.xxhash64(*cols)
+    w = Window.partitionBy(h).orderBy(*[c.asc_nulls_first() for c in cols])
+    return df.withColumn(
+        RID, F.struct(h.alias("h"), F.row_number().over(w).alias("r")))
+
+
 @dataclass(frozen=True)
 class VarMeta:
     kind: str  # 'term' (canonical string + optional __dt/__lang cols) | 'native'
     hint: str | None = None  # spark-ish type hint for native columns
     xsd: str | None = None  # statically-known datatype IRI, if any
+    #: the variable is statically known to mix incompatible datatypes
+    #: (reference raises InconsistentDatatype, hybrid/src/engine.rs:137-198)
+    mixed: bool = False
 
 
 @dataclass
@@ -122,13 +148,33 @@ def _spark_type(hint: str) -> str:
 
 
 class Compiler:
-    def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None):
+    def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None,
+                 pred_datatypes=None):
         self.spark = spark
         self.graph_df = graph_df
         self.ts_tables = ts_tables or []
         self._counter = itertools.count()
         self._ts_df: DataFrame | None = None
         self._ts_hint: str | None = None
+        #: optional callable returning GraphStore.predicate_datatypes() — the
+        #: per-predicate datatype catalog that lets compile_triple type object
+        #: variables statically (no per-query dtype probe job in Engine)
+        self._pred_datatypes = pred_datatypes
+
+    def _object_meta(self, pred_iri: str) -> VarMeta:
+        """Static VarMeta for an object variable bound through a constant
+        predicate, using the graph's predicate→datatype catalog when
+        available. Unknown catalog (no provider) → xsd None → Engine falls
+        back to its datatype probe."""
+        if self._pred_datatypes is None:
+            return VarMeta("term")
+        info = self._pred_datatypes().get(pred_iri)
+        if info is None:  # predicate absent from graph: column will be empty
+            return VarMeta("term", xsd=XSD_STRING)
+        if info["mixed"]:
+            return VarMeta("term", mixed=True)
+        # dt None = IRI-only objects; they render as strings, no cast needed
+        return VarMeta("term", xsd=info["dt"] or XSD_STRING)
 
     # ------------------------------------------------------------------ util
 
@@ -251,6 +297,16 @@ class Compiler:
             df = lsm.df.unionByName(rsm.df, allowMissingColumns=True)
             vars2 = dict(rsm.vars)
             vars2.update(lsm.vars)
+            # rows come from BOTH branches: reconcile static datatype info for
+            # shared term vars (differing branch datatypes = a mixed column)
+            for v in lsm.vars:
+                lm, rm = lsm.vars[v], rsm.vars.get(v)
+                if rm is not None and lm.kind == "term" and rm.kind == "term":
+                    if lm.mixed or rm.mixed or (
+                            lm.xsd and rm.xsd and lm.xsd != rm.xsd):
+                        vars2[v] = VarMeta("term", mixed=True)
+                    elif lm.xsd != rm.xsd:  # one side unknown -> unknown
+                        vars2[v] = VarMeta("term")
             return SolutionMapping(df, vars2, lsm.dt_vars | rsm.dt_vars,
                                    lsm.lang_vars | rsm.lang_vars,
                                    {**rsm.ts_chains, **lsm.ts_chains})
@@ -429,7 +485,8 @@ class Compiler:
                 cols.append(F.coalesce(F.col("o_iri"), F.col("o_lex")).alias(name))
                 cols.append(F.col("o_dt").alias(f"{name}__dt"))
                 cols.append(F.col("o_lang").alias(f"{name}__lang"))
-                vars2[name] = VarMeta("term")
+                vars2[name] = (self._object_meta(pred.value)
+                               if isinstance(pred, IRI) else VarMeta("term"))
                 dt_vars.add(name)
                 lang_vars.add(name)
         elif isinstance(tp.o, Literal):
@@ -637,12 +694,9 @@ class Compiler:
         # General (SPARQL-correct with filter expr) form: matched rows UNION
         # anti-join-null-padded left rows. The row id must be IDENTICAL in
         # the matched branch (which threads left2 through the right side)
-        # and the anti branch. monotonically_increasing_id depends on
-        # partition layout and shuffle arrival order, so the two independent
-        # evaluations of this subtree can disagree — persist + materialize
-        # pins the ids.
-        left2_df = left.df.withColumn(RID, F.monotonically_increasing_id()).persist()
-        left2_df.count()
+        # and the anti branch — _with_deterministic_rid derives it from the
+        # row values themselves, so no materialization is needed.
+        left2_df = _with_deterministic_rid(left.df)
         left2 = replace(left, df=left2_df)
         right = self.compile_pattern(p.right, left2)
         if p.expr is not None:
@@ -674,10 +728,8 @@ class Compiler:
         except ValueError:
             # right side references context only the left provides (e.g. a
             # time-series chain bound in the left pattern): thread the left
-            # through and anti-join on a persisted (pinned) row id
-            left2_df = left.df.withColumn(
-                RID, F.monotonically_increasing_id()).persist()
-            left2_df.count()
+            # through and anti-join on a deterministic (value-derived) row id
+            left2_df = _with_deterministic_rid(left.df)
             left2 = replace(left, df=left2_df)
             right = self.compile_pattern(p.right, left2)
             df = left2_df.join(right.df.select(RID).distinct(), RID,
@@ -799,17 +851,23 @@ class Compiler:
             key = F.struct(t.col.try_cast("double").alias("num"), t.col.alias("lex"))
             col = fn(key).getField("lex")
             extras = []
+            src_meta = (sm.vars.get(a.expr.name) if isinstance(a.expr, A.EVar)
+                        else None) or VarMeta("term")
             if isinstance(a.expr, A.EVar) and a.expr.name in sm.dt_vars:
                 extras.append((f"{a.var}__dt",
                                F.first(F.col(f"{a.expr.name}__dt"), ignorenulls=True)))
-            return col, VarMeta("term"), extras
+            return col, VarMeta("term", xsd=src_meta.xsd, mixed=src_meta.mixed), extras
         if name == "SAMPLE":
             kind = "native" if t.hint is not None else "term"
             extras = []
+            src_meta = (sm.vars.get(a.expr.name) if isinstance(a.expr, A.EVar)
+                        else None) or VarMeta("term")
             if kind == "term" and isinstance(a.expr, A.EVar) and a.expr.name in sm.dt_vars:
                 extras.append((f"{a.var}__dt",
                                F.first(F.col(f"{a.expr.name}__dt"), ignorenulls=True)))
-            return F.first(t.col, ignorenulls=True), VarMeta(kind, t.hint), extras
+            return F.first(t.col, ignorenulls=True), \
+                VarMeta(kind, t.hint, xsd=src_meta.xsd if kind == "term" else None,
+                        mixed=src_meta.mixed if kind == "term" else False), extras
         if name == "GROUP_CONCAT":
             c = t.col if t.hint in ("string", "iri") else t.col.cast("string")
             lst = F.collect_set(c) if a.distinct else F.collect_list(c)

@@ -232,3 +232,21 @@ def test_audio_features_stub(spark, docs):
     out = rows(extract_audio_features(media, fake=True))
     assert len(out) == len(DOCS)
     assert all(r[3] > 0 and r[4] == 16000 for r in out)  # duration, rate
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark):
+    """A degenerate bucket (many identical docs) must yield a linear — not
+    quadratic — number of pairs, while connected components still link the
+    whole duplicate cluster through capped successor chains."""
+    from otit_swt_spark.pipelines.dedup import dedup_clusters
+
+    n, cap = 1000, 8
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated for everyone") for i in range(n)],
+        "doc_id long, text string")
+    pairs = simhash_dedup_pairs(docs, max_distance=3, max_pairs_per_entry=cap)
+    n_pairs = pairs.count()
+    assert n_pairs <= n * cap  # 4 chunk buckets, capped + deduped
+    assert n_pairs >= n - 1  # successor chains keep the cluster connected
+    clusters = dedup_clusters(pairs)
+    assert clusters.select("cluster").distinct().count() == 1

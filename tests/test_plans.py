@@ -63,11 +63,15 @@ def test_optional_simple_compiles_to_left_outer(engine):
     assert "LeftOuter" in optimized(df)
 
 
-def test_optional_with_filter_compiles_to_matched_union_anti(engine):
+def test_optional_with_filter_compiles_to_matched_union_anti(spark):
     """OPTIONAL{.. FILTER(e)} uses the SPARQL-correct matched-rows UNION
     anti-join-null-padded form (SURVEY §2.3) — a bare outer join would be
-    wrong for non-null-safe expressions."""
-    df = engine.query(PREFIXES + """
+    wrong for non-null-safe expressions. Uses an uncached graph so the
+    InMemoryRelation assertion sees only compiler-introduced caching."""
+    from tests.conftest import TESTDATA_SPARQL
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+    df = eng.query(PREFIXES + """
     SELECT ?w ?x WHERE {
         ?w types:hasSensor ?s .
         OPTIONAL { ?w types:hasSomething ?x
@@ -75,6 +79,13 @@ def test_optional_with_filter_compiles_to_matched_union_anti(engine):
     }""")
     plan = optimized(df)
     assert "LeftAnti" in plan and "Union" in plan
+    # the row id is value-derived (xxhash64 + row_number), NOT pinned via
+    # persist: no eager cache of the (potentially fact-scale) left side
+    assert "InMemoryRelation" not in plan
+    got = {tuple(r) for r in df.collect()}
+    assert got == {("http://example.org/case#myWidget1",
+                    "http://example.org/case#mySomething1"),
+                   ("http://example.org/case#myWidget2", None)}
 
 
 def test_predicate_partitioned_store_prunes(spark, engine, tmp_path):

@@ -163,3 +163,71 @@ def test_reduced_deduplicates(engine):
         { ?a otit_swt:hasTimeseries ?b } UNION { ?a otit_swt:hasTimeseries ?b }
     }""")
     assert len(rows(df)) == 2
+
+
+def test_mixed_datatype_variable_raises(spark):
+    """Reference parity: a variable binding literals of inconsistent
+    datatypes is an error (OrchestrationError::InconsistentDatatype,
+    hybrid/src/engine.rs:137-198). Detection is exact — the predicate
+    datatype catalog sees the whole graph, not a probe window."""
+    import pytest
+
+    from otit_swt_spark.engine import Engine, InconsistentDatatype
+    from otit_swt_spark.graph import GraphStore
+
+    g = GraphStore.from_ntriples(spark, "\n".join(
+        [f'<http://ex/e{i}> <http://ex/val> '
+         f'"{i}.5"^^<http://www.w3.org/2001/XMLSchema#double> .'
+         for i in range(5)]
+        + ['<http://ex/e9> <http://ex/val> "not a number" .']))
+    eng = Engine(spark, g)
+    with pytest.raises(InconsistentDatatype):
+        eng.query("SELECT ?v WHERE { ?e <http://ex/val> ?v }")
+
+
+def test_mixed_datatype_coerces_when_not_strict(spark):
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    g = GraphStore.from_ntriples(spark, "\n".join(
+        [f'<http://ex/e{i}> <http://ex/val> '
+         f'"{i}.5"^^<http://www.w3.org/2001/XMLSchema#double> .'
+         for i in range(5)]
+        + ['<http://ex/e9> <http://ex/val> "not a number" .']))
+    eng = Engine(spark, g, strict_types=False)
+    df = eng.query("SELECT ?v WHERE { ?e <http://ex/val> ?v }")
+    got = [r["v"] for r in df.collect()]
+    assert df.schema["v"].dataType.simpleString() == "double"
+    assert None in got and 0.5 in got  # non-parsing lexical coerced to null
+
+
+def test_catalog_types_output_without_probe(engine):
+    """The predicate datatype catalog supplies output types at compile time;
+    the per-query probe job (and thus its cache) is never used."""
+    q = PFX + """
+    SELECT ?ts ?dt WHERE { ?s otit_swt:hasTimeseries ?ts .
+                           ?ts otit_swt:hasDatatype ?dt }"""
+    engine._dt_cache.clear()
+    df = engine.query(q)
+    assert df.count() == 2
+    assert engine._dt_cache == {}  # statically typed -> no probe recorded
+
+
+def test_dt_cache_cleared_on_graph_or_ts_change(spark):
+    """Probe results are graph-dependent: swapping the graph (or adding a ts
+    table) must invalidate them, or a repeated query text reuses datatype
+    probes from the old graph and finalize casts to stale types."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from otit_swt_spark.timeseries import in_memory_timeseries
+    import pandas as pd
+
+    eng = Engine(spark, GraphStore(spark))
+    eng._dt_cache["k"] = {"v": None}
+    eng.set_graph(GraphStore(spark))
+    assert eng._dt_cache == {}
+    eng._dt_cache["k"] = {"v": None}
+    pdf = pd.DataFrame({"timestamp": pd.to_datetime(["2022-01-01"]),
+                        "value": [1.0]})
+    eng.add_timeseries_table(in_memory_timeseries(spark, {"t": pdf}))
+    assert eng._dt_cache == {}
