@@ -131,6 +131,18 @@ def q_sparql_path(spark, sf_dir):
     }""")
 
 
+def q_sparql_path_neg(spark, sf_dir):
+    """Negated property set !(iri): scan-level NOT-IN predicate filter
+    (SPARQL 1.1 §9.1; exceeds reference parity — it has no NPS execution)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?nation_name ?region_name WHERE {
+        ?n !(<urn:p:name>) ?r .
+        FILTER(STRSTARTS(STR(?n), "urn:nation:"))
+        ?n <urn:p:name> ?nation_name .
+        ?r <urn:p:name> ?region_name .
+    }""")
+
+
 def q_sparql_values(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?region_name ?nation_name WHERE {
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus": q_sparql_minus,
         "sparql_exists": q_sparql_exists,
         "sparql_path": q_sparql_path,
+        "sparql_path_neg": q_sparql_path_neg,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
         "sparql_orders_agg": q_sparql_orders_agg,
@@ -699,6 +712,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name AS cust_name, r_name AS region_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
+        """,
+        "sparql_path_neg": """
+            SELECT n_name AS nation_name, r_name AS region_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
         "sparql_values": """
             SELECT r_name AS region_name, n_name AS nation_name

@@ -53,6 +53,19 @@ class PathZeroOrOne:
     inner: "Path"
 
 
+@dataclass(frozen=True)
+class PathNegatedPropertySet:
+    """``!(:p1|:p2|^:q)`` (SPARQL 1.1 §9.1): a forward edge via any predicate
+    NOT in ``forward``, unioned with a reversed edge via any predicate NOT in
+    ``inverse``. A direction with no listed members contributes no arm.
+    Exceeds reference parity — the reference only rewrites paths statically
+    (hybrid/src/rewriting/graph_patterns/path_pattern.rs:11) and has no NPS
+    execution."""
+
+    forward: tuple[IRI, ...]
+    inverse: tuple[IRI, ...]
+
+
 Path = (
     PathPredicate
     | PathInverse
@@ -61,6 +74,7 @@ Path = (
     | PathZeroOrMore
     | PathOneOrMore
     | PathZeroOrOne
+    | PathNegatedPropertySet
 )
 
 

@@ -454,7 +454,8 @@ class Compiler:
 
     def compile_triple(self, tp: A.TriplePattern) -> SolutionMapping:
         if isinstance(tp.p, (A.PathAlternative, A.PathInverse, A.PathZeroOrMore,
-                             A.PathOneOrMore, A.PathZeroOrOne, A.PathSequence)):
+                             A.PathOneOrMore, A.PathZeroOrOne, A.PathSequence,
+                             A.PathNegatedPropertySet)):
             return self._compile_path_triple(tp)
         df = self.graph_df
         vars2: dict[str, VarMeta] = {}
@@ -522,6 +523,23 @@ class Compiler:
             for part in path.parts[1:]:
                 out = out.unionByName(self._path_pairs(part))
             return out
+        if isinstance(path, A.PathNegatedPropertySet):
+            # forward arm: any predicate NOT in the forward set; inverse arm:
+            # reversed edges via any predicate NOT in the inverse set. A
+            # direction with no listed members contributes no arm (SPARQL
+            # 1.1 §9.1). Anti-predicate filter is a scan-level NOT IN —
+            # pushed to the source, no join.
+            out = None
+            if path.forward:
+                out = (g.filter(~F.col("p").isin([i.value for i in path.forward]))
+                        .select(F.col("s").alias("src"),
+                                F.coalesce(F.col("o_iri"), F.col("o_lex")).alias("dst")))
+            if path.inverse:
+                inv = (g.filter(~F.col("p").isin([i.value for i in path.inverse]))
+                        .select(F.coalesce(F.col("o_iri"), F.col("o_lex")).alias("src"),
+                                F.col("s").alias("dst")))
+                out = inv if out is None else out.unionByName(inv)
+            return out
         if isinstance(path, A.PathZeroOrOne):
             return self._path_pairs(path.inner).unionByName(self._graph_nodes()).distinct()
         if isinstance(path, A.PathOneOrMore):
@@ -540,26 +558,27 @@ class Compiler:
         return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
     def _kleene(self, edges: DataFrame, max_iter: int = 20) -> DataFrame:
-        """Transitive closure by iterated self-join; the graph side is small
-        (it is the reference's 'static' half), so driver-looped fixpoint is
-        acceptable. At cluster scale swap in GraphFrames/Pregel.
+        """Transitive closure by pairwise path doubling: P ← P ∪ (P ⋈ P).
+        P always holds paths of ALL lengths 1..L, so composing P with itself
+        reaches every length up to 2L — convergence in ⌈log₂ diameter⌉
+        rounds instead of diameter (a 1M-hop chain closes in 20 rounds).
+        Each round is one equi-join + distinct + anti-join, all shuffling on
+        node keys.
 
         localCheckpoint truncates the lineage each round — without it the
-        final plan nests one full join tree per iteration (56 scans for a
-        two-hop closure) and driver-side planning blows up on deep graphs."""
-        edges = edges.distinct().localCheckpoint()
-        paths = edges
-        frontier = edges
+        final plan nests one full join tree per iteration and driver-side
+        planning blows up on deep graphs; it also materializes the delta so
+        the isEmpty convergence check is cheap."""
+        paths = edges.distinct().localCheckpoint()
         for _ in range(max_iter):
-            nxt = (frontier.withColumnRenamed("dst", "mid")
-                   .join(edges.withColumnRenamed("src", "mid"), "mid")
+            nxt = (paths.withColumnRenamed("dst", "mid")
+                   .join(paths.withColumnRenamed("src", "mid"), "mid")
                    .select("src", "dst")
                    .distinct())
             new = nxt.join(paths, ["src", "dst"], "left_anti").localCheckpoint()
             if new.isEmpty():
                 break
             paths = paths.unionByName(new).localCheckpoint()
-            frontier = new
         return paths
 
     def _compile_path_triple(self, tp: A.TriplePattern) -> SolutionMapping:
@@ -746,7 +765,29 @@ class Compiler:
                 right2 = _cast_var_to_native(right2, v, lm.hint or "string")
             elif lm.kind == "term" and rm.kind == "native":
                 left = _cast_var_to_native(left, v, rm.hint or "string")
-        df = left.df.join(right2.df.select(*shared), on=shared, how="left_anti")
+        if len(shared) == 1:
+            # single shared var: compatibility = equality, and a left-unbound
+            # (null) var means empty domain intersection -> row kept. Plain
+            # equi anti join (null keys never match) is exactly that, and
+            # stays a hash join.
+            df = left.df.join(right2.df.select(*shared), on=shared, how="left_anti")
+            return replace(left, df=df)
+        # Multiple shared vars: SPARQL MINUS removes a left row if some right
+        # row is COMPATIBLE (agrees on commonly-bound vars; an unbound side
+        # leaves the var unconstrained) with a non-empty domain intersection.
+        # A plain equi anti join treats null keys as never-matching, wrongly
+        # keeping left rows that have one unbound and one matching-bound var.
+        lal = left.df.alias("__minus_l")
+        ral = right2.df.select(*shared).alias("__minus_r")
+        compat = None
+        anybound = None
+        for v in shared:
+            lc, rc = F.col(f"__minus_l.{v}"), F.col(f"__minus_r.{v}")
+            c = lc.isNull() | rc.isNull() | (lc == rc)
+            b = lc.isNotNull() & rc.isNotNull()
+            compat = c if compat is None else (compat & c)
+            anybound = b if anybound is None else (anybound | b)
+        df = lal.join(ral, compat & anybound, "left_anti")
         return replace(left, df=df)
 
     # -- values -------------------------------------------------------------------

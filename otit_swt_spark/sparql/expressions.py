@@ -244,7 +244,8 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
         if name == "SAMETERM":
             return Typed(args[0].col.eqNullSafe(args[1].col), "bool")
         if name == "REGEX":
-            return Typed(_as_str(args[0]).rlike(_const_str(raw_args[1])), "bool")
+            pat = _regex_pattern(raw_args[1], raw_args[2] if len(raw_args) > 2 else None)
+            return Typed(_as_str(args[0]).rlike(pat), "bool")
         if name == "STRLEN":
             return Typed(F.length(_as_str(args[0])), "int")
         if name == "SUBSTR":
@@ -262,8 +263,9 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
         if name == "STRENDS":
             return Typed(_as_str(args[0]).endswith(args[1].col), "bool")
         if name == "REPLACE":
+            pat = _regex_pattern(raw_args[1], raw_args[3] if len(raw_args) > 3 else None)
             return Typed(
-                F.regexp_replace(_as_str(args[0]), _const_str(raw_args[1]), _const_str(raw_args[2])),
+                F.regexp_replace(_as_str(args[0]), pat, _const_str(raw_args[2])),
                 "string",
             )
         if name == "NOW":
@@ -305,5 +307,17 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
         if isinstance(raw, A.ELiteral):
             return raw.value.lexical
         raise NotImplementedError("non-constant regex/replace pattern")
+
+    def _regex_pattern(raw_pat, raw_flags) -> str:
+        """SPARQL REGEX/REPLACE flags translate to a Java inline-flag prefix
+        ((?i) etc.); unsupported flags raise instead of silently running
+        without them."""
+        pat = _const_str(raw_pat)
+        if raw_flags is None:
+            return pat
+        flags = _const_str(raw_flags)
+        if not set(flags) <= set("ismx"):
+            raise NotImplementedError(f"unsupported REGEX flags {flags!r}")
+        return f"(?{flags})" + pat if flags else pat
 
     return rec(e)

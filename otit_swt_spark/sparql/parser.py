@@ -498,7 +498,10 @@ class Parser:
     def parse_path_elt(self) -> A.Path:
         inverse = bool(self.accept("op", "^"))
         t = self.peek()
-        if t.kind == "op" and t.value == "(":
+        if t.kind == "op" and t.value == "!":
+            self.next()
+            inner = self.parse_negated_property_set()
+        elif t.kind == "op" and t.value == "(":
             self.next()
             inner = self.parse_path()
             self.expect("op", ")")
@@ -518,6 +521,30 @@ class Parser:
         if inverse:
             inner = A.PathInverse(inner)
         return inner
+
+    def parse_negated_property_set(self) -> A.PathNegatedPropertySet:
+        """``!iri``, ``!^iri`` or ``!( iri | ^iri | ... )`` — SPARQL 1.1
+        PathNegatedPropertySet."""
+        forward: list[IRI] = []
+        inverse: list[IRI] = []
+
+        def one():
+            target = inverse if self.accept("op", "^") else forward
+            t = self.peek()
+            if t.kind == "name" and t.value == "a":
+                self.next()
+                target.append(IRI(RDF_TYPE))
+            else:
+                target.append(self.parse_iri())
+
+        if self.accept("op", "("):
+            one()
+            while self.accept("op", "|"):
+                one()
+            self.expect("op", ")")
+        else:
+            one()
+        return A.PathNegatedPropertySet(tuple(forward), tuple(inverse))
 
     # -- expressions ---------------------------------------------------------
 
@@ -683,12 +710,17 @@ def _contains_aggregate(e: A.Expr) -> bool:
     return False
 
 
+_STR_ESC_RE = re.compile(r"\\(.)")
+_STR_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+                '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unescape_string(raw: str) -> str:
+    # single pass left-to-right (same as graph.py's _unescape): '\\n' is an
+    # escaped backslash followed by 'n', not a newline — sequential
+    # str.replace decodes it wrongly
     body = raw[1:-1]
-    return (
-        body.replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-        .replace('\\"', '"').replace("\\'", "'").replace("\\\\", "\\")
-    )
+    return _STR_ESC_RE.sub(lambda m: _STR_ESC_MAP.get(m.group(1), m.group(1)), body)
 
 
 def _num_literal(lex: str) -> Literal:

@@ -231,3 +231,72 @@ def test_dt_cache_cleared_on_graph_or_ts_change(spark):
                         "value": [1.0]})
     eng.add_timeseries_table(in_memory_timeseries(spark, {"t": pdf}))
     assert eng._dt_cache == {}
+
+
+def test_regex_flags(engine):
+    df = engine.query(PFX + """
+    SELECT ?id WHERE { ?ts otit_swt:hasExternalId ?id
+                       FILTER(REGEX(?id, "^TS1$", "i")) }""")
+    assert rows(df) == [("ts1",)]
+    df2 = engine.query(PFX + """
+    SELECT ?r WHERE { ?ts otit_swt:hasExternalId ?id .
+                      BIND(REPLACE(?id, "^TS", "x", "i") AS ?r) }""")
+    assert rows(df2) == [("x1",), ("x2",)]
+
+
+def test_regex_unsupported_flags_raise(engine):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        engine.query(PFX + """
+        SELECT ?id WHERE { ?ts otit_swt:hasExternalId ?id
+                           FILTER(REGEX(?id, "ts", "q")) }""").collect()
+
+
+def test_string_escape_backslash_then_n(engine):
+    """'a\\\\nb' in a SPARQL literal is backslash + 'n', not a newline —
+    single-pass unescaping (ADVICE: parser divergence from graph.py)."""
+    df = engine.query(r'''
+    SELECT ?x WHERE { VALUES ?x { "a\\nb" } }''')
+    assert [r["x"] for r in df.collect()] == ["a\\nb"]
+
+
+def test_minus_partially_unbound_compatibility(engine):
+    """SPARQL MINUS removes a left row when a right row agrees on the
+    commonly-BOUND shared vars (unbound vars don't block compatibility).
+    myWidget2 has no hasSomething, so ?x is unbound on both sides; the
+    bound ?w matches -> the row must be removed (a plain equi anti join on
+    (w, x) would wrongly keep it)."""
+    df = engine.query(PFX + """
+    SELECT ?w ?x WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x }
+        MINUS { ?w a types:SmallWidget .
+                OPTIONAL { ?w types:hasSomething ?x } }
+    }""")
+    assert rows(df) == [("http://example.org/case#myWidget1",
+                         "http://example.org/case#mySomething1")]
+
+
+def test_negated_property_set(engine):
+    """!(p1|p2|...) matches edges via any predicate NOT listed; ^iri inside
+    the set negates the inverse direction (SPARQL 1.1 §9.1)."""
+    df = engine.query(PFX + """
+    SELECT ?s ?o WHERE {
+        ?s !(types:hasSensor|otit_swt:hasTimeseries|otit_swt:hasExternalId|otit_swt:hasDatatype) ?o
+    }""")
+    assert rows(df) == [
+        (CASE + "myWidget1", CASE + "mySomething1"),
+        (CASE + "myWidget1", "http://example.org/types#BigWidget"),
+        (CASE + "myWidget2", "http://example.org/types#SmallWidget"),
+    ]
+    # bare !iri form, restricted by another pattern
+    df2 = engine.query(PFX + """
+    SELECT ?o WHERE { ?s !types:hasSensor ?o . ?s a types:BigWidget }""")
+    assert rows(df2) == [(CASE + "mySomething1",),
+                         ("http://example.org/types#BigWidget",)]
+    # inverse-only set: backward edges via any predicate not listed
+    df3 = engine.query(PFX + """
+    SELECT ?s WHERE { ?s !(^otit_swt:hasTimeseries) ?o }""")
+    # every object->subject reversal except hasTimeseries edges
+    assert len(rows(df3)) == 9
