@@ -131,6 +131,18 @@ def q_sparql_path(spark, sf_dir):
     }""")
 
 
+def q_sparql_service(spark, sf_dir):
+    """SERVICE federation: suppliers live in a second GraphStore registered
+    under urn:service:suppliers (tpch_graph._build_engine_uncached); the
+    pattern joins across both graphs in one Catalyst plan."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?region_name (COUNT(?s) AS ?n_supp) WHERE {
+        ?n <urn:p:inRegion> ?r .
+        ?r <urn:p:name> ?region_name .
+        SERVICE <urn:service:suppliers> { ?s <urn:p:inNation> ?n }
+    } GROUP BY ?region_name""")
+
+
 def q_sparql_path_neg(spark, sf_dir):
     """Negated property set !(iri): scan-level NOT-IN predicate filter
     (SPARQL 1.1 §9.1; exceeds reference parity — it has no NPS execution)."""
@@ -607,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists": q_sparql_exists,
         "sparql_path": q_sparql_path,
         "sparql_path_neg": q_sparql_path_neg,
+        "sparql_service": q_sparql_service,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
         "sparql_orders_agg": q_sparql_orders_agg,
@@ -716,6 +729,12 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_neg": """
             SELECT n_name AS nation_name, r_name AS region_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "sparql_service": """
+            SELECT r_name AS region_name, count(*) AS n_supp
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "sparql_values": """
             SELECT r_name AS region_name, n_name AS nation_name

@@ -36,6 +36,8 @@ class Engine:
             graph = GraphStore(spark, graph)
         self.graph = graph or GraphStore(spark)
         self.ts_tables: list[TimeSeriesTable] = []
+        #: endpoint IRI -> GraphStore for SERVICE federation
+        self.services: dict[str, GraphStore] = {}
         #: raise InconsistentDatatype for statically-detected mixed-datatype
         #: output variables (reference behavior); False = coerce to the first
         #: observed datatype, nulling lexical forms that do not parse
@@ -55,6 +57,16 @@ class Engine:
         self._dt_cache.clear()  # probes may involve ts-derived columns
         return self
 
+    def register_service(self, endpoint_iri: str, graph: "GraphStore | DataFrame") -> "Engine":
+        """Attach a second graph under an endpoint IRI for SERVICE patterns
+        (in-process federation). Remote endpoints: load once with
+        ``GraphStore.from_endpoint(url)`` and register the result."""
+        if isinstance(graph, DataFrame):
+            graph = GraphStore(self.spark, graph)
+        self.services[endpoint_iri] = graph
+        self._dt_cache.clear()
+        return self
+
     # -- entry point 1 (reference engine.rs:57-134) -------------------------
 
     def execute_hybrid_query(self, sparql: str) -> DataFrame:
@@ -62,7 +74,8 @@ class Engine:
         caller collects (the reference collects internally at engine.rs:127)."""
         query = parse_query(sparql)
         compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
-                            pred_datatypes=self.graph.predicate_datatypes)
+                            pred_datatypes=self.graph.predicate_datatypes,
+                            services=self.services)
         sm = compiler.compile_query(query)
         return self._finalize(sm, query.variables, cache_key=sparql)
 

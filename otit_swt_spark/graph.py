@@ -125,6 +125,41 @@ class GraphStore:
     def read_parquet(cls, spark: SparkSession, path: str) -> "GraphStore":
         return cls(spark, spark.read.parquet(path))
 
+    @classmethod
+    def from_endpoint(
+        cls,
+        spark: SparkSession,
+        url: str,
+        page_size: int = 10_000,
+        max_pages: int = 100_000,
+        http_post=None,
+    ) -> "GraphStore":
+        """One-shot paged pull of a remote SPARQL endpoint into the triples
+        DataFrame — API parity with the reference's HTTP data path
+        (hybrid/src/static_sparql.rs:46-99), restructured Spark-first: the
+        graph is fetched ONCE and joined in-plan afterwards, instead of one
+        POST per query.
+
+        Pages ``SELECT ?s ?p ?o`` with LIMIT/OFFSET and parses
+        application/sparql-results+json. ``http_post(url, query) -> dict``
+        is injectable (tests, auth, retry policies); the default uses
+        urllib. Paging necessarily lands rows on the driver — for graphs
+        beyond driver memory use the store's bulk export to parquet and
+        ``read_parquet`` instead."""
+        poster = http_post or _default_sparql_post
+        rows: list[tuple] = []
+        offset = 0
+        for _ in range(max_pages):
+            q = (f"SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} "
+                 f"LIMIT {page_size} OFFSET {offset}")
+            doc = poster(url, q)
+            bindings = doc.get("results", {}).get("bindings", [])
+            rows.extend(_sparql_json_binding_to_row(b) for b in bindings)
+            if len(bindings) < page_size:
+                break
+            offset += page_size
+        return cls(spark, spark.createDataFrame(rows, TRIPLES_SCHEMA))
+
     # -- mutation ----------------------------------------------------------
 
     def add_triples_df(self, df: DataFrame) -> "GraphStore":
@@ -190,6 +225,35 @@ class GraphStore:
 
     def write_ntriples(self, path: str) -> None:
         self.to_ntriples_df().write.mode("overwrite").text(path)
+
+
+def _default_sparql_post(url: str, query: str) -> dict:
+    """POST a SPARQL query (form-encoded, like the reference's reqwest call
+    in static_sparql.rs:46-99) and decode the SPARQL-JSON response."""
+    import json
+    from urllib import parse, request
+
+    data = parse.urlencode({"query": query}).encode()
+    req = request.Request(url, data=data, headers={
+        "Accept": "application/sparql-results+json",
+        "Content-Type": "application/x-www-form-urlencoded",
+    })
+    with request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _sparql_json_binding_to_row(b: dict) -> tuple:
+    """One SPARQL-JSON solution {s,p,o} -> a TRIPLES_SCHEMA row."""
+    s = b["s"]
+    s_val = f"_:{s['value']}" if s.get("type") == "bnode" else s["value"]
+    p_val = b["p"]["value"]
+    o = b["o"]
+    if o.get("type") == "literal" or o.get("type") == "typed-literal":
+        dt = o.get("datatype") or XSD_STRING
+        return (s_val, p_val, None, o["value"], dt, o.get("xml:lang"))
+    if o.get("type") == "bnode":
+        return (s_val, p_val, f"_:{o['value']}", None, None, None)
+    return (s_val, p_val, o["value"], None, None, None)
 
 
 # -- text parsers (driver-side; graphs arrive as small text documents) -----

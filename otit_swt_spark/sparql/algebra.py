@@ -275,6 +275,21 @@ class Slice:
     limit: int | None = None
 
 
+@dataclass
+class Service:
+    """SERVICE [SILENT] <endpoint> { pattern }: evaluate the inner pattern
+    against a second graph and join with the outer solutions (reference
+    rewrites SERVICE patterns to the static side,
+    hybrid/src/rewriting/graph_patterns/service_pattern.rs:1). Execution is
+    in-process federation: the endpoint IRI must be registered as a
+    GraphStore (Engine.register_service); remote endpoints are loaded once
+    via GraphStore.from_endpoint and registered."""
+
+    endpoint: IRI
+    inner: "GraphPattern"
+    silent: bool = False
+
+
 GraphPattern = (
     BGP
     | Join
@@ -290,6 +305,7 @@ GraphPattern = (
     | Distinct
     | Reduced
     | Slice
+    | Service
 )
 
 
@@ -333,7 +349,7 @@ def pattern_variables(p: GraphPattern) -> set[str]:
         return set(p.by) | {a.var for a in p.aggregates if a.var}
     if isinstance(p, Project):
         return set(p.variables)
-    if isinstance(p, (OrderBy, Distinct, Reduced, Slice)):
+    if isinstance(p, (OrderBy, Distinct, Reduced, Slice, Service)):
         return pattern_variables(p.inner)
     return set()
 

@@ -149,13 +149,17 @@ def _spark_type(hint: str) -> str:
 
 class Compiler:
     def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None,
-                 pred_datatypes=None):
+                 pred_datatypes=None, services: dict | None = None):
         self.spark = spark
         self.graph_df = graph_df
         self.ts_tables = ts_tables or []
         self._counter = itertools.count()
         self._ts_df: DataFrame | None = None
         self._ts_hint: str | None = None
+        #: endpoint IRI -> GraphStore for SERVICE patterns (in-process
+        #: federation; reference rewrites SERVICE to its static side,
+        #: rewriting/graph_patterns/service_pattern.rs:1)
+        self.services = services or {}
         #: optional callable returning GraphStore.predicate_datatypes() — the
         #: per-predicate datatype catalog that lets compile_triple type object
         #: variables statically (no per-query dtype probe job in Engine)
@@ -337,7 +341,36 @@ class Compiler:
             if p.limit is not None:
                 df = df.limit(p.limit)
             return replace(sm, df=df)
+        if isinstance(p, A.Service):
+            return self.compile_service(p, input)
         raise NotImplementedError(f"pattern {type(p).__name__}")
+
+    def compile_service(self, p: A.Service, input: SolutionMapping | None) -> SolutionMapping:
+        """SERVICE <iri> {...}: compile the inner pattern against the
+        registered GraphStore for that endpoint and join with the outer
+        solutions — one unified Catalyst plan spanning both graphs, so
+        cross-graph join ordering/broadcast is optimized like any other
+        join. SILENT + unavailable endpoint degrades to the identity
+        solution (SPARQL 1.1 Federated Query §2.3)."""
+        store = self.services.get(p.endpoint.value)
+        if store is None:
+            if p.silent:
+                return input if input is not None else SolutionMapping(
+                    self.spark.range(1).select(), {})
+            raise ValueError(
+                f"SERVICE endpoint <{p.endpoint.value}> is not registered: load "
+                "it once with GraphStore.from_endpoint(url) and attach it via "
+                "Engine.register_service(iri, store). Live per-query HTTP "
+                "dispatch is deliberately not supported — federate by loading "
+                "the remote graph into the plan.")
+        saved = (self.graph_df, self._pred_datatypes)
+        self.graph_df = store.df
+        self._pred_datatypes = store.predicate_datatypes
+        try:
+            sm = self.compile_pattern(p.inner, None)
+        finally:
+            self.graph_df, self._pred_datatypes = saved
+        return self.join_solutions(input, sm) if input is not None else sm
 
     # -- BGP + virtual time-series patterns ---------------------------------
 

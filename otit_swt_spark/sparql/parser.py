@@ -37,7 +37,7 @@ KEYWORDS = {
     "SELECT", "DISTINCT", "REDUCED", "WHERE", "FILTER", "BIND", "OPTIONAL",
     "UNION", "MINUS", "VALUES", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "IN", "NOT", "EXISTS", "PREFIX",
-    "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR",
+    "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR", "SERVICE", "SILENT",
 }
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -398,6 +398,12 @@ class Parser:
                 self.next()
                 inner = self.parse_group_graph_pattern()
                 current = A.Minus(current, inner)
+            elif t.kind == "SERVICE":
+                self.next()
+                silent = bool(self.accept("SILENT"))
+                endpoint = self.parse_iri()
+                inner = self.parse_group_graph_pattern()
+                join_in(A.Service(endpoint, inner, silent))
             elif t.kind == "VALUES":
                 self.next()
                 join_in(self.parse_values_body())

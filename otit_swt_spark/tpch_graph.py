@@ -205,4 +205,11 @@ def _build_engine_uncached(spark: SparkSession, sf_dir: str) -> Engine:
             value_datatype=XSD_DOUBLE,
         )
     )
+    # A second, supplier-only graph registered as a SERVICE endpoint:
+    # exercises in-process federation (SPARQL 1.1 SERVICE) with an oracle
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    svc = GraphStore(spark, _iri_triples(
+        supplier, supp_iri(F.col("s_suppkey")), P_IN_NATION,
+        nation_iri(F.col("s_nationkey"))))
+    engine.register_service("urn:service:suppliers", svc)
     return engine

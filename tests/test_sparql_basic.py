@@ -300,3 +300,83 @@ def test_negated_property_set(engine):
     SELECT ?s WHERE { ?s !(^otit_swt:hasTimeseries) ?o }""")
     # every object->subject reversal except hasTimeseries edges
     assert len(rows(df3)) == 9
+
+
+SERVICE_GRAPH = """
+<http://example.org/case#mySensor1> <http://ex/madeBy> "Acme" .
+<http://example.org/case#mySensor2> <http://ex/madeBy> "Globex" .
+"""
+
+
+def test_service_joins_second_store(spark, engine):
+    """SERVICE <iri> {..} evaluates against a second registered GraphStore
+    and joins in the same Catalyst plan (in-process federation; reference
+    rewrites SERVICE to the static side, service_pattern.rs)."""
+    from otit_swt_spark.graph import GraphStore
+
+    engine.register_service("http://ex/vendors",
+                            GraphStore.from_ntriples(spark, SERVICE_GRAPH))
+    df = engine.query(PFX + """
+    SELECT ?w ?maker WHERE {
+        ?w types:hasSensor ?s .
+        SERVICE <http://ex/vendors> { ?s <http://ex/madeBy> ?maker }
+    }""")
+    assert rows(df) == [(CASE + "myWidget1", "Acme"),
+                        (CASE + "myWidget2", "Globex")]
+
+
+def test_service_unregistered_raises_clear_error(engine):
+    import pytest
+
+    with pytest.raises(ValueError, match="not registered"):
+        engine.query(PFX + """
+        SELECT ?x WHERE { SERVICE <http://nowhere/sparql> { ?x <http://ex/p> ?o } }""")
+
+
+def test_service_silent_degrades_to_identity(engine):
+    df = engine.query(PFX + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        SERVICE SILENT <http://nowhere/sparql> { ?s <http://ex/madeBy> ?m }
+    }""")
+    assert rows(df) == [(CASE + "myWidget1",), (CASE + "myWidget2",)]
+
+
+def test_from_endpoint_paged_pull(spark):
+    """GraphStore.from_endpoint pages SELECT ?s ?p ?o over a (mocked) HTTP
+    endpoint and rebuilds the triples DataFrame, including typed literals,
+    language tags and bnodes."""
+    from otit_swt_spark.graph import GraphStore
+
+    def fake_sol(i):
+        if i % 3 == 0:
+            o = {"type": "uri", "value": f"http://ex/o{i}"}
+        elif i % 3 == 1:
+            o = {"type": "literal", "value": str(i),
+                 "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+        else:
+            o = {"type": "literal", "value": f"hi{i}", "xml:lang": "en"}
+        return {"s": {"type": "uri", "value": f"http://ex/s{i}"},
+                "p": {"type": "uri", "value": "http://ex/p"},
+                "o": o}
+
+    calls = []
+
+    def http_post(url, query):
+        calls.append(query)
+        import re
+        off = int(re.search(r"OFFSET (\d+)", query).group(1))
+        sols = [fake_sol(i) for i in range(off, min(off + 2, 5))]
+        return {"head": {"vars": ["s", "p", "o"]},
+                "results": {"bindings": sols}}
+
+    g = GraphStore.from_endpoint(spark, "http://ex/sparql", page_size=2,
+                                 http_post=http_post)
+    assert len(calls) == 3  # 2 + 2 + 1 rows
+    got = {tuple(r) for r in g.df.collect()}
+    assert ("http://ex/s0", "http://ex/p", "http://ex/o0", None, None, None) in got
+    assert ("http://ex/s1", "http://ex/p", None, "1",
+            "http://www.w3.org/2001/XMLSchema#integer", None) in got
+    assert ("http://ex/s2", "http://ex/p", None, "hi2",
+            "http://www.w3.org/2001/XMLSchema#string", "en") in got
+    assert g.df.count() == 5
