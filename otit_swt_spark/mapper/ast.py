@@ -12,6 +12,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 OTTR_TRIPLE = "http://ns.ottr.xyz/0.4/Triple"
+#: base template tolerating none-valued arguments: rows where any of
+#: subject/verb/object is null produce NO triple (OTTR base library;
+#: plain ottr:Triple keeps its strict behavior)
+OTTR_NULLABLE_TRIPLE = "http://ns.ottr.xyz/0.4/NullableTriple"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
@@ -99,3 +103,7 @@ class Template:
     iri: str
     parameters: list[Parameter]
     instances: list[Instance] = field(default_factory=list)
+    #: ``@@ex:Meta(...)`` annotation instances on the signature — metadata
+    #: carried through parsing/resolution (the reference stores but never
+    #: executes them: mapper/src/ast.rs:114, resolver.rs:120-138)
+    annotations: list[Instance] = field(default_factory=list)

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from pyspark.sql import types as T
 
 from otit_swt_spark.mapper.ast import (
+    OTTR_NULLABLE_TRIPLE,
     OTTR_TRIPLE,
     XSD,
     BlankNode,
@@ -284,8 +285,9 @@ class Mapping:
         if expand_idx:
             proj, args = self._apply_expander(inst.expander or "cross", proj, args, expand_idx)
 
-        if inst.template_iri == OTTR_TRIPLE:
-            self._emit_triple(proj, args)
+        if inst.template_iri in (OTTR_TRIPLE, OTTR_NULLABLE_TRIPLE):
+            self._emit_triple(proj, args,
+                              nullable=inst.template_iri == OTTR_NULLABLE_TRIPLE)
             return
         callee = self._resolve_template(inst.template_iri)
         new_bindings = {p.name: args[i] for i, p in enumerate(callee.parameters)}
@@ -322,7 +324,8 @@ class Mapping:
                 new_args.append(b)
         return proj, new_args
 
-    def _emit_triple(self, proj: DataFrame, args: list[_Bound]):
+    def _emit_triple(self, proj: DataFrame, args: list[_Bound],
+                     nullable: bool = False):
         if len(args) != 3:
             raise ValueError("ottr:Triple takes exactly 3 arguments")
         s, p, o = args
@@ -332,6 +335,12 @@ class Mapping:
             p.col.cast("string").alias("verb"),
             o.col.alias("_obj"),
         )
+        if nullable:
+            # ottr:NullableTriple: a none-valued argument suppresses the
+            # whole triple (object nulls are filtered for both variants
+            # below; subject/verb nulls only here)
+            base = base.filter(F.col("subject").isNotNull()
+                               & F.col("verb").isNotNull())
         if o.is_iri:
             self._object_frames.append(
                 base.select(KEY_COL, "subject", "verb",

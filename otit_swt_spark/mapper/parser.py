@@ -43,6 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<blank>_:[A-Za-z0-9_\-]+)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<annot>@@)
   | (?P<prefixdecl>@prefix\b)
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z_][A-Za-z0-9_\-.]*)
@@ -137,6 +138,14 @@ class _Parser:
                 self.next()
                 params.append(self.parameter())
         self.expect("]")
+        # optional annotation list: @@inst [, @@inst ...] (reference
+        # nom_parsing.rs:104-112; stored on the signature, never executed)
+        annotations = []
+        while self.peek()[0] == "annot":
+            self.next()
+            annotations.append(self.instance())
+            while self.peek()[1] == "," and self.peek(1)[0] == "annot":
+                self.next()
         self.expect("::")
         self.expect("{")
         instances = []
@@ -147,7 +156,8 @@ class _Parser:
                 instances.append(self.instance())
         self.expect("}")
         self.expect(".")
-        return Template(iri=iri, parameters=params, instances=instances)
+        return Template(iri=iri, parameters=params, instances=instances,
+                        annotations=annotations)
 
     def parameter(self) -> Parameter:
         optional = non_blank = False

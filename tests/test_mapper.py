@@ -441,3 +441,48 @@ def test_non_blank_validation(spark):
     m = Mapping.from_str(doc, spark=spark)
     with pytest.raises(ValueError, match="non-blank"):
         m.expand(EX + "T", _df(spark, [("K1", "_:b0")], "Key string, s string"))
+
+
+def test_annotation_instances_parse_and_store(spark):
+    """@@ex:Meta(...) annotation lists on a signature parse and are carried
+    on the Template (reference stores but never executes them:
+    mapper/src/ast.rs:114, resolver.rs:120-138); expansion is unaffected."""
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:Annotated [?v]
+      @@ex:CreatedBy(ex:someone), @@ex:Version("2")
+      :: {{
+        ottr:Triple(ex:thing, ex:hasValue, ?v)
+      }} .
+    """
+    m = Mapping.from_str(doc, spark=spark)
+    tmpl = m.templates[EX + "Annotated"]
+    assert [a.template_iri for a in tmpl.annotations] == [
+        EX + "CreatedBy", EX + "Version"]
+    schema = T.StructType([T.StructField("Key", T.StringType()),
+                           T.StructField("v", T.IntegerType())])
+    m.expand(EX + "Annotated", _df(spark, [("k1", 7)], schema))
+    assert triple_set(m) == {
+        (EX + "thing", EX + "hasValue", ("7", XSD + "int", None))}
+
+
+def test_nullable_triple_suppresses_none_rows(spark):
+    """ottr:NullableTriple drops rows where any argument is none; plain
+    ottr:Triple keeps its strict per-position behavior (OTTR base library
+    semantics)."""
+    doc = f"""
+    @prefix ex:<{EX}>.
+    ex:MaybeLink [xsd:anyURI ?a, ? xsd:anyURI ?b]
+      :: {{
+        ottr:NullableTriple(?b, ex:linksBack, ?a)
+      }} .
+    """
+    m = Mapping.from_str(doc, spark=spark)
+    schema = T.StructType([T.StructField("Key", T.StringType()),
+                           T.StructField("a", T.StringType()),
+                           T.StructField("b", T.StringType())])
+    df = _df(spark, [("k1", EX + "x", EX + "y"), ("k2", EX + "z", None)], schema)
+    m.expand(EX + "MaybeLink", df)
+    # k2 has no ?b: with ?b as SUBJECT the whole triple is suppressed,
+    # not emitted with a null subject
+    assert triple_set(m) == {(EX + "y", EX + "linksBack", EX + "x")}
