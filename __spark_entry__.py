@@ -413,6 +413,20 @@ def q_sparql_strings(spark, sf_dir):
     }""")
 
 
+def q_sparql_strings2(spark, sf_dir):
+    """Round-2 string builtins: STRBEFORE/STRAFTER/MD5/SHA256 (all absent
+    from the reference — todo!() in lazy_expressions.rs:603-605)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?cust_name ?before ?after ?digest ?sha WHERE {
+        ?c <urn:p:segment> "MACHINERY" .
+        ?c <urn:p:name> ?cust_name .
+        BIND(STRBEFORE(?cust_name, "#") AS ?before)
+        BIND(STRAFTER(?cust_name, "#") AS ?after)
+        BIND(MD5(?cust_name) AS ?digest)
+        BIND(SHA256(?cust_name) AS ?sha)
+    }""")
+
+
 def q_sparql_order_offset(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?supp_name ?bal WHERE {
@@ -625,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_orders_agg": q_sparql_orders_agg,
         "mapper_expand_lineitem": q_mapper_expand_lineitem,
         "sparql_strings": q_sparql_strings,
+        "sparql_strings2": q_sparql_strings2,
         "sparql_order_offset": q_sparql_order_offset,
         "sparql_having": q_sparql_having,
         "sparql_group_concat": q_sparql_group_concat,
@@ -772,6 +787,18 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
             FROM customer
             WHERE c_mktsegment = 'MACHINERY' AND contains(c_name, '1')
+        """,
+        "sparql_strings2": """
+            SELECT c_name AS cust_name,
+                   CASE WHEN strpos(c_name, '#') > 0
+                        THEN substr(c_name, 1, strpos(c_name, '#') - 1)
+                        ELSE '' END AS before,
+                   CASE WHEN strpos(c_name, '#') > 0
+                        THEN substr(c_name, strpos(c_name, '#') + 1)
+                        ELSE '' END AS after,
+                   md5(c_name) AS digest,
+                   sha256(c_name) AS sha
+            FROM customer WHERE c_mktsegment = 'MACHINERY'
         """,
         "sparql_order_offset": """
             SELECT s_name AS supp_name, s_acctbal AS bal

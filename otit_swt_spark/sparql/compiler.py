@@ -506,8 +506,11 @@ class Compiler:
         if isinstance(pred, A.PathPredicate):
             pred = pred.iri
         if isinstance(pred, Variable):
-            cols.append(F.col("p").alias(pred.name))
-            vars2[pred.name] = VarMeta("term")
+            if pred.name in vars2:  # ?x ?x ?o
+                df = df.filter(F.col("p") == F.col("s"))
+            else:
+                cols.append(F.col("p").alias(pred.name))
+                vars2[pred.name] = VarMeta("term")
         else:
             df = df.filter(F.col("p") == pred.value)
 

@@ -92,6 +92,48 @@ def literal_typed(lit) -> Typed:
     return Typed(F.lit(lit.lexical), "string")
 
 
+_XSD_NUMERIC_DTS = [XSD + n for n in (
+    "integer", "int", "long", "short", "byte", "decimal", "double", "float",
+    "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+    "positiveInteger", "unsignedInt", "unsignedLong", "unsignedShort",
+    "unsignedByte")]
+
+
+def _term_category_test(name: str, arg, raw, sm) -> "Typed":
+    """isIRI/isURI/isBlank/isLiteral/isNumeric. Term variables answer from
+    the companion datatype column (literals always carry one; IRIs and
+    bnodes have none) plus the ``_:`` bnode prefix; native columns answer
+    from their type hint. Unbound (null) input yields null (SPARQL: type
+    error propagates)."""
+    m = sm.meta(raw.name) if isinstance(raw, A.EVar) else None
+    col = arg.col
+    notnull = col.isNotNull()
+    if m is not None and m.kind == "term":
+        dt = sm.dt_col(raw.name)
+        is_blank = col.startswith("_:")
+        is_lit = dt.isNotNull() if dt is not None else F.lit(False)
+        if name == "ISBLANK":
+            out = is_blank
+        elif name in ("ISIRI", "ISURI"):
+            out = ~is_blank & ~is_lit
+        elif name == "ISLITERAL":
+            out = is_lit
+        else:  # ISNUMERIC — IRIs/bnodes have a null dt: isNotNull guards
+            out = (dt.isNotNull() & dt.isin(_XSD_NUMERIC_DTS)
+                   if dt is not None else F.lit(False))
+        return Typed(F.when(notnull, out), "bool")
+    h = arg.hint
+    if name == "ISBLANK":
+        out = col.cast("string").startswith("_:") if h == "iri" else F.lit(False)
+    elif name in ("ISIRI", "ISURI"):
+        out = (~col.cast("string").startswith("_:")) if h == "iri" else F.lit(False)
+    elif name == "ISLITERAL":
+        out = F.lit(h != "iri")
+    else:
+        out = F.lit(h in NUMERIC)
+    return Typed(F.when(notnull, out), "bool")
+
+
 def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) -> Typed:
     """Compile an algebra expression against a SolutionMapping ``sm``
     (duck-typed: needs ``.meta(name)`` -> VarMeta and ``.dt_col(name)``)."""
@@ -270,6 +312,67 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
             )
         if name == "NOW":
             return Typed(F.current_timestamp(), "timestamp")
+        if name == "STRBEFORE":
+            a, b = _as_str(args[0]), _as_str(args[1])
+            pos = F.instr(a, b)
+            return Typed(F.when(pos > 0, F.substring(a, F.lit(1), pos - 1))
+                         .otherwise(F.lit("")), "string")
+        if name == "STRAFTER":
+            a, b = _as_str(args[0]), _as_str(args[1])
+            pos = F.instr(a, b)
+            return Typed(F.when(pos > 0,
+                                F.substring(a, pos + F.length(b),
+                                            F.lit(2_000_000_000)))
+                         .otherwise(F.lit("")), "string")
+        if name == "ENCODE_FOR_URI":
+            # url_encode is form encoding: fix '+' for space and keep '~'
+            enc = F.url_encode(_as_str(args[0]))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+            return Typed(enc, "string")
+        if name == "MD5":
+            return Typed(F.md5(_as_str(args[0]).cast("binary")), "string")
+        if name == "SHA1":
+            return Typed(F.sha1(_as_str(args[0]).cast("binary")), "string")
+        if name in ("SHA256", "SHA384", "SHA512"):
+            return Typed(F.sha2(_as_str(args[0]).cast("binary"), int(name[3:])), "string")
+        if name == "UUID":
+            return Typed(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), "iri")
+        if name == "STRUUID":
+            return Typed(F.expr("uuid()"), "string")
+        if name == "RAND":
+            return Typed(F.rand(), "double")
+        if name == "BNODE":
+            if args:  # stable per argument value
+                return Typed(F.concat(F.lit("_:bn_"), F.md5(_as_str(args[0]).cast("binary"))), "iri")
+            return Typed(F.concat(F.lit("_:bn_"), F.expr("uuid()")), "iri")
+        if name == "STRDT":
+            from otit_swt_spark.terms import spark_type_for_xsd
+
+            if not isinstance(raw_args[1], A.EIri):
+                raise NotImplementedError("STRDT requires a constant datatype IRI")
+            dt = raw_args[1].value.value
+            stype = spark_type_for_xsd(dt)
+            hint = {"bigint": "long", "int": "int", "double": "double",
+                    "float": "float", "boolean": "bool",
+                    "timestamp": "timestamp", "date": "date"}.get(
+                        stype.simpleString().split("(")[0], "string")
+            return Typed(_as_str(args[0]).try_cast(stype), hint)
+        if name == "LANGMATCHES":
+            rng = _as_str(args[1])
+            tag = F.lower(_as_str(args[0]))
+            return Typed(
+                F.when(rng == "*", tag != "")
+                .otherwise((tag == F.lower(rng))
+                           | tag.startswith(F.concat(F.lower(rng), F.lit("-")))),
+                "bool")
+        if name == "TZ":
+            # the engine's timestamps are timezone-naive (reference maps both
+            # tz'd and naive datetimes onto Datetime, sparql_result_to_polars
+            # .rs:98-110); SPARQL TZ of a zoneless dateTime is ""
+            return Typed(F.lit(""), "string")
+        if name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
+            return _term_category_test(name, args[0], raw_args[0], sm)
         if name == "IRI" or name == "URI":
             return Typed(_as_str(args[0]), "iri")
         # xsd casts (lazy_expressions.rs:549-564)

@@ -455,7 +455,13 @@ class Parser:
         bgp = A.BGP([])
         s = self.parse_term()
         while True:
-            p = self.parse_path()
+            # a bare variable predicate is a plain triple pattern (compiled
+            # as a scan with the predicate projected), not a property path —
+            # SPARQL paths cannot contain variables
+            if self.peek().kind == "var":
+                p = Variable(self.next().value[1:])
+            else:
+                p = self.parse_path()
             o = self.parse_term()
             self._emit_path(bgp, s, p, o)
             if self.accept("op", ","):

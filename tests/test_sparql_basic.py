@@ -380,3 +380,68 @@ def test_from_endpoint_paged_pull(spark):
     assert ("http://ex/s2", "http://ex/p", None, "hi2",
             "http://www.w3.org/2001/XMLSchema#string", "en") in got
     assert g.df.count() == 5
+
+
+def test_variable_predicate_patterns(engine):
+    """?s ?p ?o — the most basic SPARQL scan; variable predicates are plain
+    triple patterns, not property paths."""
+    df = engine.query("SELECT ?p WHERE { <http://example.org/case#myWidget1> ?p ?o }")
+    preds = sorted(r["p"] for r in df.collect())
+    assert preds == ["http://example.org/types#hasSensor",
+                     "http://example.org/types#hasSomething",
+                     "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+    allt = engine.query("SELECT * WHERE { ?s ?p ?o }")
+    assert allt.count() == 11  # 11 triples in the test KG
+    assert set(allt.columns) == {"s", "p", "o"}
+
+
+def test_string_builtins_round2(engine):
+    df = engine.query(PFX + """
+    SELECT ?id ?before ?after ?enc ?h WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        BIND(STRBEFORE(?id, "s") AS ?before)
+        BIND(STRAFTER(?id, "t") AS ?after)
+        BIND(ENCODE_FOR_URI(CONCAT(?id, " x~")) AS ?enc)
+        BIND(MD5(?id) AS ?h)
+    }""")
+    got = {r["id"]: (r["before"], r["after"], r["enc"], r["h"])
+           for r in df.collect()}
+    import hashlib
+    assert got["ts1"][0] == "t"
+    assert got["ts1"][1] == "s1"
+    assert got["ts1"][2] == "ts1%20x~"
+    assert got["ts1"][3] == hashlib.md5(b"ts1").hexdigest()
+    # STRBEFORE/STRAFTER with absent needle -> ""
+    df2 = engine.query(PFX + """
+    SELECT ?b WHERE { ?ts otit_swt:hasExternalId ?id .
+                      BIND(STRBEFORE(?id, "zzz") AS ?b) }""")
+    assert all(r["b"] == "" for r in df2.collect())
+
+
+def test_term_category_tests(engine):
+    df = engine.query(PFX + """
+    SELECT ?x ?isi ?isl ?isn WHERE {
+        { ?s otit_swt:hasTimeseries ?x } UNION { ?s otit_swt:hasExternalId ?x }
+        BIND(ISIRI(?x) AS ?isi)
+        BIND(ISLITERAL(?x) AS ?isl)
+        BIND(ISNUMERIC(?x) AS ?isn)
+    }""")
+    got = {r["x"]: (r["isi"], r["isl"], r["isn"]) for r in df.collect()}
+    assert got[CASE + "myTimeseries1"] == (True, False, False)
+    assert got["ts1"] == (False, True, False)
+
+
+def test_uuid_strdt_langmatches(engine):
+    df = engine.query(PFX + """
+    SELECT ?u ?su ?d ?lm WHERE {
+        ?ts otit_swt:hasExternalId ?id .
+        BIND(UUID() AS ?u)
+        BIND(STRUUID() AS ?su)
+        BIND(STRDT("42", xsd:integer) AS ?d)
+        BIND(LANGMATCHES("en-GB", "en") AS ?lm)
+    }""")
+    rows_ = df.collect()
+    assert all(r["u"].startswith("urn:uuid:") for r in rows_)
+    assert all(len(r["su"]) == 36 for r in rows_)
+    assert all(r["d"] == 42 for r in rows_)
+    assert all(r["lm"] is True for r in rows_)
