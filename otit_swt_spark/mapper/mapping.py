@@ -397,16 +397,37 @@ class Mapping:
             minted = df.withColumn(name, F.concat(F.lit(m.prefix), suffix))
         else:
             start = self._mint_next.get(key, int(m.suffix_generator))
-            # dense sequential numbering needs a total order; Key order makes
-            # it deterministic. This is the one global op in the mapper —
-            # scale-out callers should prefer the uuid generator.
-            w = W.orderBy(KEY_COL)
-            minted = df.withColumn(
-                name,
-                F.concat(F.lit(m.prefix),
-                         (F.row_number().over(w) + F.lit(start - 1)).cast("string")),
+            # Dense sequential numbering = global rank ordered by Key,
+            # computed scalably: range-partition by Key and sort within
+            # partitions (one shuffle), take the within-partition record
+            # number from monotonically_increasing_id's lower 33 bits
+            # (documented bit layout: partition id high, record number low),
+            # then add the cumulative size of preceding partitions (a tiny
+            # collect). No single-partition global window — the round-1
+            # W.orderBy(Key) funneled the whole frame through one task.
+            spark = df.sparkSession
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            ranged = (df.repartitionByRange(par, F.col(KEY_COL))
+                      .sortWithinPartitions(KEY_COL)
+                      .withColumn("__pid", F.spark_partition_id())
+                      .withColumn("__rn", F.monotonically_increasing_id()
+                                  .bitwiseAND(F.lit((1 << 33) - 1))))
+            counts = ranged.groupBy("__pid").count().collect()
+            acc = start
+            offs = []
+            for r in sorted(counts, key=lambda r: r["__pid"]):
+                offs.append((r["__pid"], acc))
+                acc += r["count"]
+            off_df = spark.createDataFrame(offs or [(0, start)],
+                                           "__pid int, __off long")
+            minted = (
+                ranged.join(F.broadcast(off_df), "__pid")
+                .withColumn(name, F.concat(
+                    F.lit(m.prefix),
+                    (F.col("__rn") + F.col("__off")).cast("string")))
+                .drop("__pid", "__rn", "__off")
             )
-            self._mint_next[key] = start + df.count()
+            self._mint_next[key] = acc
         minted = minted.persist()
         self._minted[key] = minted.select(KEY_COL, name)
         return minted, minted
