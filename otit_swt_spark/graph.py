@@ -313,7 +313,12 @@ def parse_turtle_lite(text: str) -> Iterable[tuple[Term, Term, Term]]:
 
     terms: list[Term | str] = []
     for tok in _TOKEN_RE.finditer(body):
-        kind = tok.lastgroup
+        # NOT tok.lastgroup: for suffixed strings ("x"@en, "x"^^xsd:t) the
+        # last *matched* named group is the suffix (or an unnamed pname
+        # capture), so lastgroup misidentifies — probe the alternatives.
+        kind = next(k for k in ("iri", "string", "bnode", "a", "pname",
+                                "num", "bool", "punct")
+                    if tok.group(k) is not None)
         if kind == "iri":
             terms.append(IRI(tok.group(2)))
         elif kind == "string":

@@ -527,9 +527,16 @@ class Compiler:
                 dt_vars.add(name)
                 lang_vars.add(name)
         elif isinstance(tp.o, Literal):
+            # RDF term-identity matching: lexical form + datatype + language
+            # all must agree. A plain "foo" (xsd:string, no tag) does NOT
+            # match "foo"@en and vice versa (RDF 1.1 §3.3).
             df = df.filter(F.col("o_lex") == tp.o.lexical)
-            if tp.o.datatype and tp.o.datatype != XSD_STRING:
-                df = df.filter(F.col("o_dt") == tp.o.datatype)
+            if tp.o.language:
+                df = df.filter(F.lower(F.col("o_lang")) == tp.o.language.lower())
+            else:
+                df = df.filter(F.col("o_lang").isNull())
+                if tp.o.datatype and tp.o.datatype != XSD_STRING:
+                    df = df.filter(F.col("o_dt") == tp.o.datatype)
         else:
             df = df.filter(F.col("o_iri") == (tp.o.value if isinstance(tp.o, IRI) else str(tp.o)))
 
@@ -711,6 +718,22 @@ class Compiler:
         return replace(sm2, df=df, vars=vars2)
 
     def apply_extend(self, sm: SolutionMapping, var: str, expr: A.Expr) -> SolutionMapping:
+        # STRLANG builds a language-tagged literal: the value lands in the
+        # term column, the tag in the companion __lang column so LANG()/
+        # LANGMATCHES and lang-aware matching see it downstream.
+        if (isinstance(expr, A.EFunc) and expr.name == "STRLANG"
+                and len(expr.args) == 2):
+            from otit_swt_spark.terms import RDF_LANGSTRING
+
+            val = compile_expr(expr.args[0], sm)
+            tag = compile_expr(expr.args[1], sm)
+            df = (sm.df.withColumn(var, val.col.cast("string"))
+                  .withColumn(f"{var}__dt", F.lit(RDF_LANGSTRING))
+                  .withColumn(f"{var}__lang", F.lower(tag.col.cast("string"))))
+            vars2 = {**sm.vars, var: VarMeta("term", xsd=RDF_LANGSTRING)}
+            return replace(sm, df=df, vars=vars2,
+                           dt_vars=sm.dt_vars | {var},
+                           lang_vars=sm.lang_vars | {var})
         if isinstance(expr, A.EVar) and expr.name in sm.vars:
             m = sm.vars[expr.name]
             df = sm.df.withColumn(var, F.col(expr.name))

@@ -22,6 +22,7 @@ from otit_swt_spark.terms import (
     DATETIME_AS_NANOS,
     DATETIME_AS_SECONDS,
     NANOS_AS_DATETIME,
+    RDF_LANGSTRING,
     SECONDS_AS_DATETIME,
     XSD,
     XSD_BOOLEAN,
@@ -279,7 +280,13 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
             if isinstance(raw_args[0], A.EVar):
                 m = sm.meta(raw_args[0].name)
                 if m is not None and m.kind == "term":
-                    return Typed(F.coalesce(sm.dt_col(raw_args[0].name), F.lit(XSD_STRING)), "iri")
+                    dt = sm.dt_col(raw_args[0].name)
+                    out = F.coalesce(dt, F.lit(XSD_STRING)) if dt is not None else F.lit(XSD_STRING)
+                    lang = sm.lang_col(raw_args[0].name)
+                    if lang is not None:  # RDF 1.1: tagged literals are rdf:langString
+                        out = F.when(lang.isNotNull() & (lang != ""),
+                                     F.lit(RDF_LANGSTRING)).otherwise(out)
+                    return Typed(out, "iri")
                 if m is not None and m.xsd:
                     return Typed(F.lit(m.xsd), "iri")
             return Typed(F.lit(XSD_STRING), "iri")

@@ -49,6 +49,7 @@ _TOKEN_RE = re.compile(
     | (?P<var>[?$][A-Za-z_][\w]*)
     | (?P<bnode>_:[A-Za-z_][\w]*)
     | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[A-Za-z_](?:[\w.-]*[\w-])?)?)
     | (?P<name>[A-Za-z_][\w]*)
@@ -148,9 +149,9 @@ class Parser:
             if self.accept("op", "^^"):
                 dt = self.parse_iri()
                 return Literal(lex, dt.value)
-            nx = self.peek()
-            if nx.kind == "name" and self.toks[self.i - 1].pos + len(t.value) == nx.pos - 1:
-                pass  # language tags come through as '@lang' — not tokenized; handled below
+            lt = self.accept("langtag")
+            if lt is not None:
+                return Literal(lex, XSD_STRING, lt.value[1:])
             return Literal(lex)
         if t.kind == "num":
             return _num_literal(t.value)

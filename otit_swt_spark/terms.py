@@ -38,6 +38,7 @@ SECONDS_AS_DATETIME = OTIT_SWT + "SecondsAsDateTime"
 NEST_AGGREGATION = OTIT_SWT + "nestAggregation"
 
 RDF_TYPE = RDF + "type"
+RDF_LANGSTRING = RDF + "langString"
 
 XSD_STRING = XSD + "string"
 XSD_BOOLEAN = XSD + "boolean"

@@ -57,3 +57,25 @@ def test_graphstore_materialized(spark, engine, tmp_path):
     g3 = engine.graph.materialized(path)
     assert os.path.getmtime(path) == mtime
     assert g3.df.count() == g2.df.count()
+
+
+def test_turtle_lite_suffixed_literals(spark):
+    """Typed (^^pname / ^^<iri>) and language-tagged literal objects parse —
+    regression for the tokenizer misidentifying suffixed strings (the last
+    matched regex group is the suffix, not the string)."""
+    from otit_swt_spark.graph import parse_turtle_lite
+    from otit_swt_spark.terms import XSD, XSD_STRING
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    ex:a ex:p "5"^^xsd:integer .
+    ex:a ex:q "2022-06-01T08:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .
+    ex:a ex:r "hallo"@de .
+    """
+    triples = list(parse_turtle_lite(text))
+    assert len(triples) == 3
+    objs = {t[1].value.rsplit("/", 1)[-1]: t[2] for t in triples}
+    assert objs["p"].datatype == XSD + "integer" and objs["p"].lexical == "5"
+    assert objs["q"].datatype == XSD + "dateTime"
+    assert objs["r"].language == "de" and objs["r"].datatype == XSD_STRING
