@@ -46,15 +46,24 @@ class Engine:
         #: (engine._finalize) and identical queries infer identical dtypes.
         #: Only consulted for variables the compile-time catalog cannot type.
         self._dt_cache: dict[str, dict[str, str | None]] = {}
+        #: prepared-plan cache: query text -> finalized lazy DataFrame. Plan
+        #: *construction* is driver-side work (parse + algebra + hundreds of
+        #: DataFrame calls); like any database's prepared-statement cache, a
+        #: repeated query reuses the compiled plan and only re-executes it.
+        #: Results are NOT cached — the DataFrame is lazy. Invalidated
+        #: whenever the graph, TS tables, or services change.
+        self._plan_cache: dict[str, DataFrame] = {}
 
     def set_graph(self, graph: GraphStore | DataFrame) -> "Engine":
         self.graph = GraphStore(self.spark, graph) if isinstance(graph, DataFrame) else graph
         self._dt_cache.clear()  # probes are graph-dependent
+        self._plan_cache.clear()
         return self
 
     def add_timeseries_table(self, table: TimeSeriesTable) -> "Engine":
         self.ts_tables.append(table)
         self._dt_cache.clear()  # probes may involve ts-derived columns
+        self._plan_cache.clear()
         return self
 
     def register_service(self, endpoint_iri: str, graph: "GraphStore | DataFrame") -> "Engine":
@@ -65,6 +74,7 @@ class Engine:
             graph = GraphStore(self.spark, graph)
         self.services[endpoint_iri] = graph
         self._dt_cache.clear()
+        self._plan_cache.clear()
         return self
 
     # -- entry point 1 (reference engine.rs:57-134) -------------------------
@@ -72,12 +82,17 @@ class Engine:
     def execute_hybrid_query(self, sparql: str) -> DataFrame:
         """Parse + compile + type-finalize. Returns a lazy DataFrame; the
         caller collects (the reference collects internally at engine.rs:127)."""
+        cached = self._plan_cache.get(sparql)
+        if cached is not None:
+            return cached
         query = parse_query(sparql)
         compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
                             pred_datatypes=self.graph.predicate_datatypes,
                             services=self.services)
         sm = compiler.compile_query(query)
-        return self._finalize(sm, query.variables, cache_key=sparql)
+        out = self._finalize(sm, query.variables, cache_key=sparql)
+        self._plan_cache[sparql] = out
+        return out
 
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)

@@ -32,6 +32,11 @@ def get_spark(app_name: str = "otit_swt_spark", cpus: int | None = None,
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures the user call site (a Python stack walk) on
+        # EVERY DataFrame API call for error enrichment — ~25% of plan-build
+        # time for expression-heavy plans. Disable it; errors still carry
+        # the JVM-side plan context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
