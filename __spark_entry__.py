@@ -170,6 +170,26 @@ def q_sparql_path_neg(spark, sf_dir):
     }""")
 
 
+def q_sparql_ask(spark, sf_dir):
+    """ASK query form (exceeds reference parity: splitter.rs is SELECT-only)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    ASK { ?n <urn:p:name> "NATION_7" . ?n <urn:p:inRegion> ?r }""")
+
+
+def q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT: rewrite graph edges into a new vocabulary; result is a
+    triples frame (set semantics)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    CONSTRUCT { ?n <urn:p:label> ?nm . ?n <urn:p:locatedIn> ?r }
+    WHERE { ?n <urn:p:inRegion> ?r . ?n <urn:p:name> ?nm }""")
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE: all triples about the matched nodes (minimal CBD)."""
+    return _engine(spark, sf_dir).query(
+        PFX + 'DESCRIBE ?n WHERE { ?n <urn:p:name> "NATION_7" . ?n <urn:p:inRegion> ?r }')
+
+
 def q_sparql_values(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?region_name ?nation_name WHERE {
@@ -673,6 +693,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sparql_path": q_sparql_path,
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_service": q_sparql_service,
+        "sparql_ask": q_sparql_ask,
+        "sparql_construct": q_sparql_construct,
+        "sparql_describe": q_sparql_describe,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
         "sparql_orders_agg": q_sparql_orders_agg,
@@ -789,6 +812,39 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "sparql_ask": """
+            SELECT EXISTS(SELECT 1 FROM nation WHERE n_name = 'NATION_7') AS ask
+        """,
+        "sparql_construct": """
+            SELECT concat('urn:nation:', n_nationkey) AS s,
+                   'urn:p:label' AS p,
+                   CAST(NULL AS VARCHAR) AS o_iri,
+                   n_name AS o_lex,
+                   'http://www.w3.org/2001/XMLSchema#string' AS o_dt,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM nation
+            UNION
+            SELECT concat('urn:nation:', n_nationkey),
+                   'urn:p:locatedIn',
+                   concat('urn:region:', n_regionkey),
+                   NULL, NULL, NULL
+            FROM nation
+        """,
+        "sparql_describe": """
+            SELECT concat('urn:nation:', n_nationkey) AS s,
+                   'urn:p:name' AS p,
+                   CAST(NULL AS VARCHAR) AS o_iri,
+                   n_name AS o_lex,
+                   'http://www.w3.org/2001/XMLSchema#string' AS o_dt,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM nation WHERE n_name = 'NATION_7'
+            UNION ALL
+            SELECT concat('urn:nation:', n_nationkey),
+                   'urn:p:inRegion',
+                   concat('urn:region:', n_regionkey),
+                   NULL, NULL, NULL
+            FROM nation WHERE n_name = 'NATION_7'
         """,
         "sparql_values": """
             SELECT r_name AS region_name, n_name AS nation_name

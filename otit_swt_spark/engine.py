@@ -85,14 +85,31 @@ class Engine:
         cached = self._plan_cache.get(sparql)
         if cached is not None:
             return cached
+        from otit_swt_spark.sparql import algebra as A
+
         query = parse_query(sparql)
         compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
                             pred_datatypes=self.graph.predicate_datatypes,
                             services=self.services)
-        sm = compiler.compile_query(query)
-        out = self._finalize(sm, query.variables, cache_key=sparql)
+        if isinstance(query, A.AskQuery):
+            sm = compiler.compile_pattern(query.pattern, None)
+            out = (sm.df.limit(1)
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .select((F.col("__n") > 0).alias("ask")))
+        elif isinstance(query, A.ConstructQuery):
+            sm = compiler.compile_pattern(query.pattern, None)
+            out = self._construct(sm, query.template)
+        elif isinstance(query, A.DescribeQuery):
+            out = self._describe(compiler, query)
+        else:
+            sm = compiler.compile_query(query)
+            out = self._finalize(sm, query.variables, cache_key=sparql)
         self._plan_cache[sparql] = out
         return out
+
+    def ask(self, sparql: str) -> bool:
+        """Execute an ASK query and return the boolean."""
+        return bool(self.query(sparql).first()["ask"])
 
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
@@ -127,6 +144,104 @@ class Engine:
         from otit_swt_spark.dsl import parse_ts_query
 
         return self.query(translator.translate(parse_ts_query(dsl)))
+
+    def _construct(self, sm: SolutionMapping, template) -> DataFrame:
+        """Instantiate a CONSTRUCT template per solution. Output is a graph
+        (TRIPLES_SCHEMA columns, set semantics): one select per template
+        triple over the solution frame, unioned, incomplete instantiations
+        (unbound s/p/o, literal subjects) dropped per SPARQL 1.1 §16.2."""
+        from otit_swt_spark.graph import TRIPLES_SCHEMA
+        from otit_swt_spark.sparql import algebra as A
+        from otit_swt_spark.terms import IRI, Literal, Variable, xsd_for_spark_type
+
+        def node_col(term):
+            """(value-col, is-literal-possible-guard) for s/p positions."""
+            if isinstance(term, Variable):
+                m = sm.vars.get(term.name)
+                if m is None:
+                    return F.lit(None).cast("string")
+                col = F.col(term.name).cast("string")
+                dt = sm.dt_col(term.name) if m.kind == "term" else None
+                if dt is not None:  # literal binding -> no triple
+                    col = F.when(dt.isNull(), col)
+                return col
+            if isinstance(term, IRI):
+                return F.lit(term.value)
+            return F.lit(str(term))
+
+        def object_cols(term):
+            if isinstance(term, Variable):
+                m = sm.vars.get(term.name)
+                if m is None:
+                    return [F.lit(None).cast("string").alias(c)
+                            for c in ("o_iri", "o_lex", "o_dt", "o_lang")]
+                val = F.col(term.name).cast("string")
+                if m.kind == "term":
+                    dt = sm.dt_col(term.name)
+                    lang = sm.lang_col(term.name)
+                    if dt is None:  # untyped term (e.g. path object): IRI-ish
+                        return [val.alias("o_iri"),
+                                F.lit(None).cast("string").alias("o_lex"),
+                                F.lit(None).cast("string").alias("o_dt"),
+                                F.lit(None).cast("string").alias("o_lang")]
+                    return [F.when(dt.isNull(), val).alias("o_iri"),
+                            F.when(dt.isNotNull(), val).alias("o_lex"),
+                            dt.alias("o_dt"),
+                            (lang if lang is not None
+                             else F.lit(None).cast("string")).alias("o_lang")]
+                if m.hint == "iri":
+                    return [val.alias("o_iri"),
+                            F.lit(None).cast("string").alias("o_lex"),
+                            F.lit(None).cast("string").alias("o_dt"),
+                            F.lit(None).cast("string").alias("o_lang")]
+                xsd = xsd_for_spark_type(sm.df.schema[term.name].dataType)
+                return [F.lit(None).cast("string").alias("o_iri"),
+                        val.alias("o_lex"), F.lit(xsd).alias("o_dt"),
+                        F.lit(None).cast("string").alias("o_lang")]
+            if isinstance(term, Literal):
+                return [F.lit(None).cast("string").alias("o_iri"),
+                        F.lit(term.lexical).alias("o_lex"),
+                        F.lit(term.datatype).alias("o_dt"),
+                        F.lit(term.language).cast("string").alias("o_lang")]
+            return [F.lit(term.value if isinstance(term, IRI) else str(term)).alias("o_iri"),
+                    F.lit(None).cast("string").alias("o_lex"),
+                    F.lit(None).cast("string").alias("o_dt"),
+                    F.lit(None).cast("string").alias("o_lang")]
+
+        parts = []
+        for tp in template:
+            pred = tp.p.iri if isinstance(tp.p, A.PathPredicate) else tp.p
+            part = sm.df.select(
+                node_col(tp.s).alias("s"), node_col(pred).alias("p"),
+                *object_cols(tp.o))
+            parts.append(part.filter(
+                F.col("s").isNotNull() & F.col("p").isNotNull()
+                & (F.col("o_iri").isNotNull() | F.col("o_lex").isNotNull())))
+        if not parts:
+            return self.spark.createDataFrame([], TRIPLES_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _describe(self, compiler: Compiler, query) -> DataFrame:
+        """All triples whose subject is a described node (minimal CBD)."""
+        from otit_swt_spark.terms import IRI, Variable
+
+        iris = [t.value for t in query.terms if isinstance(t, IRI)]
+        var_names = [t.name for t in query.terms if isinstance(t, Variable)]
+        nodes = None
+        if var_names:
+            if query.pattern is None:
+                raise ValueError("DESCRIBE ?var requires a WHERE pattern")
+            sm = compiler.compile_pattern(query.pattern, None)
+            for v in var_names:
+                part = sm.df.select(F.col(v).cast("string").alias("s")).distinct()
+                nodes = part if nodes is None else nodes.unionByName(part).distinct()
+        if iris:
+            iri_df = self.spark.createDataFrame([(i,) for i in iris], "s string")
+            nodes = iri_df if nodes is None else nodes.unionByName(iri_df).distinct()
+        return self.graph.df.join(F.broadcast(nodes), "s", "left_semi")
 
     def _finalize(self, sm: SolutionMapping, variables: list[str],
                   cache_key: str | None = None) -> DataFrame:

@@ -180,12 +180,32 @@ class GraphStore:
         partitioning) and return a store reading from the layout: each BGP
         triple pattern then scans exactly one predicate partition
         (PartitionFilters) instead of re-deriving the triple view. Skips
-        the write if ``path`` already exists unless ``overwrite``."""
+        the write if ``path`` already exists unless ``overwrite``.
+
+        The predicate->datatype catalog is persisted alongside the layout
+        (``_pred_datatypes.json`` — parquet readers skip ``_``-prefixed
+        files), so a fresh session opening the store types object variables
+        at compile time without re-aggregating the graph."""
+        import json
         import os
 
+        cat_path = os.path.join(path, "_pred_datatypes.json")
         if overwrite or not os.path.exists(path):
             self.write_parquet(path, partition_by_predicate=True)
-        return GraphStore.read_parquet(self.spark, path)
+        store = GraphStore.read_parquet(self.spark, path)
+        if os.path.exists(cat_path):
+            with open(cat_path) as fh:
+                store._pred_dt = json.load(fh)
+        else:
+            catalog = (self._pred_dt if self._pred_dt is not None
+                       else store.predicate_datatypes())
+            store._pred_dt = catalog
+            try:
+                with open(cat_path, "w") as fh:
+                    json.dump(catalog, fh)
+            except OSError:
+                pass  # read-only layout: catalog stays session-local
+        return store
 
     def to_ntriples_df(self) -> DataFrame:
         """Serialize to one N-Triples line per row (reference:

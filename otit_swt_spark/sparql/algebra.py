@@ -315,6 +315,32 @@ class SelectQuery:
     variables: list[str]  # projection order
 
 
+@dataclass
+class AskQuery:
+    """ASK { ... } — does at least one solution exist? Exceeds the reference
+    (SELECT-only, hybrid/src/splitter.rs:32-60); standard SPARQL surface."""
+
+    pattern: GraphPattern
+
+
+@dataclass
+class ConstructQuery:
+    """CONSTRUCT { template } WHERE { ... } — instantiate the template once
+    per solution, drop incomplete triples, produce a graph (set semantics)."""
+
+    template: list["TriplePattern"]
+    pattern: GraphPattern
+
+
+@dataclass
+class DescribeQuery:
+    """DESCRIBE <iri>... / DESCRIBE ?v WHERE { ... } — all triples whose
+    subject is one of the described nodes (minimal CBD variant)."""
+
+    terms: list[Term]  # IRIs and/or Variables
+    pattern: GraphPattern | None
+
+
 def walk_patterns(p: GraphPattern):
     yield p
     for attr in ("inner", "left", "right"):

@@ -38,6 +38,7 @@ KEYWORDS = {
     "UNION", "MINUS", "VALUES", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "IN", "NOT", "EXISTS", "PREFIX",
     "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR", "SERVICE", "SILENT",
+    "ASK", "CONSTRUCT", "DESCRIBE",
 }
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -175,7 +176,7 @@ class Parser:
 
     # -- entry -------------------------------------------------------------
 
-    def parse_query(self) -> A.SelectQuery:
+    def parse_query(self) -> A.SelectQuery | A.AskQuery | A.ConstructQuery | A.DescribeQuery:
         while True:
             if self.accept("PREFIX"):
                 pn = self.expect("pname").value
@@ -186,7 +187,70 @@ class Parser:
                 self.expect("iri")
             else:
                 break
+        t = self.peek()
+        if t.kind == "ASK":
+            return self.parse_ask()
+        if t.kind == "CONSTRUCT":
+            return self.parse_construct()
+        if t.kind == "DESCRIBE":
+            return self.parse_describe()
         return self.parse_select(top=True)
+
+    def parse_ask(self) -> A.AskQuery:
+        self.expect("ASK")
+        self.accept("WHERE")
+        return A.AskQuery(self.parse_group_graph_pattern())
+
+    def parse_construct(self) -> A.ConstructQuery:
+        self.expect("CONSTRUCT")
+        if self.accept("WHERE"):  # short form: template = pattern triples
+            pattern = self.parse_group_graph_pattern()
+            template = [tp for p in A.walk_patterns(pattern)
+                        if isinstance(p, A.BGP) for tp in p.patterns]
+            return A.ConstructQuery(template, pattern)
+        self.expect("op", "{")
+        template: list[A.TriplePattern] = []
+        while not self.accept("op", "}"):
+            template.extend(self.parse_triples_block().patterns)
+            self.accept("op", ".")
+        self.accept("WHERE")
+        pattern = self.parse_group_graph_pattern()
+        # solution modifiers apply to the underlying solution sequence
+        limit: int | None = None
+        offset = 0
+        while True:
+            if self.accept("LIMIT"):
+                limit = int(self.expect("num").value)
+            elif self.accept("OFFSET"):
+                offset = int(self.expect("num").value)
+            else:
+                break
+        if limit is not None or offset:
+            pattern = A.Slice(pattern, offset, limit)
+        for tp in template:
+            p = tp.p
+            if not isinstance(p, (Variable, IRI, A.PathPredicate)):
+                raise SyntaxError("property paths are not allowed in CONSTRUCT templates")
+        return A.ConstructQuery(template, pattern)
+
+    def parse_describe(self) -> A.DescribeQuery:
+        self.expect("DESCRIBE")
+        terms: list[A.Term] = []
+        while True:
+            t = self.peek()
+            if t.kind == "var":
+                self.next()
+                terms.append(Variable(t.value[1:]))
+            elif t.kind in ("iri", "pname"):
+                terms.append(self.parse_iri())
+            else:
+                break
+        if not terms:
+            raise SyntaxError("DESCRIBE needs at least one IRI or variable")
+        pattern = None
+        if self.accept("WHERE") or (self.peek().kind == "op" and self.peek().value == "{"):
+            pattern = self.parse_group_graph_pattern()
+        return A.DescribeQuery(terms, pattern)
 
     def parse_select(self, top: bool = False) -> A.SelectQuery:
         self.expect("SELECT")

@@ -79,3 +79,18 @@ def test_turtle_lite_suffixed_literals(spark):
     assert objs["p"].datatype == XSD + "integer" and objs["p"].lexical == "5"
     assert objs["q"].datatype == XSD + "dateTime"
     assert objs["r"].language == "de" and objs["r"].datatype == XSD_STRING
+
+
+def test_materialized_persists_datatype_catalog(spark, engine, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "kg_cat")
+    g2 = engine.graph.materialized(path)
+    cat_file = os.path.join(path, "_pred_datatypes.json")
+    assert os.path.exists(cat_file)
+    # a fresh open preloads the catalog without recomputation
+    g3 = engine.graph.materialized(path)
+    assert g3._pred_dt is not None
+    assert g3._pred_dt == json.load(open(cat_file))
+    assert g2.predicate_datatypes() == g3.predicate_datatypes()

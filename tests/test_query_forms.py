@@ -1,0 +1,75 @@
+"""ASK / CONSTRUCT / DESCRIBE query forms.
+
+The reference engine is SELECT-only (hybrid/src/splitter.rs:32-60 errors on
+other forms); these standard SPARQL 1.1 forms are additive surface. Results:
+ASK -> 1-row boolean frame (+ Engine.ask), CONSTRUCT/DESCRIBE -> triples
+frames in the GraphStore schema.
+"""
+
+from otit_swt_spark.terms import XSD_STRING
+
+PFX = """
+PREFIX types:<http://example.org/types#>
+PREFIX otit_swt:<https://github.com/magbak/otit_swt#>
+"""
+
+CASE = "http://example.org/case#"
+TYPES = "http://example.org/types#"
+
+
+def test_ask_true(engine):
+    df = engine.query(PFX + "ASK { ?w a types:BigWidget }")
+    assert df.columns == ["ask"]
+    assert df.first()["ask"] is True
+    assert engine.ask(PFX + "ASK { ?w a types:BigWidget }") is True
+
+
+def test_ask_false(engine):
+    assert engine.ask(PFX + "ASK { ?w a types:NoSuchType }") is False
+
+
+def test_construct_rewrites_predicates(engine):
+    df = engine.query(PFX + """
+    CONSTRUCT { ?s <http://example.org/sensorOf> ?w }
+    WHERE { ?w types:hasSensor ?s }""")
+    rows = sorted((r["s"], r["p"], r["o_iri"]) for r in df.collect())
+    assert rows == [
+        (CASE + "mySensor1", "http://example.org/sensorOf", CASE + "myWidget1"),
+        (CASE + "mySensor2", "http://example.org/sensorOf", CASE + "myWidget2"),
+    ]
+
+
+def test_construct_literal_object_carries_datatype(engine):
+    df = engine.query(PFX + """
+    CONSTRUCT { ?ts <http://example.org/extId> ?id }
+    WHERE { ?ts otit_swt:hasExternalId ?id }""")
+    out = {(r["o_lex"], r["o_dt"]) for r in df.collect()}
+    assert out == {("ts1", XSD_STRING), ("ts2", XSD_STRING)}
+    assert all(r["o_iri"] is None for r in df.collect())
+
+
+def test_construct_constant_and_dedup(engine):
+    # every solution instantiates the same constant triple -> set semantics
+    df = engine.query(PFX + """
+    CONSTRUCT { <urn:x> <urn:p> "v" }
+    WHERE { ?w types:hasSensor ?s }""")
+    assert df.count() == 1
+
+
+def test_construct_short_form(engine):
+    df = engine.query(PFX + "CONSTRUCT WHERE { ?w types:hasSensor ?s }")
+    assert df.count() == 2
+    assert {r["p"] for r in df.collect()} == {TYPES + "hasSensor"}
+
+
+def test_describe_iri(engine):
+    df = engine.query(f"DESCRIBE <{CASE}myWidget1>")
+    # all triples with myWidget1 as subject: hasSensor, hasSomething, rdf:type
+    assert df.count() == 3
+    assert {r["s"] for r in df.collect()} == {CASE + "myWidget1"}
+
+
+def test_describe_var_with_pattern(engine):
+    df = engine.query(PFX + "DESCRIBE ?w WHERE { ?w a types:BigWidget }")
+    assert {r["s"] for r in df.collect()} == {CASE + "myWidget1"}
+    assert df.count() == 3
