@@ -52,6 +52,43 @@ from otit_swt_spark.terms import (
 RID = "__rid"
 
 
+def _pattern_free_expr_vars(p: A.GraphPattern) -> set[str]:
+    """Variables referenced by expressions inside ``p`` (BIND/FILTER/
+    ORDER BY/aggregate/nested-LeftJoin expressions) but not bound by ``p``
+    itself — if any of these are bound on the left of an OPTIONAL, the right
+    side is *correlated* and cannot be compiled standalone."""
+    free: set[str] = set()
+    for node in A.walk_patterns(p):
+        if isinstance(node, A.Filter):
+            free |= A.expr_variables(node.expr)
+        elif isinstance(node, A.Extend):
+            free |= A.expr_variables(node.expr)
+        elif isinstance(node, A.OrderBy):
+            for e, _ in node.keys:
+                free |= A.expr_variables(e)
+        elif isinstance(node, A.Group):
+            for a in node.aggregates:
+                if a.expr is not None:
+                    free |= A.expr_variables(a.expr)
+        elif isinstance(node, A.LeftJoin) and node.expr is not None:
+            free |= A.expr_variables(node.expr)
+    return free - A.pattern_variables(p)
+
+
+def _contains_exists(e: A.Expr) -> bool:
+    if isinstance(e, A.EExists):
+        return True
+    if isinstance(e, (A.EOr, A.EAnd, A.ECmp, A.EArith)):
+        return _contains_exists(e.left) or _contains_exists(e.right)
+    if isinstance(e, (A.ENot, A.ENeg)):
+        return _contains_exists(e.inner)
+    if isinstance(e, A.EIn):
+        return _contains_exists(e.expr) or any(_contains_exists(o) for o in e.options)
+    if isinstance(e, A.EFunc):
+        return any(_contains_exists(a) for a in e.args)
+    return False
+
+
 def _with_deterministic_rid(df: DataFrame) -> DataFrame:
     """Append a deterministic row id: struct(xxhash64 over all columns,
     row_number within the hash group ordered by all columns).
@@ -215,10 +252,8 @@ class Compiler:
 
     # --------------------------------------------------------------- joining
 
-    def join_solutions(self, left: SolutionMapping, right: SolutionMapping,
-                       how: str = "inner") -> SolutionMapping:
-        shared = [v for v in left.vars if v in right.vars]
-        # kind/type coercion on join keys
+    def _coerce_join_keys(self, left: SolutionMapping, right: SolutionMapping,
+                          shared: list[str]) -> tuple[SolutionMapping, SolutionMapping]:
         for v in shared:
             lm, rm = left.vars[v], right.vars[v]
             if lm.kind == "native" and rm.kind == "term":
@@ -229,6 +264,12 @@ class Compiler:
                 h = _common_hint(lm.hint, rm.hint)
                 left = _cast_var_to_native(left, v, h)
                 right = _cast_var_to_native(right, v, h)
+        return left, right
+
+    def join_solutions(self, left: SolutionMapping, right: SolutionMapping,
+                       how: str = "inner") -> SolutionMapping:
+        shared = [v for v in left.vars if v in right.vars]
+        left, right = self._coerce_join_keys(left, right, shared)
         # drop right-side aux duplicates for shared term vars (values agree on
         # matched rows), and resolve any other duplicate non-var columns
         rdf = right.df
@@ -759,16 +800,25 @@ class Compiler:
 
     def compile_leftjoin(self, p: A.LeftJoin, input: SolutionMapping | None) -> SolutionMapping:
         left = self.compile_pattern(p.left, input)
-        # Fast path: an OPTIONAL with no filter expression whose right side
-        # compiles standalone is exactly a left outer join on the shared
-        # variables — no row id, no union, left subtree evaluated once.
-        if p.expr is None:
+        # Fast path: an OPTIONAL whose right side compiles standalone is one
+        # left outer join — with the SPARQL filter expression folded into the
+        # join condition (SPARQL LeftJoin(Ω1,Ω2,expr) ≡ left outer join ON
+        # shared-vars-equal AND expr: a left row joins the right rows that
+        # are compatible AND satisfy expr, and null-pads when none do, which
+        # is exactly Filter(expr, Join) ∪ Diff(Ω1, Ω2, expr)). No row id, no
+        # union, left subtree evaluated ONCE — this is the form that
+        # survives a fact-scale left side. EXISTS inside the filter needs
+        # per-branch resolution, so it falls back to the general form.
+        correlated = bool(_pattern_free_expr_vars(p.right) & set(left.vars))
+        if not correlated and (p.expr is None or not _contains_exists(p.expr)):
             try:
                 right = self.compile_pattern(p.right, None)
             except ValueError:
                 right = None  # right side needs left-bound context
             if right is not None:
-                return self.join_solutions(left, right, how="left")
+                if p.expr is None:
+                    return self.join_solutions(left, right, how="left")
+                return self._leftjoin_with_condition(left, right, p.expr)
         # General (SPARQL-correct with filter expr) form: matched rows UNION
         # anti-join-null-padded left rows. The row id must be IDENTICAL in
         # the matched branch (which threads left2 through the right side)
@@ -789,6 +839,45 @@ class Compiler:
         return SolutionMapping(df, vars2, m_sm.dt_vars | un_sm.dt_vars,
                                m_sm.lang_vars | un_sm.lang_vars,
                                {**un_sm.ts_chains, **m_sm.ts_chains})
+
+    def _leftjoin_with_condition(self, left: SolutionMapping,
+                                 right: SolutionMapping,
+                                 expr: A.Expr) -> SolutionMapping:
+        """left OUTER join right ON (shared vars equal AND expr). The filter
+        expression is compiled against the merged variable scope: shared
+        variables resolve to the left columns (equal on matched rows),
+        right-only variables to the right columns."""
+        shared = [v for v in left.vars if v in right.vars]
+        left, right = self._coerce_join_keys(left, right, shared)
+        rdf = right.df
+        # rename right shared-var columns out of the way; drop aux/extra dups
+        for v in shared:
+            rdf = rdf.withColumnRenamed(v, f"__rj_{v}")
+            for aux in right.aux_cols(v):
+                if aux in left.df.columns:
+                    rdf = rdf.drop(aux)
+        dup_extra = [c for c in rdf.columns
+                     if c in left.df.columns and c not in shared]
+        for c in dup_extra:
+            rdf = rdf.drop(c)
+        merged = SolutionMapping(
+            left.df,  # unused by compile_expr (duck-typed metadata access)
+            {**right.vars, **left.vars},
+            left.dt_vars | {v for v in right.dt_vars if v not in shared},
+            left.lang_vars | {v for v in right.lang_vars if v not in shared},
+        )
+        cond = compile_expr(expr, merged).col.try_cast("boolean")
+        for v in shared:
+            cond = (F.col(v) == F.col(f"__rj_{v}")) & cond
+        df = left.df.join(rdf, cond, "left")
+        df = df.drop(*[f"__rj_{v}" for v in shared])
+        vars2 = dict(right.vars)
+        vars2.update(left.vars)
+        dt = set(left.dt_vars) | {v for v in right.dt_vars if f"{v}__dt" in df.columns}
+        lang = set(left.lang_vars) | {v for v in right.lang_vars
+                                      if f"{v}__lang" in df.columns}
+        return SolutionMapping(df, vars2, dt, lang,
+                               {**right.ts_chains, **left.ts_chains})
 
     def compile_minus(self, p: A.Minus, input: SolutionMapping | None) -> SolutionMapping:
         left = self.compile_pattern(p.left, input)

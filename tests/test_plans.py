@@ -63,11 +63,12 @@ def test_optional_simple_compiles_to_left_outer(engine):
     assert "LeftOuter" in optimized(df)
 
 
-def test_optional_with_filter_compiles_to_matched_union_anti(spark):
-    """OPTIONAL{.. FILTER(e)} uses the SPARQL-correct matched-rows UNION
-    anti-join-null-padded form (SURVEY §2.3) — a bare outer join would be
-    wrong for non-null-safe expressions. Uses an uncached graph so the
-    InMemoryRelation assertion sees only compiler-introduced caching."""
+def test_optional_with_filter_compiles_to_conditional_left_outer(spark):
+    """OPTIONAL{.. FILTER(e)} folds the filter into the outer-join
+    condition (LeftJoin(Ω1,Ω2,e) ≡ LEFT OUTER JOIN ON compat AND e): one
+    join, left subtree evaluated once, no row-id window, no Union — the
+    shape that survives a fact-scale left side. The general matched∪anti
+    form remains only for correlated right sides / EXISTS filters."""
     from tests.conftest import TESTDATA_SPARQL
 
     eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
@@ -78,10 +79,10 @@ def test_optional_with_filter_compiles_to_matched_union_anti(spark):
                    FILTER(STRSTARTS(STR(?x), "http")) }
     }""")
     plan = optimized(df)
-    assert "LeftAnti" in plan and "Union" in plan
-    # the row id is value-derived (xxhash64 + row_number), NOT pinned via
-    # persist: no eager cache of the (potentially fact-scale) left side
+    assert "LeftOuter" in plan
+    assert "Union" not in plan
     assert "InMemoryRelation" not in plan
+    assert "window" not in plan.lower()
     got = {tuple(r) for r in df.collect()}
     assert got == {("http://example.org/case#myWidget1",
                     "http://example.org/case#mySomething1"),
@@ -147,3 +148,39 @@ def test_streaming_sink_partition_pruning(spark, tmp_path):
     plan = physical(out)
     assert "PartitionFilters" in plan and "day" in plan
     assert out.count() == 24  # one closed 1h window per hour of Jan 2
+
+
+def test_optional_filter_fail_null_pads(spark):
+    """A right match that fails the OPTIONAL filter null-pads rather than
+    dropping the left row (Diff semantics, SPARQL 1.1 §15.3)."""
+    from tests.conftest import TESTDATA_SPARQL
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+    df = eng.query(PREFIXES + """
+    SELECT ?w ?x WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x
+                   FILTER(STRSTARTS(STR(?x), "zzz")) }
+    }""")
+    got = {tuple(r) for r in df.collect()}
+    assert got == {("http://example.org/case#myWidget1", None),
+                   ("http://example.org/case#myWidget2", None)}
+
+
+def test_optional_filter_on_left_variable(spark):
+    """The OPTIONAL filter may reference left-side variables: the join
+    condition spans both scopes (reference threads the left solution
+    through, combiner.rs:106-127)."""
+    from tests.conftest import TESTDATA_SPARQL
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+    df = eng.query(PREFIXES + """
+    SELECT ?w ?x WHERE {
+        ?w types:hasSensor ?s .
+        OPTIONAL { ?w types:hasSomething ?x
+                   FILTER(?s = <http://example.org/case#mySensor1>) }
+    }""")
+    got = {tuple(r) for r in df.collect()}
+    assert got == {("http://example.org/case#myWidget1",
+                    "http://example.org/case#mySomething1"),
+                   ("http://example.org/case#myWidget2", None)}
