@@ -82,3 +82,83 @@ def test_multiple_timeseries_tables_union(spark, tmp_path):
         ?dp otit_swt:hasValue ?v .
     } GROUP BY ?ts_id""")
     assert rows(df) == [("ts1", 1226), ("ts2", 1238)]
+
+
+@pytest.fixture(scope="module")
+def flight_server():
+    """In-process Arrow Flight SQL-style server: answers any CMD descriptor
+    with a fixed time-series table SHARDED ACROSS TWO ENDPOINTS, so the
+    distributed ticket fan-out is exercised, plus do_get per ticket."""
+    flight = pytest.importorskip("pyarrow.flight")
+    import pyarrow as pa
+    import threading
+
+    table = pa.table({
+        "id": ["ts1", "ts1", "ts2", "ts2"],
+        "timestamp": pa.array([1_000_000, 2_000_000, 1_000_000, 2_000_000],
+                              type=pa.timestamp("us")),
+        "value": [1.0, 2.0, 10.0, 20.0],
+    })
+
+    class Server(flight.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self.queries = []
+
+        def get_flight_info(self, context, descriptor):
+            self.queries.append(descriptor.command.decode())
+            loc = flight.Location.for_grpc_tcp("127.0.0.1", self.port)
+            endpoints = [
+                flight.FlightEndpoint(b"shard-0", [loc]),
+                flight.FlightEndpoint(b"shard-1", [loc]),
+            ]
+            return flight.FlightInfo(table.schema, descriptor, endpoints,
+                                     table.num_rows, -1)
+
+        def do_get(self, context, ticket):
+            shard = int(ticket.ticket.decode().split("-")[1])
+            return flight.RecordBatchStream(table.slice(shard * 2, 2))
+
+    server = Server()
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+
+
+def test_flight_sql_distributed_read(spark, flight_server):
+    from otit_swt_spark.sources.flight import flight_sql_read
+
+    df = flight_sql_read(spark, f"grpc://127.0.0.1:{flight_server.port}",
+                         "SELECT id, timestamp, value FROM ts")
+    got = sorted((r["id"], r["value"]) for r in df.collect())
+    assert got == [("ts1", 1.0), ("ts1", 2.0), ("ts2", 10.0), ("ts2", 20.0)]
+    assert flight_server.queries[-1] == "SELECT id, timestamp, value FROM ts"
+    assert dict(df.dtypes)["timestamp"].startswith("timestamp")
+
+
+def test_flight_sql_driver_side_read(spark, flight_server):
+    from otit_swt_spark.sources.flight import flight_sql_read
+
+    df = flight_sql_read(spark, f"grpc://127.0.0.1:{flight_server.port}",
+                         "SELECT 1", distributed=False)
+    assert df.count() == 4
+
+
+def test_flight_timeseries_feeds_engine(spark, flight_server):
+    """End-to-end: Flight result registered as the engine's external TS
+    store, queried through SPARQL virtual patterns."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{flight_server.port}",
+                           "SELECT * FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (SUM(?v) AS ?total) WHERE {
+        ?t otit_swt:hasExternalId ?ts_id .
+        ?t otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 3.0), ("ts2", 30.0)]
