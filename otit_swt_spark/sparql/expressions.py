@@ -402,13 +402,17 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
             if target == XSD + "date":
                 return Typed(args[0].col.try_cast("date"), "date")
             return Typed(_as_str(args[0]), "string")
-        # otit_swt custom datetime functions (lazy_expressions.rs:565-601)
+        # otit_swt custom datetime functions (lazy_expressions.rs:565-601).
+        # unix_seconds/unix_micros over a (tz) timestamp are direct integer
+        # conversions; unix_timestamp on a timestamp_ntz column plans as a
+        # per-row format+parse (~1.7x slower on a scan) — cast ntz->tz
+        # first (session tz is pinned UTC, so the instant is unchanged).
         if name == DATETIME_AS_SECONDS:
-            return Typed(F.unix_timestamp(_as_ts(args[0])), "long")
+            return Typed(F.unix_seconds(_as_ts(args[0]).cast("timestamp")), "long")
         if name == SECONDS_AS_DATETIME:
             return Typed(F.timestamp_seconds(_as_long(args[0])), "timestamp")
         if name == DATETIME_AS_NANOS:
-            return Typed(F.unix_micros(_as_ts(args[0])) * F.lit(1000), "long")
+            return Typed(F.unix_micros(_as_ts(args[0]).cast("timestamp")) * F.lit(1000), "long")
         if name == NANOS_AS_DATETIME:
             return Typed(F.timestamp_micros((_as_long(args[0]) / F.lit(1000)).cast("long")), "timestamp")
         raise NotImplementedError(f"function {name}")
