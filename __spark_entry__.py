@@ -190,6 +190,29 @@ def q_sparql_describe(spark, sf_dir):
         PFX + 'DESCRIBE ?n WHERE { ?n <urn:p:name> "NATION_7" . ?n <urn:p:inRegion> ?r }')
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """Sub-SELECT with aggregation joined to the outer pattern (SPARQL 1.1
+    §12; reference handles via spargebra's nested GraphPattern)."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?region_name ?n_nations WHERE {
+        ?r <urn:p:name> ?region_name .
+        FILTER(STRSTARTS(STR(?r), "urn:region:"))
+        { SELECT ?r (COUNT(?n) AS ?n_nations) WHERE {
+              ?n <urn:p:inRegion> ?r .
+              FILTER(STRSTARTS(STR(?n), "urn:nation:"))
+          } GROUP BY ?r }
+    }""")
+
+
+def q_sparql_group_by_expr(spark, sf_dir):
+    """GROUP BY (expr AS ?v) — expression keys bind before grouping."""
+    return _engine(spark, sf_dir).query(PFX + """
+    SELECT ?bal_bucket (COUNT(?c) AS ?n) WHERE {
+        ?c <urn:p:acctbal> ?bal .
+        FILTER(STRSTARTS(STR(?c), "urn:cust:"))
+    } GROUP BY (xsd:integer(FLOOR(?bal / 1000.0)) AS ?bal_bucket)""")
+
+
 def q_sparql_values(spark, sf_dir):
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?region_name ?nation_name WHERE {
@@ -696,6 +719,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
         "sparql_describe": q_sparql_describe,
+        "sparql_subquery": q_sparql_subquery,
+        "sparql_group_by_expr": q_sparql_group_by_expr,
         "sparql_values": q_sparql_values,
         "sparql_distinct_order_limit": q_sparql_distinct_order_limit,
         "sparql_orders_agg": q_sparql_orders_agg,
@@ -815,6 +840,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sparql_ask": """
             SELECT EXISTS(SELECT 1 FROM nation WHERE n_name = 'NATION_7') AS ask
+        """,
+        "sparql_subquery": """
+            SELECT r_name AS region_name, cnt AS n_nations
+            FROM region JOIN (
+                SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY n_regionkey
+            ) sub ON sub.n_regionkey = r_regionkey
+        """,
+        "sparql_group_by_expr": """
+            SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                   count(*) AS n
+            FROM customer
+            GROUP BY 1
         """,
         "sparql_construct": """
             SELECT concat('urn:nation:', n_nationkey) AS s,

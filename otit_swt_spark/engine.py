@@ -154,9 +154,20 @@ class Engine:
         from otit_swt_spark.sparql import algebra as A
         from otit_swt_spark.terms import IRI, Literal, Variable, xsd_for_spark_type
 
+        def mint_bnode(name: str):
+            """Template blank nodes mint one fresh node per solution, shared
+            across the template's triples (SPARQL 1.1 §16.2.1); derived from
+            the solution values, so identical solutions collapse with the
+            graph's set semantics."""
+            return F.concat(F.lit(f"_:{name[len('__bnode_'):]}_"),
+                            F.abs(F.xxhash64(*[F.col(c) for c in sm.df.columns]))
+                            .cast("string"))
+
         def node_col(term):
             """(value-col, is-literal-possible-guard) for s/p positions."""
             if isinstance(term, Variable):
+                if term.name.startswith("__bnode_") and term.name not in sm.vars:
+                    return mint_bnode(term.name)
                 m = sm.vars.get(term.name)
                 if m is None:
                     return F.lit(None).cast("string")
@@ -171,6 +182,11 @@ class Engine:
 
         def object_cols(term):
             if isinstance(term, Variable):
+                if term.name.startswith("__bnode_") and term.name not in sm.vars:
+                    return [mint_bnode(term.name).alias("o_iri"),
+                            F.lit(None).cast("string").alias("o_lex"),
+                            F.lit(None).cast("string").alias("o_dt"),
+                            F.lit(None).cast("string").alias("o_lang")]
                 m = sm.vars.get(term.name)
                 if m is None:
                     return [F.lit(None).cast("string").alias(c)

@@ -73,3 +73,21 @@ def test_describe_var_with_pattern(engine):
     df = engine.query(PFX + "DESCRIBE ?w WHERE { ?w a types:BigWidget }")
     assert {r["s"] for r in df.collect()} == {CASE + "myWidget1"}
     assert df.count() == 3
+
+
+def test_construct_blank_node_template(engine):
+    """Template blank nodes mint one fresh node per solution, shared across
+    the template triples of that solution (SPARQL 1.1 §16.2.1)."""
+    df = engine.query(PFX + """
+    CONSTRUCT { ?w <http://example.org/via> _:b .
+                _:b <http://example.org/to> ?s }
+    WHERE { ?w types:hasSensor ?s }""")
+    rows = df.collect()
+    assert len(rows) == 4
+    via = {r["s"]: r["o_iri"] for r in rows if r["p"].endswith("via")}
+    to = {r["s"]: r["o_iri"] for r in rows if r["p"].endswith("to")}
+    # per solution, the same minted node appears as via-object and to-subject
+    for w, b in via.items():
+        assert b.startswith("_:")
+        assert to[b] == w.replace("Widget", "Sensor")
+    assert len(set(via.values())) == 2  # distinct solutions -> distinct bnodes
