@@ -315,6 +315,41 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join, dims broadcast, one agg shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate must reach
+    the parquet scan (PushedFilters), no join, no shuffle but the final
+    single-row agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+             .cast("double").alias("revenue"))
+    )
+
+
 def q_join_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -737,6 +772,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sparql_sync_join": q_sparql_sync_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -998,6 +1035,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
         """,
         "tpch_q3_topk": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
