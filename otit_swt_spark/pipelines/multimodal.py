@@ -2,16 +2,23 @@
 with typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derives metadata
-from the bytes. Everything around the kernel — schema, batch iteration,
-partition sizing, UDF signatures — is real and tested, so dropping in a real
-decoder (PIL/libsndfile/pyav) is a one-function change.
+Decode depth is tiered by what this environment provides:
+
+- **Container-level image decode is REAL** for PNG / JPEG / GIF / BMP:
+  dimensions and channel counts come from pure-header parsing (no imaging
+  library needed), and uncompressed 24-bit BMP additionally yields true
+  mean luma from the pixel data.
+- **WAV audio decode is REAL** (stdlib ``wave`` + numpy PCM RMS).
+- Deep pixel decode of compressed formats (JPEG DCT, PNG inflate) would
+  need PIL — those fields come back null rather than failing the job
+  (corrupt/unknown files must not kill a 100 TB pipeline).
+- ``fake=True`` keeps the deterministic synthetic decoder for plumbing
+  tests over non-media payloads.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,19 +52,69 @@ def attach_binary_column(df: DataFrame, text_col: str = "text",
     )
 
 
+_NULL_IMG = {"width": None, "height": None, "channels": None, "mean_luma": None}
+
+
+def _sniff_image(payload: bytes) -> dict | None:
+    """Header-level decode of PNG/JPEG/GIF/BMP. Returns None for unknown
+    containers; mean_luma is populated only where the raw pixels are
+    reachable without a codec (uncompressed 24-bit BMP)."""
+    if len(payload) < 26:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is the first chunk: length(4) type(4) width(4) height(4)
+        # bitdepth(1) colortype(1)
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        return {"width": w, "height": h, "channels": channels, "mean_luma": None}
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to an SOF marker
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return {"width": w, "height": h,
+                        "channels": payload[i + 9], "mean_luma": None}
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h, "channels": 3, "mean_luma": None}
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+        out = {"width": w, "height": abs(h), "channels": max(bpp // 8, 1),
+               "mean_luma": None}
+        if bpp == 24 and compression == 0:
+            offset = struct.unpack("<I", payload[10:14])[0]
+            px = payload[offset:]
+            if px:
+                out["mean_luma"] = round(sum(px) / len(px) / 255.0, 6)
+        return out
+    return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real implementation would be e.g. PIL.Image.open(BytesIO(...)).
-    The deterministic fake derives pseudo-dimensions from the byte content so
-    the distributed plumbing can be exercised and asserted."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library not present in this "
-            "environment; pass fake=True for the deterministic test decoder")
-    n = len(payload)
-    width = 16 + (n % 64)
-    height = 16 + ((n // 64) % 64)
-    luma = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
-    return {"width": width, "height": height, "channels": 3, "mean_luma": luma}
+    """Container-header image decode (PNG/JPEG/GIF/BMP — see module doc).
+    Unknown containers yield null fields instead of failing; ``fake=True``
+    keeps the deterministic synthetic decoder used by plumbing tests."""
+    if fake:
+        n = len(payload)
+        width = 16 + (n % 64)
+        height = 16 + ((n // 64) % 64)
+        luma = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
+        return {"width": width, "height": height, "channels": 3, "mean_luma": luma}
+    return _sniff_image(payload) or dict(_NULL_IMG)
 
 
 def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -74,7 +131,8 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "width": [f["width"] for f in feats],
                 "height": [f["height"] for f in feats],
                 "channels": [f["channels"] for f in feats],
-                "mean_luma": [round(f["mean_luma"], 6) for f in feats],
+                "mean_luma": [None if f["mean_luma"] is None
+                              else round(f["mean_luma"], 6) for f in feats],
             })
             yield out
 
@@ -87,17 +145,42 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+_NULL_AUDIO = {"duration_s": None, "sample_rate": None, "rms": None}
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real implementation would be soundfile/librosa. The
-    deterministic fake derives pseudo duration/rate/energy from bytes."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; pass fake=True for the deterministic test decoder")
-    n = len(payload)
-    rate = 16000
-    duration = n / 2 / rate  # pretend 16-bit mono PCM
-    rms = (sum(b * b for b in payload[:512]) / max(min(n, 512), 1)) ** 0.5 / 255.0
+    """REAL decode for WAV containers (stdlib ``wave`` + numpy PCM RMS);
+    other containers (mp3/flac/ogg need codecs absent here) yield null
+    fields. ``fake=True`` keeps the deterministic synthetic decoder."""
+    if fake:
+        n = len(payload)
+        rate = 16000
+        duration = n / 2 / rate  # pretend 16-bit mono PCM
+        rms = (sum(b * b for b in payload[:512]) / max(min(n, 512), 1)) ** 0.5 / 255.0
+        return {"duration_s": duration, "sample_rate": rate, "rms": rms}
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return dict(_NULL_AUDIO)
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError):
+        return dict(_NULL_AUDIO)
+    duration = n_frames / rate if rate else None
+    rms = None
+    if width == 2 and frames:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        rms = round(float(np.sqrt(np.mean(samples * samples))), 6)
+    elif width == 1 and frames:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+        rms = round(float(np.sqrt(np.mean(samples * samples))), 6)
     return {"duration_s": duration, "sample_rate": rate, "rms": rms}
 
 
@@ -112,9 +195,11 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],
                 "n_bytes": [len(p) for p in pdf["payload"]],
-                "duration_s": [round(f["duration_s"], 6) for f in feats],
+                "duration_s": [None if f["duration_s"] is None
+                               else round(f["duration_s"], 6) for f in feats],
                 "sample_rate": [f["sample_rate"] for f in feats],
-                "rms": [round(f["rms"], 6) for f in feats],
+                "rms": [None if f["rms"] is None
+                        else round(f["rms"], 6) for f in feats],
             })
 
     return media.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

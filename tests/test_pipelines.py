@@ -250,3 +250,78 @@ def test_simhash_bucket_cap_bounds_pairs(spark):
     assert n_pairs >= n - 1  # successor chains keep the cluster connected
     clusters = dedup_clusters(pairs)
     assert clusters.select("cluster").distinct().count() == 1
+
+
+def test_real_image_header_decode(spark):
+    """Container-level decode is REAL for PNG/GIF/BMP/JPEG headers: the
+    kernel extracts dimensions/channels without any imaging library, and
+    uncompressed 24-bit BMP yields true mean luma."""
+    import struct
+    from otit_swt_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA, decode_image, extract_image_features)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    # 2x1 24-bit BMP, all-white pixels (mean luma 1.0), no row padding issue
+    px = b"\xff" * 6 + b"\x00\x00"  # one row padded to 4 bytes
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0) + px)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 96, 128)
+            + bytes([3]) + b"\x00" * 10 + b"\xff\xd9")
+
+    assert decode_image(png) == {"width": 640, "height": 480, "channels": 4,
+                                 "mean_luma": None}
+    assert decode_image(gif)["width"] == 320
+    d = decode_image(bmp)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 3)
+    assert d["mean_luma"] is not None and d["mean_luma"] > 0.7  # white + padding
+    j = decode_image(jpeg)
+    assert (j["width"], j["height"], j["channels"]) == (128, 96, 3)
+    assert decode_image(b"not an image at all, promise!")["width"] is None
+
+    # end-to-end through the distributed mapInPandas path
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png), {}),
+         (2, "image", "image/gif", bytearray(gif), {}),
+         (3, "image", "text/plain", bytearray(b"garbage-payload-xxxx-yyyy"), {})],
+        MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
+    assert out[1]["width"] == 640 and out[2]["width"] == 320
+    assert out[3]["width"] is None
+
+
+def test_real_wav_audio_decode(spark):
+    """WAV decode is REAL: stdlib wave + numpy RMS over the PCM samples."""
+    import io
+    import math
+    import struct
+    import wave as wavemod
+    from otit_swt_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA, decode_audio, extract_audio_features)
+
+    buf = io.BytesIO()
+    rate, secs, freq = 8000, 2, 440.0
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        amp = 0.5
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(rate * secs))
+        w.writeframes(frames)
+    wav = buf.getvalue()
+
+    d = decode_audio(wav)
+    assert d["sample_rate"] == 8000
+    assert abs(d["duration_s"] - 2.0) < 1e-6
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536
+    assert abs(d["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert decode_audio(b"OggS not a wav")["sample_rate"] is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav), {})], MEDIA_SCHEMA)
+    row = extract_audio_features(media, fake=False).first()
+    assert row["sample_rate"] == 8000 and abs(row["rms"] - 0.3536) < 0.01
