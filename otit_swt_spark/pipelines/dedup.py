@@ -113,6 +113,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def band_entries_for(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Explode a (id, sig) frame into (id, band, bucket) LSH band entries —
+    map-side only, streaming-safe (used by both the batch pair pipeline and
+    the stream-static near-dup join)."""
+    rows = k // bands
+    return with_sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                                  for r in range(rows)])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -127,7 +147,6 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, sig_agreement) where sig_agreement estimates
     Jaccard similarity. rows = k/bands hashes per band; two docs collide if
     any band matches."""
-    rows = k // bands
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     sig = minhash_signature_udf(k, shingle_n)(F.col(text_col))
@@ -142,19 +161,7 @@ def minhash_lsh_pairs(
         .persist()
     )
 
-    band_entries = with_sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
-                                                  for r in range(rows)])).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_entries = band_entries_for(with_sig, k, bands)
 
     # Pair generation per bucket (one groupBy shuffle on uniformly-hashed
     # bucket keys — no self-join). Buckets of exact duplicates would blow up

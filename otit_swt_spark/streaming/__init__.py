@@ -10,6 +10,11 @@ date-partitioned parquet sinks that register directly as
 engine, plus an ``applyInPandasWithState`` stateful gap-detection operator.
 """
 
+from otit_swt_spark.streaming.dedup import (
+    build_lsh_index,
+    stream_exact_dedup,
+    stream_near_dup_flags,
+)
 from otit_swt_spark.streaming.ingest import (
     read_timeseries_stream,
     session_downsample,
@@ -20,10 +25,13 @@ from otit_swt_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "build_lsh_index",
     "read_timeseries_stream",
     "session_downsample",
     "session_gaps",
     "sliding_downsample",
+    "stream_exact_dedup",
+    "stream_near_dup_flags",
     "to_timeseries_sink",
     "windowed_downsample",
 ]

@@ -1,0 +1,77 @@
+"""Streaming document dedup — the training-data pipeline ops, stream form.
+
+Scale design:
+- **Exact dedup** is ``dropDuplicatesWithinWatermark`` on a content digest:
+  state-store keys are 16-byte digests, evicted at the watermark horizon,
+  so state is bounded by (ingest rate x horizon), never stream length.
+- **Near-dup flagging** is a STREAM-STATIC join: the micro-batch's MinHash
+  band entries (map-side explode, no stream-side shuffle) probe a static
+  LSH index of the reference corpus. The static side is broadcast or
+  bucket-joined by Catalyst per micro-batch; new corpus snapshots swap in
+  by restarting the query against the refreshed index path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from otit_swt_spark.pipelines.dedup import band_entries_for, minhash_signature_udf
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time: str = "ingest_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop exact-content duplicates within the watermark horizon.
+
+    Emits the first arrival of each distinct content digest; later copies
+    inside the horizon are suppressed by the state store, copies arriving
+    after the horizon re-emit (bounded state is the price of unbounded
+    streams — a nightly batch ``exact_dedup`` pass over the sink removes
+    the stragglers)."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
+def build_lsh_index(corpus: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 64,
+                    bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Static LSH band index of a reference corpus: (id, band, bucket).
+    Write it to parquet partitioned by ``band`` for pruned probes."""
+    sig = minhash_signature_udf(k, shingle_n)(F.col(text_col))
+    with_sig = corpus.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return band_entries_for(with_sig, k, bands)
+
+
+def stream_near_dup_flags(
+    stream_docs: DataFrame,
+    static_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag streaming documents that LSH-collide with a static reference
+    corpus. Streaming input yields append-safe (doc_id, corpus_id) hit
+    pairs (stream-static inner join — no stream-side aggregation state);
+    batch input additionally aggregates to (doc_id, n_hits)."""
+    sig = minhash_signature_udf(k, shingle_n)(F.col(text_col))
+    with_sig = stream_docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    probes = band_entries_for(with_sig, k, bands)
+    idx = static_index.select(
+        F.col("id").alias("corpus_id"), "band", "bucket")
+    hits = (
+        probes.join(idx, ["band", "bucket"])
+        .select(F.col("id").alias(id_col), "corpus_id")
+    )
+    if stream_docs.isStreaming:
+        return hits.dropDuplicates([id_col, "corpus_id"])
+    return (hits.dropDuplicates([id_col, "corpus_id"])
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))

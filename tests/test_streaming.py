@@ -150,3 +150,59 @@ def test_session_downsample_batch_semantics(spark):
         "id": ["a"] * 5, "timestamp": t, "value": [1.0] * 5}))
     out = rows(session_downsample(df, gap="5 minutes").select("id", "n_points"))
     assert sorted(n for _, n in out) == [2, 3]
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: first arrival of each content digest is
+    emitted, later copies inside the watermark horizon are suppressed."""
+    from otit_swt_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docs_src")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha", "beta", "alpha", "gamma", "beta"],
+        "ingest_time": pd.to_datetime(["2024-01-01 00:00:00"] * 5),
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string, ingest_time timestamp")
+              .parquet(src))
+    deduped = stream_exact_dedup(stream)
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.sql("SELECT text FROM dedup_out").collect())
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_stream_near_dup_flags(spark, tmp_path):
+    """Stream-static LSH join: streaming docs that collide with the static
+    corpus index are flagged; novel docs are not."""
+    from otit_swt_spark.streaming import build_lsh_index, stream_near_dup_flags
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "completely unrelated reference material about spark internals"],
+    }))
+    index = build_lsh_index(corpus, k=32, bands=16)
+
+    src = str(tmp_path / "probe_src")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "zebra xylophone quartz vortex blitz jackdaws phlegm unique"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flags = stream_near_dup_flags(stream, index, k=32, bands=16)
+    q = (flags.writeStream.format("memory").queryName("neardup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["corpus_id"])
+           for r in spark.sql("SELECT * FROM neardup_out").collect()}
+    assert (1, 100) in got
+    assert all(d != 2 for d, _ in got)
+
+    # batch twin aggregates to hit counts
+    batch = stream_near_dup_flags(spark.createDataFrame(pdf), index, k=32, bands=16)
+    assert {(r["doc_id"], r["n_hits"]) for r in batch.collect()} == {(1, 1)}
