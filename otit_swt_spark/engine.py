@@ -111,6 +111,70 @@ class Engine:
         """Execute an ASK query and return the boolean."""
         return bool(self.query(sparql).first()["ask"])
 
+    def update(self, sparql: str) -> "Engine":
+        """Execute a SPARQL 1.1 Update (INSERT/DELETE DATA, DELETE WHERE,
+        DELETE/INSERT ... WHERE) against the default graph. Exceeds the
+        reference (read-only engine; graphs are built via the mapper).
+        Deletes apply before inserts from one WHERE evaluation (SPARQL 1.1
+        Update §3.1.3); the store keeps set semantics."""
+        from otit_swt_spark.graph import TRIPLES_SCHEMA, _term_to_row
+        from otit_swt_spark.sparql import algebra as A
+        from otit_swt_spark.terms import Variable
+
+        q = parse_query(sparql)
+        if not isinstance(q, A.UpdateQuery):
+            raise ValueError("Engine.update expects an update form; use "
+                             "query() for SELECT/ASK/CONSTRUCT/DESCRIBE")
+
+        def ground_df(tpl):
+            rows = []
+            for tp in tpl:
+                pred = tp.p.iri if isinstance(tp.p, A.PathPredicate) else tp.p
+                for term in (tp.s, pred, tp.o):
+                    if isinstance(term, Variable):
+                        raise ValueError(
+                            "INSERT/DELETE DATA requires ground triples; "
+                            f"found variable ?{term.name}")
+                rows.append(_term_to_row(tp.s, pred, tp.o))
+            return self.spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+        if q.data_only:
+            delete_df = ground_df(q.delete) if q.delete else None
+            insert_df = ground_df(q.insert) if q.insert else None
+        else:
+            compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
+                                pred_datatypes=self.graph.predicate_datatypes,
+                                services=self.services)
+            sm = compiler.compile_pattern(q.pattern, None)
+            delete_df = self._construct(sm, q.delete) if q.delete else None
+            insert_df = self._construct(sm, q.insert) if q.insert else None
+
+        cols = [f.name for f in TRIPLES_SCHEMA]
+
+        def nullsafe_anti(left: DataFrame, right: DataFrame) -> DataFrame:
+            # both sides may share lineage with graph.df (templates compile
+            # from the same scan): alias to avoid ambiguous self-join refs,
+            # and join null-safely on all six term columns
+            l, r = left.alias("__l"), right.alias("__r")
+            cond = None
+            for c in cols:
+                eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+                cond = eq if cond is None else cond & eq
+            return l.join(r, cond, "left_anti")
+
+        df = self.graph.df
+        if delete_df is not None:
+            df = nullsafe_anti(df, delete_df)
+        if insert_df is not None:
+            # set semantics: only triples not already present are added
+            fresh = nullsafe_anti(insert_df.dropDuplicates(cols), df)
+            df = df.unionByName(fresh)
+        self.graph.df = df
+        self.graph._pred_dt = None  # datatype catalog derives from the data
+        self._plan_cache.clear()
+        self._dt_cache.clear()
+        return self
+
     def query(self, sparql: str) -> DataFrame:
         return self.execute_hybrid_query(sparql)
 

@@ -333,6 +333,18 @@ class ConstructQuery:
 
 
 @dataclass
+class UpdateQuery:
+    """SPARQL 1.1 Update over the default graph: ``data_only`` marks
+    INSERT/DELETE DATA (ground triples, no pattern); otherwise the delete/
+    insert templates are instantiated once per WHERE solution."""
+
+    delete: list["TriplePattern"] | None
+    insert: list["TriplePattern"] | None
+    pattern: GraphPattern | None
+    data_only: bool = False
+
+
+@dataclass
 class DescribeQuery:
     """DESCRIBE <iri>... / DESCRIBE ?v WHERE { ... } — all triples whose
     subject is one of the described nodes (minimal CBD variant)."""

@@ -38,7 +38,7 @@ KEYWORDS = {
     "UNION", "MINUS", "VALUES", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "IN", "NOT", "EXISTS", "PREFIX",
     "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR", "SERVICE", "SILENT",
-    "ASK", "CONSTRUCT", "DESCRIBE",
+    "ASK", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
 }
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -194,7 +194,47 @@ class Parser:
             return self.parse_construct()
         if t.kind == "DESCRIBE":
             return self.parse_describe()
+        if t.kind in ("INSERT", "DELETE"):
+            return self.parse_update()
         return self.parse_select(top=True)
+
+    def parse_update(self) -> A.UpdateQuery:
+        """SPARQL 1.1 Update forms over the default graph:
+        ``INSERT DATA {t}``, ``DELETE DATA {t}``, ``DELETE WHERE {p}``,
+        and ``[DELETE {t}] [INSERT {t}] WHERE {p}``."""
+        delete_tpl: list[A.TriplePattern] | None = None
+        insert_tpl: list[A.TriplePattern] | None = None
+
+        def template_block() -> list[A.TriplePattern]:
+            self.expect("op", "{")
+            tpl: list[A.TriplePattern] = []
+            while not self.accept("op", "}"):
+                tpl.extend(self.parse_triples_block().patterns)
+                self.accept("op", ".")
+            return tpl
+
+        if self.accept("DELETE"):
+            if self.accept("DATA"):
+                return A.UpdateQuery(delete=template_block(), insert=None,
+                                     pattern=None, data_only=True)
+            if self.peek().kind == "WHERE":  # DELETE WHERE {p}: pattern=template
+                self.next()
+                tpl = template_block()
+                return A.UpdateQuery(delete=tpl, insert=None,
+                                     pattern=A.BGP(list(tpl)))
+            delete_tpl = template_block()
+            if self.accept("INSERT"):
+                insert_tpl = template_block()
+        else:
+            self.expect("INSERT")
+            if self.accept("DATA"):
+                return A.UpdateQuery(delete=None, insert=template_block(),
+                                     pattern=None, data_only=True)
+            insert_tpl = template_block()
+        self.expect("WHERE")
+        pattern = self.parse_group_graph_pattern()
+        return A.UpdateQuery(delete=delete_tpl, insert=insert_tpl,
+                             pattern=pattern)
 
     def parse_ask(self) -> A.AskQuery:
         self.expect("ASK")

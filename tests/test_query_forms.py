@@ -91,3 +91,62 @@ def test_construct_blank_node_template(engine):
         assert b.startswith("_:")
         assert to[b] == w.replace("Widget", "Sensor")
     assert len(set(via.values())) == 2  # distinct solutions -> distinct bnodes
+
+
+def _fresh_engine(spark):
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from tests.conftest import TESTDATA_SPARQL
+
+    return Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+
+
+def test_update_insert_data(spark):
+    eng = _fresh_engine(spark)
+    n0 = eng.graph.df.count()
+    eng.update('INSERT DATA { <urn:x> <urn:p> "v" . <urn:x> <urn:p> 5 }')
+    assert eng.graph.df.count() == n0 + 2
+    assert eng.ask('ASK { <urn:x> <urn:p> 5 }')
+    # set semantics: re-inserting is a no-op
+    eng.update('INSERT DATA { <urn:x> <urn:p> "v" }')
+    assert eng.graph.df.count() == n0 + 2
+
+
+def test_update_delete_data(spark):
+    eng = _fresh_engine(spark)
+    eng.update('INSERT DATA { <urn:x> <urn:p> "v" }')
+    n1 = eng.graph.df.count()
+    eng.update('DELETE DATA { <urn:x> <urn:p> "v" }')
+    assert eng.graph.df.count() == n1 - 1
+    assert not eng.ask('ASK { <urn:x> <urn:p> "v" }')
+
+
+def test_update_delete_where(spark):
+    eng = _fresh_engine(spark)
+    n0 = eng.graph.df.count()
+    eng.update("""
+    PREFIX otit_swt:<https://github.com/magbak/otit_swt#>
+    DELETE WHERE { ?ts otit_swt:hasExternalId ?id }""")
+    assert eng.graph.df.count() == n0 - 2
+    assert not eng.ask("""
+    PREFIX otit_swt:<https://github.com/magbak/otit_swt#>
+    ASK { ?ts otit_swt:hasExternalId ?id }""")
+
+
+def test_update_delete_insert_where(spark):
+    eng = _fresh_engine(spark)
+    eng.update(PFX + """
+    DELETE { ?w types:hasSensor ?s }
+    INSERT { ?s <http://example.org/attachedTo> ?w }
+    WHERE { ?w types:hasSensor ?s }""")
+    assert not eng.ask(PFX + "ASK { ?w types:hasSensor ?s }")
+    df = eng.query(PFX + "SELECT ?s ?w WHERE { ?s <http://example.org/attachedTo> ?w }")
+    assert df.count() == 2
+
+
+def test_update_rejects_select(spark):
+    import pytest as _pytest
+
+    eng = _fresh_engine(spark)
+    with _pytest.raises(ValueError):
+        eng.update("SELECT ?s WHERE { ?s ?p ?o }")
