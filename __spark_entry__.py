@@ -646,6 +646,14 @@ def q_chunk_docs(spark, sf_dir):
     return chunk_text(_t(spark, sf_dir, "documents"), chunk_chars=120)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """Composite training-corpus preparation: quality filter -> exact dedup
+    -> chunk -> per-chunk token count (pipelines/corpus.py)."""
+    from otit_swt_spark.pipelines.corpus import prepare_corpus
+
+    return prepare_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_near_dedup_docs(spark, sf_dir):
     from otit_swt_spark.pipelines.dedup import near_dedup
 
@@ -787,6 +795,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_score": q_quality_score,
         "embedding_topk": q_embedding_topk,
         "chunk_docs": q_chunk_docs,
+        "corpus_pipeline": q_corpus_pipeline,
         "near_dedup_docs": q_near_dedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1133,6 +1142,27 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(i*120+1 AS INT), 120) AS chunk
             FROM documents CROSS JOIN generate_series(0, 1000) AS t(i)
             WHERE i <= greatest(CAST(ceil(length(text)/120.0) AS BIGINT) - 1, 0)
+        """,
+        "corpus_pipeline": r"""
+            WITH kept AS (
+                SELECT doc_id, text FROM documents
+                WHERE len(regexp_extract_all(text, '\S+', 0)) >= 20
+                  AND len(regexp_extract_all(text,
+                          '(?i)\b(the|and|of|to|is|a|in|that|it|for)\b', 0))
+                      / greatest(len(regexp_extract_all(text, '\S+', 0)), 1)
+                      >= 0.02
+            ), keep_ids AS (
+                SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+            ), deduped AS (
+                SELECT k.doc_id, k.text FROM kept k
+                JOIN keep_ids USING (doc_id)
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, CAST(i*200+1 AS INT), 200) AS chunk,
+                   len(regexp_extract_all(
+                       substr(text, CAST(i*200+1 AS INT), 200), '\S+', 0)) AS n_tokens
+            FROM deduped CROSS JOIN generate_series(0, 1000) AS t(i)
+            WHERE i <= greatest(CAST(ceil(length(text)/200.0) AS BIGINT) - 1, 0)
         """,
         "lang_id": f"SELECT doc_id, {pick} AS lang_guess FROM documents",
         "quality_score": r"""

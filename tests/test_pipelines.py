@@ -325,3 +325,25 @@ def test_real_wav_audio_decode(spark):
         [(1, "audio", "audio/wav", bytearray(wav), {})], MEDIA_SCHEMA)
     row = extract_audio_features(media, fake=False).first()
     assert row["sample_rate"] == 8000 and abs(row["rms"] - 0.3536) < 0.01
+
+
+def test_prepare_corpus_composite(spark):
+    """Quality filter + exact dedup + chunk + token count in one pass:
+    low-quality and duplicate documents never reach the chunker."""
+    from otit_swt_spark.pipelines.corpus import prepare_corpus
+
+    prose = ("the quick brown fox jumps over the lazy dog and it is a tale "
+             "that is told for the ages in every language of the world " * 3)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [prose, prose,            # 2 = exact duplicate of 1
+                 "x y z",                 # 3 = too short
+                 "asdf qwer zxcv " * 30], # 4 = no stopwords
+    }))
+    out = prepare_corpus(docs, min_tokens=20, min_stopword_ratio=0.02,
+                         chunk_chars=100).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert all(r["n_tokens"] > 0 for r in out)
+    # chunks tile the document
+    assert [r["chunk_idx"] for r in sorted(out, key=lambda r: r["chunk_idx"])] \
+        == list(range(len(out)))
