@@ -38,6 +38,8 @@ class Engine:
         self.ts_tables: list[TimeSeriesTable] = []
         #: endpoint IRI -> GraphStore for SERVICE federation
         self.services: dict[str, GraphStore] = {}
+        #: graph IRI -> GraphStore for GRAPH patterns (named graphs)
+        self.named_graphs: dict[str, GraphStore] = {}
         #: raise InconsistentDatatype for statically-detected mixed-datatype
         #: output variables (reference behavior); False = coerce to the first
         #: observed datatype, nulling lexical forms that do not parse
@@ -77,6 +79,18 @@ class Engine:
         self._plan_cache.clear()
         return self
 
+    def register_named_graph(self, graph_iri: str, graph: "GraphStore | DataFrame") -> "Engine":
+        """Attach a named graph for GRAPH patterns (additive — the reference
+        rejects datasets, splitter.rs:41-48). ``GRAPH <iri> {...}`` evaluates
+        against it; ``GRAPH ?g {...}`` unions all registered named graphs
+        with ?g bound."""
+        if isinstance(graph, DataFrame):
+            graph = GraphStore(self.spark, graph)
+        self.named_graphs[graph_iri] = graph
+        self._dt_cache.clear()
+        self._plan_cache.clear()
+        return self
+
     # -- entry point 1 (reference engine.rs:57-134) -------------------------
 
     def execute_hybrid_query(self, sparql: str) -> DataFrame:
@@ -90,7 +104,8 @@ class Engine:
         query = parse_query(sparql)
         compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
                             pred_datatypes=self.graph.predicate_datatypes,
-                            services=self.services)
+                            services=self.services,
+                            named_graphs=self.named_graphs)
         if isinstance(query, A.AskQuery):
             sm = compiler.compile_pattern(query.pattern, None)
             out = (sm.df.limit(1)
@@ -144,7 +159,8 @@ class Engine:
         else:
             compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
                                 pred_datatypes=self.graph.predicate_datatypes,
-                                services=self.services)
+                                services=self.services,
+                                named_graphs=self.named_graphs)
             sm = compiler.compile_pattern(q.pattern, None)
             delete_df = self._construct(sm, q.delete) if q.delete else None
             insert_df = self._construct(sm, q.insert) if q.insert else None

@@ -290,6 +290,16 @@ class Service:
     silent: bool = False
 
 
+@dataclass
+class Graph:
+    """GRAPH term { inner } — evaluate inner against a named graph (IRI) or
+    every registered named graph with the name bound (variable). Additive:
+    the reference rejects datasets (splitter.rs:41-48)."""
+
+    term: "IRI | Variable"
+    inner: "GraphPattern"
+
+
 GraphPattern = (
     BGP
     | Join
@@ -306,6 +316,7 @@ GraphPattern = (
     | Reduced
     | Slice
     | Service
+    | Graph
 )
 
 
@@ -389,6 +400,11 @@ def pattern_variables(p: GraphPattern) -> set[str]:
         return set(p.variables)
     if isinstance(p, (OrderBy, Distinct, Reduced, Slice, Service)):
         return pattern_variables(p.inner)
+    if isinstance(p, Graph):
+        out = pattern_variables(p.inner)
+        if isinstance(p.term, Variable):
+            out |= {p.term.name}
+        return out
     return set()
 
 

@@ -186,7 +186,8 @@ def _spark_type(hint: str) -> str:
 
 class Compiler:
     def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None,
-                 pred_datatypes=None, services: dict | None = None):
+                 pred_datatypes=None, services: dict | None = None,
+                 named_graphs: dict | None = None):
         self.spark = spark
         self.graph_df = graph_df
         self.ts_tables = ts_tables or []
@@ -197,6 +198,8 @@ class Compiler:
         #: federation; reference rewrites SERVICE to its static side,
         #: rewriting/graph_patterns/service_pattern.rs:1)
         self.services = services or {}
+        #: graph IRI -> GraphStore for GRAPH patterns (named graphs)
+        self.named_graphs = named_graphs or {}
         #: optional callable returning GraphStore.predicate_datatypes() — the
         #: per-predicate datatype catalog that lets compile_triple type object
         #: variables statically (no per-query dtype probe job in Engine)
@@ -384,7 +387,54 @@ class Compiler:
             return replace(sm, df=df)
         if isinstance(p, A.Service):
             return self.compile_service(p, input)
+        if isinstance(p, A.Graph):
+            return self.compile_graph(p, input)
         raise NotImplementedError(f"pattern {type(p).__name__}")
+
+    def compile_graph(self, p: A.Graph, input: SolutionMapping | None) -> SolutionMapping:
+        """GRAPH <iri> {...}: evaluate against that registered named graph.
+        GRAPH ?g {...}: union over every registered named graph, ?g bound to
+        the graph name per branch — one Catalyst plan, per-graph scans
+        pruned like any other union branch."""
+        def against(store) -> SolutionMapping:
+            saved = (self.graph_df, self._pred_datatypes)
+            self.graph_df = store.df
+            self._pred_datatypes = store.predicate_datatypes
+            try:
+                return self.compile_pattern(p.inner, None)
+            finally:
+                self.graph_df, self._pred_datatypes = saved
+
+        if isinstance(p.term, IRI):
+            store = self.named_graphs.get(p.term.value)
+            if store is None:
+                raise ValueError(
+                    f"named graph <{p.term.value}> is not registered: attach "
+                    "it with Engine.register_named_graph(iri, store)")
+            sm = against(store)
+        else:
+            if not self.named_graphs:
+                raise ValueError(
+                    "GRAPH ?var requires registered named graphs "
+                    "(Engine.register_named_graph)")
+            sm = None
+            gvar = p.term.name
+            for iri, store in sorted(self.named_graphs.items()):
+                branch = against(store)
+                branch = replace(
+                    branch,
+                    df=branch.df.withColumn(gvar, F.lit(iri)),
+                    vars={**branch.vars, gvar: VarMeta("native", "iri")})
+                if sm is None:
+                    sm = branch
+                else:
+                    sm, branch = self.harmonize_for_union(sm, branch)
+                    sm = replace(sm, df=sm.df.unionByName(
+                        branch.df, allowMissingColumns=True),
+                        vars={**branch.vars, **sm.vars},
+                        dt_vars=sm.dt_vars | branch.dt_vars,
+                        lang_vars=sm.lang_vars | branch.lang_vars)
+        return self.join_solutions(input, sm) if input is not None else sm
 
     def compile_service(self, p: A.Service, input: SolutionMapping | None) -> SolutionMapping:
         """SERVICE <iri> {...}: compile the inner pattern against the

@@ -38,7 +38,7 @@ KEYWORDS = {
     "UNION", "MINUS", "VALUES", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "AS", "IN", "NOT", "EXISTS", "PREFIX",
     "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR", "SERVICE", "SILENT",
-    "ASK", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
+    "ASK", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA", "GRAPH",
 }
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -509,6 +509,14 @@ class Parser:
                 endpoint = self.parse_iri()
                 inner = self.parse_group_graph_pattern()
                 join_in(A.Service(endpoint, inner, silent))
+            elif t.kind == "GRAPH":
+                self.next()
+                if self.peek().kind == "var":
+                    g_term: A.Term = Variable(self.next().value[1:])
+                else:
+                    g_term = self.parse_iri()
+                inner = self.parse_group_graph_pattern()
+                join_in(A.Graph(g_term, inner))
             elif t.kind == "VALUES":
                 self.next()
                 join_in(self.parse_values_body())

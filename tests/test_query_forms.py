@@ -150,3 +150,63 @@ def test_update_rejects_select(spark):
     eng = _fresh_engine(spark)
     with _pytest.raises(ValueError):
         eng.update("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_graph_named_iri(spark):
+    """GRAPH <iri> { ... } evaluates against the registered named graph."""
+    eng = _fresh_engine(spark)
+    from otit_swt_spark.graph import GraphStore
+
+    g2 = GraphStore.from_sparql_insert(spark, """
+    PREFIX ex: <http://example.org/>
+    INSERT DATA { ex:a ex:knows ex:b . ex:b ex:knows ex:c . }""")
+    eng.register_named_graph("urn:g:social", g2)
+    df = eng.query("""
+    SELECT ?x ?y WHERE { GRAPH <urn:g:social> { ?x <http://example.org/knows> ?y } }""")
+    assert df.count() == 2
+    # default graph unaffected
+    assert eng.query(
+        "SELECT ?x WHERE { ?x <http://example.org/knows> ?y }").count() == 0
+
+
+def test_graph_variable_binds_name(spark):
+    """GRAPH ?g { ... } unions all named graphs with ?g bound per branch."""
+    eng = _fresh_engine(spark)
+    from otit_swt_spark.graph import GraphStore
+
+    for iri, fact in [("urn:g:one", "ex:a ex:p ex:b"),
+                      ("urn:g:two", "ex:c ex:p ex:d")]:
+        eng.register_named_graph(iri, GraphStore.from_sparql_insert(
+            spark, f"PREFIX ex: <http://example.org/> INSERT DATA {{ {fact} }}"))
+    df = eng.query(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://example.org/p> ?o } }")
+    got = {(r["g"], r["s"]) for r in df.collect()}
+    assert got == {("urn:g:one", "http://example.org/a"),
+                   ("urn:g:two", "http://example.org/c")}
+
+
+def test_graph_joins_with_default(spark):
+    """A GRAPH block joins with default-graph patterns on shared vars."""
+    eng = _fresh_engine(spark)
+    from otit_swt_spark.graph import GraphStore
+
+    meta = GraphStore.from_sparql_insert(spark, """
+    PREFIX case: <http://example.org/case#>
+    PREFIX ex: <http://example.org/>
+    INSERT DATA { case:myWidget1 ex:owner "alice" . }""")
+    eng.register_named_graph("urn:g:meta", meta)
+    df = eng.query(PFX + """
+    SELECT ?w ?owner WHERE {
+        ?w types:hasSensor ?s .
+        GRAPH <urn:g:meta> { ?w <http://example.org/owner> ?owner }
+    }""")
+    assert [tuple(r) for r in df.collect()] == [
+        ("http://example.org/case#myWidget1", "alice")]
+
+
+def test_graph_unregistered_raises(spark):
+    import pytest as _pytest
+
+    eng = _fresh_engine(spark)
+    with _pytest.raises(ValueError, match="not registered"):
+        eng.query("SELECT ?s WHERE { GRAPH <urn:g:absent> { ?s ?p ?o } }")
