@@ -102,10 +102,40 @@ class Engine:
         from otit_swt_spark.sparql import algebra as A
 
         query = parse_query(sparql)
-        compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
-                            pred_datatypes=self.graph.predicate_datatypes,
+        graph_df = self.graph.df
+        pred_dt = self.graph.predicate_datatypes
+        named = self.named_graphs
+        if getattr(query, "dataset_default", None):
+            # FROM <iri>...: this query's default graph is the merge of the
+            # listed (registered) graphs — SPARQL 1.1 §13.2
+            parts = []
+            for iri in query.dataset_default:
+                store = self.named_graphs.get(iri.value)
+                if store is None:
+                    raise ValueError(
+                        f"FROM <{iri.value}>: graph not registered "
+                        "(Engine.register_named_graph)")
+                parts.append(store.df)
+            graph_df = parts[0]
+            for p in parts[1:]:
+                graph_df = graph_df.unionByName(p)
+            if len(parts) == 1:
+                pred_dt = self.named_graphs[query.dataset_default[0].value].predicate_datatypes
+            else:
+                pred_dt = None  # merged catalog unknown: fall back to probe
+        if getattr(query, "dataset_named", None):
+            named = {}
+            for iri in query.dataset_named:
+                store = self.named_graphs.get(iri.value)
+                if store is None:
+                    raise ValueError(
+                        f"FROM NAMED <{iri.value}>: graph not registered "
+                        "(Engine.register_named_graph)")
+                named[iri.value] = store
+        compiler = Compiler(self.spark, graph_df, self.ts_tables,
+                            pred_datatypes=pred_dt,
                             services=self.services,
-                            named_graphs=self.named_graphs)
+                            named_graphs=named)
         if isinstance(query, A.AskQuery):
             sm = compiler.compile_pattern(query.pattern, None)
             out = (sm.df.limit(1)

@@ -324,6 +324,11 @@ GraphPattern = (
 class SelectQuery:
     pattern: GraphPattern
     variables: list[str]  # projection order
+    #: FROM <iri> graphs merged into the default graph for this query, and
+    #: FROM NAMED <iri> restriction of GRAPH-visible graphs (SPARQL 1.1
+    #: §13.2; additive — the reference rejects datasets, splitter.rs:41-48)
+    dataset_default: list[IRI] = field(default_factory=list)
+    dataset_named: list[IRI] = field(default_factory=list)
 
 
 @dataclass

@@ -39,6 +39,7 @@ KEYWORDS = {
     "DESC", "LIMIT", "OFFSET", "AS", "IN", "NOT", "EXISTS", "PREFIX",
     "BASE", "UNDEF", "TRUE", "FALSE", "SEPARATOR", "SERVICE", "SILENT",
     "ASK", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA", "GRAPH",
+    "FROM", "NAMED",
 }
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -315,6 +316,13 @@ class Parser:
                 select_items.append((v, expr))
             else:
                 break
+        from_default: list[IRI] = []
+        from_named: list[IRI] = []
+        while self.accept("FROM"):
+            if self.accept("NAMED"):
+                from_named.append(self.parse_iri())
+            else:
+                from_default.append(self.parse_iri())
         self.accept("WHERE")
         pattern = self.parse_group_graph_pattern()
 
@@ -376,10 +384,13 @@ class Parser:
             else:
                 break
 
-        return self._assemble(
+        q = self._assemble(
             pattern, select_items, star, distinct, reduced, group_by, having,
             order, limit, offset,
         )
+        q.dataset_default = from_default
+        q.dataset_named = from_named
+        return q
 
     # -- algebra assembly (SPARQL 1.1 §18.2, simplified) --------------------
 

@@ -210,3 +210,34 @@ def test_graph_unregistered_raises(spark):
     eng = _fresh_engine(spark)
     with _pytest.raises(ValueError, match="not registered"):
         eng.query("SELECT ?s WHERE { GRAPH <urn:g:absent> { ?s ?p ?o } }")
+
+
+def test_from_dataset_clause(spark):
+    """FROM <iri> makes the listed registered graph this query's default
+    graph; FROM NAMED restricts GRAPH ?g to the listed graphs."""
+    eng = _fresh_engine(spark)
+    from otit_swt_spark.graph import GraphStore
+
+    for iri, fact in [("urn:g:one", "ex:a ex:p ex:b"),
+                      ("urn:g:two", "ex:c ex:p ex:d")]:
+        eng.register_named_graph(iri, GraphStore.from_sparql_insert(
+            spark, f"PREFIX ex: <http://example.org/> INSERT DATA {{ {fact} }}"))
+
+    df = eng.query(
+        "SELECT ?s FROM <urn:g:one> WHERE { ?s <http://example.org/p> ?o }")
+    assert [r["s"] for r in df.collect()] == ["http://example.org/a"]
+
+    df2 = eng.query("""
+    SELECT ?s FROM <urn:g:one> FROM <urn:g:two>
+    WHERE { ?s <http://example.org/p> ?o }""")
+    assert df2.count() == 2
+
+    df3 = eng.query("""
+    SELECT ?g ?s FROM NAMED <urn:g:two>
+    WHERE { GRAPH ?g { ?s <http://example.org/p> ?o } }""")
+    got = {(r["g"], r["s"]) for r in df3.collect()}
+    assert got == {("urn:g:two", "http://example.org/c")}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not registered"):
+        eng.query("SELECT ?s FROM <urn:g:zzz> WHERE { ?s ?p ?o }")
