@@ -565,6 +565,18 @@ class Compiler:
             else:
                 lit = literal_typed(term)
                 ts_df = ts_df.filter(F.col(src) == lit.col)
+        # Date-partitioned tables: carry the hidden partition columns so
+        # apply_filter can derive partition predicates from timestamp
+        # filters (reference partitioning_support.rs parity — partition
+        # pruning is THE scan lever on a date-laid-out 100 TB store)
+        if "t" in chain_info and any(
+                t.has_date_partitions() for t in self.ts_tables):
+            parts: dict[str, str] = {}
+            for part in ("year", "month", "day"):
+                name = self.fresh(f"part_{part}")
+                cols.append(F.col(f"__part_{part}").alias(name))
+                parts[part] = name
+            chain_info["parts"] = parts
         tsm = SolutionMapping(ts_df.select(*cols), vars2)
         out = self.join_solutions(sm, tsm)
         # project the synthetic external-id var away
@@ -803,10 +815,79 @@ class Compiler:
         sm2, exists_cols, flags = self.resolve_exists(sm, expr)
         cond = compile_expr(expr, sm2, exists_cols)
         df = sm2.df.filter(cond.col.try_cast("boolean"))
+        for p in self._partition_prune_predicates(sm2, expr):
+            df = df.filter(p)
         for flag in flags:
             df = df.drop(flag)
         vars2 = {v: m for v, m in sm2.vars.items() if v not in flags}
         return replace(sm2, df=df, vars=vars2)
+
+    def _partition_prune_predicates(self, sm: SolutionMapping,
+                                    expr: A.Expr) -> list[Column]:
+        """Derive date-partition predicates from timestamp comparisons in
+        the filter's top-level conjunction — the Spark form of the
+        reference's partitioning rewrite (timeseries_sql_rewrite/
+        partitioning_support.rs): a predicate on the hidden
+        ``__part_year/month/day`` columns is pushed by Catalyst through the
+        joins into the partitioned scan where it becomes PartitionFilters.
+        Null-guarded, so unpartitioned tables in the union are unaffected;
+        semantically redundant with the timestamp filter, so always sound."""
+        import datetime as _dt
+
+        from otit_swt_spark.terms import XSD_DATE, XSD_DATETIME
+
+        tvar_parts: dict[str, dict] = {}
+        for info in sm.ts_chains.values():
+            t, parts = info.get("t"), info.get("parts")
+            if t and parts and all(c in sm.df.columns for c in parts.values()):
+                tvar_parts[t] = parts
+        if not tvar_parts:
+            return []
+
+        def conjuncts(e):
+            if isinstance(e, A.EAnd):
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        def bound(parts, d: _dt.date, lower: bool) -> Column:
+            y = F.col(parts["year"])
+            m = F.col(parts["month"])
+            dd = F.col(parts["day"])
+            if lower:
+                day_ok = dd.isNull() | (dd >= d.day)
+                mon_ok = m.isNull() | (m > d.month) | ((m == d.month) & day_ok)
+                return y.isNull() | (y > d.year) | ((y == d.year) & mon_ok)
+            day_ok = dd.isNull() | (dd <= d.day)
+            mon_ok = m.isNull() | (m < d.month) | ((m == d.month) & day_ok)
+            return y.isNull() | (y < d.year) | ((y == d.year) & mon_ok)
+
+        preds: list[Column] = []
+        for c in conjuncts(expr):
+            if not isinstance(c, A.ECmp):
+                continue
+            op = c.op
+            if isinstance(c.left, A.EVar) and isinstance(c.right, A.ELiteral):
+                var, lit = c.left.name, c.right.value
+            elif isinstance(c.right, A.EVar) and isinstance(c.left, A.ELiteral):
+                var, lit = c.right.name, c.left.value
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            else:
+                continue
+            parts = tvar_parts.get(var)
+            if parts is None or lit.datatype not in (XSD_DATETIME, XSD_DATE):
+                continue
+            try:
+                d = _dt.datetime.fromisoformat(
+                    lit.lexical.replace("Z", "")).date()
+            except ValueError:
+                continue
+            if op in (">", ">=", "="):
+                preds.append(bound(parts, d, lower=True))
+            if op in ("<", "<=", "="):
+                preds.append(bound(parts, d, lower=False))
+        return preds
 
     def apply_extend(self, sm: SolutionMapping, var: str, expr: A.Expr) -> SolutionMapping:
         # STRLANG builds a language-tagged literal: the value lands in the

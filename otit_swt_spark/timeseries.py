@@ -54,16 +54,30 @@ class TimeSeriesTable:
             return self._df
         return spark.read.parquet(self.path)
 
+    def has_date_partitions(self) -> bool:
+        return bool(self.year_column or self.month_column or self.day_column)
+
     def normalized(self, spark: SparkSession) -> DataFrame:
-        """Project to the canonical (id, timestamp, value) shape. Column
-        pruning keeps the scan narrow; partition columns stay implicit in the
-        file layout so partition pruning still applies to pushed filters."""
+        """Project to the canonical (id, timestamp, value) shape, plus the
+        declared date-partition columns as hidden ``__part_year/month/day``
+        companions (null literals when undeclared, so unions align). The
+        compiler derives partition predicates from timestamp filters over
+        these — the Spark analog of the reference's partition rewrite
+        (hybrid/src/timeseries_database/timeseries_sql_rewrite/
+        partitioning_support.rs)."""
         df = self.load(spark)
-        return df.select(
+        cols = [
             F.col(self.identifier_column).cast("string").alias("id"),
             F.col(self.timestamp_column).alias("timestamp"),
             F.col(self.value_column).alias("value"),
-        )
+        ]
+        for part, col in (("year", self.year_column),
+                          ("month", self.month_column),
+                          ("day", self.day_column)):
+            cols.append(
+                (F.col(col).cast("int") if col
+                 else F.lit(None).cast("int")).alias(f"__part_{part}"))
+        return df.select(*cols)
 
     def value_xsd(self, spark: SparkSession) -> str:
         if self.value_datatype:

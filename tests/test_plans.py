@@ -184,3 +184,40 @@ def test_optional_filter_on_left_variable(spark):
     assert got == {("http://example.org/case#myWidget1",
                     "http://example.org/case#mySomething1"),
                    ("http://example.org/case#myWidget2", None)}
+
+
+def test_sparql_timestamp_filter_prunes_date_partitions(spark, tmp_path):
+    """A SPARQL FILTER on the data-point timestamp over a year/month/day-
+    partitioned TS table derives hidden partition predicates
+    (compiler._partition_prune_predicates — partitioning_support.rs parity)
+    that Catalyst turns into PartitionFilters on the scan."""
+    import pandas as pd
+    from otit_swt_spark.timeseries import TimeSeriesTable
+    from tests.conftest import TESTDATA_SPARQL
+
+    ts = pd.date_range("2023-12-30", periods=8, freq="D")
+    pdf = pd.DataFrame({
+        "id": ["ts1"] * 8, "timestamp": ts, "value": [float(i) for i in range(8)],
+        "year": ts.year, "month": ts.month, "day": ts.day,
+    })
+    path = str(tmp_path / "ts_part")
+    (spark.createDataFrame(pdf).write.partitionBy("year", "month", "day")
+     .parquet(path))
+    table = TimeSeriesTable(path=path, year_column="year",
+                            month_column="month", day_column="day")
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+    eng.add_timeseries_table(table)
+    df = eng.query(PREFIXES + """
+    SELECT ?t ?v WHERE {
+        ?ts otit_swt:hasExternalId "ts1" .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t >= "2024-01-02T00:00:00"^^xsd:dateTime &&
+               ?t < "2024-01-05T00:00:00"^^xsd:dateTime)
+    }""")
+    plan = physical(df)
+    seg = plan[plan.index("PartitionFilters"):][:600]
+    assert "year" in seg  # derived bounds reached the partitioned scan
+    got = sorted(r["v"] for r in df.collect())
+    assert got == [3.0, 4.0, 5.0]  # Jan 2, 3, 4
