@@ -118,6 +118,14 @@ def _parse_path(text: str) -> Path:
 
 
 def _parse_path_line(line: str) -> ConditionedPath:
+    # the trailing optional marker belongs to the LINE: "path > 203 ?"
+    # marks the conditioned path optional, so strip it before the
+    # condition split (otherwise it lands inside the rhs literal)
+    line = line.strip()
+    optional = False
+    if line.endswith("?"):
+        optional = True
+        line = line[:-1].rstrip()
     m = _OP_RE.search(line)
     if m and not (line[:m.start()].count('"') % 2):  # op outside quotes
         lhs, op, rhs_text = line[:m.start()], m.group(0).strip(), line[m.end():]
@@ -126,8 +134,12 @@ def _parse_path_line(line: str) -> ConditionedPath:
             rhs: object = _parse_literal(rhs_text)
         except ValueError:
             rhs = _parse_path(rhs_text)
-        return ConditionedPath(_parse_path(lhs), op, rhs)
-    return ConditionedPath(_parse_path(line))
+        path = _parse_path(lhs)
+        path.optional = path.optional or optional
+        return ConditionedPath(path, op, rhs)
+    path = _parse_path(line)
+    path.optional = path.optional or optional
+    return ConditionedPath(path)
 
 
 def parse_ts_query(text: str) -> TsQuery:

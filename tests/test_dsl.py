@@ -222,3 +222,37 @@ def test_parse_colon_connective():
     q = parse_ts_query('ABC:"X"."y"')
     assert q.paths[0].path.elements[1] == Connective(":", 1)
     assert q.paths[0].path.elements[1].name_part() == "Colon"
+
+
+def test_dsl_multi_glue_group(dsl_engine, translator):
+    """Grouping on TWO glue names: one per path level (reference group.rs
+    handles arbitrarily many group variables)."""
+    sparql = translator.translate(parse_ts_query("""
+    ABC-[valve]"HLV".[mv]"Mvm"."stVal"
+    [valve]."PosPct"."mag"
+    group valve mv
+    """))
+    df = dsl_engine.query(sparql)
+    got = rows(df)
+    # one (valve, mv) combination x 8 timestamps
+    assert len(got) == 8
+
+
+def test_dsl_optional_path_with_condition(dsl_engine, translator):
+    """A condition on an optional path filters inside the OPTIONAL block:
+    left rows survive, optional values are restricted."""
+    sparql = translator.translate(parse_ts_query("""
+    ABC-[valve]"HLV"."Mvm"."stVal"
+    [valve]."PosPct"."mag" > 203 ?
+    """))
+    assert "OPTIONAL" in sparql and "FILTER" in sparql
+    df = dsl_engine.query(sparql)
+    got = rows(df)
+    # the join is on shared ?timestamp: all 8 left rows appear; mag values
+    # beyond 203 bind, earlier timestamps null-pad
+    assert len(got) == 8
+    mag_idx = [i for i, c in enumerate(df.columns) if "mag" in c and "value" in c]
+    assert mag_idx, df.columns
+    vals = {r[mag_idx[0]] for r in got}
+    assert None in vals
+    assert {v for v in vals if v is not None} == {204.0, 206.0}
