@@ -350,6 +350,26 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (otit_swt_spark.timeseries.asof_join): every
+    event aligned to the user's most recent purchase event. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from otit_swt_spark.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        on="user_id", left_ts="ts", right_ts="ts",
+        value_columns=["purchase_value"], suffix="_matched")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts_matched").alias("purchase_ts"),
+        F.col("purchase_value_matched").alias("purchase_value"))
+
+
 def q_join_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -782,6 +802,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "asof_join": q_asof_join,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1061,6 +1082,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
               AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   r.ts AS purchase_ts, r.purchase_value
+            FROM events l ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ) r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "tpch_q3_topk": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

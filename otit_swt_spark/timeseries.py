@@ -86,6 +86,67 @@ class TimeSeriesTable:
         return xsd_for_spark_type(df.schema[self.value_column].dataType)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "id",
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    value_columns: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the latest right row
+    with ``right.ts <= left.ts`` for the same key (left outer — unmatched
+    left rows keep nulls). The classic time-series alignment operator Spark
+    lacks natively (DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``).
+
+    Plan shape: tag both inputs, union, ONE shuffle on the key, and a
+    running ``last(..., ignorenulls)`` window carries each right value
+    forward to the left rows that follow it in time — no range join, no
+    per-row probe, linear in |left|+|right| at any scale. Right rows tie-
+    sort before left rows at equal timestamps (inclusive match).
+
+    ``tolerance_seconds`` nulls out matches older than the given horizon
+    (rows are kept — left-join semantics). ``value_columns`` defaults to
+    every right column except the key and timestamp; matched columns get
+    ``suffix``, and the matched right timestamp lands in
+    ``{right_ts}{suffix}``."""
+    if value_columns is None:
+        value_columns = [c for c in right.columns if c not in (on, right_ts)]
+    rts_out = f"{right_ts}{suffix}"
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias(rts_out),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_columns],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    tagged = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+               for c in value_columns]
+    carried.append(F.last(rts_out, ignorenulls=True).over(w).alias(rts_out))
+    out = (tagged
+           .select(*[c for c in left.columns], "__ts", "__side", *carried)
+           .filter(F.col("__side") == 1))
+    if tolerance_seconds is not None:
+        in_tol = (F.unix_micros(F.col("__ts").cast("timestamp"))
+                  - F.unix_micros(F.col(rts_out).cast("timestamp"))
+                  ) <= int(tolerance_seconds * 1_000_000)
+        cols = []
+        for c in [*(f"{c}{suffix}" for c in value_columns), rts_out]:
+            cols.append(F.when(in_tol, F.col(c)).alias(c))
+        out = out.select(*left.columns, "__ts", "__side", *cols)
+    return out.drop("__ts", "__side")
+
+
 def in_memory_timeseries(
     spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
 ) -> TimeSeriesTable:

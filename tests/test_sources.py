@@ -162,3 +162,35 @@ def test_flight_timeseries_feeds_engine(spark, flight_server):
         ?dp otit_swt:hasValue ?v .
     } GROUP BY ?ts_id""")
     assert rows(df) == [("ts1", 3.0), ("ts2", 30.0)]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: inclusive match, latest-earlier wins, unmatched
+    left rows null-pad, tolerance nulls stale matches."""
+    import pandas as pd
+    from otit_swt_spark.timeseries import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "id": ["a", "a", "a", "b"],
+        "timestamp": pd.to_datetime(
+            ["2024-01-01 00:00:05", "2024-01-01 00:00:10",
+             "2024-01-01 00:01:30", "2024-01-01 00:00:10"]),
+        "reading": [1.0, 2.0, 3.0, 4.0],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "id": ["a", "a"],
+        "timestamp": pd.to_datetime(
+            ["2024-01-01 00:00:10", "2024-01-01 00:00:20"]),
+        "setpoint": [10.0, 20.0],
+    }))
+    out = {(r["id"], str(r["timestamp"])): r["setpoint_matched"]
+           for r in asof_join(left, right).collect()}
+    assert out[("a", "2024-01-01 00:00:05")] is None      # before first right
+    assert out[("a", "2024-01-01 00:00:10")] == 10.0      # inclusive match
+    assert out[("a", "2024-01-01 00:01:30")] == 20.0      # latest earlier
+    assert out[("b", "2024-01-01 00:00:10")] is None      # key never seen
+
+    tol = {(r["id"], str(r["timestamp"])): r["setpoint_matched"]
+           for r in asof_join(left, right, tolerance_seconds=30).collect()}
+    assert tol[("a", "2024-01-01 00:00:10")] == 10.0
+    assert tol[("a", "2024-01-01 00:01:30")] is None      # 70s > 30s horizon
