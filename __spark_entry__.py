@@ -370,6 +370,40 @@ def q_asof_join(spark, sf_dir):
         F.col("purchase_value_matched").alias("purchase_value"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) with per-session
+    aggregates — batch twin of the streaming session window."""
+    from otit_swt_spark.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800,
+                   order_cols=["event_id"])
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucketed range join: tag each error event with the (user) session
+    interval containing it — the distributed range-join strategy (coarse
+    bucket equi-join + exact refinement)."""
+    from otit_swt_spark.timeseries import interval_join, sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "event_type")
+    sessions = (sessionize(ev, key="user_id", ts="ts", gap_seconds=1800,
+                           order_cols=["event_id"])
+                .groupBy("user_id", "session_idx")
+                .agg(F.min("ts").alias("session_start"),
+                     F.max("ts").alias("session_end")))
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type")
+    return interval_join(
+        errors, sessions, key="user_id", point_ts="ts",
+        start_col="session_start", end_col="session_end",
+    ).select("event_id", "user_id", "session_idx")
+
+
 def q_join_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -803,6 +837,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1091,6 +1127,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                           AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM numbered GROUP BY user_id, session_idx
+        """,
+        "interval_join": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                           AS session_idx
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, session_idx,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM numbered GROUP BY user_id, session_idx
+            )
+            SELECT e.event_id, e.user_id, s.session_idx
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts >= s.session_start AND e.ts <= s.session_end
+            WHERE e.event_type = 'error'
         """,
         "tpch_q3_topk": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -147,6 +147,80 @@ def asof_join(
     return out.drop("__ts", "__side")
 
 
+def sessionize(
+    events: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    gap_seconds: float = 1800.0,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the time
+    since the key's previous event exceeds ``gap_seconds``. Adds
+    ``session_idx`` (0-based per key, chronological).
+
+    One shuffle on the key; lag + running sum over the per-key order —
+    the batch twin of the streaming session window. ``order_cols`` break
+    timestamp ties deterministically (default: the timestamp alone)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(ts)).over(w)
+    gap_us = int(gap_seconds * 1_000_000)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    running = Window.partitionBy(key).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn(
+        "session_idx", (F.sum(new_session).over(running) - F.lit(1)).cast("long"))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "id",
+    point_ts: str = "timestamp",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: attach to each point the interval(s) of the same key
+    that contain it (``start <= ts <= end``, inclusive).
+
+    A raw theta-join is quadratic per key; instead each interval explodes
+    into the coarse time buckets it overlaps and each point maps to ONE
+    bucket, so the join is an equi-join on (key, bucket) followed by the
+    exact range refinement — the standard distributed range-join strategy
+    (cf. Spark's own range-join hints). ``bucket_seconds`` trades the
+    interval explode factor against candidate pairs per bucket: set it
+    near the typical interval length."""
+    b_us = int(bucket_seconds * 1_000_000)
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence((s_us / b_us).cast("long"),
+                             (e_us / b_us).cast("long"))))
+    pt = points.withColumn("__bucket", (p_us / b_us).cast("long"))
+    dup = [c for c in intervals.columns if c in points.columns and c != key]
+    for c in dup:
+        iv = iv.withColumnRenamed(c, f"{c}_interval")
+    cond_start = f"{start_col}_interval" if start_col in dup else start_col
+    cond_end = f"{end_col}_interval" if end_col in dup else end_col
+    joined = pt.join(iv, [key, "__bucket"], how).filter(
+        (F.unix_micros(F.col(point_ts).cast("timestamp"))
+         >= F.unix_micros(F.col(cond_start).cast("timestamp")))
+        & (F.unix_micros(F.col(point_ts).cast("timestamp"))
+           <= F.unix_micros(F.col(cond_end).cast("timestamp"))))
+    return joined.drop("__bucket")
+
+
 def in_memory_timeseries(
     spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
 ) -> TimeSeriesTable:

@@ -194,3 +194,49 @@ def test_asof_join_semantics(spark):
            for r in asof_join(left, right, tolerance_seconds=30).collect()}
     assert tol[("a", "2024-01-01 00:00:10")] == 10.0
     assert tol[("a", "2024-01-01 00:01:30")] is None      # 70s > 30s horizon
+
+
+def test_sessionize_gap_boundaries(spark):
+    import pandas as pd
+    from otit_swt_spark.timeseries import sessionize
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": ["a"] * 5 + ["b"],
+        "timestamp": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session 0
+            "2024-01-01 01:00:00",                          # gap > 30min -> 1
+            "2024-01-01 01:20:00", "2024-01-01 02:30:00",   # 1, then 2
+            "2024-01-01 00:00:00",                          # b session 0
+        ]),
+    }))
+    out = {(r["id"], str(r["timestamp"])): r["session_idx"]
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert out[("a", "2024-01-01 00:00:00")] == 0
+    assert out[("a", "2024-01-01 00:10:00")] == 0
+    assert out[("a", "2024-01-01 01:00:00")] == 1
+    assert out[("a", "2024-01-01 01:20:00")] == 1
+    assert out[("a", "2024-01-01 02:30:00")] == 2
+    assert out[("b", "2024-01-01 00:00:00")] == 0
+
+
+def test_interval_join_contains(spark):
+    import pandas as pd
+    from otit_swt_spark.timeseries import interval_join
+
+    points = spark.createDataFrame(pd.DataFrame({
+        "id": ["a", "a", "a", "b"],
+        "timestamp": pd.to_datetime([
+            "2024-01-01 00:30:00", "2024-01-01 02:30:00",
+            "2024-01-01 05:00:00", "2024-01-01 00:30:00"]),
+        "v": [1, 2, 3, 4],
+    }))
+    intervals = spark.createDataFrame(pd.DataFrame({
+        "id": ["a", "a"],
+        "start": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 02:00:00"]),
+        "end": pd.to_datetime(["2024-01-01 01:00:00", "2024-01-01 03:00:00"]),
+        "label": ["w1", "w2"],
+    }))
+    out = {(r["v"], r["label"]) for r in interval_join(
+        points, intervals, bucket_seconds=600).collect()}
+    # point 1 in w1, point 2 in w2; point 3 in no interval; b has none
+    assert out == {(1, "w1"), (2, "w2")}
