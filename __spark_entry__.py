@@ -708,6 +708,23 @@ def q_corpus_pipeline(spark, sf_dir):
     return prepare_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 20% sample by content-hash threshold — reproducible
+    across runs/engines (pipelines/sampling.py)."""
+    from otit_swt_spark.pipelines.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.2) \
+        .select("doc_id")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by id hash."""
+    from otit_swt_spark.pipelines.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id") \
+        .select("doc_id", "split")
+
+
 def q_near_dedup_docs(spark, sf_dir):
     from otit_swt_spark.pipelines.dedup import near_dedup
 
@@ -853,6 +870,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_topk": q_embedding_topk,
         "chunk_docs": q_chunk_docs,
         "corpus_pipeline": q_corpus_pipeline,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
         "near_dedup_docs": q_near_dedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -865,6 +884,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from otit_swt_spark.pipelines.sampling import _hex_threshold
+
+    t20 = _hex_threshold(0.2)
+    t80 = _hex_threshold(0.8)
+    t90 = _hex_threshold(0.9)
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     lang_cases = []
     markers = {
@@ -1256,6 +1280,19 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(i*120+1 AS INT), 120) AS chunk
             FROM documents CROSS JOIN generate_series(0, 1000) AS t(i)
             WHERE i <= greatest(CAST(ceil(length(text)/120.0) AS BIGINT) - 1, 0)
+        """,
+        "hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t20}'
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t80}'
+                          THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t90}'
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "corpus_pipeline": r"""
             WITH kept AS (

@@ -1,0 +1,59 @@
+"""Deterministic sampling and splitting for training corpora.
+
+Random sampling is useless for reproducible data pipelines — re-runs must
+pick the SAME rows. These operators hash a stable key (id or content) and
+threshold the hash, so membership is a pure function of the row: stable
+across runs, machines, partitionings, and engines (md5 is standard, so a
+SQL engine computes the identical sample). Map-side only — no shuffle, no
+state, trivially parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPACE = 16 ** 8  # first 8 md5 hex chars ~ uniform 32-bit value
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Lowercase 8-hex-char threshold such that P(prefix < threshold) ==
+    fraction for a uniform hash. String comparison on fixed-width lowercase
+    hex is order-identical to the numeric comparison."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def _hash_prefix(col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by hashing
+    ``key_col`` (+ optional salt for independent re-draws)."""
+    return df.filter(_hash_prefix(F.col(key_col), salt)
+                     < F.lit(_hex_threshold(fraction)))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, float] | None = None,
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hash threshold — disjoint, exhaustive, reproducible, and stable under
+    data growth (a row's split never changes when other rows are added)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _hash_prefix(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(split_col, expr)

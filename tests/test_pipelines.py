@@ -347,3 +347,28 @@ def test_prepare_corpus_composite(spark):
     # chunks tile the document
     assert [r["chunk_idx"] for r in sorted(out, key=lambda r: r["chunk_idx"])] \
         == list(range(len(out)))
+
+
+def test_hash_sampling_deterministic_and_stable(spark, docs):
+    """Hash sampling/splitting is a pure function of the key: identical
+    across runs, disjoint-exhaustive splits, stable under corpus growth."""
+    from otit_swt_spark.pipelines.sampling import hash_sample, hash_split
+
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 == s2
+    # a different salt draws an independent sample (usually different)
+    s3 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, salt="x").collect()}
+    assert s3 == {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, salt="x").collect()}
+
+    split = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert set(split) == {1, 2, 3, 4, 5, 6}          # exhaustive
+    assert set(split.values()) <= {"train", "val", "test"}
+    # growth stability: splitting a subset assigns the same labels
+    sub = docs.filter(F.col("doc_id") <= 3)
+    sub_split = {r["doc_id"]: r["split"] for r in hash_split(sub, "doc_id").collect()}
+    assert all(split[k] == v for k, v in sub_split.items())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", weights={"a": 0.5, "b": 0.2})
