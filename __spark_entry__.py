@@ -404,6 +404,16 @@ def q_interval_join(spark, sf_dir):
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (median / p95) — `percentile` with linear
+    interpolation, matching DuckDB's quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_join_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -856,6 +866,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
+        "grouped_quantiles": q_grouped_quantiles,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1151,6 +1162,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "sessionize": """
             WITH flagged AS (
