@@ -404,6 +404,17 @@ def q_interval_join(spark, sf_dir):
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_rollup_orders(spark, sf_dir):
+    """OLAP ROLLUP: subtotal hierarchy over (priority, status) — one
+    pass, grouping-set expansion handled by Catalyst."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+                 .cast("double").alias("total"))
+            )
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantiles (median / p95) — `percentile` with linear
     interpolation, matching DuckDB's quantile_cont."""
@@ -867,6 +878,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
         "grouped_quantiles": q_grouped_quantiles,
+        "rollup_orders": q_rollup_orders,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1162,6 +1174,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "grouped_quantiles": """
             SELECT event_type,
