@@ -415,6 +415,17 @@ def q_rollup_orders(spark, sf_dir):
             )
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot: hour-of-day rows x event-type count columns (Catalyst
+    rewrites pivot into one aggregation pass)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("hour", F.hour("ts"))
+            .groupBy("hour")
+            .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["click", "view", "purchase", "signup", "error"]))
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantiles (median / p95) — `percentile` with linear
     interpolation, matching DuckDB's quantile_cont."""
@@ -879,6 +890,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "interval_join": q_interval_join,
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
+        "pivot_events": q_pivot_events,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1174,6 +1186,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "pivot_events": """
+            SELECT hour(ts) AS hour,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+            FROM events GROUP BY hour(ts)
         """,
         "rollup_orders": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
