@@ -426,6 +426,21 @@ def q_pivot_events(spark, sf_dir):
             .na.fill(0, ["click", "view", "purchase", "signup", "error"]))
 
 
+def q_ts_outliers(spark, sf_dir):
+    """Per-user outlier detection: events whose value deviates from the
+    user's median by more than 3x the user's stddev. One grouped pass for
+    the stats (broadcast back — one row per user), map-side filter."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = (ev.groupBy("user_id")
+             .agg(F.expr("percentile(value, 0.5)").alias("med"),
+                  F.stddev_samp("value").alias("sd")))
+    return (ev.join(F.broadcast(stats), "user_id")
+            .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("sd"))
+            .select("event_id", "user_id",
+                    F.round("value", 6).alias("value"),
+                    F.round("med", 6).alias("user_median")))
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantiles (median / p95) — `percentile` with linear
     interpolation, matching DuckDB's quantile_cont."""
@@ -891,6 +906,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
         "pivot_events": q_pivot_events,
+        "ts_outliers": q_ts_outliers,
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
@@ -1186,6 +1202,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "ts_outliers": """
+            WITH stats AS (
+                SELECT user_id, quantile_cont(value, 0.5) AS med,
+                       stddev_samp(value) AS sd
+                FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id,
+                   round(e.value, 6) AS value,
+                   round(s.med, 6) AS user_median
+            FROM events e JOIN stats s USING (user_id)
+            WHERE abs(e.value - s.med) > 3 * s.sd
         """,
         "pivot_events": """
             SELECT hour(ts) AS hour,
