@@ -17,9 +17,28 @@ query into a single Spark DataFrame plan and lets Catalyst do predicate
 pushdown, column pruning, partition pruning and join selection.
 """
 
-from otit_swt_spark.engine import Engine
+from otit_swt_spark.engine import Engine, InconsistentDatatype
 from otit_swt_spark.graph import GraphStore
-from otit_swt_spark.timeseries import TimeSeriesTable, in_memory_timeseries
+from otit_swt_spark.mapper import Mapping, MintingOptions, ResolveIRI
+from otit_swt_spark.timeseries import (
+    TimeSeriesTable,
+    asof_join,
+    in_memory_timeseries,
+    interval_join,
+    sessionize,
+)
 
-__all__ = ["Engine", "GraphStore", "TimeSeriesTable", "in_memory_timeseries"]
-__version__ = "0.1.0"
+__all__ = [
+    "Engine",
+    "GraphStore",
+    "InconsistentDatatype",
+    "Mapping",
+    "MintingOptions",
+    "ResolveIRI",
+    "TimeSeriesTable",
+    "asof_join",
+    "in_memory_timeseries",
+    "interval_join",
+    "sessionize",
+]
+__version__ = "0.2.0"
