@@ -445,3 +445,25 @@ def test_uuid_strdt_langmatches(engine):
     assert all(len(r["su"]) == 36 for r in rows_)
     assert all(r["d"] == 42 for r in rows_)
     assert all(r["lm"] is True for r in rows_)
+
+
+def test_inverse_and_sequence_inside_kleene(spark):
+    """Path operators compose inside +: (^p)+ is the reversed closure of
+    p+, and (p/p)+ reaches only even-distance nodes."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    g = GraphStore.from_sparql_insert(spark, """
+    PREFIX ex: <http://example.org/>
+    INSERT DATA { ex:a ex:next ex:b . ex:b ex:next ex:c . ex:c ex:next ex:d . }""")
+    eng = Engine(spark, g)
+    fwd = {(r.x, r.y) for r in eng.query(
+        "SELECT ?x ?y WHERE { ?x <http://example.org/next>+ ?y }").collect()}
+    inv = {(r.x, r.y) for r in eng.query(
+        "SELECT ?x ?y WHERE { ?x (^<http://example.org/next>)+ ?y }").collect()}
+    seq = {(r.x, r.y) for r in eng.query(
+        "SELECT ?x ?y WHERE { ?x (<http://example.org/next>/<http://example.org/next>)+ ?y }").collect()}
+    assert len(fwd) == 6  # full transitive closure of a 4-chain
+    assert inv == {(y, x) for x, y in fwd}
+    assert seq == {("http://example.org/a", "http://example.org/c"),
+                   ("http://example.org/b", "http://example.org/d")}
