@@ -772,6 +772,38 @@ def q_hash_split(spark, sf_dir):
         .select("doc_id", "split")
 
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus term frequencies: explode tokens, count, top 50 — the
+    canonical map-side-combine wordcount (one shuffle on token)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                 lambda t: t != "")).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token"))
+            .limit(50))
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """TF-IDF: token counts per doc joined with document frequencies;
+    deterministic top-200 scored terms. Two aggregations, one join —
+    all shuffles on token/doc keys."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                           lambda t: t != "")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(df_, "token")
+              .select("doc_id", "token",
+                      F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                      .alias("tfidf")))
+    return (scored.orderBy(F.col("tfidf").desc(), F.col("doc_id"), F.col("token"))
+            .limit(200))
+
+
 def q_near_dedup_docs(spark, sf_dir):
     from otit_swt_spark.pipelines.dedup import near_dedup
 
@@ -923,6 +955,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_pipeline": q_corpus_pipeline,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "top_tokens": q_top_tokens,
+        "tfidf_terms": q_tfidf_terms,
         "near_dedup_docs": q_near_dedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1365,6 +1399,34 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(i*120+1 AS INT), 120) AS chunk
             FROM documents CROSS JOIN generate_series(0, 1000) AS t(i)
             WHERE i <= greatest(CAST(ceil(length(text)/120.0) AS BIGINT) - 1, 0)
+        """,
+        "top_tokens": r"""
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      t -> t <> '')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY freq DESC, token
+            LIMIT 50
+        """,
+        "tfidf_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ), dfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            )
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfreq.df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token)
+            ORDER BY tfidf DESC, tf.doc_id, tf.token
+            LIMIT 200
         """,
         "hash_sample": f"""
             SELECT doc_id FROM documents
