@@ -240,3 +240,53 @@ def test_interval_join_contains(spark):
         points, intervals, bucket_seconds=600).collect()}
     # point 1 in w1, point 2 in w2; point 3 in no interval; b has none
     assert out == {(1, "w1"), (2, "w2")}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Randomized cross-check against pandas.merge_asof (the canonical
+    as-of implementation): same keys, same backward-inclusive matches."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+    from otit_swt_spark.timeseries import asof_join
+
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(n, keys, col):
+        return pd.DataFrame({
+            "id": [rng.choice(keys) for _ in range(n)],
+            "timestamp": [base + pd.Timedelta(seconds=rng.randrange(0, 3600))
+                          for _ in range(n)],
+            col: [float(i) for i in range(n)],
+        })
+
+    left = frame(60, ["a", "b", "c"], "reading")
+    right = frame(25, ["a", "b", "d"], "setpoint").drop_duplicates(
+        subset=["id", "timestamp"]).reset_index(drop=True)
+
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right))
+           .toPandas()
+           .sort_values(["id", "timestamp", "reading"])
+           .reset_index(drop=True))
+    want = pd.merge_asof(
+        left.sort_values("timestamp"),
+        right.sort_values("timestamp").rename(
+            columns={"timestamp": "timestamp_matched"}),
+        left_on="timestamp", right_on="timestamp_matched",
+        by="id", direction="backward",
+        suffixes=("", "_matched"),
+    ).rename(columns={"setpoint": "setpoint_matched"}) \
+     .sort_values(["id", "timestamp", "reading"]).reset_index(drop=True)
+
+    def norm(series):
+        return [None if pd.isna(v) else v for v in series]
+
+    assert len(got) == len(want)
+    for col in ("id", "timestamp", "reading", "setpoint_matched",
+                "timestamp_matched"):
+        assert norm(got[col]) == norm(want[col]), \
+            f"column {col} diverges (seed {seed})"
