@@ -290,3 +290,36 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
                 "timestamp_matched"):
         assert norm(got[col]) == norm(want[col]), \
             f"column {col} diverges (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_sessionize_matches_pandas_reference(spark, seed):
+    """Randomized cross-check of gap sessionization against a direct
+    pandas implementation."""
+    import random
+
+    import pandas as pd
+    from otit_swt_spark.timeseries import sessionize
+
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "id": [rng.choice(["a", "b", "c"]) for _ in range(80)],
+        "timestamp": sorted(
+            base + pd.Timedelta(seconds=rng.randrange(0, 7200))
+            for _ in range(80)),
+        "n": range(80),
+    }).drop_duplicates(subset=["id", "timestamp"]).reset_index(drop=True)
+
+    got = {(r["id"], str(r["timestamp"])): r["session_idx"]
+           for r in sessionize(spark.createDataFrame(pdf),
+                               gap_seconds=300).collect()}
+
+    for key, grp in pdf.sort_values("timestamp").groupby("id"):
+        idx = -1
+        prev = None
+        for _, row in grp.iterrows():
+            if prev is None or (row["timestamp"] - prev).total_seconds() > 300:
+                idx += 1
+            prev = row["timestamp"]
+            assert got[(key, str(row["timestamp"]))] == idx, (key, row["timestamp"])
