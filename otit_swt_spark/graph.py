@@ -207,6 +207,28 @@ class GraphStore:
                 pass  # read-only layout: catalog stays session-local
         return store
 
+    def bucketed(self, table_name: str, path: str, n_buckets: int = 64,
+                 overwrite: bool = False) -> "GraphStore":
+        """Materialize the graph subject-bucketed and subject-sorted
+        (``bucketBy(n, "s").sortBy("s")``): BGP self-joins on a shared
+        subject variable then run as shuffle-FREE sort-merge joins — bucket
+        co-location replaces the per-pattern exchange, the dominant cost of
+        star-shaped patterns on a fact-scale graph. Complements
+        :meth:`materialized` (predicate partitioning prunes the scan;
+        subject bucketing removes the join shuffle).
+
+        Bucket metadata lives in the session catalog — with the default
+        in-memory catalog the layout must be re-registered per session (a
+        shared metastore makes it durable on a real cluster)."""
+        exists = self.spark.catalog.tableExists(table_name)
+        if overwrite or not exists:
+            (self.df.write.mode("overwrite").format("parquet")
+             .bucketBy(n_buckets, "s").sortBy("s")
+             .option("path", path).saveAsTable(table_name))
+        store = GraphStore(self.spark, self.spark.table(table_name))
+        store._pred_dt = self._pred_dt
+        return store
+
     def to_ntriples_df(self) -> DataFrame:
         """Serialize to one N-Triples line per row (reference:
         mapper/src/mapping/ntriples_write.rs:52). Pure built-in functions —

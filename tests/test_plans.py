@@ -221,3 +221,37 @@ def test_sparql_timestamp_filter_prunes_date_partitions(spark, tmp_path):
     assert "year" in seg  # derived bounds reached the partitioned scan
     got = sorted(r["v"] for r in df.collect())
     assert got == [3.0, 4.0, 5.0]  # Jan 2, 3, 4
+
+
+def test_bucketed_store_joins_without_shuffle(spark, tmp_path):
+    """A subject-bucketed GraphStore runs star-shaped BGP self-joins as
+    shuffle-free sort-merge joins (bucket co-location) — the join-side
+    scale lever complementing predicate partitioning's scan pruning."""
+    import re
+    from otit_swt_spark.tpch_graph import build_graph_df
+
+    df = build_graph_df(spark, "/root/testdata/sf0.001")
+    g = GraphStore(spark, df).bucketed(
+        "kg_bucketed_plan_test", str(tmp_path / "kg_bucketed"), n_buckets=8,
+        overwrite=True)
+    eng = Engine(spark, g)
+    q = eng.query("""
+    SELECT ?nation_name ?region WHERE {
+        ?n <urn:p:inRegion> ?region .
+        ?n <urn:p:name> ?nation_name .
+        FILTER(STRSTARTS(STR(?n), "urn:nation:"))
+    }""")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q2 = eng.query("""
+        SELECT ?nation_name ?r WHERE {
+            ?n <urn:p:inRegion> ?r .
+            ?n <urn:p:name> ?nation_name .
+        }""")
+        plan = physical(q2)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert q.count() == 25
