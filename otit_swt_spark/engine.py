@@ -122,7 +122,10 @@ class Engine:
             if len(parts) == 1:
                 pred_dt = self.named_graphs[query.dataset_default[0].value].predicate_datatypes
             else:
-                pred_dt = None  # merged catalog unknown: fall back to probe
+                merged = self._merge_catalogs(
+                    [self.named_graphs[iri.value].predicate_datatypes()
+                     for iri in query.dataset_default])
+                pred_dt = lambda m=merged: m  # noqa: E731
         if getattr(query, "dataset_named", None):
             named = {}
             for iri in query.dataset_named:
@@ -151,6 +154,31 @@ class Engine:
             out = self._finalize(sm, query.variables, cache_key=sparql)
         self._plan_cache[sparql] = out
         return out
+
+    @staticmethod
+    def _merge_catalogs(catalogs: list[dict]) -> dict:
+        """Merge per-graph predicate->datatype catalogs for a multi-graph
+        FROM: exact agreement keeps the type; a string/IRI-only mix stays a
+        plain string column; any other disagreement is a mixed predicate
+        (the same judgement GraphStore.predicate_datatypes makes within one
+        graph)."""
+        merged: dict[str, dict] = {}
+        for cat in catalogs:
+            for p, info in cat.items():
+                cur = merged.get(p)
+                if cur is None:
+                    merged[p] = dict(info)
+                    continue
+                if cur == info:
+                    continue
+                dts = {cur.get("dt"), info.get("dt")}
+                if (not cur["mixed"] and not info["mixed"]
+                        and dts <= {None, XSD_STRING}):
+                    merged[p] = {"dt": XSD_STRING if XSD_STRING in dts else None,
+                                 "mixed": False}
+                else:
+                    merged[p] = {"dt": None, "mixed": True}
+        return merged
 
     def ask(self, sparql: str) -> bool:
         """Execute an ASK query and return the boolean."""

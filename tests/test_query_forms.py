@@ -241,3 +241,32 @@ def test_from_dataset_clause(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not registered"):
         eng.query("SELECT ?s FROM <urn:g:zzz> WHERE { ?s ?p ?o }")
+
+
+def test_from_multi_graph_merged_catalog(spark):
+    """Multi-graph FROM merges the per-graph datatype catalogs: agreeing
+    numeric predicates stay statically typed (values cast, no probe);
+    conflicting datatypes raise InconsistentDatatype under strict mode."""
+    import pytest as _pytest
+    from otit_swt_spark.engine import InconsistentDatatype
+    from otit_swt_spark.graph import GraphStore
+
+    eng = _fresh_engine(spark)
+    mk = lambda fact: GraphStore.from_sparql_insert(
+        spark, "PREFIX ex: <http://example.org/> "
+               "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+               f"INSERT DATA {{ {fact} }}")
+    eng.register_named_graph("urn:g:m1", mk('ex:a ex:size "5"^^xsd:integer'))
+    eng.register_named_graph("urn:g:m2", mk('ex:b ex:size "7"^^xsd:integer'))
+    eng.register_named_graph("urn:g:m3", mk('ex:c ex:size "oops"'))
+
+    df = eng.query("""
+    SELECT ?s ?v FROM <urn:g:m1> FROM <urn:g:m2>
+    WHERE { ?s <http://example.org/size> ?v }""")
+    assert dict(df.dtypes)["v"] == "bigint"  # statically typed, no probe
+    assert sorted(r["v"] for r in df.collect()) == [5, 7]
+
+    with _pytest.raises(InconsistentDatatype):
+        eng.query("""
+        SELECT ?s ?v FROM <urn:g:m1> FROM <urn:g:m3>
+        WHERE { ?s <http://example.org/size> ?v }""").collect()
