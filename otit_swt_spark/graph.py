@@ -217,14 +217,26 @@ class GraphStore:
         :meth:`materialized` (predicate partitioning prunes the scan;
         subject bucketing removes the join shuffle).
 
-        Bucket metadata lives in the session catalog — with the default
-        in-memory catalog the layout must be re-registered per session (a
-        shared metastore makes it durable on a real cluster)."""
+        Bucket metadata lives in the session catalog; an existing layout
+        on disk is RE-REGISTERED (``CREATE TABLE ... CLUSTERED BY``)
+        without rewriting, so the one-time write survives in-memory-catalog
+        sessions too (a shared metastore makes even that step unnecessary
+        on a real cluster)."""
+        import os
+
         exists = self.spark.catalog.tableExists(table_name)
-        if overwrite or not exists:
+        if overwrite or (not exists and not os.path.exists(path)):
+            if exists:
+                self.spark.sql(f"DROP TABLE {table_name}")
             (self.df.write.mode("overwrite").format("parquet")
              .bucketBy(n_buckets, "s").sortBy("s")
              .option("path", path).saveAsTable(table_name))
+        elif not exists:  # layout on disk from a prior session: re-register
+            cols = ", ".join(f"{f.name} STRING" for f in TRIPLES_SCHEMA)
+            self.spark.sql(
+                f"CREATE TABLE {table_name} ({cols}) USING parquet "
+                f"CLUSTERED BY (s) SORTED BY (s) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{path}'")
         store = GraphStore(self.spark, self.spark.table(table_name))
         store._pred_dt = self._pred_dt
         return store

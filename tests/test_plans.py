@@ -255,3 +255,33 @@ def test_bucketed_store_joins_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert q.count() == 25
+
+
+def test_bucketed_store_reregisters_existing_layout(spark, tmp_path):
+    """A bucketed layout written once re-registers in a later session
+    (CREATE TABLE over the existing path) — no rewrite, still
+    shuffle-free."""
+    import re
+    from otit_swt_spark.tpch_graph import build_graph_df
+
+    df = build_graph_df(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "kg_bucketed_reuse")
+    GraphStore(spark, df).bucketed("kg_reuse_t1", path, n_buckets=8,
+                                   overwrite=True)
+    import os
+    mtime = max(os.path.getmtime(os.path.join(path, f))
+                for f in os.listdir(path))
+    # simulate a fresh session: drop the catalog entry, keep the files
+    spark.sql("DROP TABLE kg_reuse_t1")
+    g2 = GraphStore(spark, df).bucketed("kg_reuse_t1", path, n_buckets=8)
+    assert max(os.path.getmtime(os.path.join(path, f))
+               for f in os.listdir(path)) == mtime  # not rewritten
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = Engine(spark, g2).query("""
+        SELECT ?n ?r WHERE { ?n <urn:p:inRegion> ?r . ?n <urn:p:name> ?nm }""")
+        assert len(re.findall(r"Exchange hashpartitioning", physical(q))) == 0
+        assert q.count() == 25
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
