@@ -1,0 +1,67 @@
+"""Opt-in scale-stress smokes (set SPARK_GRAFT_SCALE_TESTS=1): the same
+operators the oracle gate checks at sf0.1, run against synthetically
+amplified inputs to catch quadratic blow-ups the small suites cannot —
+duplicate-heavy LSH buckets, long per-key windows. Excluded from the
+default run (minutes, not seconds)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_TESTS"),
+    reason="scale smokes are opt-in (SPARK_GRAFT_SCALE_TESTS=1)")
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _amplify(df, times: int, id_col: str, id_shift: int):
+    """Replicate a table `times`x with distinct ids — worst case for
+    dedup (every row has `times` exact copies)."""
+    out = df
+    for i in range(1, times):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * id_shift)))
+    return out
+
+
+def test_minhash_dedup_survives_duplicate_heavy_corpus(spark):
+    """100k docs, every one with 20 exact copies: the per-entry successor
+    cap must keep pair counts linear (uncapped LSH would emit ~19M pairs
+    from the duplicate buckets alone)."""
+    from otit_swt_spark.pipelines.dedup import minhash_lsh_pairs
+
+    docs = _amplify(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                    .select("doc_id", "text"), 20, "doc_id", 1_000_000)
+    n_docs = docs.count()
+    assert n_docs == 100_000
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, max_pairs_per_entry=8)
+    n_pairs = pairs.count()
+    # the cap bounds pairs at cap x bands per doc (128); observed ~14/doc.
+    # Uncapped, the 20-copy buckets alone would emit ~19 pairs/doc from
+    # exact duplicates plus quadratic near-dup bucket blow-ups.
+    assert 0 < n_pairs <= n_docs * 8 * 16
+    assert n_pairs < n_docs * 20  # linear with a small constant
+
+
+def test_sessionize_and_asof_on_amplified_events(spark):
+    """1M events (10x sf0.1): the window-based operators stay one-shuffle
+    and complete; session counts scale with the key space, not rows^2."""
+    from otit_swt_spark.timeseries import asof_join, sessionize
+    from otit_swt_spark.tpch_graph import load_events
+
+    ev = _amplify(load_events(spark, SF_DIR)
+                  .select("event_id", "user_id", "ts", "value", "event_type"),
+                  10, "event_id", 10_000_000)
+    assert ev.count() == 1_000_000
+    sessions = (sessionize(ev, key="user_id", ts="ts", gap_seconds=600,
+                           order_cols=["event_id"])
+                .groupBy("user_id").agg(F.max("session_idx").alias("mx")))
+    assert sessions.count() > 0
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .groupBy("user_id", "ts").agg(F.max("value").alias("pv"))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), right,
+                    on="user_id", left_ts="ts", right_ts="ts",
+                    value_columns=["pv"])
+    assert out.count() == 1_000_000  # left-join row preservation at scale
