@@ -65,3 +65,48 @@ def test_sessionize_and_asof_on_amplified_events(spark):
                     on="user_id", left_ts="ts", right_ts="ts",
                     value_columns=["pv"])
     assert out.count() == 1_000_000  # left-join row preservation at scale
+
+
+def test_sparql_engine_on_amplified_graph(spark):
+    """~9M-triple KG (10x sf0.1): full BGP + filter + grouped aggregation
+    through the engine completes with the same plan shape (pruned
+    predicate scans, broadcast dims, one agg shuffle)."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from otit_swt_spark.tpch_graph import build_graph_df
+
+    base = build_graph_df(spark, SF_DIR)
+    amplified = base
+    for i in range(1, 10):
+        amplified = amplified.unionByName(
+            base.withColumn("s", F.concat(F.lit(f"copy{i}:"), F.col("s"))))
+    eng = Engine(spark, GraphStore(spark, amplified))
+    df = eng.query("""
+    SELECT ?priority (COUNT(?o) AS ?n) WHERE {
+        ?o <urn:p:priority> ?priority .
+        ?o <urn:p:totalprice> ?price .
+        FILTER(?price > 100000.0)
+    } GROUP BY ?priority""")
+    rows = df.collect()
+    assert len(rows) == 5  # five priorities
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_kleene_closure_on_long_chain(spark):
+    """2000-hop chain: transitive closure has n(n+1)/2 ~ 2M pairs and must
+    converge in ~log2(2000) = 11 doubling rounds, not 2000."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    n = 2000
+    edges = spark.range(n - 1).select(
+        F.concat(F.lit("urn:n"), F.col("id")).alias("s"),
+        F.lit("urn:p:next").alias("p"),
+        F.concat(F.lit("urn:n"), F.col("id") + 1).alias("o_iri"),
+        F.lit(None).cast("string").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    eng = Engine(spark, GraphStore(spark, edges))
+    out = eng.query("SELECT ?x ?y WHERE { ?x <urn:p:next>+ ?y }")
+    assert out.count() == n * (n - 1) // 2
