@@ -486,6 +486,20 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_window_lag_delta(spark, sf_dir):
+    """lag/lead analytics: per-user inter-event value delta and time gap —
+    the change-detection window primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
 def q_window_tumbling_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     win = F.window("ts", "10 minutes")
@@ -942,6 +956,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "join_semi_anti": q_join_semi_anti,
         "window_rank_topk": q_window_rank_topk,
         "window_running_sum": q_window_running_sum,
+        "window_lag_delta": q_window_lag_delta,
         "window_tumbling_events": q_window_tumbling_events,
         "mapper_expand": q_mapper_expand,
         "mapper_ntriples": q_mapper_ntriples,
@@ -1356,6 +1371,14 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                         AS running_spend
             FROM orders
+        """,
+        "window_lag_delta": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 6) AS value_delta,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+                   lead(event_id) OVER w AS next_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "window_tumbling_events": """
             SELECT 600 * CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
