@@ -725,6 +725,11 @@ class Compiler:
             if new.isEmpty():
                 break
             paths = paths.unionByName(new).localCheckpoint()
+        else:  # a silent truncation would be a wrong answer, not a slow one
+            raise RuntimeError(
+                f"property-path closure did not converge in {max_iter} "
+                f"doubling rounds (graph diameter > 2^{max_iter}); raise "
+                "max_iter")
         return paths
 
     def _compile_path_triple(self, tp: A.TriplePattern) -> SolutionMapping:

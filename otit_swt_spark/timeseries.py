@@ -186,7 +186,6 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket_seconds: float = 3600.0,
-    how: str = "inner",
 ) -> DataFrame:
     """Range join: attach to each point the interval(s) of the same key
     that contain it (``start <= ts <= end``, inclusive).
@@ -213,7 +212,7 @@ def interval_join(
         iv = iv.withColumnRenamed(c, f"{c}_interval")
     cond_start = f"{start_col}_interval" if start_col in dup else start_col
     cond_end = f"{end_col}_interval" if end_col in dup else end_col
-    joined = pt.join(iv, [key, "__bucket"], how).filter(
+    joined = pt.join(iv, [key, "__bucket"]).filter(
         (F.unix_micros(F.col(point_ts).cast("timestamp"))
          >= F.unix_micros(F.col(cond_start).cast("timestamp")))
         & (F.unix_micros(F.col(point_ts).cast("timestamp"))
