@@ -1266,11 +1266,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_events": """
             SELECT hour(ts) AS hour,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
             FROM events GROUP BY hour(ts)
         """,
         "rollup_orders": """
@@ -1297,10 +1297,10 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
                 SELECT user_id, ts,
-                       sum(new_session) OVER (PARTITION BY user_id
+                       CAST(sum(new_session) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                           AS session_idx
+                           AS BIGINT) AS session_idx
                 FROM flagged
             )
             SELECT user_id, session_idx, count(*) AS n_events,
@@ -1318,10 +1318,10 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
                 SELECT user_id, ts,
-                       sum(new_session) OVER (PARTITION BY user_id
+                       CAST(sum(new_session) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                           AS session_idx
+                           AS BIGINT) AS session_idx
                 FROM flagged
             ), sessions AS (
                 SELECT user_id, session_idx,
