@@ -113,13 +113,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def band_entries_for(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
+def band_entries_for(with_sig: DataFrame, k: int, bands: int,
+                     extra: tuple[str, ...] = ()) -> DataFrame:
     """Explode a (id, sig) frame into (id, band, bucket) LSH band entries —
     map-side only, streaming-safe (used by both the batch pair pipeline and
-    the stream-static near-dup join)."""
+    the stream-static near-dup join). ``extra`` columns (e.g. an event-time
+    column a streaming caller needs for its watermark) pass through."""
     rows = k // bands
     return with_sig.select(
         "id",
+        *extra,
         F.explode(
             F.array(*[
                 F.struct(
@@ -130,7 +133,8 @@ def band_entries_for(with_sig: DataFrame, k: int, bands: int) -> DataFrame:
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", *extra, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs(

@@ -32,6 +32,12 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
                 salt: str = "") -> DataFrame:
     """Keep a deterministic ``fraction`` of rows, selected by hashing
     ``key_col`` (+ optional salt for independent re-draws)."""
+    if fraction >= 1.0:
+        # The hex threshold saturates at 'ffffffff' and the comparison is
+        # strict, which would drop rows whose hash prefix is exactly
+        # 'ffffffff' — fraction 1.0 must keep everything.
+        _hex_threshold(fraction)  # still validate the range
+        return df
     return df.filter(_hash_prefix(F.col(key_col), salt)
                      < F.lit(_hex_threshold(fraction)))
 

@@ -421,10 +421,30 @@ class Compiler:
             gvar = p.term.name
             for iri, store in sorted(self.named_graphs.items()):
                 branch = against(store)
-                branch = replace(
-                    branch,
-                    df=branch.df.withColumn(gvar, F.lit(iri)),
-                    vars={**branch.vars, gvar: VarMeta("native", "iri")})
+                if gvar in branch.vars:
+                    # GRAPH ?g { ... ?g ... }: the graph variable is also
+                    # bound inside the pattern — constrain the inner binding
+                    # to this graph's IRI instead of overwriting it.
+                    m = branch.vars[gvar]
+                    c = F.col(gvar)
+                    if m.kind == "term":
+                        cond = (c == iri) & ~c.startswith("_:")
+                        dtc = branch.dt_col(gvar)
+                        if dtc is not None:
+                            cond = cond & dtc.isNull()
+                        branch = replace(branch, df=branch.df.filter(cond))
+                    elif m.hint == "iri":
+                        branch = replace(
+                            branch,
+                            df=branch.df.filter(c.cast("string") == iri))
+                    else:  # a non-IRI native value can never equal a graph IRI
+                        branch = replace(branch,
+                                         df=branch.df.filter(F.lit(False)))
+                else:
+                    branch = replace(
+                        branch,
+                        df=branch.df.withColumn(gvar, F.lit(iri)),
+                        vars={**branch.vars, gvar: VarMeta("native", "iri")})
                 if sm is None:
                     sm = branch
                 else:
@@ -884,10 +904,17 @@ class Compiler:
             if parts is None or lit.datatype not in (XSD_DATETIME, XSD_DATE):
                 continue
             try:
-                d = _dt.datetime.fromisoformat(
-                    lit.lexical.replace("Z", "")).date()
+                dtv = _dt.datetime.fromisoformat(
+                    lit.lexical.replace("Z", "+00:00"))
             except ValueError:
                 continue
+            if dtv.tzinfo is not None:
+                # Partition columns are derived from UTC timestamps: an
+                # offset literal must be normalized to UTC before its date
+                # is used, or the bound could prune a day that still holds
+                # matching rows (e.g. +02:00 times crossing midnight).
+                dtv = dtv.astimezone(_dt.timezone.utc)
+            d = dtv.date()
             if op in (">", ">=", "="):
                 preds.append(bound(parts, d, lower=True))
             if op in ("<", "<=", "="):

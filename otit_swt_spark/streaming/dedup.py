@@ -57,21 +57,34 @@ def stream_near_dup_flags(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    event_time: str = "ingest_time",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Flag streaming documents that LSH-collide with a static reference
     corpus. Streaming input yields append-safe (doc_id, corpus_id) hit
-    pairs (stream-static inner join — no stream-side aggregation state);
-    batch input additionally aggregates to (doc_id, n_hits)."""
+    pairs (stream-static inner join — no stream-side aggregation state;
+    duplicate hit pairs are suppressed by ``dropDuplicatesWithinWatermark``
+    so the dedup state store is evicted at the watermark horizon, keeping
+    state bounded by ingest rate x horizon); batch input additionally
+    aggregates to (doc_id, n_hits)."""
     sig = minhash_signature_udf(k, shingle_n)(F.col(text_col))
-    with_sig = stream_docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    probes = band_entries_for(with_sig, k, bands)
+    streaming = stream_docs.isStreaming
+    if streaming and event_time not in stream_docs.columns:
+        # No event-time column: fall back to a processing-time watermark so
+        # the pair-dedup state store still gets evicted.
+        stream_docs = stream_docs.withColumn(event_time, F.current_timestamp())
+    carry = (event_time,) if streaming else ()
+    with_sig = stream_docs.select(
+        F.col(id_col).alias("id"), *carry, sig.alias("sig"))
+    probes = band_entries_for(with_sig, k, bands, extra=carry)
     idx = static_index.select(
         F.col("id").alias("corpus_id"), "band", "bucket")
     hits = (
         probes.join(idx, ["band", "bucket"])
-        .select(F.col("id").alias(id_col), "corpus_id")
+        .select(F.col("id").alias(id_col), *carry, "corpus_id")
     )
-    if stream_docs.isStreaming:
-        return hits.dropDuplicates([id_col, "corpus_id"])
+    if streaming:
+        return (hits.withWatermark(event_time, watermark)
+                .dropDuplicatesWithinWatermark([id_col, "corpus_id"]))
     return (hits.dropDuplicates([id_col, "corpus_id"])
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))

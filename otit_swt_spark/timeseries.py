@@ -116,11 +116,18 @@ def asof_join(
         value_columns = [c for c in right.columns if c not in (on, right_ts)]
     rts_out = f"{right_ts}{suffix}"
 
+    # All matched fields travel together in ONE struct carried by a single
+    # last(ignorenulls): the struct is non-null exactly on right rows, so
+    # every output row's matched columns come from the SAME right row even
+    # when that row has nulls in some value columns (mixing fields from
+    # different right rows would fabricate rows that never existed).
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.col(right_ts).alias(rts_out),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_columns],
+        F.struct(
+            F.col(right_ts).alias(rts_out),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_columns],
+        ).alias("__match"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     tagged = l.unionByName(r, allowMissingColumns=True)
@@ -130,21 +137,20 @@ def asof_join(
     w = (Window.partitionBy(on)
          .orderBy(F.col("__ts").asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-               for c in value_columns]
-    carried.append(F.last(rts_out, ignorenulls=True).over(w).alias(rts_out))
     out = (tagged
-           .select(*[c for c in left.columns], "__ts", "__side", *carried)
+           .select(*[c for c in left.columns], "__ts", "__side",
+                   F.last("__match", ignorenulls=True).over(w).alias("__match"))
            .filter(F.col("__side") == 1))
+    matched_names = [*(f"{c}{suffix}" for c in value_columns), rts_out]
     if tolerance_seconds is not None:
         in_tol = (F.unix_micros(F.col("__ts").cast("timestamp"))
-                  - F.unix_micros(F.col(rts_out).cast("timestamp"))
+                  - F.unix_micros(F.col("__match")[rts_out].cast("timestamp"))
                   ) <= int(tolerance_seconds * 1_000_000)
-        cols = []
-        for c in [*(f"{c}{suffix}" for c in value_columns), rts_out]:
-            cols.append(F.when(in_tol, F.col(c)).alias(c))
-        out = out.select(*left.columns, "__ts", "__side", *cols)
-    return out.drop("__ts", "__side")
+        unpacked = [F.when(in_tol, F.col("__match")[c]).alias(c)
+                    for c in matched_names]
+    else:
+        unpacked = [F.col("__match")[c].alias(c) for c in matched_names]
+    return out.select(*left.columns, *unpacked)
 
 
 def sessionize(

@@ -372,3 +372,15 @@ def test_hash_sampling_deterministic_and_stable(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(docs, "doc_id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_hash_sample_full_fraction_keeps_all(spark, docs):
+    """fraction=1.0 must keep every row — the saturated hex threshold with
+    a strict comparison used to drop rows hashing to the top value."""
+    from otit_swt_spark.pipelines.sampling import hash_sample
+
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    import pytest
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)

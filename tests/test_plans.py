@@ -285,3 +285,39 @@ def test_bucketed_store_reregisters_existing_layout(spark, tmp_path):
         assert q.count() == 25
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_timestamp_offset_literal_prunes_in_utc(spark, tmp_path):
+    """A timestamp literal with a non-Z UTC offset must be normalized to
+    UTC before its date feeds the partition bound: ?t >= 01:00+02:00 is
+    23:00Z the PREVIOUS day, so the previous day's partition must survive
+    pruning (the naive .date() used to drop it — silently missing rows)."""
+    import pandas as pd
+    from otit_swt_spark.timeseries import TimeSeriesTable
+    from tests.conftest import TESTDATA_SPARQL
+
+    ts = pd.to_datetime(["2024-01-01 12:00:00", "2024-01-01 23:30:00",
+                         "2024-01-02 00:30:00", "2024-01-03 12:00:00"])
+    pdf = pd.DataFrame({
+        "id": ["ts1"] * 4, "timestamp": ts,
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "year": ts.year, "month": ts.month, "day": ts.day,
+    })
+    path = str(tmp_path / "ts_part_tz")
+    (spark.createDataFrame(pdf).write.partitionBy("year", "month", "day")
+     .parquet(path))
+    table = TimeSeriesTable(path=path, year_column="year",
+                            month_column="month", day_column="day")
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL))
+    eng.add_timeseries_table(table)
+    df = eng.query(PREFIXES + """
+    SELECT ?t ?v WHERE {
+        ?ts otit_swt:hasExternalId "ts1" .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t >= "2024-01-02T01:00:00+02:00"^^xsd:dateTime)
+    }""")
+    got = sorted(r["v"] for r in df.collect())
+    # 23:00Z Jan 1 onward: the 23:30 row (day-1 partition) must be included
+    assert got == [2.0, 3.0, 4.0]

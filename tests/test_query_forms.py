@@ -270,3 +270,26 @@ def test_from_multi_graph_merged_catalog(spark):
         eng.query("""
         SELECT ?s ?v FROM <urn:g:m1> FROM <urn:g:m3>
         WHERE { ?s <http://example.org/size> ?v }""").collect()
+
+
+def test_graph_variable_constrains_inner_binding(spark):
+    """GRAPH ?g { ?g ex:p ?o }: when the graph variable is also bound inside
+    the pattern, the branch must CONSTRAIN the inner binding to the graph
+    IRI, not overwrite it (overwriting returned rows whose subject was not
+    the graph IRI, silently mislabeled)."""
+    eng = _fresh_engine(spark)
+    from otit_swt_spark.graph import GraphStore
+
+    # urn:g1 contains a triple about itself AND one about another subject
+    eng.register_named_graph("urn:g1", GraphStore.from_sparql_insert(spark, """
+    PREFIX ex: <http://example.org/>
+    INSERT DATA { <urn:g1> ex:p ex:self . <urn:other> ex:p ex:notself . }"""))
+    eng.register_named_graph("urn:g2", GraphStore.from_sparql_insert(spark, """
+    PREFIX ex: <http://example.org/>
+    INSERT DATA { <urn:g1> ex:p ex:cross . }"""))
+    df = eng.query(
+        "SELECT ?g ?o WHERE { GRAPH ?g { ?g <http://example.org/p> ?o } }")
+    got = {(r["g"], r["o"]) for r in df.collect()}
+    # only the g1 self-triple qualifies: g2's triple about urn:g1 has
+    # subject != g2, and urn:other never names a graph
+    assert got == {("urn:g1", "http://example.org/self")}

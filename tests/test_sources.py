@@ -323,3 +323,31 @@ def test_sessionize_matches_pandas_reference(spark, seed):
                 idx += 1
             prev = row["timestamp"]
             assert got[(key, str(row["timestamp"]))] == idx, (key, row["timestamp"])
+
+
+def test_asof_join_null_value_column_stays_with_its_row(spark):
+    """Matched columns must all come from the SAME right row: when the
+    newest right row holds a NULL value column, the output must NOT mix in
+    that column from an older right row (independent last(ignorenulls) per
+    column used to fabricate rows that never existed)."""
+    import pandas as pd
+    from otit_swt_spark.timeseries import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "id": ["a"],
+        "timestamp": pd.to_datetime(["2024-01-01 00:01:00"]),
+    }))
+    from datetime import datetime
+    right = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 0, 10), 10.0, 1.0),
+         ("a", datetime(2024, 1, 1, 0, 0, 20), None, 2.0)],
+        "id string, timestamp timestamp, setpoint double, gain double")
+    row = asof_join(left, right).collect()[0]
+    assert str(row["timestamp_matched"]) == "2024-01-01 00:00:20"
+    assert row["gain_matched"] == 2.0
+    assert row["setpoint_matched"] is None  # from the matched row, not older
+
+    # tolerance checked against the same (newest) right row
+    tol = asof_join(left, right, tolerance_seconds=45).collect()[0]
+    assert str(tol["timestamp_matched"]) == "2024-01-01 00:00:20"
+    assert tol["gain_matched"] == 2.0
