@@ -848,10 +848,18 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_verify(spark, sf_dir):
-    from otit_swt_spark.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard
+    """Exact n-gram Jaccard verify stage over a DETERMINISTIC candidate set
+    (consecutive doc-id pairs) so DuckDB can oracle the set math exactly;
+    the LSH candidate generation it normally follows is covered by the
+    minhash_lsh_pairs entry (hash-defined, rows-only by nature)."""
+    from otit_swt_spark.pipelines.dedup import ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, k=32, bands=16).limit(1000)
+    ids = docs.select("doc_id")
+    cands = (ids.alias("l")
+             .join(ids.alias("r"), F.col("r.doc_id") == F.col("l.doc_id") + 1)
+             .select(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b")))
     return ngram_jaccard(cands, docs)
 
 
@@ -985,10 +993,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def oracle_sql() -> dict[str, str]:
     from otit_swt_spark.pipelines.sampling import _hex_threshold
+    from otit_swt_spark.pipelines.similarity import _hyperplanes
 
     t20 = _hex_threshold(0.2)
     t80 = _hex_threshold(0.8)
     t90 = _hex_threshold(0.9)
+    # The sign-sketch hyperplanes are a deterministic function of (dim=64,
+    # n_bits=6, seed) — embed them as literals so DuckDB reproduces the
+    # exact LSH bucketing of q_embedding_neardup, then verifies cosine.
+    _planes = _hyperplanes(64, 6)
+    sketch_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes))
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     lang_cases = []
     markers = {
@@ -1503,5 +1521,38 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
             FROM embeddings, q
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ngram_jaccard_verify": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                                FOR i IN range(1, len(t) - 1)])
+                       END AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+                         6) AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_neardup": f"""
+            WITH sk AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                       {sketch_terms} AS sketch
+                FROM embeddings
+            ), pairs AS (
+                SELECT l.id AS id_a, r.id AS id_b,
+                       round(list_dot_product(l.v, r.v)
+                             / (sqrt(list_dot_product(l.v, l.v))
+                                * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+                FROM sk l JOIN sk r
+                  ON l.sketch = r.sketch AND l.id < r.id
+            )
+            SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
         """,
     }
