@@ -30,8 +30,12 @@ class InconsistentDatatype(Exception):
 
 class Engine:
     def __init__(self, spark: SparkSession, graph: GraphStore | DataFrame | None = None,
-                 strict_types: bool = True):
+                 strict_types: bool = True, http_post=None):
         self.spark = spark
+        #: injectable SPARQL-over-HTTP poster (url, query) -> SPARQL-JSON
+        #: dict, used by unregistered http(s) SERVICE endpoints; None uses
+        #: the stdlib urllib poster. Injectable for tests/auth/retries.
+        self.http_post = http_post
         if isinstance(graph, DataFrame):
             graph = GraphStore(spark, graph)
         self.graph = graph or GraphStore(spark)
@@ -138,7 +142,8 @@ class Engine:
         compiler = Compiler(self.spark, graph_df, self.ts_tables,
                             pred_datatypes=pred_dt,
                             services=self.services,
-                            named_graphs=named)
+                            named_graphs=named,
+                            http_post=self.http_post)
         if isinstance(query, A.AskQuery):
             sm = compiler.compile_pattern(query.pattern, None)
             out = (sm.df.limit(1)
@@ -218,7 +223,8 @@ class Engine:
             compiler = Compiler(self.spark, self.graph.df, self.ts_tables,
                                 pred_datatypes=self.graph.predicate_datatypes,
                                 services=self.services,
-                                named_graphs=self.named_graphs)
+                                named_graphs=self.named_graphs,
+                                http_post=self.http_post)
             sm = compiler.compile_pattern(q.pattern, None)
             delete_df = self._construct(sm, q.delete) if q.delete else None
             insert_df = self._construct(sm, q.insert) if q.insert else None

@@ -133,32 +133,69 @@ class GraphStore:
         page_size: int = 10_000,
         max_pages: int = 100_000,
         http_post=None,
+        distributed: bool = True,
+        num_partitions: int | None = None,
     ) -> "GraphStore":
-        """One-shot paged pull of a remote SPARQL endpoint into the triples
-        DataFrame — API parity with the reference's HTTP data path
+        """Pull a remote SPARQL endpoint into the triples DataFrame — API
+        parity with the reference's HTTP data path
         (hybrid/src/static_sparql.rs:46-99), restructured Spark-first: the
         graph is fetched ONCE and joined in-plan afterwards, instead of one
         POST per query.
 
+        Default (``distributed=True``): ONE tiny driver POST counts the
+        graph, then N offset-range pages are fetched in parallel by
+        executor tasks (``mapInPandas`` over a page-index range frame) —
+        the driver never materializes the triples, so graph size is bounded
+        by cluster memory, not driver memory. The pulled frame is persisted
+        so repeated queries hit the cache instead of the endpoint.
+        Consistency note (same as the reference's LIMIT/OFFSET paging): the
+        endpoint must serve a stable snapshot across the pulls.
+
+        ``distributed=False`` falls back to sequential driver-side paging —
+        for endpoints without COUNT support or when a closure-injected
+        ``http_post`` must not cross process boundaries.
+
         Pages ``SELECT ?s ?p ?o`` with LIMIT/OFFSET and parses
         application/sparql-results+json. ``http_post(url, query) -> dict``
         is injectable (tests, auth, retry policies); the default uses
-        urllib. Paging necessarily lands rows on the driver — for graphs
-        beyond driver memory use the store's bulk export to parquet and
-        ``read_parquet`` instead."""
+        urllib. Distributed posters are pickled to executors — use
+        module-level functions or self-contained closures."""
         poster = http_post or _default_sparql_post
-        rows: list[tuple] = []
-        offset = 0
-        for _ in range(max_pages):
-            q = (f"SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} "
-                 f"LIMIT {page_size} OFFSET {offset}")
-            doc = poster(url, q)
-            bindings = doc.get("results", {}).get("bindings", [])
-            rows.extend(_sparql_json_binding_to_row(b) for b in bindings)
-            if len(bindings) < page_size:
-                break
-            offset += page_size
-        return cls(spark, spark.createDataFrame(rows, TRIPLES_SCHEMA))
+        if not distributed:
+            rows: list[tuple] = []
+            offset = 0
+            for _ in range(max_pages):
+                q = (f"SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} "
+                     f"LIMIT {page_size} OFFSET {offset}")
+                doc = poster(url, q)
+                bindings = doc.get("results", {}).get("bindings", [])
+                rows.extend(_sparql_json_binding_to_row(b) for b in bindings)
+                if len(bindings) < page_size:
+                    break
+                offset += page_size
+            return cls(spark, spark.createDataFrame(rows, TRIPLES_SCHEMA))
+
+        doc = poster(url, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+        n = int(doc["results"]["bindings"][0]["n"]["value"])
+        n_pages = min(max_pages, max(1, -(-n // page_size)))
+        parts = num_partitions or max(
+            1, min(n_pages, spark.sparkContext.defaultParallelism))
+        cols = [f.name for f in TRIPLES_SCHEMA]
+
+        def pull(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for page in pdf["id"].tolist():
+                    q = (f"SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} "
+                         f"LIMIT {page_size} OFFSET {page * page_size}")
+                    d = poster(url, q)
+                    rows = [_sparql_json_binding_to_row(b)
+                            for b in d.get("results", {}).get("bindings", [])]
+                    yield pd.DataFrame(rows, columns=cols)
+
+        pages = spark.range(0, n_pages, numPartitions=parts)
+        return cls(spark, pages.mapInPandas(pull, TRIPLES_SCHEMA).persist())
 
     # -- mutation ----------------------------------------------------------
 

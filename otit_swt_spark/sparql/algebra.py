@@ -280,14 +280,21 @@ class Service:
     """SERVICE [SILENT] <endpoint> { pattern }: evaluate the inner pattern
     against a second graph and join with the outer solutions (reference
     rewrites SERVICE patterns to the static side,
-    hybrid/src/rewriting/graph_patterns/service_pattern.rs:1). Execution is
-    in-process federation: the endpoint IRI must be registered as a
-    GraphStore (Engine.register_service); remote endpoints are loaded once
-    via GraphStore.from_endpoint and registered."""
+    hybrid/src/rewriting/graph_patterns/service_pattern.rs:1). Registered
+    endpoints (Engine.register_service) run as in-process federation —
+    one Catalyst plan spanning both graphs; unregistered http(s) endpoints
+    execute the group remotely as a generated sub-SELECT and join the
+    returned bindings in-plan."""
 
     endpoint: IRI
     inner: "GraphPattern"
     silent: bool = False
+    #: verbatim source text of the braced group (set by the parser) — an
+    #: unregistered http(s) endpoint executes it remotely as a sub-SELECT
+    raw: str | None = None
+    #: prefix declarations in scope at the SERVICE clause (the raw text may
+    #: use pnames that must be re-declared in the remote query)
+    prefixes: dict | None = None
 
 
 @dataclass

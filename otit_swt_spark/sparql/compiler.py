@@ -187,7 +187,8 @@ def _spark_type(hint: str) -> str:
 class Compiler:
     def __init__(self, spark: SparkSession, graph_df: DataFrame, ts_tables: list | None = None,
                  pred_datatypes=None, services: dict | None = None,
-                 named_graphs: dict | None = None):
+                 named_graphs: dict | None = None, http_post=None):
+        self.http_post = http_post
         self.spark = spark
         self.graph_df = graph_df
         self.ts_tables = ts_tables or []
@@ -465,15 +466,25 @@ class Compiler:
         solution (SPARQL 1.1 Federated Query §2.3)."""
         store = self.services.get(p.endpoint.value)
         if store is None:
+            url = p.endpoint.value
+            if url.startswith(("http://", "https://")) and p.raw:
+                try:
+                    sm = self._remote_service_solutions(p)
+                except Exception:
+                    if not p.silent:
+                        raise
+                    return input if input is not None else SolutionMapping(
+                        self.spark.range(1).select(), {})
+                return (self.join_solutions(input, sm)
+                        if input is not None else sm)
             if p.silent:
                 return input if input is not None else SolutionMapping(
                     self.spark.range(1).select(), {})
             raise ValueError(
-                f"SERVICE endpoint <{p.endpoint.value}> is not registered: load "
-                "it once with GraphStore.from_endpoint(url) and attach it via "
-                "Engine.register_service(iri, store). Live per-query HTTP "
-                "dispatch is deliberately not supported — federate by loading "
-                "the remote graph into the plan.")
+                f"SERVICE endpoint <{p.endpoint.value}> is not registered "
+                "and is not an http(s) URL: attach a GraphStore via "
+                "Engine.register_service(iri, store), or use an http(s) "
+                "endpoint IRI for live dispatch.")
         saved = (self.graph_df, self._pred_datatypes)
         self.graph_df = store.df
         self._pred_datatypes = store.predicate_datatypes
@@ -482,6 +493,54 @@ class Compiler:
         finally:
             self.graph_df, self._pred_datatypes = saved
         return self.join_solutions(input, sm) if input is not None else sm
+
+    def _remote_service_solutions(self, p: A.Service) -> SolutionMapping:
+        """Execute SERVICE against a live http(s) endpoint: the braced group
+        is pushed verbatim as a generated sub-SELECT (reference pushes the
+        service pattern whole, rewriting/graph_patterns/service_pattern.rs:1)
+        so filters/joins inside the group run remotely; only the resulting
+        bindings travel. The SPARQL-JSON solutions land as a term-kind
+        SolutionMapping (value + __dt/__lang companions) and join in-plan
+        with the outer solutions like any local pattern. Endpoint results
+        are query answers (not graphs), so driver-side materialization is
+        the right transport; graph-sized pulls belong to
+        GraphStore.from_endpoint + register_service."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from otit_swt_spark.graph import _default_sparql_post
+        from otit_swt_spark.terms import RDF_LANGSTRING, XSD_STRING
+
+        poster = self.http_post or _default_sparql_post
+        pfx = "".join(f"PREFIX {name}: <{iri}>\n"
+                      for name, iri in (p.prefixes or {}).items())
+        doc = poster(p.endpoint.value, f"{pfx}SELECT * WHERE {p.raw}")
+        vars_ = list(doc.get("head", {}).get("vars")
+                     or sorted(A.pattern_variables(p.inner)))
+        rows = []
+        for b in doc.get("results", {}).get("bindings", []):
+            row: list = []
+            for v in vars_:
+                t = b.get(v)
+                if t is None:
+                    row += [None, None, None]
+                elif t.get("type") == "bnode":
+                    row += [f"_:{t['value']}", None, None]
+                elif t.get("type") in ("literal", "typed-literal"):
+                    lang = t.get("xml:lang")
+                    dt = (RDF_LANGSTRING if lang
+                          else t.get("datatype") or XSD_STRING)
+                    row += [t["value"], dt, lang.lower() if lang else None]
+                else:  # uri
+                    row += [t["value"], None, None]
+            rows.append(tuple(row))
+        fields = []
+        for v in vars_:
+            fields += [StructField(v, StringType()),
+                       StructField(f"{v}__dt", StringType()),
+                       StructField(f"{v}__lang", StringType())]
+        df = self.spark.createDataFrame(rows, StructType(fields))
+        return SolutionMapping(df, {v: VarMeta("term") for v in vars_},
+                               dt_vars=set(vars_), lang_vars=set(vars_))
 
     # -- BGP + virtual time-series patterns ---------------------------------
 

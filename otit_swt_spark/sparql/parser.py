@@ -95,6 +95,7 @@ def tokenize(text: str) -> list[Tok]:
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -518,8 +519,12 @@ class Parser:
                 self.next()
                 silent = bool(self.accept("SILENT"))
                 endpoint = self.parse_iri()
+                start = self.peek().pos  # the "{" opening the group
                 inner = self.parse_group_graph_pattern()
-                join_in(A.Service(endpoint, inner, silent))
+                last = self.toks[self.i - 1]  # the consumed "}"
+                raw = self.text[start:last.pos + len(last.value)]
+                join_in(A.Service(endpoint, inner, silent, raw=raw,
+                                  prefixes=dict(self.prefixes)))
             elif t.kind == "GRAPH":
                 self.next()
                 if self.peek().kind == "var":

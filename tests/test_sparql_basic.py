@@ -325,12 +325,82 @@ def test_service_joins_second_store(spark, engine):
                         (CASE + "myWidget2", "Globex")]
 
 
-def test_service_unregistered_raises_clear_error(engine):
+def test_service_unregistered_non_http_raises_clear_error(engine):
     import pytest
 
     with pytest.raises(ValueError, match="not registered"):
         engine.query(PFX + """
-        SELECT ?x WHERE { SERVICE <http://nowhere/sparql> { ?x <http://ex/p> ?o } }""")
+        SELECT ?x WHERE { SERVICE <urn:nowhere> { ?x <http://ex/p> ?o } }""")
+
+
+def test_service_remote_http_dispatch(spark):
+    """SERVICE <http://...> against an UNREGISTERED endpoint pushes the
+    braced group verbatim as a generated sub-SELECT through the injectable
+    poster and joins the returned bindings with local solutions."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from tests.conftest import TESTDATA_SPARQL
+
+    sent = []
+
+    def http_post(url, query):
+        sent.append((url, query))
+        return {"head": {"vars": ["s", "maker"]},
+                "results": {"bindings": [
+                    {"s": {"type": "uri",
+                           "value": "http://example.org/case#mySensor1"},
+                     "maker": {"type": "literal", "value": "Acme"}},
+                    {"s": {"type": "uri",
+                           "value": "http://example.org/case#mySensor2"},
+                     "maker": {"type": "literal", "value": "Globex",
+                               "xml:lang": "en"}},
+                ]}}
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL),
+                 http_post=http_post)
+    df = eng.query(PFX + """
+    SELECT ?w ?maker WHERE {
+        ?w types:hasSensor ?s .
+        SERVICE <http://remote.example/sparql> {
+            ?s <http://ex/madeBy> ?maker FILTER(?maker != "nobody")
+        }
+    }""")
+    assert rows(df) == [(CASE + "myWidget1", "Acme"),
+                        (CASE + "myWidget2", "Globex")]
+    (url, q), = sent
+    assert url == "http://remote.example/sparql"
+    # the group travels verbatim (filter included) inside a sub-SELECT,
+    # with the in-scope prefixes re-declared
+    assert q.lstrip().startswith("PREFIX")
+    assert "SELECT * WHERE {" in q
+    assert 'FILTER(?maker != "nobody")' in q
+
+
+def test_service_remote_http_silent_degrades(spark):
+    """SILENT + a poster that raises degrades to the identity solution."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from tests.conftest import TESTDATA_SPARQL
+
+    def http_post(url, query):
+        raise OSError("endpoint down")
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL),
+                 http_post=http_post)
+    df = eng.query(PFX + """
+    SELECT ?w WHERE {
+        ?w types:hasSensor ?s .
+        SERVICE SILENT <http://remote.example/sparql> { ?s <http://ex/madeBy> ?m }
+    }""")
+    assert rows(df) == [(CASE + "myWidget1",), (CASE + "myWidget2",)]
+
+    import pytest
+    with pytest.raises(OSError):
+        eng.query(PFX + """
+        SELECT ?w WHERE {
+            ?w types:hasSensor ?s .
+            SERVICE <http://remote.example/sparql> { ?s <http://ex/madeBy> ?m }
+        }""")
 
 
 def test_service_silent_degrades_to_identity(engine):
@@ -371,7 +441,7 @@ def test_from_endpoint_paged_pull(spark):
                 "results": {"bindings": sols}}
 
     g = GraphStore.from_endpoint(spark, "http://ex/sparql", page_size=2,
-                                 http_post=http_post)
+                                 http_post=http_post, distributed=False)
     assert len(calls) == 3  # 2 + 2 + 1 rows
     got = {tuple(r) for r in g.df.collect()}
     assert ("http://ex/s0", "http://ex/p", "http://ex/o0", None, None, None) in got
@@ -467,3 +537,42 @@ def test_inverse_and_sequence_inside_kleene(spark):
     assert inv == {(y, x) for x, y in fwd}
     assert seq == {("http://example.org/a", "http://example.org/c"),
                    ("http://example.org/b", "http://example.org/d")}
+
+
+def test_from_endpoint_distributed_pull(spark, tmp_path):
+    """Default from_endpoint: one driver COUNT, then offset pages fetched by
+    parallel executor tasks (poster runs in worker processes — tracked via
+    marker files, not driver closures), landing the same triples as the
+    sequential path without driver materialization."""
+    import os
+    from otit_swt_spark.graph import GraphStore
+
+    marks = str(tmp_path / "calls")
+    os.makedirs(marks, exist_ok=True)
+
+    def http_post(url, query, _marks=marks):
+        import os as _os
+        import re as _re
+        if "COUNT" in query:
+            open(_os.path.join(_marks, "count"), "w").close()
+            return {"results": {"bindings": [{"n": {"type": "literal",
+                                                    "value": "7"}}]}}
+        off = int(_re.search(r"OFFSET (\d+)", query).group(1))
+        open(_os.path.join(_marks, f"page{off}"), "w").close()
+        sols = [{"s": {"type": "uri", "value": f"http://ex/s{i}"},
+                 "p": {"type": "uri", "value": "http://ex/p"},
+                 "o": {"type": "literal", "value": str(i),
+                       "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}
+                for i in range(off, min(off + 2, 7))]
+        return {"head": {"vars": ["s", "p", "o"]},
+                "results": {"bindings": sols}}
+
+    g = GraphStore.from_endpoint(spark, "http://ex/sparql", page_size=2,
+                                 http_post=http_post)
+    assert g.df.rdd.getNumPartitions() > 1  # parallel fetch tasks
+    assert g.df.count() == 7
+    got = sorted(r["o_lex"] for r in g.df.collect())
+    assert got == [str(i) for i in range(7)]
+    names = set(os.listdir(marks))
+    # driver did only the count; the 4 pages were fetched by tasks
+    assert names == {"count", "page0", "page2", "page4", "page6"}
