@@ -302,9 +302,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     SimHash generators produce successor *chains* whose diameter grows with
     cluster size, which plain propagation cannot afford. The (small) label
     frame is localCheckpoint'ed per round: lineage stays flat (no nested
-    join tree for Catalyst to re-plan each round) and the isEmpty
-    convergence check runs on materialized data. This is the standard
-    large-scale alternative to driver-side union-find."""
+    join tree for Catalyst to re-plan each round). Convergence: the old
+    label rides along as a column, so changed-row counting happens INSIDE
+    the round's materializing aggregate — no separate compare-join or
+    isEmpty job per round. This is the standard large-scale alternative to
+    driver-side union-find."""
+    import logging
+
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .unionByName(pairs.select(F.col("id_b").alias("a"),
                                        F.col("id_a").alias("b")))
@@ -313,6 +317,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
               .distinct()
               .withColumn("cluster", F.col("id"))
               .localCheckpoint())
+    rounds = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -321,24 +326,29 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         new_labels = (
             labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
-            .select("id", F.least(F.col("cluster"),
-                                  F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"))
+            .select("id", F.col("cluster").alias("__old"),
+                    F.least(F.col("cluster"),
+                            F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"))
         )
         ptr = new_labels.select(F.col("id").alias("pid"),
                                 F.col("cluster").alias("pcluster"))
         new_labels = (
             new_labels.join(ptr, new_labels["cluster"] == ptr["pid"], "left")
-            .select("id", F.least(F.col("cluster"),
-                                  F.coalesce(F.col("pcluster"), F.col("cluster"))).alias("cluster"))
-            .localCheckpoint()
+            .select("id", "__old",
+                    F.least(F.col("cluster"),
+                            F.coalesce(F.col("pcluster"), F.col("cluster"))).alias("cluster"))
+            .persist()
         )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.cluster") != F.col("o.cluster")))
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
+        n_changed = new_labels.agg(F.sum(
+            (F.col("cluster") != F.col("__old")).cast("long")).alias("n")
+        ).first()["n"] or 0
+        labels = new_labels.select("id", "cluster").localCheckpoint()
+        new_labels.unpersist()
+        rounds += 1
+        if n_changed == 0:
             break
+    logging.getLogger(__name__).info(
+        "dedup_clusters converged in %d rounds", rounds)
     return labels
 
 

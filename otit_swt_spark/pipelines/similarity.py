@@ -99,6 +99,62 @@ def ann_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def _ivf_fit(
+    df: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    train_fraction: float,
+    max_train_rows: int,
+):
+    """Shared IVF trainer: KMeans on a bounded sample (``train_fraction``
+    capped at ``max_train_rows``; floor of 20×n_clusters rows so tiny
+    corpora still train well — at 100 TB a full-corpus fit would be a
+    multi-pass ML job before the first probe). Returns (assigned frame with
+    a ``cluster`` column, centroid list)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = vecs.select("features").sample(fraction=train_fraction, seed=seed) \
+                .limit(max_train_rows)
+    floor = n_clusters * 20
+    if train.count() < floor:
+        # sample too small (tiny corpus or tiny fraction): take a bounded
+        # prefix instead — still O(floor), never a full-corpus training pass
+        train = vecs.select("features").limit(max(floor, 1))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                   predictionCol="cluster").fit(train)
+    assigned = model.transform(vecs).drop("features")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def _probe_clusters(centers: list[list[float]], query_vec: list[float],
+                    n_probe: int) -> list[int]:
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    return sorted(range(len(centers)),
+                  key=lambda c: -_cos(query_vec, centers[c]))[:n_probe]
+
+
+def _score_topk(cand: DataFrame, query_vec: list[float], k: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       qcol.cast("array<double>")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -116,46 +172,66 @@ def ivf_topk(
 
     Scale path: centroids are tiny and live on the driver / in the closure
     (broadcast), assignment is one map-side pass, and the probe filter turns
-    the scan into ~n_probe/n_clusters of the corpus. KMeans trains on a
-    bounded SAMPLE of the corpus (``train_fraction`` capped at
-    ``max_train_rows``; floor of 20×n_clusters rows so tiny corpora still
-    train well) — at 100 TB a full-corpus fit would be a multi-pass ML job
-    before the first probe. Persist assignments as a partition column to
-    turn probing into partition pruning."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vecs = df.select(F.col(id_col), F.col(vec_col),
-                     array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    train = vecs.select("features").sample(fraction=train_fraction, seed=seed) \
-                .limit(max_train_rows)
-    floor = n_clusters * 20
-    if train.count() < floor:
-        # sample too small (tiny corpus or tiny fraction): take a bounded
-        # prefix instead — still O(floor), never a full-corpus training pass
-        train = vecs.select("features").limit(max(floor, 1))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                   predictionCol="cluster").fit(train)
-    assigned = model.transform(vecs)
-
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    probes = sorted(range(len(centers)),
-                    key=lambda c: -_cos(query_vec, centers[c]))[:n_probe]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    the scan into ~n_probe/n_clusters of the corpus. For a reusable corpus,
+    build the index ONCE with ``ivf_index`` (cluster becomes a parquet
+    partition column, so probing is partition PRUNING — no full scan at
+    all) and query it with ``ivf_topk_indexed``."""
+    assigned, centers = _ivf_fit(df, n_clusters, id_col, vec_col, seed,
+                                 train_fraction, max_train_rows)
+    probes = _probe_clusters(centers, query_vec, n_probe)
     cand = assigned.filter(F.col("cluster").isin(probes))
-    scored = cand.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"),
-                       qcol.cast("array<double>")), 6).alias("cos_sim"),
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    return _score_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    train_fraction: float = 0.05,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Materialize an IVF index: assignments written as parquet PARTITIONED
+    BY the cluster id, centroids saved alongside as ``_centroids.json``
+    (parquet readers skip ``_``-prefixed files). A later probe filters on
+    the partition column, so Catalyst prunes to the ~n_probe/n_clusters
+    cluster directories at the SCAN — the 100 TB path where unprobed
+    clusters cost zero IO. Returns the centroid list."""
+    import json
+    import os
+
+    assigned, centers = _ivf_fit(df, n_clusters, id_col, vec_col, seed,
+                                 train_fraction, max_train_rows)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(centers, fh)
+    return centers
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted ``ivf_index``: pick the ``n_probe`` nearest
+    centroids driver-side (centroids are tiny), filter on the cluster
+    partition column (PartitionFilters — pruned scan), score exact cosine
+    within the probed clusters only."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centers = json.load(fh)
+    probes = _probe_clusters(centers, query_vec, n_probe)
+    vecs = spark.read.parquet(path)
+    cand = vecs.filter(F.col("cluster").isin(probes))
+    return _score_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",

@@ -792,23 +792,35 @@ class Compiler:
 
         localCheckpoint truncates the lineage each round — without it the
         final plan nests one full join tree per iteration and driver-side
-        planning blows up on deep graphs; it also materializes the delta so
-        the isEmpty convergence check is cheap."""
+        planning blows up on deep graphs. Convergence is read from the
+        delta's count(), which doubles as the action materializing it into
+        the cache — ONE driver job decides the round (the union checkpoint
+        then reads the cached delta), instead of a separate
+        checkpoint-then-isEmpty pair."""
+        import logging
+
         paths = edges.distinct().localCheckpoint()
+        rounds = 0
         for _ in range(max_iter):
             nxt = (paths.withColumnRenamed("dst", "mid")
                    .join(paths.withColumnRenamed("src", "mid"), "mid")
                    .select("src", "dst")
                    .distinct())
-            new = nxt.join(paths, ["src", "dst"], "left_anti").localCheckpoint()
-            if new.isEmpty():
+            new = nxt.join(paths, ["src", "dst"], "left_anti").persist()
+            n_new = new.count()  # the materializing action IS the check
+            if n_new == 0:
+                new.unpersist()
                 break
+            rounds += 1
             paths = paths.unionByName(new).localCheckpoint()
+            new.unpersist()
         else:  # a silent truncation would be a wrong answer, not a slow one
             raise RuntimeError(
                 f"property-path closure did not converge in {max_iter} "
                 f"doubling rounds (graph diameter > 2^{max_iter}); raise "
                 "max_iter")
+        logging.getLogger(__name__).info(
+            "kleene closure converged in %d doubling rounds", rounds)
         return paths
 
     def _compile_path_triple(self, tp: A.TriplePattern) -> SolutionMapping:
@@ -1033,6 +1045,9 @@ class Compiler:
         # per-branch resolution, so it falls back to the general form.
         correlated = bool(_pattern_free_expr_vars(p.right) & set(left.vars))
         if not correlated and (p.expr is None or not _contains_exists(p.expr)):
+            fast = self._leftjoin_rebind_fastpath(left, p)
+            if fast is not None:
+                return fast
             try:
                 right = self.compile_pattern(p.right, None)
             except ValueError:
@@ -1061,6 +1076,61 @@ class Compiler:
         return SolutionMapping(df, vars2, m_sm.dt_vars | un_sm.dt_vars,
                                m_sm.lang_vars | un_sm.lang_vars,
                                {**un_sm.ts_chains, **m_sm.ts_chains})
+
+    def _leftjoin_rebind_fastpath(self, left: SolutionMapping,
+                                  p: A.LeftJoin) -> SolutionMapping | None:
+        """OPTIONAL whose right side only RE-BINDS timestamp/value of data
+        points already chained on the left (a correlated TS continuation):
+        the extension is functionally determined per left row, so the
+        left-outer semantics collapse to a projection plus a conditional
+        null — no join, no row id, no shuffle, left evaluated once. Returns
+        None when the shape doesn't apply (falls back to the general
+        matched∪anti form)."""
+        if type(p.right) is not A.BGP:
+            return None
+        adds: dict[str, str] = {}  # new var -> source column on the left
+        conds: list[Column] = []
+        for tp in p.right.patterns:
+            pv = tp.p.value if isinstance(tp.p, IRI) else None
+            key = {HAS_TIMESTAMP: "t", HAS_VALUE: "v"}.get(pv)
+            if key is None or not isinstance(tp.s, Variable):
+                return None
+            pre = left.ts_chains.get(tp.s.name)
+            src = pre.get(key) if pre else None
+            if src is None:
+                return None
+            if isinstance(tp.o, Variable):
+                if tp.o.name == src:
+                    continue  # re-binding the same var is a no-op
+                if tp.o.name in left.vars or tp.o.name in adds:
+                    return None  # compatibility-join semantics: general form
+                adds[tp.o.name] = src
+            elif isinstance(tp.o, Literal):
+                conds.append(F.col(src) == literal_typed(tp.o).col)
+            else:
+                return None
+        df = left.df
+        vars2 = dict(left.vars)
+        for var, src in adds.items():
+            df = df.withColumn(var, F.col(src))
+            vars2[var] = left.vars[src]
+        sm = replace(left, df=df, vars=vars2)
+        if not conds and p.expr is None:
+            return sm
+        cond = conds[0] if conds else None
+        for c in conds[1:]:
+            cond = cond & c
+        if p.expr is not None:
+            e = compile_expr(p.expr, sm).col.try_cast("boolean")
+            cond = e if cond is None else cond & e
+        if not adds:
+            return left  # OPTIONAL binds nothing new: never removes rows
+        # SPARQL LeftJoin: condition false/error -> the extension is
+        # unbound, the left row survives
+        out = sm.df
+        for var in adds:
+            out = out.withColumn(var, F.when(cond, F.col(var)))
+        return replace(sm, df=out)
 
     def _leftjoin_with_condition(self, left: SolutionMapping,
                                  right: SolutionMapping,

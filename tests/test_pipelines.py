@@ -384,3 +384,34 @@ def test_hash_sample_full_fraction_keeps_all(spark, docs):
     import pytest
     with pytest.raises(ValueError):
         hash_sample(docs, "doc_id", 1.5)
+
+
+def test_ivf_index_prunes_partitions(spark, tmp_path):
+    """ivf_index persists cluster as a parquet partition column; probing via
+    ivf_topk_indexed shows PartitionFilters on the scan (unprobed clusters
+    cost zero IO) and returns the same answer as the unpersisted ivf_topk
+    (identical seed/data -> identical KMeans model)."""
+    import random
+    from otit_swt_spark.pipelines.similarity import (
+        ivf_index, ivf_topk, ivf_topk_indexed)
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    path = str(tmp_path / "ivf_idx")
+    centers = ivf_index(emb, path, n_clusters=8)
+    assert len(centers) == 8
+
+    out = ivf_topk_indexed(spark, path, qv, k=5, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("PartitionFilters"):][:300]
+    assert "cluster" in seg  # probe filter reached the scan as pruning
+
+    got = out.collect()
+    assert got[0]["vec_id"] == 7 and got[0]["cos_sim"] == 1.0
+    direct = ivf_topk(emb, qv, k=5, n_clusters=8, n_probe=3).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == \
+        [(r["vec_id"], r["cos_sim"]) for r in direct]

@@ -321,3 +321,32 @@ def test_timestamp_offset_literal_prunes_in_utc(spark, tmp_path):
     got = sorted(r["v"] for r in df.collect())
     # 23:00Z Jan 1 onward: the 23:30 row (day-1 partition) must be included
     assert got == [2.0, 3.0, 4.0]
+
+
+def test_correlated_ts_optional_has_no_rowid(spark, engine):
+    """OPTIONAL that re-binds timestamp/value of a data point chained on the
+    left compiles to a projection + conditional null — the physical plan
+    must contain NO xxhash row id (the general matched∪anti form) and no
+    extra join for the OPTIONAL."""
+    df = engine.query(PREFIXES + """
+    SELECT ?ts_id ?t ?v ?v2 WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        OPTIONAL { ?dp otit_swt:hasValue ?v2 FILTER(?v2 > 102) }
+    }""")
+    plan = physical(df)
+    assert "xxhash" not in plan
+    got = {(r["ts_id"], r["t"], r["v"], r["v2"]) for r in df.collect()}
+    # every (ts,t,v) row survives; v2 bound only where value > 102
+    all_rows = engine.query(PREFIXES + """
+    SELECT ?ts_id ?t ?v WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+    }""").collect()
+    expect = {(r["ts_id"], r["t"], r["v"], r["v"] if r["v"] > 102 else None)
+              for r in all_rows}
+    assert got == expect and len(got) == len(all_rows)
