@@ -9,9 +9,11 @@ Decode depth is tiered by what this environment provides:
   library needed), and uncompressed 24-bit BMP additionally yields true
   mean luma from the pixel data.
 - **WAV audio decode is REAL** (stdlib ``wave`` + numpy PCM RMS).
-- Deep pixel decode of compressed formats (JPEG DCT, PNG inflate) would
-  need PIL — those fields come back null rather than failing the job
-  (corrupt/unknown files must not kill a 100 TB pipeline).
+- Deep pixel decode of compressed formats (JPEG DCT, PNG inflate) engages
+  AUTOMATICALLY when PIL is importable in the worker (soft import, cached
+  per process); likewise soundfile for non-WAV audio. Without the libs the
+  same fields come back from header parsing (or null) rather than failing
+  the job (corrupt/unknown files must not kill a 100 TB pipeline).
 - ``fake=True`` keeps the deterministic synthetic decoder for plumbing
   tests over non-media payloads.
 """
@@ -53,6 +55,76 @@ def attach_binary_column(df: DataFrame, text_col: str = "text",
 
 
 _NULL_IMG = {"width": None, "height": None, "channels": None, "mean_luma": None}
+
+# Soft-imported optional codecs, resolved once per worker process: False =
+# probed and absent, None = not probed yet, module = available.
+_PIL_IMAGE = None
+_SOUNDFILE = None
+
+
+def _pil_image():
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image as _img
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = False
+    return _PIL_IMAGE or None
+
+
+def _soundfile_mod():
+    global _SOUNDFILE
+    if _SOUNDFILE is None:
+        try:
+            import soundfile as _sf
+            _SOUNDFILE = _sf
+        except ImportError:
+            _SOUNDFILE = False
+    return _SOUNDFILE or None
+
+
+def _deep_image_decode(payload: bytes) -> dict | None:
+    """Pixel-level decode when PIL is importable: authoritative dimensions /
+    channels plus true mean luma for ANY compressed format PIL reads.
+    Returns None (caller falls back to header parsing) when PIL is absent
+    or the payload doesn't decode."""
+    img_mod = _pil_image()
+    if img_mod is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with img_mod.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("L"), dtype=np.float64)
+            return {"width": im.width, "height": im.height,
+                    "channels": len(im.getbands()),
+                    "mean_luma": round(float(arr.mean()) / 255.0, 6)}
+    except Exception:
+        return None
+
+
+def _deep_audio_decode(payload: bytes) -> dict | None:
+    """Sample-level decode via soundfile when importable (flac/ogg/...);
+    None lets the caller fall back to the stdlib WAV path / nulls."""
+    sf = _soundfile_mod()
+    if sf is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        data, rate = sf.read(io.BytesIO(payload), dtype="float64",
+                             always_2d=True)
+    except Exception:
+        return None
+    duration = data.shape[0] / rate if rate else None
+    rms = (round(float(np.sqrt(np.mean(data * data))), 6)
+           if data.size else None)
+    return {"duration_s": duration, "sample_rate": int(rate), "rms": rms}
 
 
 def _sniff_image(payload: bytes) -> dict | None:
@@ -114,7 +186,8 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         height = 16 + ((n // 64) % 64)
         luma = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
         return {"width": width, "height": height, "channels": 3, "mean_luma": luma}
-    return _sniff_image(payload) or dict(_NULL_IMG)
+    return (_deep_image_decode(payload) or _sniff_image(payload)
+            or dict(_NULL_IMG))
 
 
 def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -159,7 +232,7 @@ def decode_audio(payload: bytes, fake: bool = False) -> dict:
         rms = (sum(b * b for b in payload[:512]) / max(min(n, 512), 1)) ** 0.5 / 255.0
         return {"duration_s": duration, "sample_rate": rate, "rms": rms}
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return dict(_NULL_AUDIO)
+        return _deep_audio_decode(payload) or dict(_NULL_AUDIO)
     import io
     import wave
 

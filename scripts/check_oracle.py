@@ -33,10 +33,12 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or None
-    spark = get_spark("oracle_check")
+def run_sweep(spark, sf_dir: str = "/root/testdata/sf0.01",
+              only: list[str] | None = None) -> list[tuple[str, str]]:
+    """Run every queries() entry on Spark and its oracle_sql() twin on
+    DuckDB, returning (name, reason) failures — importable so the pytest
+    suite runs the full sweep by default (driver subsetting can't hide
+    drift)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -86,6 +88,13 @@ def main():
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; {len(failures)} failures")
     for n, msg in failures:
         print(f"  - {n}: {msg}")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    failures = run_sweep(get_spark("oracle_check"), sf_dir, only)
     sys.exit(1 if failures else 0)
 
 

@@ -415,3 +415,47 @@ def test_ivf_index_prunes_partitions(spark, tmp_path):
     direct = ivf_topk(emb, qv, k=5, n_clusters=8, n_probe=3).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in got] == \
         [(r["vec_id"], r["cos_sim"]) for r in direct]
+
+
+def test_deep_image_decode_with_pil():
+    """When PIL is importable the decoder reads true pixels of compressed
+    formats; skips cleanly in environments without PIL."""
+    import pytest
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    from otit_swt_spark.pipelines.multimodal import decode_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (12, 7), color=(255, 255, 255)).save(buf, "PNG")
+    out = decode_image(buf.getvalue())
+    assert (out["width"], out["height"], out["channels"]) == (12, 7, 3)
+    assert out["mean_luma"] == 1.0  # all-white pixels, truly decoded
+
+
+def test_deep_audio_decode_with_soundfile():
+    """soundfile decodes non-WAV audio when importable; skips without it."""
+    import pytest
+    sf = pytest.importorskip("soundfile")
+    import io
+    import numpy as np
+    from otit_swt_spark.pipelines.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(8000), 8000, format="FLAC")
+    out = decode_audio(buf.getvalue())
+    assert out["sample_rate"] == 8000
+    assert out["duration_s"] == 1.0 and out["rms"] == 0.0
+
+
+def test_decode_without_optional_codecs_falls_back():
+    """Without PIL/soundfile the header path still answers (PNG dims) and
+    unknown payloads yield nulls, never exceptions."""
+    import struct
+    from otit_swt_spark.pipelines.multimodal import decode_audio, decode_image
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 31, 17) + bytes([8, 2]) + bytes(16))
+    out = decode_image(png)
+    assert (out["width"], out["height"], out["channels"]) == (31, 17, 3)
+    assert decode_image(b"\x00" * 64)["width"] is None
+    assert decode_audio(b"\x00" * 64)["rms"] is None
