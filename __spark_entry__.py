@@ -441,6 +441,40 @@ def q_ts_outliers(spark, sf_dir):
                     F.round("med", 6).alias("user_median")))
 
 
+def q_resample_locf(spark, sf_dir):
+    """Grid regularization + last-observation-carried-forward gap fill over
+    the events stream, hourly buckets per user."""
+    from otit_swt_spark.timeseries import resample
+
+    e = _t(spark, sf_dir, "events")
+    return (resample(e, key="user_id", ts="ts", value="value",
+                     step_seconds=3600.0, fill="locf")
+            .select("user_id", F.unix_micros("bucket_ts").alias("bucket_us"),
+                    F.round("value", 6).alias("value"), "filled"))
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 1-hour per-user stats for every event — range-frame window,
+    one shuffle, no self-join."""
+    from otit_swt_spark.timeseries import rolling_stats
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_stats(e, key="user_id", ts="ts", value="value",
+                         window_seconds=3600.0).select(
+        "event_id", "roll_count", "roll_avg", "roll_min", "roll_max",
+        "roll_stddev")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 5-per-(lang, source) document sample via salted-hash
+    ranking."""
+    from otit_swt_spark.pipelines.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang", "source"], 5, "doc_id") \
+        .select("doc_id", "lang", "source")
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantiles (median / p95) — `percentile` with linear
     interpolation, matching DuckDB's quantile_cont."""
@@ -552,6 +586,50 @@ def q_quality_score(spark, sf_dir):
         F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: docs whose 8-token shingles overlap a
+    benchmark slice (doc_id % 7 == 0) are flagged. Broadcast benchmark gram
+    set; corpus side is a map-side explode — no corpus shuffle beyond the
+    per-doc hit count."""
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    out = decontaminate(train, bench, n=8)
+    return out.select("doc_id", "n_contaminated_grams",
+                      F.col("contaminated").cast("int").alias("contaminated"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals — pure array functions,
+    zero shuffle."""
+    from otit_swt_spark.pipelines.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, gram_n=2).select(
+        "doc_id", "rep_dup_token_frac", "rep_top_gram_frac",
+        "rep_max_gram_count")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministically injected emails / IPs / digit
+    runs (the synthetic corpus has none of its own) — regexp built-ins,
+    map-side only."""
+    from otit_swt_spark.pipelines.pii import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or 10.1."), (F.col("doc_id") % 256),
+                 F.lit(".7 id 90210"), F.col("doc_id"), F.lit("55"),
+                 ).alias("text"))
+    return scrub_pii(injected).select(
+        "doc_id", "text", "pii_n_email", "pii_n_ipv4", "pii_n_phone",
+        "pii_n_id_number")
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -957,6 +1035,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
+        "resample_locf": q_resample_locf,
+        "rolling_stats": q_rolling_stats,
+        "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
         "pivot_events": q_pivot_events,
@@ -980,6 +1061,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hash_split": q_hash_split,
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "near_dedup_docs": q_near_dedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1434,6 +1518,125 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "resample_locf": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                       arg_max(value, epoch_us(ts)) AS v
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM bounds
+            ), j AS (
+                SELECT g.user_id, g.b, o.v
+                FROM grid g LEFT JOIN obs o USING (user_id, b)
+            )
+            SELECT user_id, b * 3600000000 AS bucket_us,
+                   round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value,
+                   CAST(v IS NULL AS INT) AS filled
+            FROM j
+        """,
+        "rolling_stats": """
+            SELECT event_id,
+                   CAST(count(value) OVER w AS BIGINT) AS roll_count,
+                   round(avg(value) OVER w, 6) AS roll_avg,
+                   min(value) OVER w AS roll_min,
+                   max(value) OVER w AS roll_max,
+                   round(coalesce(stddev_samp(value) OVER w, 0.0), 6) AS roll_stddev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 5
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, greatest(len(tk) - 7, 0)),
+                           i -> md5(array_to_string(list_slice(tk, i, i + 7), ' ')))) AS gram
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+            ), dg AS (
+                SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0
+            ), hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM dg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 7 <> 0
+        """,
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents
+            ), g AS (
+                SELECT doc_id, tk, list_transform(
+                           generate_series(1, greatest(len(tk) - 1, 0)),
+                           i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS grams
+                FROM t
+            ), c AS (
+                SELECT doc_id, tk, grams,
+                       CASE WHEN len(grams) > 0 THEN
+                           list_max(list_transform(list_distinct(grams),
+                               x -> len(list_filter(grams, y -> y = x))))
+                       ELSE 0 END AS maxc
+                FROM g
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(tk) > 0 THEN
+                       (len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE)
+                       ELSE 0 END, 6) AS rep_dup_token_frac,
+                   round(CASE WHEN len(grams) > 0 THEN
+                       maxc / CAST(len(grams) AS DOUBLE)
+                       ELSE 0 END, 6) AS rep_top_gram_frac,
+                   CAST(maxc AS BIGINT) AS rep_max_gram_count
+            FROM c
+        """,
+        "pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id ||
+                       '@example.com or 10.1.' || (doc_id % 256) ||
+                       '.7 id 90210' || doc_id || '55' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', '<PHONE>', 'g'),
+                       '\b[0-9]{9,}\b', '<ID>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS pii_n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS BIGINT) AS pii_n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', 0)) AS BIGINT) AS pii_n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{9,}\b', 0)) AS BIGINT) AS pii_n_id_number
+            FROM inj
         """,
         "chunk_docs": """
             SELECT doc_id, i AS chunk_idx,

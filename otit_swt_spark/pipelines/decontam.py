@@ -1,0 +1,108 @@
+"""Train/test decontamination: flag (or drop) training documents whose
+token n-grams overlap a benchmark/eval set.
+
+The standard large-corpus decontamination recipe (used by GPT-3/PaLM-style
+data pipelines): normalize text, slide an n-token window, hash each n-gram,
+and mark a training document contaminated when at least ``min_hits`` of its
+n-gram hashes also occur in the benchmark set.
+
+Scale design (100 TB corpus vs ~MB-scale benchmark):
+- the benchmark n-gram set is tiny (eval suites are thousands of docs) →
+  ``F.broadcast`` it; the contamination check is then a map-side hash
+  lookup on each executor, NO shuffle of the corpus.
+- corpus n-grams are produced with pure built-in array functions
+  (``regexp_extract_all`` + ``transform`` over a ``sequence``) — whole-stage
+  codegen, no Python in the executor path.
+- hashes are md5 of the space-joined gram, so an external SQL engine
+  (the correctness oracle) computes bit-identical sets.
+
+Reference parity note: the reference engine has no decontamination
+operator; this is part of the additive LLM-training-data suite alongside
+``pipelines/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Normalization: lowercase, keep alphanumeric runs as tokens. Matches the
+# DuckDB oracle expression regexp_extract_all(lower(text), '[a-z0-9]+').
+_WORD_RE = r"[a-z0-9]+"
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), F.lit(0))
+
+
+def ngram_hashes(text: Column, n: int) -> Column:
+    """Array of md5 hashes of all n-token shingles of ``text`` (empty when
+    the document has fewer than ``n`` tokens). ``slice`` is 1-based; the
+    explicit ``when`` guard matters because ``sequence(1, k)`` with k <= 0
+    would generate a DESCENDING sequence, not an empty one.
+
+    NOTE: expression-valued — fine for one-off use, but Spark interprets
+    higher-order-function lambdas per element, so the token expression is
+    re-evaluated per shingle. Hot paths should use :func:`with_ngram_hashes`,
+    which stages the token array as a bound column first."""
+    toks = _tokens(text)
+    n_starts = F.size(toks) - F.lit(n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def with_ngram_hashes(df: DataFrame, n: int, text_col: str = "text",
+                      out_col: str = "grams") -> DataFrame:
+    """``df`` plus an ``out_col`` array of shingle hashes. The token array
+    is staged as a real column so the slicing lambda references a bound
+    column — tokenization runs once per row, not once per shingle (Spark
+    HOF lambdas are interpreted; see repetition_stats for the same
+    pattern)."""
+    staged = df.withColumn("__toks", _tokens(F.col(text_col)))
+    n_starts = F.size(F.col("__toks")) - F.lit(n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
+    return staged.withColumn(out_col, grams).drop("__toks")
+
+
+def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct n-gram hash set of the benchmark corpus — the small side of
+    the decontamination join. One column ``gram``."""
+    return (with_ngram_hashes(benchmark, n, text_col)
+            .select(F.explode(F.col("grams")).alias("gram"))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id", keep_flagged: bool = True,
+                  ) -> DataFrame:
+    """Annotate ``docs`` with ``n_contaminated_grams`` (count of distinct
+    n-gram hashes shared with ``benchmark``) and a ``contaminated`` flag;
+    with ``keep_flagged=False`` return only the clean documents.
+
+    Plan shape: corpus explode (map-side) → broadcast-hash semi join against
+    the benchmark gram set → groupBy(doc id) partial-aggregated count →
+    one left join back to the corpus on the id. The only corpus shuffle is
+    the per-doc count of *matching* grams, which is empty-to-tiny for a
+    clean corpus."""
+    bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col))
+    grams = (with_ngram_hashes(docs, n, text_col)
+             .select(F.col(id_col), F.explode(F.col("grams")).alias("gram"))
+             .distinct())
+    hits = (grams.join(bench, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated_grams")))
+    out = (docs.join(hits, id_col, "left")
+           .withColumn("n_contaminated_grams",
+                       F.coalesce(F.col("n_contaminated_grams"), F.lit(0)))
+           .withColumn("contaminated",
+                       F.col("n_contaminated_grams") >= F.lit(min_hits)))
+    if not keep_flagged:
+        out = out.filter(~F.col("contaminated")).drop(
+            "contaminated", "n_contaminated_grams")
+    return out

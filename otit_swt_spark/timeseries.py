@@ -226,6 +226,117 @@ def interval_join(
     return joined.drop("__bucket")
 
 
+def resample(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    step_seconds: float = 3600.0,
+    fill: str = "locf",
+) -> DataFrame:
+    """Regularize a time series onto a fixed grid: one row per (key,
+    bucket) from the key's first to last observation, with the bucket's
+    last observed value, gap-filled per ``fill``:
+
+    - ``"none"``: gaps stay null,
+    - ``"locf"``: last observation carried forward,
+    - ``"linear"``: linear interpolation between the surrounding
+      observations (endpoints fall back to the nearest observation).
+
+    Output: ``key, bucket_ts (timestamp), value (double), filled (int)``.
+
+    Plan shape: one per-key bounds aggregate (tiny — |keys| rows) whose
+    grid explodes map-side via ``sequence``; one equi-join on (key, bucket)
+    against the per-bucket aggregate; LOCF/interpolation via
+    last/first(ignorenulls) windows partitioned by key. Every shuffle keys
+    on ``key`` — co-partitioned end to end, linear at any scale. The grid
+    size per key is bounded by span/step; pick ``step_seconds`` near the
+    native cadence."""
+    if fill not in ("none", "locf", "linear"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    step_us = int(step_seconds * 1_000_000)
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    bucket = (t_us / step_us).cast("long")
+
+    # per-bucket last observation (ties broken by latest timestamp)
+    obs = (series
+           .select(F.col(key), bucket.alias("__b"), t_us.alias("__t"),
+                   F.col(value).cast("double").alias("__v"))
+           .groupBy(key, "__b")
+           .agg(F.max_by("__v", "__t").alias("__v"),
+                F.max("__t").alias("__t")))
+
+    grid = (series
+            .select(F.col(key), bucket.alias("__b"))
+            .groupBy(key)
+            .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+            .select(F.col(key),
+                    F.explode(F.sequence("__lo", "__hi")).alias("__b")))
+
+    joined = grid.join(obs, [key, "__b"], "left")
+    from pyspark.sql import Window
+
+    if fill == "locf":
+        w = (Window.partitionBy(key).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        filled_v = F.coalesce("__v", F.last("__v", ignorenulls=True).over(w))
+    elif fill == "linear":
+        wp = (Window.partitionBy(key).orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wn = (Window.partitionBy(key).orderBy("__b")
+              .rowsBetween(0, Window.unboundedFollowing))
+        prev = F.last(F.when(F.col("__v").isNotNull(),
+                             F.struct("__t", "__v")), ignorenulls=True).over(wp)
+        nxt = F.first(F.when(F.col("__v").isNotNull(),
+                             F.struct("__t", "__v")), ignorenulls=True).over(wn)
+        mid_t = (F.col("__b") * step_us).cast("double")
+        span = (nxt["__t"] - prev["__t"]).cast("double")
+        interp = F.when(
+            prev.isNotNull() & nxt.isNotNull() & (span > 0),
+            prev["__v"] + (nxt["__v"] - prev["__v"])
+            * (mid_t - prev["__t"]) / span,
+        ).otherwise(F.coalesce(prev["__v"], nxt["__v"]))
+        filled_v = F.coalesce("__v", interp)
+    else:
+        filled_v = F.col("__v")
+
+    return joined.select(
+        F.col(key),
+        F.timestamp_micros((F.col("__b") * step_us).cast("long")).alias("bucket_ts"),
+        filled_v.alias(value),
+        F.when(F.col("__v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+    )
+
+
+def rolling_stats(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    window_seconds: float = 3600.0,
+) -> DataFrame:
+    """Trailing-window statistics per key: for every observation, the
+    count/avg/min/max/stddev of values in ``[ts - window, ts]`` (inclusive
+    both ends). One shuffle on the key; the range frame is evaluated as a
+    sliding aggregate over the per-key time order — no self-join, linear
+    in rows regardless of window length."""
+    from pyspark.sql import Window
+
+    w_us = int(window_seconds * 1_000_000)
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    staged = series.withColumn("__t", t_us)
+    w = (Window.partitionBy(key).orderBy("__t").rangeBetween(-w_us, 0))
+    v = F.col(value).cast("double")
+    return staged.select(
+        *series.columns,
+        F.count(v).over(w).alias("roll_count"),
+        F.round(F.avg(v).over(w), 6).alias("roll_avg"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+        F.round(F.coalesce(F.stddev(v).over(w), F.lit(0.0)), 6).alias("roll_stddev"),
+    )
+
+
 def in_memory_timeseries(
     spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
 ) -> TimeSeriesTable:

@@ -459,3 +459,72 @@ def test_decode_without_optional_codecs_falls_back():
     assert (out["width"], out["height"], out["channels"]) == (31, 17, 3)
     assert decode_image(b"\x00" * 64)["width"] is None
     assert decode_audio(b"\x00" * 64)["rms"] is None
+
+
+# --------------------------------------------------------------------------
+# decontamination / repetition / PII (round 3)
+# --------------------------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark, docs):
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    bench = docs.filter(F.col("doc_id") == 1)          # the fox sentence
+    train = docs.filter(F.col("doc_id") != 1)
+    out = {r.doc_id: (r.contaminated, r.n_contaminated_grams)
+           for r in decontaminate(train, bench, n=4).collect()}
+    assert out[2][0] and out[2][1] == 6                # exact dup: all 6 4-grams hit
+    assert out[3][0] and out[3][1] == 2    # "the quick brown fox", "over the lazy dog"
+    assert not out[4][0] and out[4][1] == 0
+    assert not out[6][0]                               # too short for any 4-gram
+
+
+def test_decontaminate_drop_mode(spark, docs):
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    kept = decontaminate(train, bench, n=5, keep_flagged=False)
+    assert set(kept.columns) == set(train.columns)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 2 not in ids and 4 in ids
+
+
+def test_repetition_stats_detects_loops(spark):
+    out = tstats.repetition_stats(spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ now"), (3, "")],
+        "doc_id long, text string")).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].rep_dup_token_frac == 0.75           # 4 tokens, 1 distinct
+    assert by_id[1].rep_top_gram_frac == 1.0             # every bigram is "spam spam"
+    assert by_id[1].rep_max_gram_count == 3
+    assert by_id[2].rep_dup_token_frac == 0.0
+    assert by_id[2].rep_max_gram_count == 1
+    assert by_id[3].rep_dup_token_frac == 0.0            # empty text: all zeros
+    assert by_id[3].rep_max_gram_count == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from otit_swt_spark.pipelines.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "write bob.smith+x@corp.example.org from 192.168.0.1 "
+             "or call +44 20 7946 0958 ref 4111111111111111"),
+         (2, "no personal data here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[1].text and "<IP>" in out[1].text
+    assert "<PHONE>" in out[1].text
+    assert "@" not in out[1].text and "192.168" not in out[1].text
+    assert out[1].pii_n_email == 1 and out[1].pii_n_ipv4 == 1
+    assert out[1].pii_n_phone >= 1 and out[1].pii_n_id_number == 1
+    assert out[2].text == "no personal data here"
+    assert out[2].pii_n_email == 0
+
+
+def test_pii_scrub_keep_original(spark):
+    from otit_swt_spark.pipelines.pii import scrub_pii
+
+    df = spark.createDataFrame([(1, "mail a@b.co now")], "doc_id long, text string")
+    out = scrub_pii(df, out_col="clean").collect()[0]
+    assert out.text == "mail a@b.co now"
+    assert out.clean == "mail <EMAIL> now"

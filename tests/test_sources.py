@@ -351,3 +351,68 @@ def test_asof_join_null_value_column_stays_with_its_row(spark):
     tol = asof_join(left, right, tolerance_seconds=45).collect()[0]
     assert str(tol["timestamp_matched"]) == "2024-01-01 00:00:20"
     assert tol["gain_matched"] == 2.0
+
+
+def test_resample_locf_and_linear(spark):
+    from datetime import datetime
+    from otit_swt_spark.timeseries import resample
+
+    rows_in = [
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 15), 40.0),   # 2 missing hours between
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows_in, "id string, timestamp timestamp, value double")
+
+    locf = {(r.id, r.bucket_ts.hour): (r.value, r.filled)
+            for r in resample(df, step_seconds=3600, fill="locf").collect()}
+    assert locf[("a", 0)] == (10.0, 0)
+    assert locf[("a", 1)] == (10.0, 1)           # carried forward
+    assert locf[("a", 2)] == (10.0, 1)
+    assert locf[("a", 3)] == (40.0, 0)
+    assert locf[("b", 5)] == (7.0, 0)
+    assert len(locf) == 5                        # grid spans first..last only
+
+    lin = {(r.id, r.bucket_ts.hour): round(r.value, 4)
+           for r in resample(df, step_seconds=3600, fill="linear").collect()}
+    # observations at 00:30 (t=1800s, v=10) and 03:15 (t=11700s, v=40);
+    # bucket starts interpolate on the observation timeline
+    assert lin[("a", 1)] == round(10 + 30 * (3600 - 1800) / 9900, 4)
+    assert lin[("a", 2)] == round(10 + 30 * (7200 - 1800) / 9900, 4)
+
+    none = {(r.id, r.bucket_ts.hour): r.value
+            for r in resample(df, step_seconds=3600, fill="none").collect()}
+    assert none[("a", 1)] is None
+
+
+def test_rolling_stats_range_window(spark):
+    from datetime import datetime
+    from otit_swt_spark.timeseries import rolling_stats
+
+    rows_in = [
+        ("a", datetime(2024, 1, 1, 0, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 30), 3.0),
+        ("a", datetime(2024, 1, 1, 1, 0), 5.0),    # window [00:00,01:00] incl.
+        ("a", datetime(2024, 1, 1, 2, 30), 7.0),   # alone in its window
+    ]
+    df = spark.createDataFrame(rows_in, "id string, timestamp timestamp, value double")
+    out = {r.timestamp.strftime("%H:%M"): r
+           for r in rolling_stats(df, window_seconds=3600).collect()}
+    assert out["01:00"].roll_count == 3 and out["01:00"].roll_avg == 3.0
+    assert out["01:00"].roll_min == 1.0 and out["01:00"].roll_max == 5.0
+    assert out["02:30"].roll_count == 1 and out["02:30"].roll_stddev == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    from otit_swt_spark.pipelines.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "k long, g string")
+    a = sorted((r.g, r.k) for r in stratified_sample(df, ["g"], 4, "k").collect())
+    b = sorted((r.g, r.k) for r in stratified_sample(df, ["g"], 4, "k").collect())
+    assert a == b and len(a) == 12
+    from collections import Counter
+    assert all(v == 4 for v in Counter(g for g, _ in a).values())
+    # a different salt draws a different sample
+    c = sorted((r.g, r.k) for r in stratified_sample(df, ["g"], 4, "k", salt="x").collect())
+    assert c != a
