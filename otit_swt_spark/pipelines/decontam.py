@@ -85,18 +85,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     n-gram hashes shared with ``benchmark``) and a ``contaminated`` flag;
     with ``keep_flagged=False`` return only the clean documents.
 
-    Plan shape: corpus explode (map-side) → broadcast-hash semi join against
-    the benchmark gram set → groupBy(doc id) partial-aggregated count →
-    one left join back to the corpus on the id. The only corpus shuffle is
-    the per-doc count of *matching* grams, which is empty-to-tiny for a
-    clean corpus."""
+    Plan shape: corpus explode (map-side) → broadcast-hash join against the
+    benchmark gram set → count DISTINCT matching grams per doc → one left
+    join back to the corpus on the id. The broadcast join runs BEFORE any
+    dedup, so the only corpus shuffle is the per-doc distinct count of
+    *matching* grams — empty-to-tiny for a clean corpus (a corpus-wide
+    distinct on all grams would shuffle everything)."""
     bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col))
     grams = (with_ngram_hashes(docs, n, text_col)
-             .select(F.col(id_col), F.explode(F.col("grams")).alias("gram"))
-             .distinct())
+             .select(F.col(id_col), F.explode(F.col("grams")).alias("gram")))
     hits = (grams.join(bench, "gram")
             .groupBy(id_col)
-            .agg(F.count("*").alias("n_contaminated_grams")))
+            .agg(F.countDistinct("gram").alias("n_contaminated_grams")))
     out = (docs.join(hits, id_col, "left")
            .withColumn("n_contaminated_grams",
                        F.coalesce(F.col("n_contaminated_grams"), F.lit(0)))
