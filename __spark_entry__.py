@@ -603,6 +603,22 @@ def q_decontaminate(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide paragraph dedup over constructed two-paragraph docs
+    (text_i \\n\\n text_{i+1}) — every paragraph occurs in two docs, so the
+    second occurrence must be stripped; exact-duplicate source texts dedup
+    across pairs too."""
+    from otit_swt_spark.pipelines.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("text").alias("text2"))
+    built = (d.join(nxt, "doc_id")
+             .select("doc_id",
+                     F.concat_ws("\n\n", "text", "text2").alias("text")))
+    return dedup_paragraphs(built).select("doc_id", "text", "n_paras", "n_kept")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-doc repetition signals — pure array functions,
     zero shuffle."""
@@ -1062,6 +1078,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "near_dedup_docs": q_near_dedup_docs,
@@ -1584,6 +1601,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 7 <> 0
+        """,
+        "dedup_paragraphs": """
+            WITH built AS (
+                SELECT d.doc_id, d.text || chr(10) || chr(10) || n.text AS text
+                FROM documents d
+                JOIN documents n ON n.doc_id = d.doc_id + 1
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(string_split(text, chr(10)||chr(10))) - 1)) AS pos,
+                       unnest(string_split(text, chr(10)||chr(10))) AS para
+                FROM built
+            ), kept AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM paras
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM kept WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(r.text, '') AS text,
+                   CAST(len(string_split(b.text, chr(10)||chr(10))) AS INT) AS n_paras,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM built b LEFT JOIN rebuilt r USING (doc_id)
         """,
         "repetition_stats": """
             WITH t AS (

@@ -113,6 +113,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal (the CCNet/C4 recipe):
+    split every document on ``sep``, keep only the FIRST occurrence of each
+    paragraph across the whole corpus (ordered by (doc id, position)), and
+    reassemble the surviving paragraphs in their original order. Documents
+    whose every paragraph was seen earlier come back with empty text.
+
+    Output: ``(id_col, text_col, n_paras, n_kept)``.
+
+    Plan shape: map-side posexplode → ONE shuffle on the paragraph digest
+    (row_number picks the global first occurrence) → ONE shuffle on the doc
+    id to reassemble (sort_array over collected (pos, para) structs) → left
+    join back to the id universe so fully-deduped docs survive as empty.
+    Both shuffles are linear in paragraph count; no corpus text travels
+    twice — the digest shuffle carries (digest, id, pos, para) only."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__para"))) \
+        .orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    kept = (paras.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(sep, F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("__pos", "__para"))),
+                        lambda s: s["__para"])).alias(text_col),
+                    F.count(F.lit(1)).alias("n_kept")))
+    universe = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("n_paras"))
+    return (universe.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                    F.col("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def band_entries_for(with_sig: DataFrame, k: int, bands: int,
                      extra: tuple[str, ...] = ()) -> DataFrame:
     """Explode a (id, sig) frame into (id, band, bucket) LSH band entries —

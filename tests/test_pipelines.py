@@ -528,3 +528,20 @@ def test_pii_scrub_keep_original(spark):
     out = scrub_pii(df, out_col="clean").collect()[0]
     assert out.text == "mail a@b.co now"
     assert out.clean == "mail <EMAIL> now"
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from otit_swt_spark.pipelines.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame([
+        (1, "alpha\n\nbeta\n\ngamma"),
+        (2, "beta\n\ndelta"),          # beta already seen in doc 1
+        (3, "alpha\n\ngamma"),         # fully deduplicated away
+        (4, "epsilon"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert out[1].text == "alpha\n\nbeta\n\ngamma"      # order preserved
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[2].text == "delta" and out[2].n_kept == 1
+    assert out[3].text == "" and out[3].n_kept == 0
+    assert out[4].text == "epsilon"

@@ -110,3 +110,51 @@ def test_kleene_closure_on_long_chain(spark):
     eng = Engine(spark, GraphStore(spark, edges))
     out = eng.query("SELECT ?x ?y WHERE { ?x <urn:p:next>+ ?y }")
     assert out.count() == n * (n - 1) // 2
+
+
+def test_decontaminate_duplicate_heavy_corpus(spark):
+    """100k-doc corpus vs 5k-doc benchmark: the benchmark gram set stays
+    broadcast-size, the corpus side is map-side only, and the hit counting
+    shuffles matching grams alone — must finish in seconds, not minutes."""
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    docs = _amplify(base, 20, "doc_id", 1_000_000)
+    bench = base.limit(250)                 # every copy of these contaminates
+    out = decontaminate(docs, bench, n=8)
+    counts = dict(out.groupBy("contaminated").count().collect())
+    assert counts.get(True, 0) >= 250 * 20  # all copies of bench docs flagged
+    assert sum(counts.values()) == 100_000
+
+
+def test_dedup_paragraphs_amplified(spark):
+    """100k two-paragraph docs with 20x duplication: paragraph digests are
+    duplicate-heavy (every paragraph has >= 20 copies) — the row_number
+    window and the reassembly groupBy must both stay linear."""
+    from otit_swt_spark.pipelines.dedup import dedup_paragraphs
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    docs = _amplify(base, 20, "doc_id", 1_000_000)
+    two_para = docs.withColumn(
+        "text", F.concat_ws("\n\n", "text", F.reverse("text")))
+    out = dedup_paragraphs(two_para)
+    assert out.count() == 100_000
+    kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    total = out.agg(F.sum("n_paras")).collect()[0][0]
+    assert kept < total / 10               # duplication actually collapsed
+
+
+def test_resample_long_span_grid(spark):
+    """1M-event resample: per-user grids spanning the full event range —
+    the grid explode and the LOCF window stay linear per key."""
+    from otit_swt_spark.tpch_graph import load_events
+    from otit_swt_spark.timeseries import resample
+
+    ev = load_events(spark, SF_DIR)
+    out = resample(ev, key="user_id", ts="ts", value="value",
+                   step_seconds=600.0, fill="locf")
+    n = out.count()
+    assert n > 0
+    assert out.filter(F.col("value").isNull()).count() == 0

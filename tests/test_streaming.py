@@ -206,3 +206,30 @@ def test_stream_near_dup_flags(spark, tmp_path):
     # batch twin aggregates to hit counts
     batch = stream_near_dup_flags(spark.createDataFrame(pdf), index, k=32, bands=16)
     assert {(r["doc_id"], r["n_hits"]) for r in batch.collect()} == {(1, 1)}
+
+
+def test_stream_corpus_prep_stateless_ops(spark, tmp_path):
+    """PII scrub, text stats, and repetition stats are stateless
+    projections (staged HOF columns included), so they run unchanged on a
+    streaming DataFrame — the streaming corpus-prep path needs no separate
+    implementation."""
+    from otit_swt_spark.pipelines.pii import scrub_pii
+    from otit_swt_spark.pipelines.textstats import repetition_stats, text_stats
+
+    src = str(tmp_path / "prep_src")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail me at spam spam spam a@b.co today",
+                 "clean and varied words only here"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    prepped = repetition_stats(text_stats(scrub_pii(stream)))
+    q = (prepped.writeStream.format("memory").queryName("prep_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM prep_out").collect()}
+    assert "<EMAIL>" in got[1].text and got[1].pii_n_email == 1
+    assert got[1].stat_n_tokens == 8                  # scrub happens first
+    assert got[1].rep_max_gram_count == 2             # "spam spam" twice
+    assert got[2].pii_n_email == 0 and got[2].rep_dup_token_frac == 0.0
