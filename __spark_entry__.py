@@ -1786,6 +1786,22 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         """,
+        "ann_lsh_topk": f"""
+            WITH sk AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       ({sketch_terms}) AS sketch
+                FROM embeddings
+            ), q AS (
+                SELECT v AS qv, sketch AS qsk FROM sk WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM sk, q
+            WHERE bit_count(xor(sk.sketch::BIGINT, q.qsk::BIGINT)) <= 1
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
         "embedding_neardup": f"""
             WITH sk AS (
                 SELECT vec_id AS id, embedding::DOUBLE[] AS v,
