@@ -603,6 +603,17 @@ def q_decontaminate(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_lm_quality(spark, sf_dir):
+    """Char-trigram LM perplexity filter: train on the even-id half of the
+    corpus (model is domain-bounded -> broadcast), score every document by
+    mean log-prob with add-k smoothing."""
+    from otit_swt_spark.pipelines.lm_quality import score_docs, train_char_lm
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_char_lm(d.filter(F.col("doc_id") % 2 == 0), n=3)
+    return score_docs(d, model, n=3).select("doc_id", "n_grams", "lm_score")
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Corpus-wide paragraph dedup over constructed two-paragraph docs
     (text_i \\n\\n text_{i+1}) — every paragraph occurs in two docs, so the
@@ -1078,6 +1089,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "lm_quality": q_lm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -1601,6 +1613,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 7 <> 0
+        """,
+        "lm_quality": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, greatest(length(t) - 2, 0)),
+                           i -> substr(t, i, 3))) AS gram
+                FROM norm
+            ), model AS (
+                SELECT gram, count(*) AS cnt FROM grams
+                WHERE doc_id % 2 = 0 GROUP BY gram
+            ), ctx AS (
+                SELECT substr(gram, 1, 2) AS ctx, sum(cnt) AS ctx_cnt
+                FROM model GROUP BY 1
+            ), scored AS (
+                SELECT g.doc_id,
+                       ln((coalesce(m.cnt, 0) + 0.5)
+                          / (coalesce(c.ctx_cnt, 0) + 0.5 * 37)) AS logp
+                FROM grams g
+                LEFT JOIN model m USING (gram)
+                LEFT JOIN ctx c ON substr(g.gram, 1, 2) = c.ctx
+            ), per AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       round(avg(logp), 6) AS lm_score
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   p.lm_score
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "dedup_paragraphs": """
             WITH built AS (

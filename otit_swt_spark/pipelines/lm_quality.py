@@ -1,0 +1,106 @@
+"""Character n-gram language-model quality scoring (the CCNet recipe,
+simplified): train n-gram counts on a reference corpus, then score each
+document by its average per-character log-probability. Gibberish, boiler-
+plate, and wrong-language text score low; fluent text matching the
+reference distribution scores high. The standard perplexity-filter stage
+of large-corpus pipelines, built entirely from DataFrame primitives.
+
+Scale design:
+- the MODEL is domain-bounded, not corpus-bounded: lowercase alnum + space
+  character n-grams have at most 37^n distinct keys (~50k at n=3), so the
+  trained counts always fit in a broadcast no matter how large the
+  training corpus is. Training is one map-side explode + one partial-
+  aggregated groupBy.
+- SCORING is a map-side explode, two broadcast-hash joins (n-gram and
+  context counts), and one groupBy on the doc id — no corpus-sized
+  shuffle; add-k smoothing handles unseen grams without special cases.
+- everything is built-in functions (whole-stage codegen); the gram
+  arrays are staged as real columns so HOF lambdas bind columns instead
+  of re-normalizing the text per gram (Spark interprets lambda bodies).
+
+Reference parity: additive (the reference has no LM scoring); companion
+to the marker-word ``textstats.lang_id`` / ``quality_score`` heuristics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 26 letters + 10 digits + space — the normalized alphabet; the add-k
+# denominator uses its size as the vocabulary for next-char smoothing.
+ALPHABET_SIZE = 37
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, collapse every non-alphanumeric run to one space, trim.
+    Matches the DuckDB oracle expression exactly."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def with_char_ngrams(df: DataFrame, n: int, text_col: str = "text",
+                     out_col: str = "grams") -> DataFrame:
+    """``df`` plus an array of all character n-grams of the normalized
+    text (empty when shorter than ``n``)."""
+    staged = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    n_starts = F.length("__norm") - F.lit(n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(n)))
+    return staged.withColumn(out_col, grams).drop("__norm")
+
+
+def train_char_lm(corpus: DataFrame, n: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """N-gram count table ``(gram, cnt)`` — bounded by 37^n rows regardless
+    of corpus size, so always broadcastable."""
+    return (with_char_ngrams(corpus, n, text_col)
+            .select(F.explode("grams").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def score_docs(docs: DataFrame, model: DataFrame, n: int = 3,
+               text_col: str = "text", id_col: str = "doc_id",
+               k: float = 0.5) -> DataFrame:
+    """Average per-gram log-probability of each document under the trained
+    model with add-k smoothing:
+
+        log P(gram) = ln((cnt(gram) + k) / (cnt(context) + k * 37))
+
+    where ``context`` is the gram's first n-1 characters and the context
+    counts are derived from the n-gram model by aggregation (no second
+    training pass). Output: ``(id_col, n_grams, lm_score)`` with
+    ``lm_score = mean log-prob`` (NULL for docs with no grams —
+    perplexity is undefined on empty text)."""
+    ctx = (model
+           .groupBy(F.col("gram").substr(F.lit(1), F.lit(n - 1)).alias("ctx"))
+           .agg(F.sum("cnt").alias("ctx_cnt")))
+    doc_grams = (with_char_ngrams(docs, n, text_col)
+                 .select(F.col(id_col), F.explode("grams").alias("gram")))
+    scored = (doc_grams
+              .join(F.broadcast(model), "gram", "left")
+              .withColumn("ctx", F.col("gram").substr(F.lit(1), F.lit(n - 1)))
+              .join(F.broadcast(ctx), "ctx", "left")
+              .withColumn("__logp", F.log(
+                  (F.coalesce("cnt", F.lit(0)) + F.lit(k))
+                  / (F.coalesce("ctx_cnt", F.lit(0)) + F.lit(k * ALPHABET_SIZE)))))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.round(F.avg("__logp"), 6).alias("lm_score")))
+    ids = docs.select(id_col)
+    return (ids.join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.col("lm_score")))
+
+
+def lm_filter(docs: DataFrame, model: DataFrame, n: int = 3,
+              text_col: str = "text", id_col: str = "doc_id",
+              min_score: float = -math.log(ALPHABET_SIZE)) -> DataFrame:
+    """Keep documents scoring at least ``min_score`` (default: better than
+    the uniform-random baseline ``-ln(37)``)."""
+    scores = score_docs(docs, model, n, text_col, id_col)
+    return (docs.join(scores.filter(F.col("lm_score") >= min_score)
+                      .select(id_col), id_col))

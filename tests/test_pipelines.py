@@ -545,3 +545,34 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[2].text == "delta" and out[2].n_kept == 1
     assert out[3].text == "" and out[3].n_kept == 0
     assert out[4].text == "epsilon"
+
+
+def test_lm_quality_scores_fluency(spark):
+    from otit_swt_spark.pipelines.lm_quality import (
+        lm_filter, score_docs, train_char_lm)
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran in the park") for i in range(8)],
+        "doc_id long, text string")
+    probe = spark.createDataFrame([
+        (100, "the cat ran in the park"),          # in-distribution
+        (101, "zxq jkv wqx zzv qqj xxk"),          # gibberish
+        (102, ""),                                  # empty
+    ], "doc_id long, text string")
+    model = train_char_lm(train, n=3)
+    out = {r.doc_id: r for r in score_docs(probe, model, n=3).collect()}
+    assert out[100].lm_score > out[101].lm_score
+    assert out[102].n_grams == 0 and out[102].lm_score is None
+    kept = {r.doc_id for r in
+            lm_filter(probe, model, min_score=-3.0).select("doc_id").collect()}
+    assert 100 in kept and 101 not in kept
+
+
+def test_lm_model_is_domain_bounded(spark):
+    from otit_swt_spark.pipelines.lm_quality import train_char_lm
+
+    docs = spark.createDataFrame(
+        [(i, "abc abd abe" * 50) for i in range(100)], "doc_id long, text string")
+    model = train_char_lm(docs, n=2)
+    # 2-grams over {a,b,c,d,e,space}: far below the 37^2 domain bound
+    assert model.count() <= 37 * 37
