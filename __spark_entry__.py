@@ -603,6 +603,20 @@ def q_decontaminate(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_hash_shards(spark, sf_dir):
+    """Deterministic global shard assignment (training-export primitive):
+    per-shard doc counts + id range; the assignment is a map-side CASE
+    chain over the md5 prefix."""
+    from otit_swt_spark.pipelines.sampling import hash_shard
+
+    d = _t(spark, sf_dir, "documents")
+    return (hash_shard(d, "doc_id", 8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 def q_lm_quality(spark, sf_dir):
     """Char-trigram LM perplexity filter: train on the even-id half of the
     corpus (model is domain-bounded -> broadcast), score every document by
@@ -1089,6 +1103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "hash_shards": q_hash_shards,
         "lm_quality": q_lm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
@@ -1102,6 +1117,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _hash_shards_oracle() -> str:
+    from otit_swt_spark.pipelines.sampling import shard_thresholds_sql
+
+    case = shard_thresholds_sql(8, "CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT {case} AS shard,
+               count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1614,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 7 <> 0
         """,
+        "hash_shards": _hash_shards_oracle(),
         "lm_quality": """
             WITH norm AS (
                 SELECT doc_id,

@@ -42,6 +42,53 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
                      < F.lit(_hex_threshold(fraction)))
 
 
+def hash_shard(df: DataFrame, key_col: str, n_shards: int,
+               salt: str = "", shard_col: str = "shard") -> DataFrame:
+    """Assign every row a deterministic shard in ``[0, n_shards)`` by
+    splitting the md5 space into equal string ranges — the global-shuffle
+    primitive for training-data export: shard membership is a pure function
+    of the key (stable across runs/engines), shards are balanced in
+    expectation, and ``salt`` re-deals the assignment for a fresh epoch.
+
+    Pure map-side (a CASE chain over the hash prefix, codegen'd); the
+    physical shuffle happens only when a writer partitions by the shard
+    column."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = _hash_prefix(F.col(key_col), salt)
+    expr = None
+    for i in range(n_shards - 1):
+        cond = h < F.lit(_hex_threshold((i + 1) / n_shards))
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = (F.lit(0) if expr is None else expr.otherwise(F.lit(n_shards - 1)))
+    return df.withColumn(shard_col, expr.cast("int"))
+
+
+def shard_thresholds_sql(n_shards: int, key_expr: str, salt: str = "") -> str:
+    """The DuckDB/ANSI twin of :func:`hash_shard`'s CASE chain (used by the
+    correctness oracle; kept next to the implementation so the two stay in
+    lockstep)."""
+    h = f"substr(md5('{salt}' || {key_expr}), 1, 8)"
+    whens = "".join(
+        f" WHEN {h} < '{_hex_threshold((i + 1) / n_shards)}' THEN {i}"
+        for i in range(n_shards - 1))
+    return f"CASE{whens} ELSE {n_shards - 1} END"
+
+
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int, salt: str = "",
+                          order_col: str | None = None) -> None:
+    """Export a corpus as ``path/shard=N/`` parquet directories with a
+    deterministic global assignment and (optionally) a deterministic order
+    within each shard — reproducible training input at any scale. One
+    shuffle (on the shard column); readers consume shards independently."""
+    sharded = hash_shard(df, key_col, n_shards, salt)
+    out = sharded.repartition(n_shards, F.col("shard"))
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
 def stratified_sample(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
                       key_col: str, salt: str = "") -> DataFrame:
     """Deterministic fixed-size sample per stratum: the ``n_per_stratum``
