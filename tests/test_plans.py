@@ -350,3 +350,51 @@ def test_correlated_ts_optional_has_no_rowid(spark, engine):
     expect = {(r["ts_id"], r["t"], r["v"], r["v"] if r["v"] > 102 else None)
               for r in all_rows}
     assert got == expect and len(got) == len(all_rows)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus as a broadcast-hash
+    join (no corpus-side shuffle before the match)."""
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} repeated here") for i in range(50)],
+        "doc_id long, text string")
+    bench = docs.limit(3)
+    plan = physical(decontaminate(docs, bench, n=3))
+    # the gram-match join against the benchmark set must be broadcast;
+    # (the final count join-back on the doc id may be sort-merge — that
+    # side is |matches|-sized, not corpus-sized)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_scoring_joins_are_broadcast(spark):
+    from otit_swt_spark.pipelines.lm_quality import score_docs, train_char_lm
+
+    docs = spark.createDataFrame(
+        [(i, "plain text content") for i in range(20)],
+        "doc_id long, text string")
+    model = train_char_lm(docs, n=3)
+    plan = physical(score_docs(docs, model, n=3))
+    assert plan.count("BroadcastHashJoin") >= 2     # gram + context models
+
+
+def test_stateless_corpus_ops_add_no_exchange(spark):
+    """PII scrub and repetition stats are single-projection map-side ops —
+    zero exchanges in the plan."""
+    from otit_swt_spark.pipelines.pii import scrub_pii
+    from otit_swt_spark.pipelines.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "text with spam spam content")], "doc_id long, text string")
+    assert "Exchange" not in physical(repetition_stats(scrub_pii(docs)))
+
+
+def test_rolling_stats_single_exchange(spark):
+    from datetime import datetime
+    from otit_swt_spark.timeseries import rolling_stats
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)],
+        "id string, timestamp timestamp, value double")
+    assert physical(rolling_stats(df)).count("Exchange") == 1
