@@ -603,6 +603,37 @@ def q_decontaminate(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_profile_docs(spark, sf_dir):
+    """Single-pass per-column profile of the documents table."""
+    from otit_swt_spark.pipelines.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"),
+                         ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_validate_lineitem(spark, sf_dir):
+    """Expectation validation + referential-integrity check in one result:
+    per-rule violation counts over lineitem, plus an FK check against
+    orders via broadcast anti-join."""
+    from otit_swt_spark.pipelines.profile import fk_violations, validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = validate(li, {
+        "qty_range": "l_quantity >= 1 AND l_quantity <= 50",
+        "price_positive": "l_extendedprice > 0",
+        "discount_range": "l_discount >= 0.0 AND l_discount <= 0.11",
+        "flag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    })
+    orphans = fk_violations(li, _t(spark, sf_dir, "orders"),
+                            "l_orderkey", "o_orderkey")
+    fk_row = orphans.agg(
+        F.lit("fk_orderkey").alias("rule"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_violations"),
+        (F.count(F.lit(1)) == 0).cast("int").alias("ok"))
+    return rules.unionByName(fk_row)
+
+
 def q_hash_shards(spark, sf_dir):
     """Deterministic global shard assignment (training-export primitive):
     per-shard doc counts + id range; the assignment is a map-side CASE
@@ -1103,6 +1134,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "profile_docs": q_profile_docs,
+        "validate_lineitem": q_validate_lineitem,
         "hash_shards": q_hash_shards,
         "lm_quality": q_lm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1639,6 +1672,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 7 <> 0
+        """,
+        "profile_docs": """
+            SELECT 'doc_id' AS col, count(*) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str,
+                   round(avg(CAST(doc_id AS DOUBLE)), 6) AS mean
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT lang), min(lang), max(lang),
+                   CAST(NULL AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT source), min(source), max(source),
+                   CAST(NULL AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+                   round(avg(CAST(n_chars AS DOUBLE)), 6)
+            FROM documents
+        """,
+        "validate_lineitem": """
+            SELECT 'qty_range' AS rule, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+                   CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                                 THEN 0 ELSE 1 END) = 0 AS INT) AS ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'price_positive', count(*),
+                   CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+                   CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS INT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_range', count(*),
+                   CAST(sum(CASE WHEN coalesce(l_discount >= 0.0 AND l_discount <= 0.11, FALSE)
+                                 THEN 0 ELSE 1 END) AS BIGINT),
+                   CAST(sum(CASE WHEN coalesce(l_discount >= 0.0 AND l_discount <= 0.11, FALSE)
+                                 THEN 0 ELSE 1 END) = 0 AS INT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'flag_domain', count(*),
+                   CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+                                 THEN 0 ELSE 1 END) AS BIGINT),
+                   CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+                                 THEN 0 ELSE 1 END) = 0 AS INT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'fk_orderkey', CAST(NULL AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey)) = 0 AS INT)
         """,
         "hash_shards": _hash_shards_oracle(),
         "lm_quality": """

@@ -1,0 +1,88 @@
+"""Data profiling and expectation validation — the data-quality gate a
+100 TB ingest pipeline runs before training ever sees the data
+(great-expectations-style, reduced to engine primitives).
+
+- :func:`profile_table` computes per-column completeness / cardinality /
+  range stats in ONE aggregation pass (all columns' aggregates in a single
+  ``agg``, so the table is scanned once; Spark plans multiple DISTINCT
+  aggregates via expand, still one shuffle round).
+- :func:`validate` evaluates named boolean expectations in one pass and
+  returns violation counts per rule — conditional counts, no per-rule jobs.
+- :func:`fk_violations` counts referential-integrity breaks with a
+  left-anti join (broadcast when the dimension side is small).
+
+All outputs are tiny (rows = columns or rules), whatever the input size.
+Additive — the reference has no profiling surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: ``(col, n, n_null, n_distinct, min_str,
+    max_str, mean)``. min/max are stringified so heterogeneous column
+    types stack in one frame; ``mean`` is NULL for non-numeric columns.
+    Exact distinct counts (the profile is a correctness gate, not a
+    dashboard) — swap in ``approx_count_distinct`` at interactive scale."""
+    cols = cols or df.columns
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            (F.round(F.avg(F.col(c).cast("double")), 6) if c in numeric
+             else F.lit(None).cast("double")).alias(f"{c}__mean"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__null").cast("long").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+            F.col(f"{c}__mean").alias("mean"),
+        ) for c in cols])
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def validate(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Evaluate named SQL boolean expectations (each must hold for every
+    row) in ONE pass: ``(rule, n_rows, n_violations, ok)``. A NULL
+    predicate result counts as a violation (unknown is not proof)."""
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(F.sum(
+            F.when(F.coalesce(F.expr(cond), F.lit(False)), 0).otherwise(1)
+        ).cast("long").alias(f"{name}__v"))
+    row = df.agg(*aggs)
+    per_rule = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{name}__v").alias("n_violations"),
+            (F.col(f"{name}__v") == 0).cast("int").alias("ok"),
+        ) for name in rules])
+    return row.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+def fk_violations(fact: DataFrame, dim: DataFrame, fact_key: str,
+                  dim_key: str, broadcast_dim: bool = True) -> DataFrame:
+    """Rows of ``fact`` whose ``fact_key`` has no match in ``dim`` —
+    referential-integrity check as a left-anti join (broadcast by default:
+    dimension key sets are small next to facts)."""
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    return fact.join(keys, fact_key, "left_anti")

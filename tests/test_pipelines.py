@@ -576,3 +576,42 @@ def test_lm_model_is_domain_bounded(spark):
     model = train_char_lm(docs, n=2)
     # 2-grams over {a,b,c,d,e,space}: far below the 37^2 domain bound
     assert model.count() <= 37 * 37
+
+
+def test_profile_table_stats(spark):
+    from otit_swt_spark.pipelines.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 30.0)],
+        "id long, grp string, val double")
+    prof = {r.col: r for r in profile_table(df).collect()}
+    assert prof["id"].n == 3 and prof["id"].n_null == 0
+    assert prof["id"].n_distinct == 3 and prof["id"].mean == 2.0
+    assert prof["grp"].n_null == 1 and prof["grp"].n_distinct == 1
+    assert prof["grp"].mean is None                  # non-numeric
+    assert prof["val"].n_null == 1 and prof["val"].min_str == "10.0"
+
+
+def test_validate_rules_and_null_semantics(spark):
+    from otit_swt_spark.pipelines.profile import validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double")
+    out = {r.rule: r for r in validate(df, {
+        "v_positive": "v > 0",
+        "id_set": "id IN (1, 2, 3)",
+    }).collect()}
+    # NULL predicate counts as violation: -1 and NULL both fail v_positive
+    assert out["v_positive"].n_violations == 2 and out["v_positive"].ok == 0
+    assert out["id_set"].n_violations == 0 and out["id_set"].ok == 1
+
+
+def test_fk_violations_anti_join(spark):
+    from otit_swt_spark.pipelines.profile import fk_violations
+
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id long, ref long")
+    dim = spark.createDataFrame([(10,), (20,)], "key long")
+    orphans = fk_violations(fact, dim, "ref", "key")
+    assert [r.id for r in orphans.collect()] == [3]
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
