@@ -77,6 +77,57 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
             .distinct())
 
 
+def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                        min_hits: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_literal_grams: int = 5000) -> DataFrame:
+    """Per-ROW decontamination — same semantics as :func:`decontaminate`
+    (count of distinct benchmark n-grams per doc + flag) but computed
+    without any aggregation or join, so it runs unchanged on a STREAMING
+    DataFrame (no watermark, no state store).
+
+    The benchmark gram set is collected to the driver once (eval suites
+    are MBs, not TBs — same size assumption the broadcast join makes).
+    Small sets become an ``array_intersect`` against a literal array
+    (whole-stage codegen); larger sets go through an Arrow-batched
+    ``mapInPandas`` doing set membership against a broadcast Python set —
+    O(1) per gram, bounded executor memory."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bench_grams = sorted(
+        r["gram"] for r in benchmark_ngrams(benchmark, n, text_col).collect())
+    grams_df = with_ngram_hashes(docs, n, text_col)
+
+    if len(bench_grams) <= max_literal_grams:
+        lit_arr = F.array(*[F.lit(g) for g in bench_grams]) if bench_grams \
+            else F.array().cast("array<string>")
+        hits = F.size(F.array_intersect(F.col("grams"), lit_arr))
+        out = grams_df.withColumn("n_contaminated_grams", hits.cast("long"))
+    else:
+        spark = docs.sparkSession
+        bc = spark.sparkContext.broadcast(frozenset(bench_grams))
+        # a NEW StructType — StructType.add would mutate the DataFrame's
+        # cached schema object in place
+        schema = StructType(list(grams_df.schema.fields)
+                            + [StructField("n_contaminated_grams", LongType())])
+
+        def count_hits(batches):
+            bench_set = bc.value
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["n_contaminated_grams"] = [
+                    sum(1 for g in set(gs) if g in bench_set)
+                    for gs in pdf["grams"]
+                ]
+                yield pdf
+
+        out = grams_df.mapInPandas(count_hits, schema=schema)
+    return (out
+            .withColumn("contaminated",
+                        F.col("n_contaminated_grams") >= F.lit(min_hits))
+            .drop("grams"))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                   min_hits: int = 1, text_col: str = "text",
                   id_col: str = "doc_id", keep_flagged: bool = True,

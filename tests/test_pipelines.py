@@ -615,3 +615,20 @@ def test_fk_violations_anti_join(spark):
     assert [r.id for r in orphans.collect()] == [3]
     plan = orphans._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_contamination_flags_matches_decontaminate(spark, docs):
+    from otit_swt_spark.pipelines.decontam import contamination_flags, decontaminate
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    agg = {r.doc_id: (r.n_contaminated_grams, r.contaminated)
+           for r in decontaminate(train, bench, n=4).collect()}
+    # literal-array path
+    lit = {r.doc_id: (r.n_contaminated_grams, r.contaminated)
+           for r in contamination_flags(train, bench, n=4).collect()}
+    # forced mapInPandas path
+    mip = {r.doc_id: (r.n_contaminated_grams, r.contaminated)
+           for r in contamination_flags(train, bench, n=4,
+                                        max_literal_grams=0).collect()}
+    assert lit == agg and mip == agg

@@ -233,3 +233,28 @@ def test_stream_corpus_prep_stateless_ops(spark, tmp_path):
     assert got[1].stat_n_tokens == 8                  # scrub happens first
     assert got[1].rep_max_gram_count == 2             # "spam spam" twice
     assert got[2].pii_n_email == 0 and got[2].rep_dup_token_frac == 0.0
+
+
+def test_stream_decontamination_flags(spark, tmp_path):
+    """contamination_flags is aggregation-free, so it runs on a stream
+    against a static benchmark without watermarks or state."""
+    from otit_swt_spark.pipelines.decontam import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    src = str(tmp_path / "decon_src")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "completely unrelated words about spark plans"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flagged = contamination_flags(stream, bench, n=4)
+    q = (flagged.writeStream.format("memory").queryName("decon_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.contaminated
+           for r in spark.sql("SELECT * FROM decon_out").collect()}
+    assert got == {1: True, 2: False}
