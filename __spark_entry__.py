@@ -603,6 +603,18 @@ def q_decontaminate(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_zorder_events(spark, sf_dir):
+    """Morton z-key over (user_id, value) with pinned bounds — the layout
+    key for multi-column data skipping; pure long arithmetic."""
+    from otit_swt_spark.pipelines.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (zorder_key(e, ["user_id", "value"], bits=6,
+                       bounds={"user_id": (0.0, 1000.0),
+                               "value": (-100.0, 100.0)})
+            .select("event_id", "zkey"))
+
+
 def q_profile_docs(spark, sf_dir):
     """Single-pass per-column profile of the documents table."""
     from otit_swt_spark.pipelines.profile import profile_table
@@ -1134,6 +1146,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "zorder_events": q_zorder_events,
         "profile_docs": q_profile_docs,
         "validate_lineitem": q_validate_lineitem,
         "hash_shards": q_hash_shards,
@@ -1150,6 +1163,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of q_zorder_events: same linear bucketize + Morton
+    interleave, generated from the same (bits, bounds) parameters."""
+    bits, n = 6, 1 << 6
+
+    def bucket(expr: str, lo: float, hi: float) -> str:
+        return (f"greatest(0, least({n - 1}, CAST(floor((CAST({expr} AS DOUBLE)"
+                f" - ({lo})) / ({hi - lo}) * {n}) AS BIGINT)))")
+
+    codes = [bucket("user_id", 0.0, 1000.0), bucket("value", -100.0, 100.0)]
+    terms = " + ".join(
+        f"((((c{i} >> {b}) & 1)) << {b * 2 + i})"
+        for i, _ in enumerate(codes) for b in range(bits))
+    return f"""
+        SELECT event_id, {terms} AS zkey
+        FROM (SELECT event_id, {codes[0]} AS c0, {codes[1]} AS c1 FROM events)
+    """
 
 
 def _hash_shards_oracle() -> str:
@@ -1673,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 7 <> 0
         """,
+        "zorder_events": _zorder_oracle(),
         "profile_docs": """
             SELECT 'doc_id' AS col, count(*) AS n,
                    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

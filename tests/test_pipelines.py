@@ -632,3 +632,47 @@ def test_contamination_flags_matches_decontaminate(spark, docs):
            for r in contamination_flags(train, bench, n=4,
                                         max_literal_grams=0).collect()}
     assert lit == agg and mip == agg
+
+
+def test_zorder_interleave_bit_math(spark):
+    from otit_swt_spark.pipelines.layout import zorder_key
+
+    df = spark.createDataFrame([(0, 0.0, 0.0), (1, 3.0, 0.0), (2, 0.0, 3.0),
+                                (3, 3.0, 3.0)], "id long, x double, y double")
+    out = {r.id: r.zkey for r in
+           zorder_key(df, ["x", "y"], bits=2,
+                      bounds={"x": (0.0, 4.0), "y": (0.0, 4.0)}).collect()}
+    # codes: x=3 -> bucket 3 (0b11), y=3 -> bucket 3; interleave x at even
+    # bit positions, y at odd
+    assert out[0] == 0
+    assert out[1] == 0b0101          # x bits at positions 0 and 2
+    assert out[2] == 0b1010          # y bits at positions 1 and 3
+    assert out[3] == 0b1111
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """After write_zordered, each parquet file covers a compact range of
+    BOTH z-ordered columns — the property min/max skipping relies on."""
+    import random
+    from otit_swt_spark.pipelines.layout import write_zordered
+
+    rng = random.Random(11)
+    rows_in = [(i, float(rng.randrange(1024)), float(rng.randrange(1024)))
+               for i in range(20_000)]
+    df = spark.createDataFrame(rows_in, "id long, a double, b double")
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=16, bits=10,
+                   bounds={"a": (0.0, 1024.0), "b": (0.0, 1024.0)})
+    back = spark.read.parquet(path).withColumn(
+        "file", F.input_file_name())
+    spans = (back.groupBy("file")
+             .agg((F.max("a") - F.min("a")).alias("sa"),
+                  (F.max("b") - F.min("b")).alias("sb"))
+             .collect())
+    assert len(spans) >= 8
+    mean_sa = sum(r.sa for r in spans) / len(spans)
+    mean_sb = sum(r.sb for r in spans) / len(spans)
+    # an unordered layout would give ~1024 span per file in both columns;
+    # z-order must compact both dimensions substantially
+    assert mean_sa < 700 and mean_sb < 700
+    assert back.count() == 20_000
