@@ -441,6 +441,16 @@ def q_ts_outliers(spark, sf_dir):
                     F.round("med", 6).alias("user_median")))
 
 
+def q_autocorr_events(spark, sf_dir):
+    """Per-user autocorrelation of event values at row lags 1..3."""
+    from otit_swt_spark.timeseries import autocorr
+
+    e = _t(spark, sf_dir, "events")
+    return (autocorr(e, key="user_id", ts="ts", value="value",
+                     lags=(1, 2, 3), order_cols=["event_id"])
+            .select("user_id", "lag", "acf"))
+
+
 def q_resample_locf(spark, sf_dir):
     """Grid regularization + last-observation-carried-forward gap fill over
     the events stream, hourly buckets per user."""
@@ -1119,6 +1129,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
+        "autocorr_events": q_autocorr_events,
         "resample_locf": q_resample_locf,
         "rolling_stats": q_rolling_stats,
         "stratified_sample": q_stratified_sample,
@@ -1638,6 +1649,24 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "autocorr_events": """
+            WITH lagged AS (
+                SELECT user_id, value,
+                       lag(value, 1) OVER w AS l1,
+                       lag(value, 2) OVER w AS l2,
+                       lag(value, 3) OVER w AS l3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), per AS (
+                SELECT user_id,
+                       round(corr(value, l1), 6) AS a1,
+                       round(corr(value, l2), 6) AS a2,
+                       round(corr(value, l3), 6) AS a3
+                FROM lagged GROUP BY user_id
+            )
+            SELECT user_id, lag, acf FROM per
+            CROSS JOIN LATERAL (VALUES (1, a1), (2, a2), (3, a3)) AS t(lag, acf)
         """,
         "resample_locf": """
             WITH obs AS (

@@ -337,6 +337,53 @@ def rolling_stats(
     )
 
 
+def autocorr(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    lags: tuple[int, ...] = (1, 2, 3),
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key autocorrelation at the given row lags — the periodicity /
+    persistence diagnostic for sensor streams. Output: one row per
+    (key, lag) with the Pearson correlation of the series against its
+    lag-k shift (NULL when fewer than 2 overlapping pairs or zero
+    variance).
+
+    One shuffle on the key (the lag window), one groupBy on the key; the
+    lag columns ride the same partitioning, so the aggregate is
+    shuffle-free after the window. ``order_cols`` break timestamp ties so
+    the pairing is deterministic."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    v = F.col(value).cast("double")
+    staged = series.select(
+        F.col(key), v.alias("__v"),
+        *[F.lag(v, k).over(w).alias(f"__lag{k}") for k in lags])
+    # Pearson r as covar/(sd*sd) with try_divide: ANSI mode makes F.corr
+    # raise DIVIDE_BY_ZERO on zero-variance series; this form yields NULL
+    # (matching DuckDB's corr) instead. The moments must be computed over
+    # the PAIRED rows only (corr's semantics), so each side is masked NULL
+    # wherever its partner is NULL.
+    def _r(k: int) -> Column:
+        lagc = F.col(f"__lag{k}")
+        vx = F.when(lagc.isNotNull(), F.col("__v"))
+        lx = F.when(F.col("__v").isNotNull(), lagc)
+        return F.try_divide(F.covar_samp(vx, lx),
+                            F.stddev_samp(vx) * F.stddev_samp(lx))
+
+    per_lag = staged.groupBy(key).agg(
+        *[F.round(_r(k), 6).alias(f"__acf{k}") for k in lags])
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"__acf{k}").alias("acf"))
+        for k in lags])
+    return (per_lag.select(F.col(key), F.explode(pairs).alias("p"))
+            .select(key, "p.lag", "p.acf"))
+
+
 def in_memory_timeseries(
     spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
 ) -> TimeSeriesTable:

@@ -467,3 +467,21 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
                    read_jsonl(spark, str(bad.parent), keep_corrupt=True).collect()
                    if r._corrupt is not None]
     assert len(quarantined) == 1 and "not json" in quarantined[0]._corrupt
+
+
+def test_autocorr_known_series(spark):
+    from datetime import datetime, timedelta
+    from otit_swt_spark.timeseries import autocorr
+
+    base = datetime(2024, 1, 1)
+    # alternating series: lag-1 perfectly anticorrelated, lag-2 perfect
+    alt = [("a", base + timedelta(minutes=i), float((-1) ** i))
+           for i in range(40)]
+    # constant series: zero variance -> NULL acf
+    const = [("b", base + timedelta(minutes=i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(alt + const,
+                               "id string, timestamp timestamp, value double")
+    out = {(r.id, r.lag): r.acf for r in autocorr(df, lags=(1, 2)).collect()}
+    assert out[("a", 1)] == -1.0
+    assert out[("a", 2)] == 1.0
+    assert out[("b", 1)] is None
