@@ -47,3 +47,51 @@ def prepare_corpus(
         id_col, "chunk_idx", "chunk",
         n_tokens(F.col("chunk")).alias("n_tokens"),
     )
+
+
+def prepare_corpus_full(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    lm_reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.02,
+    max_dup_token_frac: float = 0.9,
+    min_lm_score: float | None = None,
+    decontam_n: int = 8,
+    chunk_chars: int = 200,
+) -> DataFrame:
+    """The whole pre-training prep recipe in one composition, every stage
+    from this package: PII scrub → repetition filter → quality filter +
+    exact dedup (:func:`prepare_corpus`-style) → optional train/test
+    decontamination against ``benchmark`` → optional LM perplexity filter
+    against ``lm_reference`` → chunking.
+
+    Stage order matters: scrubbing precedes hashing (so dedup keys reflect
+    the text that ships), decontamination runs before chunking (benchmark
+    n-grams span chunk boundaries), and every map-side stage (scrub,
+    repetition, quality) runs before the first shuffle so the corpus is
+    smallest when it first crosses the wire."""
+    from otit_swt_spark.pipelines.decontam import decontaminate
+    from otit_swt_spark.pipelines.lm_quality import lm_filter, train_char_lm
+    from otit_swt_spark.pipelines.pii import scrub_pii
+    from otit_swt_spark.pipelines.textstats import repetition_stats
+
+    scrubbed = scrub_pii(docs.select(id_col, text_col), text_col=text_col)
+    low_rep = (repetition_stats(scrubbed, text_col=text_col)
+               .filter(F.col("rep_dup_token_frac") <= max_dup_token_frac)
+               .select(id_col, text_col))
+    if benchmark is not None:
+        low_rep = decontaminate(low_rep, benchmark, n=decontam_n,
+                                text_col=text_col, id_col=id_col,
+                                keep_flagged=False)
+    if lm_reference is not None:
+        model = train_char_lm(lm_reference, n=3, text_col=text_col)
+        floor = min_lm_score if min_lm_score is not None else -3.2
+        low_rep = lm_filter(low_rep, model, n=3, text_col=text_col,
+                            id_col=id_col, min_score=floor)
+    return prepare_corpus(low_rep, text_col=text_col, id_col=id_col,
+                          min_tokens=min_tokens,
+                          min_stopword_ratio=min_stopword_ratio,
+                          chunk_chars=chunk_chars)

@@ -676,3 +676,31 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     # z-order must compact both dimensions substantially
     assert mean_sa < 700 and mean_sb < 700
     assert back.count() == 20_000
+
+
+def test_prepare_corpus_full_composition(spark):
+    from otit_swt_spark.pipelines.corpus import prepare_corpus_full
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "it runs through the field to find some food for the day")
+    other = ("a small red hen walks near the old barn and then she "
+             "hops over the fence to peck at the fresh grain in the sun")
+    docs = spark.createDataFrame([
+        (1, other + " contact me a@b.co"),                # survives
+        (2, "spam " * 40),                               # repetition-filtered
+        (3, fluent),                                      # benchmark overlap
+        (4, "zq wx vk " * 12),                            # LM-filtered gibberish
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(100, fluent)], "doc_id long, text string")
+    lm_ref = spark.createDataFrame(
+        [(200, fluent), (201, other), (202, fluent), (203, other)],
+        "doc_id long, text string")
+    out = prepare_corpus_full(docs, benchmark=bench, lm_reference=lm_ref,
+                              min_tokens=5, min_stopword_ratio=0.0,
+                              decontam_n=6, min_lm_score=-3.0)
+    kept_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    # doc 3 decontaminated away, 2 repetition-filtered, 4 LM-filtered;
+    # doc 1 survives (PII scrub changes text but keeps fluency)
+    assert kept_ids == {1}
+    chunks = out.collect()
+    assert all("<EMAIL>" in c.chunk or "a@b.co" not in c.chunk for c in chunks)
