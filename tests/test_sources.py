@@ -485,3 +485,42 @@ def test_autocorr_known_series(spark):
     assert out[("a", 1)] == -1.0
     assert out[("a", 2)] == 1.0
     assert out[("b", 1)] is None
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    import glob
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)], "id long, val string, p int")
+    base.write.partitionBy("p").parquet(path)
+    before_p2 = set(glob.glob(f"{path}/p=2/*.parquet"))
+
+    changes = spark.createDataFrame(
+        [(0, "updated", 0, False),      # upsert existing key in p=0
+         (100, "new", 1, False),        # insert into p=1
+         (3, None, 0, True)],           # tombstone key 3 (lives in p=0)
+        "id long, val string, p int, deleted boolean")
+    merge_upsert(spark, path, changes, key="id", partition_col="p",
+                 deleted_col="deleted")
+    after = {r.id: (r.val, r.p) for r in spark.read.parquet(path).collect()}
+    assert after[0] == ("updated", 0)
+    assert after[100] == ("new", 1)
+    assert 3 not in after
+    assert len(after) == 30                       # 30 - 1 delete + 1 insert
+    assert after[5] == ("v5", 2)                  # untouched partition intact
+    # p=2 was neither read-rewritten nor replaced: same physical files
+    assert set(glob.glob(f"{path}/p=2/*.parquet")) == before_p2
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string") \
+        .write.parquet(path)
+    changes = spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string")
+    merge_upsert(spark, path, changes, key="id")
+    after = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert after == {1: "a", 2: "B", 3: "c"}
