@@ -524,3 +524,51 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     merge_upsert(spark, path, changes, key="id")
     after = {r.id: r.val for r in spark.read.parquet(path).collect()}
     assert after == {1: "a", 2: "B", 3: "c"}
+
+
+def test_resample_locf_property_vs_pandas(spark):
+    """resample(locf) agrees with pandas resample().last().ffill() on
+    randomized series."""
+    import random
+    from datetime import datetime, timedelta
+    import pandas as pd
+    from otit_swt_spark.timeseries import resample
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    for trial in range(3):
+        rows_in = sorted(
+            ("k", base + timedelta(seconds=rng.randrange(0, 36000)),
+             float(rng.randrange(100)))
+            for _ in range(25))
+        # unique timestamps so bucket-last is unambiguous
+        rows_in = list({r[1]: r for r in rows_in}.values())
+        df = spark.createDataFrame(
+            rows_in, "id string, timestamp timestamp, value double")
+        got = {r.bucket_ts: r.value
+               for r in resample(df, step_seconds=600, fill="locf").collect()}
+        pdf = pd.DataFrame(rows_in, columns=["id", "ts", "v"]).set_index("ts")
+        exp = pdf["v"].resample("600s").last().ffill()
+        # restrict to the engine's grid (first..last observed bucket)
+        exp = exp[(exp.index >= min(got)) & (exp.index <= max(got))]
+        assert {t.to_pydatetime(): v for t, v in exp.items()} == got, trial
+
+
+def test_rolling_stats_property_vs_bruteforce(spark):
+    import random
+    from datetime import datetime, timedelta
+    from otit_swt_spark.timeseries import rolling_stats
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    rows_in = [("k", base + timedelta(seconds=rng.randrange(0, 7200)),
+                float(rng.randrange(1000))) for _ in range(40)]
+    rows_in = list({r[1]: r for r in rows_in}.values())
+    df = spark.createDataFrame(
+        rows_in, "id string, timestamp timestamp, value double")
+    got = {r.timestamp: (r.roll_count, r.roll_min, r.roll_max)
+           for r in rolling_stats(df, window_seconds=900).collect()}
+    for _, ts, _v in rows_in:
+        win = [v for (_, t, v) in rows_in
+               if timedelta(0) <= ts - t <= timedelta(seconds=900)]
+        assert got[ts] == (len(win), min(win), max(win))
