@@ -87,6 +87,7 @@ class GraphStore:
                     F.max("o_dt").alias("dt"),
                     F.count("o_iri").alias("n_iri"),
                     F.count("o_lex").alias("n_lex"),
+                    F.count(F.lit(1)).alias("n"),
                 )
                 .collect()
             )
@@ -96,10 +97,20 @@ class GraphStore:
                     "mixed": r["n_dt"] > 1
                     or (r["n_iri"] > 0 and r["n_lex"] > 0
                         and (r["dt"] or XSD_STRING) != XSD_STRING),
+                    # per-predicate triple count: free in this aggregate,
+                    # drives selectivity-ordered BGP joins (compiler). Old
+                    # persisted catalogs may lack it — consumers default it.
+                    "n": r["n"],
                 }
                 for r in rows
             }
         return self._pred_dt
+
+    def predicate_count(self, predicate: str) -> int | None:
+        """Triple count for a predicate from the catalog (None when the
+        catalog predates counts or the predicate is absent)."""
+        info = self.predicate_datatypes().get(predicate)
+        return None if info is None else info.get("n")
 
     # -- constructors ------------------------------------------------------
 

@@ -547,6 +547,7 @@ class Compiler:
     def compile_bgp(self, bgp: A.BGP, input: SolutionMapping | None) -> SolutionMapping:
         patterns = list(bgp.patterns)
         ts_joins, patterns = self._lower_ts_chains(patterns, input)
+        patterns = self._order_patterns(patterns)
 
         sm: SolutionMapping | None = None
         for tp in patterns:
@@ -563,6 +564,66 @@ class Compiler:
         for tj in ts_joins:
             sm = self._apply_ts_join(sm, tj)
         return sm
+
+    def _order_patterns(self, patterns: list[A.TriplePattern]
+                        ) -> list[A.TriplePattern]:
+        """Greedy selectivity-ordered BGP join order from the per-predicate
+        triple counts in the datatype catalog (free — same aggregate). The
+        classic KG join heuristic Catalyst cannot apply itself (no stats on
+        the triples relation): start from the most selective pattern, then
+        repeatedly join the most selective pattern CONNECTED to the bound
+        variables (avoiding accidental cross products). Constant subjects /
+        objects scale the estimate down (point lookups). Inner joins
+        commute, so this is a pure plan change; ties keep written order, and
+        catalogs without counts (older persisted sidecars) keep the written
+        order entirely."""
+        if self._pred_datatypes is None or len(patterns) < 3:
+            return patterns
+        cat = self._pred_datatypes()
+        total = sum((info.get("n") or 0) for info in cat.values()) or 1
+
+        def est(tp: A.TriplePattern) -> float | None:
+            pred = tp.p
+            if isinstance(pred, A.PathPredicate):
+                pred = pred.iri
+            if isinstance(pred, IRI):
+                n = cat.get(pred.value, {}).get("n")
+                if n is None:
+                    return None  # unknown predicate count -> don't reorder
+                base = float(max(n, 1))
+            else:
+                base = float(total)  # variable or path predicate
+            if not isinstance(tp.s, Variable):
+                base = max(base * 0.01, 1.0)
+            if not isinstance(tp.o, Variable):
+                base = max(base * 0.01, 1.0)
+            return base
+
+        def vars_of(tp: A.TriplePattern) -> set[str]:
+            out = set()
+            for term in (tp.s, tp.p, tp.o):
+                if isinstance(term, Variable):
+                    out.add(term.name)
+            return out
+
+        ests = {}
+        for i, tp in enumerate(patterns):
+            e = est(tp)
+            if e is None:
+                return patterns
+            ests[i] = e
+
+        remaining = list(range(len(patterns)))
+        ordered: list[int] = []
+        bound: set[str] = set()
+        while remaining:
+            connected = [i for i in remaining if vars_of(patterns[i]) & bound]
+            pool = connected or remaining
+            pick = min(pool, key=lambda i: (ests[i], i))
+            ordered.append(pick)
+            remaining.remove(pick)
+            bound |= vars_of(patterns[pick])
+        return [patterns[i] for i in ordered]
 
     def _lower_ts_chains(self, patterns: list[A.TriplePattern],
                          input: SolutionMapping | None):

@@ -398,3 +398,42 @@ def test_rolling_stats_single_exchange(spark):
         [("a", datetime(2024, 1, 1), 1.0)],
         "id string, timestamp timestamp, value double")
     assert physical(rolling_stats(df)).count("Exchange") == 1
+
+
+def test_bgp_selectivity_reorder(spark):
+    """A huge-predicate pattern written first is reordered behind selective
+    connected patterns; unknown counts keep the written order."""
+    from otit_swt_spark.sparql import algebra as A
+    from otit_swt_spark.sparql.compiler import Compiler
+    from otit_swt_spark.sparql.algebra import IRI, Variable
+
+    cat = {"urn:big": {"dt": None, "mixed": False, "n": 1_000_000},
+           "urn:mid": {"dt": None, "mixed": False, "n": 10_000},
+           "urn:tiny": {"dt": None, "mixed": False, "n": 5}}
+    comp = Compiler(spark, spark.range(0).selectExpr("'x' s", "'y' p", "'z' o"),
+                    pred_datatypes=lambda: cat)
+    v = Variable
+    pats = [
+        A.TriplePattern(v("a"), IRI("urn:big"), v("b")),
+        A.TriplePattern(v("b"), IRI("urn:mid"), v("c")),
+        A.TriplePattern(v("c"), IRI("urn:tiny"), v("d")),
+    ]
+    got = [tp.p.value for tp in comp._order_patterns(pats)]
+    # tiny first, then its connected mid, then big
+    assert got == ["urn:tiny", "urn:mid", "urn:big"]
+
+    # constant object boosts selectivity: big with a bound object wins
+    pats2 = [
+        A.TriplePattern(v("a"), IRI("urn:mid"), v("b")),
+        A.TriplePattern(v("a"), IRI("urn:big"), IRI("urn:thing")),
+    ]
+    # len < 3 -> untouched (written order respected for short BGPs)
+    assert comp._order_patterns(pats2) == pats2
+
+    # unknown predicate count -> no reordering
+    pats3 = pats + [A.TriplePattern(v("d"), IRI("urn:unknown"), v("e"))]
+    cat_no_n = {k: {"dt": None, "mixed": False} for k in cat}
+    comp2 = Compiler(spark, spark.range(0).selectExpr("'x' s", "'y' p", "'z' o"),
+                     pred_datatypes=lambda: cat_no_n)
+    assert comp2._order_patterns(pats) == pats
+    assert [tp.p.value for tp in comp._order_patterns(pats3)][:1] != ["urn:unknown"]
