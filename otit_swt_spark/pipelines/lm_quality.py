@@ -96,6 +96,58 @@ def score_docs(docs: DataFrame, model: DataFrame, n: int = 3,
                     F.col("lm_score")))
 
 
+def score_docs_rowwise(docs: DataFrame, model: DataFrame, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: float = 0.5) -> DataFrame:
+    """Same scores as :func:`score_docs`, computed per ROW (no explode, no
+    join, no aggregation) — so it runs unchanged on a STREAMING DataFrame.
+
+    The trained model (domain-bounded, <= 37^n rows) is collected into a
+    broadcast dict; an Arrow-batched ``mapInPandas`` walks each document's
+    gram array with O(1) lookups. Use the joined :func:`score_docs` for
+    batch jobs (stays fully JVM-side); use this for streams and small
+    interactive scoring."""
+    import math as _math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    counts = {r["gram"]: r["cnt"] for r in model.collect()}
+    ctx_counts: dict[str, int] = {}
+    for gram, cnt in counts.items():
+        ctx_counts[gram[: n - 1]] = ctx_counts.get(gram[: n - 1], 0) + cnt
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((counts, ctx_counts))
+
+    grams_df = with_char_ngrams(docs, n, text_col)
+    schema = StructType(
+        [f for f in grams_df.schema.fields if f.name != "grams"]
+        + [StructField("n_grams", LongType()),
+           StructField("lm_score", DoubleType())])
+    kv = float(k) * ALPHABET_SIZE
+
+    def score(batches):
+        cnts, ctxs = bc.value
+        for pdf in batches:
+            out = pdf.drop(columns=["grams"])
+            n_grams, scores = [], []
+            for gs in pdf["grams"]:
+                if len(gs) == 0:
+                    n_grams.append(0)
+                    scores.append(None)
+                    continue
+                tot = 0.0
+                for g in gs:
+                    tot += _math.log((cnts.get(g, 0) + k)
+                                     / (ctxs.get(g[: n - 1], 0) + kv))
+                n_grams.append(len(gs))
+                scores.append(round(tot / len(gs), 6))
+            out["n_grams"] = n_grams
+            out["lm_score"] = scores
+            yield out
+
+    return grams_df.mapInPandas(score, schema=schema)
+
+
 def lm_filter(docs: DataFrame, model: DataFrame, n: int = 3,
               text_col: str = "text", id_col: str = "doc_id",
               min_score: float = -math.log(ALPHABET_SIZE)) -> DataFrame:

@@ -704,3 +704,21 @@ def test_prepare_corpus_full_composition(spark):
     assert kept_ids == {1}
     chunks = out.collect()
     assert all("<EMAIL>" in c.chunk or "a@b.co" not in c.chunk for c in chunks)
+
+
+def test_lm_rowwise_matches_joined(spark):
+    from otit_swt_spark.pipelines.lm_quality import (
+        score_docs, score_docs_rowwise, train_char_lm)
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat near the dog") for i in range(5)],
+        "doc_id long, text string")
+    probe = spark.createDataFrame([
+        (1, "the cat sat near"), (2, "qx zv wk"), (3, "")],
+        "doc_id long, text string")
+    model = train_char_lm(train, n=3)
+    joined = {r.doc_id: (r.n_grams, r.lm_score)
+              for r in score_docs(probe, model, n=3).collect()}
+    roww = {r.doc_id: (r.n_grams, r.lm_score)
+            for r in score_docs_rowwise(probe, model, n=3).collect()}
+    assert roww == joined

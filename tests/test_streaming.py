@@ -258,3 +258,26 @@ def test_stream_decontamination_flags(spark, tmp_path):
     got = {r.doc_id: r.contaminated
            for r in spark.sql("SELECT * FROM decon_out").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_stream_lm_scoring(spark, tmp_path):
+    """Row-wise LM scoring (broadcast model dict + mapInPandas) runs on a
+    stream with no state."""
+    from otit_swt_spark.pipelines.lm_quality import (
+        score_docs_rowwise, train_char_lm)
+
+    train = spark.createDataFrame(
+        [(i, "steady stream of plain english text here") for i in range(4)],
+        "doc_id long, text string")
+    model = train_char_lm(train, n=3)
+    src = str(tmp_path / "lm_src")
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["plain english text", "zzqq xxvv kkjj"]})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (score_docs_rowwise(stream, model, n=3)
+         .writeStream.format("memory").queryName("lm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.lm_score for r in spark.sql("SELECT * FROM lm_out").collect()}
+    assert got[1] > got[2]
