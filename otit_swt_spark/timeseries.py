@@ -266,8 +266,9 @@ def resample(
            .agg(F.max_by("__v", "__t").alias("__v"),
                 F.max("__t").alias("__t")))
 
-    grid = (series
-            .select(F.col(key), bucket.alias("__b"))
+    # bounds come from the per-bucket aggregate (already shuffled on the
+    # key) rather than a second scan of the source
+    grid = (obs
             .groupBy(key)
             .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
             .select(F.col(key),
