@@ -68,13 +68,31 @@ def with_ngram_hashes(df: DataFrame, n: int, text_col: str = "text",
     return staged.withColumn(out_col, grams).drop("__toks")
 
 
+def exploded_ngram_hashes(df: DataFrame, n: int, text_col: str = "text",
+                          keep: list[str] | None = None) -> DataFrame:
+    """``(keep..., gram)`` — one row per shingle hash. Hot path for the
+    corpus side: explodes an integer sequence and computes
+    ``md5(concat_ws(slice(toks, pos, n)))`` as plain codegen'd expressions
+    instead of building the gram array through an interpreted ``transform``
+    lambda first (see lm_quality.exploded_char_ngrams for the measured
+    gap)."""
+    staged = df.withColumn("__toks", _tokens(F.col(text_col)))
+    n_starts = F.size(F.col("__toks")) - F.lit(n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    return (staged
+            .select(*(keep or []), "__toks", F.explode(idx).alias("__pos"))
+            .select(*(keep or []),
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("__toks"), F.col("__pos"), n))
+                    ).alias("gram")))
+
+
 def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
                      text_col: str = "text") -> DataFrame:
     """Distinct n-gram hash set of the benchmark corpus — the small side of
     the decontamination join. One column ``gram``."""
-    return (with_ngram_hashes(benchmark, n, text_col)
-            .select(F.explode(F.col("grams")).alias("gram"))
-            .distinct())
+    return exploded_ngram_hashes(benchmark, n, text_col).distinct()
 
 
 def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
@@ -143,8 +161,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     *matching* grams — empty-to-tiny for a clean corpus (a corpus-wide
     distinct on all grams would shuffle everything)."""
     bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col))
-    grams = (with_ngram_hashes(docs, n, text_col)
-             .select(F.col(id_col), F.explode(F.col("grams")).alias("gram")))
+    grams = exploded_ngram_hashes(docs, n, text_col, keep=[id_col])
     hits = (grams.join(bench, "gram")
             .groupBy(id_col)
             .agg(F.countDistinct("gram").alias("n_contaminated_grams")))

@@ -51,12 +51,28 @@ def with_char_ngrams(df: DataFrame, n: int, text_col: str = "text",
     return staged.withColumn(out_col, grams).drop("__norm")
 
 
+def exploded_char_ngrams(df: DataFrame, n: int, text_col: str = "text",
+                         keep: list[str] | None = None) -> DataFrame:
+    """``(keep..., gram)`` — one row per character n-gram. The hot path for
+    corpus-scale training/scoring: explode an INTEGER sequence and slice
+    with ``substr(norm, pos, n)``, which is a plain codegen'd expression —
+    unlike building the gram ARRAY first, whose ``transform`` lambda is
+    interpreted per element (measured ~4× slower at 50k docs)."""
+    staged = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    n_starts = F.length("__norm") - F.lit(n - 1)
+    idx = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+           .otherwise(F.array().cast("array<int>"))
+    return (staged
+            .select(*(keep or []), "__norm", F.explode(idx).alias("__pos"))
+            .select(*(keep or []),
+                    F.col("__norm").substr(F.col("__pos"), F.lit(n)).alias("gram")))
+
+
 def train_char_lm(corpus: DataFrame, n: int = 3,
                   text_col: str = "text") -> DataFrame:
     """N-gram count table ``(gram, cnt)`` — bounded by 37^n rows regardless
     of corpus size, so always broadcastable."""
-    return (with_char_ngrams(corpus, n, text_col)
-            .select(F.explode("grams").alias("gram"))
+    return (exploded_char_ngrams(corpus, n, text_col)
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -77,8 +93,7 @@ def score_docs(docs: DataFrame, model: DataFrame, n: int = 3,
     ctx = (model
            .groupBy(F.col("gram").substr(F.lit(1), F.lit(n - 1)).alias("ctx"))
            .agg(F.sum("cnt").alias("ctx_cnt")))
-    doc_grams = (with_char_ngrams(docs, n, text_col)
-                 .select(F.col(id_col), F.explode("grams").alias("gram")))
+    doc_grams = exploded_char_ngrams(docs, n, text_col, keep=[id_col])
     scored = (doc_grams
               .join(F.broadcast(model), "gram", "left")
               .withColumn("ctx", F.col("gram").substr(F.lit(1), F.lit(n - 1)))

@@ -158,3 +158,31 @@ def test_resample_long_span_grid(spark):
     n = out.count()
     assert n > 0
     assert out.filter(F.col("value").isNull()).count() == 0
+
+
+def test_lm_quality_amplified_corpus(spark):
+    """100k-doc LM scoring: the model stays domain-bounded (<= 37^3) no
+    matter the corpus size, and scoring is broadcast-join + one agg."""
+    from otit_swt_spark.pipelines.lm_quality import score_docs, train_char_lm
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    docs = _amplify(base, 10, "doc_id", 1_000_000)
+    model = train_char_lm(docs, n=3)
+    assert model.count() <= 37 ** 3
+    out = score_docs(docs, model, n=3)
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("lm_score").isNull().cast("int")).alias("nulls")
+                  ).collect()[0]
+    assert row["n"] == 50_000 and row["nulls"] == 0
+
+
+def test_zorder_write_1m_events(spark, tmp_path):
+    """1M-event z-ordered write: range shuffle + per-file sort only."""
+    from otit_swt_spark.pipelines.layout import write_zordered
+    from otit_swt_spark.tpch_graph import load_events
+
+    ev = load_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    path = str(tmp_path / "zev")
+    write_zordered(ev, path, ["user_id", "value"], n_files=32, bits=10)
+    assert spark.read.parquet(path).count() == ev.count()
