@@ -633,6 +633,14 @@ def q_profile_docs(spark, sf_dir):
                          ["doc_id", "lang", "source", "n_chars"])
 
 
+def q_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem numerics in one pass."""
+    from otit_swt_spark.pipelines.profile import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_validate_lineitem(spark, sf_dir):
     """Expectation validation + referential-integrity check in one result:
     per-rule violation counts over lineitem, plus an FK check against
@@ -1159,6 +1167,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decontaminate": q_decontaminate,
         "zorder_events": q_zorder_events,
         "profile_docs": q_profile_docs,
+        "corr_lineitem": q_corr_lineitem,
         "validate_lineitem": q_validate_lineitem,
         "hash_shards": q_hash_shards,
         "lm_quality": q_lm_quality,
@@ -1762,6 +1771,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
                    round(avg(CAST(n_chars AS DOUBLE)), 6)
             FROM documents
+        """,
+        "corr_lineitem": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   round(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   round(corr(l_extendedprice, l_discount), 6) FROM lineitem
         """,
         "validate_lineitem": """
             SELECT 'qty_range' AS rule, count(*) AS n_rows,

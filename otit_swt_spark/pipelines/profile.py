@@ -77,6 +77,32 @@ def validate(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     return row.select(F.explode(per_rule).alias("r")).select("r.*")
 
 
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregation
+    pass (all covariances/stddevs in a single ``agg``): rows
+    ``(col_a, col_b, corr)`` for a < b. ``try_divide`` yields NULL for
+    zero-variance columns instead of ANSI divide-by-zero."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+            # pair-masked moments (corr semantics): each side NULL where
+            # its partner is NULL, so stddevs cover exactly the paired rows
+            va = F.when(cb.isNotNull(), ca)
+            vb = F.when(ca.isNotNull(), cb)
+            aggs.append(F.round(F.try_divide(
+                F.covar_samp(va, vb),
+                F.stddev_samp(va) * F.stddev_samp(vb)), 6).alias(f"{a}__{b}"))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"{a}__{b}").alias("corr"))
+        for i, a in enumerate(cols) for b in cols[i + 1:]])
+    return row.select(F.explode(pairs).alias("p")).select("p.*")
+
+
 def fk_violations(fact: DataFrame, dim: DataFrame, fact_key: str,
                   dim_key: str, broadcast_dim: bool = True) -> DataFrame:
     """Rows of ``fact`` whose ``fact_key`` has no match in ``dim`` —

@@ -722,3 +722,15 @@ def test_lm_rowwise_matches_joined(spark):
     roww = {r.doc_id: (r.n_grams, r.lm_score)
             for r in score_docs_rowwise(probe, model, n=3).collect()}
     assert roww == joined
+
+
+def test_corr_matrix_known_values(spark):
+    from otit_swt_spark.pipelines.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0)],
+        "x double, y double, z double")
+    out = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0            # y = 2x
+    assert out[("x", "z")] is None           # z constant -> undefined
+    assert len(out) == 3
