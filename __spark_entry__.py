@@ -664,6 +664,18 @@ def q_validate_lineitem(spark, sf_dir):
     return rules.unionByName(fk_row)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Per-source sampling rates (corpus mixing): keep all of one source,
+    half of another, none of the rest."""
+    from otit_swt_spark.pipelines.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (mixture_sample(d, "source",
+                           {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+                           "doc_id", default_fraction=0.25)
+            .select("doc_id", "source"))
+
+
 def q_hash_shards(spark, sf_dir):
     """Deterministic global shard assignment (training-export primitive):
     per-shard doc counts + id range; the assignment is a map-side CASE
@@ -1169,6 +1181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_docs": q_profile_docs,
         "corr_lineitem": q_corr_lineitem,
         "validate_lineitem": q_validate_lineitem,
+        "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
         "lm_quality": q_lm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1201,6 +1214,21 @@ def _zorder_oracle() -> str:
     return f"""
         SELECT event_id, {terms} AS zkey
         FROM (SELECT event_id, {codes[0]} AS c0, {codes[1]} AS c1 FROM events)
+    """
+
+
+def _mixture_sample_oracle() -> str:
+    from otit_swt_spark.pipelines.sampling import _hex_threshold
+
+    h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE CASE
+            WHEN source = 'src0' THEN TRUE
+            WHEN source = 'src1' THEN {h} < '{_hex_threshold(0.5)}'
+            WHEN source = 'src2' THEN {h} < '{_hex_threshold(0.1)}'
+            ELSE {h} < '{_hex_threshold(0.25)}'
+        END
     """
 
 
@@ -1818,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
                          WHERE NOT EXISTS (SELECT 1 FROM orders o
                                            WHERE o.o_orderkey = l.l_orderkey)) = 0 AS INT)
         """,
+        "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
         "lm_quality": """
             WITH norm AS (

@@ -42,6 +42,29 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
                      < F.lit(_hex_threshold(fraction)))
 
 
+def mixture_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
+                   key_col: str, default_fraction: float = 0.0,
+                   salt: str = "") -> DataFrame:
+    """Deterministic per-group sampling rates — the corpus-mixing op
+    (down-weight web crawl, keep all books, ...): each row is kept iff its
+    salted key hash clears its GROUP's threshold. Pure map-side CASE over
+    the hash prefix; same stability guarantees as :func:`hash_sample`.
+    Groups absent from ``fractions`` use ``default_fraction``. Fractions
+    above 1 are capped at keep-all (upsampling needs row replication —
+    compose with an explode upstream)."""
+    h = _hash_prefix(F.col(key_col), salt)
+    expr = None
+    for grp, frac in fractions.items():
+        keep = (F.lit(True) if frac >= 1.0
+                else h < F.lit(_hex_threshold(max(frac, 0.0))))
+        cond = F.col(group_col) == grp
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    default_keep = (F.lit(True) if default_fraction >= 1.0
+                    else h < F.lit(_hex_threshold(max(default_fraction, 0.0))))
+    expr = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.filter(expr)
+
+
 def hash_shard(df: DataFrame, key_col: str, n_shards: int,
                salt: str = "", shard_col: str = "shard") -> DataFrame:
     """Assign every row a deterministic shard in ``[0, n_shards)`` by

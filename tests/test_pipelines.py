@@ -734,3 +734,21 @@ def test_corr_matrix_known_values(spark):
     assert out[("x", "y")] == 1.0            # y = 2x
     assert out[("x", "z")] is None           # z constant -> undefined
     assert len(out) == 3
+
+
+def test_mixture_sample_rates(spark):
+    from otit_swt_spark.pipelines.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, ["web", "book", "junk"][i % 3]) for i in range(3000)],
+        "k long, g string")
+    out = mixture_sample(df, "g", {"book": 1.0, "web": 0.3}, "k",
+                         default_fraction=0.0)
+    counts = {r.g: r.cnt for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["book"] == 1000                  # keep-all
+    assert "junk" not in counts                    # default 0
+    assert 200 <= counts["web"] <= 400             # ~30% of 1000
+    # deterministic
+    again = mixture_sample(df, "g", {"book": 1.0, "web": 0.3}, "k")
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
