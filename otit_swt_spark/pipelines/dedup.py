@@ -29,13 +29,32 @@ def _permute_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>), lowercased."""
+    """Word n-gram shingles (array<string>), lowercased. Expression-valued —
+    the token split re-evaluates inside the interpreted transform lambda, so
+    corpus-scale callers should use :func:`with_shingles` (staged token
+    column) instead."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - F.lit(1))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
     )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """``df`` plus a word-shingle array built from a STAGED token column, so
+    the split runs once per row instead of once per (shingle × token) — the
+    interpreted-HOF staging pattern (see lm_quality.exploded_char_ngrams)."""
+    staged = df.withColumn(
+        "__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = F.col("__toks")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    arr = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])))
+    return staged.withColumn(out_col, arr).drop("__toks")
 
 
 def minhash_signature(text: Column, k: int = 64, shingle_n: int = 3) -> Column:
@@ -250,7 +269,13 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     (array<long> accumulator) — the shingle array is computed once, not once
     per bit (higher-order functions are interpreted, so re-evaluation is the
     dominant cost on wide documents)."""
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    return simhash64_from(shingles(text, shingle_n))
+
+
+def simhash64_from(shingle_arr: Column) -> Column:
+    """SimHash fold over an already-built shingle array (pass a STAGED
+    column on corpus-scale paths — see :func:`with_shingles`)."""
+    hashes = F.transform(shingle_arr, lambda s: F.xxhash64(s))
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(64)])
     counts = F.aggregate(
         hashes,
@@ -291,10 +316,14 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     number of pairs; connected-component transitivity still links the whole
     duplicate cluster."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    # Stage the shingle array as a real column BEFORE the simhash fold:
+    # simhash64's lambdas would otherwise re-run the split/concat shingle
+    # expression per element (interpreted HOFs), which dominates on wide
+    # documents (same fix as lm_quality/decontam exploded paths).
     sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-        .repartition(par)
-        .select("id", simhash64(F.col(text_col)).alias("sh"))
+        with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col))
+                      .repartition(par), text_col, n=2, out_col="__sh_arr")
+        .select("id", simhash64_from(F.col("__sh_arr")).alias("sh"))
         .persist()
     )
     chunks = sh.select(
@@ -421,8 +450,10 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verify
     stage after LSH. Joins text back in (broadcast-eligible when the pair
     set is small), computes |A∩B| / |A∪B| with array ops."""
-    sh = F.array_distinct(shingles(F.col(text_col), n))
-    texts = docs.select(F.col(id_col).alias("id"), sh.alias("grams"))
+    texts = (with_shingles(docs.select(F.col(id_col).alias("id"),
+                                       F.col(text_col)),
+                           text_col, n, out_col="__g")
+             .select("id", F.array_distinct("__g").alias("grams")))
     out = (
         df_pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
