@@ -1,0 +1,53 @@
+"""Runnable example: end-to-end training-corpus preparation.
+
+Reads the synthetic documents table, runs the full prep recipe (PII scrub,
+repetition filter, quality filter + exact dedup, train/test
+decontamination, char-trigram LM filter, chunking), then writes the
+surviving chunks as deterministic hash shards.
+
+    python examples/corpus_prep.py [sf_dir]   # default /root/testdata/sf0.01
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from otit_swt_spark.pipelines.corpus import prepare_corpus_full  # noqa: E402
+from otit_swt_spark.pipelines.sampling import write_training_shards  # noqa: E402
+from otit_swt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("example_corpus", cpus=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    # a held-out slice plays the benchmark (decontamination) and another
+    # the LM reference corpus
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    lm_ref = docs.filter(F.col("doc_id") % 2 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    chunks = prepare_corpus_full(
+        train, benchmark=benchmark, lm_reference=lm_ref,
+        min_tokens=10, min_stopword_ratio=0.0, chunk_chars=200,
+        decontam_n=8, min_lm_score=-3.6)
+
+    out = os.path.join(tempfile.mkdtemp(prefix="corpus_prep_"), "shards")
+    write_training_shards(chunks.withColumn(
+        "chunk_id", F.concat_ws(":", "doc_id", "chunk_idx")),
+        out, key_col="chunk_id", n_shards=4, order_col="chunk_id")
+
+    back = spark.read.parquet(out)
+    print(f"prepared chunks: {back.count()} "
+          f"(from {train.count()} candidate docs) -> {out}")
+    back.groupBy("shard").count().orderBy("shard").show()
+
+
+if __name__ == "__main__":
+    main()
