@@ -437,3 +437,30 @@ def test_bgp_selectivity_reorder(spark):
                      pred_datatypes=lambda: cat_no_n)
     assert comp2._order_patterns(pats) == pats
     assert [tp.p.value for tp in comp._order_patterns(pats3)][:1] != ["urn:unknown"]
+
+
+def test_bgp_reorder_shapes_join_tree(spark):
+    """End-to-end: a worst-order-written query compiles to a join tree that
+    starts from the most selective predicate (its scan prints before the
+    hot predicate's in the left-deep plan)."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    lines = []
+    for i in range(800):
+        lines.append(f"<urn:x{i}> <urn:big> <urn:y{i % 40}> .")
+    for i in range(40):
+        lines.append(f"<urn:y{i}> <urn:mid> <urn:z{i % 10}> .")
+    for i in range(2):
+        lines.append(f"<urn:z{i}> <urn:tiny> <urn:w{i}> .")
+    store = GraphStore.from_ntriples(spark, "\n".join(lines))
+    eng = Engine(spark, store)
+    df = eng.query("""
+        SELECT ?a ?d WHERE {
+            ?a <urn:big> ?b .
+            ?b <urn:mid> ?c .
+            ?c <urn:tiny> ?d .
+        }""")
+    plan = optimized(df)
+    assert plan.index("urn:tiny") < plan.index("urn:big")
+    assert df.count() == 160            # 2 z * 4 mid-y each * 20 big-x each
