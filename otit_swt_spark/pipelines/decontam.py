@@ -149,7 +149,7 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                   min_hits: int = 1, text_col: str = "text",
                   id_col: str = "doc_id", keep_flagged: bool = True,
-                  ) -> DataFrame:
+                  broadcast_benchmark: bool = True) -> DataFrame:
     """Annotate ``docs`` with ``n_contaminated_grams`` (count of distinct
     n-gram hashes shared with ``benchmark``) and a ``contaminated`` flag;
     with ``keep_flagged=False`` return only the clean documents.
@@ -159,8 +159,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     join back to the corpus on the id. The broadcast join runs BEFORE any
     dedup, so the only corpus shuffle is the per-doc distinct count of
     *matching* grams — empty-to-tiny for a clean corpus (a corpus-wide
-    distinct on all grams would shuffle everything)."""
-    bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col))
+    distinct on all grams would shuffle everything).
+
+    ``broadcast_benchmark=False`` switches the gram match to a shuffle
+    hash join — for corpus-vs-corpus decontamination where the "benchmark"
+    side is itself too large to broadcast (both sides then shuffle on the
+    uniformly-distributed gram hash)."""
+    bench = benchmark_ngrams(benchmark, n, text_col)
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     grams = exploded_ngram_hashes(docs, n, text_col, keep=[id_col])
     hits = (grams.join(bench, "gram")
             .groupBy(id_col)

@@ -752,3 +752,49 @@ def test_mixture_sample_rates(spark):
     # deterministic
     again = mixture_sample(df, "g", {"book": 1.0, "web": 0.3}, "k")
     assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+
+
+def test_profile_approx_mode(spark):
+    from otit_swt_spark.pipelines.profile import profile_table
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)],
+                               "id long, g long")
+    prof = {r.col: r for r in profile_table(df, approx=True).collect()}
+    assert prof["g"].n_distinct in range(6, 9)        # HLL ~7
+    assert 900 <= prof["id"].n_distinct <= 1100
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    from otit_swt_spark.pipelines.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame([
+        (1, "alpha\n\nbeta"), (2, "beta\n\ngamma"), (3, "alpha"),
+    ], "doc_id long, text string")
+    once = dedup_paragraphs(df).select("doc_id", "text")
+    twice = dedup_paragraphs(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_decontaminate_clean_corpus_no_flags(spark):
+    from otit_swt_spark.pipelines.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique sentence number {i} with nothing shared")
+         for i in range(20)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "benchmark prose that appears nowhere in the corpus at all")],
+        "doc_id long, text string")
+    out = decontaminate(docs, bench, n=4)
+    assert out.filter("contaminated").count() == 0
+    # non-broadcast join path gives identical answers
+    out2 = decontaminate(docs, bench, n=4, broadcast_benchmark=False)
+    assert out2.filter("contaminated").count() == 0
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from otit_swt_spark.pipelines.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = hash_split(df, "k").groupBy("split").count().collect()
+    assert sum(r["count"] for r in out) == 500
+    assert {r.split for r in out} == {"train", "val", "test"}
