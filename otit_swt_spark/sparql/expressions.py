@@ -378,6 +378,13 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
             # tz'd and naive datetimes onto Datetime, sparql_result_to_polars
             # .rs:98-110); SPARQL TZ of a zoneless dateTime is ""
             return Typed(F.lit(""), "string")
+        if name == "TIMEZONE":
+            # SPARQL TIMEZONE errors on zoneless dateTimes; the engine's
+            # storage is UTC-normalized (offsets folded in at parse), so the
+            # consistent answer for every stored timestamp is PT0S. Typed as
+            # string (xsd:dayTimeDuration has no native Spark type).
+            return Typed(F.when(args[0].col.isNotNull(), F.lit("PT0S")),
+                         "string")
         if name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
             return _term_category_test(name, args[0], raw_args[0], sm)
         if name == "IRI" or name == "URI":

@@ -576,3 +576,19 @@ def test_from_endpoint_distributed_pull(spark, tmp_path):
     names = set(os.listdir(marks))
     # driver did only the count; the 4 pages were fetched by tasks
     assert names == {"count", "page0", "page2", "page4", "page6"}
+
+
+def test_timezone_builtin(spark):
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+
+    g = GraphStore.from_sparql_insert(spark, """
+        INSERT DATA { <urn:a> <urn:p>
+            "2024-01-05T10:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> . }
+    """)
+    row = Engine(spark, g).query(
+        "SELECT (TIMEZONE(?v) AS ?tzd) (TZ(?v) AS ?tz) "
+        "WHERE { <urn:a> <urn:p> ?v }").collect()[0]
+    # storage is UTC-normalized: every stored timestamp's zone is PT0S;
+    # TZ stays "" (zoneless lexical form)
+    assert row.tzd == "PT0S" and row.tz == ""
