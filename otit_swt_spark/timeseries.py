@@ -191,7 +191,7 @@ def interval_join(
     point_ts: str = "timestamp",
     start_col: str = "start",
     end_col: str = "end",
-    bucket_seconds: float = 3600.0,
+    bucket_seconds: float | None = 3600.0,
 ) -> DataFrame:
     """Range join: attach to each point the interval(s) of the same key
     that contain it (``start <= ts <= end``, inclusive).
@@ -202,7 +202,15 @@ def interval_join(
     exact range refinement — the standard distributed range-join strategy
     (cf. Spark's own range-join hints). ``bucket_seconds`` trades the
     interval explode factor against candidate pairs per bucket: set it
-    near the typical interval length."""
+    near the typical interval length, or pass ``None`` to derive it from
+    the median interval length (one tiny aggregate over the interval side
+    — the small side by assumption), clamped to [1s, 30d]."""
+    if bucket_seconds is None:
+        med = intervals.select(F.median(
+            (F.unix_micros(F.col(end_col).cast("timestamp"))
+             - F.unix_micros(F.col(start_col).cast("timestamp")))
+        ).alias("m")).collect()[0]["m"]
+        bucket_seconds = min(max((med or 0) / 1e6, 1.0), 30 * 86400.0)
     b_us = int(bucket_seconds * 1_000_000)
     p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))

@@ -572,3 +572,22 @@ def test_rolling_stats_property_vs_bruteforce(spark):
         win = [v for (_, t, v) in rows_in
                if timedelta(0) <= ts - t <= timedelta(seconds=900)]
         assert got[ts] == (len(win), min(win), max(win))
+
+
+def test_interval_join_auto_bucket(spark):
+    from datetime import datetime, timedelta
+    from otit_swt_spark.timeseries import interval_join
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("a", base + timedelta(minutes=m)) for m in range(0, 120, 5)],
+        "id string, timestamp timestamp")
+    iv = spark.createDataFrame(
+        [("a", base + timedelta(minutes=10), base + timedelta(minutes=40), "w1"),
+         ("a", base + timedelta(minutes=90), base + timedelta(minutes=100), "w2")],
+        "id string, start timestamp, end timestamp, label string")
+    auto = interval_join(pts, iv, bucket_seconds=None)
+    fixed = interval_join(pts, iv, bucket_seconds=600)
+    a = sorted((r.timestamp, r.label) for r in auto.collect())
+    b = sorted((r.timestamp, r.label) for r in fixed.collect())
+    assert a == b and len(a) == 7 + 3      # minutes 10..40 step5, 90..100
