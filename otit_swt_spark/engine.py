@@ -283,11 +283,44 @@ class Engine:
 
     # -- entry point 3 (reference dsl/src/translator.rs via §3.3) -----------
 
-    def execute_dsl_query(self, dsl: str, translator) -> DataFrame:
+    def name_predicate(self, predicate: str) -> "Engine":
+        """Reference-parity DSL configuration (py_otit_swt_query/src/lib.rs
+        :112): the predicate whose string object names an element; used to
+        build the default name/type-name templates for
+        :meth:`execute_dsl_query`."""
+        self._dsl_name_predicate = predicate
+        return self
+
+    def connective_mapping(self, mapping: dict[str, str]) -> "Engine":
+        """Reference-parity DSL configuration (lib.rs:117): connective text
+        (".", "--", ...) -> predicate IRI."""
+        self._dsl_connective_mapping = dict(mapping)
+        return self
+
+    def execute_dsl_query(self, dsl: str, translator=None) -> DataFrame:
         """Path-DSL entry point: parse the ts query, translate to SPARQL
-        (otit_swt_spark.dsl.Translator), execute as one DataFrame plan."""
+        (otit_swt_spark.dsl.Translator), execute as one DataFrame plan.
+        With no explicit translator, builds the reference's default name /
+        type-name templates from :meth:`name_predicate` +
+        :meth:`connective_mapping` (lib.rs:122-159)."""
         from otit_swt_spark.dsl import parse_ts_query
 
+        if translator is None:
+            pred = getattr(self, "_dsl_name_predicate", None)
+            conn = getattr(self, "_dsl_connective_mapping", None)
+            if pred is None or conn is None:
+                raise ValueError(
+                    "execute_dsl_query needs a translator, or prior "
+                    "name_predicate(...) + connective_mapping(...) calls")
+            from otit_swt_spark.dsl.translator import Translator
+
+            rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            name_template = [
+                ("?replace_variable", f"<{pred}>", '"replace_str"')]
+            type_name_template = [
+                ("?replace_variable", f"<{rdf_type}>", "?type_var"),
+                ("?type_var", f"<{pred}>", '"replace_str"')]
+            translator = Translator(name_template, type_name_template, conn)
         return self.query(translator.translate(parse_ts_query(dsl)))
 
     def _construct(self, sm: SolutionMapping, template) -> DataFrame:

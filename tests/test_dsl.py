@@ -256,3 +256,24 @@ def test_dsl_optional_path_with_condition(dsl_engine, translator):
     vals = {r[mag_idx[0]] for r in got}
     assert None in vals
     assert {v for v in vals if v is not None} == {204.0, 206.0}
+
+
+def test_engine_default_translator_parity(dsl_engine, translator):
+    """Engine.name_predicate + connective_mapping build the reference's
+    default templates (py_otit_swt_query lib.rs:122-159) — same results as
+    an explicitly constructed Translator."""
+    q = """
+    [w]"widget1".sensor
+    from 2022-01-01T00:00:00
+    to 2022-01-01T01:00:00
+    """
+    explicit = dsl_engine.execute_dsl_query(q, translator)
+    implicit = (dsl_engine
+                .name_predicate(TYPES + "hasName")
+                .connective_mapping({
+                    "-": TYPES + "hasOneDashRelation",
+                    ".": TYPES + "hasOnePeriodRelation"})
+                .execute_dsl_query(q))
+    assert sorted(explicit.columns) == sorted(implicit.columns)
+    assert sorted(map(tuple, explicit.collect())) == \
+        sorted(map(tuple, implicit.collect()))
