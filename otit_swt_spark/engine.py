@@ -283,6 +283,21 @@ class Engine:
 
     # -- entry point 3 (reference dsl/src/translator.rs via §3.3) -----------
 
+    @classmethod
+    def from_endpoint(cls, spark: SparkSession, endpoint: str,
+                      http_post=None, page_size: int = 10000,
+                      **kwargs) -> "Engine":
+        """Reference-parity constructor (py_otit_swt_query lib.rs:33,
+        ``Engine::new(endpoint)``): pull the remote store's triples through
+        the paged executor-side loader and wrap them as this engine's
+        default graph. Per-pattern remote execution stays available via
+        SERVICE; this form is for the reference's workflow of binding one
+        endpoint up front."""
+        graph = GraphStore.from_endpoint(spark, endpoint,
+                                         http_post=http_post,
+                                         page_size=page_size)
+        return cls(spark, graph, http_post=http_post, **kwargs)
+
     def name_predicate(self, predicate: str) -> "Engine":
         """Reference-parity DSL configuration (py_otit_swt_query/src/lib.rs
         :112): the predicate whose string object names an element; used to

@@ -592,3 +592,30 @@ def test_timezone_builtin(spark):
     # storage is UTC-normalized: every stored timestamp's zone is PT0S;
     # TZ stays "" (zoneless lexical form)
     assert row.tzd == "PT0S" and row.tz == ""
+
+
+def test_engine_from_endpoint_constructor(spark):
+    """Engine.from_endpoint binds a remote store as the default graph (the
+    reference's Engine::new(endpoint) workflow) — query results come from
+    the pulled triples."""
+    from otit_swt_spark.engine import Engine
+
+    def http_post(url, query):
+        import re
+        if "COUNT" in query:
+            return {"head": {"vars": ["n"]}, "results": {"bindings": [
+                {"n": {"type": "literal", "value": "1",
+                       "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}]}}
+        off = int(re.search(r"OFFSET (\d+)", query).group(1))
+        sols = ([{"s": {"type": "uri", "value": "http://ex/a"},
+                  "p": {"type": "uri", "value": "http://ex/knows"},
+                  "o": {"type": "uri", "value": "http://ex/b"}}]
+                if off == 0 else [])
+        return {"head": {"vars": ["s", "p", "o"]},
+                "results": {"bindings": sols}}
+
+    eng = Engine.from_endpoint(spark, "http://ex/sparql",
+                               http_post=http_post)
+    rows = eng.query(
+        "SELECT ?x WHERE { ?x <http://ex/knows> <http://ex/b> }").collect()
+    assert [r.x for r in rows] == ["http://ex/a"]
