@@ -298,6 +298,23 @@ class Engine:
                                          page_size=page_size)
         return cls(spark, graph, http_post=http_post, **kwargs)
 
+    def set_arrow_flight_sql(self, location: str, query: str,
+                             **kwargs) -> "Engine":
+        """Reference-parity registration (lib.rs:42): read a Flight SQL
+        result set and register it as this engine's time-series table."""
+        from otit_swt_spark.sources.flight import flight_timeseries
+
+        return self.add_timeseries_table(
+            flight_timeseries(self.spark, location, query, **kwargs))
+
+    def set_opcua_history_read(self, opcua) -> "Engine":
+        """Reference-parity registration (lib.rs:67). The environment has
+        no OPC UA stack, so executing a query through this table raises —
+        see sources/opcua.py for the processed-read semantics on landed
+        frames."""
+        opcua.execute()  # raises NotImplementedError with guidance
+        return self
+
     def name_predicate(self, predicate: str) -> "Engine":
         """Reference-parity DSL configuration (py_otit_swt_query/src/lib.rs
         :112): the predicate whose string object names an element; used to

@@ -591,3 +591,26 @@ def test_interval_join_auto_bucket(spark):
     a = sorted((r.timestamp, r.label) for r in auto.collect())
     b = sorted((r.timestamp, r.label) for r in fixed.collect())
     assert a == b and len(a) == 7 + 3      # minutes 10..40 step5, 90..100
+
+
+def test_engine_opcua_registration_stub(spark):
+    """Reference-parity Engine hook: set_opcua_history_read surfaces the
+    documented transport stub."""
+    import pytest as _pytest
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead
+
+    with _pytest.raises(NotImplementedError):
+        Engine(spark).set_opcua_history_read(OPCUAHistoryRead(2, "opc.tcp://x"))
+
+
+def test_engine_flight_registration(spark, flight_server):
+    """Reference-parity Engine hook: set_arrow_flight_sql registers a
+    Flight result set as a TS table (in-process test server)."""
+    from otit_swt_spark.engine import Engine
+
+    eng = Engine(spark).set_arrow_flight_sql(
+        f"grpc://127.0.0.1:{flight_server.port}", "SELECT * FROM ts",
+        distributed=False)
+    assert len(eng.ts_tables) == 1
+    assert eng.ts_tables[0]._df.count() == 4
