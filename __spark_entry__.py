@@ -485,6 +485,22 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
 
 
+def q_session_window_agg(spark, sf_dir):
+    """Spark's NATIVE session_window operator (gap-merged windows in the
+    groupBy itself — the same operator Structured Streaming uses for
+    streaming sessions), checked against a gaps-and-islands SQL oracle."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(25,10)"))
+                         .cast("double"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start").cast("timestamp")).alias("w_start_us"),
+                    F.unix_micros(F.col("w.end").cast("timestamp")).alias("w_end_us"),
+                    "n_events", "sum_value"))
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantiles (median / p95) — `percentile` with linear
     interpolation, matching DuckDB's quantile_cont."""
@@ -1153,6 +1169,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "resample_locf": q_resample_locf,
         "rolling_stats": q_rolling_stats,
         "stratified_sample": q_stratified_sample,
+        "session_window_agg": q_session_window_agg,
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
         "pivot_events": q_pivot_events,
@@ -1686,6 +1703,30 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "session_window_agg": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS w_start_us,
+                   max(epoch_us(ts)) + 1800000000 AS w_end_us,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)
+                       AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "autocorr_events": """
             WITH lagged AS (
