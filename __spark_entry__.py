@@ -485,6 +485,26 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
 
 
+def q_window_sliding_events(spark, sf_dir):
+    """Sliding window aggregation (10-min windows every 5 min): each event
+    lands in two windows — Spark's native F.window with slide."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (e.groupBy(win.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros(F.col("w.start").cast("timestamp"))
+                    .alias("w_start_us"), "event_type", "n"))
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE grouping sets over (priority, status) with counts and revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                         .cast("double"), 4).alias("revenue")))
+
+
 def q_session_window_agg(spark, sf_dir):
     """Spark's NATIVE session_window operator (gap-merged windows in the
     groupBy itself — the same operator Structured Streaming uses for
@@ -1169,6 +1189,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "resample_locf": q_resample_locf,
         "rolling_stats": q_rolling_stats,
         "stratified_sample": q_stratified_sample,
+        "window_sliding_events": q_window_sliding_events,
+        "cube_orders": q_cube_orders,
         "session_window_agg": q_session_window_agg,
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
@@ -1703,6 +1725,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "window_sliding_events": """
+            WITH placed AS (
+                SELECT event_type,
+                       (CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) - k)
+                           * 300000000 AS w_start_us
+                FROM events
+                CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+            )
+            SELECT w_start_us, event_type, count(*) AS n
+            FROM placed GROUP BY w_start_us, event_type
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                              AS DOUBLE), 4) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "session_window_agg": """
             WITH flagged AS (
