@@ -485,6 +485,29 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
 
 
+def q_json_extract_events(spark, sf_dir):
+    """Schema-on-read JSON: parse the events props column with from_json
+    and aggregate the extracted field per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+def q_unpivot_lineitem(spark, sf_dir):
+    """Wide-to-long melt of lineitem numeric columns (native unpivot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_discount", "l_tax")
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_discount", "l_tax"],
+                     "measure", "val"))
+
+
 def q_window_sliding_events(spark, sf_dir):
     """Sliding window aggregation (10-min windows every 5 min): each event
     lands in two windows — Spark's native F.window with slide."""
@@ -1189,6 +1212,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "resample_locf": q_resample_locf,
         "rolling_stats": q_rolling_stats,
         "stratified_sample": q_stratified_sample,
+        "json_extract_events": q_json_extract_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "window_sliding_events": q_window_sliding_events,
         "cube_orders": q_cube_orders,
         "session_window_agg": q_session_window_agg,
@@ -1725,6 +1750,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE}', 0)) AS n_bpe_tokens,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "json_extract_events": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, measure, val
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                  FROM lineitem)
+            UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
         """,
         "window_sliding_events": """
             WITH placed AS (
