@@ -1807,6 +1807,20 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   'application/octet-stream' AS mime,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(16 + length(text) % 64 AS INT) AS width,
+                   CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   round(list_sum(list_transform(
+                             generate_series(1, least(length(text), 256)),
+                             i -> ascii(substr(text, i, 1))))
+                         / greatest(least(length(text), 256), 1) / 255.0,
+                         6) AS mean_luma
+            FROM documents
+        """,
         "autocorr_events": """
             WITH lagged AS (
                 SELECT user_id, value,
