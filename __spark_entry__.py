@@ -16,6 +16,7 @@ oracle-checked, not just raw DataFrame ops.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -31,7 +32,8 @@ DEC = "decimal(25,6)"
 def _tune_session(spark: SparkSession) -> None:
     """Runtime tuning valid on any caller-provided session: turn off
     PySpark's per-DataFrame-call stack capture (pure Python-side overhead,
-    ~25% of plan construction; see otit_swt_spark.session)."""
+    ~25% of plan construction; see otit_swt_spark.session), and ship the
+    otit_swt_spark package to executor Python workers."""
     try:
         spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
         import pyspark.errors.utils as _eu
@@ -39,6 +41,34 @@ def _tune_session(spark: SparkSession) -> None:
         _eu._enable_debugging_cache = None  # force re-read of the conf
     except Exception:
         pass
+    _ensure_pkg_shipped(spark)
+
+
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """Arrow/pandas kernels defined inside otit_swt_spark are cloudpickled
+    BY REFERENCE (importable module), so executor Python workers must be
+    able to import the package — which fails when the driver was launched
+    from another directory with only a driver-side sys.path insert. Zip the
+    package once per session and addPyFile it: addPyFile prepends to every
+    worker's sys.path, making the entry contract independent of the
+    caller's cwd/PYTHONPATH."""
+    marker = "__otit_swt_pkg_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    import shutil
+    import tempfile
+
+    import otit_swt_spark
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(otit_swt_spark.__file__)))
+    staging = tempfile.mkdtemp(prefix="otit_swt_pkg_")
+    zip_base = os.path.join(staging, "otit_swt_spark_pkg")
+    shutil.make_archive(zip_base, "zip", root_dir=pkg_root,
+                        base_dir="otit_swt_spark")
+    sc.addPyFile(zip_base + ".zip")
+    setattr(sc, marker, True)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
