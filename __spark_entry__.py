@@ -1844,11 +1844,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + length(text) % 64 AS INT) AS width,
                    CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
                    CAST(3 AS INT) AS channels,
-                   round(list_sum(list_transform(
-                             generate_series(1, least(length(text), 256)),
-                             i -> ascii(substr(text, i, 1))))
-                         / greatest(least(length(text), 256), 1) / 255.0,
-                         6) AS mean_luma
+                   ((list_sum(list_transform(
+                         generate_series(1, least(length(text), 256)),
+                         i -> ascii(substr(text, i, 1)))) * 1000000)
+                    // (greatest(least(length(text), 256), 1) * 255))
+                   / 1000000.0 AS mean_luma
             FROM documents
         """,
         "autocorr_events": """

@@ -184,8 +184,13 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         n = len(payload)
         width = 16 + (n % 64)
         height = 16 + ((n // 64) % 64)
-        luma = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
-        return {"width": width, "height": height, "channels": 3, "mean_luma": luma}
+        # exact integer ppm, then one division: float rounding of
+        # sum/cnt/255 landed exactly on half-ulp-at-1e-6 boundaries where
+        # Python (half-even) and SQL engines (half-up) round apart — the
+        # correctness oracle reproduces this integer form bit-exactly
+        luma_ppm = (sum(payload[:256]) * 1_000_000) // (max(min(n, 256), 1) * 255)
+        return {"width": width, "height": height, "channels": 3,
+                "mean_luma": luma_ppm / 1e6}
     return (_deep_image_decode(payload) or _sniff_image(payload)
             or dict(_NULL_IMG))
 
