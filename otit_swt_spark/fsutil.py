@@ -1,0 +1,49 @@
+"""Scheme-agnostic filesystem helpers via the Hadoop FileSystem API.
+
+Python ``open()``/``shutil`` only reach the local filesystem, but dataset
+paths may be hdfs:// or s3a:// — anything Spark's Hadoop configuration
+supports. These helpers route small sidecar reads/writes and recursive
+deletes through the same FileSystem the DataFrame writers use, so index
+sidecars and merge staging behave identically on every scheme.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(conf), hpath, jvm
+
+def delete(spark: SparkSession, path_str: str) -> None:
+    """Recursive delete (no error when absent)."""
+    fs, hpath, _ = _fs(spark, path_str)
+    fs.delete(hpath, True)
+
+
+def write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    fs, hpath, _ = _fs(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path_str: str) -> str:
+    fs, hpath, jvm = _fs(spark, path_str)
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()

@@ -25,13 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Normalization: lowercase, keep alphanumeric runs as tokens. Matches the
-# DuckDB oracle expression regexp_extract_all(lower(text), '[a-z0-9]+').
-_WORD_RE = r"[a-z0-9]+"
-
-
-def _tokens(text: Column) -> Column:
-    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), F.lit(0))
+# Normalization contract is SHARED with textstats (repetition stats) and
+# the DuckDB oracles: regexp_extract_all(lower(text), '[a-z0-9]+'). One
+# definition — drift between modules would silently change what a token is.
+from otit_swt_spark.pipelines.textstats import _word_tokens as _tokens  # noqa: E402
 
 
 def ngram_hashes(text: Column, n: int) -> Column:
@@ -97,7 +94,6 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
 
 def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                         min_hits: int = 1, text_col: str = "text",
-                        id_col: str = "doc_id",
                         max_literal_grams: int = 5000) -> DataFrame:
     """Per-ROW decontamination — same semantics as :func:`decontaminate`
     (count of distinct benchmark n-grams per doc + flag) but computed

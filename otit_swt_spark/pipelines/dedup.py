@@ -150,9 +150,12 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     twice — the digest shuffle carries (digest, id, pos, para) only."""
     from pyspark.sql import Window
 
+    # F.split takes a REGEX; quote the separator (Pattern.quote form) so
+    # ". " or "|" split literally instead of shredding the document
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__para"),
     )
     w = Window.partitionBy(F.md5(F.col("__para"))) \
         .orderBy(F.col(id_col).asc(), F.col("__pos").asc())
@@ -166,7 +169,7 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                     F.count(F.lit(1)).alias("n_kept")))
     universe = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).alias("n_paras"))
+        F.size(F.split(F.col(text_col), sep_re)).alias("n_paras"))
     return (universe.join(rebuilt, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col),

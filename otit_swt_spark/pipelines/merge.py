@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from otit_swt_spark import fsutil
+
 
 def apply_changes(target: DataFrame, changes: DataFrame, key: str,
                   deleted_col: str | None = None) -> DataFrame:
@@ -42,10 +44,17 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
     With ``partition_col``: the target scan filters to the partitions the
     batch touches (PartitionFilters prune the rest) and the write uses
     dynamic partition overwrite, so untouched partitions' files are never
-    read or replaced. Without it: full-table copy-on-write (document the
-    cost; partition your table)."""
-    import shutil
+    read or replaced; partitions whose every row was tombstoned are
+    removed explicitly (dynamic overwrite only replaces partitions that
+    appear in the written data). Without it: full-table copy-on-write
+    (document the cost; partition your table).
 
+    CONTRACT (Hudi/Hive-ACID-style): under ``partition_col`` the record
+    identity is ``(partition_col, key)`` — only the batch's partitions are
+    scanned, so a key is updated/deleted in the partitions the batch
+    names. Moving a key between partitions must ship TWO rows: a tombstone
+    in the old partition and the insert in the new one; a bare insert with
+    a new partition value leaves the old row in place."""
     target = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__merge_tmp__"
     if partition_col is not None:
@@ -56,17 +65,26 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
         # query — stage the merged partitions, then dynamic-overwrite only
         # those partitions into the live dataset.
         merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (spark.read.parquet(tmp)
-             .write.mode("overwrite").partitionBy(partition_col)
+            (staged.write.mode("overwrite").partitionBy(partition_col)
              .parquet(path))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # a partition the batch touched that has ZERO surviving rows never
+        # appears in the staged data, so dynamic overwrite leaves its old
+        # files behind — drop those partition directories via the Hadoop
+        # FileSystem API (works on any supported scheme, not just local)
+        surviving = {r[0] for r in
+                     staged.select(partition_col).distinct().collect()}
+        emptied = [p for p in parts if p not in surviving]
+        for v in emptied:
+            fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
+        fsutil.delete(spark, tmp)
         return
     merged = apply_changes(target, changes, key, deleted_col)
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsutil.delete(spark, tmp)

@@ -38,23 +38,24 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
-            distinct_of(F.col(c)).alias(f"{c}__dist"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-            (F.round(F.avg(F.col(c).cast("double")), 6) if c in numeric
+            F.sum(F.when(F.col(f"`{c}`").isNull(), 1).otherwise(0))
+                .alias(f"{c}__null"),
+            distinct_of(F.col(f"`{c}`")).alias(f"{c}__dist"),
+            F.min(F.col(f"`{c}`")).cast("string").alias(f"{c}__min"),
+            F.max(F.col(f"`{c}`")).cast("string").alias(f"{c}__max"),
+            (F.round(F.avg(F.col(f"`{c}`").cast("double")), 6) if c in numeric
              else F.lit(None).cast("double")).alias(f"{c}__mean"),
         ]
     row = df.agg(*aggs)
     per_col = F.array(*[
         F.struct(
             F.lit(c).alias("col"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__null").cast("long").alias("n_null"),
-            F.col(f"{c}__dist").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_str"),
-            F.col(f"{c}__max").alias("max_str"),
-            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"`{c}__n`").alias("n"),
+            F.col(f"`{c}__null`").cast("long").alias("n_null"),
+            F.col(f"`{c}__dist`").alias("n_distinct"),
+            F.col(f"`{c}__min`").alias("min_str"),
+            F.col(f"`{c}__max`").alias("max_str"),
+            F.col(f"`{c}__mean`").alias("mean"),
         ) for c in cols])
     return row.select(F.explode(per_col).alias("p")).select("p.*")
 
@@ -75,8 +76,8 @@ def validate(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         F.struct(
             F.lit(name).alias("rule"),
             F.col("__n").alias("n_rows"),
-            F.col(f"{name}__v").alias("n_violations"),
-            (F.col(f"{name}__v") == 0).cast("int").alias("ok"),
+            F.col(f"`{name}__v`").alias("n_violations"),
+            (F.col(f"`{name}__v`") == 0).cast("int").alias("ok"),
         ) for name in rules])
     return row.select(F.explode(per_rule).alias("r")).select("r.*")
 
@@ -102,7 +103,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     row = df.agg(*aggs)
     pairs = F.array(*[
         F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-                 F.col(f"{a}__{b}").alias("corr"))
+                 F.col(f"`{a}__{b}`").alias("corr"))
         for i, a in enumerate(cols) for b in cols[i + 1:]])
     return row.select(F.explode(pairs).alias("p")).select("p.*")
 

@@ -200,13 +200,17 @@ def ivf_index(
     cluster directories at the SCAN — the 100 TB path where unprobed
     clusters cost zero IO. Returns the centroid list."""
     import json
-    import os
+
+    from otit_swt_spark import fsutil
 
     assigned, centers = _ivf_fit(df, n_clusters, id_col, vec_col, seed,
                                  train_fraction, max_train_rows)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as fh:
-        json.dump(centers, fh)
+    # sidecar goes through the Hadoop FileSystem so hdfs://, s3a://, ...
+    # index paths work identically to local ones
+    fsutil.write_text(df.sparkSession,
+                      f"{path.rstrip('/')}/_centroids.json",
+                      json.dumps(centers))
     return centers
 
 
@@ -224,10 +228,11 @@ def ivf_topk_indexed(
     partition column (PartitionFilters — pruned scan), score exact cosine
     within the probed clusters only."""
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as fh:
-        centers = json.load(fh)
+    from otit_swt_spark import fsutil
+
+    centers = json.loads(
+        fsutil.read_text(spark, f"{path.rstrip('/')}/_centroids.json"))
     probes = _probe_clusters(centers, query_vec, n_probe)
     vecs = spark.read.parquet(path)
     cand = vecs.filter(F.col("cluster").isin(probes))

@@ -1160,6 +1160,11 @@ class Compiler:
             src = pre.get(key) if pre else None
             if src is None:
                 return None
+            if src not in left.vars:
+                # a projection (e.g. a sub-SELECT) dropped the chain's
+                # source column while ts_chains carried the mapping —
+                # the rebind has nothing to copy; use the general path
+                return None
             if isinstance(tp.o, Variable):
                 if tp.o.name == src:
                     continue  # re-binding the same var is a no-op

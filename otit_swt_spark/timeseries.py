@@ -218,9 +218,9 @@ def interval_join(
 
     iv = intervals.withColumn(
         "__bucket",
-        F.explode(F.sequence((s_us / b_us).cast("long"),
-                             (e_us / b_us).cast("long"))))
-    pt = points.withColumn("__bucket", (p_us / b_us).cast("long"))
+        F.explode(F.sequence(F.floor(s_us / b_us).cast("long"),
+                             F.floor(e_us / b_us).cast("long"))))
+    pt = points.withColumn("__bucket", F.floor(p_us / b_us).cast("long"))
     dup = [c for c in intervals.columns if c in points.columns and c != key]
     for c in dup:
         iv = iv.withColumnRenamed(c, f"{c}_interval")
@@ -264,7 +264,9 @@ def resample(
         raise ValueError(f"unknown fill mode {fill!r}")
     step_us = int(step_seconds * 1_000_000)
     t_us = F.unix_micros(F.col(ts).cast("timestamp"))
-    bucket = (t_us / step_us).cast("long")
+    # floor, not cast-truncation: pre-1970 (negative-epoch) timestamps
+    # must land in the bucket BELOW, matching the SQL oracle's floor()
+    bucket = F.floor(t_us / step_us).cast("long")
 
     # per-bucket last observation (ties broken by latest timestamp)
     obs = (series

@@ -41,8 +41,8 @@ def test_all_entries_plan_invariants(spark):
             failures.append(f"{name}: plan build error {type(e).__name__}: {e}")
             continue
         if name not in CROSS_OK and re.search(
-                r"CartesianProduct", plan):
-            failures.append(f"{name}: CartesianProduct in plan")
+                r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+            failures.append(f"{name}: cross/nested-loop join in plan")
         if re.search(r"BatchEvalPython", plan):
             failures.append(f"{name}: row-at-a-time Python UDF in plan")
     assert not failures, "\n".join(failures)

@@ -614,3 +614,57 @@ def test_engine_flight_registration(spark, flight_server):
         distributed=False)
     assert len(eng.ts_tables) == 1
     assert eng.ts_tables[0]._df.count() == 4
+
+
+def test_resample_pre_epoch_buckets(spark):
+    """Negative-epoch timestamps floor into the bucket below (truncation
+    toward zero would merge 1969 readings into the 1970 bucket)."""
+    from datetime import datetime
+    from otit_swt_spark.timeseries import resample
+
+    df = spark.createDataFrame(
+        [("a", datetime(1969, 12, 31, 23, 30), 1.0),
+         ("a", datetime(1970, 1, 1, 0, 30), 2.0)],
+        "id string, timestamp timestamp, value double")
+    out = sorted((r.bucket_ts, r.value)
+                 for r in resample(df, step_seconds=3600, fill="none").collect())
+    assert [t.year for t, _ in out] == [1969, 1970]
+    assert [v for _, v in out] == [1.0, 2.0]
+
+
+def test_merge_upsert_emptied_partition_is_removed(spark, tmp_path):
+    """Tombstoning every row of a partition must actually delete it —
+    dynamic overwrite alone leaves partitions absent from the written data
+    untouched."""
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+        "id long, val string, p int").write.partitionBy("p").parquet(path)
+    changes = spark.createDataFrame(
+        [(1, None, 0, True), (2, None, 0, True)],
+        "id long, val string, p int, deleted boolean")
+    merge_upsert(spark, path, changes, key="id", partition_col="p",
+                 deleted_col="deleted")
+    after = {r.id for r in spark.read.parquet(path).collect()}
+    assert after == {3}
+
+
+def test_merge_upsert_cross_partition_move_contract(spark, tmp_path):
+    """Documented contract: moving a key between partitions needs a
+    tombstone in the old partition plus the insert in the new one."""
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame(
+        [(5, "old", 2), (6, "x", 2)],
+        "id long, val string, p int").write.partitionBy("p").parquet(path)
+    changes = spark.createDataFrame(
+        [(5, None, 2, True),          # tombstone in the old partition
+         (5, "moved", 9, False)],     # insert in the new one
+        "id long, val string, p int, deleted boolean")
+    merge_upsert(spark, path, changes, key="id", partition_col="p",
+                 deleted_col="deleted")
+    after = {(r.id, r.val, r.p) for r in spark.read.parquet(path).collect()}
+    assert after == {(5, "moved", 9), (6, "x", 2)}
