@@ -687,6 +687,17 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_feature_embed_topk(spark, sf_dir):
+    """Text -> vector -> ANN, correctness-gated end to end: feature-hash
+    (hashing-trick) document embeddings in 16 md5-range buckets, then exact
+    cosine top-10 against doc 0's vector. Fully reproducible in SQL, unlike
+    learned embeddings."""
+    from otit_swt_spark.pipelines.embedding import embed_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return embed_topk(d, 0, k=10, dim=16)
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/test decontamination: docs whose 8-token shingles overlap a
     benchmark slice (doc_id % 7 == 0) are flagged. Broadcast benchmark gram
@@ -1270,6 +1281,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hash_split": q_hash_split,
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
+        "feature_embed_topk": q_feature_embed_topk,
         "decontaminate": q_decontaminate,
         "zorder_events": q_zorder_events,
         "profile_docs": q_profile_docs,
@@ -1323,6 +1335,41 @@ def _mixture_sample_oracle() -> str:
             WHEN source = 'src2' THEN {h} < '{_hex_threshold(0.1)}'
             ELSE {h} < '{_hex_threshold(0.25)}'
         END
+    """
+
+
+def _feature_embed_oracle() -> str:
+    from otit_swt_spark.pipelines.sampling import shard_thresholds_sql
+
+    bucket = shard_thresholds_sql(16, "token", salt="emb")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, ({bucket}) AS bucket, count(*) AS cnt
+            FROM toks GROUP BY 1, 2
+        ), vecs AS (
+            SELECT doc_id, MAP(list(bucket), list(cnt)) AS m
+            FROM counts GROUP BY doc_id
+        ), arrs AS (
+            SELECT doc_id, list_transform(generate_series(0, 15),
+                       x -> CAST(coalesce(map_extract(m, x)[1], 0) AS DOUBLE)) AS e
+            FROM vecs
+        ), unit AS (
+            SELECT doc_id, list_transform(e,
+                       x -> x / sqrt(list_dot_product(e, e))) AS e
+            FROM arrs WHERE list_dot_product(e, e) > 0
+        ), q AS (
+            SELECT e AS qv FROM unit WHERE doc_id = 0
+        )
+        SELECT u.doc_id,
+               round(list_dot_product(u.e, q.qv)
+                     / (sqrt(list_dot_product(u.e, u.e))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM unit u, q
+        ORDER BY cos_sim DESC, u.doc_id LIMIT 10
     """
 
 
@@ -2010,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
                          WHERE NOT EXISTS (SELECT 1 FROM orders o
                                            WHERE o.o_orderkey = l.l_orderkey)) = 0 AS INT)
         """,
+        "feature_embed_topk": _feature_embed_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
         "lm_quality": """

@@ -1,0 +1,78 @@
+"""Feature-hashing document embeddings (the "hashing trick"): map each
+token into one of ``dim`` buckets by hashing, count, L2-normalize — a
+deterministic, vocabulary-free document vector that feeds the similarity
+operators (brute-force / LSH / IVF cosine) without any model artifact.
+
+The bucket assignment reuses the md5-range split from
+``pipelines.sampling.hash_shard`` (equal slices of the md5 space), so an
+external SQL engine reproduces the embedding BIT-EXACTLY — this is the
+bridge that lets the text→vector→ANN pipeline be correctness-gated end to
+end, unlike learned embeddings.
+
+Scale shape: map-side token explode → one groupBy on (doc, bucket) →
+one groupBy on doc assembling the fixed-width vector (map lookup over a
+``sequence``, no pivot) — two key-partitioned shuffles, rows bounded by
+|docs| × dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from otit_swt_spark.pipelines.sampling import hash_shard
+from otit_swt_spark.pipelines.textstats import _word_tokens
+
+
+def feature_hash_embed(docs: DataFrame, dim: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       normalize: bool = True, salt: str = "emb",
+                       ) -> DataFrame:
+    """``(id_col, embedding array<double>)`` — token-count vector in
+    ``dim`` hash buckets, L2-normalized by default (zero-token docs get a
+    zero vector)."""
+    toks = (docs
+            .withColumn("__toks", _word_tokens(F.col(text_col)))
+            .select(F.col(id_col), F.explode("__toks").alias("token")))
+    bucketed = hash_shard(toks, "token", dim, salt=salt, shard_col="bucket")
+    counts = (bucketed.groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    vec = (counts.groupBy(id_col)
+           .agg(F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "cnt"))).alias("__m"))
+           .select(F.col(id_col),
+                   F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                               lambda b: F.coalesce(
+                                   F.element_at("__m", b.cast("int")),
+                                   F.lit(0)).cast("double"))
+                   .alias("embedding")))
+    # docs with zero tokens drop out of the explode — restore as zeros
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    out = (docs.select(id_col)
+           .join(vec, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("embedding", zeros).alias("embedding")))
+    if not normalize:
+        return out
+    nrm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                             lambda a, x: a + x * x))
+    unit = F.transform(F.col("embedding"),
+                       lambda x: F.try_divide(x, nrm))
+    return out.select(
+        F.col(id_col),
+        F.when(nrm > 0, unit).otherwise(F.col("embedding")).alias("embedding"))
+
+
+def embed_topk(docs: DataFrame, query_id, k: int = 10, dim: int = 64,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """End-to-end text similarity: hash-embed the corpus, take the query
+    doc's vector, exact cosine top-k (the scale path swaps the brute-force
+    stage for the LSH/IVF operators in pipelines.similarity)."""
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    emb = feature_hash_embed(docs, dim, text_col, id_col)
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(F.col("embedding").alias("qv")))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -798,3 +798,23 @@ def test_hash_split_disjoint_exhaustive(spark):
     out = hash_split(df, "k").groupBy("split").count().collect()
     assert sum(r["count"] for r in out) == 500
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_feature_hash_embed_properties(spark):
+    from otit_swt_spark.pipelines.embedding import feature_hash_embed
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),       # identical -> identical vector
+        (3, "unrelated vocabulary entirely"),
+        (4, ""),                           # zero tokens -> zero vector
+    ], "doc_id long, text string")
+    emb = {r.doc_id: r.embedding
+           for r in feature_hash_embed(docs, dim=16).collect()}
+    assert emb[1] == emb[2]
+    assert abs(sum(x * x for x in emb[1]) - 1.0) < 1e-9     # unit norm
+    assert all(x == 0.0 for x in emb[4])
+    assert emb[1] != emb[3]
+    raw = {r.doc_id: r.embedding
+           for r in feature_hash_embed(docs, dim=16, normalize=False).collect()}
+    assert sum(raw[1]) == 4.0                               # token counts
