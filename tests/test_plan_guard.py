@@ -27,8 +27,8 @@ pytestmark = pytest.mark.skipif(
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# one-row broadcast cross joins by design
-CROSS_OK = {"embedding_topk"}
+# one-row broadcast cross joins by design (query vector vs corpus)
+CROSS_OK = {"embedding_topk", "feature_embed_topk"}
 
 
 def test_all_entries_plan_invariants(spark):
