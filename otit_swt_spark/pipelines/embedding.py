@@ -62,6 +62,48 @@ def feature_hash_embed(docs: DataFrame, dim: int = 64,
         F.when(nrm > 0, unit).otherwise(F.col("embedding")).alias("embedding"))
 
 
+def feature_hash_embed_tfidf(docs: DataFrame, dim: int = 64,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             salt: str = "emb") -> DataFrame:
+    """TF-IDF-weighted variant: bucket counts scaled by
+    ``ln(N / df(bucket))`` where df is the number of documents containing
+    the bucket — down-weights stopword-heavy buckets. One extra
+    domain-bounded aggregate (``dim`` rows — always broadcastable), then
+    the same assembly as :func:`feature_hash_embed`; L2-normalized."""
+    toks = (docs
+            .withColumn("__toks", _word_tokens(F.col(text_col)))
+            .select(F.col(id_col), F.explode("__toks").alias("token")))
+    bucketed = hash_shard(toks, "token", dim, salt=salt, shard_col="bucket")
+    counts = (bucketed.groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = (counts.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("df")))
+    weighted = (counts.join(F.broadcast(dfreq), "bucket")
+                .select(id_col, "bucket",
+                        (F.col("cnt") * F.log(F.lit(float(n_docs)) /
+                                              F.col("df"))).alias("w")))
+    vec = (weighted.groupBy(id_col)
+           .agg(F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "w"))).alias("__m"))
+           .select(F.col(id_col),
+                   F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                               lambda b: F.coalesce(
+                                   F.element_at("__m", b.cast("int")),
+                                   F.lit(0.0))).alias("embedding")))
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    out = (docs.select(id_col)
+           .join(vec, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("embedding", zeros).alias("embedding")))
+    nrm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                             lambda a, x: a + x * x))
+    unit = F.transform(F.col("embedding"), lambda x: F.try_divide(x, nrm))
+    return out.select(
+        F.col(id_col),
+        F.when(nrm > 0, unit).otherwise(F.col("embedding")).alias("embedding"))
+
+
 def embed_topk(docs: DataFrame, query_id, k: int = 10, dim: int = 64,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end text similarity: hash-embed the corpus, take the query

@@ -818,3 +818,25 @@ def test_feature_hash_embed_properties(spark):
     raw = {r.doc_id: r.embedding
            for r in feature_hash_embed(docs, dim=16, normalize=False).collect()}
     assert sum(raw[1]) == 4.0                               # token counts
+
+
+def test_feature_hash_embed_tfidf_downweights_common(spark):
+    from otit_swt_spark.pipelines.embedding import (
+        feature_hash_embed, feature_hash_embed_tfidf)
+
+    # "common" appears in every doc (idf = ln(1) = 0 -> bucket zeroed);
+    # the distinctive tokens keep weight
+    docs = spark.createDataFrame([
+        (1, "common alpha"), (2, "common beta"), (3, "common gamma"),
+    ], "doc_id long, text string")
+    tf = {r.doc_id: r.embedding
+          for r in feature_hash_embed(docs, dim=32).collect()}
+    tfidf = {r.doc_id: r.embedding
+             for r in feature_hash_embed_tfidf(docs, dim=32).collect()}
+    # under plain tf all docs share the "common" bucket -> nonzero overlap;
+    # under tfidf that bucket is zero so doc vectors are orthogonal
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert dot(tf[1], tf[2]) > 0
+    assert abs(dot(tfidf[1], tfidf[2])) < 1e-9
+    assert abs(sum(x * x for x in tfidf[1]) - 1.0) < 1e-9
