@@ -380,6 +380,153 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    Both nation-bridge dims (supplier, customer enriched with nation
+    name) broadcast; one agg shuffle on (supp_nation, cust_nation, year)."""
+    n = _t(spark, sf_dir, "nation")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue report — top 20 customers
+    by lost revenue (l_returnflag = 'R') in a quarter, with nation name.
+    Orders filter applied before the fact join; customer/nation broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.max(F.col("c_acctbal")).alias("c_acctbal"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregation over a broadcast part join; single-row result."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — aggregate, take the max as a one-row broadcast, join back.
+    (The reference pattern for 'argmax without a window over everything'.)"""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    by_supp = (l.groupBy("l_suppkey")
+               .agg(F.sum(rev).alias("total_rev")))
+    best = by_supp.agg(F.max("total_rev").alias("best_rev"))
+    return (
+        by_supp.join(F.broadcast(best), F.col("total_rev") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — orders whose total quantity
+    exceeds a threshold, re-joined to customer. The HAVING-driven semi
+    join keeps only qualifying orderkeys before touching customer."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate",
+                                           "o_totalprice")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 180))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                F.col("sum_qty").cast("double").alias("total_qty"))
+    )
+
+
+def q_tpch_q19_bracket(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive bracket predicates across the
+    lineitem ⋈ part join — three (brand, size, quantity) brackets OR-ed
+    together. Catalyst pushes the common conjuncts below the join."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q22_idle_custs(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy customers with no recent orders — scalar
+    aggregate subquery (exact decimal average of positive balances)
+    broadcast into a filter, then a left anti join against the filtered
+    orders side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "2000-09-01").select("o_custkey"))
+    # exact decimal mean: double summation order differs between engines,
+    # so an FP average would make the > threshold boundary nondeterministic
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast(DEC))
+                     / F.count(F.lit(1))).alias("avg_bal")))
+    rich = (c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+            .drop("avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (idle.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.round(F.sum("c_acctbal"), 6).alias("total_bal")))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (otit_swt_spark.timeseries.asof_join): every
     event aligned to the user's most recent purchase event. Oracle is
@@ -1246,6 +1393,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket": q_tpch_q19_bracket,
+        "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
@@ -1653,6 +1807,91 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
               AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
+        """,
+        "tpch_q7_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                   max(c_acctbal) AS c_acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q14_promo": """
+            SELECT round(100.0
+                   * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                              ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+                   6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+        """,
+        "tpch_q15_top_supplier": """
+            WITH by_supp AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM by_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM by_supp)
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 180
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q19_bracket": """
+            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_idle_custs": """
+            SELECT c_mktsegment AS segment,
+                   count(*) AS n_custs,
+                   round(sum(c_acctbal), 6) AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT sum(CAST(c_acctbal AS DECIMAL(25,6))) / count(*)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '2000-09-01')
+            GROUP BY 1
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

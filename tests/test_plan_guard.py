@@ -27,8 +27,9 @@ pytestmark = pytest.mark.skipif(
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# one-row broadcast cross joins by design (query vector vs corpus)
-CROSS_OK = {"embedding_topk", "feature_embed_topk"}
+# one-row broadcast cross joins by design (query vector vs corpus;
+# scalar-aggregate threshold vs customers in the Q22 shape)
+CROSS_OK = {"embedding_topk", "feature_embed_topk", "tpch_q22_idle_custs"}
 
 
 def test_all_entries_plan_invariants(spark):
