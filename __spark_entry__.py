@@ -937,6 +937,37 @@ def q_hash_shards(spark, sf_dir):
                  F.max("doc_id").alias("max_id")))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """LM training-pack layout: md5-sharded concat-then-chunk packing —
+    every document gets a deterministic (shard, token_offset, pack_idx)
+    slot; one window cumsum per shard, no global sort."""
+    from otit_swt_spark.pipelines.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=8)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4× memory cut for ANN at
+    scale): per-vector scale, integer codes, reconstruction RMSE — all
+    elementwise built-ins, zero shuffle."""
+    from otit_swt_spark.pipelines.embedding import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+
+
+def q_ewma_events(spark, sf_dir):
+    """Per-user EWMA smoothing (α=0.2) over the event stream — the
+    sequential-fold custom operator via Arrow applyInPandas; the oracle
+    replays the identical left fold with a SQL list_reduce."""
+    from otit_swt_spark.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ewma(ev, key="user_id", ts="ts", value="value", alpha=0.2,
+                order_cols=["event_id"])
+
+
 def q_lm_quality(spark, sf_dir):
     """Char-trigram LM perplexity filter: train on the even-id half of the
     corpus (model is domain-bounded -> broadcast), score every document by
@@ -1443,6 +1474,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_lineitem": q_validate_lineitem,
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
+        "pack_sequences": q_pack_sequences,
+        "quantize_embeddings": q_quantize_embeddings,
+        "ewma_events": q_ewma_events,
         "lm_quality": q_lm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
@@ -1535,6 +1569,83 @@ def _hash_shards_oracle() -> str:
         SELECT {case} AS shard,
                count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY 1
+    """
+
+
+def _pack_sequences_oracle() -> str:
+    from otit_swt_spark.pipelines.sampling import shard_thresholds_sql
+
+    case = shard_thresholds_sql(8, "CAST(doc_id AS VARCHAR)", salt="pack")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+', 0)) AS BIGINT) AS n_tokens,
+                   ({case}) AS shard,
+                   md5('pack:o' || CAST(doc_id AS VARCHAR)) AS okey
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY okey, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS token_offset
+            FROM toks
+        )
+        SELECT doc_id, shard, n_tokens, token_offset,
+               CAST(floor(token_offset / 512) AS BIGINT) AS pack_idx,
+               token_offset + n_tokens - 1
+                   >= (CAST(floor(token_offset / 512) AS BIGINT) + 1) * 512
+                   AS spans_packs
+        FROM cum
+    """
+
+
+def _quantize_embeddings_oracle() -> str:
+    return """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+        ), s AS (
+            SELECT vec_id, vd,
+                   list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
+            FROM v
+        ), q AS (
+            SELECT vec_id, vd, amax / 127.0 AS scale,
+                   CASE WHEN amax > 0 THEN
+                       list_transform(vd,
+                           x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
+                   ELSE list_transform(vd, x -> 0) END AS qvec
+            FROM s
+        )
+        SELECT vec_id, round(scale, 9) AS scale, qvec,
+               -- left-fold the squared errors (list_reduce), NOT list_sum:
+               -- the Spark side is an aggregate() left fold and FP addition
+               -- is order-sensitive, so the fold order must match exactly
+               round(sqrt(list_reduce(list_transform(
+                         generate_series(1, len(vd)),
+                         i -> (vd[i] - qvec[i] * scale)
+                              * (vd[i] - qvec[i] * scale)),
+                         (a, x) -> a + x)
+                     / len(vd)), 6) AS rmse
+        FROM q
+    """
+
+
+def _ewma_oracle(alpha: float = 0.2) -> str:
+    # the Spark fold precomputes beta = 1 - alpha once; embed the SAME
+    # doubles here so the two left folds are bit-identical
+    a, b = repr(alpha), repr(1.0 - alpha)
+    return f"""
+        WITH w AS (
+            SELECT user_id, ts, event_id, value,
+                   array_agg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM events
+        )
+        SELECT user_id, ts, event_id, value,
+               round(list_reduce(prefix, (acc, x) -> {a} * x + {b} * acc), 6)
+                   AS ewma
+        FROM w
     """
 
 
@@ -2299,6 +2410,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_embed_topk": _feature_embed_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "quantize_embeddings": _quantize_embeddings_oracle(),
+        "ewma_events": _ewma_oracle(0.2),
         "lm_quality": """
             WITH norm AS (
                 SELECT doc_id,

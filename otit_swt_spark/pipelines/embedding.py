@@ -104,6 +104,50 @@ def feature_hash_embed_tfidf(docs: DataFrame, dim: int = 64,
         F.when(nrm > 0, unit).otherwise(F.col("embedding")).alias("embedding"))
 
 
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        bits: int = 8) -> DataFrame:
+    """Symmetric per-vector integer quantization — the memory-scale path
+    for ANN at 100 TB: an int8 vector is 4× smaller than float32 (8× vs
+    float64), which turns a shuffle-heavy candidate join into one that
+    fits executor memory, at a bounded recall cost.
+
+    Per vector: ``scale = max(|x|) / qmax`` (qmax = 2^(bits-1) - 1, e.g.
+    127), ``q_i = floor(x_i / scale + 0.5)`` (explicit half-up floor so
+    the rounding is engine-independent — SQL ``round`` is half-even in
+    some engines and half-away in others). All-zero vectors keep scale 0
+    and an all-zero code. Emits the reconstruction RMSE so a pipeline can
+    gate on quantization error.
+
+    Pure elementwise built-ins (transform/aggregate), zero shuffle, and
+    bit-exactly reproducible in any SQL engine with list lambdas.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda a, x: F.greatest(a, F.abs(x)))
+    scale = amax / F.lit(float(qmax))
+    q = F.when(amax > 0,
+               F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
+                           .cast("int"))
+               ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # internal name distinct from the output alias: Spark's lateral column
+    # alias resolution would otherwise bind the rmse expression's "scale"
+    # to the ROUNDED output column in the same select
+    staged = df.select(F.col(id_col), v.alias("__v"),
+                       scale.alias("__scale"), q.alias("qvec"))
+    err2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("qvec"),
+                   lambda x, qi: (x - qi * F.col("__scale"))
+                   * (x - qi * F.col("__scale"))),
+        F.lit(0.0), lambda a, x: a + x)
+    return staged.select(
+        F.col(id_col),
+        F.round(F.col("__scale"), 9).alias("scale"),
+        F.col("qvec"),
+        F.round(F.sqrt(err2 / F.size(F.col("qvec"))), 6).alias("rmse"))
+
+
 def embed_topk(docs: DataFrame, query_id, k: int = 10, dim: int = 64,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end text similarity: hash-embed the corpus, take the query

@@ -395,6 +395,57 @@ def autocorr(
             .select(key, "p.lag", "p.acf"))
 
 
+def ewma(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    alpha: float = 0.2,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    sensor-smoothing filter: ``y_0 = x_0``, ``y_t = α·x_t + (1-α)·y_{t-1}``.
+
+    The recursion is inherently sequential per key, so this is the
+    documented Pandas escape hatch (SURVEY §2.5 custom operators): one
+    shuffle on the key, then an Arrow-batched ``applyInPandas`` that runs
+    the fold per group in time order. Each group must fit a worker —
+    partition long histories upstream (e.g. by day) if a single key's
+    series is unbounded. The fold is evaluated left-to-right in float64
+    with precomputed ``α`` / ``1-α`` doubles, so any engine replaying the
+    same fold (e.g. a SQL ``list_reduce``) reproduces it bit-exactly.
+
+    Output: ``key, ts, order_cols…, value, ewma`` (rounded to 6 dp).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    beta = 1.0 - alpha  # precompute once: the oracle twin uses the same double
+    order = [ts, *(order_cols or [])]
+    cols = [key, *order, value]
+    out_schema = ", ".join(
+        f"`{c}` {t}" for c, t in series.select(*cols).dtypes) + ", ewma double"
+
+    import math
+
+    def _round6(v: float) -> float:
+        # half-away-from-zero, matching SQL round() (Python round is
+        # half-even, which would diverge from the oracle on exact halves)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        acc = None
+        out = []
+        for x in pdf[value].astype(float):
+            acc = x if acc is None else alpha * x + beta * acc
+            out.append(_round6(acc))
+        pdf["ewma"] = out
+        return pdf
+
+    return (series.select(*cols)
+            .groupBy(key).applyInPandas(fold, out_schema))
+
+
 def in_memory_timeseries(
     spark: SparkSession, frames: dict[str, "object"], value_datatype: str | None = None
 ) -> TimeSeriesTable:

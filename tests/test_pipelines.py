@@ -840,3 +840,71 @@ def test_feature_hash_embed_tfidf_downweights_common(spark):
     assert dot(tf[1], tf[2]) > 0
     assert abs(dot(tfidf[1], tfidf[2])) < 1e-9
     assert abs(sum(x * x for x in tfidf[1]) - 1.0) < 1e-9
+
+
+def test_pack_sequences_layout(spark):
+    from otit_swt_spark.pipelines.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, text string")
+    out = pack_sequences(docs, budget=10, n_shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard_rows in by_shard.values():
+        # offsets form a contiguous concatenation in some order
+        shard_rows.sort(key=lambda r: r.token_offset)
+        expect = 0
+        for r in shard_rows:
+            assert r.token_offset == expect
+            assert r.pack_idx == r.token_offset // 10
+            last_tok = r.token_offset + r.n_tokens - 1
+            assert r.spans_packs == (last_tok // 10 > r.pack_idx)
+            expect += r.n_tokens
+
+
+def test_pack_sequences_deterministic(spark):
+    from otit_swt_spark.pipelines.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(20)], "doc_id long, text string")
+    a = rows(pack_sequences(docs, budget=7))
+    b = rows(pack_sequences(docs.repartition(5), budget=7))
+    assert a == b
+
+
+def test_quantize_embeddings_known_and_zero(spark):
+    from otit_swt_spark.pipelines.embedding import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].qvec == [127, -63, 32, 0]       # -63.5 floors half-up to -63
+    assert abs(out[1].scale - 1.0 / 127) < 1e-9
+    assert out[2].qvec == [0, 0, 0, 0]
+    assert out[2].scale == 0.0
+    assert out[2].rmse == 0.0
+    # error bound: |x - q*scale| <= scale/2 per element
+    s = out[1].scale
+    assert out[1].rmse <= s / 2 + 1e-12
+
+
+def test_ewma_matches_reference_fold(spark):
+    from otit_swt_spark.timeseries import ewma
+
+    data = [(1, i, float(v)) for i, v in enumerate([10, 0, 0, 0, 20])]
+    data += [(2, 0, 5.0)]
+    df = spark.createDataFrame(data, "id long, timestamp long, value double")
+    out = {(r.id, r.timestamp): r.ewma
+           for r in ewma(df, key="id", ts="timestamp", alpha=0.5).collect()}
+    # manual fold: 10, 5, 2.5, 1.25, 10.625
+    assert out[(1, 0)] == 10.0
+    assert out[(1, 1)] == 5.0
+    assert out[(1, 2)] == 2.5
+    assert out[(1, 3)] == 1.25
+    assert out[(1, 4)] == 10.625
+    assert out[(2, 0)] == 5.0
