@@ -937,6 +937,44 @@ def q_hash_shards(spark, sf_dir):
                  F.max("doc_id").alias("max_id")))
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Strict-order funnel (view -> click -> purchase): per-user earliest
+    step times, each step strictly after the previous — k grouped mins
+    joined on the user key, one reused hash partitioning."""
+    from otit_swt_spark.pipelines.analytics import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle: first-seen-day cohorts × activity-day offsets
+    with distinct-user counts."""
+    from otit_swt_spark.pipelines.analytics import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+def q_histogram_value(spark, sf_dir):
+    """Fixed-bound equi-width histogram of event values (50 buckets over
+    [0, 500)): single map-side bucketing pass, no second scan for
+    bounds."""
+    from otit_swt_spark.pipelines.analytics import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", 0.0, 500.0, 50)
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """Daily active users per event type — exact distinct (the HLL
+    approx variant is the same call with approx=True)."""
+    from otit_swt_spark.pipelines.analytics import distinct_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_daily(ev)
+
+
 def q_pack_sequences(spark, sf_dir):
     """LM training-pack layout: md5-sharded concat-then-chunk packing —
     every document gets a deterministic (shard, token_offset, pack_idx)
@@ -1474,6 +1512,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_lineitem": q_validate_lineitem,
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "histogram_value": q_histogram_value,
+        "distinct_users_daily": q_distinct_users_daily,
         "pack_sequences": q_pack_sequences,
         "quantize_embeddings": q_quantize_embeddings,
         "ewma_events": q_ewma_events,
@@ -2410,6 +2452,54 @@ def oracle_sql() -> dict[str, str]:
         "feature_embed_topk": _feature_embed_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
+        "funnel_steps": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "retention_cohorts": """
+            WITH fs AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY 1
+            ), act AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day
+                FROM events
+            )
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, activity_day) AS INT)
+                       AS day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act JOIN fs USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "histogram_value": """
+            SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49)
+                        AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax,
+                   round(CAST(least(greatest(floor((value - 0.0) / 10.0),
+                                             0), 49) AS BIGINT)
+                         * CAST(10.0 AS DOUBLE), 6) AS lo_edge
+            FROM events GROUP BY 1
+        """,
+        "distinct_users_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
         "pack_sequences": _pack_sequences_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "ewma_events": _ewma_oracle(0.2),

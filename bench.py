@@ -51,6 +51,11 @@ EXTENDED = [
     "zorder_events",
     "profile_docs",
     "autocorr_events",
+    "pack_sequences",
+    "quantize_embeddings",
+    "ewma_events",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Event-analytics operators: funnels, retention cohorts, histograms,
+distinct-user rollups — the product-analytics workload a large event
+store serves next to the time-series queries.
+
+Scale shape: everything here is expressed as grouped aggregates and
+key-equi joins on the user key, so consecutive stages reuse one hash
+partitioning (user_id) and the only other shuffle is the final small
+rollup. No windows over unbounded frames, no per-user arrays — a user
+with 10M events costs the same as one with 10.
+
+Reference: no twin in /root/reference (a query engine, not an analytics
+suite); additive north-star surface like pipelines.packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 key: str = "user_id", ts: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel timestamps: for each user, the earliest time of
+    step 1, then the earliest step-2 event strictly after it, and so on
+    (the standard strict-order funnel). Output: one row per user that
+    completed step 1, with ``t1..tk`` timestamps (NULL once the funnel
+    stalls).
+
+    k-step funnel = k grouped mins + (k-1) inner joins and (k-1) left
+    joins, all on the user key — one shuffle partitioning reused
+    throughout.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = (events.filter(F.col(type_col) == steps[0])
+               .groupBy(key).agg(F.min(ts).alias("t1")))
+    out = reached
+    for i, step in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}"
+        nxt = (events.filter(F.col(type_col) == step)
+               .join(reached.select(key, prev_t), key)
+               .filter(F.col(ts) > F.col(prev_t))
+               .groupBy(key).agg(F.min(ts).alias(f"t{i}")))
+        out = out.join(nxt.select(key, f"t{i}"), key, "left")
+        reached = nxt
+    return out
+
+
+def retention_cohorts(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts") -> DataFrame:
+    """Classic retention triangle: users grouped by first-seen day
+    (cohort), counted on each later activity day as an offset. Output:
+    ``(cohort_day, day_offset, n_users)``.
+
+    Two shuffles: the first-seen min on the user key (reused by the
+    activity join, same partitioning) and the final small rollup."""
+    first_seen = (events.groupBy(key)
+                  .agg(F.min(F.to_date(ts)).alias("cohort_day")))
+    activity = events.select(key, F.to_date(ts).alias("activity_day")).distinct()
+    return (activity.join(first_seen, key)
+            .groupBy("cohort_day",
+                     F.datediff("activity_day", "cohort_day").alias("day_offset"))
+            .agg(F.countDistinct(key).alias("n_users")))
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              nbins: int) -> DataFrame:
+    """Fixed-bound equi-width histogram: ``(bucket, lo_edge, n, vmin,
+    vmax)``. Fixed bounds (not data-derived min/max) keep the bucketing
+    a pure map-side expression — a single aggregate pass, deterministic
+    across engines, and at scale a second pass over the data is the
+    difference between one scan and two. Out-of-range rows clamp into
+    the edge buckets."""
+    if not (nbins >= 1 and hi > lo):
+        raise ValueError("need nbins >= 1 and hi > lo")
+    width = (hi - lo) / nbins
+    v = F.col(col).cast("double")
+    bucket = F.least(F.greatest(F.floor((v - lo) / width), F.lit(0)),
+                     F.lit(nbins - 1))
+    return (df.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min(v), 6).alias("vmin"),
+                 F.round(F.max(v), 6).alias("vmax"))
+            .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * width, 6)))
+
+
+def distinct_daily(events: DataFrame, key: str = "user_id",
+                   ts: str = "ts", type_col: str = "event_type",
+                   approx: bool = False) -> DataFrame:
+    """Daily active users per event type: ``(day, event_type, n_users,
+    n_events)``. ``approx=True`` swaps the exact distinct (a full
+    shuffle of (day, type, user) triples) for HyperLogLog
+    ``approx_count_distinct`` — the 100 TB default, where a 2% error is
+    free and the shuffle drops to one sketch per group."""
+    day = F.to_date(ts).alias("day")
+    n_users = (F.approx_count_distinct(key) if approx
+               else F.countDistinct(key))
+    return (events.groupBy(day, type_col)
+            .agg(n_users.alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -908,3 +908,45 @@ def test_ewma_matches_reference_fold(spark):
     assert out[(1, 3)] == 1.25
     assert out[(1, 4)] == 10.625
     assert out[(2, 0)] == 5.0
+
+
+def test_funnel_strict_order(spark):
+    from otit_swt_spark.pipelines.analytics import funnel_steps
+
+    ev = spark.createDataFrame([
+        # u1 completes in order; u2 clicked before viewing (click must not count)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 30),
+        (3, "view", 10),
+    ], "user_id long, event_type string, ts long")
+    out = {r.user_id: (r.t1, r.t2, r.t3)
+           for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1] == (10, 20, 30)
+    assert out[2] == (10, None, None)   # no click after the first view
+    assert out[3] == (10, None, None)
+
+
+def test_retention_and_histogram_and_distinct(spark):
+    from otit_swt_spark.pipelines.analytics import (
+        distinct_daily, histogram, retention_cohorts)
+    import datetime as dt
+
+    ev = spark.createDataFrame([
+        (1, dt.datetime(2024, 1, 1, 8), "view", 5.0),
+        (1, dt.datetime(2024, 1, 3, 8), "view", 15.0),
+        (2, dt.datetime(2024, 1, 3, 9), "click", 999.0),
+    ], "user_id long, ts timestamp, event_type string, value double")
+    ret = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert ret[("2024-01-01", 0)] == 1
+    assert ret[("2024-01-01", 2)] == 1
+    assert ret[("2024-01-03", 0)] == 1
+    h = {r.bucket: (r.n, r.lo_edge) for r in
+         histogram(ev, "value", 0.0, 100.0, 10).collect()}
+    assert h[0] == (1, 0.0)
+    assert h[1] == (1, 10.0)
+    assert h[9] == (1, 90.0)            # 999 clamps into the top bucket
+    d = {(str(r.day), r.event_type): (r.n_users, r.n_events)
+         for r in distinct_daily(ev).collect()}
+    assert d[("2024-01-03", "view")] == (1, 1)
+    assert d[("2024-01-03", "click")] == (1, 1)
