@@ -937,6 +937,15 @@ def q_hash_shards(spark, sf_dir):
                  F.max("doc_id").alias("max_id")))
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Cosine top-k on dequantized int8 codes — the memory-scale ANN
+    scoring path (4× smaller corpus state than float32)."""
+    from otit_swt_spark.pipelines.embedding import quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(e, query_id=0, k=10)
+
+
 def q_funnel_steps(spark, sf_dir):
     """Strict-order funnel (view -> click -> purchase): per-user earliest
     step times, each step strictly after the previous — k grouped mins
@@ -1512,6 +1521,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_lineitem": q_validate_lineitem,
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
+        "quantized_topk": q_quantized_topk,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "histogram_value": q_histogram_value,
@@ -1669,6 +1679,39 @@ def _quantize_embeddings_oracle() -> str:
                          (a, x) -> a + x)
                      / len(vd)), 6) AS rmse
         FROM q
+    """
+
+
+def _quantized_topk_oracle() -> str:
+    # composes the quantizer oracle: dequantize with the ROUNDED scale
+    # (exactly what the Spark path exposes), then cosine vs vec 0
+    return """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+        ), s AS (
+            SELECT vec_id, vd,
+                   list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
+            FROM v
+        ), q AS (
+            SELECT vec_id, round(amax / 127.0, 9) AS scale,
+                   CASE WHEN amax > 0 THEN
+                       list_transform(vd,
+                           x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
+                   ELSE list_transform(vd, x -> 0) END AS qvec
+            FROM s
+        ), deq AS (
+            SELECT vec_id,
+                   list_transform(qvec, x -> CAST(x AS DOUBLE) * scale) AS dv
+            FROM q
+        ), qv AS (
+            SELECT dv AS qv FROM deq WHERE vec_id = 0
+        )
+        SELECT d.vec_id,
+               round(list_dot_product(d.dv, qv.qv)
+                     / (sqrt(list_dot_product(d.dv, d.dv))
+                        * sqrt(list_dot_product(qv.qv, qv.qv))), 6) AS cos_sim
+        FROM deq d, qv
+        ORDER BY cos_sim DESC, d.vec_id LIMIT 10
     """
 
 
@@ -2502,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": _pack_sequences_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
+        "quantized_topk": _quantized_topk_oracle(),
         "ewma_events": _ewma_oracle(0.2),
         "lm_quality": """
             WITH norm AS (

@@ -148,6 +148,31 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
         F.round(F.sqrt(err2 / F.size(F.col("qvec"))), 6).alias("rmse"))
 
 
+def quantized_topk(df: DataFrame, query_id, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bits: int = 8) -> DataFrame:
+    """Cosine top-k scored on DEQUANTIZED int8 vectors — the memory-scale
+    ANN path end to end: quantize once (4× smaller corpus state), score
+    candidates against the quantized representation, and accept the
+    bounded recall loss. The query vector is quantized the same way, so
+    the whole scoring pipeline touches only int codes + one scale per
+    vector. Deterministic and SQL-reproducible (unlike learned PQ
+    codebooks)."""
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    qz = quantize_embeddings(df, id_col=id_col, vec_col=vec_col, bits=bits)
+    deq = qz.select(
+        F.col(id_col),
+        F.transform(F.col("qvec"),
+                    lambda x: x.cast("double") * F.col("scale")).alias("dv"))
+    qv = (deq.filter(F.col(id_col) == query_id)
+          .select(F.col("dv").alias("qv")))
+    scored = deq.crossJoin(F.broadcast(qv)).select(
+        F.col(id_col),
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def embed_topk(docs: DataFrame, query_id, k: int = 10, dim: int = 64,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end text similarity: hash-embed the corpus, take the query

@@ -16,6 +16,7 @@ from otit_swt_spark.streaming.dedup import (
     stream_near_dup_flags,
 )
 from otit_swt_spark.streaming.ingest import (
+    ewma_stream,
     read_timeseries_stream,
     session_downsample,
     session_gaps,
@@ -26,6 +27,7 @@ from otit_swt_spark.streaming.ingest import (
 
 __all__ = [
     "build_lsh_index",
+    "ewma_stream",
     "read_timeseries_stream",
     "session_downsample",
     "session_gaps",

@@ -205,3 +205,71 @@ def session_gaps(df: DataFrame, max_gap_seconds: float = 60.0,
             detect, _GAP_OUT, _GAP_STATE, "append",
             GroupStateTimeout.NoTimeout)
     )
+
+
+_EWMA_STATE = T.StructType([
+    T.StructField("acc", T.DoubleType()),
+    T.StructField("last_ts", T.DoubleType()),
+])
+_EWMA_OUT = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+
+def ewma_stream(df: DataFrame, alpha: float = 0.2,
+                watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of :func:`otit_swt_spark.timeseries.ewma`: the
+    sequential α-fold carried across micro-batches in one state row per
+    id (``applyInPandasWithState``) — the canonical custom stateful
+    operator shape. Within a batch rows fold in event-time order; the
+    accumulator then persists, so an unbounded stream costs O(1) state
+    per key. Rows older than the already-folded frontier (late beyond
+    the watermark) still fold in arrival order — streaming smoothing is
+    order-sensitive by nature, which is why the batch form is the
+    replayable reference.
+
+    On a batch DataFrame, delegates to the exact batch implementation.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    beta = 1.0 - alpha
+
+    if not df.isStreaming:
+        from otit_swt_spark.timeseries import ewma as batch_ewma
+
+        return batch_ewma(df, key="id", ts="timestamp", value="value",
+                          alpha=alpha)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        acc, _ = state.get if state.exists else (None, None)
+        out = []
+        last_ts = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("timestamp")
+            for ts, x in zip(pdf["timestamp"], pdf["value"]):
+                x = float(x)
+                acc = x if acc is None else alpha * x + beta * acc
+                out.append((key[0], ts,
+                            x,
+                            math.copysign(
+                                math.floor(abs(acc) * 1e6 + 0.5), acc) / 1e6))
+                last_ts = ts.timestamp()
+        state.update((acc, last_ts))
+        yield pd.DataFrame(out, columns=["id", "timestamp", "value", "ewma"])
+
+    return (
+        df.withWatermark("timestamp", watermark)
+        .groupBy("id")
+        .applyInPandasWithState(
+            fold, _EWMA_OUT, _EWMA_STATE, "append",
+            GroupStateTimeout.NoTimeout)
+    )

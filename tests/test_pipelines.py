@@ -950,3 +950,29 @@ def test_retention_and_histogram_and_distinct(spark):
          for r in distinct_daily(ev).collect()}
     assert d[("2024-01-03", "view")] == (1, 1)
     assert d[("2024-01-03", "click")] == (1, 1)
+
+
+def test_salted_join_equivalence(spark):
+    from otit_swt_spark.pipelines.skew import salted_join, top_keys
+
+    # key 1 is pathologically hot
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, k * 10) for k in range(2, 8)]
+        + [(None, -1)],
+        "k int, lv int")
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (9, "only-right")],
+        "k int, rv string")
+    plain_inner = rows(left.join(right, ["k"], "inner"))
+    plain_left = rows(left.join(right, ["k"], "left"))
+
+    hot = top_keys(left, "k", n=1)
+    assert hot == [1]
+    for hk in (None, [1], []):
+        assert rows(salted_join(left, right, "k", "inner",
+                                salt=4, hot_keys=hk)) == plain_inner
+        assert rows(salted_join(left, right, "k", "left",
+                                salt=4, hot_keys=hk)) == plain_left
+    # salt column never escapes
+    out = salted_join(left, right, "k", salt=4)
+    assert "__salt" not in out.columns

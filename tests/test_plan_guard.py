@@ -29,7 +29,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # one-row broadcast cross joins by design (query vector vs corpus;
 # scalar-aggregate threshold vs customers in the Q22 shape)
-CROSS_OK = {"embedding_topk", "feature_embed_topk", "tpch_q22_idle_custs"}
+CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
+            "tpch_q22_idle_custs"}
 
 
 def test_all_entries_plan_invariants(spark):

@@ -281,3 +281,37 @@ def test_stream_lm_scoring(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id: r.lm_score for r in spark.sql("SELECT * FROM lm_out").collect()}
     assert got[1] > got[2]
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    from otit_swt_spark.streaming import ewma_stream, read_timeseries_stream
+    from otit_swt_spark.timeseries import ewma as batch_ewma
+
+    src = str(tmp_path / "ewma_src")
+    ts = pd.date_range("2024-01-01", periods=20, freq="1min")
+    pdf = pd.DataFrame({
+        "id": ["a"] * 10 + ["b"] * 10,
+        "timestamp": list(ts[:10]) + list(ts[:10]),
+        "value": [float(i) for i in range(10)] + [float(100 - i) for i in range(10)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = ewma_stream(read_timeseries_stream(spark, src), alpha=0.5)
+    q = (out.writeStream.format("memory").queryName("ewma_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = rows(spark.sql("SELECT id, timestamp, ewma FROM ewma_out"))
+
+    batch = batch_ewma(
+        spark.createDataFrame(pdf), key="id", ts="timestamp", alpha=0.5)
+    want = rows(batch.select("id", "timestamp", "ewma"))
+    assert got == want
+
+
+def test_ewma_stream_batch_delegation(spark):
+    from otit_swt_spark.streaming import ewma_stream
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 0.0)], "id string, timestamp long, value double")
+    out = {r.timestamp: r.ewma for r in ewma_stream(df, alpha=0.5).collect()}
+    assert out == {0: 10.0, 1: 5.0}
