@@ -186,3 +186,39 @@ def test_zorder_write_1m_events(spark, tmp_path):
     path = str(tmp_path / "zev")
     write_zordered(ev, path, ["user_id", "value"], n_files=32, bits=10)
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_funnel_and_retention_on_amplified_events(spark):
+    """1.5M events (15× amplification): the funnel's chained per-user mins
+    and the retention triangle must stay linear — no per-user arrays, no
+    window over unbounded frames."""
+    from otit_swt_spark.pipelines.analytics import funnel_steps, retention_cohorts
+
+    ev = _amplify(spark.read.parquet(f"{SF_DIR}/events.parquet")
+                  .select("user_id", "event_type", "ts"), 15,
+                  "user_id", 1_000_000)
+    assert ev.count() == 1_500_000
+    fun = funnel_steps(ev, ["view", "click", "purchase"])
+    n = fun.count()
+    assert n > 0
+    assert fun.filter(F.col("t3").isNotNull()
+                      & ((F.col("t2") >= F.col("t3"))
+                         | (F.col("t1") >= F.col("t2")))).count() == 0
+    ret = retention_cohorts(ev)
+    assert ret.filter(F.col("day_offset") < 0).count() == 0
+    assert ret.count() > 0
+
+
+def test_pack_sequences_many_shards_amplified(spark):
+    """75k docs across 64 shards: per-shard cumsums parallelize; every
+    shard's offsets must still be gapless."""
+    from otit_swt_spark.pipelines.packing import pack_sequences
+
+    docs = _amplify(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                    .select("doc_id", "text"), 15, "doc_id", 1_000_000)
+    out = pack_sequences(docs, budget=2048, n_shards=64)
+    agg = (out.groupBy("shard")
+           .agg(F.sum("n_tokens").alias("tok_sum"),
+                F.max(F.col("token_offset") + F.col("n_tokens")).alias("end"))
+           .filter(F.col("tok_sum") != F.col("end")))
+    assert agg.count() == 0  # contiguous layout in every shard
