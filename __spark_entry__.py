@@ -937,6 +937,39 @@ def q_hash_shards(spark, sf_dir):
                  F.max("doc_id").alias("max_id")))
 
 
+def _part_coorder_edges(spark, sf_dir):
+    from otit_swt_spark.pipelines.graphalgo import cooccurrence_edges
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurrence_edges(l, "l_orderkey", "l_partkey")
+
+
+def q_graph_degree(spark, sf_dir):
+    """Degree statistics of the part co-order graph (parts appearing on
+    the same order) — union + one grouped count over canonical edges."""
+    from otit_swt_spark.pipelines.graphalgo import degree_stats
+
+    return degree_stats(_part_coorder_edges(spark, sf_dir))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count of the part co-order graph via the node-ordered
+    wedge join (each triangle produced exactly once)."""
+    from otit_swt_spark.pipelines.graphalgo import triangle_count
+
+    return triangle_count(_part_coorder_edges(spark, sf_dir))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank on the part co-order graph — the
+    iterative log-round driver loop (localCheckpoint lineage control).
+    Iterative approximation: rows-only gate, pytest checks known-graph
+    values and the sum-to-one invariant."""
+    from otit_swt_spark.pipelines.graphalgo import pagerank
+
+    return pagerank(_part_coorder_edges(spark, sf_dir), iters=6)
+
+
 def q_quantized_topk(spark, sf_dir):
     """Cosine top-k on dequantized int8 codes — the memory-scale ANN
     scoring path (4× smaller corpus state than float32)."""
@@ -1521,6 +1554,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_lineitem": q_validate_lineitem,
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
+        "graph_degree": q_graph_degree,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
         "quantized_topk": q_quantized_topk,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
@@ -2546,6 +2582,29 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
+        "graph_degree": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ), und AS (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            )
+            SELECT node, count(*) AS degree FROM und GROUP BY 1
+        """,
+        "graph_triangles": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        """,
         "ewma_events": _ewma_oracle(0.2),
         "lm_quality": """
             WITH norm AS (

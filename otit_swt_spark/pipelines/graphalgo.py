@@ -1,0 +1,101 @@
+"""Graph analytics over relational co-occurrence graphs: edge derivation,
+degree statistics, triangle counting, PageRank — the graph-mining
+companions to the SPARQL engine (which answers *pattern* queries over the
+same data; these answer *structure* queries).
+
+Scale shape:
+- edge derivation is one self-join per group key with an optional
+  ``max_group_size`` clip — the classic guard against hub groups whose
+  pair count is quadratic in group size;
+- triangle counting uses canonical (a < b) edges, so each triangle is
+  counted exactly once and the three-way join never revisits a
+  permutation — the standard node-ordering optimization;
+- PageRank is the log-round iterative shape this repo already uses for
+  Kleene closures and dedup clustering: per-iteration localCheckpoint
+  keeps lineage flat; contributions shuffle on the node key only.
+
+Reference: no twin in /root/reference (query engine, not graph mining);
+additive like pipelines/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                       max_group_size: int | None = None) -> DataFrame:
+    """Distinct canonical item pairs ``(a < b)`` co-occurring in a group
+    (parts on one order, tokens in one doc, …). ``max_group_size`` drops
+    groups larger than the clip BEFORE pairing — at corpus scale one hub
+    group (the mega-order, the bot session) otherwise emits |group|²/2
+    pairs and dominates the stage."""
+    items = df.select(F.col(group_col).alias("g"),
+                      F.col(item_col).alias("i")).distinct()
+    if max_group_size is not None:
+        sizes = (items.groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") <= max_group_size)
+                 .select("g"))
+        items = items.join(sizes, "g")
+    a = items.select("g", F.col("i").alias("a"))
+    b = items.select("g", F.col("i").alias("b"))
+    return (a.join(b, (a.g == b.g) & (F.col("a") < F.col("b")))
+            .select("a", "b").distinct())
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node degree of an undirected canonical edge set: ``(node,
+    degree)``. One union + one grouped count."""
+    und = (edges.select(F.col("a").alias("node"))
+           .unionAll(edges.select(F.col("b").alias("node"))))
+    return und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangle count of a canonical (a < b) edge set — one row
+    ``(n_triangles)``. The wedge join (e1.b = e2.a) only extends paths
+    upward in node order, so each triangle (x < y < z) is produced by
+    exactly one wedge and closed by exactly one edge probe."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    wedges = e1.join(e2, F.col("y") == F.col("y2"))
+    closed = wedges.join(
+        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85,
+             checkpoint_every: int = 3) -> DataFrame:
+    """Undirected PageRank, fixed iteration count: ``(node, pr)`` with
+    pr rounded to 6 dp and summing to ~1. The iterative driver loop runs
+    ``iters`` rounds of one shuffle each (contributions grouped on the
+    destination node); ``localCheckpoint`` every few rounds keeps the
+    plan from growing linearly with iterations — same discipline as the
+    Kleene fixpoint in the SPARQL compiler. Values are deterministic up
+    to FP summation order (rankings are stable); exact cross-engine
+    replay is not a goal for an iterative approximation."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    und = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und = und.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for it in range(iters):
+        contrib = (und.join(pr, und.src == pr.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("pr") / F.col("deg")).alias("c")))
+        pr = (contrib.groupBy("node")
+              .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")))
+        # isolated nodes receive no contributions; re-attach with base rank
+        pr = (nodes.select("node").join(pr, "node", "left")
+              .select("node", F.coalesce("pr", F.lit(base)).alias("pr")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            pr = pr.localCheckpoint(eager=False)
+    return pr.select("node", F.round("pr", 6).alias("pr"))

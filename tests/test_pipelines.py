@@ -976,3 +976,30 @@ def test_salted_join_equivalence(spark):
     # salt column never escapes
     out = salted_join(left, right, "k", salt=4)
     assert "__salt" not in out.columns
+
+
+def test_graphalgo_known_graph(spark):
+    from otit_swt_spark.pipelines.graphalgo import (
+        cooccurrence_edges, degree_stats, pagerank, triangle_count)
+
+    # groups: {1,2,3} together, {3,4} together -> edges 12,13,23,34; one triangle
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (20, 3), (20, 4), (20, 4)],
+        "g int, i int")
+    edges = cooccurrence_edges(df, "g", "i")
+    assert rows(edges) == [(1, 2), (1, 3), (2, 3), (3, 4)]
+    deg = {r.node: r.degree for r in degree_stats(edges).collect()}
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert triangle_count(edges).collect()[0].n_triangles == 1
+
+    pr = {r.node: r.pr for r in pagerank(edges, iters=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+    # node 3 bridges the triangle and the pendant: highest rank;
+    # symmetric nodes 1 and 2 tie
+    assert pr[3] == max(pr.values())
+    assert pr[1] == pr[2]
+    assert pr[4] == min(pr.values())
+
+    # hub clip: drop the size-3 group entirely
+    clipped = cooccurrence_edges(df, "g", "i", max_group_size=2)
+    assert rows(clipped) == [(3, 4)]
