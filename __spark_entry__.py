@@ -514,10 +514,12 @@ def q_tpch_q22_idle_custs(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = (_t(spark, sf_dir, "orders")
          .filter(F.col("o_orderdate") >= "2000-09-01").select("o_custkey"))
-    # exact decimal mean: double summation order differs between engines,
-    # so an FP average would make the > threshold boundary nondeterministic
+    # deterministic mean: exact decimal SUM (summation order can't matter),
+    # then ONE double division — the oracle does the identical sum-as-
+    # decimal -> cast-double -> divide, so the > threshold is bit-equal on
+    # both engines (a decimal quotient would round differently per engine)
     avg_bal = (c.filter(F.col("c_acctbal") > 0)
-               .agg((F.sum(F.col("c_acctbal").cast(DEC))
+               .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
                      / F.count(F.lit(1))).alias("avg_bal")))
     rich = (c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
             .drop("avg_bal"))
@@ -2118,7 +2120,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_custs,
                    round(sum(c_acctbal), 6) AS total_bal
             FROM customer
-            WHERE c_acctbal > (SELECT sum(CAST(c_acctbal AS DECIMAL(25,6))) / count(*)
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6)))
+                                           AS DOUBLE) / count(*)
                                FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey

@@ -91,11 +91,11 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85,
         contrib = (und.join(pr, und.src == pr.node)
                    .select(F.col("dst").alias("node"),
                            (F.col("pr") / F.col("deg")).alias("c")))
+        # every node here came from an edge endpoint (degree >= 1) and all
+        # ranks stay positive, so each node receives a contribution every
+        # round — no isolated-node re-attach join is needed
         pr = (contrib.groupBy("node")
               .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")))
-        # isolated nodes receive no contributions; re-attach with base rank
-        pr = (nodes.select("node").join(pr, "node", "left")
-              .select("node", F.coalesce("pr", F.lit(base)).alias("pr")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", 6).alias("pr"))

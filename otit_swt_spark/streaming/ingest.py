@@ -209,7 +209,6 @@ def session_gaps(df: DataFrame, max_gap_seconds: float = 60.0,
 
 _EWMA_STATE = T.StructType([
     T.StructField("acc", T.DoubleType()),
-    T.StructField("last_ts", T.DoubleType()),
 ])
 _EWMA_OUT = T.StructType([
     T.StructField("id", T.StringType()),
@@ -246,24 +245,27 @@ def ewma_stream(df: DataFrame, alpha: float = 0.2,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fold(key, pdf_iter, state):
-        import math
-
         import pandas as pd
 
-        acc, _ = state.get if state.exists else (None, None)
+        from otit_swt_spark.timeseries import _round_half_away
+
+        (acc,) = state.get if state.exists else (None,)
+        # a large group arrives as MULTIPLE Arrow chunks (split at
+        # maxRecordsPerBatch) — concatenate before sorting, or chunk 2's
+        # earlier timestamps would fold after chunk 1's later ones
+        chunks = list(pdf_iter)
+        if not chunks:
+            yield pd.DataFrame(
+                columns=["id", "timestamp", "value", "ewma"])
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values("timestamp")
         out = []
-        last_ts = None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("timestamp")
-            for ts, x in zip(pdf["timestamp"], pdf["value"]):
-                x = float(x)
-                acc = x if acc is None else alpha * x + beta * acc
-                out.append((key[0], ts,
-                            x,
-                            math.copysign(
-                                math.floor(abs(acc) * 1e6 + 0.5), acc) / 1e6))
-                last_ts = ts.timestamp()
-        state.update((acc, last_ts))
+        for ts, x in zip(pdf["timestamp"], pdf["value"]):
+            x = float(x)
+            acc = x if acc is None else alpha * x + beta * acc
+            out.append((key[0], ts, x, _round_half_away(acc, 6)))
+        state.update((acc,))
         yield pd.DataFrame(out, columns=["id", "timestamp", "value", "ewma"])
 
     return (

@@ -395,6 +395,20 @@ def autocorr(
             .select(key, "p.lag", "p.acf"))
 
 
+def _round_half_away(v: float, digits: int = 6) -> float:
+    """Half-away-from-zero rounding, matching SQL ``round()`` (Python's
+    built-in round is half-even, which would diverge from a SQL oracle on
+    exact halves). Total on floats: NaN/±inf pass through unchanged —
+    ``math.floor`` would raise on them and kill the task (and, in the
+    streaming fold, permanently poison the query on restart replay)."""
+    import math
+
+    if not math.isfinite(v):
+        return v
+    p = 10.0 ** digits
+    return math.copysign(math.floor(abs(v) * p + 0.5), v) / p
+
+
 def ewma(
     series: DataFrame,
     key: str = "id",
@@ -416,6 +430,12 @@ def ewma(
     same fold (e.g. a SQL ``list_reduce``) reproduces it bit-exactly.
 
     Output: ``key, ts, order_cols…, value, ewma`` (rounded to 6 dp).
+
+    NULL values arrive as NaN through the Arrow/pandas boundary and — like
+    NaN inputs — poison every subsequent smoothed value of that key; the
+    poisoned NaNs surface as NULL on the Spark side, matching the SQL
+    twin's NULL-propagating fold. Filter or impute NULLs upstream if that
+    is not wanted.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
@@ -425,20 +445,13 @@ def ewma(
     out_schema = ", ".join(
         f"`{c}` {t}" for c, t in series.select(*cols).dtypes) + ", ewma double"
 
-    import math
-
-    def _round6(v: float) -> float:
-        # half-away-from-zero, matching SQL round() (Python round is
-        # half-even, which would diverge from the oracle on exact halves)
-        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
-
     def fold(pdf):
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         acc = None
         out = []
         for x in pdf[value].astype(float):
             acc = x if acc is None else alpha * x + beta * acc
-            out.append(_round6(acc))
+            out.append(_round_half_away(acc, 6))
         pdf["ewma"] = out
         return pdf
 

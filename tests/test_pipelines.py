@@ -1003,3 +1003,17 @@ def test_graphalgo_known_graph(spark):
     # hub clip: drop the size-3 group entirely
     clipped = cooccurrence_edges(df, "g", "i", max_group_size=2)
     assert rows(clipped) == [(3, 4)]
+
+
+def test_ewma_null_and_nan_do_not_crash(spark):
+    from otit_swt_spark.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 4.0),
+         (2, 0, float("nan")), (2, 1, 1.0)],
+        "id long, timestamp long, value double")
+    out = {(r.id, r.timestamp): r.ewma
+           for r in ewma(df, key="id", ts="timestamp", alpha=0.5).collect()}
+    assert out[(1, 0)] == 10.0
+    # NULL/NaN poisons the tail and surfaces as NULL (documented) — never crashes
+    assert all(out[k] is None for k in [(1, 1), (1, 2), (2, 0), (2, 1)])

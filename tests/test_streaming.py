@@ -315,3 +315,38 @@ def test_ewma_stream_batch_delegation(spark):
         [("a", 0, 10.0), ("a", 1, 0.0)], "id string, timestamp long, value double")
     out = {r.timestamp: r.ewma for r in ewma_stream(df, alpha=0.5).collect()}
     assert out == {0: 10.0, 1: 5.0}
+
+
+def test_ewma_stream_multichunk_group(spark, tmp_path):
+    """A group larger than one Arrow chunk must still fold in event-time
+    order: shrink maxRecordsPerBatch so the 600-row key splits into many
+    chunks, and write the rows to parquet in REVERSE time order."""
+    from otit_swt_spark.streaming import ewma_stream, read_timeseries_stream
+    from otit_swt_spark.timeseries import ewma as batch_ewma
+
+    src = str(tmp_path / "ewma_chunks")
+    ts = pd.date_range("2024-01-01", periods=600, freq="1s")
+    pdf = pd.DataFrame({
+        "id": ["a"] * 600,
+        "timestamp": list(ts),
+        "value": [float((i * 37) % 101) for i in range(600)],
+    }).iloc[::-1]
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        out = ewma_stream(read_timeseries_stream(spark, src), alpha=0.3)
+        q = (out.writeStream.format("memory").queryName("ewma_chunks_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = rows(spark.sql(
+            "SELECT id, timestamp, ewma FROM ewma_chunks_out"))
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = rows(batch_ewma(spark.createDataFrame(pdf), key="id",
+                           ts="timestamp", alpha=0.3)
+                .select("id", "timestamp", "ewma"))
+    assert got == want
