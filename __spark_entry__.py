@@ -981,6 +981,27 @@ def q_quantized_topk(spark, sf_dir):
     return quantized_topk(e, query_id=0, k=10)
 
 
+def q_weight_sample(spark, sf_dir):
+    """Per-row Bernoulli sampling with a row-dependent probability
+    (longer docs kept more often) — membership replayed exactly by the
+    SQL twin via the shared 2^32 hash grid."""
+    from otit_swt_spark.pipelines.sampling import weight_sample
+
+    d = _t(spark, sf_dir, "documents")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(1500.0))
+    return weight_sample(d, "doc_id", p).select("doc_id", "source")
+
+
+def q_ab_test_stats(spark, sf_dir):
+    """Welch two-sample readout ('view' vs 'click' event values) in one
+    conditional-aggregation pass; exact decimal moments make the t
+    statistic partitioning-independent."""
+    from otit_swt_spark.pipelines.analytics import ab_test_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_stats(ev, "event_type", "value", "view", "click")
+
+
 def q_funnel_steps(spark, sf_dir):
     """Strict-order funnel (view -> click -> purchase): per-user earliest
     step times, each step strictly after the previous — k grouped mins
@@ -1560,6 +1581,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "quantized_topk": q_quantized_topk,
+        "weight_sample": q_weight_sample,
+        "ab_test_stats": q_ab_test_stats,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "histogram_value": q_histogram_value,
@@ -2534,6 +2557,43 @@ def oracle_sql() -> dict[str, str]:
         "feature_embed_topk": _feature_embed_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
+        "weight_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE least(CAST(1 AS DOUBLE), n_chars / CAST(1500 AS DOUBLE)) >= 1.0
+               OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < lower(lpad(to_hex(CAST(floor(
+                        greatest(CAST(0 AS DOUBLE),
+                                 least(least(CAST(1 AS DOUBLE),
+                                             n_chars / CAST(1500 AS DOUBLE)),
+                                       CAST(1 AS DOUBLE)))
+                        * CAST(4294967296 AS DOUBLE)) AS BIGINT)), 8, '0'))
+        """,
+        "ab_test_stats": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value * value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS q_a,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS s_b,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value * value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS q_b
+                FROM events
+            ), m AS (
+                SELECT n_a, n_b,
+                       s_a / n_a AS ma, s_b / n_b AS mb,
+                       (q_a - s_a * s_a / n_a) / (n_a - 1) AS va,
+                       (q_b - s_b * s_b / n_b) / (n_b - 1) AS vb
+                FROM agg
+            )
+            SELECT n_a, n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round(va, 6) AS var_a, round(vb, 6) AS var_b,
+                   round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+                   round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                         / ((va / n_a) * (va / n_a) / (n_a - 1)
+                            + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS df_welch
+            FROM m
+        """,
         "funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, min(ts) AS t1 FROM events

@@ -84,6 +84,53 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
             .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * width, 6)))
 
 
+def ab_test_stats(df: DataFrame, group_col: str, value_col: str,
+                  group_a, group_b) -> DataFrame:
+    """Two-sample experiment readout in ONE aggregation pass: per-variant
+    n / mean / sample variance and the Welch t statistic with its
+    effective degrees of freedom. Conditional aggregates (no pivot, no
+    second scan); the sums are exact DECIMALs so the moments — and hence
+    the t statistic — are independent of partitioning and summation
+    order, which makes the readout reproducible in any engine.
+
+    Output: one row ``(n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch)``; the t fields are NULL when a variant has < 2 rows or
+    zero variance on both sides.
+    """
+    dec = "decimal(38,6)"
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+
+    def _sums(cond):
+        n = F.sum(F.when(cond, 1).otherwise(0))
+        s = F.sum(F.when(cond, v.cast(dec)).otherwise(F.lit(0).cast(dec)))
+        # square in double (deterministic per row), then exact decimal sum
+        sq = F.sum(F.when(cond, (v * v).cast(dec)).otherwise(F.lit(0).cast(dec)))
+        return n, s, sq
+
+    na, sa, qa = _sums(in_a)
+    nb, sb, qb = _sums(in_b)
+    agg = df.agg(
+        na.alias("n_a"), sa.cast("double").alias("s_a"), qa.cast("double").alias("q_a"),
+        nb.alias("n_b"), sb.cast("double").alias("s_b"), qb.cast("double").alias("q_b"))
+    ma = F.col("s_a") / F.col("n_a")
+    mb = F.col("s_b") / F.col("n_b")
+    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    dfw = F.try_divide(
+        se2 * se2,
+        (va / F.col("n_a")) * (va / F.col("n_a")) / (F.col("n_a") - 1)
+        + (vb / F.col("n_b")) * (vb / F.col("n_b")) / (F.col("n_b") - 1))
+    return agg.select(
+        F.col("n_a"), F.col("n_b"),
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"), F.round(vb, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"), F.round(dfw, 6).alias("df_welch"))
+
+
 def distinct_daily(events: DataFrame, key: str = "user_id",
                    ts: str = "ts", type_col: str = "event_type",
                    approx: bool = False) -> DataFrame:

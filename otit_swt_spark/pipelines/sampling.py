@@ -65,6 +65,26 @@ def mixture_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
     return df.filter(expr)
 
 
+def weight_sample(df: DataFrame, key_col: str, prob: Column,
+                  salt: str = "") -> DataFrame:
+    """Deterministic per-ROW Bernoulli sampling: keep each row iff its
+    salted key hash clears the row's own probability ``prob`` (a Column
+    in [0, 1] — a quality score, an importance weight, a per-domain
+    rate). Generalizes :func:`hash_sample` (constant fraction) and
+    :func:`mixture_sample` (per-group fraction) to fully row-dependent
+    keep probabilities while staying a pure map-side codegen'd filter —
+    reproducible across runs, engines, and partitionings.
+
+    The probability is floored onto the same 2^32 hash grid the constant
+    samplers use (``floor(p * 2^32)`` → 8-hex threshold), so any SQL
+    engine replays membership exactly."""
+    h = _hash_prefix(F.col(key_col), salt)
+    thresh = F.lower(F.lpad(F.hex(
+        F.floor(F.greatest(F.lit(0.0), F.least(prob, F.lit(1.0)))
+                * F.lit(float(_HEX_SPACE))).cast("long")), 8, "0"))
+    return df.filter((prob >= 1.0) | (h < thresh))
+
+
 def hash_shard(df: DataFrame, key_col: str, n_shards: int,
                salt: str = "", shard_col: str = "shard") -> DataFrame:
     """Assign every row a deterministic shard in ``[0, n_shards)`` by

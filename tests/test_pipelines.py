@@ -1017,3 +1017,37 @@ def test_ewma_null_and_nan_do_not_crash(spark):
     assert out[(1, 0)] == 10.0
     # NULL/NaN poisons the tail and surfaces as NULL (documented) — never crashes
     assert all(out[k] is None for k in [(1, 1), (1, 2), (2, 0), (2, 1)])
+
+
+def test_weight_sample_extremes_and_monotonicity(spark):
+    from otit_swt_spark.pipelines.sampling import weight_sample
+
+    df = spark.createDataFrame([(i, i / 100.0) for i in range(200)],
+                               "k long, p double")
+    all_rows = weight_sample(df, "k", F.lit(1.0)).count()
+    none_rows = weight_sample(df, "k", F.lit(0.0)).count()
+    assert all_rows == 200 and none_rows == 0
+    # per-row prob column: higher p keeps a superset under the same hash
+    lo = {r.k for r in weight_sample(df, "k", F.col("p") * 0.5).collect()}
+    hi = {r.k for r in weight_sample(df, "k", F.col("p")).collect()}
+    assert lo <= hi
+    # deterministic under repartitioning
+    again = {r.k for r in
+             weight_sample(df.repartition(7), "k", F.col("p")).collect()}
+    assert again == hi
+
+
+def test_ab_test_stats_known_values(spark):
+    from otit_swt_spark.pipelines.analytics import ab_test_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)],
+        "grp string, v double")
+    r = ab_test_stats(df, "grp", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert (r.mean_a, r.mean_b) == (2.0, 4.0)
+    assert (r.var_a, r.var_b) == (1.0, 4.0)
+    # t = (2-4)/sqrt(1/3+4/3) = -2/sqrt(5/3)
+    import math
+    assert abs(r.t_stat - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-6
+    assert r.df_welch > 2
