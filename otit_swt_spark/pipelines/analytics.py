@@ -19,12 +19,14 @@ from pyspark.sql import DataFrame, functions as F
 
 def funnel_steps(events: DataFrame, steps: list[str],
                  key: str = "user_id", ts: str = "ts",
-                 type_col: str = "event_type") -> DataFrame:
+                 type_col: str = "event_type",
+                 max_lag_seconds: float | None = None) -> DataFrame:
     """Ordered-funnel timestamps: for each user, the earliest time of
     step 1, then the earliest step-2 event strictly after it, and so on
-    (the standard strict-order funnel). Output: one row per user that
-    completed step 1, with ``t1..tk`` timestamps (NULL once the funnel
-    stalls).
+    (the standard strict-order funnel). ``max_lag_seconds`` adds the
+    conversion window: each step must also land within that many seconds
+    of the previous one. Output: one row per user that completed step 1,
+    with ``t1..tk`` timestamps (NULL once the funnel stalls).
 
     k-step funnel = k grouped mins + (k-1) inner joins and (k-1) left
     joins, all on the user key — one shuffle partitioning reused
@@ -37,9 +39,14 @@ def funnel_steps(events: DataFrame, steps: list[str],
     out = reached
     for i, step in enumerate(steps[1:], start=2):
         prev_t = f"t{i - 1}"
+        within = F.col(ts) > F.col(prev_t)
+        if max_lag_seconds is not None:
+            within &= (
+                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(prev_t))
+                <= F.lit(int(max_lag_seconds * 1_000_000)))
         nxt = (events.filter(F.col(type_col) == step)
                .join(reached.select(key, prev_t), key)
-               .filter(F.col(ts) > F.col(prev_t))
+               .filter(within)
                .groupBy(key).agg(F.min(ts).alias(f"t{i}")))
         out = out.join(nxt.select(key, f"t{i}"), key, "left")
         reached = nxt

@@ -1051,3 +1051,21 @@ def test_ab_test_stats_known_values(spark):
     import math
     assert abs(r.t_stat - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-6
     assert r.df_welch > 2
+
+
+def test_funnel_conversion_window(spark):
+    import datetime as dt
+    from otit_swt_spark.pipelines.analytics import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame([
+        # u1 clicks 30s after viewing; u2 clicks an hour later
+        (1, "view", t0), (1, "click", t0 + dt.timedelta(seconds=30)),
+        (2, "view", t0), (2, "click", t0 + dt.timedelta(hours=1)),
+    ], "user_id long, event_type string, ts timestamp")
+    un = {r.user_id: r.t2 for r in
+          funnel_steps(ev, ["view", "click"]).collect()}
+    assert un[1] is not None and un[2] is not None
+    win = {r.user_id: r.t2 for r in
+           funnel_steps(ev, ["view", "click"], max_lag_seconds=60).collect()}
+    assert win[1] is not None and win[2] is None
