@@ -981,6 +981,17 @@ def q_quantized_topk(spark, sf_dir):
     return quantized_topk(e, query_id=0, k=10)
 
 
+def q_session_paths(spark, sf_dir):
+    """Event-sequence mining: per-session ordered event-type path strings
+    (30-min sessions, first 8 steps) counted across the corpus."""
+    from otit_swt_spark.pipelines.analytics import session_paths
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    return session_paths(ev, gap_seconds=1800, order_cols=["event_id"],
+                         max_len=8)
+
+
 def q_weight_sample(spark, sf_dir):
     """Per-row Bernoulli sampling with a row-dependent probability
     (longer docs kept more often) — membership replayed exactly by the
@@ -1581,6 +1592,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "quantized_topk": q_quantized_topk,
+        "session_paths": q_session_paths,
         "weight_sample": q_weight_sample,
         "ab_test_stats": q_ab_test_stats,
         "funnel_steps": q_funnel_steps,
@@ -2557,6 +2569,35 @@ def oracle_sql() -> dict[str, str]:
         "feature_embed_topk": _feature_embed_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "hash_shards": _hash_shards_oracle(),
+        "session_paths": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_idx
+                FROM flagged
+            ), ranked AS (
+                SELECT user_id, session_idx, ts, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id, session_idx
+                                          ORDER BY ts, event_id) AS rn
+                FROM numbered
+            ), paths AS (
+                SELECT user_id, session_idx,
+                       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                FROM ranked WHERE rn <= 8
+                GROUP BY user_id, session_idx
+            )
+            SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+        """,
         "weight_sample": """
             SELECT doc_id, source FROM documents
             WHERE least(CAST(1 AS DOUBLE), n_chars / CAST(1500 AS DOUBLE)) >= 1.0

@@ -91,6 +91,36 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
             .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * width, 6)))
 
 
+def session_paths(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                  type_col: str = "event_type", gap_seconds: float = 1800,
+                  order_cols: list[str] | None = None,
+                  max_len: int | None = None) -> DataFrame:
+    """Top navigation paths: sessionize, render each session's ordered
+    event-type sequence as a ``a>b>c`` string, count distinct paths —
+    the event-sequence mining readout. ``max_len`` truncates each
+    session to its first N steps (the usual guard: one bot session with
+    100k events otherwise builds a 100k-element array on one row).
+
+    Shuffles: the sessionize window (key), one groupBy per (key,
+    session), one small rollup on the path string.
+    """
+    from otit_swt_spark.timeseries import sessionize
+
+    order_cols = order_cols or []
+    s = sessionize(events, key=key, ts=ts, gap_seconds=gap_seconds,
+                   order_cols=order_cols)
+    step = F.struct(F.col(ts), *[F.col(c) for c in order_cols],
+                    F.col(type_col).alias("__t"))
+    seq = F.transform(F.sort_array(F.collect_list(step)),
+                      lambda x: x["__t"])
+    if max_len is not None:
+        seq = F.slice(seq, 1, max_len)
+    paths = (s.groupBy(key, "session_idx")
+             .agg(F.concat_ws(">", seq).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
 def ab_test_stats(df: DataFrame, group_col: str, value_col: str,
                   group_a, group_b) -> DataFrame:
     """Two-sample experiment readout in ONE aggregation pass: per-variant

@@ -1069,3 +1069,26 @@ def test_funnel_conversion_window(spark):
     win = {r.user_id: r.t2 for r in
            funnel_steps(ev, ["view", "click"], max_lag_seconds=60).collect()}
     assert win[1] is not None and win[2] is None
+
+
+def test_session_paths_truncation_and_order(spark):
+    import datetime as dt
+    from otit_swt_spark.pipelines.analytics import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=i), i, tp)
+         for i, tp in enumerate(["view", "click", "purchase"])]
+        # second session after a 2-hour gap, same user
+        + [(1, t0 + dt.timedelta(hours=2, seconds=i), 100 + i, "view")
+           for i in range(4)],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    got = {r.path: r.n_sessions
+           for r in session_paths(ev, gap_seconds=1800,
+                                  order_cols=["event_id"]).collect()}
+    assert got == {"view>click>purchase": 1, "view>view>view>view": 1}
+    cut = {r.path: r.n_sessions
+           for r in session_paths(ev, gap_seconds=1800,
+                                  order_cols=["event_id"],
+                                  max_len=2).collect()}
+    assert cut == {"view>click": 1, "view>view": 1}
