@@ -24,6 +24,11 @@ def delete(spark: SparkSession, path_str: str) -> None:
     fs.delete(hpath, True)
 
 
+def exists(spark: SparkSession, path_str: str) -> bool:
+    fs, hpath, _ = _fs(spark, path_str)
+    return bool(fs.exists(hpath))
+
+
 def write_text(spark: SparkSession, path_str: str, content: str) -> None:
     fs, hpath, _ = _fs(spark, path_str)
     out = fs.create(hpath, True)

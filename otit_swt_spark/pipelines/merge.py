@@ -76,10 +76,13 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
         # a partition the batch touched that has ZERO surviving rows never
         # appears in the staged data, so dynamic overwrite leaves its old
         # files behind — drop those partition directories via the Hadoop
-        # FileSystem API (works on any supported scheme, not just local)
-        surviving = {r[0] for r in
+        # FileSystem API (works on any supported scheme, not just local).
+        # Compare AS STRINGS: the staged read re-infers the partition
+        # column's type (date-like strings come back as dates), and a raw
+        # set test would then "empty" partitions that in fact survived.
+        surviving = {str(r[0]) for r in
                      staged.select(partition_col).distinct().collect()}
-        emptied = [p for p in parts if p not in surviving]
+        emptied = [p for p in parts if str(p) not in surviving]
         for v in emptied:
             fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
         fsutil.delete(spark, tmp)

