@@ -23,6 +23,7 @@ from otit_swt_spark.mapper import Mapping, MintingOptions, ResolveIRI
 from otit_swt_spark.timeseries import (
     TimeSeriesTable,
     asof_join,
+    ewma,
     in_memory_timeseries,
     interval_join,
     sessionize,
@@ -37,6 +38,7 @@ __all__ = [
     "ResolveIRI",
     "TimeSeriesTable",
     "asof_join",
+    "ewma",
     "in_memory_timeseries",
     "interval_join",
     "sessionize",

@@ -20,6 +20,7 @@ from otit_swt_spark.streaming.ingest import (
     read_timeseries_stream,
     session_downsample,
     session_gaps,
+    stream_incremental_agg,
     sliding_downsample,
     to_timeseries_sink,
     windowed_downsample,
@@ -30,6 +31,7 @@ __all__ = [
     "ewma_stream",
     "read_timeseries_stream",
     "session_downsample",
+    "stream_incremental_agg",
     "session_gaps",
     "sliding_downsample",
     "stream_exact_dedup",

@@ -275,3 +275,34 @@ def ewma_stream(df: DataFrame, alpha: float = 0.2,
             fold, _EWMA_OUT, _EWMA_STATE, "append",
             GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_incremental_agg(df: DataFrame, path: str, keys: list,
+                           sum_cols: list, checkpoint: str,
+                           partition_col: str | None = None,
+                           weight_col: str | None = None):
+    """Maintain a grouped-aggregate parquet table from a stream: every
+    micro-batch folds into the stored (count, decimal-sum) partials via
+    ``pipelines.incremental.incremental_agg_upsert`` inside
+    ``foreachBatch`` — the streaming materialized-view pattern. Each
+    batch reads/rewrites only the partitions it touches, so the sink
+    cost tracks the batch's key spread, not the table size. Returns the
+    started StreamingQuery (caller owns awaitTermination/stop).
+
+    foreachBatch gives at-least-once batch delivery on restart; partials
+    are NOT idempotent under replay, so keep the checkpoint directory
+    with the table (same lifecycle) — the checkpoint is what makes each
+    batch fold exactly once."""
+    from otit_swt_spark.pipelines.incremental import incremental_agg_upsert
+
+    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_agg_upsert(batch_df.sparkSession, path, batch_df,
+                               keys, sum_cols, partition_col=partition_col,
+                               weight_col=weight_col)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

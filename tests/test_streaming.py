@@ -350,3 +350,26 @@ def test_ewma_stream_multichunk_group(spark, tmp_path):
                            ts="timestamp", alpha=0.3)
                 .select("id", "timestamp", "ewma"))
     assert got == want
+
+
+def test_stream_incremental_agg(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) folded through
+    foreachBatch must equal one full recompute."""
+    from otit_swt_spark.pipelines.incremental import partial_agg, read_agg
+    from otit_swt_spark.streaming.ingest import stream_incremental_agg
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    b1 = pd.DataFrame({"grp": ["x", "x", "y"], "v": [1.0, 2.0, 10.0]})
+    b2 = pd.DataFrame({"grp": ["x", "z"], "v": [4.0, 7.0]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("grp string, v double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_incremental_agg(stream, agg, ["grp"], ["v"], ck)
+    q.awaitTermination(120)
+
+    got = rows(read_agg(spark, agg, ["v"]).select("grp", "n", "sum_v"))
+    assert got == [("x", 3, 7.0), ("y", 1, 10.0), ("z", 1, 7.0)]
