@@ -549,6 +549,27 @@ def q_asof_join(spark, sf_dir):
         F.col("purchase_value_matched").alias("purchase_value"))
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: every event aligned to the user's NEXT
+    purchase (earliest at-or-after). Oracle is DuckDB's ASOF on negated
+    epochs (l.neg >= r.neg ⇔ l.ts <= r.ts, argmax(-ts) = earliest)."""
+    from otit_swt_spark.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        on="user_id", left_ts="ts", right_ts="ts",
+        value_columns=["purchase_value"], suffix="_matched",
+        direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts_matched").alias("next_purchase_ts"),
+        F.col("purchase_value_matched").alias("purchase_value"))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) with per-session
     aggregates — batch twin of the streaming session window."""
@@ -1546,6 +1567,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q19_bracket": q_tpch_q19_bracket,
         "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
         "autocorr_events": q_autocorr_events,
@@ -2171,6 +2193,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY user_id, ts
             ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_forward": """
+            SELECT l.event_id, l.user_id,
+                   r.ts AS next_purchase_ts, r.purchase_value
+            FROM (SELECT event_id, user_id, ts, -epoch_us(ts) AS neg
+                  FROM events) l
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS purchase_value,
+                       -epoch_us(ts) AS neg
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ) r ON l.user_id = r.user_id AND l.neg >= r.neg
         """,
         "ts_outliers": """
             WITH stats AS (

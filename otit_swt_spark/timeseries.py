@@ -95,23 +95,29 @@ def asof_join(
     value_columns: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to every left row the latest right row
-    with ``right.ts <= left.ts`` for the same key (left outer — unmatched
-    left rows keep nulls). The classic time-series alignment operator Spark
-    lacks natively (DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``).
+    """As-of join: attach to every left row the latest right row with
+    ``right.ts <= left.ts`` (``direction='backward'``, the default and
+    the reference/pandas/DuckDB behavior) or the EARLIEST right row with
+    ``right.ts >= left.ts`` (``direction='forward'``) for the same key
+    (left outer — unmatched left rows keep nulls). The classic
+    time-series alignment operator Spark lacks natively.
 
     Plan shape: tag both inputs, union, ONE shuffle on the key, and a
     running ``last(..., ignorenulls)`` window carries each right value
-    forward to the left rows that follow it in time — no range join, no
-    per-row probe, linear in |left|+|right| at any scale. Right rows tie-
-    sort before left rows at equal timestamps (inclusive match).
+    forward (or, time-descending, backward) to the left rows on the
+    other side — no range join, no per-row probe, linear in
+    |left|+|right| at any scale. Right rows tie-sort before left rows at
+    equal timestamps (inclusive match in both directions).
 
-    ``tolerance_seconds`` nulls out matches older than the given horizon
-    (rows are kept — left-join semantics). ``value_columns`` defaults to
-    every right column except the key and timestamp; matched columns get
-    ``suffix``, and the matched right timestamp lands in
+    ``tolerance_seconds`` nulls out matches farther than the given
+    horizon (rows are kept — left-join semantics). ``value_columns``
+    defaults to every right column except the key and timestamp; matched
+    columns get ``suffix``, and the matched right timestamp lands in
     ``{right_ts}{suffix}``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     if value_columns is None:
         value_columns = [c for c in right.columns if c not in (on, right_ts)]
     rts_out = f"{right_ts}{suffix}"
@@ -134,8 +140,15 @@ def asof_join(
 
     from pyspark.sql import Window
 
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        # time-descending: the running last() then carries each right row
+        # BACKWARD in time; __side still sorts right rows first at ties,
+        # keeping the >= match inclusive
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
     w = (Window.partitionBy(on)
-         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     out = (tagged
            .select(*[c for c in left.columns], "__ts", "__side",
@@ -143,8 +156,9 @@ def asof_join(
            .filter(F.col("__side") == 1))
     matched_names = [*(f"{c}{suffix}" for c in value_columns), rts_out]
     if tolerance_seconds is not None:
-        in_tol = (F.unix_micros(F.col("__ts").cast("timestamp"))
-                  - F.unix_micros(F.col("__match")[rts_out].cast("timestamp"))
+        gap = (F.unix_micros(F.col("__ts").cast("timestamp"))
+               - F.unix_micros(F.col("__match")[rts_out].cast("timestamp")))
+        in_tol = (gap if direction == "backward" else -gap
                   ) <= int(tolerance_seconds * 1_000_000)
         unpacked = [F.when(in_tol, F.col("__match")[c]).alias(c)
                     for c in matched_names]

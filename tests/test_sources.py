@@ -743,3 +743,30 @@ def test_merge_upsert_datelike_partitions_survive(spark, tmp_path):
     got = {(str(r.day), r.k): r.v
            for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 1): "a", ("2024-01-02", 2): "B"}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from pyspark.sql import functions as F
+    from otit_swt_spark.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 35)], "id string, t long")
+    right = spark.createDataFrame(
+        [("a", 15, 1.5), ("a", 30, 3.0)], "id string, t long, v double")
+    fwd = {r.t: (r.t_matched, r.v_matched)
+           for r in asof_join(left, right, on="id", left_ts="t",
+                              right_ts="t", direction="forward").collect()}
+    assert fwd == {10: (15, 1.5), 20: (30, 3.0), 35: (None, None)}
+    # inclusive at equality
+    right2 = spark.createDataFrame([("a", 20, 9.9)], "id string, t long, v double")
+    eq = {r.t: r.t_matched
+          for r in asof_join(left, right2, on="id", left_ts="t",
+                             right_ts="t", direction="forward").collect()}
+    assert eq[20] == 20
+    # forward tolerance: match farther than the horizon nulls out
+    tol = {int(r.t.timestamp()): r.t_matched for r in asof_join(
+        left.withColumn("t", F.timestamp_seconds("t")),
+        right.withColumn("t", F.timestamp_seconds("t")),
+        on="id", left_ts="t", right_ts="t",
+        direction="forward", tolerance_seconds=5).collect()}
+    assert tol[10] is not None and tol[20] is None
