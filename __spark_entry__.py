@@ -967,6 +967,23 @@ def _part_coorder_edges(spark, sf_dir):
     return cooccurrence_edges(l, "l_orderkey", "l_partkey")
 
 
+def q_spatial_radius_join(spark, sf_dir):
+    """Grid-bucketed planar radius join: customer×supplier pairs within
+    distance 50 on synthetic md5-derived coordinates in [0,1000)² — the
+    distributed spatial-join strategy (3×3 neighbor-cell equi-join +
+    exact refinement); the oracle brute-forces the same pair set."""
+    from otit_swt_spark.pipelines.spatial import hash_coords, radius_join
+
+    c = hash_coords(_t(spark, sf_dir, "customer").select("c_custkey"),
+                    "c_custkey")
+    s = hash_coords(_t(spark, sf_dir, "supplier").select("s_suppkey"),
+                    "s_suppkey")
+    return (radius_join(c, s, radius=50.0)
+            .select(F.col("c_custkey_l").alias("c_custkey"),
+                    F.col("s_suppkey_r").alias("s_suppkey"),
+                    "dist"))
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree statistics of the part co-order graph (parts appearing on
     the same order) — union + one grouped count over canonical edges."""
@@ -1610,6 +1627,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_lineitem": q_validate_lineitem,
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
+        "spatial_radius_join": q_spatial_radius_join,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
@@ -2720,6 +2738,29 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
+        "spatial_radius_join": """
+            WITH c AS (
+                SELECT c_custkey,
+                       CAST(CAST(concat('0x', substr(md5('geo:x' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS x,
+                       CAST(CAST(concat('0x', substr(md5('geo:y' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS y
+                FROM customer
+            ), s AS (
+                SELECT s_suppkey,
+                       CAST(CAST(concat('0x', substr(md5('geo:x' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS x,
+                       CAST(CAST(concat('0x', substr(md5('geo:y' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS y
+                FROM supplier
+            )
+            SELECT c_custkey, s_suppkey,
+                   round(sqrt((c.x - s.x) * (c.x - s.x)
+                              + (c.y - s.y) * (c.y - s.y)), 6) AS dist
+            FROM c, s
+            WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+                  <= CAST(2500 AS DOUBLE)
+        """,
         "graph_degree": """
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (

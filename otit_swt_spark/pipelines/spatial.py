@@ -1,0 +1,80 @@
+"""Spatial joins on planar coordinates: the grid-bucketed radius join —
+the distributed strategy for "find all pairs within distance r" that a
+naive cross join cannot survive at scale.
+
+Scale shape: each point maps to a square grid cell of side ``radius``;
+a left point can only match right points in its own or the 8 adjacent
+cells, so the left side explodes ×9 onto neighbor cells, the join is a
+plain hash equi-join on the cell key, and the exact distance check runs
+only on co-celled candidates. Pair work is proportional to local point
+density × |points| instead of |left|×|right|; a dense hot cell is the
+skew case — cap it upstream (filter or sample dense cells) or salt the
+cell key with pipelines.skew.
+
+Pure arithmetic (multiply/compare, no trig), so results are bit-identical
+across engines: for geographic coordinates project to a planar CRS (or
+accept the small-window equirectangular approximation) before calling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_grid_cell(df: DataFrame, x: str, y: str, cell: float,
+                   out: str = "cell") -> DataFrame:
+    """Tag each point with its ``(floor(x/cell), floor(y/cell))`` grid
+    cell as a struct column — the partitioning key for spatial ops."""
+    return df.withColumn(out, F.struct(
+        F.floor(F.col(x) / cell).alias("cx"),
+        F.floor(F.col(y) / cell).alias("cy")))
+
+
+def radius_join(left: DataFrame, right: DataFrame, radius: float,
+                x: str = "x", y: str = "y",
+                suffixes: tuple[str, str] = ("_l", "_r")) -> DataFrame:
+    """All (left, right) pairs within planar distance ``radius``
+    (inclusive). Left explodes onto its 3×3 neighbor cells; one hash
+    equi-join on the cell; exact ``dx²+dy² <= r²`` refinement. Output:
+    left columns suffixed + right columns suffixed + ``dist``
+    (rounded to 6 dp)."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    sl, sr = suffixes
+    lcols = [F.col(c).alias(c + sl) for c in left.columns]
+    rcols = [F.col(c).alias(c + sr) for c in right.columns]
+    l = left.select(*lcols)
+    r = right.select(*rcols)
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    l = (l.withColumn("__o", F.explode(offsets))
+         .withColumn("__cx", F.floor(F.col(x + sl) / radius) + F.col("__o.dx"))
+         .withColumn("__cy", F.floor(F.col(y + sl) / radius) + F.col("__o.dy"))
+         .drop("__o"))
+    r = (r.withColumn("__cx", F.floor(F.col(x + sr) / radius))
+         .withColumn("__cy", F.floor(F.col(y + sr) / radius)))
+    dx = F.col(x + sl) - F.col(x + sr)
+    dy = F.col(y + sl) - F.col(y + sr)
+    d2 = dx * dx + dy * dy
+    return (l.join(r, ["__cx", "__cy"])
+            .filter(d2 <= F.lit(float(radius) * float(radius)))
+            .drop("__cx", "__cy")
+            .withColumn("dist", F.round(F.sqrt(d2), 6)))
+
+
+def hash_coords(df: DataFrame, key_col: str, scale: float = 1000.0,
+                salt: str = "geo", x: str = "x", y: str = "y") -> DataFrame:
+    """Deterministic synthetic planar coordinates in [0, scale) derived
+    from a key's md5 — test/benchmark scaffolding that any SQL engine
+    reproduces exactly (the spatial operators themselves are
+    coordinate-source-agnostic)."""
+    def coord(salt_part: str):
+        h = F.substring(
+            F.md5(F.concat(F.lit(salt + salt_part),
+                           F.col(key_col).cast("string"))), 1, 8)
+        return (F.conv(h, 16, 10).cast("double")
+                / F.lit(4294967296.0) * F.lit(scale))
+
+    return df.withColumn(x, coord(":x")).withColumn(y, coord(":y"))

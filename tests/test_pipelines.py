@@ -1092,3 +1092,22 @@ def test_session_paths_truncation_and_order(spark):
                                   order_cols=["event_id"],
                                   max_len=2).collect()}
     assert cut == {"view>click": 1, "view>view": 1}
+
+
+def test_radius_join_matches_bruteforce(spark):
+    import itertools, math, random
+    from otit_swt_spark.pipelines.spatial import radius_join
+
+    rng = random.Random(7)
+    pts_a = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(60)]
+    pts_b = [(j, rng.uniform(0, 100), rng.uniform(0, 100)) for j in range(40)]
+    la = spark.createDataFrame(pts_a, "ida long, x double, y double")
+    lb = spark.createDataFrame(pts_b, "idb long, x double, y double")
+    got = {(r.ida_l, r.idb_r) for r in radius_join(la, lb, radius=12.5).collect()}
+    want = {(i, j) for (i, xa, ya), (j, xb, yb)
+            in itertools.product(pts_a, pts_b)
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= 12.5 ** 2}
+    assert got == want
+    # no duplicate pairs from the 9-cell explode
+    all_rows = radius_join(la, lb, radius=12.5).count()
+    assert all_rows == len(want)
