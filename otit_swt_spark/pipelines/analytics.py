@@ -41,8 +41,11 @@ def funnel_steps(events: DataFrame, steps: list[str],
         prev_t = f"t{i - 1}"
         within = F.col(ts) > F.col(prev_t)
         if max_lag_seconds is not None:
+            # cast: unix_micros rejects TIMESTAMP_NTZ, which is what a raw
+            # parquet read yields
             within &= (
-                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(prev_t))
+                F.unix_micros(F.col(ts).cast("timestamp"))
+                - F.unix_micros(F.col(prev_t).cast("timestamp"))
                 <= F.lit(int(max_lag_seconds * 1_000_000)))
         nxt = (events.filter(F.col(type_col) == step)
                .join(reached.select(key, prev_t), key)
