@@ -107,17 +107,25 @@ def session_paths(events: DataFrame, key: str = "user_id", ts: str = "ts",
     Shuffles: the sessionize window (key), one groupBy per (key,
     session), one small rollup on the path string.
     """
+    from pyspark.sql import Window
+
     from otit_swt_spark.timeseries import sessionize
 
     order_cols = order_cols or []
     s = sessionize(events, key=key, ts=ts, gap_seconds=gap_seconds,
                    order_cols=order_cols)
+    if max_len is not None:
+        # truncate BEFORE collecting: the guard exists so one bot session
+        # with 100k events never materializes a 100k-element array in an
+        # aggregation buffer — a slice after collect_list would
+        w = (Window.partitionBy(key, "session_idx")
+             .orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in order_cols]))
+        s = (s.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= max_len).drop("__rn"))
     step = F.struct(F.col(ts), *[F.col(c) for c in order_cols],
                     F.col(type_col).alias("__t"))
     seq = F.transform(F.sort_array(F.collect_list(step)),
                       lambda x: x["__t"])
-    if max_len is not None:
-        seq = F.slice(seq, 1, max_len)
     paths = (s.groupBy(key, "session_idx")
              .agg(F.concat_ws(">", seq).alias("path")))
     return (paths.groupBy("path")

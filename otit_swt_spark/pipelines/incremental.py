@@ -26,14 +26,18 @@ _DEC = "decimal(38,6)"
 
 def partial_agg(df: DataFrame, keys: list[str], sum_cols: list[str],
                 weight_col: str | None = None) -> DataFrame:
-    """Decomposable partials per group: ``n`` plus exact decimal
-    ``sum_<col>`` for each measure. ``weight_col`` (+1 insert / -1
-    retract) turns the same pass into a CDC delta aggregate."""
+    """Decomposable partials per group: ``n`` plus, per measure, the exact
+    decimal ``sum_<col>`` and the NON-NULL value count ``cnt_<col>``
+    (means must divide by the non-null count, like SQL AVG — not by the
+    row count). ``weight_col`` (+1 insert / -1 retract) turns the same
+    pass into a CDC delta aggregate."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     aggs = [F.sum(w).alias("n")]
     for c in sum_cols:
         aggs.append(F.sum((F.col(c).cast(_DEC) * w).cast(_DEC))
                     .cast(_DEC).alias(f"sum_{c}"))
+        aggs.append(F.sum(F.when(F.col(c).isNotNull(), w).otherwise(0))
+                    .cast("long").alias(f"cnt_{c}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -42,9 +46,12 @@ def combine_partials(stored: DataFrame, delta: DataFrame,
     """Merge two partial-aggregate frames by group: counts and sums add;
     groups whose count reaches zero disappear (full retraction)."""
     merged = stored.unionByName(delta, allowMissingColumns=False)
-    sums = [F.sum("n").alias("n")] + [
-        F.sum(c).cast(_DEC).alias(c)
-        for c in stored.columns if c.startswith("sum_")]
+    sums = [F.sum("n").alias("n")]
+    for c in stored.columns:
+        if c.startswith("sum_"):
+            sums.append(F.sum(c).cast(_DEC).alias(c))
+        elif c.startswith("cnt_"):
+            sums.append(F.sum(c).cast("long").alias(c))
     return (merged.groupBy(*keys).agg(*sums)
             .filter(F.col("n") != 0))
 
@@ -63,7 +70,12 @@ def incremental_agg_upsert(spark: SparkSession, path: str, delta: DataFrame,
         raise ValueError("partition_col must be one of the group keys")
     d = partial_agg(delta, keys, sum_cols, weight_col)
     if not fsutil.exists(spark, path):
-        writer = d.write.mode("overwrite")
+        # creation only: a first batch whose inserts and retractions cancel
+        # must not persist a phantom n=0 group. The UPDATE path must NOT
+        # filter the delta — an update-in-place pair (retract old value,
+        # insert new) has n=0 with a nonzero sum adjustment, which
+        # combine_partials folds into the stored row before ITS n!=0 filter.
+        writer = d.filter(F.col("n") != 0).write.mode("overwrite")
         if partition_col is not None:
             writer = writer.partitionBy(partition_col)
         writer.parquet(path)
@@ -76,36 +88,27 @@ def incremental_agg_upsert(spark: SparkSession, path: str, delta: DataFrame,
         spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
         fsutil.delete(spark, tmp)
         return
+    from otit_swt_spark.pipelines.merge import stage_dynamic_overwrite
+
     parts = [r[0] for r in d.select(partition_col).distinct().collect()]
     touched = stored.filter(F.col(partition_col).isin(parts))
     combined = combine_partials(touched, d, keys)
-    combined.write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # compare partition values AS STRINGS: reading a partitioned dataset
-    # re-infers the partition column's type (e.g. '2024-01-03' comes back
-    # as a date), so a raw set test against the delta's python values
-    # would mark every just-written partition as "emptied" and delete it
-    surviving = {str(r[0])
-                 for r in staged.select(partition_col).distinct().collect()}
-    for v in (p for p in parts if str(p) not in surviving):
-        fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
-    fsutil.delete(spark, tmp)
+    stage_dynamic_overwrite(spark, path, combined, partition_col, parts,
+                            tmp_suffix=".__incr_tmp__")
 
 
 def read_agg(spark: SparkSession, path: str, sum_cols: list[str]) -> DataFrame:
     """The maintained aggregate with derived means: ``n``, exact
-    ``sum_<col>`` (as double) and ``avg_<col>`` per measure."""
+    ``sum_<col>`` (as double) and ``avg_<col>`` per measure. The mean
+    divides by the measure's NON-NULL count (SQL AVG semantics; NULL when
+    every surviving value is null) — not by the group's row count."""
     df = spark.read.parquet(path)
-    out = [c for c in df.columns if not c.startswith("sum_")]
+    out = [c for c in df.columns
+           if not (c.startswith("sum_") or c.startswith("cnt_"))]
     cols = [F.col(c) for c in out]
     for c in sum_cols:
         cols.append(F.col(f"sum_{c}").cast("double").alias(f"sum_{c}"))
-        cols.append(F.round(F.col(f"sum_{c}").cast("double") / F.col("n"), 6)
+        cols.append(F.round(F.try_divide(F.col(f"sum_{c}").cast("double"),
+                                         F.col(f"cnt_{c}")), 6)
                     .alias(f"avg_{c}"))
     return df.select(*cols)

@@ -23,6 +23,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from otit_swt_spark import fsutil
 
 
+def stage_dynamic_overwrite(spark: SparkSession, path: str, frame: DataFrame,
+                            partition_col: str, touched_parts: list,
+                            tmp_suffix: str = ".__stage_tmp__") -> None:
+    """Shared copy-on-write tail for partition-scoped dataset mutation:
+    stage ``frame`` to a sibling tmp dir (Spark refuses to overwrite a
+    location it is reading), dynamic-partition-overwrite the staged rows
+    into ``path``, then delete the directories of ``touched_parts`` that
+    ended up with zero surviving rows (dynamic overwrite only replaces
+    partitions present in the written data). Partition values compare AS
+    STRINGS — the staged read re-infers the partition column's type
+    (date-like strings come back as dates), and a raw set test would
+    mark every just-written partition as emptied and delete it."""
+    tmp = path.rstrip("/") + tmp_suffix
+    frame.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    surviving = {str(r[0])
+                 for r in staged.select(partition_col).distinct().collect()}
+    for v in (p for p in touched_parts if str(p) not in surviving):
+        fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
+    fsutil.delete(spark, tmp)
+
+
 def apply_changes(target: DataFrame, changes: DataFrame, key: str,
                   deleted_col: str | None = None) -> DataFrame:
     """Pure-DataFrame merge: rows of ``target`` not keyed in ``changes``,
@@ -61,31 +89,8 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
         parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
         target = target.filter(F.col(partition_col).isin(parts))
         merged = apply_changes(target, changes, key, deleted_col)
-        # Spark refuses to overwrite a location it is reading in the same
-        # query — stage the merged partitions, then dynamic-overwrite only
-        # those partitions into the live dataset.
-        merged.write.mode("overwrite").parquet(tmp)
-        staged = spark.read.parquet(tmp)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (staged.write.mode("overwrite").partitionBy(partition_col)
-             .parquet(path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # a partition the batch touched that has ZERO surviving rows never
-        # appears in the staged data, so dynamic overwrite leaves its old
-        # files behind — drop those partition directories via the Hadoop
-        # FileSystem API (works on any supported scheme, not just local).
-        # Compare AS STRINGS: the staged read re-infers the partition
-        # column's type (date-like strings come back as dates), and a raw
-        # set test would then "empty" partitions that in fact survived.
-        surviving = {str(r[0]) for r in
-                     staged.select(partition_col).distinct().collect()}
-        emptied = [p for p in parts if str(p) not in surviving]
-        for v in emptied:
-            fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
-        fsutil.delete(spark, tmp)
+        stage_dynamic_overwrite(spark, path, merged, partition_col, parts,
+                                tmp_suffix=".__merge_tmp__")
         return
     merged = apply_changes(target, changes, key, deleted_col)
     merged.write.mode("overwrite").parquet(tmp)

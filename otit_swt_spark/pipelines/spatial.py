@@ -49,12 +49,15 @@ def radius_join(left: DataFrame, right: DataFrame, radius: float,
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    l = (l.withColumn("__o", F.explode(offsets))
-         .withColumn("__cx", F.floor(F.col(x + sl) / radius) + F.col("__o.dx"))
-         .withColumn("__cy", F.floor(F.col(y + sl) / radius) + F.col("__o.dy"))
-         .drop("__o"))
-    r = (r.withColumn("__cx", F.floor(F.col(x + sr) / radius))
-         .withColumn("__cy", F.floor(F.col(y + sr) / radius)))
+    l = (with_grid_cell(l, x + sl, y + sl, radius, out="__cell")
+         .withColumn("__o", F.explode(offsets))
+         .withColumn("__cx", F.col("__cell.cx") + F.col("__o.dx"))
+         .withColumn("__cy", F.col("__cell.cy") + F.col("__o.dy"))
+         .drop("__o", "__cell"))
+    r = (with_grid_cell(r, x + sr, y + sr, radius, out="__cell")
+         .withColumn("__cx", F.col("__cell.cx"))
+         .withColumn("__cy", F.col("__cell.cy"))
+         .drop("__cell"))
     dx = F.col(x + sl) - F.col(x + sr)
     dy = F.col(y + sl) - F.col(y + sr)
     d2 = dx * dx + dy * dy

@@ -289,18 +289,32 @@ def stream_incremental_agg(df: DataFrame, path: str, keys: list,
     cost tracks the batch's key spread, not the table size. Returns the
     started StreamingQuery (caller owns awaitTermination/stop).
 
-    foreachBatch gives at-least-once batch delivery on restart; partials
-    are NOT idempotent under replay, so keep the checkpoint directory
-    with the table (same lifecycle) — the checkpoint is what makes each
-    batch fold exactly once."""
+    foreachBatch delivers batches AT LEAST once on restart and the fold
+    is not idempotent, so a last-applied batch id is persisted beside the
+    table and replayed batches are skipped. The double-count window
+    narrows to a crash BETWEEN the fold and the sidecar write; strict
+    exactly-once needs a transactional table format (Delta/Iceberg) that
+    commits data and batch id atomically — keep the checkpoint directory
+    with the table either way (same lifecycle)."""
+    from otit_swt_spark import fsutil
     from otit_swt_spark.pipelines.incremental import incremental_agg_upsert
 
-    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        incremental_agg_upsert(batch_df.sparkSession, path, batch_df,
-                               keys, sum_cols, partition_col=partition_col,
-                               weight_col=weight_col)
+    marker = path.rstrip("/") + ".__last_batch__"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if fsutil.exists(spark, marker):
+            try:
+                if batch_id <= int(fsutil.read_text(spark, marker).strip()):
+                    return  # replayed batch: already folded
+            except ValueError:
+                pass  # unreadable marker: fold (at-least-once fallback)
+        if not batch_df.isEmpty():
+            incremental_agg_upsert(spark, path, batch_df,
+                                   keys, sum_cols,
+                                   partition_col=partition_col,
+                                   weight_col=weight_col)
+        fsutil.write_text(spark, marker, str(batch_id))
 
     return (df.writeStream.foreachBatch(fold_batch)
             .option("checkpointLocation", checkpoint)

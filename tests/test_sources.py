@@ -687,18 +687,22 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
              ("2024-01-02", 2, 5.0, -1)]                     # fully retract grp
     schema = "day string, grp long, v double, w int"
     keys, sums = ["day", "grp"], ["v"]
+    files_before_b2 = files_after_b2 = None
     for rows in (rows1, rows2, rows3):
+        if rows is rows2:
+            files_before_b2 = {
+                f for f in os.listdir(path + "/day=2024-01-01")
+                if f.endswith(".parquet")}
         incremental_agg_upsert(
             spark, path, spark.createDataFrame(rows, schema),
             keys, sums, partition_col="day", weight_col="w")
         if rows is rows2:
-            files_before = {
+            files_after_b2 = {
                 f for f in os.listdir(path + "/day=2024-01-01")
                 if f.endswith(".parquet")}
 
-    # day=2024-01-01 was untouched by batch 2 -> same physical files then
-    files_after_b2 = files_before
-    assert files_after_b2  # non-empty and unchanged by construction read
+    # day=2024-01-01 was untouched by batch 2 -> identical physical files
+    assert files_before_b2 and files_before_b2 == files_after_b2
 
     agg_df = read_agg(spark, path, sums)
     got = rows_(agg_df.select(F.col("day").cast("string"), "grp", "n",
@@ -770,3 +774,39 @@ def test_asof_join_forward_and_tolerance(spark):
         on="id", left_ts="t", right_ts="t",
         direction="forward", tolerance_seconds=5).collect()}
     assert tol[10] is not None and tol[20] is None
+
+
+def test_incremental_agg_null_measures_and_create_cancel(spark, tmp_path):
+    from otit_swt_spark.pipelines.incremental import (
+        incremental_agg_upsert, read_agg)
+
+    path = str(tmp_path / "agg2")
+    schema = "grp long, v double, w int"
+    # group 1: two rows, one NULL measure -> avg over non-null count only;
+    # group 2: insert + its own retraction in the FIRST batch -> no row
+    batch = [(1, 10.0, 1), (1, None, 1), (2, 5.0, 1), (2, 5.0, -1)]
+    incremental_agg_upsert(spark, path, spark.createDataFrame(batch, schema),
+                           ["grp"], ["v"], weight_col="w")
+    got = {r.grp: (r.n, r.sum_v, r.avg_v)
+           for r in read_agg(spark, path, ["v"]).collect()}
+    assert got == {1: (2, 10.0, 10.0)}   # avg = 10/1 (non-null cnt), not 10/2
+
+
+def test_stream_incremental_agg_replay_skipped(spark, tmp_path):
+    """Re-delivering already-folded batch ids (fresh checkpoint, same
+    table + marker) must not double-count."""
+    import pandas as pd
+    from otit_swt_spark.pipelines.incremental import read_agg
+    from otit_swt_spark.streaming.ingest import stream_incremental_agg
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    spark.createDataFrame(pd.DataFrame({"grp": ["x"], "v": [2.0]})) \
+        .coalesce(1).write.parquet(src)
+    for i in range(2):   # second run = full replay with a NEW checkpoint
+        stream = (spark.readStream.schema("grp string, v double").parquet(src))
+        q = stream_incremental_agg(stream, agg, ["grp"], ["v"],
+                                   str(tmp_path / f"ck{i}"))
+        q.awaitTermination(120)
+    got = [(r.grp, r.n, r.sum_v) for r in read_agg(spark, agg, ["v"]).collect()]
+    assert got == [("x", 1, 2.0)]
