@@ -984,6 +984,35 @@ def q_spatial_radius_join(spark, sf_dir):
                     "dist"))
 
 
+def q_spatial_knn_join(spark, sf_dir):
+    """Bounded k-nearest-neighbors (k=3 within radius 100): grid
+    candidates → per-left-point window top-k; oracle brute-forces the
+    same ranking with identical tie-breaks."""
+    from otit_swt_spark.pipelines.spatial import hash_coords, knn_join
+
+    c = hash_coords(_t(spark, sf_dir, "customer").select("c_custkey"),
+                    "c_custkey")
+    s = hash_coords(_t(spark, sf_dir, "supplier").select("s_suppkey"),
+                    "s_suppkey")
+    return (knn_join(c, s, k=3, max_radius=100.0)
+            .select(F.col("c_custkey_l").alias("c_custkey"),
+                    F.col("s_suppkey_r").alias("s_suppkey"),
+                    "dist", "nn_rank"))
+
+
+def q_graph_jaccard(spark, sf_dir):
+    """Link prediction on the (hub-clipped) part co-order graph:
+    neighborhood Jaccard via one wedge-count shuffle + degree joins —
+    no neighbor-set arrays."""
+    from otit_swt_spark.pipelines.graphalgo import (cooccurrence_edges,
+                                                    neighborhood_jaccard)
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey",
+                               max_group_size=3)
+    return neighborhood_jaccard(edges, min_common=2)
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree statistics of the part co-order graph (parts appearing on
     the same order) — union + one grouped count over canonical edges."""
@@ -1628,6 +1657,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mixture_sample": q_mixture_sample,
         "hash_shards": q_hash_shards,
         "spatial_radius_join": q_spatial_radius_join,
+        "spatial_knn_join": q_spatial_knn_join,
+        "graph_jaccard": q_graph_jaccard,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
@@ -2760,6 +2791,66 @@ def oracle_sql() -> dict[str, str]:
             FROM c, s
             WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
                   <= CAST(2500 AS DOUBLE)
+        """,
+        "spatial_knn_join": """
+            WITH c AS (
+                SELECT c_custkey,
+                       CAST(CAST(concat('0x', substr(md5('geo:x' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS x,
+                       CAST(CAST(concat('0x', substr(md5('geo:y' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS y
+                FROM customer
+            ), s AS (
+                SELECT s_suppkey,
+                       CAST(CAST(concat('0x', substr(md5('geo:x' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS x,
+                       CAST(CAST(concat('0x', substr(md5('geo:y' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE) * CAST(1000 AS DOUBLE) AS y
+                FROM supplier
+            ), cand AS (
+                SELECT c_custkey, s_suppkey,
+                       (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2,
+                       s.x AS sx, s.y AS sy
+                FROM c, s
+                WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+                      <= CAST(10000 AS DOUBLE)
+            ), ranked AS (
+                SELECT c_custkey, s_suppkey,
+                       round(sqrt(d2), 6) AS dist,
+                       -- rank on the ROUNDED distance: the Spark side
+                       -- ranks the rounded dist column, and two candidates
+                       -- distinct at full precision can tie at 6 dp
+                       CAST(row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY round(sqrt(d2), 6), sx, sy) AS INT)
+                           AS nn_rank
+                FROM cand
+            )
+            SELECT c_custkey, s_suppkey, dist, nn_rank
+            FROM ranked WHERE nn_rank <= 3
+        """,
+        "graph_jaccard": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            ok AS (SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= 3),
+            op2 AS (SELECT op.* FROM op JOIN ok USING (l_orderkey)),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op2 a JOIN op2 b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ), und AS (
+                SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT u, count(*) AS deg FROM und GROUP BY 1
+            ), common AS (
+                SELECT e1.u AS p, e2.u AS q, count(*) AS common
+                FROM und e1 JOIN und e2 ON e1.v = e2.v AND e1.u < e2.u
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p AS a, q AS b, common,
+                   round(CAST(common AS DOUBLE)
+                         / (da.deg + db.deg - common), 6) AS jaccard
+            FROM common
+            JOIN deg da ON common.p = da.u
+            JOIN deg db ON common.q = db.u
         """,
         "graph_degree": """
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -67,6 +67,31 @@ def radius_join(left: DataFrame, right: DataFrame, radius: float,
             .withColumn("dist", F.round(F.sqrt(d2), 6)))
 
 
+def knn_join(left: DataFrame, right: DataFrame, k: int, max_radius: float,
+             x: str = "x", y: str = "y",
+             suffixes: tuple[str, str] = ("_l", "_r")) -> DataFrame:
+    """Bounded k-nearest-neighbors: for each left point, the ``k``
+    closest right points within ``max_radius`` (points with fewer than k
+    in-range neighbors return what exists). Reuses the grid radius join
+    for candidates, then one window top-k per left point — the bounded
+    form is what scales: unbounded kNN degenerates to all-pairs when a
+    point sits in an empty region, while the radius bound keeps candidate
+    count proportional to local density. Ties on distance break by the
+    right row's coordinates (deterministic)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sl, sr = suffixes
+    cand = radius_join(left, right, max_radius, x=x, y=y, suffixes=suffixes)
+    w = (Window.partitionBy(*[F.col(c + sl) for c in left.columns])
+         .orderBy(F.col("dist").asc(),
+                  F.col(x + sr).asc(), F.col(y + sr).asc()))
+    return (cand.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .withColumnRenamed("__rk", "nn_rank"))
+
+
 def hash_coords(df: DataFrame, key_col: str, scale: float = 1000.0,
                 salt: str = "geo", x: str = "x", y: str = "y") -> DataFrame:
     """Deterministic synthetic planar coordinates in [0, scale) derived

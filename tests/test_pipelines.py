@@ -1111,3 +1111,28 @@ def test_radius_join_matches_bruteforce(spark):
     # no duplicate pairs from the 9-cell explode
     all_rows = radius_join(la, lb, radius=12.5).count()
     assert all_rows == len(want)
+
+
+def test_knn_join_and_neighborhood_jaccard(spark):
+    from otit_swt_spark.pipelines.graphalgo import neighborhood_jaccard
+    from otit_swt_spark.pipelines.spatial import knn_join
+
+    la = spark.createDataFrame([(1, 0.0, 0.0)], "ida long, x double, y double")
+    lb = spark.createDataFrame(
+        [(10, 1.0, 0.0), (20, 2.0, 0.0), (30, 3.0, 0.0), (40, 99.0, 0.0)],
+        "idb long, x double, y double")
+    got = [(r.idb_r, r.nn_rank)
+           for r in knn_join(la, lb, k=2, max_radius=5.0)
+           .orderBy("nn_rank").collect()]
+    assert got == [(10, 1), (20, 2)]      # 30 beyond k, 40 beyond radius
+
+    # triangle 1-2-3 plus pendant 3-4: N(1)={2,3}, N(2)={1,3} -> common {3},
+    # jaccard 1/3; pair (1,3): common {2}, |N(1)∪N(3)|=4 -> 1/4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long")
+    jac = {(r.a, r.b): (r.common, r.jaccard)
+           for r in neighborhood_jaccard(edges).collect()}
+    assert jac[(1, 2)] == (1, round(1 / 3, 6))
+    assert jac[(1, 3)] == (1, 0.25)
+    assert jac[(2, 3)] == (1, 0.25)
+    assert (1, 4) not in jac or jac[(1, 4)][0] >= 1  # common neighbor 3
