@@ -94,3 +94,48 @@ def test_random_filter_group_agg_matches_duckdb(spark, seed):
     d_cols_n, d_rows = _norm(d_cols, res.fetchall())
     assert s_cols == d_cols_n
     assert s_rows == d_rows, f"seed {seed}: diff {s_rows[:2]} vs {d_rows[:2]}"
+
+
+_JOIN_TYPES = [("inner", "JOIN"), ("left", "LEFT JOIN")]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_join_shapes_match_duckdb(spark, seed):
+    """Random two-table join specs (orders ⋈ customer), random join type,
+    filters on either side, grouped rollup on top — Spark vs DuckDB."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(2000 + seed)
+    how, sql_join = _JOIN_TYPES[rng.randrange(len(_JOIN_TYPES))]
+    bal = round(rng.uniform(-500, 5000), 2)
+    price = round(rng.uniform(0, 200000), 2)
+    seg = rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"])
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .filter(F.col("o_totalprice") > price)
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+        .filter((F.col("c_acctbal") > bal) & (F.col("c_mktsegment") == seg))
+    out = (o.join(c, o.o_custkey == c.c_custkey, how)
+           .groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count("c_custkey").alias("n_matched"),
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                .alias("sum_price")))
+    s_cols, s_rows = _norm(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    res = con.execute(f"""
+        SELECT o_orderpriority, count(*) AS n,
+               count(c_custkey) AS n_matched,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        FROM (SELECT * FROM '{SF_DIR}/orders.parquet'
+              WHERE o_totalprice > {price}) o
+        {sql_join} (SELECT * FROM '{SF_DIR}/customer.parquet'
+              WHERE c_acctbal > {bal} AND c_mktsegment = '{seg}') c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """)
+    d_cols = [x[0] for x in res.description]
+    d_cols_n, d_rows = _norm(d_cols, res.fetchall())
+    assert s_cols == d_cols_n
+    assert s_rows == d_rows, f"seed {seed} ({how})"
