@@ -56,6 +56,10 @@ EXTENDED = [
     "ewma_events",
     "tpch_q10_returns",
     "tpch_q18_large_orders",
+    "funnel_steps",
+    "session_paths",
+    "graph_triangles",
+    "spatial_radius_join",
 ]
 
 

@@ -460,12 +460,23 @@ def ewma(
         f"`{c}` {t}" for c, t in series.select(*cols).dtypes) + ", ewma double"
 
     def fold(pdf):
+        import math
+
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         acc = None
         out = []
-        for x in pdf[value].astype(float):
+        push = out.append
+        isfinite = math.isfinite
+        floor = math.floor
+        copysign = math.copysign
+        # .tolist() gives plain Python floats — iterating the Series itself
+        # boxes numpy scalars per element (~10× slower) and numpy scalar
+        # arithmetic would change the fold's op types; the math itself is
+        # the identical a*x + b*acc double sequence either way
+        for x in pdf[value].astype(float).tolist():
             acc = x if acc is None else alpha * x + beta * acc
-            out.append(_round_half_away(acc, 6))
+            push(copysign(floor(abs(acc) * 1e6 + 0.5), acc) / 1e6
+                 if isfinite(acc) else acc)
         pdf["ewma"] = out
         return pdf
 
