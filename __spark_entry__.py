@@ -1118,6 +1118,33 @@ def q_distinct_users_daily(spark, sf_dir):
     return distinct_daily(ev)
 
 
+def q_group_mode(spark, sf_dir):
+    """Per-user modal event type (most frequent; ties break to the
+    lexicographically smallest type) — argmax-per-group via one count
+    aggregate + one rank window."""
+    from pyspark.sql import Window as W2
+
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (W2.partitionBy("user_id")
+         .orderBy(F.col("n").desc(), F.col("event_type").asc()))
+    return (counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("user_id", F.col("event_type").alias("mode_type"),
+                    F.col("n").alias("n_events")))
+
+
+def q_pack_nosplit(spark, sf_dir):
+    """No-split FFD training packs (SFT layout): per-shard first-fit-
+    decreasing bin packing in applyInPandas. Sequential heuristic — no
+    SQL oracle; invariants pytest-gated."""
+    from otit_swt_spark.pipelines.packing import pack_sequences_nosplit
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences_nosplit(d, budget=512, n_shards=8)
+
+
 def q_pack_sequences(spark, sf_dir):
     """LM training-pack layout: md5-sharded concat-then-chunk packing —
     every document gets a deterministic (shard, token_offset, pack_idx)
@@ -1670,7 +1697,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "retention_cohorts": q_retention_cohorts,
         "histogram_value": q_histogram_value,
         "distinct_users_daily": q_distinct_users_daily,
+        "group_mode": q_group_mode,
         "pack_sequences": q_pack_sequences,
+        "pack_nosplit": q_pack_nosplit,
         "quantize_embeddings": q_quantize_embeddings,
         "ewma_events": q_ewma_events,
         "lm_quality": q_lm_quality,
@@ -2765,6 +2794,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "group_mode": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), ranked AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC) AS rk
+                FROM counts
+            )
+            SELECT user_id, event_type AS mode_type, n AS n_events
+            FROM ranked WHERE rk = 1
         """,
         "pack_sequences": _pack_sequences_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from otit_swt_spark.pipelines.sampling import hash_shard
 from otit_swt_spark.pipelines.textstats import n_tokens
 
+_FFD_OUT = "{key} long, shard int, n_tokens long, pack_idx long"
+
 
 def pack_sequences(df: DataFrame, budget: int, key_col: str = "doc_id",
                    text_col: str = "text", n_shards: int = 8,
@@ -61,3 +63,58 @@ def pack_sequences(df: DataFrame, budget: int, key_col: str = "doc_id",
                 >= (F.col("pack_idx") + 1) * budget)
             .select(key_col, "shard", "n_tokens", "token_offset",
                     "pack_idx", "spans_packs"))
+
+
+def pack_sequences_nosplit(df: DataFrame, budget: int,
+                           key_col: str = "doc_id", text_col: str = "text",
+                           n_shards: int = 8, salt: str = "pack",
+                           ) -> DataFrame:
+    """No-split training packs via first-fit-decreasing bin packing —
+    the SFT/instruction-tuning layout where a document must stay whole
+    (vs :func:`pack_sequences`' concat-then-chunk, which splits at pack
+    boundaries). Documents longer than ``budget`` get a singleton pack.
+
+    FFD is inherently sequential, so it runs per md5 shard inside an
+    Arrow ``applyInPandas`` — each shard's pack list fits a worker, the
+    shards pack in parallel, and ``(shard, pack_idx)`` is globally
+    unique. Deterministic: order within a shard is (tokens desc, md5
+    order key), both derived from the key.
+
+    Output: ``key, shard, n_tokens, pack_idx``; pytest asserts the FFD
+    invariants (no pack exceeds the budget except oversized singletons;
+    assignment deterministic under repartitioning). The inner first-fit
+    scan is O(open packs) per document — size ``n_shards`` so a shard's
+    pack count stays small (FFD's 11/9·OPT quality bound holds per
+    shard).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    toks = df.select(
+        F.col(key_col),
+        n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    sharded = hash_shard(toks, key_col, n_shards, salt=salt)
+    okey = F.md5(F.concat(F.lit(salt + ":o"), F.col(key_col).cast("string")))
+    staged = sharded.withColumn("__okey", okey)
+
+    def ffd(pdf):
+        pdf = pdf.sort_values(["n_tokens", "__okey"],
+                              ascending=[False, True]).reset_index(drop=True)
+        loads: list[int] = []   # current token load per open pack
+        assign = []
+        for n in pdf["n_tokens"].tolist():
+            placed = None
+            for i, load in enumerate(loads):   # first fit
+                if load + n <= budget:
+                    placed = i
+                    loads[i] = load + n
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(n)
+            assign.append(placed)
+        pdf["pack_idx"] = assign
+        return pdf.drop(columns=["__okey"])
+
+    return (staged.groupBy("shard")
+            .applyInPandas(ffd, _FFD_OUT.format(key=key_col)))

@@ -320,3 +320,37 @@ def stream_incremental_agg(df: DataFrame, path: str, keys: list,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_interval_join(clicks: DataFrame, views: DataFrame,
+                         key: str = "id",
+                         left_ts: str = "timestamp",
+                         right_ts: str = "timestamp",
+                         within: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same key whose time falls in ``[left - within, left]``
+    — the attribution join (click joined to the views that preceded it)
+    as a true streaming operator. Both sides carry watermarks, and the
+    range condition bounds the buffered state on each side to the
+    watermark + interval horizon; without the time bound Spark would
+    have to buffer both streams forever.
+
+    Works identically on batch frames (the same join expression is valid
+    in both modes). Output: key, left ts, right ts, and both value
+    columns suffixed."""
+    l = clicks.select(F.col(key).alias("id"),
+                      F.col(left_ts).alias("l_ts"),
+                      F.col("value").alias("l_value"))
+    r = views.select(F.col(key).alias("r_id"),
+                     F.col(right_ts).alias("r_ts"),
+                     F.col("value").alias("r_value"))
+    if clicks.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if views.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = ((F.col("id") == F.col("r_id"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond)
+            .select("id", "l_ts", "r_ts", "l_value", "r_value"))

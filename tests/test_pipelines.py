@@ -1136,3 +1136,26 @@ def test_knn_join_and_neighborhood_jaccard(spark):
     assert jac[(1, 3)] == (1, 0.25)
     assert jac[(2, 3)] == (1, 0.25)
     assert (1, 4) not in jac or jac[(1, 4)][0] >= 1  # common neighbor 3
+
+
+def test_pack_nosplit_ffd_invariants(spark):
+    from otit_swt_spark.pipelines.packing import pack_sequences_nosplit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (1 + (i * 13) % 40))) for i in range(120)]
+        + [(999, " ".join(["t"] * 100))],       # oversized singleton
+        "doc_id long, text string")
+    out = pack_sequences_nosplit(docs, budget=64, n_shards=4).collect()
+    assert len(out) == 121
+    loads = {}
+    for r in out:
+        loads.setdefault((r.shard, r.pack_idx), []).append(r.n_tokens)
+    for (shard, pack), sizes in loads.items():
+        # only a single oversized doc may exceed budget
+        assert sum(sizes) <= 64 or (len(sizes) == 1 and sizes[0] > 64)
+    # determinism under repartitioning
+    a = sorted((r.doc_id, r.shard, r.pack_idx) for r in out)
+    b = sorted((r.doc_id, r.shard, r.pack_idx) for r in
+               pack_sequences_nosplit(docs.repartition(7), budget=64,
+                                      n_shards=4).collect())
+    assert a == b

@@ -373,3 +373,36 @@ def test_stream_incremental_agg(spark, tmp_path):
 
     got = rows(read_agg(spark, agg, ["v"]).select("grp", "n", "sum_v"))
     assert got == [("x", 3, 7.0), ("y", 1, 10.0), ("z", 1, 7.0)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """True stream-stream join: clicks attribute to same-key views within
+    the preceding 10 minutes; result must equal the batch twin."""
+    from otit_swt_spark.streaming.ingest import stream_interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    clicks_pd = pd.DataFrame({
+        "id": ["a", "a", "b"],
+        "timestamp": [base + pd.Timedelta(minutes=m) for m in (10, 40, 10)],
+        "value": [1.0, 2.0, 3.0]})
+    views_pd = pd.DataFrame({
+        "id": ["a", "a", "b"],
+        "timestamp": [base + pd.Timedelta(minutes=m) for m in (5, 25, 50)],
+        "value": [10.0, 20.0, 30.0]})
+    csrc, vsrc = str(tmp_path / "c"), str(tmp_path / "v")
+    spark.createDataFrame(clicks_pd).coalesce(1).write.parquet(csrc)
+    spark.createDataFrame(views_pd).coalesce(1).write.parquet(vsrc)
+
+    out = stream_interval_join(
+        read_timeseries_stream(spark, csrc), read_timeseries_stream(spark, vsrc))
+    q = (out.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = rows(spark.sql("SELECT id, l_value, r_value FROM ssj_out"))
+    # a@10 matches view a@5; a@40 matches nothing (a@25 is 15 min before);
+    # b@10 matches nothing (b@50 is later)
+    assert got == [("a", 1.0, 10.0)]
+
+    batch = stream_interval_join(spark.createDataFrame(clicks_pd),
+                                 spark.createDataFrame(views_pd))
+    assert rows(batch.select("id", "l_value", "r_value")) == got
