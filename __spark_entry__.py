@@ -1503,6 +1503,20 @@ def q_near_dedup_docs(spark, sf_dir):
         .select("doc_id")
 
 
+def q_near_dedup_best(spark, sf_dir):
+    """Quality-aware near-dedup: keep each duplicate cluster's
+    highest-quality member (not the minimum id). Rows-only: the LSH
+    candidate stage has no SQL twin; the retention policy itself is
+    pytest-gated."""
+    from otit_swt_spark.pipelines.dedup import near_dedup_keep_best
+    from otit_swt_spark.pipelines.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (near_dedup_keep_best(d, quality_score(F.col("text")),
+                                 min_jaccard=0.8)
+            .select("doc_id"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     from otit_swt_spark.pipelines.similarity import embedding_neardup_pairs
 
@@ -1707,6 +1721,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "near_dedup_docs": q_near_dedup_docs,
+        "near_dedup_best": q_near_dedup_best,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -448,6 +448,44 @@ def near_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float | None = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal keeping the BEST-scoring member of each
+    duplicate cluster (quality-aware retention — the production corpus
+    recipe: among near-identical crawls keep the highest-quality copy,
+    not the arbitrary minimum id). ``score`` is any expression over
+    ``df``'s columns (e.g. ``quality_score(F.col("text"))``); ties break
+    to the smaller id for determinism.
+
+    Same pipeline as :func:`near_dedup` (LSH → verify → connected
+    components) plus one argmax window over the small (id, cluster,
+    score) frame — cost is unchanged at corpus scale."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    if min_jaccard is not None:
+        verified = ngram_jaccard(pairs, df, text_col, id_col, shingle_n)
+        pairs = verified.filter(F.col("jaccard") >= min_jaccard)
+    clusters = dedup_clusters(pairs)
+    scored = (df.select(F.col(id_col), score.alias("__score"))
+              .join(clusters, df[id_col] == clusters["id"], "inner")
+              .select(id_col, "cluster", "__score"))
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.col("__score").desc(), F.col(id_col).asc()))
+    losers = (scored.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") > 1)
+              .select(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verify

@@ -1159,3 +1159,20 @@ def test_pack_nosplit_ffd_invariants(spark):
                pack_sequences_nosplit(docs.repartition(7), budget=64,
                                       n_shards=4).collect())
     assert a == b
+
+
+def test_near_dedup_keep_best(spark):
+    from otit_swt_spark.pipelines.dedup import near_dedup, near_dedup_keep_best
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # quality = doc_id here, so "best" = the HIGHEST id of each cluster —
+    # the opposite of near_dedup's keep-minimum
+    best = near_dedup_keep_best(docs, F.col("doc_id").cast("double"),
+                                min_jaccard=0.5)
+    kept_best = {r.doc_id for r in best.collect()}
+    kept_min = {r.doc_id for r in
+                near_dedup(docs, min_jaccard=0.5).collect()}
+    assert len(kept_best) == len(kept_min)
+    # 1 and 2 are exact duplicates: min-keep retains 1, best-keep retains 2
+    assert 1 in kept_min and 2 not in kept_min
+    assert 2 in kept_best and 1 not in kept_best
