@@ -1118,6 +1118,21 @@ def q_distinct_users_daily(spark, sf_dir):
     return distinct_daily(ev)
 
 
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF surface (§2.10): sentence splitting as a registered
+    table function driven through a SQL LATERAL join; the oracle
+    reproduces the split relationally (list_filter over the same
+    regex)."""
+    from otit_swt_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+    """)
+
+
 def q_group_mode(spark, sf_dir):
     """Per-user modal event type (most frequent; ties break to the
     lexicographically smallest type) — argmax-per-group via one count
@@ -1711,6 +1726,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "retention_cohorts": q_retention_cohorts,
         "histogram_value": q_histogram_value,
         "distinct_users_daily": q_distinct_users_daily,
+        "udtf_sentences": q_udtf_sentences,
         "group_mode": q_group_mode,
         "pack_sequences": q_pack_sequences,
         "pack_nosplit": q_pack_nosplit,
@@ -2809,6 +2825,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "udtf_sentences": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                               x -> trim(x)),
+                           x -> x != '') AS sents
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(sents, 1) - 1 AS INT) AS idx,
+                   unnest(sents) AS sentence
+            FROM arrs
         """,
         "group_mode": """
             WITH counts AS (

@@ -1176,3 +1176,19 @@ def test_near_dedup_keep_best(spark):
     # 1 and 2 are exact duplicates: min-keep retains 1, best-keep retains 2
     assert 1 in kept_min and 2 not in kept_min
     assert 2 in kept_best and 1 not in kept_best
+
+
+def test_udtf_split_sentences(spark):
+    from otit_swt_spark.functions import SplitSentences, register_udtfs
+
+    rows_out = list(SplitSentences.func().eval("One. Two!  Three? "))
+    assert rows_out == [(0, "One."), (1, "Two!"), (2, "Three?")]
+    assert list(SplitSentences.func().eval("")) == []
+    assert list(SplitSentences.func().eval(None)) == []
+
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "Hi there. Bye!")], "doc_id long, text string") \
+        .createOrReplaceTempView("__t_udtf")
+    got = rows(spark.sql(
+        "SELECT s.idx, s.sentence FROM __t_udtf, LATERAL split_sentences(text) s"))
+    assert got == [(0, "Hi there."), (1, "Bye!")]
