@@ -529,6 +529,253 @@ def q_tpch_q22_idle_custs(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 6).alias("total_bal")))
 
 
+def q_tpch_q2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin supplier — for each LARGE part, the
+    EUROPE supplier(s) with the minimum account balance among suppliers
+    that actually shipped it (the testdata has no partsupp table, so the
+    distinct (l_partkey, l_suppkey) pairs stand in for it). Correlated-min
+    + join-back: one distinct over the fact pairs, dims broadcast, the
+    per-part min re-joined on equality — no window over the fact table."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+         .select("p_partkey", "p_name"))
+    ps = (_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+          .distinct())
+    cand = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey))
+    best = cand.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (cand.join(F.broadcast(best), "p_partkey")
+            .filter(F.col("s_acctbal") == F.col("min_bal"))
+            .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+            .orderBy("s_acctbal", "p_partkey", "s_name")
+            .limit(100))
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority checking — count of orders in a
+    quarter that had at least one late-shipped lineitem (EXISTS semi join;
+    the testdata lacks commit/receipt dates, so 'shipped after the order
+    date + 60 days' is the lateness predicate)."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-04-01")))
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (o.join(l, (o.o_orderkey == l.l_orderkey)
+                   & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+                   "left_semi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — NATION_1's share of STANDARD
+    -part revenue sold into EUROPE-region customers, by order year.
+    Conditional numerator over the same grouped sum; all dims broadcast so
+    the only fact shuffle is the final (year) aggregation."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("c_custkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+         .select("p_partkey"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    nat = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nat).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("mkt_share"))
+    )
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by (supplier nation, year) —
+    amount = revenue - 10% of retail cost x quantity (p_retailprice stands
+    in for the absent ps_supplycost). Part/supplier dims broadcast; one agg
+    shuffle on (nation, year)."""
+    n = _t(spark, sf_dir, "nation")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("nation")))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+         .select("p_partkey", "p_retailprice"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")).cast(DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose total revenue exceeds a global-scalar
+    threshold (1.5x the mean per-part revenue — scale-free, unlike the spec's
+    fixed fraction, so the entry stays non-empty at every sf). Grouped sum
+    + one-row broadcast of the threshold — the HAVING-against-scalar-
+    subquery pattern without recomputing the fact scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    by_part = (l.groupBy("l_partkey").agg(F.sum(rev).alias("value")))
+    total = by_part.agg((F.sum("value").cast("double") / F.count(F.lit(1))
+                         * F.lit(1.5)).alias("threshold"))
+    return (by_part.join(F.broadcast(total),
+                         F.col("value").cast("double") > F.col("threshold"))
+            .select("l_partkey", F.col("value").cast("double").alias("value"))
+            .orderBy(F.col("value").desc(), "l_partkey"))
+
+
+def q_tpch_q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts per lineitem class —
+    high-priority (URGENT/HIGH) vs low-priority order counts grouped by
+    l_linestatus (the testdata's stand-in for l_shipmode), for a one-year
+    ship window."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+         .select("l_orderkey", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q13_cust_dist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — left outer join
+    so order-less customers count at zero, then a second (tiny) aggregation
+    over the counts. Two shuffles, the second over at most a few hundred
+    distinct counts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "5-LOW")
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q16_supp_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct shippers per part class — how many
+    distinct (non-blacklisted) suppliers shipped each (brand, type, size)
+    combination, excluding one brand. Lineitem pairs stand in for partsupp;
+    the blacklist (suppliers with low balances) is a broadcast anti join."""
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 1000).select("s_suppkey"))
+    ps = (_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+          .distinct()
+          .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti"))
+    return (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     "p_brand", "p_type", "p_size"))
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity-order revenue — lineitems of one
+    brand whose quantity is below 20% of that part's average quantity;
+    correlated average via a grouped sum broadcast back onto the facts.
+    Deterministic arithmetic: exact decimal sum, ONE double division, so
+    the 0.2x threshold compares bit-equal on both engines."""
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
+         .select("p_partkey"))
+    l = (_t(spark, sf_dir, "lineitem")
+         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    avg_qty = (l.groupBy("l_partkey")
+               .agg((F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                     / F.count(F.lit(1))).alias("avg_qty"))
+               .select(F.col("l_partkey").alias("a_partkey"), "avg_qty"))
+    return (l.join(F.broadcast(avg_qty), l.l_partkey == avg_qty.a_partkey)
+            .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast(DEC))
+                         .cast("double") / F.lit(7.0), 6).alias("avg_yearly")))
+
+
+def q_tpch_q20_promo_supp(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers with significant promo-part volume —
+    NATION_3 suppliers whose 1996 shipments of PROMO parts exceed 50 units
+    for some part. Nested IN chain flattened to grouped-sum -> semi join;
+    part dim broadcast, one agg shuffle on (suppkey, partkey)."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal"))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+         .select("p_partkey"))
+    l = (_t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")))
+    heavy = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+             .filter(F.col("qty") > 50)
+             .select("l_suppkey").distinct())
+    return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting —
+    a NATION_2 supplier's returned ('R') lineitem in an order that other
+    suppliers also supplied (EXISTS), where no OTHER supplier had a return
+    (NOT EXISTS). Both existence probes are joins on l_orderkey with a
+    suppkey inequality: semi then anti, fact-vs-fact, each one shuffle."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                             "l_returnflag")
+    l1 = (l.filter(F.col("l_returnflag") == "R")
+          .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "l_suppkey", "s_name"))
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("k2"))
+    l3 = (l.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("k3")))
+    waited = (l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.k2),
+                      "left_semi")
+              .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.k3),
+                    "left_anti"))
+    return (waited.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (otit_swt_spark.timeseries.asof_join): every
     event aligned to the user's most recent purchase event. Oracle is
@@ -1668,6 +1915,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket": q_tpch_q19_bracket,
         "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q12_shipmode": q_tpch_q12_shipmode,
+        "tpch_q13_cust_dist": q_tpch_q13_cust_dist,
+        "tpch_q16_supp_count": q_tpch_q16_supp_count,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q20_promo_supp": q_tpch_q20_promo_supp,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "sessionize": q_sessionize,
@@ -2280,6 +2538,166 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q2_min_cost": """
+            WITH eu_supp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), cand AS (
+                SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+                FROM ps
+                JOIN part ON l_partkey = p_partkey
+                JOIN eu_supp ON l_suppkey = s_suppkey
+                WHERE p_type = 'LARGE' AND p_size <= 15
+            )
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+            FROM cand
+            WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                               WHERE c2.p_partkey = cand.p_partkey)
+            ORDER BY s_acctbal, p_partkey, s_name
+            LIMIT 100
+        """,
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                              ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "tpch_q9_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * 0.1 * l_quantity
+                                 AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'ECONOMY'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11_important_parts": """
+            WITH by_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS value
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, CAST(value AS DOUBLE) AS value
+            FROM by_part
+            WHERE CAST(value AS DOUBLE) >
+                  (SELECT CAST(sum(value) AS DOUBLE) / count(*) * 1.5
+                   FROM by_part)
+            ORDER BY value DESC, l_partkey
+        """,
+        "tpch_q12_shipmode": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13_cust_dist": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                           WHERE o_orderpriority <> '5-LOW') o
+                       ON c_custkey = o_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16_supp_count": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size <= 20
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q17_small_qty": """
+            WITH l AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#7'
+            ), avg_qty AS (
+                SELECT l_partkey AS a_partkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                           / count(*) AS avg_qty
+                FROM l GROUP BY 1
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                         / 7.0, 6) AS avg_yearly
+            FROM l JOIN avg_qty ON l_partkey = a_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q20_promo_supp": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_type = 'PROMO'
+                    AND l_shipdate >= DATE '1996-01-01'
+                    AND l_shipdate < DATE '1997-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 50)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q21_waiting": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_2'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "tpch_q22_idle_custs": """
             SELECT c_mktsegment AS segment,
