@@ -726,7 +726,7 @@ def q_tpch_q17_small_qty(spark, sf_dir):
 
 def q_tpch_q20_promo_supp(spark, sf_dir):
     """TPC-H Q20 shape: suppliers with significant promo-part volume —
-    NATION_3 suppliers whose 1996 shipments of PROMO parts exceed 50 units
+    NATION_3 suppliers whose 1996 shipments of PROMO parts exceed 40 units
     for some part. Nested IN chain flattened to grouped-sum -> semi join;
     part dim broadcast, one agg shuffle on (suppkey, partkey)."""
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -741,7 +741,7 @@ def q_tpch_q20_promo_supp(spark, sf_dir):
     heavy = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
              .groupBy("l_suppkey", "l_partkey")
              .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
-             .filter(F.col("qty") > 50)
+             .filter(F.col("qty") > 40)
              .select("l_suppkey").distinct())
     return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
             .select("s_suppkey", "s_name", "s_acctbal")
@@ -2679,7 +2679,7 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate >= DATE '1996-01-01'
                     AND l_shipdate < DATE '1997-01-01'
                   GROUP BY l_suppkey, l_partkey
-                  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 50)
+                  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 40)
             ORDER BY s_suppkey
         """,
         "tpch_q21_waiting": """
