@@ -469,7 +469,7 @@ class Compiler:
             url = p.endpoint.value
             if url.startswith(("http://", "https://")) and p.raw:
                 try:
-                    sm = self._remote_service_solutions(p)
+                    sm = self._remote_service_solutions(p, input)
                 except Exception:
                     if not p.silent:
                         raise
@@ -494,17 +494,92 @@ class Compiler:
             self.graph_df, self._pred_datatypes = saved
         return self.join_solutions(input, sm) if input is not None else sm
 
-    def _remote_service_solutions(self, p: A.Service) -> SolutionMapping:
+    #: bound-join cap: above this many distinct outer bindings the VALUES
+    #: block is omitted (unconstrained pull + local join stays correct)
+    SERVICE_BOUND_JOIN_MAX = 500
+
+    def _service_values_block(self, p: "A.Service",
+                              input: SolutionMapping | None) -> str:
+        """FedX-style bound join: serialize the outer solutions' DISTINCT
+        bindings for variables shared with the service pattern into a
+        ``VALUES`` block, so the remote endpoint evaluates the group only
+        for rows that can actually join — instead of shipping its full
+        pattern extension. Sound as a PRE-filter: the local join afterwards
+        re-checks every binding, so partial serialization (a subset of the
+        shared vars, or skipping entirely past the cap) never changes
+        results, only how much travels. Blank nodes are scoped per store
+        and therefore unserializable — any bnode binding disables the
+        optimization for that variable."""
+        from otit_swt_spark.terms import XSD_STRING
+
+        if input is None or not p.raw:
+            return ""
+        shared = [v for v in sorted(A.pattern_variables(p.inner))
+                  if v in input.vars]
+        if not shared:
+            return ""
+
+        def esc(s: str) -> str:
+            return (s.replace("\\", "\\\\").replace('"', '\\"')
+                    .replace("\n", "\\n").replace("\r", "\\r"))
+
+        cols, kinds = [], []
+        for v in shared:
+            meta = input.vars[v]
+            if meta.kind == "term":
+                cols.append(F.col(v))
+                cols.append(F.col(f"{v}__dt") if v in input.dt_vars
+                            else F.lit(None).cast("string"))
+                cols.append(F.col(f"{v}__lang") if v in input.lang_vars
+                            else F.lit(None).cast("string"))
+                kinds.append((v, "term"))
+            elif meta.xsd:  # native column with a statically-known datatype
+                cols.append(F.col(v).cast("string"))
+                cols.append(F.lit(meta.xsd))
+                cols.append(F.lit(None).cast("string"))
+                kinds.append((v, "native"))
+        if not kinds:
+            return ""
+        cap = self.SERVICE_BOUND_JOIN_MAX
+        rows = (input.df.select(*cols).distinct().limit(cap + 1).collect())
+        if len(rows) > cap:
+            return ""
+        tuples = []
+        for r in rows:
+            terms = []
+            for i, (v, kind) in enumerate(kinds):
+                val, dt, lang = r[3 * i], r[3 * i + 1], r[3 * i + 2]
+                if val is None:
+                    terms.append("UNDEF")
+                elif kind == "term" and val.startswith("_:"):
+                    return ""  # bnodes cannot cross a service boundary
+                elif dt is None and lang is None and kind == "term":
+                    terms.append(f"<{val}>")
+                elif lang:
+                    terms.append(f'"{esc(val)}"@{lang}')
+                elif dt is None or dt == XSD_STRING:
+                    terms.append(f'"{esc(val)}"')
+                else:
+                    terms.append(f'"{esc(val)}"^^<{dt}>')
+            tuples.append("(" + " ".join(terms) + ")")
+        head = " ".join(f"?{v}" for v, _ in kinds)
+        return f"VALUES ({head}) {{ {' '.join(tuples)} }}\n"
+
+    def _remote_service_solutions(self, p: A.Service,
+                                  input: SolutionMapping | None = None,
+                                  ) -> SolutionMapping:
         """Execute SERVICE against a live http(s) endpoint: the braced group
         is pushed verbatim as a generated sub-SELECT (reference pushes the
         service pattern whole, rewriting/graph_patterns/service_pattern.rs:1)
         so filters/joins inside the group run remotely; only the resulting
-        bindings travel. The SPARQL-JSON solutions land as a term-kind
-        SolutionMapping (value + __dt/__lang companions) and join in-plan
-        with the outer solutions like any local pattern. Endpoint results
-        are query answers (not graphs), so driver-side materialization is
-        the right transport; graph-sized pulls belong to
-        GraphStore.from_endpoint + register_service."""
+        bindings travel. When outer solutions share variables with the
+        group, their distinct bindings are pushed too as a VALUES block
+        (bound join — see _service_values_block). The SPARQL-JSON solutions
+        land as a term-kind SolutionMapping (value + __dt/__lang
+        companions) and join in-plan with the outer solutions like any
+        local pattern. Endpoint results are query answers (not graphs), so
+        driver-side materialization is the right transport; graph-sized
+        pulls belong to GraphStore.from_endpoint + register_service."""
         from pyspark.sql.types import StringType, StructField, StructType
 
         from otit_swt_spark.graph import _default_sparql_post
@@ -513,7 +588,9 @@ class Compiler:
         poster = self.http_post or _default_sparql_post
         pfx = "".join(f"PREFIX {name}: <{iri}>\n"
                       for name, iri in (p.prefixes or {}).items())
-        doc = poster(p.endpoint.value, f"{pfx}SELECT * WHERE {p.raw}")
+        values = self._service_values_block(p, input)
+        doc = poster(p.endpoint.value,
+                     f"{pfx}SELECT * WHERE {{ {values}{p.raw} }}")
         vars_ = list(doc.get("head", {}).get("vars")
                      or sorted(A.pattern_variables(p.inner)))
         rows = []

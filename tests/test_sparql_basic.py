@@ -376,6 +376,78 @@ def test_service_remote_http_dispatch(spark):
     assert 'FILTER(?maker != "nobody")' in q
 
 
+def test_service_remote_bound_join_pushes_values(spark):
+    """When the outer pattern binds a variable the service group uses, the
+    outer DISTINCT bindings travel to the endpoint as a VALUES block (bound
+    join), so the remote evaluates the group only for joinable rows."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from tests.conftest import TESTDATA_SPARQL
+
+    sent = []
+
+    def http_post(url, query):
+        sent.append(query)
+        return {"head": {"vars": ["s", "maker"]},
+                "results": {"bindings": [
+                    {"s": {"type": "uri",
+                           "value": "http://example.org/case#mySensor1"},
+                     "maker": {"type": "literal", "value": "Acme"}},
+                ]}}
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL),
+                 http_post=http_post)
+    df = eng.query(PFX + """
+    SELECT ?w ?maker WHERE {
+        ?w types:hasSensor ?s .
+        SERVICE <http://remote.example/sparql> {
+            ?s <http://ex/madeBy> ?maker
+        }
+    }""")
+    assert rows(df) == [(CASE + "myWidget1", "Acme")]
+    (q,) = sent
+    # the outer ?s bindings (sensor IRIs) were pushed as VALUES
+    assert "VALUES (?s)" in q
+    assert "<http://example.org/case#mySensor1>" in q
+    assert "<http://example.org/case#mySensor2>" in q
+    # and the group still travels verbatim after the VALUES block
+    assert "<http://ex/madeBy>" in q
+
+
+def test_service_remote_bound_join_cap_falls_back(spark):
+    """Past SERVICE_BOUND_JOIN_MAX distinct bindings the VALUES block is
+    omitted (unconstrained pull; the local join still filters)."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from otit_swt_spark.sparql.compiler import Compiler
+    from tests.conftest import TESTDATA_SPARQL
+
+    sent = []
+
+    def http_post(url, query):
+        sent.append(query)
+        return {"head": {"vars": ["s", "maker"]},
+                "results": {"bindings": []}}
+
+    eng = Engine(spark, GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL),
+                 http_post=http_post)
+    old = Compiler.SERVICE_BOUND_JOIN_MAX
+    Compiler.SERVICE_BOUND_JOIN_MAX = 1  # two sensors bound outside > cap
+    try:
+        df = eng.query(PFX + """
+        SELECT ?w ?maker WHERE {
+            ?w types:hasSensor ?s .
+            SERVICE <http://remote.example/sparql> {
+                ?s <http://ex/madeBy> ?maker
+            }
+        }""")
+        assert rows(df) == []
+    finally:
+        Compiler.SERVICE_BOUND_JOIN_MAX = old
+    (q,) = sent
+    assert "VALUES" not in q
+
+
 def test_service_remote_http_silent_degrades(spark):
     """SILENT + a poster that raises degrades to the identity solution."""
     from otit_swt_spark.engine import Engine
