@@ -303,6 +303,40 @@ class Compiler:
         chains.update(right.ts_chains)
         return SolutionMapping(df, vars2, dt, lang, chains)
 
+    def _join_values(self, left: SolutionMapping, vsm: SolutionMapping
+                     ) -> SolutionMapping:
+        """Join outer solutions with an inline VALUES relation under SPARQL
+        COMPATIBILITY semantics: an UNDEF cell is compatible with any
+        binding (SPARQL 1.1 §10.2), so rows with UNDEF cannot go through
+        the plain equi-join (NULL = x filters them out). When no shared
+        column contains UNDEF the plain equi-join is used; otherwise the
+        (tiny, inline) VALUES side is broadcast into a theta join whose
+        predicate is `undef OR equal` per shared var, and the result
+        binding takes whichever side is bound."""
+        shared = [v for v in left.vars if v in vsm.vars]
+        if not shared or not any(
+                r[v] is None for r in vsm.df.select(*shared).collect()
+                for v in shared):
+            return self.join_solutions(left, vsm)
+        left, vsm = self._coerce_join_keys(left, vsm, shared)
+        rdf = vsm.df
+        for v in shared:
+            rdf = rdf.withColumnRenamed(v, f"__v_{v}")
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (F.col(f"__v_{v}").isNull() | F.col(v).isNull()
+                           | (F.col(f"__v_{v}") == F.col(v)))
+        df = left.df.join(F.broadcast(rdf), cond, "inner")
+        for v in shared:
+            df = df.withColumn(v, F.coalesce(F.col(v), F.col(f"__v_{v}"))) \
+                   .drop(f"__v_{v}")
+        vars2 = dict(left.vars)
+        for v, m in vsm.vars.items():
+            if v not in vars2:
+                vars2[v] = m
+        return SolutionMapping(df, vars2, set(left.dt_vars),
+                               set(left.lang_vars), dict(left.ts_chains))
+
     def harmonize_for_union(self, l: SolutionMapping, r: SolutionMapping
                             ) -> tuple[SolutionMapping, SolutionMapping]:
         for v in [v for v in l.vars if v in r.vars]:
@@ -361,7 +395,9 @@ class Compiler:
                                    {**rsm.ts_chains, **lsm.ts_chains})
         if isinstance(p, A.Values):
             vsm = self.compile_values(p)
-            return self.join_solutions(input, vsm) if input is not None else vsm
+            if input is None:
+                return vsm
+            return self._join_values(input, vsm)
         if isinstance(p, A.Group):
             return self.compile_group(p, input)
         if isinstance(p, A.OrderBy):

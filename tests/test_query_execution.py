@@ -319,6 +319,22 @@ def test_values(engine):
     assert rows(df) == [(W1, 301), (W1, 304)]
 
 
+def test_values_undef_compatibility(engine):
+    """UNDEF in a VALUES row is compatible with ANY outer binding
+    (SPARQL 1.1 §10.2) — the row must not be equi-join-filtered away."""
+    df = engine.query(PREFIXES + """
+    SELECT ?w ?z WHERE {
+        ?w types:hasSensor ?s .
+        VALUES (?w ?z) {
+            (<http://example.org/case#myWidget1> 1)
+            (UNDEF 2)
+        }
+    }
+    """)
+    got = sorted((r[0], r[1]) for r in df.collect())
+    assert got == [(W1, 1), (W1, 2), (W2, 2)]
+
+
 def test_if(engine):
     df = engine.query(PREFIXES + """
     SELECT ?w (IF(?v>300,?v,300) as ?v_with_min) WHERE {
