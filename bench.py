@@ -56,6 +56,9 @@ EXTENDED = [
     "ewma_events",
     "tpch_q10_returns",
     "tpch_q18_large_orders",
+    "tpch_q8_market_share",
+    "tpch_q13_cust_dist",
+    "tpch_q21_waiting",
     "funnel_steps",
     "session_paths",
     "graph_triangles",
