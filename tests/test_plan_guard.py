@@ -28,9 +28,9 @@ pytestmark = pytest.mark.skipif(
 SF_DIR = "/root/testdata/sf0.001"
 
 # one-row broadcast cross joins by design (query vector vs corpus;
-# scalar-aggregate threshold vs customers in the Q22 shape)
+# scalar-aggregate threshold vs customers/parts in the Q22/Q11 shapes)
 CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
-            "tpch_q22_idle_custs"}
+            "tpch_q22_idle_custs", "tpch_q11_important_parts"}
 
 
 def test_all_entries_plan_invariants(spark):
