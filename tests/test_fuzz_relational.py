@@ -139,3 +139,46 @@ def test_random_join_shapes_match_duckdb(spark, seed):
     d_cols_n, d_rows = _norm(d_cols, res.fetchall())
     assert s_cols == d_cols_n
     assert s_rows == d_rows, f"seed {seed} ({how})"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_semi_anti_shapes_match_duckdb(spark, seed):
+    """Random EXISTS / NOT-EXISTS specs (orders probed by a filtered
+    lineitem subquery — the Q4/Q21/Q22 pattern family): Spark left_semi /
+    left_anti vs DuckDB correlated (NOT) EXISTS, grouped counts on top."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3000 + seed)
+    anti = rng.random() < 0.5
+    qty = rng.randint(5, 45)
+    flag = rng.choice(["R", "N", "A"])
+    how = "left_anti" if anti else "left_semi"
+    exists = "NOT EXISTS" if anti else "EXISTS"
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    l = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+         .filter((F.col("l_quantity") > qty)
+                 & (F.col("l_returnflag") == flag))
+         .select("l_orderkey"))
+    out = (o.join(l, o.o_orderkey == l.l_orderkey, how)
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                .alias("sum_price")))
+    s_cols, s_rows = _norm(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    res = con.execute(f"""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        FROM '{SF_DIR}/orders.parquet' o
+        WHERE {exists} (SELECT 1 FROM '{SF_DIR}/lineitem.parquet' l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity > {qty}
+                          AND l.l_returnflag = '{flag}')
+        GROUP BY 1
+    """)
+    d_cols = [x[0] for x in res.description]
+    d_cols_n, d_rows = _norm(d_cols, res.fetchall())
+    assert s_cols == d_cols_n
+    assert s_rows == d_rows, f"seed {seed} ({how})"
