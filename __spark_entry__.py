@@ -776,6 +776,20 @@ def q_tpch_q21_waiting(spark, sf_dir):
             .limit(20))
 
 
+def q_knn_graph(spark, sf_dir):
+    """Exact k-NN graph over a bounded, deterministic 500-vector subset:
+    every vector's top-5 cosine neighbors (src, dst, cos_sim, rank). The
+    exact all-pairs form is the oracle-checkable baseline; at corpus scale
+    the same function's default LSH-bucketed path bounds the pair blowup
+    (recall-tested against this baseline in test_pipelines)."""
+    from otit_swt_spark.pipelines.similarity import all_pairs_topk_per_vector
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    g = all_pairs_topk_per_vector(emb, k=5, exact=True)
+    return g.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"),
+                    "rank")
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (otit_swt_spark.timeseries.asof_join): every
     event aligned to the user's most recent purchase event. Oracle is
@@ -1915,6 +1929,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket": q_tpch_q19_bracket,
         "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
+        "knn_graph": q_knn_graph,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -2538,6 +2553,24 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "knn_graph": """
+            WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id < 500),
+            pairs AS (
+                SELECT l.vec_id AS src, r.vec_id AS dst,
+                       list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) AS cos
+                FROM sub l JOIN sub r ON l.vec_id <> r.vec_id
+            ), ranked AS (
+                SELECT src, dst, cos,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rank
+                FROM pairs
+            )
+            SELECT src, dst, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "tpch_q2_min_cost": """
             WITH eu_supp AS (

