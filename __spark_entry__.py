@@ -790,6 +790,35 @@ def q_knn_graph(spark, sf_dir):
                     "rank")
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the 3 most-cosine-similar vectors with a DIFFERENT label (the
+    confusable non-matches a retrieval model learns most from). Exact
+    bounded baseline like knn_graph; at corpus scale the candidate set
+    comes from the same function's LSH-bucketed path before the label
+    anti-filter."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+           .select("vec_id", "embedding", "label"))
+    l, r = emb.alias("l"), emb.alias("r")
+    pairs = (l.join(r, (F.col("l.vec_id") != F.col("r.vec_id"))
+                    & (F.col("l.label") != F.col("r.label")))
+             .select(F.col("l.vec_id").alias("anchor"),
+                     F.col("r.vec_id").alias("negative"),
+                     F.col("l.label").alias("anchor_label"),
+                     cosine(F.col("l.embedding").cast("array<double>"),
+                            F.col("r.embedding").cast("array<double>"))
+                     .alias("cos")))
+    w = W.partitionBy("anchor").orderBy(F.col("cos").desc(), F.col("negative"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("anchor", "anchor_label", "negative",
+                    F.round("cos", 6).alias("cos_sim"), "rank"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (otit_swt_spark.timeseries.asof_join): every
     event aligned to the user's most recent purchase event. Oracle is
@@ -1930,6 +1959,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q19_bracket": q_tpch_q19_bracket,
         "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
         "knn_graph": q_knn_graph,
+        "hard_negatives": q_hard_negatives,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -2553,6 +2583,27 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "hard_negatives": """
+            WITH sub AS (SELECT vec_id, embedding, label FROM embeddings
+                         WHERE vec_id < 500),
+            pairs AS (
+                SELECT l.vec_id AS anchor, l.label AS anchor_label,
+                       r.vec_id AS negative,
+                       list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) AS cos
+                FROM sub l JOIN sub r
+                  ON l.vec_id <> r.vec_id AND l.label <> r.label
+            ), ranked AS (
+                SELECT anchor, anchor_label, negative, cos,
+                       row_number() OVER (PARTITION BY anchor
+                                          ORDER BY cos DESC, negative) AS rank
+                FROM pairs
+            )
+            SELECT anchor, anchor_label, negative, round(cos, 6) AS cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "knn_graph": """
             WITH sub AS (SELECT vec_id, embedding FROM embeddings
