@@ -57,6 +57,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ``(n_triangles)``. The wedge join (e1.b = e2.a) only extends paths
     upward in node order, so each triangle (x < y < z) is produced by
     exactly one wedge and closed by exactly one edge probe."""
+    # the edge set is probed three times (both wedge legs + the closing
+    # probe); materialize it once instead of re-deriving the upstream
+    # pair-generation join per leg (same lineage-control idiom as pagerank)
+    edges = edges.localCheckpoint()
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
