@@ -776,6 +776,23 @@ def q_tpch_q21_waiting(spark, sf_dir):
             .limit(20))
 
 
+def q_quality_filter_relative(spark, sf_dir):
+    """Relative-threshold quality selection — keep documents whose
+    stopword ratio (prose-ness) exceeds the CORPUS-WIDE exact median: the
+    way production pretraining filters are actually set (percentile cuts
+    per corpus/language, not absolute constants). One grouped-less exact
+    percentile → one-row broadcast → non-equi filter join."""
+    from otit_swt_spark.pipelines import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id",
+                      ts.stopword_ratio(F.col("text")).alias("sw"))
+    med = scored.agg(F.expr("percentile(sw, 0.5)").alias("med"))
+    return (scored.join(F.broadcast(med), F.col("sw") > F.col("med"))
+            .select("doc_id", F.round("sw", 6).alias("stopword_ratio"))
+            .orderBy("doc_id"))
+
+
 def q_knn_graph(spark, sf_dir):
     """Exact k-NN graph over a bounded, deterministic 500-vector subset:
     every vector's top-5 cosine neighbors (src, dst, cos_sim, rank). The
@@ -1960,6 +1977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q22_idle_custs": q_tpch_q22_idle_custs,
         "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
+        "quality_filter_relative": q_quality_filter_relative,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -2583,6 +2601,18 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "quality_filter_relative": r"""
+            WITH scored AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|a|in|that|it|for)\b', 0))
+                       / greatest(len(regexp_extract_all(text, '\S+', 0)), 1) AS sw
+                FROM documents
+            )
+            SELECT doc_id, round(sw, 6) AS stopword_ratio
+            FROM scored
+            WHERE sw > (SELECT quantile_cont(sw, 0.5) FROM scored)
+            ORDER BY doc_id
         """,
         "hard_negatives": """
             WITH sub AS (SELECT vec_id, embedding, label FROM embeddings

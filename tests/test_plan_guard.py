@@ -33,7 +33,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "tpch_q22_idle_custs", "tpch_q11_important_parts",
             # exact all-pairs baseline on a bounded 500-vector subset;
             # the library's default path is LSH-bucketed (equi-join)
-            "knn_graph", "hard_negatives"}
+            "knn_graph", "hard_negatives",
+            # one-row corpus-median broadcast threshold
+            "quality_filter_relative"}
 
 
 def test_all_entries_plan_invariants(spark):
