@@ -59,8 +59,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     exactly one wedge and closed by exactly one edge probe."""
     # the edge set is probed three times (both wedge legs + the closing
     # probe); materialize it once instead of re-deriving the upstream
-    # pair-generation join per leg (same lineage-control idiom as pagerank)
-    edges = edges.localCheckpoint()
+    # pair-generation join per leg (same lineage-control idiom as pagerank).
+    # eager=False keeps the builder lazy — no Spark job fires unless the
+    # result is actually consumed
+    edges = edges.localCheckpoint(eager=False)
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))

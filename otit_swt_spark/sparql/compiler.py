@@ -29,7 +29,7 @@ from __future__ import annotations
 import itertools
 from dataclasses import dataclass, field, replace
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from otit_swt_spark.sparql import algebra as A
 from otit_swt_spark.sparql.expressions import INTEGRAL, NUMERIC, Typed, compile_expr, literal_typed
@@ -318,18 +318,24 @@ class Compiler:
                 r[v] is None for r in vsm.df.select(*shared).collect()
                 for v in shared):
             return self.join_solutions(left, vsm)
+        # UNDEF markers must be captured on the ORIGINAL frame: after
+        # _coerce_join_keys a try_cast failure ("abc" -> double) also yields
+        # NULL, and treating that as a wildcard would make an incompatible
+        # VALUES cell match every outer row.
+        vsm = replace(vsm, df=vsm.df.select(
+            "*", *[F.col(v).isNull().alias(f"__u_{v}") for v in shared]))
         left, vsm = self._coerce_join_keys(left, vsm, shared)
         rdf = vsm.df
         for v in shared:
             rdf = rdf.withColumnRenamed(v, f"__v_{v}")
         cond = F.lit(True)
         for v in shared:
-            cond = cond & (F.col(f"__v_{v}").isNull() | F.col(v).isNull()
+            cond = cond & (F.col(f"__u_{v}") | F.col(v).isNull()
                            | (F.col(f"__v_{v}") == F.col(v)))
         df = left.df.join(F.broadcast(rdf), cond, "inner")
         for v in shared:
             df = df.withColumn(v, F.coalesce(F.col(v), F.col(f"__v_{v}"))) \
-                   .drop(f"__v_{v}")
+                   .drop(f"__v_{v}", f"__u_{v}")
         vars2 = dict(left.vars)
         for v, m in vsm.vars.items():
             if v not in vars2:
@@ -570,7 +576,18 @@ class Compiler:
                             else F.lit(None).cast("string"))
                 kinds.append((v, "term"))
             elif meta.xsd:  # native column with a statically-known datatype
-                cols.append(F.col(v).cast("string"))
+                # type-aware lexical forms: a bare cast("string") of a
+                # timestamp yields "2024-01-01 00:00:00" (space separator),
+                # which is NOT valid xsd:dateTime and would make the remote
+                # endpoint reject the query or match nothing
+                dtype = input.df.schema[v].dataType
+                if isinstance(dtype, T.TimestampType):
+                    cols.append(F.date_format(
+                        F.col(v), "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+                elif isinstance(dtype, T.DateType):
+                    cols.append(F.date_format(F.col(v), "yyyy-MM-dd"))
+                else:
+                    cols.append(F.col(v).cast("string"))
                 cols.append(F.lit(meta.xsd))
                 cols.append(F.lit(None).cast("string"))
                 kinds.append((v, "native"))

@@ -335,6 +335,24 @@ def test_values_undef_compatibility(engine):
     assert got == [(W1, 1), (W1, 2), (W2, 2)]
 
 
+def test_values_undef_plus_uncoercible(engine):
+    """A VALUES cell that fails native coercion ("abc" against numeric ?v)
+    must match NOTHING — only true UNDEF is a wildcard. Regression: the
+    theta-join predicate used post-coercion isNull, so a try_cast failure
+    was indistinguishable from UNDEF and matched every outer row."""
+    df = engine.query(PREFIXES + """
+    SELECT ?w ?v ?z WHERE {
+        ?w types:hasSensor/otit_swt:hasTimeseries/otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+        VALUES (?v ?z) { ("abc" 1) (UNDEF 2) }
+    }
+    """)
+    got = [tuple(r) for r in df.collect()]
+    # the "abc" row contributes zero matches; the UNDEF row matches all 16
+    assert len(got) == 16
+    assert all(z == 2 for (_, _, z) in got)
+
+
 def test_if(engine):
     df = engine.query(PREFIXES + """
     SELECT ?w (IF(?v>300,?v,300) as ?v_with_min) WHERE {
