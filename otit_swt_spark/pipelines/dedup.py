@@ -231,26 +231,25 @@ def minhash_lsh_pairs(
 
     band_entries = band_entries_for(with_sig, k, bands)
 
-    # Pair generation per bucket (one groupBy shuffle on uniformly-hashed
+    # Pair generation per bucket (one window shuffle on uniformly-hashed
     # bucket keys — no self-join). Buckets of exact duplicates would blow up
     # quadratically, so each doc pairs with at most `max_pairs_per_entry`
     # successors in the sorted bucket: connected-component transitivity still
-    # links every duplicate cluster while pair count stays linear in docs.
-    ids = F.sort_array(F.collect_list("id"))
-    pair_structs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2),
-                    F.least(F.size(F.col("ids")) - i - 1, F.lit(max_pairs_per_entry))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    ))
+    # links every duplicate cluster (rank-adjacent pairs chain the whole
+    # bucket) while pair count stays linear in docs. lead() over the sorted
+    # bucket keeps per-row state at max_pairs_per_entry ids — unlike a
+    # per-bucket collect_list, a mega-bucket of boilerplate exact dupes
+    # never materializes as one giant array row; the window sort spills.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bucket").orderBy("id")
+    succ = F.array(*[F.lead("id", d).over(w)
+                     for d in range(1, max_pairs_per_entry + 1)])
     pairs = (
-        band_entries.groupBy("band", "bucket")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        band_entries
+        .select(F.col("id").alias("id_a"), succ.alias("succ"))
+        .select("id_a", F.explode("succ").alias("id_b"))
+        .filter(F.col("id_b").isNotNull())
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -239,10 +239,52 @@ def ivf_topk_indexed(
     return _score_topk(cand, query_vec, k, id_col, vec_col)
 
 
+#: buckets above this size are sub-split (salted) before the within-bucket
+#: self-join — bounds the join to O(max_bucket) candidates per entry instead
+#: of O(bucket²) pairs when a degenerate corpus concentrates in one bucket
+DEFAULT_MAX_BUCKET = 2_000
+
+
+def derive_n_bits(n_rows: int, target_bucket: int = 1_024,
+                  lo: int = 4, hi: int = 24) -> int:
+    """Sketch width that keeps the EXPECTED bucket size near
+    ``target_bucket``: bits = log2(N / target_bucket), clamped. A fixed
+    width is wrong at both ends — 6 bits over a 10B-row corpus means
+    ~160M-row buckets (quadratic join); 20 bits over 10k rows means
+    every vector alone in its bucket (zero recall)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _salt_oversized(entries: DataFrame, key_cols: list[str],
+                    max_bucket: int) -> tuple[DataFrame, list[str]]:
+    """Append a ``__salt`` column that sub-splits buckets larger than
+    ``max_bucket`` (hash-mod over ceil(n/max_bucket) shards); buckets at or
+    under the threshold keep a single salt value, so results are unchanged
+    wherever the cap doesn't engage. Bucket sizes come from a broadcast-able
+    count frame (the sketch keyspace is at most n_tables * 2^n_bits rows).
+    Joining within (bucket, salt) bounds candidates per entry to
+    ~max_bucket and keeps every shard a normal-sized task — the linear-time
+    degenerate-corpus path."""
+    sizes = entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    salted = (entries.join(F.broadcast(sizes), key_cols)
+              .withColumn(
+                  "__salt",
+                  F.when(F.col("__bn") <= max_bucket, F.lit(0)).otherwise(
+                      F.pmod(F.xxhash64("id"),
+                             F.ceil(F.col("__bn") / max_bucket).cast("long"))))
+              .drop("__bn"))
+    return salted, key_cols + ["__salt"]
+
+
 def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
-                              vec_col: str = "embedding", n_bits: int = 6,
+                              vec_col: str = "embedding", n_bits: int | None = None,
                               n_tables: int = 1,
-                              exact: bool = False) -> DataFrame:
+                              exact: bool = False,
+                              max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """k-NN graph (every vector's top-k cosine neighbors — the workhorse
     behind embedding clustering, near-dup verification, and hard-negative
     mining). Default path: bucket by sign sketch, join within buckets,
@@ -252,6 +294,14 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     candidate if it collides in ANY table, trading a linear factor of work
     for recall — use fewer bits + more tables for mid-similarity
     neighbors, more bits + fewer tables for near-duplicates.
+
+    Scale guards: ``n_bits=None`` derives the sketch width from the corpus
+    size (see :func:`derive_n_bits`) so expected bucket size stays
+    ~constant as the corpus grows, and buckets that still exceed
+    ``max_bucket`` (skewed/degenerate corpora) are salted into
+    ~max_bucket-sized shards before the self-join, so candidate count per
+    entry — and total work — stays linear in the corpus.
+
     ``exact=True`` skips the sketch filter (all-pairs, quadratic): the
     verification baseline used by the recall pytest and the oracle entry
     on a bounded subset — never run it on a full corpus."""
@@ -265,6 +315,8 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                  .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
                          F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
     else:
+        if n_bits is None:
+            n_bits = derive_n_bits(base.count())
         sketches = F.array(*[
             F.struct(F.lit(t).alias("t"),
                      lsh_sketch(F.col("v"),
@@ -273,10 +325,12 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
         entries = (base.select("id", "v", F.explode(sketches).alias("e"))
                    .select("id", "v", F.col("e.t").alias("t"),
                            F.col("e.sk").alias("sk")))
+        entries, keys = _salt_oversized(entries, ["t", "sk"], max_bucket)
         l, r = entries.alias("l"), entries.alias("r")
-        pairs = (l.join(r, (F.col("l.t") == F.col("r.t"))
-                        & (F.col("l.sk") == F.col("r.sk"))
-                        & (F.col("l.id") != F.col("r.id")))
+        cond = F.col("l.id") != F.col("r.id")
+        for c in keys:
+            cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+        pairs = (l.join(r, cond)
                  .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
                          F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
                  .dropDuplicates(["src", "dst"]))
@@ -294,20 +348,33 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 8,
+    n_bits: int | None = None,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket by sign sketch
     (near-identical vectors share all sign bits with high probability),
     join within buckets only, verify by exact cosine. The bucket join keeps
-    the candidate set ~corpus/2^bits instead of all-pairs."""
+    the candidate set ~corpus/2^bits instead of all-pairs.
+
+    Scale guards (same as :func:`all_pairs_topk_per_vector`):
+    ``n_bits=None`` derives the sketch width from the corpus size, and
+    buckets above ``max_bucket`` are salted into bounded shards before the
+    self-join — a boilerplate-duplicate mega-bucket costs O(n·max_bucket),
+    not O(n²); downstream connected-components still merges the shards'
+    pair sets into one cluster."""
+    if n_bits is None:
+        n_bits = derive_n_bits(df.count())
     planes = _hyperplanes(_dim_of(df, vec_col), n_bits)
     sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                    lsh_sketch(F.col(vec_col), planes).alias("sketch"))
     sk = sk.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    sk, keys = _salt_oversized(sk, ["sketch"], max_bucket)
     l, r = sk.alias("l"), sk.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in keys:
+        cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
     return (
-        l.join(r, (F.col("l.sketch") == F.col("r.sketch"))
-               & (F.col("l.id") < F.col("r.id")))
+        l.join(r, cond)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 F.round(cosine(F.col("l.v").cast("array<double>"),
                                F.col("r.v").cast("array<double>")), 6).alias("cos_sim"))

@@ -45,6 +45,47 @@ def test_minhash_dedup_survives_duplicate_heavy_corpus(spark):
     assert n_pairs < n_docs * 20  # linear with a small constant
 
 
+def test_minhash_single_mega_bucket_linear(spark):
+    """Worst case for LSH banding: ONE document duplicated 100k times, so
+    every band has a single 100k-entry bucket. The lead()-window successor
+    pairing must emit <= cap pairs per doc (never bucket², and never a
+    100k-element array in one aggregation row)."""
+    from otit_swt_spark.pipelines.dedup import minhash_lsh_pairs
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated everywhere "
+              "with enough words to shingle properly").alias("text"))
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, max_pairs_per_entry=8)
+    n_pairs = pairs.count()
+    # identical docs -> identical band buckets -> the 16 bands produce the
+    # SAME successor pairs; after dedup ~8 per doc, never quadratic
+    assert 0 < n_pairs <= n * 8
+
+
+def test_embedding_pair_generators_degenerate_single_bucket(spark):
+    """All vectors point the same way -> every sign-sketch bit agrees ->
+    one mega-bucket regardless of n_bits. The over-threshold salting must
+    keep candidate pairs ~n*max_bucket (linear in the corpus), not n²."""
+    from otit_swt_spark.pipelines.similarity import (
+        all_pairs_topk_per_vector, embedding_neardup_pairs)
+
+    n, dim = 20_000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 0.1 + 0.5).cast("float")
+                  for i in range(dim)]).alias("embedding"))
+    nd = embedding_neardup_pairs(emb, min_cosine=0.99, n_bits=6,
+                                 max_bucket=100)
+    n_nd = nd.count()
+    assert 0 < n_nd <= n * 100  # bounded by n*max_bucket, not n²/2
+    g = all_pairs_topk_per_vector(emb, k=3, n_bits=6, max_bucket=100)
+    counts = g.groupBy("src").count()
+    assert counts.filter(F.col("count") > 3).count() == 0
+    assert counts.count() > n * 0.9  # nearly every vector got neighbors
+
+
 def test_sessionize_and_asof_on_amplified_events(spark):
     """1M events (10x sf0.1): the window-based operators stay one-shuffle
     and complete; session counts scale with the key space, not rows^2."""
