@@ -1827,15 +1827,26 @@ def q_near_dedup_docs(spark, sf_dir):
 
 def q_near_dedup_best(spark, sf_dir):
     """Quality-aware near-dedup: keep each duplicate cluster's
-    highest-quality member (not the minimum id). Rows-only: the LSH
-    candidate stage has no SQL twin; the retention policy itself is
-    pytest-gated."""
+    highest-quality member (not the minimum id). Candidates come from a
+    DETERMINISTIC blocking key (32-char lowercase text prefix) so DuckDB
+    can replay the whole chain — candidate blocking, exact n-gram Jaccard
+    verify, connected components (unrolled min-label propagation in the
+    oracle vs the real distributed pointer-jumping loop here), and the
+    quality-argmax retention rule. The MinHash LSH candidate path the
+    production recipe uses is the near_dedup_docs entry (hash-defined,
+    rows-only by nature)."""
     from otit_swt_spark.pipelines.dedup import near_dedup_keep_best
     from otit_swt_spark.pipelines.textstats import quality_score
 
     d = _t(spark, sf_dir, "documents")
+    blk = d.select("doc_id", F.substring(F.lower("text"), 1, 32).alias("blk"))
+    cand = (blk.alias("l")
+            .join(blk.alias("r"), (F.col("l.blk") == F.col("r.blk"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b")))
     return (near_dedup_keep_best(d, quality_score(F.col("text")),
-                                 min_jaccard=0.8)
+                                 min_jaccard=0.8, candidate_pairs=cand)
             .select("doc_id"))
 
 
@@ -1878,11 +1889,19 @@ def q_ngram_jaccard_verify(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with FULL probing (n_probe == n_clusters): exercises the
+    whole index path — bounded-sample KMeans fit, map-side cluster
+    assignment, probe filter, within-cluster exact scoring — while the
+    result stays the exact cosine top-k (every cluster probed), so DuckDB
+    can oracle it brute-force. The selective-probe configuration
+    (n_probe < n_clusters, KMeans-dependent candidate set) is pytest- and
+    plan-gated via ivf_index/ivf_topk_indexed (PartitionFilters prune
+    unprobed clusters)."""
     from otit_swt_spark.pipelines.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qv, k=10, n_clusters=16, n_probe=4)
+    return ivf_topk(emb, qv, k=10, n_clusters=16, n_probe=16)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -2238,6 +2257,41 @@ def _quantized_topk_oracle() -> str:
         FROM deq d, qv
         ORDER BY cos_sim DESC, d.vec_id LIMIT 10
     """
+
+
+def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank twin of q_graph_pagerank: DuckDB
+    has no iterative driver loop, so the 6 rounds become 6 chained CTEs
+    over the same undirected part co-order graph. base and damping mirror
+    the Spark doubles op-for-op ((1.0 - 0.85)/n, base + d*sum(pr/deg));
+    the only cross-engine difference is FP summation order, absorbed by
+    the same 6-dp rounding the autocorr_events oracle uses."""
+    d = repr(damping)
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""pr{i} AS (
+                SELECT ue.dst AS node,
+                       (SELECT (1.0 - {d}) / n FROM nn) + {d} * sum(p.pr / ue.deg) AS pr
+                FROM ue JOIN pr{i - 1} p ON ue.src = p.node
+                GROUP BY ue.dst
+            )""")
+    chained = ",\n            ".join(rounds)
+    return f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ), und AS (
+                SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT src, count(*) AS deg FROM und GROUP BY 1
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            ue AS (SELECT u.src, u.dst, d.deg FROM und u JOIN deg d USING (src)),
+            pr0 AS (SELECT src AS node, (SELECT 1.0 / n FROM nn) AS pr FROM deg),
+            {chained}
+            SELECT node, round(pr, 6) AS pr FROM pr{iters}
+        """
 
 
 def _ewma_oracle(alpha: float = 0.2) -> str:
@@ -3495,6 +3549,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
         """,
+        "graph_pagerank": _pagerank_oracle(iters=6, damping=0.85),
+        "near_dedup_best": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                                FOR i IN range(1, len(t) - 1)])
+                       END AS g
+                FROM toks
+            ), blk AS (
+                SELECT doc_id, substr(lower(text), 1, 32) AS pfx FROM documents
+            ), verified AS (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM blk l
+                JOIN blk r ON l.pfx = r.pfx AND l.doc_id < r.doc_id
+                JOIN grams ga ON ga.doc_id = l.doc_id
+                JOIN grams gb ON gb.doc_id = r.doc_id
+                WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) >= 0.8
+            ), und AS (
+                SELECT a AS s, b AS d FROM verified
+                UNION ALL SELECT b, a FROM verified
+            ), l0 AS (
+                SELECT DISTINCT s AS id, s AS lbl FROM und
+            ), p1 AS (
+                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
+                FROM l0 l LEFT JOIN und e ON e.s = l.id
+                LEFT JOIN l0 l2 ON l2.id = e.d
+                GROUP BY l.id, l.lbl
+            ), j1 AS (
+                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
+                FROM p1 p LEFT JOIN p1 q ON q.id = p.lbl
+            ), p2 AS (
+                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
+                FROM j1 l LEFT JOIN und e ON e.s = l.id
+                LEFT JOIN j1 l2 ON l2.id = e.d
+                GROUP BY l.id, l.lbl
+            ), j2 AS (
+                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
+                FROM p2 p LEFT JOIN p2 q ON q.id = p.lbl
+            ), p3 AS (
+                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
+                FROM j2 l LEFT JOIN und e ON e.s = l.id
+                LEFT JOIN j2 l2 ON l2.id = e.d
+                GROUP BY l.id, l.lbl
+            ), j3 AS (
+                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
+                FROM p3 p LEFT JOIN p3 q ON q.id = p.lbl
+            ), j4 AS (
+                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
+                FROM j3 p LEFT JOIN j3 q ON q.id = p.lbl
+            ), wl AS (
+                SELECT doc_id, text,
+                       coalesce(list_sum(list_transform(
+                           regexp_extract_all(text, '\S+', 0), x -> length(x))), 0)
+                       / greatest(len(regexp_extract_all(text, '\S+', 0)), 1) AS mwl
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       (least(length(text) / 500.0, 1.0)
+                        + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+                                        / greatest(length(text), 1)) * 5.0, 1.0))
+                        + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
+                        + least((len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|a|in|that|it|for)\b', 0))
+                                 / greatest(len(regexp_extract_all(text, '\S+', 0)), 1)) * 4.0, 1.0)
+                       ) / 4.0 AS sc
+                FROM wl
+            ), ranked AS (
+                SELECT l.id AS doc_id,
+                       row_number() OVER (PARTITION BY l.lbl
+                                          ORDER BY s.sc DESC, l.id) AS rk
+                FROM j4 l JOIN scored s ON s.doc_id = l.id
+            ), losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN losers x ON d.doc_id = x.doc_id
+            WHERE x.doc_id IS NULL
+        """,
         "ewma_events": _ewma_oracle(0.2),
         "lm_quality": """
             WITH norm AS (
@@ -3711,6 +3845,15 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "ann_lsh_topk": f"""
             WITH sk AS (

@@ -433,11 +433,18 @@ def near_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard: float | None = 0.8,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: LSH candidate pairs -> (optional)
     exact n-gram Jaccard verification -> connected components -> keep the
-    minimum id per cluster. Returns the surviving rows of ``df``."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    minimum id per cluster. Returns the surviving rows of ``df``.
+
+    ``candidate_pairs`` (id_a, id_b) replaces the MinHash LSH candidate
+    stage when the caller already has one — a deterministic blocking key,
+    an external pair list — while keeping the verify/cluster/retain
+    machinery identical."""
+    pairs = (candidate_pairs if candidate_pairs is not None
+             else minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n))
     if min_jaccard is not None:
         verified = ngram_jaccard(pairs, df, text_col, id_col, shingle_n)
         pairs = verified.filter(F.col("jaccard") >= min_jaccard)
@@ -456,6 +463,7 @@ def near_dedup_keep_best(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard: float | None = 0.8,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate removal keeping the BEST-scoring member of each
     duplicate cluster (quality-aware retention — the production corpus
@@ -466,10 +474,13 @@ def near_dedup_keep_best(
 
     Same pipeline as :func:`near_dedup` (LSH → verify → connected
     components) plus one argmax window over the small (id, cluster,
-    score) frame — cost is unchanged at corpus scale."""
+    score) frame — cost is unchanged at corpus scale.
+    ``candidate_pairs`` swaps the LSH candidate stage for a caller-supplied
+    pair frame, as in :func:`near_dedup`."""
     from pyspark.sql import Window
 
-    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    pairs = (candidate_pairs if candidate_pairs is not None
+             else minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n))
     if min_jaccard is not None:
         verified = ngram_jaccard(pairs, df, text_col, id_col, shingle_n)
         pairs = verified.filter(F.col("jaccard") >= min_jaccard)
