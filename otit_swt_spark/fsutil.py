@@ -38,6 +38,27 @@ def write_text(spark: SparkSession, path_str: str, content: str) -> None:
         out.close()
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-where-the-FS-allows rename (HDFS, POSIX local). Returns False
+    when the destination already exists — the compare-and-swap primitive
+    the WAP publish step builds on. (S3A rename is copy+delete and only
+    best-effort; production S3 tables would pair this with a DynamoDB-style
+    lock, exactly as Delta/Iceberg do.)"""
+    fs, hsrc, jvm = _fs(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(hdst):
+        return False
+    return bool(fs.rename(hsrc, hdst))
+
+
+def listdir(spark: SparkSession, path_str: str) -> list[str]:
+    """Child basenames of a directory ([] when absent)."""
+    fs, hpath, _ = _fs(spark, path_str)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def read_text(spark: SparkSession, path_str: str) -> str:
     fs, hpath, jvm = _fs(spark, path_str)
     stream = fs.open(hpath)

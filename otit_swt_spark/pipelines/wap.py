@@ -1,0 +1,241 @@
+"""Write-audit-publish (WAP) versioned tables: snapshot isolation over
+plain parquet, the sandbox analog of an ACID table format (no Delta /
+Iceberg jars in this environment — reference parity note: the reference
+mutates its stores in place and offers no snapshot isolation at all).
+
+Layout (all paths scheme-agnostic via the Hadoop FileSystem API):
+
+    root/
+      _manifests/m00001.json      one immutable manifest per version
+      data/v1/...                 write-once physical data dirs
+      data/v2/<pcol>=<val>/...    per-partition dirs for partitioned tables
+
+A manifest maps each logical partition to the physical directory holding
+its CURRENT rows. Data dirs are write-once: a merge writes NEW dirs for
+only the partitions it touches and the next manifest points untouched
+partitions at their existing dirs — a 1-partition change against a
+100 TB table stages one partition's worth of files and never rewrites
+(or even lists) the rest; readers get manifest-level partition pruning
+without touching the filesystem of unselected partitions.
+
+The publish step is a single atomic filesystem primitive: the manifest is
+staged to a temp name and RENAMED to ``m<next>.json``. Rename refuses an
+existing destination, so two concurrent writers racing from the same base
+version conflict deterministically — the loser gets
+:class:`ConcurrentWriteError` and nothing it staged is visible. A crash
+anywhere before the rename leaves only orphan staged files; the current
+version stays fully readable (write-audit-publish's whole point).
+
+The optional ``audit`` callable sees the complete next-version DataFrame
+BEFORE publish — row-count expectations, constraint checks — and any
+exception aborts with the staged data cleaned up.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otit_swt_spark import fsutil
+from otit_swt_spark.pipelines.merge import apply_changes
+
+#: manifest key for the single physical dir of an unpartitioned table
+_ALL = "__all__"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published the next version first; retry from the
+    new current version."""
+
+
+class AuditError(RuntimeError):
+    """The audit callable rejected the staged version; nothing published."""
+
+
+def _mdir(root: str) -> str:
+    return f"{root.rstrip('/')}/_manifests"
+
+
+def _mpath(root: str, version: int) -> str:
+    return f"{_mdir(root)}/m{version:05d}.json"
+
+
+def current_version(spark: SparkSession, root: str) -> int:
+    """Highest published manifest number (0 = not a WAP table yet)."""
+    names = fsutil.listdir(spark, _mdir(root))
+    versions = [int(n[1:6]) for n in names
+                if n.startswith("m") and n.endswith(".json")]
+    return max(versions, default=0)
+
+
+def _load_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    return json.loads(fsutil.read_text(spark, _mpath(root, version)))
+
+
+def _publish_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
+    """Stage to a temp name, atomically rename to the version slot; an
+    existing slot means a concurrent writer won the race."""
+    version = manifest["version"]
+    tmp = f"{_mdir(root)}/.m{version:05d}.json.staged"
+    fsutil.write_text(spark, tmp, json.dumps(manifest))
+    if not fsutil.rename(spark, tmp, _mpath(root, version)):
+        fsutil.delete(spark, tmp)
+        raise ConcurrentWriteError(
+            f"version {version} was published by another writer")
+
+
+def _write_version_data(spark: SparkSession, root: str, frame: DataFrame,
+                        version: int, partition_col: str | None) -> dict[str, str]:
+    """Write ``frame`` under data/v<version> and return manifest entries
+    (partition value -> physical dir, relative to root)."""
+    rel = f"data/v{version}"
+    out = f"{root.rstrip('/')}/{rel}"
+    if partition_col is None:
+        frame.write.mode("overwrite").parquet(out)
+        return {_ALL: rel}
+    frame.write.mode("overwrite").partitionBy(partition_col).parquet(out)
+    return {n.split("=", 1)[1]: f"{rel}/{n}"
+            for n in fsutil.listdir(spark, out)
+            if n.startswith(f"{partition_col}=")}
+
+
+def _read_entries(spark: SparkSession, root: str, entries: dict[str, str],
+                  partition_col: str | None) -> DataFrame:
+    """Assemble the table from manifest entries. Partition dirs written by
+    the same version share a basePath read (restores the partition column
+    from the dir name); dirs from different versions are unioned by name —
+    the number of distinct version dirs is bounded by merges since the
+    last full rewrite, not by partition count."""
+    r = root.rstrip("/")
+    if partition_col is None:
+        return spark.read.parquet(f"{r}/{entries[_ALL]}")
+    by_base: dict[str, list[str]] = {}
+    for rel in entries.values():
+        base = rel.rsplit("/", 1)[0]
+        by_base.setdefault(base, []).append(f"{r}/{rel}")
+    parts = [spark.read.option("basePath", f"{r}/{base}").parquet(*paths)
+             for base, paths in sorted(by_base.items())]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def init_table(spark: SparkSession, root: str, df: DataFrame,
+               partition_col: str | None = None) -> int:
+    """Create version 1. Returns the published version number."""
+    if current_version(spark, root) != 0:
+        raise ValueError(f"{root} is already a WAP table")
+    entries = _write_version_data(spark, root, df, 1, partition_col)
+    _publish_manifest(spark, root, {
+        "version": 1, "partition_col": partition_col, "entries": entries})
+    return 1
+
+
+def read_table(spark: SparkSession, root: str,
+               partitions: list | None = None,
+               version: int | None = None) -> DataFrame:
+    """Read a table version (default: current). ``partitions`` selects
+    entries at the MANIFEST, so unselected partitions cost zero filesystem
+    calls — pruning without a directory listing. Time travel: pass any
+    still-vacuumed ``version``."""
+    v = version or current_version(spark, root)
+    if v == 0:
+        raise FileNotFoundError(f"{root} has no published versions")
+    m = _load_manifest(spark, root, v)
+    entries = m["entries"]
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        entries = {k: rel for k, rel in entries.items() if k in want}
+        if not entries:
+            empty = read_table(spark, root, version=v)
+            return empty.filter(F.lit(False))
+    return _read_entries(spark, root, entries, m["partition_col"])
+
+
+def publish(spark: SparkSession, root: str, frame: DataFrame,
+            audit: Callable[[DataFrame], None] | None = None) -> int:
+    """Full-table WAP replace: stage ``frame`` as the next version, audit
+    the staged files, publish atomically. On audit failure or publish race
+    the staged data is deleted and the current version is untouched."""
+    base = current_version(spark, root)
+    if base == 0:
+        raise FileNotFoundError(f"{root} has no published versions")
+    m = _load_manifest(spark, root, base)
+    nxt = base + 1
+    entries = _write_version_data(spark, root, frame, nxt, m["partition_col"])
+    staged = _read_entries(spark, root, entries, m["partition_col"])
+    try:
+        if audit is not None:
+            audit(staged)
+        _publish_manifest(spark, root, {
+            "version": nxt, "partition_col": m["partition_col"],
+            "entries": entries})
+    except Exception:
+        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}")
+        raise
+    return nxt
+
+
+def merge_upsert(spark: SparkSession, root: str, changes: DataFrame,
+                 key: str, deleted_col: str | None = None,
+                 audit: Callable[[DataFrame], None] | None = None) -> int:
+    """WAP keyed merge (same CDC contract as ``pipelines.merge``): for a
+    partitioned table only the partitions in the change batch are read and
+    restaged — untouched partitions' physical dirs carry over into the
+    next manifest unread and byte-identical. The audit callable sees the
+    COMPLETE next version (staged new dirs unioned with carried-over
+    refs). Returns the published version."""
+    base = current_version(spark, root)
+    if base == 0:
+        raise FileNotFoundError(f"{root} has no published versions")
+    m = _load_manifest(spark, root, base)
+    pcol, nxt = m["partition_col"], base + 1
+    if pcol is None:
+        merged = apply_changes(read_table(spark, root), changes, key,
+                               deleted_col)
+        return publish(spark, root, merged, audit)
+    parts = [str(r[0]) for r in changes.select(pcol).distinct().collect()]
+    target = read_table(spark, root, partitions=parts)
+    merged = apply_changes(target, changes, key, deleted_col)
+    new_entries = _write_version_data(spark, root, merged, nxt, pcol)
+    # carry untouched partitions over by reference; a touched partition
+    # with no surviving rows simply drops out of the manifest
+    entries = {k: rel for k, rel in m["entries"].items() if k not in parts}
+    entries.update(new_entries)
+    staged_full = _read_entries(spark, root, entries, pcol)
+    try:
+        if audit is not None:
+            audit(staged_full)
+        _publish_manifest(spark, root, {
+            "version": nxt, "partition_col": pcol, "entries": entries})
+    except Exception:
+        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}")
+        raise
+    return nxt
+
+
+def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` versions and any
+    physical dir no kept manifest references. Returns deleted paths."""
+    cur = current_version(spark, root)
+    keep_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)
+                     if fsutil.exists(spark, _mpath(root, v))]
+    referenced = set()
+    for v in keep_versions:
+        for rel in _load_manifest(spark, root, v)["entries"].values():
+            referenced.add(rel.split("/")[1])  # data/<vdir>[/part]
+    r = root.rstrip("/")
+    deleted = []
+    for d in fsutil.listdir(spark, f"{r}/data"):
+        if d not in referenced:
+            fsutil.delete(spark, f"{r}/data/{d}")
+            deleted.append(f"{r}/data/{d}")
+    for v in range(1, max(1, cur - keep_last + 1)):
+        p = _mpath(root, v)
+        if fsutil.exists(spark, p):
+            fsutil.delete(spark, p)
+            deleted.append(p)
+    return deleted

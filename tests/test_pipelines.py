@@ -327,6 +327,61 @@ def test_real_wav_audio_decode(spark):
     assert row["sample_rate"] == 8000 and abs(row["rms"] - 0.3536) < 0.01
 
 
+def test_deep_decode_parity_with_header_fallback():
+    """The soft-imported deep decoders (PIL / soundfile) must agree with the
+    header-level fallbacks on fixtures where both paths are defined: a
+    grayscale padding-free 24-bit BMP (PIL's ITU-R 601 luma equals the raw
+    byte mean when R=G=B, and width*3 % 4 == 0 kills row padding) and a
+    16-bit PCM WAV. In environments without the libs the deep half is
+    skipped and the fallback asserts still run — the test is green either
+    way, and starts exercising the deep path the moment a lib appears."""
+    import io
+    import struct
+    import wave as wavemod
+
+    from otit_swt_spark.pipelines import multimodal as mm
+
+    # --- image: 4x2 grayscale 24-bit BMP, rows are 12 bytes (no padding)
+    vals = [10, 60, 110, 160, 210, 250, 30, 90]
+    px = b"".join(bytes([v, v, v]) for v in vals)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, len(px),
+                         0, 0, 0, 0) + px)
+    header = mm._sniff_image(bmp)
+    expected_luma = round(sum(vals) / len(vals) / 255.0, 6)
+    assert (header["width"], header["height"], header["channels"]) == (4, 2, 3)
+    assert abs(header["mean_luma"] - expected_luma) < 1e-6
+    deep = mm._deep_image_decode(bmp)
+    if mm._pil_image() is not None:
+        assert deep is not None, "PIL importable but deep decode bailed"
+        assert (deep["width"], deep["height"]) == (4, 2)
+        assert abs(deep["mean_luma"] - header["mean_luma"]) < 1e-6
+    else:
+        assert deep is None  # soft import fell through, no crash
+
+    # --- audio: 0.25 s of 16-bit mono PCM ramp at 8 kHz
+    buf = io.BytesIO()
+    rate = 8000
+    n = rate // 4
+    frames = b"".join(struct.pack("<h", (i % 200 - 100) * 50) for i in range(n))
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    wav = buf.getvalue()
+    base = mm.decode_audio(wav)
+    assert base["sample_rate"] == rate and abs(base["duration_s"] - 0.25) < 1e-9
+    deep_audio = mm._deep_audio_decode(wav)
+    if mm._soundfile_mod() is not None:
+        assert deep_audio is not None
+        assert deep_audio["sample_rate"] == rate
+        assert abs(deep_audio["duration_s"] - base["duration_s"]) < 1e-9
+        assert abs(deep_audio["rms"] - base["rms"]) < 1e-6
+    else:
+        assert deep_audio is None
+
+
 def test_prepare_corpus_composite(spark):
     """Quality filter + exact dedup + chunk + token count in one pass:
     low-quality and duplicate documents never reach the chunker."""

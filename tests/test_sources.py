@@ -526,6 +526,121 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     assert after == {1: "a", 2: "B", 3: "c"}
 
 
+def test_wap_init_read_and_manifest_pruning(spark, tmp_path):
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)], "id long, val string, p int")
+    assert wap.init_table(spark, root, base, partition_col="p") == 1
+    got = wap.read_table(spark, root)
+    assert got.count() == 30 and set(got.columns) == {"id", "val", "p"}
+    # manifest-level pruning: only p=1's physical dir is ever touched
+    one = wap.read_table(spark, root, partitions=[1])
+    assert one.count() == 10
+    assert all("/p=1" in f for f in one.inputFiles())
+    assert wap.read_table(spark, root, partitions=[99]).count() == 0
+
+
+def test_wap_merge_touches_only_named_partitions(spark, tmp_path):
+    import glob
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)], "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    before_p2 = set(glob.glob(f"{root}/data/v1/p=2/*.parquet"))
+
+    changes = spark.createDataFrame(
+        [(0, "updated", 0, False), (100, "new", 1, False), (3, None, 0, True)],
+        "id long, val string, p int, deleted boolean")
+    assert wap.merge_upsert(spark, root, changes, key="id",
+                            deleted_col="deleted") == 2
+    after = {r.id: (r.val, r.p) for r in wap.read_table(spark, root).collect()}
+    assert after[0] == ("updated", 0) and after[100] == ("new", 1)
+    assert 3 not in after and len(after) == 30
+    # untouched partition: identical physical files, referenced not copied
+    assert set(glob.glob(f"{root}/data/v1/p=2/*.parquet")) == before_p2
+    assert all("/v1/p=2" in f or "/v2/" in f
+               for f in wap.read_table(spark, root).inputFiles())
+    # time travel: version 1 still reads the original rows
+    v1 = {r.id: r.val for r in
+          wap.read_table(spark, root, version=1).collect()}
+    assert v1[0] == "v0" and 3 in v1 and 100 not in v1
+
+
+def test_wap_failed_audit_leaves_old_version_readable(spark, tmp_path):
+    import pytest as _pytest
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                                 "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+
+    def audit(df):
+        # simulate a failed expectation / crash after the staged write
+        raise wap.AuditError("row count outside tolerance")
+
+    changes = spark.createDataFrame([(1, "A", 0, False)],
+                                    "id long, val string, p int, deleted boolean")
+    with _pytest.raises(wap.AuditError):
+        wap.merge_upsert(spark, root, changes, key="id",
+                         deleted_col="deleted", audit=audit)
+    # nothing published, staged dir cleaned, table reads at version 1
+    assert wap.current_version(spark, root) == 1
+    assert {r.val for r in wap.read_table(spark, root).collect()} == {"a", "b"}
+    import glob
+    assert glob.glob(f"{root}/data/v2*") == []
+
+
+def test_wap_concurrent_writers_conflict(spark, tmp_path):
+    import pytest as _pytest
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                                 "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    # both writers read base version 1; A publishes m00002 first; B's
+    # publish must hit the rename CAS and fail — the exact race window
+    # (between base read and manifest rename) of two concurrent merges
+    import json
+    from otit_swt_spark import fsutil
+    m1 = json.loads(fsutil.read_text(spark, f"{root}/_manifests/m00001.json"))
+    fsutil.write_text(spark, f"{root}/_manifests/m00002.json",
+                      json.dumps({**m1, "version": 2}))     # writer A wins
+    with _pytest.raises(wap.ConcurrentWriteError):
+        wap._publish_manifest(spark, root, {**m1, "version": 2})  # writer B
+    # loser's staged manifest is cleaned up; current version is A's
+    assert sorted(fsutil.listdir(spark, f"{root}/_manifests")) == \
+        ["m00001.json", "m00002.json"]
+    assert wap.current_version(spark, root) == 2
+
+
+def test_wap_vacuum_keeps_referenced_dirs(spark, tmp_path):
+    import glob
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(10)], "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    for ver in (2, 3, 4):
+        ch = spark.createDataFrame([(0, f"u{ver}", 0, False)],
+                                   "id long, val string, p int, deleted boolean")
+        assert wap.merge_upsert(spark, root, ch, key="id",
+                                deleted_col="deleted") == ver
+    wap.vacuum(spark, root, keep_last=2)
+    # v1 holds p=1 (never rewritten) so it must SURVIVE vacuum; v2's dir
+    # is unreferenced by versions 3-4 and goes away
+    assert glob.glob(f"{root}/data/v1/p=1/*.parquet")
+    assert not glob.glob(f"{root}/data/v2*")
+    after = {r.id: r.val for r in wap.read_table(spark, root).collect()}
+    assert after[0] == "u4" and len(after) == 10
+
+
 def test_resample_locf_property_vs_pandas(spark):
     """resample(locf) agrees with pandas resample().last().ffill() on
     randomized series."""
