@@ -1919,6 +1919,85 @@ def q_multimodal_features(spark, sf_dir):
     return extract_image_features(media, fake=True)
 
 
+def q_zscore_anomalies(spark, sf_dir):
+    """Per-user z-score outlier events (|z| > 2 sample stddevs): one
+    grouped-stats shuffle + a broadcast join back."""
+    from otit_swt_spark.pipelines.analytics import zscore_anomalies
+
+    return zscore_anomalies(_t(spark, sf_dir, "events"), threshold=2.0)
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase joined (as-of, backward,
+    7-day tolerance) to the user's most recent preceding click — built on
+    the asof_join operator; the oracle uses DuckDB's native ASOF JOIN."""
+    from otit_swt_spark.pipelines.analytics import attribute_last_touch
+
+    return attribute_last_touch(_t(spark, sf_dir, "events"))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease per document from regexp counts (vowel-group
+    syllable proxy) — codegen'd projection, zero shuffle."""
+    from otit_swt_spark.pipelines.textstats import flesch_reading_ease
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.round(flesch_reading_ease(F.col("text")), 6).alias("flesch"))
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-flattened source mixing (tau=0.5, 40% target): the
+    per-source keep fraction is derived in-plan from the source counts and
+    applied through the deterministic md5 grid, so the oracle reproduces
+    the exact row set from the same arithmetic."""
+    from otit_swt_spark.pipelines.sampling import temperature_sample
+
+    return (temperature_sample(_t(spark, sf_dir, "documents"), "source",
+                               "doc_id", tau=0.5, target_fraction=0.4)
+            .select("doc_id", "source"))
+
+
+def q_curriculum_deciles(spark, sf_dir):
+    """Curriculum metadata: quality-ranked position and difficulty decile
+    within each source (grouped windows — parallel across sources)."""
+    from otit_swt_spark.pipelines.sampling import curriculum_deciles
+    from otit_swt_spark.pipelines.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return curriculum_deciles(d, quality_score(F.col("text")), "source",
+                              "doc_id")
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->8 reduction onto seeded Gaussian planes;
+    map-side only, components bit-reproducible from the plane literals."""
+    from otit_swt_spark.pipelines.embedding import random_projection
+
+    out = random_projection(_t(spark, sf_dir, "embeddings"), out_dim=8)
+    return out.select("vec_id",
+                      *[F.col("projected")[i].alias(f"p{i}") for i in range(8)])
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid norm + cohesion (mean member-to-centroid
+    cosine): posexplode -> (label, dim) aggregation; never an
+    array-of-vectors in one row."""
+    from otit_swt_spark.pipelines.embedding import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_late_interaction_topk(spark, sf_dir):
+    """ColBERT-style MaxSim top-10 with vectors as 4x16 sub-embeddings:
+    sum over query sub-vectors of the best sub-cosine per document."""
+    from otit_swt_spark.pipelines.similarity import late_interaction_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return late_interaction_topk(emb, qv, n_sub=4, k=10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1954,6 +2033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- round-4 additions (newest, never sampled) ---
+        "zscore_anomalies": q_zscore_anomalies,
+        "attribution_last_touch": q_attribution_last_touch,
+        "readability": q_readability,
+        "temperature_sample": q_temperature_sample,
+        "curriculum_deciles": q_curriculum_deciles,
+        "random_projection": q_random_projection,
+        "label_centroids": q_label_centroids,
+        "late_interaction_topk": q_late_interaction_topk,
         # --- driver-never-sampled entries first: if the driver's 50-entry
         # rotation samples in registry order, these get first-time
         # CORRECTNESS rows this round (all green in the in-repo sweep) ---
@@ -2295,6 +2383,55 @@ def _pagerank_oracle(iters: int = 6, damping: float = 0.85) -> str:
             pr0 AS (SELECT src AS node, (SELECT 1.0 / n FROM nn) AS pr FROM deg),
             {chained}
             SELECT node, round(pr, 6) AS pr FROM pr{iters}
+        """
+
+
+def _random_projection_oracle(dim: int = 64, out_dim: int = 8,
+                              seed: int = 7) -> str:
+    """Twin of q_random_projection: the same seeded Gaussian planes as
+    literals; list_dot_product's sequential sum matches the Spark fold
+    order, so components agree bit-for-bit before the shared rounding."""
+    from otit_swt_spark.pipelines.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed=seed)
+    cols = ",\n                   ".join(
+        "round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]), 6) AS p{i}"
+        for i, p in enumerate(planes))
+    return f"""
+            SELECT vec_id,
+                   {cols}
+            FROM embeddings
+        """
+
+
+def _late_interaction_oracle(n_sub: int = 4, width: int = 16,
+                             k: int = 10) -> str:
+    """Twin of q_late_interaction_topk: MaxSim over the same 1-based list
+    slices, greatest() skipping NULLs exactly like Spark's."""
+    def cos(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {b})"
+                f" / (sqrt(list_dot_product({a}, {a}))"
+                f" * sqrt(list_dot_product({b}, {b}))))")
+
+    def dslice(i: int) -> str:
+        return f"(embedding::DOUBLE[])[{i * width + 1}:{(i + 1) * width}]"
+
+    def qslice(i: int) -> str:
+        return f"qv[{i * width + 1}:{(i + 1) * width}]"
+
+    parts = " + ".join(
+        "greatest(" + ", ".join(cos(dslice(j), qslice(i))
+                                for j in range(n_sub)) + ")"
+        for i in range(n_sub))
+    return f"""
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                WHERE vec_id = 0
+            )
+            SELECT vec_id, round({parts}, 6) AS maxsim
+            FROM embeddings, q
+            ORDER BY maxsim DESC, vec_id LIMIT {k}
         """
 
 
@@ -3553,6 +3690,120 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
         """,
+        "zscore_anomalies": """
+            WITH stats AS (
+                SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events GROUP BY user_id
+            )
+            SELECT event_id, user_id, value,
+                   round((value - mu) / sd, 6) AS zscore
+            FROM events JOIN stats USING (user_id)
+            WHERE sd IS NOT NULL AND sd > 0 AND abs((value - mu) / sd) > 2.0
+        """,
+        "attribution_last_touch": """
+            WITH conv AS (
+                SELECT event_id AS conversion_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            ), tch AS (
+                SELECT event_id AS touch_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ), j AS (
+                SELECT c.conversion_id, c.user_id, t.touch_id,
+                       epoch_us(c.ts::TIMESTAMP) - epoch_us(t.ts::TIMESTAMP) AS gap,
+                       t.ts IS NOT NULL
+                       AND (epoch_us(c.ts::TIMESTAMP) - epoch_us(t.ts::TIMESTAMP))
+                           <= 604800000000 AS ok
+                FROM conv c ASOF LEFT JOIN tch t
+                  ON c.user_id = t.user_id AND c.ts >= t.ts
+            )
+            SELECT conversion_id, user_id,
+                   CASE WHEN ok THEN touch_id END AS touch_id,
+                   CASE WHEN ok THEN gap END AS gap_us
+            FROM j
+        """,
+        "readability": r"""
+            SELECT doc_id,
+                   round(206.835
+                         - 1.015 * (len(regexp_extract_all(text, '\S+', 0))
+                                    / CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS DOUBLE))
+                         - 84.6 * (len(regexp_extract_all(text, '(?i)[aeiouy]+', 0))
+                                   / CAST(greatest(len(regexp_extract_all(text, '\S+', 0)), 1) AS DOUBLE)),
+                         6) AS flesch
+            FROM documents
+        """,
+        "temperature_sample": """
+            WITH sizes AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), totals AS (
+                SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS tw_sum,
+                       sum(n) AS n_total FROM sizes
+            ), thr AS (
+                SELECT source,
+                       lpad(lower(hex(least(
+                           CAST(floor(least(1.0,
+                               (0.4 * n_total * (pow(CAST(n AS DOUBLE), 0.5) / tw_sum)) / n
+                           ) * 4294967296.0) AS BIGINT),
+                           4294967295))), 8, '0') AS t
+                FROM sizes, totals
+            )
+            SELECT doc_id, source
+            FROM documents JOIN thr USING (source)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
+        """,
+        "curriculum_deciles": r"""
+            WITH wl AS (
+                SELECT doc_id, source, text,
+                       coalesce(list_sum(list_transform(
+                           regexp_extract_all(text, '\S+', 0), x -> length(x))), 0)
+                       / greatest(len(regexp_extract_all(text, '\S+', 0)), 1) AS mwl
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, source,
+                       (least(length(text) / 500.0, 1.0)
+                        + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+                                        / greatest(length(text), 1)) * 5.0, 1.0))
+                        + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
+                        + least((len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|a|in|that|it|for)\b', 0))
+                                 / greatest(len(regexp_extract_all(text, '\S+', 0)), 1)) * 4.0, 1.0)
+                       ) / 4.0 AS sc
+                FROM wl
+            ), ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY sc DESC, doc_id) AS rank,
+                       count(*) OVER (PARTITION BY source) AS cnt
+                FROM scored
+            )
+            SELECT doc_id, source, rank,
+                   CAST(floor((rank - 1) * 10 / CAST(cnt AS DOUBLE)) AS INT) AS bucket
+            FROM ranked
+        """,
+        "random_projection": _random_projection_oracle(),
+        "label_centroids": """
+            WITH comp AS (
+                SELECT label,
+                       unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            ), dims AS (
+                SELECT label, pos, avg(x) AS m FROM comp GROUP BY label, pos
+            ), cent AS (
+                SELECT label, list(m ORDER BY pos) AS centroid
+                FROM dims GROUP BY label
+            ), joined AS (
+                SELECT e.label,
+                       list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos,
+                       sqrt(list_dot_product(c.centroid, c.centroid)) AS cn
+                FROM embeddings e JOIN cent c USING (label)
+            )
+            SELECT label, count(*) AS n_vectors,
+                   round(any_value(cn), 6) AS centroid_norm,
+                   round(avg(cos), 6) AS cohesion
+            FROM joined GROUP BY label
+        """,
+        "late_interaction_topk": _late_interaction_oracle(),
         "graph_pagerank": _pagerank_oracle(iters=6, damping=0.85),
         "near_dedup_best": r"""
             WITH toks AS (

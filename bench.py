@@ -38,9 +38,13 @@ HEADLINE = [
     "mapper_expand_lineitem",
 ]
 
-# Round-3 additions, timed only with --extended so the default headline
+# Round-3/4 additions, timed only with --extended so the default headline
 # total stays comparable across rounds.
 EXTENDED = [
+    "temperature_sample",
+    "attribution_last_touch",
+    "late_interaction_topk",
+    "zscore_anomalies",
     "decontaminate",
     "lm_quality",
     "dedup_paragraphs",

@@ -193,3 +193,53 @@ def distinct_daily(events: DataFrame, key: str = "user_id",
     return (events.groupBy(day, type_col)
             .agg(n_users.alias("n_users"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+def zscore_anomalies(events: DataFrame, key: str = "user_id",
+                     value: str = "value", threshold: float = 2.0,
+                     id_col: str = "event_id") -> DataFrame:
+    """Per-key z-score outliers: events whose value sits more than
+    ``threshold`` sample standard deviations from the key's mean —
+    the distribution-free anomaly screen run over every metric stream.
+
+    One aggregation shuffle on the key builds (mean, stddev_samp) per
+    key, joined back map-side; constant series (stddev 0/NULL) produce
+    no anomalies by definition. Scales: the stats frame is |keys| rows
+    (broadcastable), the scan stays one pass."""
+    stats = (events.groupBy(key)
+             .agg(F.avg(value).alias("__mu"),
+                  F.stddev_samp(value).alias("__sd")))
+    z = (F.col(value) - F.col("__mu")) / F.col("__sd")
+    return (events.join(F.broadcast(stats), key)
+            .filter(F.col("__sd").isNotNull() & (F.col("__sd") > 0)
+                    & (F.abs(z) > threshold))
+            .select(id_col, key,
+                    F.col(value).alias("value"),
+                    F.round(z, 6).alias("zscore")))
+
+
+def attribute_last_touch(events: DataFrame, convert_type: str = "purchase",
+                         touch_type: str = "click",
+                         window_seconds: float = 7 * 86400.0,
+                         key: str = "user_id", ts: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touch event by the same user within the lookback
+    window (left outer — unattributed conversions keep NULLs). Built on
+    the as-of join (one union + one key shuffle + running window — no
+    range join), so it inherits that operator's linear plan shape."""
+    from otit_swt_spark.timeseries import asof_join
+
+    conv = (events.filter(F.col("event_type") == convert_type)
+            .select(F.col(id_col).alias("conversion_id"), key, ts))
+    touch = (events.filter(F.col("event_type") == touch_type)
+             .select(key, ts, F.col(id_col).alias("touch_id")))
+    out = asof_join(conv, touch, on=key, left_ts=ts, right_ts=ts,
+                    value_columns=["touch_id"],
+                    tolerance_seconds=window_seconds)
+    gap = (F.unix_micros(F.col(ts).cast("timestamp")) -
+           F.unix_micros(F.col(f"{ts}_matched").cast("timestamp")))
+    return out.select(
+        "conversion_id", key,
+        F.col("touch_id_matched").alias("touch_id"),
+        F.when(F.col("touch_id_matched").isNotNull(), gap).alias("gap_us"))

@@ -187,3 +187,53 @@ def embed_topk(docs: DataFrame, query_id, k: int = 10, dim: int = 64,
         F.col(id_col),
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def random_projection(df: DataFrame, out_dim: int = 8, seed: int = 7,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each vector
+    onto ``out_dim`` fixed Gaussian directions (seeded — any engine with
+    the plane constants reproduces the output bit-for-bit). Map-side only:
+    the planes ride in the plan as literals, no shuffle, no fit pass —
+    the cheap way to shrink 100 TB of float32 before an ANN build."""
+    from otit_swt_spark.pipelines.similarity import _hyperplanes, dot
+
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    planes = _hyperplanes(int(dim), out_dim, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [F.round(dot(v, F.array(*[F.lit(float(x)) for x in p])), 6)
+             for p in planes]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid statistics: member count, centroid L2 norm, and
+    cohesion (mean cosine of members to their centroid) — the embedding-
+    space health check behind clustering/mining runs (a low-cohesion label
+    is mislabeled or multi-modal).
+
+    Plan: posexplode -> one (label, dim) aggregation for centroids (never
+    an array-of-arrays in one row), rebuild the centroid array ordered by
+    position, broadcast it back (|labels| rows), and one more aggregation
+    for cohesion. Two shuffles total, both on small keys; no per-label
+    vector materialization anywhere."""
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    comp = (df.select(label_col, F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("pos", "x"))
+            .groupBy(label_col, "pos").agg(F.avg("x").alias("m")))
+    cent = (comp.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(label_col,
+                    F.transform("pm", lambda s: s["m"]).alias("centroid")))
+    joined = df.join(F.broadcast(cent), label_col)
+    cos = cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+    norm_sq = F.aggregate(F.transform("centroid", lambda x: x * x),
+                          F.lit(0.0), lambda a, x: a + x)
+    return (joined.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sqrt(F.first(norm_sq)), 6).alias("centroid_norm"),
+                 F.round(F.avg(cos), 6).alias("cohesion")))

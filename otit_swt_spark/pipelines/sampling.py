@@ -176,3 +176,60 @@ def hash_split(df: DataFrame, key_col: str,
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn(split_col, expr)
+
+
+def temperature_sample(df: DataFrame, group_col: str, key_col: str,
+                       tau: float = 0.5, target_fraction: float = 0.5,
+                       salt: str = "") -> DataFrame:
+    """Temperature-flattened corpus mixing (the multilingual/multi-source
+    LLM recipe): source weights w_i = n_i^tau / sum n_j^tau, so tau=1
+    keeps natural proportions and tau->0 equalizes sources; each source
+    keeps min(1, target_rows * w_i / n_i) of its rows, selected by the
+    same deterministic md5 grid as :func:`hash_sample`.
+
+    The per-source fraction is DERIVED IN THE PLAN from the tiny
+    (group, count) aggregate (broadcast back — no driver collect), so the
+    sample stays a pure function of (row, tau, target_fraction, salt) that
+    any SQL engine reproduces exactly: the hex threshold is computed with
+    the same floor/least arithmetic on both sides."""
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tw = F.pow(F.col("__n").cast("double"), F.lit(float(tau)))
+    totals = (sizes.select(
+        F.sum(tw).alias("__tw_sum"),
+        F.sum("__n").alias("__n_total")))
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_fraction)) * F.col("__n_total") *
+         (tw / F.col("__tw_sum"))) / F.col("__n"))
+    # 8-hex-char threshold with the exact _hex_threshold arithmetic:
+    # least(floor(frac * 16^8), 16^8 - 1) rendered as zero-padded hex
+    thr_int = F.least(F.floor(frac * F.lit(float(_HEX_SPACE))).cast("long"),
+                      F.lit(_HEX_SPACE - 1))
+    thresholds = (sizes.crossJoin(F.broadcast(totals))
+                  .select(group_col,
+                          F.lpad(F.lower(F.hex(thr_int)), 8, "0")
+                          .alias("__thr")))
+    return (df.join(F.broadcast(thresholds), group_col)
+            .filter(_hash_prefix(F.col(key_col), salt) < F.col("__thr"))
+            .drop("__thr"))
+
+
+def curriculum_deciles(df: DataFrame, score, group_col: str,
+                       id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Curriculum-ordering metadata: rank rows easiest-first (``score``
+    descending, id ascending) WITHIN each group and cut each group into
+    ``n_buckets`` equal difficulty bands — (id, group, rank, bucket).
+    Grouped windows parallelize across groups (a global total order would
+    serialize into one partition); training schedules consume the bands
+    per-source and interleave."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("__score"),
+                                              F.col(id_col))
+    cnt = Window.partitionBy(group_col)
+    return (df.select(id_col, group_col, score.alias("__score"))
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("bucket",
+                        F.floor((F.col("rank") - 1) * n_buckets /
+                                F.count(F.lit(1)).over(cnt)).cast("int"))
+            .select(id_col, group_col, "rank", "bucket"))

@@ -385,3 +385,32 @@ def embedding_neardup_pairs(
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
+
+
+def late_interaction_topk(df: DataFrame, query_vec: list[float],
+                          n_sub: int = 4, k: int = 10,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """ColBERT-style MaxSim late-interaction scoring with the stored
+    vector treated as ``n_sub`` concatenated sub-embeddings (multi-vector
+    retrieval collapsed into one array column — the storage layout a
+    100 TB token-embedding corpus actually uses): score = sum over query
+    sub-vectors of the max cosine against any document sub-vector.
+    All n_sub^2 sub-cosines are built-in array expressions in one
+    codegen'd projection; the only shuffle is the final top-k sort."""
+    dim = len(query_vec)
+    if dim % n_sub:
+        raise ValueError("query length must divide into n_sub sub-vectors")
+    w = dim // n_sub
+    qsubs = [[float(x) for x in query_vec[i * w:(i + 1) * w]]
+             for i in range(n_sub)]
+    v = F.col(vec_col).cast("array<double>")
+    dsubs = [F.slice(v, i * w + 1, w) for i in range(n_sub)]
+    score = None
+    for qs in qsubs:
+        qc = F.array(*[F.lit(x) for x in qs])
+        best = F.greatest(*[cosine(ds, qc) for ds in dsubs])
+        score = best if score is None else score + best
+    return (df.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
+            .orderBy(F.col("maxsim").desc(), F.col(id_col))
+            .limit(k))

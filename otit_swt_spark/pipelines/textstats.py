@@ -193,3 +193,20 @@ def chunk_text(df: DataFrame, chunk_chars: int = 500, overlap: int = 0,
         F.substring(F.col("__t"), (F.col("chunk_idx") * step + 1).cast("int"),
                     chunk_chars).alias("chunk"),
     )
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease from regexp counts (206.835 - 1.015*w/s -
+    84.6*syl/w), with syllables approximated as vowel-group runs — the
+    standard codec-free proxy. Entirely built-in expressions: one
+    codegen'd projection, zero shuffle, any scale."""
+    words = F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    syllables = F.size(F.regexp_extract_all(
+        text, F.lit(r"(?i)[aeiouy]+"), F.lit(0)))
+    w = F.greatest(words, F.lit(1))
+    return (F.lit(206.835)
+            - F.lit(1.015) * (words / sentences.cast("double"))
+            - F.lit(84.6) * (syllables / w.cast("double")))

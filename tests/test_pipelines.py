@@ -1266,3 +1266,127 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
     n_hit = exact.join(approx, ["src", "dst"], "left_semi").count()
     assert n_exact == 500 * 5
     assert n_hit / n_exact >= 0.9
+
+
+def test_zscore_anomalies_flags_outlier_not_constant(spark):
+    from otit_swt_spark.pipelines.analytics import zscore_anomalies
+
+    rows = ([(i, 1, 10.0 + (i % 3)) for i in range(30)]      # mild spread
+            + [(99, 1, 500.0)]                               # the outlier
+            + [(100 + i, 2, 7.0) for i in range(10)])        # constant key
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = zscore_anomalies(df, threshold=2.0)
+    got = {r.event_id for r in out.collect()}
+    assert 99 in got
+    assert not any(e >= 100 for e in got)  # zero-variance key yields none
+
+
+def test_attribute_last_touch_window_and_latest(spark):
+    from datetime import datetime
+    from otit_swt_spark.pipelines.analytics import attribute_last_touch
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        (1, 1, t(1), "click"), (2, 1, t(2), "click"),   # two touches
+        (3, 1, t(3), "purchase"),                       # -> latest = click 2
+        (4, 2, t(1), "click"), (5, 2, t(20), "purchase"),  # 19d > 7d window
+        (6, 3, t(5), "purchase"),                       # no click at all
+    ]
+    df = spark.createDataFrame(rows,
+                               "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.conversion_id: (r.touch_id, r.gap_us)
+           for r in attribute_last_touch(df).collect()}
+    assert out[3] == (2, 86400 * 1_000_000)
+    assert out[5] == (None, None)      # outside the lookback window
+    assert out[6] == (None, None)      # never touched
+    assert len(out) == 3               # left-join keeps all conversions
+
+
+def test_temperature_sample_flattens_sources(spark):
+    """tau=0 gives every source the same weight regardless of size, so the
+    big source is sampled far below its natural share; tau=1 keeps natural
+    proportions (uniform fraction across sources)."""
+    from otit_swt_spark.pipelines.sampling import temperature_sample
+
+    rows = ([(i, "big") for i in range(9000)]
+            + [(9000 + i, "small") for i in range(1000)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    flat = temperature_sample(df, "source", "doc_id", tau=0.0,
+                              target_fraction=0.2)
+    counts = dict(flat.groupBy("source").count().collect())
+    # equal weights: ~1000 rows per source (md5-grid variance ~ +-10%)
+    assert abs(counts["big"] - 1000) < 150
+    assert abs(counts["small"] - 1000) < 150
+    nat = temperature_sample(df, "source", "doc_id", tau=1.0,
+                             target_fraction=0.2)
+    counts1 = dict(nat.groupBy("source").count().collect())
+    assert abs(counts1["big"] - 1800) < 200      # 20% of 9000
+    assert abs(counts1["small"] - 200) < 80      # 20% of 1000
+    # determinism: same args -> identical row set
+    again = {r.doc_id for r in
+             temperature_sample(df, "source", "doc_id", tau=0.0,
+                                target_fraction=0.2).collect()}
+    assert again == {r.doc_id for r in flat.collect()}
+
+
+def test_curriculum_deciles_invariants(spark):
+    from otit_swt_spark.pipelines.sampling import curriculum_deciles
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), float(i)) for i in range(40)],
+        "doc_id long, source string, sc double")
+    out = curriculum_deciles(df, F.col("sc"), "source", "doc_id",
+                             n_buckets=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    for src, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        # rank 1 = highest score; buckets are contiguous rank bands of
+        # equal size (20 rows, 4 buckets -> 5 per bucket)
+        assert rs[0].rank == 1 and len(rs) == 20
+        assert [r.bucket for r in rs] == [i // 5 for i in range(20)]
+
+
+def test_random_projection_deterministic_and_shaped(spark):
+    from otit_swt_spark.pipelines.embedding import random_projection
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    a = random_projection(df, out_dim=4, seed=7).collect()
+    b = random_projection(df, out_dim=4, seed=7).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert all(len(r.projected) == 4 for r in a)
+    c = random_projection(df, out_dim=4, seed=8).collect()
+    assert sorted(map(str, a)) != sorted(map(str, c))  # seed matters
+
+
+def test_label_centroids_tight_vs_spread(spark):
+    from otit_swt_spark.pipelines.embedding import label_centroids
+
+    tight = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(10)]
+    spread = [(10 + i, [1.0 if i % 2 else -1.0, float(i % 3), 1.0, 0.0], 1)
+              for i in range(10)]
+    df = spark.createDataFrame(tight + spread,
+                               "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_centroids(df).collect()}
+    assert out[0].n_vectors == 10 and out[1].n_vectors == 10
+    assert abs(out[0].cohesion - 1.0) < 1e-6        # identical members
+    assert abs(out[0].centroid_norm - 1.0) < 1e-6
+    assert out[1].cohesion < 0.9                    # genuinely dispersed
+
+
+def test_late_interaction_query_scores_maximal(spark):
+    from otit_swt_spark.pipelines.similarity import late_interaction_topk
+
+    import random as _r
+    rng = _r.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in rows[7][1]]
+    out = late_interaction_topk(df, qv, n_sub=4, k=5)
+    top = out.first()
+    # the query vector itself: every sub-cosine is 1 -> maxsim == n_sub
+    assert top.vec_id == 7 and abs(top.maxsim - 4.0) < 1e-6

@@ -35,7 +35,10 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # the library's default path is LSH-bucketed (equi-join)
             "knn_graph", "hard_negatives",
             # one-row corpus-median broadcast threshold
-            "quality_filter_relative"}
+            "quality_filter_relative",
+            # one-row (tw_sum, n_total) scalar aggregate broadcast into the
+            # tiny per-source sizes frame
+            "temperature_sample"}
 
 
 def test_all_entries_plan_invariants(spark):
