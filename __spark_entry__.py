@@ -1833,8 +1833,9 @@ def q_near_dedup_best(spark, sf_dir):
     verify, connected components (unrolled min-label propagation in the
     oracle vs the real distributed pointer-jumping loop here), and the
     quality-argmax retention rule. The MinHash LSH candidate path the
-    production recipe uses is the near_dedup_docs entry (hash-defined,
-    rows-only by nature)."""
+    production recipe uses is the near_dedup_docs entry (rows-only: its
+    component loop is iterative; the LSH pair stage itself is fully
+    oracle-gated as minhash_lsh_pairs)."""
     from otit_swt_spark.pipelines.dedup import near_dedup_keep_best
     from otit_swt_spark.pipelines.textstats import quality_score
 
@@ -1876,7 +1877,8 @@ def q_ngram_jaccard_verify(spark, sf_dir):
     """Exact n-gram Jaccard verify stage over a DETERMINISTIC candidate set
     (consecutive doc-id pairs) so DuckDB can oracle the set math exactly;
     the LSH candidate generation it normally follows is covered by the
-    minhash_lsh_pairs entry (hash-defined, rows-only by nature)."""
+    minhash_lsh_pairs entry (itself fully oracle-gated: the md5-prefix
+    shingle hash lets DuckDB replay the signatures)."""
     from otit_swt_spark.pipelines.dedup import ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents")
@@ -2455,8 +2457,29 @@ def _ewma_oracle(alpha: float = 0.2) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from otit_swt_spark.pipelines.dedup import _permute_params
     from otit_swt_spark.pipelines.sampling import _hex_threshold
     from otit_swt_spark.pipelines.similarity import _hyperplanes
+
+    # MinHash / SimHash oracles: the shingle hash is the md5 hex prefix
+    # (dedup._md5_31/_md5_64), chosen precisely so DuckDB can replay the
+    # whole LSH pipeline — signatures, banding, lead()-window successor
+    # pairing, and verification — in plain SQL. The (a, b) permutation
+    # parameters are embedded as literals from the same seeded generator
+    # the Spark side uses.
+    _mh_sig_terms = ",\n                       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {(1 << 61) - 1}))"
+        for a, b in _permute_params(64))
+    _mh_leads = ", ".join(f"lead(id, {d}) OVER w" for d in range(1, 9))
+
+    def _sim_bit(j: int) -> str:
+        src, sh = ("los", j) if j < 32 else ("his", j - 32)
+        return (f"list_sum(list_transform({src}, x -> 2 * ((x >> {sh}) & 1) - 1))")
+
+    _sim_fp_terms = "\n                       + ".join(
+        f"(CASE WHEN ({_sim_bit(j)}) > 0 THEN "
+        f"{(1 << j) if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
+        for j in range(64))
 
     t20 = _hex_threshold(0.2)
     t80 = _hex_threshold(0.8)
@@ -4140,5 +4163,86 @@ def oracle_sql() -> dict[str, str]:
                   ON l.sketch = r.sketch AND l.id < r.id
             )
             SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  FOR i IN range(1, len(tk) - 1)]
+                       END AS g
+                FROM toks
+            ), hashed AS (
+                SELECT id,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
+                           & 2147483647) AS hs
+                FROM grams
+            ), sigs AS (
+                SELECT id, [{_mh_sig_terms}] AS sig
+                FROM hashed
+            ), entries AS (
+                SELECT id, band,
+                       array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+                FROM sigs, (SELECT unnest(range(0, 16)) AS band)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM entries WINDOW w AS (PARTITION BY band, key ORDER BY id)
+            ), pairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+                        AS DOUBLE) / 64 AS sig_agreement
+            FROM pairs p
+            JOIN sigs a ON a.id = p.id_a
+            JOIN sigs b ON b.id = p.id_b
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                            ELSE [tk[i] || ' ' || tk[i+1]
+                                  FOR i IN range(1, len(tk))]
+                       END AS g
+                FROM toks
+            ), hashed AS (
+                SELECT id,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT) AS his,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 9, 8))::UBIGINT::BIGINT) AS los
+                FROM grams
+            ), fps AS (
+                SELECT id,
+                       ({_sim_fp_terms}) AS fp
+                FROM hashed
+            ), chunks AS (
+                SELECT id, c, (fp >> (c * 16)) & 65535 AS key
+                FROM fps, (SELECT unnest(range(0, 4)) AS c)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM chunks WINDOW w AS (PARTITION BY c, key ORDER BY id)
+            ), pairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            )
+            SELECT p.id_a, p.id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+            FROM pairs p
+            JOIN fps a ON a.id = p.id_a
+            JOIN fps b ON b.id = p.id_b
+            WHERE bit_count(xor(a.fp, b.fp)) <= 10
         """,
     }

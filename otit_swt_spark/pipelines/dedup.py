@@ -3,8 +3,8 @@
 Design for 100 TB:
 - exact dedup is a single hash-shuffle on a 16-byte digest (not the text);
 - MinHash signatures are computed map-side with built-in functions
-  (xxhash64 over shingles, k linear permutations), so the only shuffle is
-  the band-bucket groupBy, whose keys are uniformly distributed;
+  (md5-prefix shingle hashes, k linear permutations), so the only shuffle
+  is the band-bucket groupBy, whose keys are uniformly distributed;
 - candidate pair generation joins within LSH buckets only (no all-pairs);
 - verification (exact n-gram Jaccard) runs on the candidate pairs, which is
   orders of magnitude smaller than the corpus.
@@ -16,6 +16,26 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 MERSENNE = (1 << 61) - 1
+
+
+def _md5_31(s: Column) -> Column:
+    """31-bit shingle hash: int(md5_hex[:8], 16) & 0x7fffffff.
+
+    Chosen over crc32/xxhash64 deliberately: every SQL engine reproduces
+    the md5 hex prefix bit-for-bit (DuckDB: ('0x'||substr(md5(s),1,8))
+    ::UBIGINT), which lets the driver's oracle replay the whole MinHash
+    pipeline in plain SQL instead of trusting a rows-only check."""
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long").bitwiseAND(F.lit(0x7FFFFFFF)))
+
+
+def _md5_64(s: Column) -> Column:
+    """64-bit hash from the first 16 md5 hex chars, assembled from two
+    32-bit halves with bit ops only (shiftleft/bitwiseOR never overflow,
+    unlike hi*2^32+lo under ANSI arithmetic)."""
+    hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def _permute_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -60,7 +80,7 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def minhash_signature(text: Column, k: int = 64, shingle_n: int = 3) -> Column:
     """k-element MinHash signature (array<long>).
 
-    Single pass: hash each shingle once (xxhash64), then fold the hash array
+    Single pass: hash each shingle once (md5 prefix), then fold the hash array
     into a running element-wise minimum of the k linear permutations
     (``aggregate`` + ``zip_with(least)``). Higher-order functions are
     interpreted (not whole-stage-codegen), so evaluating the shingle array
@@ -69,8 +89,7 @@ def minhash_signature(text: Column, k: int = 64, shingle_n: int = 3) -> Column:
     the pair pipeline.
     """
     params = _permute_params(k)
-    hashes = F.transform(shingles(text, shingle_n),
-                         lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 31))
+    hashes = F.transform(shingles(text, shingle_n), _md5_31)
     init = F.array(*[F.lit(MERSENNE).cast("long") for _ in range(k)])
     return F.aggregate(
         hashes,
@@ -88,12 +107,13 @@ def minhash_signature_udf(k: int = 64, shingle_n: int = 3):
 
     Spark's higher-order array functions run interpreted, so the pure
     expression form re-evaluates a deep tree per row. Here each Arrow batch
-    is processed with numpy: crc32 per shingle (C-speed), then one
-    (k × n_shingles) broadcasted permute + min. ~5-10× faster per core on
-    ~300-char documents and the signature stays identical across runs
-    (crc32 is stable, unlike Python's salted hash)."""
+    is processed with numpy: md5-prefix hash per shingle (hashlib, C-speed),
+    then one (k × n_shingles) broadcasted permute + min. ~5-10× faster per
+    core on ~300-char documents than the interpreted expression tree, the
+    signature is stable across runs (unlike Python's salted hash), and it
+    matches :func:`minhash_signature` and the DuckDB oracle bit-for-bit."""
     import numpy as np
-    from zlib import crc32
+    from hashlib import md5
 
     params = _permute_params(k)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
@@ -113,8 +133,8 @@ def minhash_signature_udf(k: int = 64, shingle_n: int = 3):
             if not grams:
                 out.append(empty)
                 continue
-            h = np.array([crc32(g.encode()) & 0x7FFFFFFF for g in grams],
-                         dtype=np.int64)
+            h = np.array([int.from_bytes(md5(g.encode()).digest()[:4], "big")
+                          & 0x7FFFFFFF for g in grams], dtype=np.int64)
             out.append(((a * h + b) % MERSENNE).min(axis=1))
         return pd.Series(out)
 
@@ -276,8 +296,10 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
 
 def simhash64_from(shingle_arr: Column) -> Column:
     """SimHash fold over an already-built shingle array (pass a STAGED
-    column on corpus-scale paths — see :func:`with_shingles`)."""
-    hashes = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+    column on corpus-scale paths — see :func:`with_shingles`). Shingle
+    hash is the md5-hex-prefix 64-bit value so a SQL oracle can replay
+    the fingerprint exactly (see :func:`_md5_64`)."""
+    hashes = F.transform(shingle_arr, _md5_64)
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(64)])
     counts = F.aggregate(
         hashes,

@@ -60,7 +60,7 @@ def run_sweep(spark, sf_dir: str = "/root/testdata/sf0.01",
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(pdf_rows)} rows, {time.time()-t0:.1f}s)")
-            if len(pdf_rows) == 0 and name not in ("simhash_pairs",):
+            if len(pdf_rows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:

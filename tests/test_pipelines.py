@@ -65,6 +65,18 @@ def test_minhash_udf_matches_structure(spark, docs):
     assert a == b                                 # identical docs agree
 
 
+def test_minhash_expression_udf_parity(spark, docs):
+    # Both paths share the md5-prefix shingle hash (dedup._md5_31), so the
+    # interpreted-expression form and the Arrow UDF must agree bit-for-bit
+    # — the same property that lets the DuckDB oracle replay signatures.
+    expr = docs.select("doc_id", minhash_signature(F.col("text")).alias("s")) \
+               .orderBy("doc_id").collect()
+    udf = docs.select("doc_id",
+                      minhash_signature_udf(64, 3)(F.col("text")).alias("s")) \
+              .orderBy("doc_id").collect()
+    assert [r["s"] for r in expr] == [r["s"] for r in udf]
+
+
 def test_minhash_lsh_finds_dups(docs):
     # narrow bands (2 rows) for high near-dup recall: J=0.6 across 32
     # 2-row bands -> collision probability 1-(1-0.36)^32 ~ 1
