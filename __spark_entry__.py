@@ -2034,8 +2034,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _memo(name, fn) for name, fn in _QUERIES.items()}
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact-substring duplicate span discovery (Lee et al. 2022 style,
+    see dedup.duplicate_ngram_spans): word 13-grams occurring >= 2 times
+    corpus-wide — the fuzzy-free complement to MinHash near-dedup that the
+    reference's pipeline surface lacks entirely."""
+    from otit_swt_spark.pipelines.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"),
+                                 n=13, min_count=2)
+
+
+def q_epoch_upsample(spark, sf_dir):
+    """Mixture plan materialized as whole training passes: en x3, de x2,
+    zh dropped, everything else x1, each copy tagged with its epoch index."""
+    from otit_swt_spark.pipelines.sampling import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_upsample(docs, "lang", {"en": 3, "de": 2, "zh": 0})
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Greedy selection under a 10k-token budget, best (longest) documents
+    first — exact bucketed two-phase equivalent of the global-window
+    cumsum the oracle runs."""
+    from otit_swt_spark.pipelines.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_select(docs, 10_000, F.col("n_chars"))
+
+
+def q_cross_dedup_flags(spark, sf_dir):
+    """Cross-corpus near-dup decontamination: flag even-id 'training' docs
+    sharing any MinHash band bucket with an odd-id 'reference' doc. The
+    md5-prefix shingle hash lets DuckDB replay signatures, banding, the
+    deterministic per-bucket ref cap, and the agreement rollup exactly."""
+    from otit_swt_spark.pipelines.dedup import cross_corpus_neardup_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_corpus_neardup_flags(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "epoch_upsample": q_epoch_upsample,
+        "token_budget_select": q_token_budget_select,
+        "cross_dedup_flags": q_cross_dedup_flags,
         "zscore_anomalies": q_zscore_anomalies,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
@@ -4244,5 +4291,108 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "dup_ngram_spans": r"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
+                            ELSE [concat_ws(' ', tk[i], tk[i+1], tk[i+2],
+                                            tk[i+3], tk[i+4], tk[i+5], tk[i+6],
+                                            tk[i+7], tk[i+8], tk[i+9], tk[i+10],
+                                            tk[i+11], tk[i+12])
+                                  FOR i IN range(1, len(tk) - 11)]
+                       END AS g
+                FROM toks
+            ), exploded AS (
+                SELECT id, md5(unnest(g)) AS gram_md5 FROM grams
+            )
+            SELECT gram_md5,
+                   count(DISTINCT id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(id) AS first_doc
+            FROM exploded
+            GROUP BY gram_md5
+            HAVING count(*) >= 2
+        """,
+        "epoch_upsample": """
+            WITH m AS (SELECT * FROM (VALUES ('en', 3), ('de', 2), ('zh', 0))
+                       AS t(l, n)),
+            d AS (
+                SELECT doc_id, lang,
+                       coalesce((SELECT n FROM m WHERE m.l = lang), 1) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+            FROM d
+        """,
+        "token_budget_select": r"""
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       len(regexp_extract_all(text, '\S+', 0)) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       coalesce(sum(n_tok) OVER (
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS before
+                FROM t
+            )
+            SELECT doc_id, n_tok FROM c WHERE before < 10000
+        """,
+        "cross_dedup_flags": f"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  FOR i IN range(1, len(tk) - 1)]
+                       END AS g
+                FROM toks
+            ), hashed AS (
+                SELECT id,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
+                           & 2147483647) AS hs
+                FROM grams
+            ), sigs AS (
+                SELECT id, [{_mh_sig_terms}] AS sig
+                FROM hashed
+            ), entries AS (
+                SELECT id, band,
+                       array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+                FROM sigs, (SELECT unnest(range(0, 16)) AS band)
+            ), ref_capped AS (
+                SELECT id AS ref_id, band, key FROM (
+                    SELECT id, band, key,
+                           row_number() OVER (PARTITION BY band, key
+                                              ORDER BY id) AS rn
+                    FROM entries WHERE id % 2 = 1)
+                WHERE rn <= 4
+            ), cand AS (
+                SELECT DISTINCT e.id, r.ref_id
+                FROM entries e
+                JOIN ref_capped r ON e.band = r.band AND e.key = r.key
+                WHERE e.id % 2 = 0
+            ), ag AS (
+                SELECT c.id, c.ref_id,
+                       CAST(len(list_filter(range(1, 65),
+                                            i -> a.sig[i] = b.sig[i]))
+                            AS DOUBLE) / 64 AS agreement
+                FROM cand c
+                JOIN sigs a ON a.id = c.id
+                JOIN sigs b ON b.id = c.ref_id
+            )
+            SELECT id, count(*) AS n_candidates,
+                   max(agreement) AS max_agreement
+            FROM ag GROUP BY id
         """,
     }

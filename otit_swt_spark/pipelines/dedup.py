@@ -537,3 +537,79 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
         "id_a", "id_b",
         F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+
+
+def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 13,
+                          min_count: int = 2) -> DataFrame:
+    """Corpus-wide repeated n-gram detection — the discovery stage of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" uses 50-token spans; 13 is the
+    classic decontamination width): every word n-gram occurring at least
+    ``min_count`` times — across documents or repeated within one — is a
+    duplicated span.
+
+    Returns (gram_md5, n_docs, n_occurrences, first_doc). Scale: the
+    explode is token-linear, only the 16-byte md5 (never the gram text)
+    enters the shuffle, and the groupBy keys are uniform hashes — no skew.
+    Docs shorter than ``n`` tokens contribute their whole text as one
+    span, so exact short-document duplicates are still caught."""
+    sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
+                       text_col, n=n, out_col="__g")
+    return (sh.select("id", F.explode("__g").alias("g"))
+            .select("id", F.md5("g").alias("gram_md5"))
+            .groupBy("gram_md5")
+            .agg(F.count_distinct(F.col("id")).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("id").alias("first_doc"))
+            .filter(F.col("n_occurrences") >= min_count))
+
+
+def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               k: int = 64, bands: int = 16,
+                               shingle_n: int = 3,
+                               max_ref_per_bucket: int = 4) -> DataFrame:
+    """Flag training documents that are near-duplicates of a reference
+    corpus (held-out set, benchmark suite, earlier crawl) via a cross-corpus
+    MinHash LSH band join — the fuzzy complement of 13-gram
+    ``decontaminate``.
+
+    Returns one row per flagged train doc: (id, n_candidates,
+    max_agreement). Scale: both corpora are reduced to signatures map-side;
+    the only shuffle is the band-bucket join, and the REF side of each
+    bucket is capped at ``max_ref_per_bucket`` entries (deterministic: the
+    lowest ref ids win) — any single collision flags the doc, so a cap on
+    the evidence list changes at most which agreement is reported, never
+    whether a doc is flagged, and a boilerplate mega-bucket stays linear."""
+    from pyspark.sql import Window as W
+
+    sig = minhash_signature_udf(k, shingle_n)
+    par = train.sparkSession.sparkContext.defaultParallelism
+
+    def _entries(df: DataFrame) -> DataFrame:
+        with_sig = (df.select(F.col(id_col).alias("id"), F.col(text_col))
+                    .repartition(par)
+                    .select("id", sig(F.col(text_col)).alias("sig")))
+        return with_sig, band_entries_for(with_sig, k, bands)
+
+    train_sig, train_entries = _entries(train)
+    ref_sig, ref_entries = _entries(ref)
+    ref_capped = (ref_entries
+                  .withColumn("__rn", F.row_number().over(
+                      W.partitionBy("band", "bucket").orderBy("id")))
+                  .filter(F.col("__rn") <= max_ref_per_bucket)
+                  .select(F.col("id").alias("ref_id"), "band", "bucket"))
+    cand = (train_entries.join(ref_capped, ["band", "bucket"])
+            .select("id", "ref_id").dropDuplicates(["id", "ref_id"]))
+    agree = F.size(F.filter(F.zip_with("sig", "ref_sig",
+                                       lambda a, b: a == b), lambda x: x))
+    return (cand
+            .join(train_sig, "id")
+            .join(ref_sig.select(F.col("id").alias("ref_id"),
+                                 F.col("sig").alias("ref_sig")), "ref_id")
+            .select("id", "ref_id",
+                    (agree.cast("double") / k).alias("agreement"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.max("agreement").alias("max_agreement")))

@@ -233,3 +233,76 @@ def curriculum_deciles(df: DataFrame, score, group_col: str,
                         F.floor((F.col("rank") - 1) * n_buckets /
                                 F.count(F.lit(1)).over(cnt)).cast("int"))
             .select(id_col, group_col, "rank", "bucket"))
+
+
+def epoch_upsample(df: DataFrame, group_col: str,
+                   epochs: dict[str, int],
+                   default_epochs: int = 1) -> DataFrame:
+    """Materialize a mixture plan as whole-pass replication: every row of
+    group g appears ``epochs[g]`` times (``default_epochs`` otherwise),
+    tagged with a 1-based ``epoch`` index so downstream sharding/shuffling
+    can separate the copies deterministically. Groups mapped to 0 epochs
+    are dropped. This is how per-source weights become actual training
+    passes (e.g. Wikipedia x3, CommonCrawl x1).
+
+    Map-side explode from a literal map — zero shuffle, replication factor
+    explicit and bounded, any scale."""
+    pairs: list[Column] = []
+    for g, e in epochs.items():
+        pairs += [F.lit(g), F.lit(int(e))]
+    e = F.coalesce(F.create_map(*pairs)[F.col(group_col)],
+                   F.lit(int(default_epochs)))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] rather than an
+    # empty array, so 0-epoch groups need the explicit empty branch
+    idx = F.when(e >= 1, F.sequence(F.lit(1), e)).otherwise(
+        F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(idx))
+
+
+def token_budget_select(df: DataFrame, budget_tokens: int, score: Column,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 1024) -> DataFrame:
+    """Greedy data selection under a token budget: admit documents in
+    (score desc, id asc) order while the running token total of everything
+    admitted BEFORE them is still under the budget — the standard knapsack
+    relaxation for "best N tokens" data curation.
+
+    The naive form is a global-order window cumsum, which Spark would run
+    in a single partition. Instead, two exactly-equivalent phases:
+    quantize the score into ``n_buckets`` range buckets (one tiny min/max
+    job); aggregate per-bucket token totals (n_buckets rows) and
+    prefix-sum THAT; then every document's global running total =
+    broadcast bucket prefix + a within-bucket window cumsum. Bucketing by
+    score range keeps the composite order identical to the global
+    (score desc, id) order, so the result matches the naive window (and
+    the SQL oracle) row-for-row while the only windows are per-bucket.
+
+    Returns (id_col, n_tok) for the admitted documents."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.textstats import n_tokens
+
+    scored = df.select(F.col(id_col), score.alias("__s"),
+                       n_tokens(F.col(text_col)).alias("n_tok"))
+    lo, hi = scored.agg(F.min("__s"), F.max("__s")).first()
+    if lo is None:
+        return scored.select(id_col, "n_tok").limit(0)
+    width = (float(hi) - float(lo)) / n_buckets or 1.0
+    b = F.least(F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(width)),
+                F.lit(n_buckets - 1)).cast("int")
+    bucketed = scored.withColumn("__b", b)
+    # tiny frame: one row per non-empty bucket; the single-partition window
+    # here is over <= n_buckets rows, not the corpus
+    wb = W.orderBy(F.desc("__b")).rowsBetween(W.unboundedPreceding, -1)
+    prefix = (bucketed.groupBy("__b").agg(F.sum("n_tok").alias("__btot"))
+              .withColumn("__before_bucket",
+                          F.coalesce(F.sum("__btot").over(wb), F.lit(0)))
+              .select("__b", "__before_bucket"))
+    ww = (W.partitionBy("__b").orderBy(F.desc("__s"), F.col(id_col))
+          .rowsBetween(W.unboundedPreceding, -1))
+    return (bucketed.join(F.broadcast(prefix), "__b")
+            .withColumn("__before",
+                        F.col("__before_bucket") +
+                        F.coalesce(F.sum("n_tok").over(ww), F.lit(0)))
+            .filter(F.col("__before") < budget_tokens)
+            .select(id_col, "n_tok"))

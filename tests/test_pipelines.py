@@ -1402,3 +1402,67 @@ def test_late_interaction_query_scores_maximal(spark):
     top = out.first()
     # the query vector itself: every sub-cosine is 1 -> maxsim == n_sub
     assert top.vec_id == 7 and abs(top.maxsim - 4.0) < 1e-6
+
+
+def test_duplicate_ngram_spans(spark, docs):
+    from otit_swt_spark.pipelines.dedup import duplicate_ngram_spans
+
+    # 9-token docs with n=4: docs 1/2 share all six 4-gram spans; doc 3
+    # differs in one word so only spans avoiding "leaps" are shared
+    out = {r["gram_md5"]: r for r in
+           duplicate_ngram_spans(spark.createDataFrame(DOCS, "doc_id long, text string"),
+                                 n=4, min_count=2).collect()}
+    assert all(r["n_occurrences"] >= 2 for r in out.values())
+    shared3 = [r for r in out.values() if r["n_docs"] == 3]
+    assert shared3 and all(r["first_doc"] == 1 for r in shared3)
+    # exactly "the quick brown fox" and "over the lazy dog" avoid the
+    # jumps/leaps divergence at token 5, so docs 1, 2 AND 3 share them
+    assert len(shared3) == 2
+
+
+def test_cross_corpus_neardup_flags(spark, docs):
+    from otit_swt_spark.pipelines.dedup import cross_corpus_neardup_flags
+
+    train = docs.filter(F.col("doc_id") % 2 == 1)  # 1, 3, 5
+    ref = docs.filter(F.col("doc_id") % 2 == 0)    # 2, 4, 6
+    # 2-row bands for near-dup recall at J~0.4 (same knob as the
+    # minhash recall test): 1-(1-J^2)^32 ~ 1
+    out = {r["id"]: r for r in
+           cross_corpus_neardup_flags(train, ref, bands=32).collect()}
+    assert out[1]["max_agreement"] == 1.0          # doc 1 == doc 2 exactly
+    assert 3 in out                                # near dup of doc 2
+    assert out[5]["max_agreement"] < 1.0           # near dup of doc 4
+
+
+def test_epoch_upsample(spark):
+    from otit_swt_spark.pipelines.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "zh"), (4, "fr")], "id long, lang string")
+    out = rows(epoch_upsample(df, "lang", {"en": 3, "de": 2, "zh": 0})
+               .select("id", "epoch"))
+    assert sorted(out) == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (4, 1)]
+
+
+def test_token_budget_select_matches_naive(spark):
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.sampling import token_budget_select
+    from otit_swt_spark.pipelines.textstats import n_tokens
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + (i * 7) % 13)), (i * 31) % 17)
+         for i in range(60)],
+        "doc_id long, text string, score long")
+    budget = 150
+    got = sorted(rows(token_budget_select(df, budget, F.col("score"),
+                                          n_buckets=8)))
+    w = (W.orderBy(F.desc("score"), F.col("doc_id"))
+         .rowsBetween(W.unboundedPreceding, -1))
+    naive = sorted(rows(
+        df.select("doc_id", n_tokens(F.col("text")).alias("n_tok"),
+                  F.coalesce(F.sum(n_tokens(F.col("text"))).over(w),
+                             F.lit(0)).alias("before"))
+        .filter(F.col("before") < budget)
+        .select("doc_id", "n_tok")))
+    assert got == naive and 0 < len(got) < 60
