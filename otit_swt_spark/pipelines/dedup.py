@@ -588,9 +588,12 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
     par = train.sparkSession.sparkContext.defaultParallelism
 
     def _entries(df: DataFrame) -> DataFrame:
+        # persisted: both the band explode and the agreement join-back
+        # reuse the signatures without re-running the text scan + UDF
         with_sig = (df.select(F.col(id_col).alias("id"), F.col(text_col))
                     .repartition(par)
-                    .select("id", sig(F.col(text_col)).alias("sig")))
+                    .select("id", sig(F.col(text_col)).alias("sig"))
+                    .persist())
         return with_sig, band_entries_for(with_sig, k, bands)
 
     train_sig, train_entries = _entries(train)
