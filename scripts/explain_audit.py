@@ -31,14 +31,25 @@ def audit(name: str, df) -> None:
     for p in pushed[:6]:
         print(f"   pushed: {p[:140]}")
     print(f"   joins: {dict((j, joins.count(j)) for j in set(joins))}")
+    # executedPlan().toString() marks whole-stage-codegen membership with a
+    # "*(n)" prefix per operator (the literal WholeStageCodegen node name
+    # only appears in the formatted explain), so count distinct span ids
+    codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
     print(f"   exchanges: {plan.count('Exchange')}, "
-          f"codegen spans: {plan.count('WholeStageCodegen')}")
+          f"codegen spans: {codegen}")
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
     spark = get_spark("explain_audit")
+    # Audit the STATIC plan: with AQE on, the pre-execution executedPlan is
+    # an AdaptiveSparkPlan placeholder that hides codegen span markers and
+    # final join choices. Disabling AQE here keeps the audit compile-only
+    # (no per-entry execution) while showing real operator/codegen shapes;
+    # production sessions keep AQE, which only improves on these plans
+    # (runtime broadcast conversion, partition coalescing, skew splitting).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
