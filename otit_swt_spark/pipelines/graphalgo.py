@@ -84,9 +84,14 @@ def neighborhood_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
     neighbor-set arrays are ever materialized. Pair count is bounded by
     wedge count (Σ deg(v)²); clip hub nodes upstream when that explodes.
     Output: ``(a, b, common, jaccard)`` rounded to 6 dp."""
+    # the undirected edge list feeds THREE consumers (degrees + both wedge
+    # legs); materialize it once instead of re-deriving the upstream edge
+    # generation (often itself a join, e.g. cooccurrence_edges) per
+    # consumer — same lazy lineage-control idiom as triangle_count/pagerank
     und = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionAll(edges.select(F.col("b").alias("u"),
-                                  F.col("a").alias("v"))))
+                                  F.col("a").alias("v")))
+           .localCheckpoint(eager=False))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # wedge u1 - w - u2 with u1 < u2: one row per (pair, shared neighbor)
     e1 = und.select(F.col("v").alias("w"), F.col("u").alias("p"))
