@@ -4219,7 +4219,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), grams AS (
                 SELECT id,
-                       CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                       CASE WHEN len(tk) <= 3
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
                             ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                   FOR i IN range(1, len(tk) - 1)]
                        END AS g
@@ -4352,7 +4353,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), grams AS (
                 SELECT id,
-                       CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                       CASE WHEN len(tk) <= 3
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
                             ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                   FOR i IN range(1, len(tk) - 1)]
                        END AS g

@@ -1466,3 +1466,57 @@ def test_token_budget_select_matches_naive(spark):
         .filter(F.col("before") < budget)
         .select("doc_id", "n_tok")))
     assert got == naive and 0 < len(got) < 60
+
+
+def test_minhash_udf_duckdb_parity_edge_cases(spark):
+    """Independent cross-engine check of the signature the LSH oracles
+    lean on: the Arrow UDF vs a from-scratch DuckDB SQL reimplementation
+    (md5-prefix hash, same permutation params), over tokenization edge
+    cases — empty/whitespace-only text, fewer tokens than the shingle
+    width, tabs/newlines, case folding, punctuation-adjacent tokens."""
+    import duckdb
+
+    from otit_swt_spark.pipelines.dedup import _permute_params
+
+    cases = [
+        "", " ", " \t\n ", "a", "a b", "a b c", "a b c d",
+        "Word", "UPPER lower MiXeD Case tokens here",
+        "tab\tseparated\ttokens\tand\nnewlines\nhere",
+        "  leading and trailing spaces  ",
+        "punctuation, stays! attached? to. tokens;",
+        "numbers 123 456 mixed 7x8 tokens",
+        ("repeat " * 40).strip(),
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), "id long, text string")
+    got = {r["id"]: list(r["s"])
+           for r in df.select("id", minhash_signature_udf(64, 3)(
+               F.col("text")).alias("s")).collect()}
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {(1 << 61) - 1}))"
+        for a, b in _permute_params(64))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(con.execute(rf"""
+        WITH toks AS (
+            SELECT id, list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS tk FROM t
+        ), grams AS (
+            SELECT id, CASE WHEN len(tk) <= 3
+                            -- array_to_string([]) is NULL, Spark concat_ws is ''
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
+                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  FOR i IN range(1, len(tk) - 1)] END AS g
+            FROM toks
+        ), hashed AS (
+            SELECT id, list_transform(g, s ->
+                ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
+                & 2147483647) AS hs
+            FROM grams
+        )
+        SELECT id, [{sig_terms}] FROM hashed
+    """).fetchall())
+    assert {i: list(s) for i, s in want.items()} == got

@@ -263,3 +263,45 @@ def test_pack_sequences_many_shards_amplified(spark):
                 F.max(F.col("token_offset") + F.col("n_tokens")).alias("end"))
            .filter(F.col("tok_sum") != F.col("end")))
     assert agg.count() == 0  # contiguous layout in every shard
+
+
+def test_dup_ngram_spans_repetitive_corpus(spark):
+    """Exact-substring span discovery against 50k docs where one 13-gram
+    boilerplate footer appears in EVERY doc: the hot gram collapses in the
+    map-side partial aggregate (one md5 key), so the skewed span must not
+    blow up the shuffle. Also checks the hot span is actually found."""
+    from otit_swt_spark.pipelines.dedup import duplicate_ngram_spans
+
+    footer = " ".join(f"footer{i}" for i in range(13))
+    docs = (_amplify(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                     .select("doc_id", "text"), 10, "doc_id", 1_000_000)
+            .withColumn("text", F.concat_ws(" ", F.col("text"),
+                                            F.lit(footer))))
+    n = docs.count()
+    assert n == 50_000
+    spans = duplicate_ngram_spans(docs, n=13, min_count=2)
+    hot = spans.orderBy(F.desc("n_occurrences")).first()
+    assert hot["n_docs"] == n  # the footer gram spans every doc
+
+
+def test_cross_dedup_mega_bucket_linear(spark):
+    """One reference doc duplicated 25k times against 25k identical train
+    docs: every band bucket contains the full ref corpus. The per-bucket
+    ref cap must keep the candidate join linear (uncapped it would emit
+    25k x 25k pairs per band)."""
+    from otit_swt_spark.pipelines.dedup import cross_corpus_neardup_flags
+
+    base = spark.range(25_000)
+    train = base.select((F.col("id") * 2).alias("doc_id"),
+                        F.lit("the same boilerplate text repeated "
+                              "across every single document").alias("text"))
+    ref = base.select((F.col("id") * 2 + 1).alias("doc_id"),
+                      F.lit("the same boilerplate text repeated "
+                            "across every single document").alias("text"))
+    out = cross_corpus_neardup_flags(train, ref, max_ref_per_bucket=4)
+    rows = out.collect()
+    # every train doc flagged, evidence list capped: <= 4 ref ids per
+    # bucket x 16 bands candidates per doc
+    assert len(rows) == 25_000
+    assert all(r["max_agreement"] == 1.0 and r["n_candidates"] <= 64
+               for r in rows)
