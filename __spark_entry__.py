@@ -4296,11 +4296,13 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": r"""
             WITH toks AS (
                 SELECT doc_id AS id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   t -> t <> '') AS tk
                 FROM documents
             ), grams AS (
                 SELECT id,
-                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
+                       CASE WHEN len(tk) < 13
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
                             ELSE [concat_ws(' ', tk[i], tk[i+1], tk[i+2],
                                             tk[i+3], tk[i+4], tk[i+5], tk[i+6],
                                             tk[i+7], tk[i+8], tk[i+9], tk[i+10],

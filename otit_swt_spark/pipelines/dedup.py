@@ -71,9 +71,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     toks = F.col("__toks")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - F.lit(1))
+    # one slice + join per shingle instead of n element_at lookups: the
+    # transform lambda runs interpreted, so expression-tree size is the
+    # dominant cost (13-gram spans were ~10x slower with per-token concat)
     arr = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])))
+        F.transform(idx, lambda i: F.array_join(
+            F.slice(toks, (i + 1).cast("int"), n), " ")))
     return staged.withColumn(out_col, arr).drop("__toks")
 
 
@@ -554,10 +557,34 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     enters the shuffle, and the groupBy keys are uniform hashes — no skew.
     Docs shorter than ``n`` tokens contribute their whole text as one
     span, so exact short-document duplicates are still caught."""
-    sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
-                       text_col, n=n, out_col="__g")
-    return (sh.select("id", F.explode("__g").alias("g"))
-            .select("id", F.md5("g").alias("gram_md5"))
+    from hashlib import md5 as _md5
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+
+    # Arrow UDF emitting the gram digests directly: Spark's higher-order
+    # transform runs interpreted, so building wide (13-token) grams as
+    # expressions is ~10x slower per core than hashing them in Python
+    # (same tradeoff as minhash_signature_udf, and the same md5-replayable
+    # tokenization: lowercase, whitespace split, whole doc when < n).
+    @F.pandas_udf("array<string>")
+    def gram_md5s(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+            out.append([_md5(g.encode()).hexdigest() for g in grams])
+        return pd.Series(out)
+
+    # a small single-file corpus scans as ONE split; spread the gram
+    # construction before it runs (minhash idiom)
+    sh = (df.select(F.col(id_col).alias("id"), F.col(text_col))
+          .repartition(par)
+          .select("id", gram_md5s(F.col(text_col)).alias("__g")))
+    return (sh.select("id", F.explode("__g").alias("gram_md5"))
             .groupBy("gram_md5")
             .agg(F.count_distinct(F.col("id")).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"),

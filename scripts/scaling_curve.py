@@ -1,0 +1,115 @@
+"""Scaling-curve evidence: amplify the sf0.1 tables 4x (key-shifted
+copies, dims untouched) into a temp dir, then time the data-heavy headline
+queries at both scales. A plan that survives 100 TB should show time
+ratios <= ~4x for 4x data (sub-linear where overhead dominates, linear
+where scans/shuffles dominate); a super-linear entry is a quadratic
+red flag. Usage:
+
+    python scripts/scaling_curve.py [amplification] [name ...]
+
+Prints one line per query: base seconds, amplified seconds, ratio; then a
+summary JSON line. The amplified dir is cached under /tmp and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from otit_swt_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+# fact tables with the id column to shift per replica (keeps keys unique
+# while join fan-in to the untouched dims grows linearly, like real growth)
+FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+SHIFT = 10 ** 9
+
+QUERIES = [
+    "tpch_q1",
+    "tpch_q3_topk",
+    "window_tumbling_events",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "text_stats",
+    "chunk_docs",
+    "embedding_topk",
+    "mapper_expand_lineitem",
+    "dup_ngram_spans",
+]
+
+
+def build_amplified(spark, times: int) -> str:
+    out = os.path.join("/tmp", "otit_swt_scale", f"sf0.1x{times}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{out}/{t}.parquet")
+    from otit_swt_spark.tpch_graph import load_events
+
+    for t, key in FACTS.items():
+        df = (load_events(spark, BASE) if t == "events"
+              else spark.read.parquet(f"{BASE}/{t}.parquet"))
+        rep = df
+        for i in range(1, times):
+            shifted = df.withColumn(key, F.col(key) + F.lit(i * SHIFT))
+            if t == "events":
+                # distinct users per replica so per-user series stay sane
+                shifted = shifted.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * SHIFT))
+            rep = rep.unionByName(shifted)
+        rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm: JIT/codegen/Python workers
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    names = sys.argv[2:] or QUERIES
+    spark = get_spark("scaling_curve")
+    amp = build_amplified(spark, times)
+    base_t = time_queries(spark, BASE, names)
+    amp_t = time_queries(spark, amp, names)
+    rows = {}
+    for n in names:
+        ratio = round(amp_t[n] / base_t[n], 2) if base_t[n] else None
+        rows[n] = {"base_s": base_t[n], f"x{times}_s": amp_t[n],
+                   "ratio": ratio}
+        print(f"{n:28s} base {base_t[n]:7.3f}s  x{times} {amp_t[n]:7.3f}s  "
+              f"ratio {ratio}")
+    print(json.dumps({"amplification": times, "queries": rows}))
+
+
+if __name__ == "__main__":
+    main()
