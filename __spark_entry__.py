@@ -2077,8 +2077,45 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_decontam_report(spark, sf_dir):
+    """Per-source contamination governance report over the same
+    benchmark split as q_decontaminate (8-token shingles, doc_id % 7)."""
+    from otit_swt_spark.pipelines.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(d.filter(F.col("doc_id") % 7 != 0),
+                                d.filter(F.col("doc_id") % 7 == 0), n=8)
+
+
+def q_winsorize_events(spark, sf_dir):
+    """Per-event-type winsorization at [p01, p99]: grouped percentile
+    bounds (rounded to 6 dp for cross-engine clamp determinism) broadcast
+    back, map-side clamp."""
+    from otit_swt_spark.pipelines.analytics import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return (winsorize(ev, "value", "event_type")
+            .select("event_id", "event_type", "value", "lo", "hi",
+                    "value_w"))
+
+
+def q_normalize_text(spark, sf_dir):
+    """C4-style normalization pass: control-char strip + whitespace
+    canonicalization, with the per-doc byte saving."""
+    from otit_swt_spark.pipelines.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select("doc_id", norm.alias("text_norm"),
+                    (F.length("text") - F.length(norm))
+                    .alias("chars_removed"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "decontam_report": q_decontam_report,
+        "winsorize_events": q_winsorize_events,
+        "normalize_text": q_normalize_text,
         "dup_ngram_spans": q_dup_ngram_spans,
         "epoch_upsample": q_epoch_upsample,
         "token_budget_select": q_token_budget_select,
@@ -4398,5 +4435,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, count(*) AS n_candidates,
                    max(agreement) AS max_agreement
             FROM ag GROUP BY id
+        """,
+        "decontam_report": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, greatest(len(tk) - 7, 0)),
+                           i -> md5(array_to_string(list_slice(tk, i, i + 7),
+                                                    ' ')))) AS gram
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+            ), dg AS (
+                SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0
+            ), hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM dg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN coalesce(h.n, 0) >= 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                   round(sum(CASE WHEN coalesce(h.n, 0) >= 1
+                             THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS pct_flagged,
+                   max(coalesce(h.n, 0)) AS max_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 7 <> 0
+            GROUP BY d.source
+        """,
+        "winsorize_events": """
+            WITH b AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.01), 6) AS lo,
+                       round(quantile_cont(value, 0.99), 6) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+                   least(greatest(e.value, b.lo), b.hi) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
+        "normalize_text": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(text, '\r\n|\r', chr(10), 'g'),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g')) AS text_norm,
+                       text
+                FROM documents
+            )
+            SELECT doc_id, text_norm,
+                   length(text) - length(text_norm) AS chars_removed
+            FROM n
         """,
     }

@@ -243,3 +243,25 @@ def attribute_last_touch(events: DataFrame, convert_type: str = "purchase",
         "conversion_id", key,
         F.col("touch_id_matched").alias("touch_id"),
         F.when(F.col("touch_id_matched").isNotNull(), gap).alias("gap_us"))
+
+
+def winsorize(df: DataFrame, value_col: str, group_col: str,
+              lower: float = 0.01, upper: float = 0.99) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    [p_lower, p_upper] interpolated-percentile band — the standard outlier
+    treatment before training-statistics aggregation.
+
+    One grouped percentile aggregate (tiny: one row per group) broadcast
+    back, then a map-side clamp — no per-row shuffle. Bounds are rounded
+    to 6 dp BEFORE clamping so the clamp decision is reproducible across
+    engines (percentile interpolation may differ in the last ulp).
+    Output: the input columns plus ``lo``/``hi``/``value_w``."""
+    bounds = (df.groupBy(group_col)
+              .agg(F.round(F.expr(f"percentile({value_col}, {lower})"), 6)
+                   .alias("lo"),
+                   F.round(F.expr(f"percentile({value_col}, {upper})"), 6)
+                   .alias("hi")))
+    return (df.join(F.broadcast(bounds), group_col)
+            .withColumn("value_w",
+                        F.least(F.greatest(F.col(value_col), F.col("lo")),
+                                F.col("hi"))))

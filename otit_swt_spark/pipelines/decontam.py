@@ -177,3 +177,23 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
         out = out.filter(~F.col("contaminated")).drop(
             "contaminated", "n_contaminated_grams")
     return out
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame,
+                         group_col: str = "source", n: int = 13,
+                         min_hits: int = 1, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-source contamination summary over :func:`decontaminate` output —
+    the report a data-governance pass actually publishes: for each corpus
+    slice, how many documents overlap the benchmark, what fraction, and the
+    worst offender's hit count. Adds one tiny group-by on top of the
+    decontamination plan (whose only corpus shuffle is the per-doc count of
+    MATCHING grams)."""
+    flagged = decontaminate(docs, benchmark, n=n, min_hits=min_hits,
+                            text_col=text_col, id_col=id_col)
+    return (flagged.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("contaminated").cast("long")).alias("n_flagged"),
+                 F.round(F.sum(F.col("contaminated").cast("long"))
+                         / F.count(F.lit(1)), 6).alias("pct_flagged"),
+                 F.max("n_contaminated_grams").alias("max_hits")))

@@ -210,3 +210,16 @@ def flesch_reading_ease(text: Column) -> Column:
     return (F.lit(206.835)
             - F.lit(1.015) * (words / sentences.cast("double"))
             - F.lit(84.6) * (syllables / w.cast("double")))
+
+
+def normalize_text(text: Column) -> Column:
+    """C4/CCNet-style text normalization, entirely codegen'd expressions:
+    strip ASCII control characters, unify Windows/Mac line endings, then
+    collapse horizontal-whitespace runs to single spaces and trim. Paragraph
+    structure (newlines) survives; everything else is canonical — run this
+    BEFORE hashing/dedup so formatting variants collapse."""
+    t = F.regexp_replace(text, "\r\n|\r", "\n")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    return F.trim(t)

@@ -1520,3 +1520,49 @@ def test_minhash_udf_duckdb_parity_edge_cases(spark):
         SELECT id, [{sig_terms}] FROM hashed
     """).fetchall())
     assert {i: list(s) for i, s in want.items()} == got
+
+
+def test_normalize_text_cleanup(spark):
+    from otit_swt_spark.pipelines.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "a\r\nb\rc"), (2, "x\x00y\x07z"), (3, "  a \t b  \n  c  "),
+         (4, "clean text")],
+        "id long, text string")
+    out = dict(rows(df.select("id", normalize_text(F.col("text")))))
+    assert out[1] == "a\nb\nc"          # CRLF / CR -> LF
+    assert out[2] == "xyz"              # control chars stripped
+    assert out[3] == "a b\nc"           # runs collapsed, newline kept
+    assert out[4] == "clean text"       # idempotent on clean input
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    from otit_swt_spark.pipelines.analytics import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(101)] +
+        [(200, "b", 5.0), (201, "b", 1000.0)],
+        "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in
+           winsorize(df, "value", "event_type").collect()}
+    assert out[0]["value_w"] == 1.0     # below p01 of group a -> clamped
+    assert out[100]["value_w"] == 99.0  # above p99 -> clamped
+    assert out[50]["value_w"] == 50.0   # interior unchanged
+    assert out[200]["lo"] != out[0]["lo"]  # per-group bounds
+
+
+def test_contamination_report_consistent_with_flags(spark, docs):
+    from otit_swt_spark.pipelines.decontam import (contamination_report,
+                                                   decontaminate)
+
+    d = docs.withColumn("source", F.when(F.col("doc_id") <= 3, "a")
+                        .otherwise("b"))
+    bench = d.filter(F.col("doc_id") == 2)
+    train = d.filter(F.col("doc_id") != 2)
+    rep = {r["source"]: r for r in
+           contamination_report(train, bench, n=3).collect()}
+    flags = decontaminate(train, bench, n=3).collect()
+    for src in ("a", "b"):
+        manual = [r for r in flags if r["source"] == src]
+        assert rep[src]["n_docs"] == len(manual)
+        assert rep[src]["n_flagged"] == sum(r["contaminated"] for r in manual)
