@@ -4478,6 +4478,80 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(e.value, b.lo), b.hi) AS value_w
             FROM events e JOIN b USING (event_type)
         """,
+        # the full near-dedup chain is now SQL-replayable end to end:
+        # md5-prefix MinHash signatures + banding + lead()-window pairing
+        # (as in the minhash_lsh_pairs oracle), exact 3-gram Jaccard verify
+        # at >= 0.8, transitive closure via a recursive CTE standing in for
+        # the distributed pointer-jumping loop, min-id retention.
+        "near_dedup_docs": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) <= 3
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
+                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  FOR i IN range(1, len(tk) - 1)]
+                       END AS g
+                FROM toks
+            ), hashed AS (
+                SELECT id,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
+                           & 2147483647) AS hs
+                FROM grams
+            ), sigs AS (
+                SELECT id, [{_mh_sig_terms}] AS sig
+                FROM hashed
+            ), entries AS (
+                SELECT id, band,
+                       array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+                FROM sigs, (SELECT unnest(range(0, 16)) AS band)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM entries WINDOW w AS (PARTITION BY band, key ORDER BY id)
+            ), cpairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            ), vtoks AS (
+                SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), vgrams AS (
+                SELECT id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2]
+                                                FOR i IN range(1, len(t) - 1)])
+                       END AS g
+                FROM vtoks
+            ), vpairs AS (
+                SELECT p.id_a, p.id_b
+                FROM cpairs p
+                JOIN vgrams a ON a.id = p.id_a
+                JOIN vgrams b ON b.id = p.id_b
+                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                            / greatest(len(list_distinct(
+                                  list_concat(a.g, b.g))), 1), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM vpairs
+                UNION
+                SELECT id_b, id_a FROM vpairs
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ), cc AS (
+                SELECT src AS id, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+        """,
         "normalize_text": r"""
             WITH n AS (
                 SELECT doc_id,
