@@ -2077,6 +2077,29 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composite curation chain over the round-4 operators: normalize text
+    (so formatting variants collapse) -> exact dedup on the NORMALIZED
+    digest -> greedy token-budget selection (longest-normalized-doc first)
+    -> epoch upsampling (en x2). Stage composition mirrors a real
+    pretraining-data curation recipe; every stage is individually
+    oracle-gated and the chain is replayed as one SQL pipeline."""
+    from otit_swt_spark.pipelines.dedup import exact_dedup
+    from otit_swt_spark.pipelines.sampling import (epoch_upsample,
+                                                   token_budget_select)
+    from otit_swt_spark.pipelines.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    normed = d.select("doc_id", "lang",
+                      normalize_text(F.col("text")).alias("text"))
+    kept = normed.join(
+        exact_dedup(normed, "text", "doc_id").select("doc_id"), "doc_id")
+    sel = token_budget_select(kept, 8_000, F.length("text"))
+    return epoch_upsample(
+        sel.join(kept.select("doc_id", "lang"), "doc_id"),
+        "lang", {"en": 2})
+
+
 def q_decontam_report(spark, sf_dir):
     """Per-source contamination governance report over the same
     benchmark split as q_decontaminate (8-token shingles, doc_id % 7)."""
@@ -2113,6 +2136,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "curation_pipeline": q_curation_pipeline,
         "decontam_report": q_decontam_report,
         "winsorize_events": q_winsorize_events,
         "normalize_text": q_normalize_text,
@@ -4435,6 +4459,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, count(*) AS n_candidates,
                    max(agreement) AS max_agreement
             FROM ag GROUP BY id
+        """,
+        "curation_pipeline": r"""
+            WITH n AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(text, '\r\n|\r', chr(10), 'g'),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g')) AS text
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, lang, text FROM (
+                    SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+                              AS keeper
+                    FROM n)
+                WHERE doc_id = keeper
+            ), c AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '\S+', 0)) AS n_tok,
+                       coalesce(sum(len(regexp_extract_all(text, '\S+', 0)))
+                                OVER (ORDER BY length(text) DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS before
+                FROM kept
+            ), sel AS (
+                SELECT doc_id, lang, n_tok,
+                       CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS e
+                FROM c WHERE before < 8000
+            )
+            SELECT doc_id, n_tok, lang,
+                   CAST(unnest(range(1, e + 1)) AS INT) AS epoch
+            FROM sel
         """,
         "decontam_report": """
             WITH toks AS (

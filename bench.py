@@ -41,6 +41,10 @@ HEADLINE = [
 # Round-3/4 additions, timed only with --extended so the default headline
 # total stays comparable across rounds.
 EXTENDED = [
+    "curation_pipeline",
+    "decontam_report",
+    "winsorize_events",
+    "normalize_text",
     "dup_ngram_spans",
     "cross_dedup_flags",
     "token_budget_select",

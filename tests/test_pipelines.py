@@ -1454,18 +1454,23 @@ def test_token_budget_select_matches_naive(spark):
         [(i, " ".join(["w"] * (3 + (i * 7) % 13)), (i * 31) % 17)
          for i in range(60)],
         "doc_id long, text string, score long")
-    budget = 150
-    got = sorted(rows(token_budget_select(df, budget, F.col("score"),
-                                          n_buckets=8)))
     w = (W.orderBy(F.desc("score"), F.col("doc_id"))
          .rowsBetween(W.unboundedPreceding, -1))
-    naive = sorted(rows(
-        df.select("doc_id", n_tokens(F.col("text")).alias("n_tok"),
-                  F.coalesce(F.sum(n_tokens(F.col("text"))).over(w),
-                             F.lit(0)).alias("before"))
-        .filter(F.col("before") < budget)
-        .select("doc_id", "n_tok")))
-    assert got == naive and 0 < len(got) < 60
+    for budget, expect in [(150, "partial"), (1, "one"),
+                           (10 ** 9, "all"), (0, "none")]:
+        got = sorted(rows(token_budget_select(df, budget, F.col("score"),
+                                              n_buckets=8)))
+        naive = sorted(rows(
+            df.select("doc_id", n_tokens(F.col("text")).alias("n_tok"),
+                      F.coalesce(F.sum(n_tokens(F.col("text"))).over(w),
+                                 F.lit(0)).alias("before"))
+            .filter(F.col("before") < budget)
+            .select("doc_id", "n_tok")))
+        assert got == naive
+        assert len(got) == {"one": 1, "all": 60, "none": 0}.get(
+            expect, len(got))
+        if expect == "partial":
+            assert 0 < len(got) < 60
 
 
 def test_minhash_udf_duckdb_parity_edge_cases(spark):
