@@ -277,7 +277,8 @@ def token_budget_select(df: DataFrame, budget_tokens: int, score: Column,
     (score desc, id) order, so the result matches the naive window (and
     the SQL oracle) row-for-row while the only windows are per-bucket.
 
-    Returns (id_col, n_tok) for the admitted documents."""
+    Returns (id_col, n_tok) for the admitted documents. Rows whose score
+    is NULL are excluded (they have no position in the greedy order)."""
     from pyspark.sql import Window as W
 
     from otit_swt_spark.pipelines.textstats import n_tokens

@@ -182,3 +182,39 @@ def test_random_semi_anti_shapes_match_duckdb(spark, seed):
     d_cols_n, d_rows = _norm(d_cols, res.fetchall())
     assert s_cols == d_cols_n
     assert s_rows == d_rows, f"seed {seed} ({how})"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_token_budget_matches_duckdb(spark, seed):
+    """Differential fuzz for the bucketed two-phase token-budget selection:
+    random sizes/scores/budgets/bucket-counts vs the naive global-window
+    SQL on DuckDB. Exercises the degenerate single-bucket case, ties on
+    score (broken by id), zero-token docs, and budgets at both extremes."""
+    from pyspark.sql import functions as F
+
+    from otit_swt_spark.pipelines.sampling import token_budget_select
+
+    rng = random.Random(seed)
+    rows_in = [(i, " ".join(["w"] * rng.randint(0, 20)), rng.randint(0, 50))
+               for i in range(rng.randint(1, 120))]
+    budget = rng.choice([0, 1, 10, 100, 1000])
+    n_buckets = rng.choice([1, 2, 7, 64])
+    df = spark.createDataFrame(rows_in, "doc_id long, text string, score long")
+    got = sorted((r["doc_id"], r["n_tok"]) for r in
+                 token_budget_select(df, budget, F.col("score"),
+                                     n_buckets=n_buckets).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, score BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows_in)
+    want = sorted((int(a), int(b)) for a, b in con.execute(rf"""
+        WITH c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+', 0)) AS n_tok,
+                   coalesce(sum(len(regexp_extract_all(text, '\S+', 0)))
+                            OVER (ORDER BY score DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS before
+            FROM t)
+        SELECT doc_id, n_tok FROM c WHERE before < {budget}
+    """).fetchall())
+    assert got == want
