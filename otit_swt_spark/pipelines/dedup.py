@@ -614,7 +614,7 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
     sig = minhash_signature_udf(k, shingle_n)
     par = train.sparkSession.sparkContext.defaultParallelism
 
-    def _entries(df: DataFrame) -> DataFrame:
+    def _entries(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         # persisted: both the band explode and the agreement join-back
         # reuse the signatures without re-running the text scan + UDF
         with_sig = (df.select(F.col(id_col).alias("id"), F.col(text_col))

@@ -27,6 +27,11 @@ def get_spark(app_name: str = "otit_swt_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: build a bloom filter on the small
+        # side of a shuffle join and push it into the big side's scan —
+        # free IO reduction for the fact-fact joins (wedges, band buckets,
+        # TS bridges) that stay SortMerge at cluster scale
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
