@@ -2077,6 +2077,26 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup governance metric: the cluster-size histogram (how much of
+    the corpus is duplicated, at what multiplicity). Same verified-pair
+    chain as near_dedup_docs; the distributed pointer-jumping components
+    are replayed in the oracle by a recursive CTE."""
+    from otit_swt_spark.pipelines.dedup import (dedup_clusters,
+                                                minhash_lsh_pairs,
+                                                ngram_jaccard)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16)
+    verified = ngram_jaccard(pairs.select("id_a", "id_b"), docs) \
+        .filter(F.col("jaccard") >= 0.8)
+    clusters = dedup_clusters(verified)
+    return (clusters.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Composite curation chain over the round-4 operators: normalize text
     (so formatting variants collapse) -> exact dedup on the NORMALIZED
@@ -2136,6 +2156,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "curation_pipeline": q_curation_pipeline,
         "decontam_report": q_decontam_report,
         "winsorize_events": q_winsorize_events,
@@ -2588,6 +2609,78 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN ({_sim_bit(j)}) > 0 THEN "
         f"{(1 << j) if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
         for j in range(64))
+
+    # shared CTE chain for the near-dedup family: replayable MinHash
+    # signatures + banding + lead()-window pairing, exact 3-gram Jaccard
+    # verify at >= 0.8, transitive closure via a recursive CTE (standing in
+    # for the distributed pointer-jumping loop), min-label components
+    _nd_chain = f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) <= 3
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
+                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  FOR i IN range(1, len(tk) - 1)]
+                       END AS g
+                FROM toks
+            ), hashed AS (
+                SELECT id,
+                       list_transform(g, s ->
+                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
+                           & 2147483647) AS hs
+                FROM grams
+            ), sigs AS (
+                SELECT id, [{{sig}}] AS sig
+                FROM hashed
+            ), entries AS (
+                SELECT id, band,
+                       array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+                FROM sigs, (SELECT unnest(range(0, 16)) AS band)
+            ), leads AS (
+                SELECT id AS id_a, [{{leads}}] AS succ
+                FROM entries WINDOW w AS (PARTITION BY band, key ORDER BY id)
+            ), cpairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            ), vtoks AS (
+                SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), vgrams AS (
+                SELECT id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2]
+                                                FOR i IN range(1, len(t) - 1)])
+                       END AS g
+                FROM vtoks
+            ), vpairs AS (
+                SELECT p.id_a, p.id_b
+                FROM cpairs p
+                JOIN vgrams a ON a.id = p.id_a
+                JOIN vgrams b ON b.id = p.id_b
+                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                            / greatest(len(list_distinct(
+                                  list_concat(a.g, b.g))), 1), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM vpairs
+                UNION
+                SELECT id_b, id_a FROM vpairs
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ), cc AS (
+                SELECT src AS id, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            )
+    """.format(sig=_mh_sig_terms, leads=_mh_leads)
 
     t20 = _hex_threshold(0.2)
     t80 = _hex_threshold(0.8)
@@ -4534,79 +4627,14 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(e.value, b.lo), b.hi) AS value_w
             FROM events e JOIN b USING (event_type)
         """,
-        # the full near-dedup chain is now SQL-replayable end to end:
-        # md5-prefix MinHash signatures + banding + lead()-window pairing
-        # (as in the minhash_lsh_pairs oracle), exact 3-gram Jaccard verify
-        # at >= 0.8, transitive closure via a recursive CTE standing in for
-        # the distributed pointer-jumping loop, min-id retention.
-        "near_dedup_docs": f"""
-            WITH RECURSIVE toks AS (
-                SELECT doc_id AS id,
-                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                   t -> t <> '') AS tk
-                FROM documents
-            ), grams AS (
-                SELECT id,
-                       CASE WHEN len(tk) <= 3
-                            THEN [coalesce(array_to_string(tk, ' '), '')]
-                            ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                                  FOR i IN range(1, len(tk) - 1)]
-                       END AS g
-                FROM toks
-            ), hashed AS (
-                SELECT id,
-                       list_transform(g, s ->
-                           ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT
-                           & 2147483647) AS hs
-                FROM grams
-            ), sigs AS (
-                SELECT id, [{_mh_sig_terms}] AS sig
-                FROM hashed
-            ), entries AS (
-                SELECT id, band,
-                       array_to_string(sig[band*4+1 : band*4+4], ',') AS key
-                FROM sigs, (SELECT unnest(range(0, 16)) AS band)
-            ), leads AS (
-                SELECT id AS id_a, [{_mh_leads}] AS succ
-                FROM entries WINDOW w AS (PARTITION BY band, key ORDER BY id)
-            ), cpairs AS (
-                SELECT DISTINCT id_a, s AS id_b
-                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
-                WHERE s IS NOT NULL
-            ), vtoks AS (
-                SELECT doc_id AS id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS t
-                FROM documents
-            ), vgrams AS (
-                SELECT id,
-                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' '
-                                                || t[i+2]
-                                                FOR i IN range(1, len(t) - 1)])
-                       END AS g
-                FROM vtoks
-            ), vpairs AS (
-                SELECT p.id_a, p.id_b
-                FROM cpairs p
-                JOIN vgrams a ON a.id = p.id_a
-                JOIN vgrams b ON b.id = p.id_b
-                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                            / greatest(len(list_distinct(
-                                  list_concat(a.g, b.g))), 1), 6) >= 0.8
-            ), edges AS (
-                SELECT id_a AS a, id_b AS b FROM vpairs
-                UNION
-                SELECT id_b, id_a FROM vpairs
-            ), reach AS (
-                SELECT a AS src, b AS dst FROM edges
-                UNION
-                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-            ), cc AS (
-                SELECT src AS id, least(src, min(dst)) AS cluster
-                FROM reach GROUP BY src
-            )
+        "near_dedup_docs": _nd_chain + """
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+        """,
+        "dedup_cluster_sizes": _nd_chain + """
+            SELECT size, count(*) AS n_clusters FROM (
+                SELECT cluster, count(*) AS size FROM cc GROUP BY cluster)
+            GROUP BY size
         """,
         "normalize_text": r"""
             WITH n AS (
