@@ -92,6 +92,7 @@ def _engine(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_sparql_bgp_join(spark, sf_dir):
+    """BGP conjunction over the TPC-H knowledge graph: customer -> nation -> region triple patterns joined on shared variables, grouped count. Reference semantics: hybrid/src/combiner.rs join of solution mappings."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name ?region_name WHERE {
         ?n <urn:p:inRegion> ?r .
@@ -101,6 +102,7 @@ def q_sparql_bgp_join(spark, sf_dir):
 
 
 def q_sparql_filter_expr(spark, sf_dir):
+    """FILTER with arithmetic + comparison expressions over literal values (reference: hybrid combiner filter lowering; expressions in sparql/expressions.py)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?cust_name ?acctbal WHERE {
         ?c <urn:p:segment> "BUILDING" .
@@ -111,6 +113,7 @@ def q_sparql_filter_expr(spark, sf_dir):
 
 
 def q_sparql_optional(spark, sf_dir):
+    """OPTIONAL (left join) with unmatched rows surviving as NULL - single conditional left-outer fast path (reference LeftJoin algebra)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name ?supp_name WHERE {
         ?n <urn:p:inRegion> ?r .
@@ -124,6 +127,7 @@ def q_sparql_optional(spark, sf_dir):
 
 
 def q_sparql_group_agg(spark, sf_dir):
+    """GROUP BY + COUNT/SUM/AVG aggregation over graph solutions (reference: hybrid GroupBy algebra node)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name (COUNT(?c) AS ?n_cust)
            (xsd:double(ROUND(SUM(xsd:decimal(?bal)))) AS ?sum_bal)
@@ -136,6 +140,7 @@ def q_sparql_group_agg(spark, sf_dir):
 
 
 def q_sparql_union(spark, sf_dir):
+    """UNION multiset semantics - both branches concatenated WITHOUT dedup (the reference mapper dedups; SPARQL spec does not - divergence documented in SURVEY)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?name ?kind WHERE {
         { ?c <urn:p:segment> ?seg . ?c <urn:p:name> ?name .
@@ -147,6 +152,7 @@ def q_sparql_union(spark, sf_dir):
 
 
 def q_sparql_minus(spark, sf_dir):
+    """MINUS with partial-unbound compatibility semantics (shared-variable compatibility test, not a plain anti-join)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name WHERE {
         ?n <urn:p:inRegion> ?r .
@@ -157,6 +163,7 @@ def q_sparql_minus(spark, sf_dir):
 
 
 def q_sparql_exists(spark, sf_dir):
+    """FILTER EXISTS / NOT EXISTS compiled to semi/anti joins."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name WHERE {
         ?n <urn:p:inRegion> ?r .
@@ -167,6 +174,7 @@ def q_sparql_exists(spark, sf_dir):
 
 
 def q_sparql_path(spark, sf_dir):
+    """Property path seq/alt: customer -(inNation/inRegion)-> region name rollup."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?cust_name ?region_name WHERE {
         ?c <urn:p:inNation>/<urn:p:inRegion> ?r .
@@ -244,6 +252,7 @@ def q_sparql_group_by_expr(spark, sf_dir):
 
 
 def q_sparql_values(spark, sf_dir):
+    """VALUES inline data block joined into the BGP, incl. UNDEF wildcard-compatibility semantics."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?region_name ?nation_name WHERE {
         VALUES ?region_name { "AFRICA" "EUROPE" }
@@ -254,12 +263,14 @@ def q_sparql_values(spark, sf_dir):
 
 
 def q_sparql_distinct_order_limit(spark, sf_dir):
+    """DISTINCT + ORDER BY + LIMIT slice (reference todo!()s Slice; implemented here)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT DISTINCT ?segment WHERE { ?c <urn:p:segment> ?segment }
     ORDER BY ?segment LIMIT 3""")
 
 
 def q_sparql_hybrid_ts_agg(spark, sf_dir):
+    """The flagship hybrid shape (reference wind-power workload, hybrid/tests/query_execution_benchmark_case.rs): KG context join -> external time-series scan -> grouped AVG, lowered to one Catalyst plan with pushed timestamp filters."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?user (COUNT(?v) AS ?n_events)
            (xsd:double(ROUND(SUM(xsd:decimal(?v)))) AS ?sum_value) WHERE {
@@ -313,6 +324,7 @@ def q_sparql_sync_join(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: scan-heavy grouped aggregation with pushed shipdate filter."""
     l = _t(spark, sf_dir, "lineitem")
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -331,6 +343,7 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shipping priority: 3-way join + grouped revenue + top-k."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
@@ -1062,6 +1075,7 @@ def q_grouped_quantiles(spark, sf_dir):
 
 
 def q_join_semi_anti(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI join pair over customer/orders (EXISTS / NOT EXISTS relational twins)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -1076,6 +1090,7 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 def q_window_rank_topk(spark, sf_dir):
+    """Per-group rank() window, top-3 per key."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -1087,6 +1102,7 @@ def q_window_rank_topk(spark, sf_dir):
 
 
 def q_window_running_sum(spark, sf_dir):
+    """Running sum over an ordered per-user window (frame UNBOUNDED PRECEDING)."""
     o = _t(spark, sf_dir, "orders")
     w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(W.unboundedPreceding, 0))
@@ -1111,6 +1127,7 @@ def q_window_lag_delta(spark, sf_dir):
 
 
 def q_window_tumbling_events(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over events via bucketed timestamp math (the DSL lowering shape)."""
     e = _t(spark, sf_dir, "events")
     win = F.window("ts", "10 minutes")
     return (
@@ -1126,12 +1143,14 @@ def q_window_tumbling_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by md5 content digest: min-id winner + copy count per digest; only (digest, id) shuffles."""
     from otit_swt_spark.pipelines.dedup import exact_dedup
 
     return exact_dedup(_t(spark, sf_dir, "documents")).select("digest", "doc_id", "n_copies")
 
 
 def q_text_stats(spark, sf_dir):
+    """Per-doc token/BPE-token/char counts + punctuation ratio - one codegen projection."""
     from otit_swt_spark.pipelines import textstats as ts
 
     d = _t(spark, sf_dir, "documents")
@@ -1146,6 +1165,7 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
+    """Marker-word language ID (n-gram/stopword heuristic) with deterministic argmax tie-break."""
     from otit_swt_spark.pipelines import textstats as ts
 
     d = _t(spark, sf_dir, "documents")
@@ -1153,6 +1173,7 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
+    """Document quality components: punctuation ratio + stopword ratio (composite scoring building blocks)."""
     from otit_swt_spark.pipelines import textstats as ts
 
     d = _t(spark, sf_dir, "documents")
@@ -1555,6 +1576,7 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a one-row broadcast query vector (the exact ANN baseline)."""
     from otit_swt_spark.pipelines.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1609,6 +1631,7 @@ def q_mapper_expand_lineitem(spark, sf_dir):
 
 
 def q_sparql_strings(spark, sf_dir):
+    """String builtins STR/STRLEN/SUBSTR/UCASE/CONCAT/REGEX (reference todo!()s most of these; full library in sparql/expressions.py)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?cust_name ?upper_name ?name_len ?prefix5 ?masked WHERE {
         ?c <urn:p:segment> "MACHINERY" .
@@ -1636,6 +1659,7 @@ def q_sparql_strings2(spark, sf_dir):
 
 
 def q_sparql_order_offset(spark, sf_dir):
+    """ORDER BY with OFFSET pagination slice."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?supp_name ?bal WHERE {
         ?s <urn:p:inNation> ?n .
@@ -1646,6 +1670,7 @@ def q_sparql_order_offset(spark, sf_dir):
 
 
 def q_sparql_having(spark, sf_dir):
+    """GROUP BY with HAVING post-aggregation filter."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?nation_name (COUNT(?c) AS ?n_cust) WHERE {
         ?c <urn:p:inNation> ?n .
@@ -1655,6 +1680,7 @@ def q_sparql_having(spark, sf_dir):
 
 
 def q_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT aggregate with custom separator (deterministic order)."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?region_name (GROUP_CONCAT(?nation_name; SEPARATOR=",") AS ?nations)
     WHERE {
@@ -1665,6 +1691,7 @@ def q_sparql_group_concat(spark, sf_dir):
 
 
 def q_sparql_if_coalesce(spark, sf_dir):
+    """IF() and COALESCE() conditional expressions in projection."""
     return _engine(spark, sf_dir).query(PFX + """
     SELECT ?cust_name ?standing ?seg2 WHERE {
         ?c <urn:p:name> ?cust_name .
@@ -1715,6 +1742,7 @@ def _nation_mapping(spark, sf_dir):
 
 
 def q_mapper_expand(spark, sf_dir):
+    """stOTTR template expansion (reference mapper/src/mapping.rs expand): instances -> RDF triples, columnar."""
     m = _nation_mapping(spark, sf_dir)
     t = m.triples_df()
     return t.select(F.col("s").alias("subject"), F.col("p").alias("verb"),
@@ -1722,6 +1750,7 @@ def q_mapper_expand(spark, sf_dir):
 
 
 def q_mapper_ntriples(spark, sf_dir):
+    """Template expansion serialized to N-Triples lexical form (reference triples export)."""
     m = _nation_mapping(spark, sf_dir)
     return m.ntriples_lines()
 
@@ -1756,6 +1785,7 @@ def q_mapper_list_cross(spark, sf_dir):
 # weaker check — SURVEY §2 "custom operators")
 
 def q_chunk_docs(spark, sf_dir):
+    """Fixed-window character chunking with per-chunk token counts (map-side explode)."""
     from otit_swt_spark.pipelines.textstats import chunk_text
 
     return chunk_text(_t(spark, sf_dir, "documents"), chunk_chars=120)
@@ -1819,6 +1849,7 @@ def q_tfidf_terms(spark, sf_dir):
 
 
 def q_near_dedup_docs(spark, sf_dir):
+    """END-TO-END near-dedup: MinHash LSH pairs -> exact 3-gram Jaccard >= 0.8 -> connected components -> keep min id. Fully SQL-replayed (recursive-CTE closure) since the md5-prefix hash switch."""
     from otit_swt_spark.pipelines.dedup import near_dedup
 
     return near_dedup(_t(spark, sf_dir, "documents"), min_jaccard=0.8) \
@@ -1852,6 +1883,7 @@ def q_near_dedup_best(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs via sign-sketch LSH buckets + exact cosine refine."""
     from otit_swt_spark.pipelines.similarity import embedding_neardup_pairs
 
     # 0.2 keeps the entry non-empty at every scale factor (the synthetic
@@ -1862,12 +1894,14 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash LSH candidate pairs (16 bands x 4 rows) with lead()-window successor capping; signatures/banding/pairing fully replayed by the DuckDB oracle."""
     from otit_swt_spark.pipelines.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=64, bands=16)
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit fingerprint from md5-half shingle hashes, 16-bit chunk blocking, hamming <= 10 verify."""
     from otit_swt_spark.pipelines.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_distance=10)
@@ -1907,6 +1941,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane sign-sketch LSH ANN top-k (sketch hamming <= 1 candidate filter -> exact cosine)."""
     from otit_swt_spark.pipelines.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1915,6 +1950,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthesized image/audio binaries -> format sniff + container-header feature extraction in Arrow-batched mapInPandas."""
     from otit_swt_spark.pipelines.multimodal import attach_binary_column, extract_image_features
 
     media = attach_binary_column(_t(spark, sf_dir, "documents"))
