@@ -1498,6 +1498,18 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, budget=512, n_shards=8)
 
 
+def q_pack_nextfit(spark, sf_dir):
+    """No-split next-fit packing (whole documents, one-pass stream order):
+    the SQL-replayable no-split discipline — the oracle advances the same
+    per-shard state machine with a recursive CTE. Complements
+    pack_sequences (split-at-boundary) and pack_nosplit (FFD, rows-only
+    heuristic)."""
+    from otit_swt_spark.pipelines.packing import pack_sequences_nextfit
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences_nextfit(d, budget=512, n_shards=8)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 embedding quantization (4× memory cut for ANN at
     scale): per-vector scale, integer codes, reconstruction RMSE — all
@@ -2193,6 +2205,7 @@ def q_normalize_text(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "pack_nextfit": q_pack_nextfit,
         "curation_pipeline": q_curation_pipeline,
         "decontam_report": q_decontam_report,
         "winsorize_events": q_winsorize_events,
@@ -2452,6 +2465,43 @@ def _pack_sequences_oracle() -> str:
                    >= (CAST(floor(token_offset / 512) AS BIGINT) + 1) * 512
                    AS spans_packs
         FROM cum
+    """
+
+
+def _pack_nextfit_oracle() -> str:
+    from otit_swt_spark.pipelines.sampling import shard_thresholds_sql
+
+    case = shard_thresholds_sql(8, "CAST(doc_id AS VARCHAR)", salt="pack")
+    # the per-shard next-fit state machine replayed as a recursive CTE:
+    # one recursion step per intra-shard row, all shards advancing in
+    # parallel within each step
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+', 0)) AS BIGINT) AS n_tokens,
+                   ({case}) AS shard,
+                   md5('pack:o' || CAST(doc_id AS VARCHAR)) AS okey
+            FROM documents
+        ), items AS (
+            SELECT doc_id, shard, n_tokens,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY okey, doc_id) AS rn
+            FROM toks
+        ), nf AS (
+            SELECT shard, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS pack_idx, n_tokens AS load
+            FROM items WHERE rn = 1
+            UNION ALL
+            SELECT i.shard, i.rn, i.doc_id, i.n_tokens,
+                   CASE WHEN nf.load + i.n_tokens <= 512 THEN nf.pack_idx
+                        ELSE nf.pack_idx + 1 END,
+                   CASE WHEN nf.load + i.n_tokens <= 512
+                        THEN nf.load + i.n_tokens
+                        ELSE i.n_tokens END
+            FROM nf JOIN items i
+              ON i.shard = nf.shard AND i.rn = nf.rn + 1
+        )
+        SELECT doc_id, shard, n_tokens, pack_idx FROM nf
     """
 
 
@@ -3842,6 +3892,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk = 1
         """,
         "pack_sequences": _pack_sequences_oracle(),
+        "pack_nextfit": _pack_nextfit_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """

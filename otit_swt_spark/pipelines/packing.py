@@ -118,3 +118,43 @@ def pack_sequences_nosplit(df: DataFrame, budget: int,
 
     return (staged.groupBy("shard")
             .applyInPandas(ffd, _FFD_OUT.format(key=key_col)))
+
+
+def pack_sequences_nextfit(df: DataFrame, budget: int,
+                           key_col: str = "doc_id", text_col: str = "text",
+                           n_shards: int = 8, salt: str = "pack",
+                           ) -> DataFrame:
+    """No-split training packs with NEXT-FIT placement: documents stay
+    whole and pack in the deterministic md5 stream order — the one-pass
+    streaming packer (O(1) state per shard vs FFD's open-pack scan), and
+    the only no-split discipline a SQL engine replays exactly (the oracle
+    advances the same one-row state machine as a recursive CTE).
+    Oversized documents occupy their own pack; the next document always
+    opens a fresh one. Output: ``key, shard, n_tokens, pack_idx``."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    toks = df.select(
+        F.col(key_col),
+        n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    sharded = hash_shard(toks, key_col, n_shards, salt=salt)
+    okey = F.md5(F.concat(F.lit(salt + ":o"), F.col(key_col).cast("string")))
+    staged = sharded.withColumn("__okey", okey)
+
+    def nextfit(pdf):
+        pdf = pdf.sort_values(["__okey", key_col]).reset_index(drop=True)
+        bin_idx, load = 0, None
+        assign = []
+        for n in pdf["n_tokens"].tolist():
+            if load is None or load + n > budget:
+                if load is not None:
+                    bin_idx += 1
+                load = n
+            else:
+                load += n
+            assign.append(bin_idx)
+        pdf["pack_idx"] = assign
+        return pdf.drop(columns=["__okey"])
+
+    return (staged.groupBy("shard")
+            .applyInPandas(nextfit, _FFD_OUT.format(key=key_col)))

@@ -1571,3 +1571,32 @@ def test_contamination_report_consistent_with_flags(spark, docs):
         manual = [r for r in flags if r["source"] == src]
         assert rep[src]["n_docs"] == len(manual)
         assert rep[src]["n_flagged"] == sum(r["contaminated"] for r in manual)
+
+
+def test_pack_nextfit_invariants(spark):
+    from collections import defaultdict
+
+    from otit_swt_spark.pipelines.packing import pack_sequences_nextfit
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + (i * 13) % 40))) for i in range(80)],
+        "doc_id long, text string")
+    out = pack_sequences_nextfit(docs, budget=64, n_shards=4).collect()
+    assert len(out) == 80
+    loads = defaultdict(int)
+    sizes = {}
+    for r in out:
+        loads[(r["shard"], r["pack_idx"])] += r["n_tokens"]
+        sizes[r["doc_id"]] = r["n_tokens"]
+    # no pack over budget unless it holds a single oversized doc
+    members = defaultdict(list)
+    for r in out:
+        members[(r["shard"], r["pack_idx"])].append(r["doc_id"])
+    for key, load in loads.items():
+        assert load <= 64 or len(members[key]) == 1
+    # deterministic under repartitioning
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple,
+                   pack_sequences_nextfit(docs.repartition(7), budget=64,
+                                          n_shards=4).collect()))
+    assert a == b
