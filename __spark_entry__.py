@@ -2125,6 +2125,15 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc novelty: fraction of 13-gram occurrences unique to the
+    document corpus-wide — the curation signal for novelty-weighted
+    sampling (inverse of dup_ngram_spans)."""
+    from otit_swt_spark.pipelines.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=13)
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Near-dup governance metric: the cluster-size histogram (how much of
     the corpus is duplicated, at what multiplicity). Same verified-pair
@@ -2204,6 +2213,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "ngram_novelty": q_ngram_novelty,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pack_nextfit": q_pack_nextfit,
         "curation_pipeline": q_curation_pipeline,
@@ -4533,6 +4543,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "ngram_novelty": r"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT id,
+                       CASE WHEN len(tk) < 13
+                            THEN [coalesce(array_to_string(tk, ' '), '')]
+                            ELSE [concat_ws(' ', tk[i], tk[i+1], tk[i+2],
+                                            tk[i+3], tk[i+4], tk[i+5], tk[i+6],
+                                            tk[i+7], tk[i+8], tk[i+9], tk[i+10],
+                                            tk[i+11], tk[i+12])
+                                  FOR i IN range(1, len(tk) - 11)]
+                       END AS g
+                FROM toks
+            ), exploded AS (
+                SELECT id, md5(unnest(g)) AS gram_md5 FROM grams
+            ), counts AS (
+                SELECT gram_md5, count(*) AS c FROM exploded GROUP BY gram_md5
+            )
+            SELECT e.id AS doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                   round(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM exploded e JOIN counts c USING (gram_md5)
+            GROUP BY e.id
         """,
         "dup_ngram_spans": r"""
             WITH toks AS (

@@ -542,6 +542,42 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     )
 
 
+def _gram_md5_udf(n: int):
+    """Arrow UDF emitting word-n-gram md5 digests directly: Spark's
+    higher-order transform runs interpreted, so building wide (13-token)
+    grams as expressions is ~10x slower per core than hashing them in
+    Python (same tradeoff as minhash_signature_udf, and the same
+    md5-replayable tokenization: lowercase, whitespace split, whole doc
+    when < n)."""
+    from hashlib import md5 as _md5
+
+    @F.pandas_udf("array<string>")
+    def gram_md5s(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+            out.append([_md5(g.encode()).hexdigest() for g in grams])
+        return pd.Series(out)
+
+    return gram_md5s
+
+
+def _exploded_gram_md5s(df: DataFrame, text_col: str, id_col: str,
+                        n: int) -> DataFrame:
+    """(id, gram_md5) rows, one per n-gram occurrence. Repartitions first:
+    a small single-file corpus scans as ONE split (minhash idiom)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col).alias("id"), F.col(text_col))
+            .repartition(par)
+            .select("id", _gram_md5_udf(n)(F.col(text_col)).alias("__g"))
+            .select("id", F.explode("__g").alias("gram_md5")))
+
+
 def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 13,
                           min_count: int = 2) -> DataFrame:
@@ -557,39 +593,35 @@ def duplicate_ngram_spans(df: DataFrame, text_col: str = "text",
     enters the shuffle, and the groupBy keys are uniform hashes — no skew.
     Docs shorter than ``n`` tokens contribute their whole text as one
     span, so exact short-document duplicates are still caught."""
-    from hashlib import md5 as _md5
-
-    par = df.sparkSession.sparkContext.defaultParallelism
-
-    # Arrow UDF emitting the gram digests directly: Spark's higher-order
-    # transform runs interpreted, so building wide (13-token) grams as
-    # expressions is ~10x slower per core than hashing them in Python
-    # (same tradeoff as minhash_signature_udf, and the same md5-replayable
-    # tokenization: lowercase, whitespace split, whole doc when < n).
-    @F.pandas_udf("array<string>")
-    def gram_md5s(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if len(toks) < n:
-                grams = [" ".join(toks)]
-            else:
-                grams = [" ".join(toks[i:i + n])
-                         for i in range(len(toks) - n + 1)]
-            out.append([_md5(g.encode()).hexdigest() for g in grams])
-        return pd.Series(out)
-
-    # a small single-file corpus scans as ONE split; spread the gram
-    # construction before it runs (minhash idiom)
-    sh = (df.select(F.col(id_col).alias("id"), F.col(text_col))
-          .repartition(par)
-          .select("id", gram_md5s(F.col(text_col)).alias("__g")))
-    return (sh.select("id", F.explode("__g").alias("gram_md5"))
+    return (_exploded_gram_md5s(df, text_col, id_col, n)
             .groupBy("gram_md5")
             .agg(F.count_distinct(F.col("id")).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"),
                  F.min("id").alias("first_doc"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 13) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's word
+    n-gram occurrences that appear nowhere else in the corpus (corpus-wide
+    count == 1) — the inverse view of :func:`duplicate_ngram_spans`, used
+    for novelty-weighted sampling and boilerplate downweighting.
+
+    Returns (id_col, n_grams, n_novel, novelty). Two uniform-key shuffles:
+    the gram-count groupBy and the per-doc rollup; the gram text never
+    travels (16-byte md5s only). A gram repeated WITHIN one document is
+    not novel (its corpus count is >= 2), matching the intuition that
+    self-repetition is not new information."""
+    grams = _exploded_gram_md5s(df, text_col, id_col, n)
+    counts = grams.groupBy("gram_md5").agg(F.count(F.lit(1)).alias("__c"))
+    return (grams.join(counts, "gram_md5")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("__c") == 1).cast("long")).alias("n_novel"))
+            .select(F.col("id").alias(id_col), "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                    .alias("novelty")))
 
 
 def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,

@@ -1600,3 +1600,18 @@ def test_pack_nextfit_invariants(spark):
                    pack_sequences_nextfit(docs.repartition(7), budget=64,
                                           n_shards=4).collect()))
     assert a == b
+
+
+def test_ngram_novelty_scores(spark, docs):
+    from otit_swt_spark.pipelines.dedup import ngram_novelty
+
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(spark.createDataFrame(DOCS,
+                                               "doc_id long, text string"),
+                         n=4).collect()}
+    # docs 1/2 are exact duplicates: zero novel grams
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    # doc 3 differs at one token: some grams novel, the shared ends not
+    assert 0.0 < out[3]["novelty"] < 1.0
+    # doc 6 ("short", < n tokens) is its own unique whole-doc gram
+    assert out[6]["novelty"] == 1.0 and out[6]["n_grams"] == 1
