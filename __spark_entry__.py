@@ -2125,6 +2125,16 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_preference_pairs(spark, sf_dir):
+    """RLHF/DPO pair assembly: per (source, lang) group, the longest doc
+    as chosen vs the shortest as rejected, with the length margin —
+    deterministic struct-max argmax, one grouped aggregate, no window."""
+    from otit_swt_spark.pipelines.sampling import preference_pairs
+
+    return preference_pairs(_t(spark, sf_dir, "documents"),
+                            ["source", "lang"], F.col("n_chars"))
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc novelty: fraction of 13-gram occurrences unique to the
     document corpus-wide — the curation signal for novelty-weighted
@@ -2213,6 +2223,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "preference_pairs": q_preference_pairs,
         "ngram_novelty": q_ngram_novelty,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pack_nextfit": q_pack_nextfit,
@@ -4543,6 +4554,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "preference_pairs": """
+            WITH r AS (
+                SELECT source, lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY n_chars DESC, doc_id DESC)
+                           AS rb,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY n_chars ASC, doc_id ASC)
+                           AS rw
+                FROM documents
+            )
+            SELECT b.source, b.lang,
+                   b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+                   b.n_chars - w.n_chars AS margin
+            FROM (SELECT * FROM r WHERE rb = 1) b
+            JOIN (SELECT * FROM r WHERE rw = 1) w USING (source, lang)
+            WHERE b.n_chars > w.n_chars
         """,
         "ngram_novelty": r"""
             WITH toks AS (

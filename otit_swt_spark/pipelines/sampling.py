@@ -307,3 +307,25 @@ def token_budget_select(df: DataFrame, budget_tokens: int, score: Column,
                         F.coalesce(F.sum("n_tok").over(ww), F.lit(0)))
             .filter(F.col("__before") < budget_tokens)
             .select(id_col, "n_tok"))
+
+
+def preference_pairs(df: DataFrame, group_cols: list[str], score: Column,
+                     id_col: str = "doc_id") -> DataFrame:
+    """RLHF/DPO preference-pair assembly: per group, pair the
+    highest-scoring member (chosen) with the lowest-scoring one (rejected)
+    and report the margin. Deterministic argmax/argmin via lexicographic
+    struct max/min (ties broken by id: highest id wins chosen, lowest id
+    wins rejected), so any SQL engine reproduces the pairing. Groups
+    without a strict preference (margin 0, incl. singletons) are dropped.
+
+    One grouped aggregate — no window, no self-join; scales to any group
+    count and any skew (per-group state is two structs)."""
+    best = F.max(F.struct(score.alias("s"), F.col(id_col).alias("i")))
+    worst = F.min(F.struct(score.alias("s"), F.col(id_col).alias("i")))
+    return (df.groupBy(*group_cols)
+            .agg(best.alias("__b"), worst.alias("__w"))
+            .select(*group_cols,
+                    F.col("__b.i").alias("chosen_id"),
+                    F.col("__w.i").alias("rejected_id"),
+                    (F.col("__b.s") - F.col("__w.s")).alias("margin"))
+            .filter(F.col("margin") > 0))

@@ -1615,3 +1615,19 @@ def test_ngram_novelty_scores(spark, docs):
     assert 0.0 < out[3]["novelty"] < 1.0
     # doc 6 ("short", < n tokens) is its own unique whole-doc gram
     assert out[6]["novelty"] == 1.0 and out[6]["n_grams"] == 1
+
+
+def test_preference_pairs_deterministic_argmax(spark):
+    from otit_swt_spark.pipelines.sampling import preference_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 30),   # tie on top score
+         (4, "b", 5),                                # singleton: dropped
+         (5, "c", 7), (6, "c", 7)],                  # all-equal: dropped
+        "doc_id long, g string, s long")
+    out = {r["g"]: r for r in
+           preference_pairs(df, ["g"], F.col("s")).collect()}
+    assert list(out) == ["a"]
+    assert out["a"]["chosen_id"] == 3       # tie -> highest id wins
+    assert out["a"]["rejected_id"] == 1
+    assert out["a"]["margin"] == 20
