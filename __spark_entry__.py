@@ -4080,7 +4080,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source
             FROM documents JOIN thr USING (source)
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
+            WHERE t = 'ffffffff'
+               OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
         """,
         "curriculum_deciles": r"""
             WITH wl AS (
@@ -4138,7 +4139,7 @@ def oracle_sql() -> dict[str, str]:
         "late_interaction_topk": _late_interaction_oracle(),
         "graph_pagerank": _pagerank_oracle(iters=6, damping=0.85),
         "near_dedup_best": r"""
-            WITH toks AS (
+            WITH RECURSIVE toks AS (
                 SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                 FROM documents
             ), grams AS (
@@ -4161,35 +4162,17 @@ def oracle_sql() -> dict[str, str]:
             ), und AS (
                 SELECT a AS s, b AS d FROM verified
                 UNION ALL SELECT b, a FROM verified
-            ), l0 AS (
-                SELECT DISTINCT s AS id, s AS lbl FROM und
-            ), p1 AS (
-                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
-                FROM l0 l LEFT JOIN und e ON e.s = l.id
-                LEFT JOIN l0 l2 ON l2.id = e.d
-                GROUP BY l.id, l.lbl
-            ), j1 AS (
-                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
-                FROM p1 p LEFT JOIN p1 q ON q.id = p.lbl
-            ), p2 AS (
-                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
-                FROM j1 l LEFT JOIN und e ON e.s = l.id
-                LEFT JOIN j1 l2 ON l2.id = e.d
-                GROUP BY l.id, l.lbl
-            ), j2 AS (
-                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
-                FROM p2 p LEFT JOIN p2 q ON q.id = p.lbl
-            ), p3 AS (
-                SELECT l.id, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
-                FROM j2 l LEFT JOIN und e ON e.s = l.id
-                LEFT JOIN j2 l2 ON l2.id = e.d
-                GROUP BY l.id, l.lbl
-            ), j3 AS (
-                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
-                FROM p3 p LEFT JOIN p3 q ON q.id = p.lbl
-            ), j4 AS (
-                SELECT p.id, least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl
-                FROM j3 p LEFT JOIN j3 q ON q.id = p.lbl
+            ), reach AS (
+                -- transitive closure via recursion: replaces the previous
+                -- FIXED-depth unrolled propagation, which could split
+                -- components on duplicate chains deeper than the unroll
+                -- (the Spark side iterates to convergence, up to 20 rounds)
+                SELECT s AS src, d AS dst FROM und
+                UNION
+                SELECT r.src, e.d FROM reach r JOIN und e ON e.s = r.dst
+            ), cc AS (
+                SELECT src AS id, least(src, min(dst)) AS lbl
+                FROM reach GROUP BY src
             ), wl AS (
                 SELECT doc_id, text,
                        coalesce(list_sum(list_transform(
@@ -4210,7 +4193,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l.id AS doc_id,
                        row_number() OVER (PARTITION BY l.lbl
                                           ORDER BY s.sc DESC, l.id) AS rk
-                FROM j4 l JOIN scored s ON s.doc_id = l.id
+                FROM cc l JOIN scored s ON s.doc_id = l.id
             ), losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
             SELECT d.doc_id FROM documents d
             LEFT JOIN losers x ON d.doc_id = x.doc_id

@@ -203,14 +203,16 @@ def zscore_anomalies(events: DataFrame, key: str = "user_id",
     the distribution-free anomaly screen run over every metric stream.
 
     One aggregation shuffle on the key builds (mean, stddev_samp) per
-    key, joined back map-side; constant series (stddev 0/NULL) produce
-    no anomalies by definition. Scales: the stats frame is |keys| rows
-    (broadcastable), the scan stays one pass."""
+    key, joined back; constant series (stddev 0/NULL) produce no
+    anomalies by definition. Scales: the stats frame is |keys| rows —
+    no forced broadcast, because the key cardinality is unbounded (a
+    billion users would blow the broadcast limit); AQE converts the join
+    to broadcast at runtime whenever the stats frame is actually small."""
     stats = (events.groupBy(key)
              .agg(F.avg(value).alias("__mu"),
                   F.stddev_samp(value).alias("__sd")))
     z = (F.col(value) - F.col("__mu")) / F.col("__sd")
-    return (events.join(F.broadcast(stats), key)
+    return (events.join(stats, key)
             .filter(F.col("__sd").isNotNull() & (F.col("__sd") > 0)
                     & (F.abs(z) > threshold))
             .select(id_col, key,

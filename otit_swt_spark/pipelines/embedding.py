@@ -197,10 +197,10 @@ def random_projection(df: DataFrame, out_dim: int = 8, seed: int = 7,
     the plane constants reproduces the output bit-for-bit). Map-side only:
     the planes ride in the plan as literals, no shuffle, no fit pass —
     the cheap way to shrink 100 TB of float32 before an ANN build."""
-    from otit_swt_spark.pipelines.similarity import _hyperplanes, dot
+    from otit_swt_spark.pipelines.similarity import (_dim_of, _hyperplanes,
+                                                     dot)
 
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    planes = _hyperplanes(int(dim), out_dim, seed=seed)
+    planes = _hyperplanes(_dim_of(df, vec_col), out_dim, seed=seed)
     v = F.col(vec_col).cast("array<double>")
     comps = [F.round(dot(v, F.array(*[F.lit(float(x)) for x in p])), 6)
              for p in planes]

@@ -209,8 +209,13 @@ def temperature_sample(df: DataFrame, group_col: str, key_col: str,
                   .select(group_col,
                           F.lpad(F.lower(F.hex(thr_int)), 8, "0")
                           .alias("__thr")))
+    # a source whose boosted share clamps to keep-all saturates the
+    # threshold at 'ffffffff'; the strict < would still drop rows whose
+    # hash prefix is exactly 'ffffffff' (the same edge hash_sample guards
+    # with its fraction>=1.0 early return), so saturation means keep-all
     return (df.join(F.broadcast(thresholds), group_col)
-            .filter(_hash_prefix(F.col(key_col), salt) < F.col("__thr"))
+            .filter((F.col("__thr") == F.lit("ffffffff"))
+                    | (_hash_prefix(F.col(key_col), salt) < F.col("__thr")))
             .drop("__thr"))
 
 

@@ -280,6 +280,27 @@ def _salt_oversized(entries: DataFrame, key_cols: list[str],
     return salted, key_cols + ["__salt"]
 
 
+def _oversized_chain_pairs(entries: DataFrame, key_cols: list[str],
+                           max_bucket: int, id_col: str = "id") -> DataFrame:
+    """Rank-adjacent successor pairs over each OVERSIZED bucket (ordered
+    by id): the linear stitching set that keeps a salted mega-bucket ONE
+    connected component. Shard-local self-joins alone never cross shard
+    boundaries, so without these chains connected-components would split
+    a boilerplate-duplicate bucket into one cluster per shard. Returns
+    (id_a, id_b) with id_a < id_b; empty whenever no bucket exceeds the
+    cap (the common case)."""
+    from pyspark.sql import Window as W
+
+    sizes = entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    big = entries.join(
+        F.broadcast(sizes.filter(F.col("__bn") > max_bucket).drop("__bn")),
+        key_cols)
+    w = W.partitionBy(*key_cols).orderBy(id_col)
+    return (big.select(F.col(id_col).alias("id_a"),
+                       F.lead(id_col, 1).over(w).alias("id_b"))
+            .filter(F.col("id_b").isNotNull()))
+
+
 def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                               vec_col: str = "embedding", n_bits: int | None = None,
                               n_tables: int = 1,
@@ -316,6 +337,9 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                          F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
     else:
         if n_bits is None:
+            # persist BEFORE counting so the sizing pass and the sketch
+            # build share one scan instead of reading the corpus twice
+            base = base.persist()
             n_bits = derive_n_bits(base.count())
         sketches = F.array(*[
             F.struct(F.lit(t).alias("t"),
@@ -360,30 +384,43 @@ def embedding_neardup_pairs(
     ``n_bits=None`` derives the sketch width from the corpus size, and
     buckets above ``max_bucket`` are salted into bounded shards before the
     self-join — a boilerplate-duplicate mega-bucket costs O(n·max_bucket),
-    not O(n²); downstream connected-components still merges the shards'
-    pair sets into one cluster."""
+    not O(n²). Oversized buckets additionally contribute rank-adjacent
+    successor pairs across the WHOLE bucket (:func:`_oversized_chain_pairs`),
+    so downstream connected-components still merges the shards' pair sets
+    into one cluster — shard-local joins alone would split it."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+             .repartition(df.sparkSession.sparkContext.defaultParallelism) \
+             .persist()
     if n_bits is None:
-        n_bits = derive_n_bits(df.count())
+        n_bits = derive_n_bits(base.count())
     planes = _hyperplanes(_dim_of(df, vec_col), n_bits)
-    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   lsh_sketch(F.col(vec_col), planes).alias("sketch"))
-    sk = sk.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
-    sk, keys = _salt_oversized(sk, ["sketch"], max_bucket)
-    l, r = sk.alias("l"), sk.alias("r")
+    sk = base.withColumn("sketch", lsh_sketch(F.col("v"), planes)).persist()
+    chains = _oversized_chain_pairs(sk, ["sketch"], max_bucket)
+    salted, keys = _salt_oversized(sk, ["sketch"], max_bucket)
+    l, r = salted.alias("l"), salted.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     for c in keys:
         cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+    cand = (l.join(r, cond)
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .unionByName(chains)
+            .dropDuplicates(["id_a", "id_b"]))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        l.join(r, cond)
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.round(cosine(F.col("l.v").cast("array<double>"),
-                               F.col("r.v").cast("array<double>")), 6).alias("cos_sim"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va").cast("array<double>"),
+                               F.col("vb").cast("array<double>")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(
+            f"cannot infer vector dimension: no non-null {vec_col!r} rows")
     return int(row["d"])
 
 

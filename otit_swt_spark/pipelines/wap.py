@@ -6,9 +6,13 @@ mutates its stores in place and offers no snapshot isolation at all).
 Layout (all paths scheme-agnostic via the Hadoop FileSystem API):
 
     root/
-      _manifests/m00001.json      one immutable manifest per version
-      data/v1/...                 write-once physical data dirs
-      data/v2/<pcol>=<val>/...    per-partition dirs for partitioned tables
+      _manifests/m00001.json        one immutable manifest per version
+      data/v1-<tok>/...             write-once physical data dirs; <tok> is
+      data/v2-<tok>/<pcol>=<val>/   a per-WRITER random token, so two
+                                    writers racing to the same version
+                                    number never share a staging directory
+                                    (and a loser's cleanup can only ever
+                                    delete its own files)
 
 A manifest maps each logical partition to the physical directory holding
 its CURRENT rows. Data dirs are write-once: a merge writes NEW dirs for
@@ -19,12 +23,17 @@ partitions at their existing dirs — a 1-partition change against a
 without touching the filesystem of unselected partitions.
 
 The publish step is a single atomic filesystem primitive: the manifest is
-staged to a temp name and RENAMED to ``m<next>.json``. Rename refuses an
-existing destination, so two concurrent writers racing from the same base
-version conflict deterministically — the loser gets
-:class:`ConcurrentWriteError` and nothing it staged is visible. A crash
-anywhere before the rename leaves only orphan staged files; the current
-version stays fully readable (write-audit-publish's whole point).
+staged to a writer-unique temp name and RENAMED to ``m<next>.json``. On
+HDFS, rename refuses an existing destination, so two concurrent writers
+racing from the same base version conflict deterministically. On a POSIX
+local filesystem Hadoop's rename REPLACES an existing file (and the
+exists-check is TOCTOU), so the manifest additionally carries the writer
+token and publish re-reads the slot after renaming: whichever writer's
+token survives owns the version, the other gets
+:class:`ConcurrentWriteError` and deletes only its own (token-named) data
+directory — the surviving manifest's files are untouched either way. A
+crash anywhere before the rename leaves only orphan staged files; the
+current version stays fully readable (write-audit-publish's whole point).
 
 The optional ``audit`` callable sees the complete next-version DataFrame
 BEFORE publish — row-count expectations, constraint checks — and any
@@ -34,6 +43,8 @@ exception aborts with the staged data cleaned up.
 from __future__ import annotations
 
 import json
+import re
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,6 +63,24 @@ class ConcurrentWriteError(RuntimeError):
 
 class AuditError(RuntimeError):
     """The audit callable rejected the staged version; nothing published."""
+
+
+#: manifest key for a NULL partition value (Spark's own directory sentinel)
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_key(value) -> str:
+    """Canonical manifest key for a partition value (NULL-safe)."""
+    return _NULL_PART if value is None else str(value)
+
+
+def _unescape_dir(name: str) -> str:
+    """Reverse Spark/Hive's %XX directory-name escaping so manifest keys
+    are the partition VALUES, matching what ``str(row[pcol])`` yields —
+    a value like ``10:00`` writes dir ``p=10%3A00`` and must still be
+    addressable as ``'10:00'``."""
+    return re.sub(r"%([0-9A-Fa-f]{2})",
+                  lambda m: chr(int(m.group(1), 16)), name)
 
 
 def _mdir(root: str) -> str:
@@ -75,28 +104,40 @@ def _load_manifest(spark: SparkSession, root: str, version: int) -> dict:
 
 
 def _publish_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
-    """Stage to a temp name, atomically rename to the version slot; an
-    existing slot means a concurrent writer won the race."""
-    version = manifest["version"]
-    tmp = f"{_mdir(root)}/.m{version:05d}.json.staged"
+    """Stage to a writer-unique temp name, rename into the version slot,
+    then read the slot back and verify OUR writer token survived — the
+    read-back closes the local-FS hole where Hadoop's rename replaces an
+    existing destination (HDFS rename already refuses it)."""
+    version, token = manifest["version"], manifest["writer"]
+    tmp = f"{_mdir(root)}/.m{version:05d}.{token}.staged"
     fsutil.write_text(spark, tmp, json.dumps(manifest))
     if not fsutil.rename(spark, tmp, _mpath(root, version)):
         fsutil.delete(spark, tmp)
         raise ConcurrentWriteError(
             f"version {version} was published by another writer")
+    published = _load_manifest(spark, root, version)
+    if published.get("writer") != token:
+        raise ConcurrentWriteError(
+            f"version {version} was published by another writer "
+            f"(lost the rename race)")
 
 
 def _write_version_data(spark: SparkSession, root: str, frame: DataFrame,
-                        version: int, partition_col: str | None) -> dict[str, str]:
-    """Write ``frame`` under data/v<version> and return manifest entries
-    (partition value -> physical dir, relative to root)."""
-    rel = f"data/v{version}"
+                        version: int, partition_col: str | None,
+                        token: str) -> dict[str, str]:
+    """Write ``frame`` under the WRITER-UNIQUE data/v<version>-<token> dir
+    and return manifest entries (partition value -> physical dir, relative
+    to root). The token keeps two racing writers' staged files disjoint,
+    so the race loser's cleanup can never touch the winner's data. Keys
+    are un-escaped partition VALUES (NULL -> the Hive sentinel), so
+    values containing %/:-style characters stay addressable."""
+    rel = f"data/v{version}-{token}"
     out = f"{root.rstrip('/')}/{rel}"
     if partition_col is None:
         frame.write.mode("overwrite").parquet(out)
         return {_ALL: rel}
     frame.write.mode("overwrite").partitionBy(partition_col).parquet(out)
-    return {n.split("=", 1)[1]: f"{rel}/{n}"
+    return {_unescape_dir(n.split("=", 1)[1]): f"{rel}/{n}"
             for n in fsutil.listdir(spark, out)
             if n.startswith(f"{partition_col}=")}
 
@@ -128,9 +169,11 @@ def init_table(spark: SparkSession, root: str, df: DataFrame,
     """Create version 1. Returns the published version number."""
     if current_version(spark, root) != 0:
         raise ValueError(f"{root} is already a WAP table")
-    entries = _write_version_data(spark, root, df, 1, partition_col)
+    token = uuid.uuid4().hex[:8]
+    entries = _write_version_data(spark, root, df, 1, partition_col, token)
     _publish_manifest(spark, root, {
-        "version": 1, "partition_col": partition_col, "entries": entries})
+        "version": 1, "partition_col": partition_col, "entries": entries,
+        "writer": token})
     return 1
 
 
@@ -147,7 +190,7 @@ def read_table(spark: SparkSession, root: str,
     m = _load_manifest(spark, root, v)
     entries = m["entries"]
     if partitions is not None:
-        want = {str(p) for p in partitions}
+        want = {_part_key(p) for p in partitions}
         entries = {k: rel for k, rel in entries.items() if k in want}
         if not entries:
             empty = read_table(spark, root, version=v)
@@ -165,16 +208,19 @@ def publish(spark: SparkSession, root: str, frame: DataFrame,
         raise FileNotFoundError(f"{root} has no published versions")
     m = _load_manifest(spark, root, base)
     nxt = base + 1
-    entries = _write_version_data(spark, root, frame, nxt, m["partition_col"])
+    token = uuid.uuid4().hex[:8]
+    entries = _write_version_data(spark, root, frame, nxt,
+                                  m["partition_col"], token)
     staged = _read_entries(spark, root, entries, m["partition_col"])
     try:
         if audit is not None:
             audit(staged)
         _publish_manifest(spark, root, {
             "version": nxt, "partition_col": m["partition_col"],
-            "entries": entries})
+            "entries": entries, "writer": token})
     except Exception:
-        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}")
+        # only OUR token-named staging dir — never a racing winner's data
+        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}-{token}")
         raise
     return nxt
 
@@ -197,10 +243,11 @@ def merge_upsert(spark: SparkSession, root: str, changes: DataFrame,
         merged = apply_changes(read_table(spark, root), changes, key,
                                deleted_col)
         return publish(spark, root, merged, audit)
-    parts = [str(r[0]) for r in changes.select(pcol).distinct().collect()]
+    parts = [_part_key(r[0]) for r in changes.select(pcol).distinct().collect()]
     target = read_table(spark, root, partitions=parts)
     merged = apply_changes(target, changes, key, deleted_col)
-    new_entries = _write_version_data(spark, root, merged, nxt, pcol)
+    token = uuid.uuid4().hex[:8]
+    new_entries = _write_version_data(spark, root, merged, nxt, pcol, token)
     # carry untouched partitions over by reference; a touched partition
     # with no surviving rows simply drops out of the manifest
     entries = {k: rel for k, rel in m["entries"].items() if k not in parts}
@@ -210,9 +257,11 @@ def merge_upsert(spark: SparkSession, root: str, changes: DataFrame,
         if audit is not None:
             audit(staged_full)
         _publish_manifest(spark, root, {
-            "version": nxt, "partition_col": pcol, "entries": entries})
+            "version": nxt, "partition_col": pcol, "entries": entries,
+            "writer": token})
     except Exception:
-        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}")
+        # only OUR token-named staging dir — never a racing winner's data
+        fsutil.delete(spark, f"{root.rstrip('/')}/data/v{nxt}-{token}")
         raise
     return nxt
 

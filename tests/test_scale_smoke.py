@@ -78,8 +78,25 @@ def test_embedding_pair_generators_degenerate_single_bucket(spark):
                   for i in range(dim)]).alias("embedding"))
     nd = embedding_neardup_pairs(emb, min_cosine=0.99, n_bits=6,
                                  max_bucket=100)
-    n_nd = nd.count()
+    pair_rows = nd.select("id_a", "id_b").collect()
+    n_nd = len(pair_rows)
     assert 0 < n_nd <= n * 100  # bounded by n*max_bucket, not n²/2
+    # the salted mega-bucket must still form ONE connected component
+    # (cross-shard chain pairs): union-find over the emitted pairs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        parent[find(int(r["id_a"]))] = find(int(r["id_b"]))
+    # one component PER SKETCH BUCKET (a couple of buckets exist under
+    # the perturbation): without the cross-shard chain pairs this was
+    # ~n/max_bucket components per bucket (one per salt shard)
+    assert len({find(i) for i in range(n)}) <= 4
     g = all_pairs_topk_per_vector(emb, k=3, n_bits=6, max_bucket=100)
     counts = g.groupBy("src").count()
     assert counts.filter(F.col("count") > 3).count() == 0

@@ -550,7 +550,7 @@ def test_wap_merge_touches_only_named_partitions(spark, tmp_path):
     base = spark.createDataFrame(
         [(i, f"v{i}", i % 3) for i in range(30)], "id long, val string, p int")
     wap.init_table(spark, root, base, partition_col="p")
-    before_p2 = set(glob.glob(f"{root}/data/v1/p=2/*.parquet"))
+    before_p2 = set(glob.glob(f"{root}/data/v1-*/p=2/*.parquet"))
 
     changes = spark.createDataFrame(
         [(0, "updated", 0, False), (100, "new", 1, False), (3, None, 0, True)],
@@ -561,8 +561,8 @@ def test_wap_merge_touches_only_named_partitions(spark, tmp_path):
     assert after[0] == ("updated", 0) and after[100] == ("new", 1)
     assert 3 not in after and len(after) == 30
     # untouched partition: identical physical files, referenced not copied
-    assert set(glob.glob(f"{root}/data/v1/p=2/*.parquet")) == before_p2
-    assert all("/v1/p=2" in f or "/v2/" in f
+    assert set(glob.glob(f"{root}/data/v1-*/p=2/*.parquet")) == before_p2
+    assert all(("/data/v1-" in f and "/p=2" in f) or "/data/v2-" in f
                for f in wap.read_table(spark, root).inputFiles())
     # time travel: version 1 still reads the original rows
     v1 = {r.id: r.val for r in
@@ -635,7 +635,7 @@ def test_wap_vacuum_keeps_referenced_dirs(spark, tmp_path):
     wap.vacuum(spark, root, keep_last=2)
     # v1 holds p=1 (never rewritten) so it must SURVIVE vacuum; v2's dir
     # is unreferenced by versions 3-4 and goes away
-    assert glob.glob(f"{root}/data/v1/p=1/*.parquet")
+    assert glob.glob(f"{root}/data/v1-*/p=1/*.parquet")
     assert not glob.glob(f"{root}/data/v2*")
     after = {r.id: r.val for r in wap.read_table(spark, root).collect()}
     assert after[0] == "u4" and len(after) == 10
@@ -925,3 +925,66 @@ def test_stream_incremental_agg_replay_skipped(spark, tmp_path):
         q.awaitTermination(120)
     got = [(r.grp, r.n, r.sum_v) for r in read_agg(spark, agg, ["v"]).collect()]
     assert got == [("x", 1, 2.0)]
+
+
+def test_wap_race_loser_cannot_destroy_winner_data(spark, tmp_path):
+    """Two writers racing to the same version stage into DISJOINT
+    token-named dirs: the loser's cleanup removes only its own files and
+    the winner's published version stays fully readable (previously both
+    staged into data/v2 and the loser's cleanup deleted the winner's
+    data)."""
+    import glob
+    import json
+
+    import pytest as _pytest
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                                 "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    m1 = json.loads(fsutil.read_text(spark, f"{root}/_manifests/m00001.json"))
+
+    def audit(df):
+        # writer A publishes version 2 INSIDE writer B's race window
+        # (B has read base=1 and staged, but not yet renamed)
+        fsutil.write_text(spark, f"{root}/_manifests/m00002.json",
+                          json.dumps({**m1, "version": 2}))
+
+    changes = spark.createDataFrame([(1, "B-wrote-this", 0, False)],
+                                    "id long, val string, p int, deleted boolean")
+    with _pytest.raises(wap.ConcurrentWriteError):
+        wap.merge_upsert(spark, root, changes, key="id",
+                         deleted_col="deleted", audit=audit)
+    # A's version 2 (referencing v1's dirs) is intact and readable
+    assert wap.current_version(spark, root) == 2
+    vals = {r.val for r in wap.read_table(spark, root, version=2).collect()}
+    assert vals == {"a", "b"}
+    # B's token-named staging dir is gone; A's (v1) data survives
+    assert len(glob.glob(f"{root}/data/v2-*")) == 0
+    assert glob.glob(f"{root}/data/v1-*/p=0/*.parquet")
+
+
+def test_wap_partition_values_with_escaped_chars(spark, tmp_path):
+    """Partition values Hive-escapes in directory names (':' -> %3A) must
+    stay addressable by VALUE: manifest keys are unescaped, so a merge
+    touching '10:00' replaces that partition instead of silently dropping
+    its carried-over rows."""
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(1, "a", "10:00"), (2, "b", "10:00"), (3, "c", "plain")],
+        "id long, val string, p string")
+    wap.init_table(spark, root, base, partition_col="p")
+    assert wap.read_table(spark, root, partitions=["10:00"]).count() == 2
+
+    changes = spark.createDataFrame([(1, "A", "10:00", False)],
+                                    "id long, val string, p string, deleted boolean")
+    assert wap.merge_upsert(spark, root, changes, key="id",
+                            deleted_col="deleted") == 2
+    after = {r.id: r.val for r in wap.read_table(spark, root).collect()}
+    # id=2's pre-existing row in the escaped partition must survive
+    assert after == {1: "A", 2: "b", 3: "c"}
