@@ -2125,6 +2125,46 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Community detection on the part co-order graph: synchronous label
+    propagation, FIXED 3 rounds with deterministic tie-breaks — the
+    fixed count is the contract that lets the oracle unroll the rounds
+    verbatim (converged-vs-unrolled diverges on deep graphs)."""
+    from otit_swt_spark.pipelines.graphalgo import (cooccurrence_edges,
+                                                    label_propagation)
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey",
+                               max_group_size=3)
+    return label_propagation(edges, iters=3)
+
+
+def q_wap_table_diff(spark, sf_dir):
+    """End-to-end versioned-table change data feed: build a WAP table
+    from documents (partitioned by lang), merge a deterministic change
+    batch (update doc_id%10, delete doc_id%17, insert doc_id+1e6 for
+    doc_id%23), then diff version 1 -> 2. Exercises init/merge/read/diff
+    through real manifests + token-named data dirs; the oracle derives
+    the expected change set directly from the arithmetic."""
+    import tempfile
+
+    from otit_swt_spark.pipelines import wap
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="wap_diff_entry_")
+    wap.init_table(spark, root, d, partition_col="lang")
+    upd = (d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 0))
+           .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]")))
+           .withColumn("deleted", F.lit(False)))
+    dele = d.filter(F.col("doc_id") % 17 == 0).withColumn("deleted", F.lit(True))
+    ins = (d.filter(F.col("doc_id") % 23 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+           .withColumn("deleted", F.lit(False)))
+    wap.merge_upsert(spark, root, upd.unionByName(dele).unionByName(ins),
+                     key="doc_id", deleted_col="deleted")
+    return wap.table_diff(spark, root, 1, 2, key="doc_id")
+
+
 def q_preference_pairs(spark, sf_dir):
     """RLHF/DPO pair assembly: per (source, lang) group, the longest doc
     as chosen vs the shortest as rejected, with the length margin —
@@ -2223,6 +2263,8 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "label_propagation": q_label_propagation,
+        "wap_table_diff": q_wap_table_diff,
         "preference_pairs": q_preference_pairs,
         "ngram_novelty": q_ngram_novelty,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4537,6 +4579,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "label_propagation": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+            ), kept AS (
+                SELECT g FROM items GROUP BY g HAVING count(*) <= 3
+            ), e AS (
+                SELECT DISTINCT a.i AS a, b.i AS b
+                FROM items a
+                JOIN kept k ON a.g = k.g
+                JOIN items b ON b.g = a.g AND a.i < b.i
+            ), und AS (
+                SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+            ), l0 AS (
+                SELECT DISTINCT s AS id, s AS community FROM und
+            ), r1 AS (
+                SELECT u.s AS id, l.community, count(*) AS n
+                FROM und u JOIN l0 l ON l.id = u.d GROUP BY u.s, l.community
+            ), l1 AS (
+                SELECT id, community FROM (
+                    SELECT id, community,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY n DESC, community) AS rk
+                    FROM r1) WHERE rk = 1
+            ), r2 AS (
+                SELECT u.s AS id, l.community, count(*) AS n
+                FROM und u JOIN l1 l ON l.id = u.d GROUP BY u.s, l.community
+            ), l2 AS (
+                SELECT id, community FROM (
+                    SELECT id, community,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY n DESC, community) AS rk
+                    FROM r2) WHERE rk = 1
+            ), r3 AS (
+                SELECT u.s AS id, l.community, count(*) AS n
+                FROM und u JOIN l2 l ON l.id = u.d GROUP BY u.s, l.community
+            )
+            SELECT id, community FROM (
+                SELECT id, community,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY n DESC, community) AS rk
+                FROM r3) WHERE rk = 1
+        """,
+        "wap_table_diff": """
+            SELECT doc_id, 'update' AS change_type FROM documents
+            WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id, 'delete' FROM documents WHERE doc_id % 17 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, 'insert' FROM documents
+            WHERE doc_id % 23 = 0
         """,
         "preference_pairs": """
             WITH r AS (

@@ -144,3 +144,39 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85,
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts in its own community; each round, every node SIMULTANEOUSLY
+    adopts the most frequent label among its neighbors (ties -> smallest
+    label). Returns (id, community) after exactly ``iters`` rounds.
+
+    The iteration count is FIXED by contract — not run to convergence —
+    precisely so a SQL oracle can replay the rounds verbatim (the lesson
+    from the near-dedup oracles: converged-vs-unrolled diverges on deep
+    graphs). Per round: one shuffle to count (node, neighbor-label)
+    pairs and one deterministic argmax window per node. LPA is the
+    standard large-graph community baseline (GraphFrames ships the same
+    fixed-iteration form)."""
+    from pyspark.sql import Window as W
+
+    und = (edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+           .unionAll(edges.select(F.col("b").alias("s"),
+                                  F.col("a").alias("d")))
+           .localCheckpoint(eager=False))
+    labels = und.select(F.col("s").alias("id")).distinct() \
+                .withColumn("community", F.col("id"))
+    for _ in range(iters):
+        nbr = (und.join(labels.withColumnRenamed("id", "d"), "d")
+               .groupBy(F.col("s").alias("id"), "community")
+               .agg(F.count(F.lit(1)).alias("__n")))
+        w = (W.partitionBy("id")
+             .orderBy(F.desc("__n"), F.col("community").asc()))
+        picked = (nbr.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") == 1)
+                  .select("id", "community"))
+        # every node in `und` has >= 1 neighbor, so picked covers all ids;
+        # localCheckpoint flattens the per-round lineage like pagerank
+        labels = picked.localCheckpoint(eager=False)
+    return labels

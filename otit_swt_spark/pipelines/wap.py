@@ -288,3 +288,34 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
             fsutil.delete(spark, p)
             deleted.append(p)
     return deleted
+
+
+def table_diff(spark: SparkSession, root: str, v_from: int, v_to: int,
+               key: str) -> DataFrame:
+    """Change data feed between two published versions (the Delta-CDF
+    analog): one row per changed key with ``change_type`` in
+    ``insert`` / ``delete`` / ``update``. Computed as a keyed full-outer
+    join between the two version snapshots comparing an md5 digest of all
+    non-key columns — works for any schema without enumerating columns.
+    Both sides read through the manifests, so partition carry-over means
+    untouched partitions diff as byte-identical digests (they ARE the
+    same files)."""
+    a = read_table(spark, root, version=v_from)
+    b = read_table(spark, root, version=v_to)
+    cols = sorted(c for c in a.columns if c != key)
+
+    def digest(df: DataFrame) -> DataFrame:
+        d = F.md5(F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+        return df.select(F.col(key), d.alias("__d"))
+
+    da = digest(a).withColumnRenamed("__d", "__da")
+    db = digest(b).withColumnRenamed("__d", "__db")
+    joined = da.join(db, key, "full_outer")
+    return (joined.select(
+        key,
+        F.when(F.col("__da").isNull(), F.lit("insert"))
+         .when(F.col("__db").isNull(), F.lit("delete"))
+         .when(F.col("__da") != F.col("__db"), F.lit("update"))
+         .alias("change_type"))
+        .filter(F.col("change_type").isNotNull()))

@@ -354,3 +354,40 @@ def stream_interval_join(clicks: DataFrame, views: DataFrame,
             & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}")))
     return (l.join(r, cond)
             .select("id", "l_ts", "r_ts", "l_value", "r_value"))
+
+
+def stream_wap_merge(df: DataFrame, root: str, key: str, checkpoint: str,
+                     deleted_col: str | None = None,
+                     max_retries: int = 2):
+    """Stream keyed CDC batches into a WAP versioned table: every
+    micro-batch runs ``wap.merge_upsert`` inside ``foreachBatch``, so each
+    batch publishes one new SNAPSHOT-ISOLATED version (readers never see a
+    half-applied batch, and time travel works per batch). Returns the
+    started StreamingQuery.
+
+    Replay safety comes for free here — unlike the incremental-agg fold, a
+    keyed upsert is IDEMPOTENT (re-merging the same change batch yields a
+    byte-equal next version), so at-least-once foreachBatch delivery needs
+    no batch-id sidecar. A concurrent writer losing the manifest race gets
+    ``ConcurrentWriteError``; the batch retries against the new current
+    version up to ``max_retries`` times (its own staged files were already
+    cleaned by the loser path)."""
+    from otit_swt_spark.pipelines import wap
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        for attempt in range(max_retries + 1):
+            try:
+                wap.merge_upsert(spark, root, batch_df, key=key,
+                                 deleted_col=deleted_col)
+                return
+            except wap.ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    return (df.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

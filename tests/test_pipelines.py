@@ -1631,3 +1631,35 @@ def test_preference_pairs_deterministic_argmax(spark):
     assert out["a"]["chosen_id"] == 3       # tie -> highest id wins
     assert out["a"]["rejected_id"] == 1
     assert out["a"]["margin"] == 20
+
+
+def test_wap_table_diff_classifies_changes(spark, tmp_path):
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "difftbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    wap.init_table(spark, root, base)
+    changes = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "id long, val string, deleted boolean")
+    wap.merge_upsert(spark, root, changes, key="id", deleted_col="deleted")
+    diff = {r["id"]: r["change_type"] for r in
+            wap.table_diff(spark, root, 1, 2, key="id").collect()}
+    assert diff == {2: "update", 3: "delete", 4: "insert"}  # 1 unchanged
+
+
+def test_label_propagation_finds_cliques(spark):
+    from otit_swt_spark.pipelines.graphalgo import label_propagation
+
+    # two 4-cliques bridged by one weak edge: after 3 synchronous rounds
+    # each clique converges to its own min label; the bridge endpoints
+    # stay with their cliques (3 intra-neighbors beat 1 bridge neighbor)
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "a long, b long")
+    out = {r["id"]: r["community"] for r in
+           label_propagation(edges, iters=3).collect()}
+    assert {out[i] for i in (1, 2, 3)} == {1}
+    assert {out[i] for i in (11, 12, 13)} == {10}

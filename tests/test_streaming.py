@@ -406,3 +406,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
     batch = stream_interval_join(spark.createDataFrame(clicks_pd),
                                  spark.createDataFrame(views_pd))
     assert rows(batch.select("id", "l_value", "r_value")) == got
+
+
+def test_stream_wap_merge_versions_per_batch(spark, tmp_path):
+    """Streamed CDC batches into a WAP table: each micro-batch publishes
+    one snapshot-isolated version; the final state equals the batchwise
+    keyed merge and every intermediate version stays time-travelable."""
+    from otit_swt_spark.pipelines import wap
+    from otit_swt_spark.streaming.ingest import stream_wap_merge
+
+    root = str(tmp_path / "wtbl")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id long, val string, p long")
+    wap.init_table(spark, root, base, partition_col="p")
+
+    sch = "id long, val string, p long, deleted boolean"
+    b1 = spark.createDataFrame([(1, "A", 0, False), (3, "c", 0, False)], sch)
+    b2 = spark.createDataFrame([(2, None, 1, True)], sch)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("id long, val string, p long, deleted boolean")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_wap_merge(stream, root, key="id", checkpoint=ck,
+                         deleted_col="deleted")
+    q.awaitTermination(120)
+
+    assert wap.current_version(spark, root) == 3  # init + 2 batches
+    after = {r.id: r.val for r in wap.read_table(spark, root).collect()}
+    assert after == {1: "A", 3: "c"}  # 2 deleted, 1 updated, 3 inserted
+    # every intermediate version still time-travels
+    assert {r.id for r in wap.read_table(spark, root, version=1).collect()} \
+        == {1, 2}
