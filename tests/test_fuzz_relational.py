@@ -218,3 +218,40 @@ def test_random_token_budget_matches_duckdb(spark, seed):
         SELECT doc_id, n_tok FROM c WHERE before < {budget}
     """).fetchall())
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_preference_pairs_match_duckdb(spark, seed):
+    """Differential fuzz for the struct-max argmax/argmin pairing:
+    random groups/scores (with heavy ties) vs DuckDB's double
+    row_number ranking — the tie-break contract (chosen: highest id
+    among max scores; rejected: lowest id among min scores) must agree
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from otit_swt_spark.pipelines.sampling import preference_pairs
+
+    rng = random.Random(100 + seed)
+    rows_in = [(i, f"g{rng.randint(0, 6)}", rng.randint(0, 4))
+               for i in range(rng.randint(1, 150))]
+    df = spark.createDataFrame(rows_in, "doc_id long, g string, s long")
+    got = sorted(map(tuple, preference_pairs(df, ["g"], F.col("s"))
+                     .select("g", "chosen_id", "rejected_id", "margin")
+                     .collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, g VARCHAR, s BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows_in)
+    want = sorted((g, int(c), int(r), int(m)) for g, c, r, m in con.execute("""
+        WITH r AS (
+            SELECT g, doc_id, s,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY s DESC, doc_id DESC) AS rb,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY s ASC, doc_id ASC) AS rw
+            FROM t)
+        SELECT b.g, b.doc_id, w.doc_id, b.s - w.s
+        FROM (SELECT * FROM r WHERE rb = 1) b
+        JOIN (SELECT * FROM r WHERE rw = 1) w USING (g)
+        WHERE b.s > w.s
+    """).fetchall())
+    assert got == want

@@ -322,3 +322,22 @@ def test_cross_dedup_mega_bucket_linear(spark):
     assert len(rows) == 25_000
     assert all(r["max_agreement"] == 1.0 and r["n_candidates"] <= 64
                for r in rows)
+
+
+def test_label_propagation_amplified_graph(spark):
+    """LPA on the co-order graph of 6M lineitem rows (10x sf0.1): three
+    synchronous rounds, each one count-shuffle + one per-node window —
+    completes in bounded rounds regardless of graph size, labels cover
+    every node."""
+    from otit_swt_spark.pipelines.graphalgo import (cooccurrence_edges,
+                                                    label_propagation)
+
+    l = _amplify(spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                 .select("l_orderkey", "l_partkey"), 10,
+                 "l_orderkey", 100_000_000)
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey",
+                               max_group_size=3)
+    out = label_propagation(edges, iters=3)
+    n_nodes = out.count()
+    n_comms = out.select("community").distinct().count()
+    assert n_nodes > 0 and 0 < n_comms <= n_nodes
