@@ -2125,6 +2125,25 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: the 20 heaviest o_custkey values with
+    counts, corpus share (one-row total broadcast), and rank — what you
+    inspect before salting (pipelines/skew.py)."""
+    from otit_swt_spark.pipelines.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey",
+                           top_n=20)
+
+
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-depth price histogram: 8 quantile-bounded buckets of ~equal
+    count (bounds rounded to 6 dp for engine-exact cuts)."""
+    from otit_swt_spark.pipelines.analytics import histogram_equidepth
+
+    return histogram_equidepth(_t(spark, sf_dir, "lineitem"),
+                               "l_extendedprice", n_buckets=8)
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection on the part co-order graph: synchronous label
     propagation, FIXED 3 rounds with deterministic tie-breaks — the
@@ -2263,6 +2282,8 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "key_skew_report": q_key_skew_report,
+        "histogram_equidepth": q_histogram_equidepth,
         "label_propagation": q_label_propagation,
         "wap_table_diff": q_wap_table_diff,
         "preference_pairs": q_preference_pairs,
@@ -4579,6 +4600,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "key_skew_report": """
+            WITH a AS (
+                SELECT o_custkey AS key, count(*) AS n_rows
+                FROM orders GROUP BY o_custkey
+            ), t AS (
+                SELECT sum(n_rows) AS tot FROM a
+            ), top AS (
+                SELECT key, n_rows,
+                       round(n_rows / CAST(tot AS DOUBLE), 6) AS share
+                FROM a, t ORDER BY n_rows DESC, key LIMIT 20
+            )
+            SELECT key, n_rows, share,
+                   CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INT)
+                       AS rank
+            FROM top
+        """,
+        "histogram_equidepth": """
+            WITH b AS (
+                SELECT list_transform(
+                    quantile_cont(l_extendedprice,
+                                  [0.125, 0.25, 0.375, 0.5,
+                                   0.625, 0.75, 0.875]),
+                    x -> round(x, 6)) AS bounds
+                FROM lineitem
+            )
+            SELECT CAST(len(list_filter(bounds, x -> l_extendedprice > x))
+                        AS INT) AS bucket,
+                   count(*) AS n_rows
+            FROM lineitem, b GROUP BY 1
         """,
         "label_propagation": """
             WITH items AS (

@@ -267,3 +267,23 @@ def winsorize(df: DataFrame, value_col: str, group_col: str,
             .withColumn("value_w",
                         F.least(F.greatest(F.col(value_col), F.col("lo")),
                                 F.col("hi"))))
+
+
+def histogram_equidepth(df: DataFrame, col: str,
+                        n_buckets: int = 8) -> DataFrame:
+    """Equi-DEPTH histogram (quantile-bounded buckets of ~equal row
+    count — the distribution summary optimizers and drift monitors use,
+    complementing :func:`histogram`'s fixed-width buckets): bucket i
+    holds values in (q_{i/n}, q_{(i+1)/n}]. One percentile aggregate
+    builds the n-1 internal bounds (rounded to 6 dp so any engine
+    reproduces the cuts), broadcast back as a one-row frame; assignment
+    is a map-side filter-count over that tiny array."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.transform(
+        F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))"),
+        lambda b: F.round(b, 6)).alias("__bounds"))
+    bucket = F.size(F.filter(F.col("__bounds"),
+                             lambda b: F.col(col) > b))
+    return (df.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows")))

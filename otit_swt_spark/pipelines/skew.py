@@ -82,3 +82,23 @@ def salted_join(left: DataFrame, right: DataFrame, on: str | list[str],
                 F.col("id").cast("int").alias(_SALT))))
     out = l_s.join(r_s, keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+def key_skew_report(df: DataFrame, on: str, top_n: int = 20) -> DataFrame:
+    """Skew diagnostics as a frame: the ``top_n`` heaviest key values with
+    row counts, corpus share, and rank — what you inspect before deciding
+    to salt a join (:func:`salted_join`) or clip a group. One grouped
+    count, a one-row total broadcast back, then a distributed
+    take-ordered; the only window runs over the top_n-row result."""
+    from pyspark.sql import Window as W
+
+    agg = df.groupBy(F.col(on).alias("key")) \
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+    total = agg.agg(F.sum("n_rows").alias("__tot"))
+    top = (agg.crossJoin(F.broadcast(total))
+           .select("key", "n_rows",
+                   F.round(F.col("n_rows") / F.col("__tot"), 6).alias("share"))
+           .orderBy(F.desc("n_rows"), "key")
+           .limit(top_n))
+    w = W.orderBy(F.desc("n_rows"), "key")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -38,7 +38,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "quality_filter_relative",
             # one-row (tw_sum, n_total) scalar aggregate broadcast into the
             # tiny per-source sizes frame
-            "temperature_sample"}
+            "temperature_sample",
+            # one-row total / one-row quantile-bounds broadcast crosses
+            "key_skew_report", "histogram_equidepth"}
 
 
 def test_all_entries_plan_invariants(spark):
