@@ -2125,6 +2125,16 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_standardize_embeddings(spark, sf_dir):
+    """Per-dimension embedding standardization (scaler fit+transform):
+    exact DECIMAL moments make mean/stddev — and hence the z values —
+    identical across engines; output exploded long-form for the oracle."""
+    from otit_swt_spark.pipelines.embedding import standardize_embeddings
+
+    out = standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", F.posexplode("z").alias("pos", "z"))
+
+
 def q_key_skew_report(spark, sf_dir):
     """Join-key skew diagnostics: the 20 heaviest o_custkey values with
     counts, corpus share (one-row total broadcast), and rank — what you
@@ -2282,6 +2292,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "standardize_embeddings": q_standardize_embeddings,
         "key_skew_report": q_key_skew_report,
         "histogram_equidepth": q_histogram_equidepth,
         "label_propagation": q_label_propagation,
@@ -4600,6 +4611,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "standardize_embeddings": """
+            WITH e AS (
+                SELECT vec_id,
+                       unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings
+            ), s AS (
+                SELECT pos, count(*) AS n,
+                       sum(CAST(x AS DECIMAL(38,12))) AS sm,
+                       sum(CAST(x * x AS DECIMAL(38,12))) AS q
+                FROM e GROUP BY pos
+            ), m AS (
+                SELECT pos,
+                       CAST(sm AS DOUBLE) / n AS mu,
+                       sqrt((CAST(q AS DOUBLE)
+                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
+                            / (n - 1)) AS sd
+                FROM s
+            )
+            SELECT e.vec_id, CAST(e.pos AS INT) AS pos,
+                   round(CASE WHEN m.sd = 0 OR m.sd IS NULL THEN 0.0
+                              ELSE (e.x - m.mu) / m.sd END, 6) AS z
+            FROM e JOIN m USING (pos)
         """,
         "key_skew_report": """
             WITH a AS (

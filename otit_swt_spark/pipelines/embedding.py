@@ -237,3 +237,45 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.round(F.sqrt(F.first(norm_sq)), 6).alias("centroid_norm"),
                  F.round(F.avg(cos), 6).alias("cohesion")))
+
+
+def standardize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION standardization (zero mean, unit sample variance) of
+    an embedding column — the scaler fit+transform that precedes
+    distance-based ops when dimensions carry different scales.
+
+    The moments come from ONE posexplode + group pass using exact DECIMAL
+    sums (like ab_test_stats/profile), so mean and stddev are independent
+    of partitioning and summation order — a SQL engine reproduces the
+    standardized values bit-for-bit. The per-dimension stats are a
+    bounded driver collect (dim rows, never corpus rows); the transform
+    itself is a map-side literal expression. Zero-variance dimensions
+    standardize to 0.0. Output: (id_col, array<double> ``z`` rounded to
+    6 dp)."""
+    import math
+
+    dec = "decimal(38,12)"
+    x = F.col("x").cast("double")
+    stats = (df.select(F.posexplode(vec_col).alias("pos", "x"))
+             .groupBy("pos")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(x.cast(dec)).alias("s"),
+                  F.sum((x * x).cast(dec)).alias("q"))
+             .orderBy("pos").collect())
+    mu, sd = [], []
+    for r in stats:
+        # float() of the exact decimal sums == CAST(... AS DOUBLE): keep
+        # the arithmetic order identical to the oracle's formula
+        m = float(r["s"]) / r["n"]
+        var = ((float(r["q"]) - float(r["s"]) * float(r["s"]) / r["n"])
+               / (r["n"] - 1)) if r["n"] > 1 else 0.0
+        mu.append(m)
+        sd.append(math.sqrt(var) if var > 0 else 0.0)
+    v = F.col(vec_col)
+    comps = [
+        F.round(F.lit(0.0) if sd[i] == 0.0 else
+                (F.element_at(v, i + 1).cast("double") - F.lit(mu[i]))
+                / F.lit(sd[i]), 6)
+        for i in range(len(stats))]
+    return df.select(F.col(id_col), F.array(*comps).alias("z"))

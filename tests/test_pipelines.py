@@ -1663,3 +1663,23 @@ def test_label_propagation_finds_cliques(spark):
            label_propagation(edges, iters=3).collect()}
     assert {out[i] for i in (1, 2, 3)} == {1}
     assert {out[i] for i in (11, 12, 13)} == {10}
+
+
+def test_standardize_embeddings_moments(spark):
+    import statistics
+
+    from otit_swt_spark.pipelines.embedding import standardize_embeddings
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 100.0 + 10 * i, 7.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: list(r["z"]) for r in
+           standardize_embeddings(emb).collect()}
+    col0 = [out[i][0] for i in range(10)]
+    # standardized: mean ~0, sample std ~1
+    assert abs(sum(col0)) < 1e-6
+    assert abs(statistics.stdev(col0) - 1.0) < 1e-5
+    # constant dimension -> 0.0, not NaN/inf
+    assert all(out[i][2] == 0.0 for i in range(10))
+    # dims 0 and 1 are affine images of each other -> identical z
+    assert all(out[i][0] == out[i][1] for i in range(10))
