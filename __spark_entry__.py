@@ -2125,6 +2125,18 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-stability drift between two corpus halves (even vs odd
+    doc ids) over document length: fixed-bound buckets, eps-smoothed
+    shares, per-bucket PSI terms."""
+    from otit_swt_spark.pipelines.analytics import population_stability
+
+    d = _t(spark, sf_dir, "documents")
+    return population_stability(d.filter(F.col("doc_id") % 2 == 0),
+                                d.filter(F.col("doc_id") % 2 == 1),
+                                "n_chars", lo=0.0, hi=2000.0, nbins=10)
+
+
 def q_standardize_embeddings(spark, sf_dir):
     """Per-dimension embedding standardization (scaler fit+transform):
     exact DECIMAL moments make mean/stddev — and hence the z values —
@@ -2292,6 +2304,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "psi_drift": q_psi_drift,
         "standardize_embeddings": q_standardize_embeddings,
         "key_skew_report": q_key_skew_report,
         "histogram_equidepth": q_histogram_equidepth,
@@ -4611,6 +4624,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "psi_drift": """
+            WITH ca AS (
+                SELECT CAST(least(greatest(floor((n_chars - 0.0) / 200.0), 0),
+                                  9) AS BIGINT) AS bucket,
+                       count(*) AS n_a
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ), cb AS (
+                SELECT CAST(least(greatest(floor((n_chars - 0.0) / 200.0), 0),
+                                  9) AS BIGINT) AS bucket,
+                       count(*) AS n_b
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+            ), j AS (
+                SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+                       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+            ), t AS (
+                SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j
+            )
+            SELECT bucket, n_a, n_b,
+                   round(greatest(n_a / CAST(ta AS DOUBLE), 1e-06), 6)
+                       AS share_a,
+                   round(greatest(n_b / CAST(tb AS DOUBLE), 1e-06), 6)
+                       AS share_b,
+                   round((greatest(n_a / CAST(ta AS DOUBLE), 1e-06)
+                          - greatest(n_b / CAST(tb AS DOUBLE), 1e-06))
+                         * ln(greatest(n_a / CAST(ta AS DOUBLE), 1e-06)
+                              / greatest(n_b / CAST(tb AS DOUBLE), 1e-06)),
+                         6) AS psi_term
+            FROM j, t
         """,
         "standardize_embeddings": """
             WITH e AS (

@@ -287,3 +287,40 @@ def histogram_equidepth(df: DataFrame, col: str,
     return (df.crossJoin(F.broadcast(bounds))
             .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+def population_stability(df_a: DataFrame, df_b: DataFrame, col: str,
+                         lo: float, hi: float, nbins: int = 10,
+                         eps: float = 1e-6) -> DataFrame:
+    """Population stability index between two snapshots of a metric
+    distribution — the standard drift monitor run between training
+    corpus versions (PSI < 0.1 stable, > 0.25 shifted). Fixed-bound
+    equi-width buckets (data-independent, so the bucketing is one
+    map-side expression on each snapshot and reproducible anywhere);
+    shares are smoothed with ``eps`` so empty buckets contribute a
+    finite penalty instead of an infinite log.
+
+    Output: one row per bucket with both shares and the PSI term
+    (``(pa - pb) * ln(pa / pb)``, rounded to 6 dp — sum the column for
+    the headline index). Scale: two aggregate passes + joins on a
+    <= nbins-row frame."""
+    from pyspark.sql import Window as W
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (histogram(df, col, lo, hi, nbins)
+                .select("bucket", F.col("n").alias(out)))
+
+    joined = (counts(df_a, "n_a")
+              .join(counts(df_b, "n_b"), "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                      F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    pa = F.greatest(F.col("n_a") / F.sum("n_a").over(w), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_b") / F.sum("n_b").over(w), F.lit(float(eps)))
+    return (joined
+            .select("bucket", "n_a", "n_b",
+                    F.round(pa, 6).alias("share_a"),
+                    F.round(pb, 6).alias("share_b"),
+                    F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"))
+            )

@@ -1683,3 +1683,16 @@ def test_standardize_embeddings_moments(spark):
     assert all(out[i][2] == 0.0 for i in range(10))
     # dims 0 and 1 are affine images of each other -> identical z
     assert all(out[i][0] == out[i][1] for i in range(10))
+
+
+def test_population_stability_detects_shift(spark):
+    from otit_swt_spark.pipelines.analytics import population_stability
+
+    a = spark.createDataFrame([(i, float(i % 100)) for i in range(500)],
+                              "id long, v double")
+    same = population_stability(a, a, "v", lo=0.0, hi=100.0, nbins=10)
+    assert abs(sum(r["psi_term"] for r in same.collect())) < 1e-9
+    b = spark.createDataFrame([(i, float(i % 100) + 50.0)
+                               for i in range(500)], "id long, v double")
+    shifted = population_stability(a, b, "v", lo=0.0, hi=100.0, nbins=10)
+    assert sum(r["psi_term"] for r in shifted.collect()) > 0.25  # major drift
