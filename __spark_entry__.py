@@ -2125,6 +2125,21 @@ def q_cross_dedup_flags(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| over the same deterministic
+    consecutive-id candidate pairs as ngram_jaccard_verify — flags
+    near-SUBSET duplicates symmetric Jaccard under-scores."""
+    from otit_swt_spark.pipelines.dedup import ngram_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cands = (ids.alias("l")
+             .join(ids.alias("r"), F.col("r.doc_id") == F.col("l.doc_id") + 1)
+             .select(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b")))
+    return ngram_containment(cands, docs)
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability drift between two corpus halves (even vs odd
     doc ids) over document length: fixed-bound buckets, eps-smoothed
@@ -2304,6 +2319,7 @@ def q_normalize_text(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-4 additions (newest, never sampled) ---
+        "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
         "standardize_embeddings": q_standardize_embeddings,
         "key_skew_report": q_key_skew_report,
@@ -4624,6 +4640,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps a ON a.id = p.id_a
             JOIN fps b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 10
+        """,
+        "ngram_containment": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2]
+                                                FOR i IN range(1, len(t) - 1)])
+                       END AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(a.g), 1), 6) AS containment_a_in_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(b.g), 1), 6) AS containment_b_in_a
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         """,
         "psi_drift": """
             WITH ca AS (

@@ -41,6 +41,16 @@ HEADLINE = [
 # Round-3/4 additions, timed only with --extended so the default headline
 # total stays comparable across rounds.
 EXTENDED = [
+    "psi_drift",
+    "standardize_embeddings",
+    "key_skew_report",
+    "histogram_equidepth",
+    "label_propagation",
+    "preference_pairs",
+    "ngram_novelty",
+    "ngram_containment",
+    "pack_nextfit",
+    "dedup_cluster_sizes",
     "curation_pipeline",
     "decontam_report",
     "winsorize_events",

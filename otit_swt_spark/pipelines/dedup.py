@@ -675,3 +675,35 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_candidates"),
                  F.max("agreement").alias("max_agreement")))
+
+
+def ngram_containment(df_pairs: DataFrame, docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """Asymmetric n-gram containment ``|A ∩ B| / |A|`` (Broder): how much
+    of document A lives inside document B. Catches near-SUBSET duplicates
+    — quote inclusions, expanded revisions, boilerplate-wrapped copies —
+    that symmetric Jaccard under-scores (a 100-line doc fully embedded in
+    a 10k-line doc has tiny Jaccard but containment 1.0). Same join shape
+    as :func:`ngram_jaccard`; emits both directions."""
+    texts = (with_shingles(docs.select(F.col(id_col).alias("id"),
+                                       F.col(text_col)),
+                           text_col, n, out_col="__g")
+             .select("id", F.array_distinct("__g").alias("grams")))
+    out = (
+        df_pairs
+        .join(texts.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("grams", "grams_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double")
+                / F.greatest(F.size("grams_a"), F.lit(1)), 6)
+        .alias("containment_a_in_b"),
+        F.round(inter.cast("double")
+                / F.greatest(F.size("grams_b"), F.lit(1)), 6)
+        .alias("containment_b_in_a"),
+    )

@@ -1696,3 +1696,17 @@ def test_population_stability_detects_shift(spark):
                                for i in range(500)], "id long, v double")
     shifted = population_stability(a, b, "v", lo=0.0, hi=100.0, nbins=10)
     assert sum(r["psi_term"] for r in shifted.collect()) > 0.25  # major drift
+
+
+def test_ngram_containment_detects_subset(spark):
+    from otit_swt_spark.pipelines.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "intro words alpha beta gamma delta trailing words here")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment(pairs, docs).collect()[0]
+    # doc 1's shingles all appear in doc 2 -> fully contained
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 0.5  # but not vice versa
