@@ -51,6 +51,26 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(hsrc, hdst))
 
 
+def create_exclusive(spark: SparkSession, path_str: str) -> bool:
+    """Atomically create an empty file, returning False if it already
+    exists — the single-winner claim primitive the WAP publish builds on.
+    Local paths go through ``java.io.File.createNewFile`` (O_CREAT|O_EXCL,
+    atomic on POSIX — Hadoop's RawLocalFileSystem exists-then-create is
+    TOCTOU and cannot be used for mutual exclusion); other schemes use
+    ``FileSystem.createNewFile`` (atomic at the HDFS NameNode; S3A is
+    best-effort and production tables there pair this with an external
+    lock service, exactly as Delta/Iceberg do)."""
+    fs, hpath, jvm = _fs(spark, path_str)
+    scheme = hpath.toUri().getScheme()
+    if scheme is None or scheme == "file":
+        f = jvm.java.io.File(hpath.toUri().getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        return bool(f.createNewFile())
+    return bool(fs.createNewFile(hpath))
+
+
 def listdir(spark: SparkSession, path_str: str) -> list[str]:
     """Child basenames of a directory ([] when absent)."""
     fs, hpath, _ = _fs(spark, path_str)

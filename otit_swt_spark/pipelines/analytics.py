@@ -277,8 +277,12 @@ def histogram_equidepth(df: DataFrame, col: str,
     holds values in (q_{i/n}, q_{(i+1)/n}]. One percentile aggregate
     builds the n-1 internal bounds (rounded to 6 dp so any engine
     reproduces the cuts), broadcast back as a one-row frame; assignment
-    is a map-side filter-count over that tiny array."""
+    is a map-side filter-count over that tiny array. NULL values are
+    excluded (percentile ignores them, so counting them — they'd land in
+    bucket 0, every NULL comparison dropping all bounds — would inflate
+    the lowest bucket with rows the bounds never saw)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    df = df.filter(F.col(col).isNotNull())
     bounds = df.agg(F.transform(
         F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))"),
         lambda b: F.round(b, 6)).alias("__bounds"))

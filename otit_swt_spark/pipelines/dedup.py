@@ -362,21 +362,22 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         ])).alias("ck"),
     ).select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    ids = F.sort_array(F.collect_list("id"))
-    pair_structs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2),
-                    F.least(F.size(F.col("ids")) - i - 1, F.lit(max_pairs_per_entry))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    ))
+    # Windowed successor pairing (same as the MinHash path): lead() over the
+    # sorted bucket keeps per-row state at max_pairs_per_entry ids, so a
+    # degenerate bucket (millions of identical docs on one 16-bit key) never
+    # materializes as a single giant collect_list array row — the window sort
+    # spills, pair count stays linear, rank-adjacent pairs keep the bucket one
+    # connected component.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("chunk", "key").orderBy("id")
+    succ = F.array(*[F.lead("id", d).over(w)
+                     for d in range(1, max_pairs_per_entry + 1)])
     pairs = (
-        chunks.groupBy("chunk", "key")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        chunks
+        .select(F.col("id").alias("id_a"), succ.alias("succ"))
+        .select("id_a", F.explode("succ").alias("id_b"))
+        .filter(F.col("id_b").isNotNull())
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -628,7 +629,8 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
                                text_col: str = "text", id_col: str = "doc_id",
                                k: int = 64, bands: int = 16,
                                shingle_n: int = 3,
-                               max_ref_per_bucket: int = 4) -> DataFrame:
+                               max_ref_per_bucket: int = 4,
+                               eager: bool = False) -> DataFrame:
     """Flag training documents that are near-duplicates of a reference
     corpus (held-out set, benchmark suite, earlier crawl) via a cross-corpus
     MinHash LSH band join — the fuzzy complement of 13-gram
@@ -640,7 +642,12 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
     bucket is capped at ``max_ref_per_bucket`` entries (deterministic: the
     lowest ref ids win) — any single collision flags the doc, so a cap on
     the evidence list changes at most which agreement is reported, never
-    whether a doc is flagged, and a boilerplate mega-bucket stays linear."""
+    whether a doc is flagged, and a boilerplate mega-bucket stays linear.
+
+    The two persisted signature frames stay cached until session LRU
+    eviction; pass ``eager=True`` to materialize the (one-row-per-flagged-
+    doc) result via ``localCheckpoint`` and release them before returning —
+    the right mode inside long-running drivers."""
     from pyspark.sql import Window as W
 
     sig = minhash_signature_udf(k, shingle_n)
@@ -666,15 +673,20 @@ def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
             .select("id", "ref_id").dropDuplicates(["id", "ref_id"]))
     agree = F.size(F.filter(F.zip_with("sig", "ref_sig",
                                        lambda a, b: a == b), lambda x: x))
-    return (cand
-            .join(train_sig, "id")
-            .join(ref_sig.select(F.col("id").alias("ref_id"),
-                                 F.col("sig").alias("ref_sig")), "ref_id")
-            .select("id", "ref_id",
-                    (agree.cast("double") / k).alias("agreement"))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_candidates"),
-                 F.max("agreement").alias("max_agreement")))
+    out = (cand
+           .join(train_sig, "id")
+           .join(ref_sig.select(F.col("id").alias("ref_id"),
+                                F.col("sig").alias("ref_sig")), "ref_id")
+           .select("id", "ref_id",
+                   (agree.cast("double") / k).alias("agreement"))
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.max("agreement").alias("max_agreement")))
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        train_sig.unpersist(False)
+        ref_sig.unpersist(False)
+    return out
 
 
 def ngram_containment(df_pairs: DataFrame, docs: DataFrame,

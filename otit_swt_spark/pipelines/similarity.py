@@ -374,6 +374,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_bits: int | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    eager: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket by sign sketch
     (near-identical vectors share all sign bits with high probability),
@@ -385,9 +386,21 @@ def embedding_neardup_pairs(
     buckets above ``max_bucket`` are salted into bounded shards before the
     self-join — a boilerplate-duplicate mega-bucket costs O(n·max_bucket),
     not O(n²). Oversized buckets additionally contribute rank-adjacent
-    successor pairs across the WHOLE bucket (:func:`_oversized_chain_pairs`),
-    so downstream connected-components still merges the shards' pair sets
-    into one cluster — shard-local joins alone would split it."""
+    successor pairs across the WHOLE bucket (:func:`_oversized_chain_pairs`)
+    so downstream connected-components can merge the shards' pair sets —
+    shard-local joins alone would always split them. Note the chain links
+    pass through the same ``cos_sim >= min_cosine`` verification as every
+    other pair (the output contract is "pairs at or above the threshold"),
+    so the single-component guarantee holds only when the bucket's members
+    are pairwise >= min_cosine (the boilerplate-duplicate case the guard
+    exists for); a mixed bucket whose adjacent pair dips below the
+    threshold can legitimately split into several components.
+
+    The two persisted intermediates (vector frame + sketch frame) stay
+    cached until session LRU eviction; pass ``eager=True`` to materialize
+    the (bounded, candidate-filtered) result via ``localCheckpoint`` and
+    release them before returning — the right mode inside long-running
+    drivers."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
              .repartition(df.sparkSession.sparkContext.defaultParallelism) \
              .persist()
@@ -407,13 +420,18 @@ def embedding_neardup_pairs(
             .dropDuplicates(["id_a", "id_b"]))
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
                 F.round(cosine(F.col("va").cast("array<double>"),
                                F.col("vb").cast("array<double>")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sk.unpersist(False)
+        base.unpersist(False)
+    return out
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:

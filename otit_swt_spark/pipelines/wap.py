@@ -22,18 +22,24 @@ partitions at their existing dirs — a 1-partition change against a
 (or even lists) the rest; readers get manifest-level partition pruning
 without touching the filesystem of unselected partitions.
 
-The publish step is a single atomic filesystem primitive: the manifest is
-staged to a writer-unique temp name and RENAMED to ``m<next>.json``. On
-HDFS, rename refuses an existing destination, so two concurrent writers
-racing from the same base version conflict deterministically. On a POSIX
-local filesystem Hadoop's rename REPLACES an existing file (and the
-exists-check is TOCTOU), so the manifest additionally carries the writer
-token and publish re-reads the slot after renaming: whichever writer's
-token survives owns the version, the other gets
-:class:`ConcurrentWriteError` and deletes only its own (token-named) data
-directory — the surviving manifest's files are untouched either way. A
-crash anywhere before the rename leaves only orphan staged files; the
-current version stays fully readable (write-audit-publish's whole point).
+The publish step is a two-phase single-winner protocol. Phase 1 CLAIMS
+the version slot by atomically creating ``.claim.m<next>`` —
+``O_CREAT|O_EXCL`` via ``java.io.File.createNewFile`` on local FS,
+NameNode-atomic create on HDFS (:func:`fsutil.create_exclusive`); exactly
+one racing writer wins, every loser gets :class:`ConcurrentWriteError`
+immediately and deletes only its own token-named data directory. Phase 2
+(winner only) stages the manifest to a writer-unique temp name and
+renames it into ``m<next>.json``; because losers never reach the rename,
+the local-FS replacing-rename TOCTOU (two writers each reading back
+their own token and both reporting success) cannot occur. A read-back
+token check remains as defense in depth. Crash behavior: a crash before
+the claim leaves only orphan staged files; a crash BETWEEN claim and
+rename wedges that one version number (claim present, manifest absent) —
+the current version stays fully readable, and recovery is deleting the
+stale claim once no writer is in flight (``vacuum`` removes claims for
+versions at or below the current published one). On S3-like stores
+without atomic create, pair the claim with an external lock service,
+exactly as Delta/Iceberg do.
 
 The optional ``audit`` callable sees the complete next-version DataFrame
 BEFORE publish — row-count expectations, constraint checks — and any
@@ -103,12 +109,23 @@ def _load_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(fsutil.read_text(spark, _mpath(root, version)))
 
 
+def _claim_path(root: str, version: int) -> str:
+    return f"{_mdir(root)}/.claim.m{version:05d}"
+
+
 def _publish_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
-    """Stage to a writer-unique temp name, rename into the version slot,
-    then read the slot back and verify OUR writer token survived — the
-    read-back closes the local-FS hole where Hadoop's rename replaces an
-    existing destination (HDFS rename already refuses it)."""
+    """Single-winner publish: atomically CLAIM the version slot with an
+    exclusive-create lock file (``O_CREAT|O_EXCL`` on local FS, NameNode
+    create on HDFS — :func:`fsutil.create_exclusive`), then stage the
+    manifest to a writer-unique temp name and rename it into the slot.
+    Only the claim winner ever attempts the rename, which closes the
+    local-FS TOCTOU where Hadoop's replacing rename let two writers each
+    read back their own token and BOTH report success. The read-back
+    token check stays as defense in depth."""
     version, token = manifest["version"], manifest["writer"]
+    if not fsutil.create_exclusive(spark, _claim_path(root, version)):
+        raise ConcurrentWriteError(
+            f"version {version} was claimed by another writer")
     tmp = f"{_mdir(root)}/.m{version:05d}.{token}.staged"
     fsutil.write_text(spark, tmp, json.dumps(manifest))
     if not fsutil.rename(spark, tmp, _mpath(root, version)):
@@ -287,6 +304,14 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
         if fsutil.exists(spark, p):
             fsutil.delete(spark, p)
             deleted.append(p)
+    # claim files for settled slots (<= current version) are spent: the
+    # rename-refuses-existing check still rejects any late writer there.
+    # Claims ABOVE cur may be a live writer mid-publish — never touched.
+    for v in range(1, cur + 1):
+        c = _claim_path(root, v)
+        if fsutil.exists(spark, c):
+            fsutil.delete(spark, c)
+            deleted.append(c)
     return deleted
 
 
@@ -297,16 +322,18 @@ def table_diff(spark: SparkSession, root: str, v_from: int, v_to: int,
     ``insert`` / ``delete`` / ``update``. Computed as a keyed full-outer
     join between the two version snapshots comparing an md5 digest of all
     non-key columns — works for any schema without enumerating columns.
-    Both sides read through the manifests, so partition carry-over means
-    untouched partitions diff as byte-identical digests (they ARE the
-    same files)."""
+    The digest hashes ``to_json(struct(...))``, which is injective over
+    field boundaries and NULL-distinguishing (a delimiter-joined concat
+    would collide NULL with its sentinel string and let embedded
+    delimiters shift field boundaries). Both sides read through the
+    manifests, so partition carry-over means untouched partitions diff as
+    byte-identical digests (they ARE the same files)."""
     a = read_table(spark, root, version=v_from)
     b = read_table(spark, root, version=v_to)
     cols = sorted(c for c in a.columns if c != key)
 
     def digest(df: DataFrame) -> DataFrame:
-        d = F.md5(F.concat_ws("\x1f", *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+        d = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
         return df.select(F.col(key), d.alias("__d"))
 
     da = digest(a).withColumnRenamed("__d", "__da")

@@ -64,6 +64,26 @@ def test_minhash_single_mega_bucket_linear(spark):
     assert 0 < n_pairs <= n * 8
 
 
+def test_simhash_single_mega_bucket_linear(spark):
+    """Worst case for SimHash chunk blocking: ONE document duplicated 50k
+    times, so all four 16-bit chunk buckets hold the full corpus. The
+    lead()-window successor pairing must emit <= cap pairs per doc per
+    chunk (never bucket², and never a 50k-element collect_list array in a
+    single aggregation row)."""
+    from otit_swt_spark.pipelines.dedup import simhash_dedup_pairs
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated everywhere "
+              "with enough words to shingle properly").alias("text"))
+    pairs = simhash_dedup_pairs(docs, max_pairs_per_entry=8)
+    n_pairs = pairs.count()
+    # identical docs -> identical simhash -> all 4 chunks produce the SAME
+    # successor pairs; after dedup ~8 per doc, never quadratic
+    assert 0 < n_pairs <= n * 8
+
+
 def test_embedding_pair_generators_degenerate_single_bucket(spark):
     """All vectors point the same way -> every sign-sketch bit agrees ->
     one mega-bucket regardless of n_bits. The over-threshold salting must

@@ -614,9 +614,72 @@ def test_wap_concurrent_writers_conflict(spark, tmp_path):
     with _pytest.raises(wap.ConcurrentWriteError):
         wap._publish_manifest(spark, root, {**m1, "version": 2})  # writer B
     # loser's staged manifest is cleaned up; current version is A's
-    assert sorted(fsutil.listdir(spark, f"{root}/_manifests")) == \
+    names = fsutil.listdir(spark, f"{root}/_manifests")
+    assert sorted(n for n in names if n.endswith(".json")) == \
         ["m00001.json", "m00002.json"]
+    assert not any(n.endswith(".staged") for n in names)
     assert wap.current_version(spark, root) == 2
+
+
+def test_wap_claim_makes_publish_single_winner(spark, tmp_path):
+    """Two writers racing from the same base version: the exclusive-create
+    claim admits exactly ONE into the rename phase — the loser raises
+    before it can stage anything, closing the replacing-rename TOCTOU
+    where both writers could read back their own token and both report
+    success."""
+    import pytest as _pytest
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                                 "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    upd = spark.createDataFrame([(1, "a2", 0, False)],
+                                "id long, val string, p int, deleted boolean")
+    # writer A publishes version 2 through the full path (claims the slot)
+    assert wap.merge_upsert(spark, root, upd, key="id",
+                            deleted_col="deleted") == 2
+    # writer B raced from base=1: its claim for slot 2 must lose BEFORE
+    # any rename, and the table must stay readable at A's version
+    m1 = wap._load_manifest(spark, root, 1)
+    with _pytest.raises(wap.ConcurrentWriteError, match="claimed"):
+        wap._publish_manifest(spark, root, {
+            "version": 2, "partition_col": "p",
+            "entries": m1["entries"], "writer": "deadbeef"})
+    assert wap.current_version(spark, root) == 2
+    assert wap._load_manifest(spark, root, 2)["writer"] != "deadbeef"
+    got = {r.id: r.val for r in wap.read_table(spark, root).collect()}
+    assert got == {1: "a2", 2: "b"}
+    # vacuum clears spent claims (settled slots) but never m-files in range
+    deleted = wap.vacuum(spark, root, keep_last=2)
+    assert any(".claim." in d for d in deleted)
+    assert wap.current_version(spark, root) == 2
+
+
+def test_wap_vacuum_reader_race_old_version_stays_readable(spark, tmp_path):
+    """A reader that resolved version N-1 BEFORE vacuum ran: vacuum with
+    keep_last=2 keeps N-1's manifest and every physical dir it references,
+    so the in-flight reader's collect still succeeds after the vacuum."""
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(10)], "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    for ver in (2, 3):
+        ch = spark.createDataFrame([(0, f"u{ver}", 0, False)],
+                                   "id long, val string, p int, deleted boolean")
+        wap.merge_upsert(spark, root, ch, key="id", deleted_col="deleted")
+    # reader pins version 2 (lazy — not yet collected)
+    pinned = wap.read_table(spark, root, version=2)
+    wap.vacuum(spark, root, keep_last=2)    # keeps versions 2 and 3
+    rows = {r.id: r.val for r in pinned.collect()}   # reader lands AFTER
+    assert rows[0] == "u2" and len(rows) == 10
+    # version 1 is vacuumed: a NEW read of it must fail cleanly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        wap.read_table(spark, root, version=1).collect()
 
 
 def test_wap_vacuum_keeps_referenced_dirs(spark, tmp_path):
