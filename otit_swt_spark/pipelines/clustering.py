@@ -1,0 +1,152 @@
+"""Embedding-space clustering for corpus curation: fixed-iteration Lloyd
+k-means, SemDeDup-style semantic dedup (Abbas et al. 2023 — drop
+near-duplicates WITHIN a cluster so the pair blowup is cluster-bounded,
+never corpus-wide), and cluster-balanced diversity sampling.
+
+Determinism contract (what makes these oracle-checkable, unlike library
+k-means): seeding is the k lowest ids' vectors, the assignment argmin
+tie-breaks on the lowest centroid index, centroid updates use exact
+DECIMAL sums rounded to 6 dp, and every distance is an ordered left fold
+over the dimensions — so a SQL engine replays assignments bit-for-bit.
+
+Scale shape: each Lloyd round is ONE map-side assignment pass (centroids
+ride in the plan as k×dim literals — driver-bounded state, the classic
+broadcast-kmeans layout) plus ONE (cluster, dim)-keyed aggregation whose
+output is k×dim rows (a bounded driver collect, like
+``embedding.standardize_embeddings``). Nothing per-row ever lands on the
+driver. At 100 TB: k scales as corpus/target_cluster_size, the
+assignment stays embarrassingly parallel, and the update shuffle carries
+k×dim×partitions partial sums only.
+
+Reference: no twin in /root/reference (a query engine, not a training-
+data pipeline); part of the north-star LLM-pipeline surface alongside
+pipelines.similarity / pipelines.embedding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def _dist2(v, cent: list[float]):
+    """Squared L2 distance as an ordered left fold (matches a SQL
+    list_reduce over the same zip — FP-identical across engines)."""
+    arr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda a, x: a + x)
+
+
+def _assign_expr(v, cents: list[list[float]]):
+    """(cluster, dist2) of the nearest centroid; ties take the lowest
+    centroid index (struct array_min compares dist first, then index)."""
+    best = F.array_min(F.array(*[
+        F.struct(_dist2(v, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(cents)]))
+    return best["j"], best["d"]
+
+
+def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """Run ``iters`` Lloyd rounds and return the centroid list (k×dim —
+    driver-bounded model state). Seed: the vectors of the ``k`` lowest
+    ids. Update: per-(cluster, dim) exact DECIMAL mean rounded to 6 dp;
+    a cluster that loses all members keeps its previous centroid."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    seed = base.orderBy("id").limit(k).collect()
+    cents = [list(r["v"]) for r in seed]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+    for _ in range(iters):
+        cl, _d = _assign_expr(F.col("v"), cents)
+        stats = (base.select(cl.alias("c"), F.posexplode("v").alias("pos", "x"))
+                 .groupBy("c", "pos")
+                 .agg(F.sum(F.col("x").cast(_DEC)).alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cluster.setdefault(r["c"], {})[r["pos"]] = round(
+                float(r["s"]) / r["n"], 6)
+        cents = [
+            [m[p] for p in range(len(cents[j]))]
+            if (m := by_cluster.get(j)) else cents[j]      # empty: keep old
+            for j in range(k)
+        ]
+    return cents
+
+
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Fit + final assignment pass: ``(id_col, cluster, dist2)`` with
+    dist2 rounded to 6 dp. One extra map-side pass over the corpus after
+    :func:`kmeans_fit`."""
+    cents = kmeans_fit(df, k, iters, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    cl, d = _assign_expr(v, cents)
+    return df.select(F.col(id_col), cl.alias("cluster"),
+                     F.round(d, 6).alias("dist2"))
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
+                   min_cosine: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, compare pairs
+    ONLY within a cluster, and flag a document as a semantic duplicate
+    when some LOWER-id cluster-mate has cosine >= ``min_cosine`` (the
+    lowest such id is reported as the kept representative). Returns one
+    row per vector: ``(id_col, cluster, is_dup, dup_of)`` with dup_of
+    NULL for kept rows.
+
+    Scale: the self-join is cluster-bounded — the whole point of
+    clustering first; size ``k`` ~ corpus/target_cluster_size so cluster
+    populations stay bounded as the corpus grows (the assignment pass is
+    map-side, so large k costs plan literals, not shuffles)."""
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    assigned = kmeans_assign(df, k, iters, id_col, vec_col) \
+        .select(F.col(id_col).alias("id"), "cluster")
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    a = assigned.join(vecs, "id")
+    l = a.select(F.col("id").alias("id_a"), F.col("cluster"),
+                 F.col("v").alias("va"))
+    r = a.select(F.col("id").alias("id_b"), F.col("cluster"),
+                 F.col("v").alias("vb"))
+    dup_pairs = (l.join(r, "cluster")
+                 .filter(F.col("id_b") < F.col("id_a"))
+                 .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                         >= min_cosine)
+                 .groupBy("id_a")
+                 .agg(F.min("id_b").alias("dup_of")))
+    return (assigned
+            .join(dup_pairs.withColumnRenamed("id_a", "id"), "id", "left")
+            .select(F.col("id").alias(id_col), "cluster",
+                    F.col("dup_of").isNotNull().alias("is_dup"), "dup_of"))
+
+
+def diversity_sample(df: DataFrame, per_cluster: int, k: int = 8,
+                     iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     salt: str = "div") -> DataFrame:
+    """Cluster-balanced selection: keep at most ``per_cluster`` vectors
+    per k-means cluster, chosen by md5 rank (deterministic, unbiased
+    within the cluster) — the diversity-preserving downsample that keeps
+    small embedding modes alive where a global hash sample would wash
+    them out. Returns ``(id_col, cluster, pick_rank)`` for kept rows.
+
+    One window per cluster key after the map-side assignment; no global
+    sort."""
+    from pyspark.sql import Window as W
+
+    assigned = kmeans_assign(df, k, iters, id_col, vec_col)
+    okey = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy("cluster").orderBy(okey.asc(), F.col(id_col).asc())
+    return (assigned
+            .withColumn("pick_rank", F.row_number().over(w))
+            .filter(F.col("pick_rank") <= per_cluster)
+            .select(id_col, "cluster", "pick_rank"))

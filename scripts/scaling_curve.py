@@ -1,14 +1,18 @@
-"""Scaling-curve evidence: amplify the sf0.1 tables 4x (key-shifted
+"""Scaling-curve evidence: amplify the sf0.1 tables Nx (key-shifted
 copies, dims untouched) into a temp dir, then time the data-heavy headline
-queries at both scales. A plan that survives 100 TB should show time
-ratios <= ~4x for 4x data (sub-linear where overhead dominates, linear
-where scans/shuffles dominate); a super-linear entry is a quadratic
-red flag. Usage:
+queries at both scales AND record shuffle-write bytes per execution. A
+plan that survives 100 TB should show time ratios <= ~Nx for Nx data
+(sub-linear where overhead dominates, linear where scans/shuffles
+dominate) and shuffle-byte ratios <= ~Nx — bytes can't hide inside fixed
+costs the way wall-time can, so super-linear shuffle growth (the
+quadratic-pair-blowup signature) is visible even when the machine is
+fast enough to mask it. Usage:
 
     python scripts/scaling_curve.py [amplification] [name ...]
 
-Prints one line per query: base seconds, amplified seconds, ratio; then a
-summary JSON line. The amplified dir is cached under /tmp and reused.
+Prints one line per query: base seconds + shuffle MB, amplified seconds +
+shuffle MB, both ratios; then a summary JSON line. The amplified dir is
+cached under /tmp and reused.
 """
 
 from __future__ import annotations
@@ -79,7 +83,25 @@ def build_amplified(spark, times: int) -> str:
     return out
 
 
-def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def total_shuffle_write(spark) -> int:
+    """Cumulative shuffle-write bytes across all retained stages (the live
+    AppStatusStore the UI would read — the UI itself is disabled in the
+    session factory). Diff two snapshots around a query execution to get
+    its bytes. Caveat: the store retains spark.ui.retainedStages stages
+    (default 1000); per-query diffs inside one harness run stay well under
+    that window."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm, gw = sc._jvm, sc._gateway
+    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                             gw.new_array(jvm.double, 0),
+                             jvm.java.util.ArrayList())
+    return sum(stages.apply(i).shuffleWriteBytes()
+               for i in range(stages.size()))
+
+
+def time_queries(spark, sf_dir: str,
+                 names: list[str]) -> dict[str, dict[str, float]]:
     qs = entry_mod.queries()
     out = {}
     for name in names:
@@ -90,7 +112,13 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+        # dedicated measured run for bytes (outside the timing loop so the
+        # snapshot calls don't pollute the wall-clock numbers)
+        b0 = total_shuffle_write(spark)
+        fn(spark, sf_dir).count()
+        out[name] = {"sec": round(best, 3),
+                     "shuffle_mb": round(
+                         (total_shuffle_write(spark) - b0) / 1e6, 2)}
     return out
 
 
@@ -99,15 +127,22 @@ def main() -> None:
     names = sys.argv[2:] or QUERIES
     spark = get_spark("scaling_curve")
     amp = build_amplified(spark, times)
-    base_t = time_queries(spark, BASE, names)
-    amp_t = time_queries(spark, amp, names)
+    base_m = time_queries(spark, BASE, names)
+    amp_m = time_queries(spark, amp, names)
     rows = {}
     for n in names:
-        ratio = round(amp_t[n] / base_t[n], 2) if base_t[n] else None
-        rows[n] = {"base_s": base_t[n], f"x{times}_s": amp_t[n],
-                   "ratio": ratio}
-        print(f"{n:28s} base {base_t[n]:7.3f}s  x{times} {amp_t[n]:7.3f}s  "
-              f"ratio {ratio}")
+        b, a = base_m[n], amp_m[n]
+        t_ratio = round(a["sec"] / b["sec"], 2) if b["sec"] else None
+        s_ratio = (round(a["shuffle_mb"] / b["shuffle_mb"], 2)
+                   if b["shuffle_mb"] else None)
+        rows[n] = {"base_s": b["sec"], f"x{times}_s": a["sec"],
+                   "ratio": t_ratio,
+                   "base_shuffle_mb": b["shuffle_mb"],
+                   f"x{times}_shuffle_mb": a["shuffle_mb"],
+                   "shuffle_ratio": s_ratio}
+        print(f"{n:28s} base {b['sec']:7.3f}s/{b['shuffle_mb']:9.2f}MB  "
+              f"x{times} {a['sec']:7.3f}s/{a['shuffle_mb']:9.2f}MB  "
+              f"t-ratio {t_ratio}  shuf-ratio {s_ratio}")
     print(json.dumps({"amplification": times, "queries": rows}))
 
 
