@@ -2319,7 +2319,62 @@ def q_normalize_text(spark, sf_dir):
                     .alias("chars_removed"))
 
 
+def q_cusum_drift(spark, sf_dir):
+    """Per-event-type one-sided CUSUM drift monitor: the sequential
+    max(0, S+z-slack) recurrence folded into pure windows via the
+    running-minimum identity (S = C - min(0, running_min(C))) — one
+    key-partitioned window shuffle, zero Python, SQL-replayable."""
+    from otit_swt_spark.pipelines.analytics import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_changepoints(ev, key="event_type", ts="ts",
+                             value="value", slack=0.5, threshold=5.0)
+    return out.select(
+        "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "cusum", "alarm")
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means over the embedding corpus (k=8,
+    2 rounds, deterministic lowest-id seeding, exact-DECIMAL centroid
+    means): the clustering primitive behind SemDeDup / diversity
+    sampling. The oracle unrolls both Lloyd rounds in SQL — assignments
+    are bit-replayable because every distance is an ordered left fold."""
+    from otit_swt_spark.pipelines.clustering import kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iters=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, flag a
+    vector as a semantic duplicate when a lower-id CLUSTER-MATE has
+    cosine >= 0.4 (cluster-bounded pair join — the whole point of
+    clustering first). Lowest matching id reported as the kept
+    representative."""
+    from otit_swt_spark.pipelines.clustering import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=8, iters=2, min_cosine=0.4)
+
+
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced downsample: at most 20 vectors per k-means
+    cluster chosen by md5 rank — keeps small embedding modes alive where
+    a global hash sample would wash them out."""
+    from otit_swt_spark.pipelines.clustering import diversity_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return diversity_sample(e, per_cluster=20, k=8, iters=2)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- round-5 additions (newest, never sampled) ---
+        "cusum_drift": q_cusum_drift,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "diversity_sample": q_diversity_sample,
         # --- round-4 additions (newest, never sampled) ---
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
@@ -2700,6 +2755,95 @@ def _pack_nosplit_oracle() -> str:
             ) step
         )
         SELECT doc_id, shard, n_tokens, pack_idx FROM ffd
+    """
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """WITH-clause body replaying pipelines.clustering.kmeans_assign:
+    c0 = vectors of the k lowest ids; per round, assignment is the
+    argmin of a left-fold squared distance (row_number tie-break on the
+    centroid index = Spark's struct array_min) and the update divides an
+    exact DECIMAL(38,12) sum by the member count (one double division —
+    bit-identical to the Spark driver's float(sum)/n); empty clusters
+    keep their previous centroid via the LEFT JOIN coalesce. Ends with
+    ``afin``: (vec_id, vd, cl, d) under the final centroids."""
+    diff = (f"list_transform(generate_series(1, {dim}), "
+            "i -> v.vd[i] - c.cent[i])")
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, vd, j AS cl, d FROM (
+                SELECT vec_id, vd, j, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, j) AS rk
+                FROM (
+                    SELECT v.vec_id, v.vd, c.j,
+                           list_dot_product({diff}, {diff}) AS d
+                    FROM v CROSS JOIN {cents} c
+                )
+            ) WHERE rk = 1
+        )"""
+
+    parts = [f"""v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vd AS cent
+            FROM (SELECT vec_id, vd FROM v ORDER BY vec_id LIMIT {k})
+        )"""]
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"c{t}"))
+        parts.append(f"""u{t} AS (
+            SELECT cl AS j, r.pos,
+                   CAST(sum(CAST(vd[r.pos] AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*) AS m
+            FROM a{t} CROSS JOIN range(1, {dim + 1}) r(pos)
+            GROUP BY cl, r.pos
+        ), c{t + 1} AS (
+            SELECT p.j, coalesce(n.cent, p.cent) AS cent
+            FROM c{t} p LEFT JOIN (
+                SELECT j, list(m ORDER BY pos) AS cent FROM u{t} GROUP BY j
+            ) n ON n.j = p.j
+        )""")
+    parts.append(assign("afin", f"c{iters}"))
+    return ",\n".join(parts)
+
+
+def _kmeans_clusters_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()}
+        SELECT vec_id, cl AS cluster, round(d, 6) AS dist2 FROM afin
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
+        pairs AS (
+            SELECT a.vec_id AS id_a, min(b.vec_id) AS dup_of
+            FROM afin a JOIN afin b
+              ON a.cl = b.cl AND b.vec_id < a.vec_id
+            WHERE round(list_dot_product(a.vd, b.vd)
+                        / (sqrt(list_dot_product(a.vd, a.vd))
+                           * sqrt(list_dot_product(b.vd, b.vd))), 6) >= 0.4
+            GROUP BY a.vec_id
+        )
+        SELECT f.vec_id, f.cl AS cluster,
+               p.dup_of IS NOT NULL AS is_dup, p.dup_of
+        FROM afin f LEFT JOIN pairs p ON p.id_a = f.vec_id
+    """
+
+
+def _diversity_sample_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()}
+        SELECT vec_id, cluster, pick_rank FROM (
+            SELECT vec_id, cl AS cluster,
+                   row_number() OVER (
+                       PARTITION BY cl
+                       ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS pick_rank
+            FROM afin
+        ) WHERE pick_rank <= 20
     """
 
 
@@ -4092,6 +4236,38 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "pack_nextfit": _pack_nextfit_oracle(),
         "pack_nosplit": _pack_nosplit_oracle(),
+        "cusum_drift": """
+            WITH st AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                           AS s,
+                       CAST(sum(CAST(value * value AS DECIMAL(38,12)))
+                            AS DOUBLE) AS q
+                FROM events GROUP BY event_type
+            ), base AS (
+                SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us,
+                       (e.value - st.s / st.n)
+                           / nullif(sqrt((st.q - st.s * st.s / st.n)
+                                         / (st.n - 1)), 0) - 0.5 AS y
+                FROM events e JOIN st USING (event_type)
+            ), c AS (
+                SELECT event_id, event_type, ts_us,
+                       sum(y) OVER w AS cs
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, event_type, ts_us,
+                   round(cs - least(0, min(cs) OVER w), 6) AS cusum,
+                   coalesce(round(cs - least(0, min(cs) OVER w), 6) > 5.0,
+                            false) AS alarm
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "kmeans_clusters": _kmeans_clusters_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
+        "diversity_sample": _diversity_sample_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """

@@ -220,6 +220,49 @@ def zscore_anomalies(events: DataFrame, key: str = "user_id",
                     F.round(z, 6).alias("zscore")))
 
 
+def cusum_changepoints(events: DataFrame, key: str = "event_type",
+                       ts: str = "ts", value: str = "value",
+                       id_col: str = "event_id", slack: float = 0.5,
+                       threshold: float = 5.0) -> DataFrame:
+    """One-sided (upward) CUSUM drift detection per key: the classic
+    change-point monitor S_i = max(0, S_{i-1} + z_i - slack) with an
+    alarm when S crosses ``threshold`` — run over every metric stream to
+    catch sustained mean shifts that per-point z-scores miss.
+
+    The recurrence looks sequential, but max(0, ...) folds into pure
+    windows via the running-minimum identity
+    ``S_i = C_i - min(0, min_{j<=i} C_j)`` where C is the plain
+    cumulative sum of (z - slack): one key-partitioned window shuffle,
+    no applyInPandas, no recursion — the same identity a SQL oracle
+    replays verbatim. Per-key mean/stddev come from exact DECIMAL
+    moments (partitioning-independent), so z is bit-reproducible.
+    Output: (id_col, key, ts, cusum rounded 6 dp, alarm); constant
+    series (sd = 0) yield NULL cusum and alarm false."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,12)"
+    x = F.col(value).cast("double")
+    stats = (events.groupBy(key)
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.sum(x.cast(dec)).alias("__s"),
+                  F.sum((x * x).cast(dec)).alias("__q")))
+    s, q, n = (F.col("__s").cast("double"), F.col("__q").cast("double"),
+               F.col("__n"))
+    sd = F.sqrt((q - s * s / n) / (n - 1))
+    y = F.try_divide(x - s / n, sd) - F.lit(slack)
+    w = (W.partitionBy(key).orderBy(ts, id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    staged = (events.join(stats, key)
+              .withColumn("__c", F.sum(y).over(w)))
+    cusum = F.round(
+        F.col("__c") - F.least(F.lit(0.0), F.min("__c").over(w)), 6)
+    return (staged
+            .select(id_col, key, ts, cusum.alias("cusum"))
+            .withColumn("alarm",
+                        F.coalesce(F.col("cusum") > threshold,
+                                   F.lit(False))))
+
+
 def attribute_last_touch(events: DataFrame, convert_type: str = "purchase",
                          touch_type: str = "click",
                          window_seconds: float = 7 * 86400.0,

@@ -5,9 +5,11 @@ never corpus-wide), and cluster-balanced diversity sampling.
 
 Determinism contract (what makes these oracle-checkable, unlike library
 k-means): seeding is the k lowest ids' vectors, the assignment argmin
-tie-breaks on the lowest centroid index, centroid updates use exact
-DECIMAL sums rounded to 6 dp, and every distance is an ordered left fold
-over the dimensions — so a SQL engine replays assignments bit-for-bit.
+tie-breaks on the lowest centroid index, centroid updates divide exact
+DECIMAL sums (partitioning-independent, so float(sum)/n is ONE double op
+on identical inputs in any engine — no rounding needed or wanted), and
+every distance is an ordered left fold over the dimensions — so a SQL
+engine replays assignments bit-for-bit.
 
 Scale shape: each Lloyd round is ONE map-side assignment pass (centroids
 ride in the plan as k×dim literals — driver-bounded state, the classic
@@ -52,8 +54,9 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
                vec_col: str = "embedding") -> list[list[float]]:
     """Run ``iters`` Lloyd rounds and return the centroid list (k×dim —
     driver-bounded model state). Seed: the vectors of the ``k`` lowest
-    ids. Update: per-(cluster, dim) exact DECIMAL mean rounded to 6 dp;
-    a cluster that loses all members keeps its previous centroid."""
+    ids. Update: per-(cluster, dim) exact-DECIMAL-sum mean (unrounded —
+    see the module determinism contract); a cluster that loses all
+    members keeps its previous centroid."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
     seed = base.orderBy("id").limit(k).collect()
@@ -62,15 +65,19 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
     for _ in range(iters):
         cl, _d = _assign_expr(F.col("v"), cents)
-        stats = (base.select(cl.alias("c"), F.posexplode("v").alias("pos", "x"))
+        # two-step select: a generator (posexplode) next to the struct
+        # field access in ONE projection trips Spark 4's re-resolution
+        # (field names degrade to col1/col2)
+        stats = (base.select(cl.alias("c"), "v")
+                 .select("c", F.posexplode("v").alias("pos", "x"))
                  .groupBy("c", "pos")
                  .agg(F.sum(F.col("x").cast(_DEC)).alias("s"),
                       F.count(F.lit(1)).alias("n"))
                  .collect())
         by_cluster: dict[int, dict[int, float]] = {}
         for r in stats:
-            by_cluster.setdefault(r["c"], {})[r["pos"]] = round(
-                float(r["s"]) / r["n"], 6)
+            by_cluster.setdefault(r["c"], {})[r["pos"]] = \
+                float(r["s"]) / r["n"]
         cents = [
             [m[p] for p in range(len(cents[j]))]
             if (m := by_cluster.get(j)) else cents[j]      # empty: keep old

@@ -1710,3 +1710,96 @@ def test_ngram_containment_detects_subset(spark):
     # doc 1's shingles all appear in doc 2 -> fully contained
     assert r["containment_a_in_b"] == 1.0
     assert r["containment_b_in_a"] < 0.5  # but not vice versa
+
+
+def test_kmeans_known_clusters(spark):
+    """Two well-separated blobs in 2-D: every point must land with its
+    blob, centroids must converge to the blob means, and the assignment
+    must be invariant to input partitioning (exact DECIMAL moments)."""
+    from otit_swt_spark.pipelines.clustering import kmeans_assign, kmeans_fit
+
+    rows = ([(i, [0.0 + (i % 3) * 0.1, 0.0]) for i in range(10)]
+            + [(100 + i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(10)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(emb, k=2, iters=3).collect()}
+    lo = {out[i] for i in range(10)}
+    hi = {out[100 + i] for i in range(10)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    cents = kmeans_fit(emb, k=2, iters=3)
+    xs = sorted(c[0] for c in cents)
+    lo_mean = sum((i % 3) * 0.1 for i in range(10)) / 10
+    assert abs(xs[0] - lo_mean) < 1e-9 and abs(xs[1] - (10 + lo_mean)) < 1e-9
+    repart = {r["vec_id"]: r["cluster"]
+              for r in kmeans_assign(emb.repartition(7), k=2,
+                                     iters=3).collect()}
+    assert repart == out
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Seeding takes the 2 lowest ids (both in the same blob), so one
+    cluster may starve mid-run — its centroid must carry over instead of
+    crashing or emitting NaN."""
+    from otit_swt_spark.pipelines.clustering import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(i, [float(i) * 1e-6, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=2, iters=3)
+    assert len(cents) == 2
+    assert all(all(x == x for x in c) for c in cents)  # no NaN
+
+
+def test_semantic_dedup_flags_within_cluster_only(spark):
+    """Identical vectors land in one cluster: all but the lowest id are
+    flagged with dup_of = that id; a far-away singleton stays kept."""
+    from otit_swt_spark.pipelines.clustering import semantic_dedup
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(5)] + [(99, [0.0, 0.0, 9.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, k=2, iters=2, min_cosine=0.95).collect()}
+    assert not out[0]["is_dup"]
+    assert all(out[i]["is_dup"] and out[i]["dup_of"] == 0 for i in range(1, 5))
+    assert not out[99]["is_dup"] and out[99]["dup_of"] is None
+
+
+def test_diversity_sample_caps_every_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from otit_swt_spark.pipelines.clustering import diversity_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = diversity_sample(emb, per_cluster=3, k=4, iters=2)
+    per = out.groupBy("cluster").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert out.count() == sum(r["count"] for r in per)
+
+
+def test_cusum_detects_mean_shift(spark):
+    """A series whose mean steps up halfway must alarm after the shift
+    and never before it; the windowed identity must equal the sequential
+    recurrence exactly."""
+    from otit_swt_spark.pipelines.analytics import cusum_changepoints
+
+    vals = [0.0, 1.0] * 50 + [5.0, 6.0] * 50      # mean 0.5 -> 5.5
+    rows = [(i, "m", float(i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts double, value double")
+    out = cusum_changepoints(ev, key="event_type", ts="ts", value="value",
+                             slack=0.5, threshold=5.0)
+    got = {r["event_id"]: r for r in out.collect()}
+    assert not any(got[i]["alarm"] for i in range(100))
+    assert any(got[i]["alarm"] for i in range(100, 200))
+    # replay the recurrence in python on the same z-scores
+    import statistics
+
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    s, first_alarm = 0.0, None
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mu) / sd - 0.5)
+        if s > 5.0 and first_alarm is None:
+            first_alarm = i
+    spark_first = min(i for i, r in got.items() if r["alarm"])
+    assert spark_first == first_alarm
