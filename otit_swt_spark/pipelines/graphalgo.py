@@ -111,6 +111,53 @@ def neighborhood_jaccard(edges: DataFrame, min_common: int = 1) -> DataFrame:
                     .alias("jaccard")))
 
 
+def undirect(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical (a, b) edge list as (src, dst),
+    lazily checkpointed once — the edge frame every iterative algorithm
+    re-probes each round (re-deriving an upstream pair-generation join
+    per round would multiply its cost by the iteration count)."""
+    return (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(edges.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst")))
+            .localCheckpoint(eager=False))
+
+
+def aggregate_messages(edges: DataFrame, vertices: DataFrame,
+                       send, merge, iters: int,
+                       checkpoint_every: int = 1) -> DataFrame:
+    """GraphFrames/Pregel-style fixed-iteration message loop — the shared
+    harness behind :func:`pagerank` and :func:`label_propagation` (and
+    any future vertex-centric algorithm):
+
+    - ``edges``: (src, dst [, edge attrs]) — pre-undirected (see
+      :func:`undirect`) and already lineage-controlled;
+    - ``vertices``: (id, <state cols>) initial state;
+    - ``send(edges, vertices) -> DataFrame``: one row per message,
+      addressed by an ``id`` column (typically: join state onto src,
+      re-key to dst);
+    - ``merge(messages) -> DataFrame``: aggregate per id and produce the
+      NEXT (id, <state cols>) frame — owning both the combine and the
+      vertex update keeps multi-stage merges (count → argmax, as in LPA)
+      expressible, which a single agg-expression API cannot do;
+    - lineage control: a lazy ``localCheckpoint`` every
+      ``checkpoint_every`` rounds, exactly the cadence the hand-rolled
+      loops used — no action fires inside the loop, so the whole
+      ``iters``-round computation remains ONE job when consumed.
+
+    Fixed iteration count by contract (not run-to-convergence), so SQL
+    oracles can replay the rounds verbatim — the repo-wide lesson from
+    the dedup/LPA oracles. Convergence-style loops (Kleene closure,
+    cluster pointer-jumping) need a per-round materializing action to
+    read their delta and deliberately stay hand-rolled."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    for it in range(iters):
+        vertices = merge(send(edges, vertices))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            vertices = vertices.localCheckpoint(eager=False)
+    return vertices
+
+
 def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85,
              checkpoint_every: int = 3) -> DataFrame:
     """Undirected PageRank, fixed iteration count: ``(node, pr)`` with
@@ -121,28 +168,28 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85,
     Kleene fixpoint in the SPARQL compiler. Values are deterministic up
     to FP summation order (rankings are stable); exact cross-engine
     replay is not a goal for an iterative approximation."""
-    if iters < 1:
-        raise ValueError("iters must be >= 1")
-    und = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-           .unionAll(edges.select(F.col("b").alias("src"),
-                                  F.col("a").alias("dst"))))
+    und = undirect(edges)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     und = und.join(deg, "src").localCheckpoint(eager=False)
     nodes = deg.select(F.col("src").alias("node"), "deg")
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
-    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
-    for it in range(iters):
-        contrib = (und.join(pr, und.src == pr.node)
-                   .select(F.col("dst").alias("node"),
-                           (F.col("pr") / F.col("deg")).alias("c")))
-        # every node here came from an edge endpoint (degree >= 1) and all
-        # ranks stay positive, so each node receives a contribution every
-        # round — no isolated-node re-attach join is needed
-        pr = (contrib.groupBy("node")
-              .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")))
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            pr = pr.localCheckpoint(eager=False)
+
+    def send(ed, pr):
+        return (ed.join(pr, ed.src == pr.node)
+                .select(F.col("dst").alias("id"),
+                        (F.col("pr") / F.col("deg")).alias("c")))
+
+    # every node is an edge endpoint (degree >= 1) and all ranks stay
+    # positive, so each node receives a contribution every round — no
+    # isolated-node re-attach join is needed
+    def merge(msgs):
+        return (msgs.groupBy(F.col("id").alias("node"))
+                .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")))
+
+    pr = aggregate_messages(
+        und, nodes.select("node", F.lit(1.0 / n_nodes).alias("pr")),
+        send, merge, iters, checkpoint_every)
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
@@ -161,22 +208,27 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     fixed-iteration form)."""
     from pyspark.sql import Window as W
 
-    und = (edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
-           .unionAll(edges.select(F.col("b").alias("s"),
-                                  F.col("a").alias("d")))
-           .localCheckpoint(eager=False))
-    labels = und.select(F.col("s").alias("id")).distinct() \
-                .withColumn("community", F.col("id"))
-    for _ in range(iters):
-        nbr = (und.join(labels.withColumnRenamed("id", "d"), "d")
-               .groupBy(F.col("s").alias("id"), "community")
+    und = undirect(edges)
+
+    def send(ed, labels):
+        # each neighbor's current community, re-keyed to the receiving node
+        return (ed.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), "community"))
+
+    # two-stage merge (count per label -> deterministic argmax window) —
+    # the shape a single-agg-expression Pregel API can't express and the
+    # reason aggregate_messages hands merge() the raw message frame.
+    # Every node in `und` has >= 1 neighbor, so the pick covers all ids.
+    def merge(msgs):
+        nbr = (msgs.groupBy("id", "community")
                .agg(F.count(F.lit(1)).alias("__n")))
         w = (W.partitionBy("id")
              .orderBy(F.desc("__n"), F.col("community").asc()))
-        picked = (nbr.withColumn("__rk", F.row_number().over(w))
-                  .filter(F.col("__rk") == 1)
-                  .select("id", "community"))
-        # every node in `und` has >= 1 neighbor, so picked covers all ids;
-        # localCheckpoint flattens the per-round lineage like pagerank
-        labels = picked.localCheckpoint(eager=False)
-    return labels
+        return (nbr.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select("id", "community"))
+
+    init = (und.select(F.col("src").alias("id")).distinct()
+            .withColumn("community", F.col("id")))
+    return aggregate_messages(und, init, send, merge, iters,
+                              checkpoint_every=1)
