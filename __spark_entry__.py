@@ -2319,6 +2319,26 @@ def q_normalize_text(spark, sf_dir):
                     .alias("chars_removed"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprinter):
+    window-minimum selection over word-4-gram hashes, rightmost-tie rule —
+    guarantees any shared >=7-token run yields a shared fingerprint."""
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=4, w=4)
+
+
+def q_winnow_shared_spans(spark, sf_dir):
+    """MOSS-style partial-copy pairs: documents sharing >= 2 winnowing
+    fingerprints with the shared count (hot fingerprints capped at 16
+    ids before pairing — a viral footer can't go quadratic)."""
+    from otit_swt_spark.pipelines.dedup import winnow_shared_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_shared_spans(d, k=4, w=4, min_shared=2)
+
+
 def q_cusum_drift(spark, sf_dir):
     """Per-event-type one-sided CUSUM drift monitor: the sequential
     max(0, S+z-slack) recurrence folded into pure windows via the
@@ -2371,6 +2391,8 @@ def q_diversity_sample(spark, sf_dir):
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-5 additions (newest, never sampled) ---
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_shared_spans": q_winnow_shared_spans,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,

@@ -625,6 +625,91 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
                     .alias("novelty")))
 
 
+def _md5_60(s: Column) -> Column:
+    """60-bit hash from the first 15 md5 hex chars — always positive in a
+    signed 64-bit long, so signed (Spark) and unsigned (SQL) orderings
+    agree; used where hashes are ORDERED (winnowing window minima), not
+    just compared for equality."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive gram hashes, and select each window's
+    MINIMUM hash (rightmost position on ties), deduplicating repeat
+    selections. Guarantee: two documents sharing any token run of length
+    >= ``w + k - 1`` share at least one selected fingerprint — the
+    partial-copy detector that whole-document fingerprints
+    (``textstats.fingerprint``) and MinHash (whole-doc similarity) both
+    miss. Documents shorter than ``w`` grams contribute their single
+    overall minimum.
+
+    Output: ``(id_col, gram_pos, fp)`` — one row per distinct selection,
+    ~2/(w+1) of gram count in expectation. Scale: gram hashing is one
+    staged map-side pass; the window minimum is a per-doc ordered window
+    (rows clamped to ``w``), one key shuffle; no arrays of the document
+    ever sit in one aggregation row."""
+    from pyspark.sql import Window as W
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = with_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(par), text_col, n=k, out_col="__sh")
+    exploded = (staged
+                .select("id", F.posexplode(
+                    F.transform("__sh", _md5_60)).alias("pos", "fp")))
+    wspec = (W.partitionBy("id").orderBy("pos")
+             .rowsBetween(-(w - 1), W.currentRow))
+    n_grams = F.count(F.lit(1)).over(W.partitionBy("id"))
+    # min of (fp, -pos): smallest hash, rightmost position on ties — the
+    # winnowing tie rule that makes selections position-robust
+    sel = F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np"))).over(wspec)
+    return (exploded
+            .withColumn("__n", n_grams)
+            .withColumn("__sel", sel)
+            .filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__n") - 1))
+            .select("id",
+                    (-F.col("__sel.np")).cast("int").alias("gram_pos"),
+                    F.col("__sel.fp").alias("fp"))
+            .distinct()
+            .withColumnRenamed("id", id_col))
+
+
+def winnow_shared_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4, w: int = 4,
+                        min_shared: int = 2) -> DataFrame:
+    """Partial-copy candidate pairs from shared winnowing fingerprints:
+    pairs of documents sharing at least ``min_shared`` selected
+    fingerprints, with the shared count — MOSS-style local-overlap
+    detection (a quoted paragraph inside an otherwise unrelated document
+    lights up here while its global Jaccard stays near zero).
+
+    Scale: fingerprints are ~2/(w+1) of grams; the join shuffles only
+    (fp, id) rows grouped on uniformly-distributed hashes, and hot
+    fingerprints (boilerplate) are capped per fp at 16 doc ids
+    (deterministic lowest ids) before pairing, so one viral footer can't
+    emit a quadratic pair set."""
+    from pyspark.sql import Window as W
+
+    # distinct (id, fp): a doc selecting the same fingerprint at several
+    # positions (repeated content) must count once toward n_shared
+    fps = winnow_fingerprints(df, text_col, id_col, k, w) \
+        .select(F.col(id_col).alias("id"), "fp").distinct()
+    capped = (fps.withColumn(
+        "__rn", F.row_number().over(W.partitionBy("fp").orderBy("id")))
+        .filter(F.col("__rn") <= 16))
+    a = capped.select("fp", F.col("id").alias("id_a"))
+    b = capped.select("fp", F.col("id").alias("id_b"))
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
                                text_col: str = "text", id_col: str = "doc_id",
                                k: int = 64, bands: int = 16,
