@@ -1515,11 +1515,17 @@ def q_pack_nextfit(spark, sf_dir):
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 embedding quantization (4× memory cut for ANN at
     scale): per-vector scale, integer codes, reconstruction RMSE — all
-    elementwise built-ins, zero shuffle."""
+    elementwise built-ins, zero shuffle. Output posexploded long-form
+    (vec_id, pos, q, scale, rmse) so every entry column is scalar — the
+    driver harness canonicalizes with a pandas sort, which cannot hash
+    array cells (the r5 red row); the library function keeps returning
+    the array shape for API users."""
     from otit_swt_spark.pipelines.embedding import quantize_embeddings
 
     e = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+    out = quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+    return out.select("vec_id", F.posexplode("qvec").alias("pos", "q"),
+                      "scale", "rmse")
 
 
 def q_ewma_events(spark, sf_dir):
@@ -2084,6 +2090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _memo(name, fn) for name, fn in _QUERIES.items()}
 
 
+# Entries allowed to ship WITHOUT an oracle_sql() twin (genuinely
+# non-SQL-expressible; the driver then runs only a rows-nonzero check).
+# Currently empty — every registry entry has a DuckDB oracle — and
+# tests/test_entry_contract.py enforces membership here for any exception.
+ROWS_ONLY_OK: set = set()
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     """Exact-substring duplicate span discovery (Lee et al. 2022 style,
     see dedup.duplicate_ngram_spans): word 13-grams occurring >= 2 times
@@ -2332,7 +2345,8 @@ def q_winnow_fingerprints(spark, sf_dir):
 def q_winnow_shared_spans(spark, sf_dir):
     """MOSS-style partial-copy pairs: documents sharing >= 2 winnowing
     fingerprints with the shared count (hot fingerprints capped at 16
-    ids before pairing — a viral footer can't go quadratic)."""
+    ids before all-pairs, with rank-successor chain pairs beyond the cap
+    so a viral footer stays connected without going quadratic)."""
     from otit_swt_spark.pipelines.dedup import winnow_shared_spans
 
     d = _t(spark, sf_dir, "documents")
@@ -2869,6 +2883,85 @@ def _diversity_sample_oracle() -> str:
     """
 
 
+def _winnow_sel_ctes() -> str:
+    # Shared CTE chain replaying winnow_fingerprints (dedup.py) in DuckDB:
+    # word-4-gram md5-60 hashes (same _md5_60 prefix primitive as the LSH
+    # family), w=4 window minimum with the rightmost-tie rule encoded as
+    # min over the (fp, -pos) struct — identical to the Spark F.min(struct)
+    # window — and the short-doc single-selection fallback (pos = n-1).
+    return """
+        toks AS (
+            SELECT doc_id AS id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT id,
+                   CASE WHEN len(tk) < 4
+                        THEN [coalesce(array_to_string(tk, ' '), '')]
+                        ELSE [array_to_string(tk[i : i+3], ' ')
+                              FOR i IN range(1, len(tk) - 2)]
+                   END AS g
+            FROM toks
+        ), hashed AS (
+            SELECT id, list_transform(g, s ->
+                       ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT) AS h
+            FROM grams
+        ), ex AS (
+            SELECT id, CAST(generate_subscripts(h, 1) - 1 AS BIGINT) AS pos,
+                   unnest(h) AS fp
+            FROM hashed
+        ), wsel AS (
+            SELECT id, pos, fp,
+                   count(*) OVER (PARTITION BY id) AS n,
+                   min({'fp': fp, 'np': -pos}) OVER (
+                       PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+            FROM ex
+        ), selected AS (
+            SELECT DISTINCT id,
+                   CAST(-struct_extract(m, 'np') AS INT) AS gram_pos,
+                   struct_extract(m, 'fp') AS fp
+            FROM wsel
+            WHERE pos >= 3 OR pos = n - 1
+        )"""
+
+
+def _winnow_fingerprints_oracle() -> str:
+    return f"""
+        WITH {_winnow_sel_ctes()}
+        SELECT id AS doc_id, gram_pos, fp FROM selected
+    """
+
+
+def _winnow_shared_spans_oracle() -> str:
+    # replay of winnow_shared_spans: distinct (id, fp), per-fp rank, cap-16
+    # all-pairs plus rank-successor chain pairs for ranks >= 16
+    return f"""
+        WITH {_winnow_sel_ctes()}
+        , fps AS (
+            SELECT DISTINCT id, fp FROM selected
+        ), ranked AS (
+            SELECT id, fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY id) AS rn,
+                   lead(id) OVER (PARTITION BY fp ORDER BY id) AS nxt
+            FROM fps
+        ), base AS (
+            SELECT a.fp, a.id AS id_a, b.id AS id_b
+            FROM (SELECT fp, id FROM ranked WHERE rn <= 16) a
+            JOIN (SELECT fp, id FROM ranked WHERE rn <= 16) b USING (fp)
+            WHERE a.id < b.id
+        ), chain AS (
+            SELECT fp, id AS id_a, nxt AS id_b
+            FROM ranked WHERE rn >= 16 AND nxt IS NOT NULL
+        ), pairs AS (
+            SELECT * FROM base UNION ALL SELECT * FROM chain
+        )
+        SELECT id_a, id_b, count(*) AS n_shared
+        FROM pairs GROUP BY id_a, id_b
+        HAVING count(*) >= 2
+    """
+
+
 def _quantize_embeddings_oracle() -> str:
     return """
         WITH v AS (
@@ -2885,17 +2978,26 @@ def _quantize_embeddings_oracle() -> str:
                    ELSE list_transform(vd, x -> 0) END AS qvec
             FROM s
         )
-        SELECT vec_id, round(scale, 9) AS scale, qvec,
-               -- left-fold the squared errors (list_reduce), NOT list_sum:
-               -- the Spark side is an aggregate() left fold and FP addition
-               -- is order-sensitive, so the fold order must match exactly
-               round(sqrt(list_reduce(list_transform(
-                         generate_series(1, len(vd)),
-                         i -> (vd[i] - qvec[i] * scale)
-                              * (vd[i] - qvec[i] * scale)),
-                         (a, x) -> a + x)
-                     / len(vd)), 6) AS rmse
-        FROM q
+        , r AS (
+            SELECT vec_id, round(scale, 9) AS scale, qvec,
+                   -- left-fold the squared errors (list_reduce), NOT
+                   -- list_sum: the Spark side is an aggregate() left fold
+                   -- and FP addition is order-sensitive, so the fold order
+                   -- must match exactly
+                   round(sqrt(list_reduce(list_transform(
+                             generate_series(1, len(vd)),
+                             i -> (vd[i] - qvec[i] * scale)
+                                  * (vd[i] - qvec[i] * scale)),
+                             (a, x) -> a + x)
+                         / len(vd)), 6) AS rmse
+            FROM q
+        )
+        -- long-form: one row per (vec_id, pos) so every column is scalar
+        -- (matches the entry's posexplode; pos is 0-based like Spark's)
+        SELECT vec_id,
+               CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS pos,
+               unnest(qvec) AS q, scale, rmse
+        FROM r
     """
 
 
@@ -4291,6 +4393,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "diversity_sample": _diversity_sample_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),
+        "winnow_fingerprints": _winnow_fingerprints_oracle(),
+        "winnow_shared_spans": _winnow_shared_spans_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """
             WITH c AS (

@@ -690,21 +690,39 @@ def winnow_shared_spans(df: DataFrame, text_col: str = "text",
     Scale: fingerprints are ~2/(w+1) of grams; the join shuffles only
     (fp, id) rows grouped on uniformly-distributed hashes, and hot
     fingerprints (boilerplate) are capped per fp at 16 doc ids
-    (deterministic lowest ids) before pairing, so one viral footer can't
-    emit a quadratic pair set."""
+    (deterministic lowest ids) before all-pairs generation, so one viral
+    footer can't emit a quadratic pair set. Members beyond the cap are
+    NOT dropped: each rank-``cap``-and-above member pairs with its rank
+    successor (the ``_oversized_chain_pairs`` pattern from the embedding
+    near-dup path), so hot-fingerprint members stay connected — the
+    recall caveat is that such members contribute at most one chain pair
+    per hot fingerprint, so a genuine partial-copy pair where BOTH docs
+    sit beyond the cap of every shared fingerprint can undercount
+    n_shared; bounded, deterministic, and linear in bucket size."""
     from pyspark.sql import Window as W
 
+    cap = 16
     # distinct (id, fp): a doc selecting the same fingerprint at several
     # positions (repeated content) must count once toward n_shared
     fps = winnow_fingerprints(df, text_col, id_col, k, w) \
         .select(F.col(id_col).alias("id"), "fp").distinct()
-    capped = (fps.withColumn(
+    ranked = fps.withColumn(
         "__rn", F.row_number().over(W.partitionBy("fp").orderBy("id")))
-        .filter(F.col("__rn") <= 16))
+    capped = ranked.filter(F.col("__rn") <= cap)
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
-    return (a.join(b, "fp")
-            .filter(F.col("id_a") < F.col("id_b"))
+    base = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")) \
+        .select("fp", "id_a", "id_b")
+    # chain pairs: rank r >= cap links to rank r+1 (rank cap bridges the
+    # capped head to the tail), disjoint from base (one side is beyond
+    # the cap), ids ascend with rank so id_a < id_b holds by construction
+    chain = (ranked
+             .withColumn("__nxt", F.lead("id").over(
+                 W.partitionBy("fp").orderBy("id")))
+             .filter((F.col("__rn") >= cap) & F.col("__nxt").isNotNull())
+             .select("fp", F.col("id").alias("id_a"),
+                     F.col("__nxt").alias("id_b")))
+    return (base.unionByName(chain)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))

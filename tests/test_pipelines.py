@@ -1803,3 +1803,110 @@ def test_cusum_detects_mean_shift(spark):
             first_alarm = i
     spark_first = min(i for i, r in got.items() if r["alarm"])
     assert spark_first == first_alarm
+
+
+# ---------------------------------------------------------------- winnowing
+
+def test_winnow_shared_run_guarantee(spark):
+    """SIGMOD-2003 winnowing guarantee: two documents sharing a token run
+    of length >= w + k - 1 (= 7 here) share at least one selected
+    fingerprint — regardless of surrounding unrelated text."""
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    docs = spark.createDataFrame(
+        [(1, f"zeta eta theta {shared} iota kappa"),
+         (2, f"one two three four five {shared} six seven eight"),
+         (3, "completely different text with no overlap at all here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=4)
+    by_doc = {i: {r["fp"] for r in fps.filter(F.col("doc_id") == i).collect()}
+              for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_doc_single_selection(spark):
+    """Documents shorter than w grams still contribute exactly one
+    fingerprint (their overall minimum), never zero."""
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just three words"),            # < k tokens: one whole-doc gram
+         (2, "four tokens right here"),      # exactly k: one gram
+         (3, "five tokens sitting right here"),  # 2 grams < w
+         (4, "a b c d e f g h i j")],        # 7 grams >= w: normal path
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=4)
+    counts = {r["doc_id"]: r["n"] for r in
+              fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 1 and counts[2] == 1
+    assert 1 <= counts[3] <= 2
+    assert counts[4] >= 1
+
+
+def test_winnow_selection_density(spark):
+    """Expected selection density is ~2/(w+1); assert a generous upper
+    bound (selections <= gram count) and that repeats are deduplicated."""
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 37}" for i in range(500))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=4).collect()
+    n_grams = 500 - 3
+    assert 0 < len(fps) <= n_grams
+    assert len(fps) < n_grams * 0.8          # well below all-grams
+    assert len({(r["gram_pos"], r["fp"]) for r in fps}) == len(fps)
+
+
+def test_winnow_shared_spans_viral_footer_linear(spark):
+    """A fingerprint shared by every document (viral footer) must produce
+    a LINEAR pair count (cap-16 all-pairs + successor chain), while chain
+    pairs keep all footer-carriers connected."""
+    from otit_swt_spark.pipelines.dedup import winnow_shared_spans
+
+    n = 200
+    footer = "this exact viral footer text appears in every single document"
+    docs = spark.createDataFrame(
+        [(i, f"unique lead token{i} alpha{i} beta{i} gamma{i} {footer}")
+         for i in range(n)],
+        "doc_id long, text string")
+    pairs = winnow_shared_spans(docs, k=4, w=4, min_shared=1)
+    rows_ = pairs.collect()
+    # cap all-pairs is 16*15/2 per hot fp; chains add ~n per fp; the
+    # shared footer yields several hot fps but the total stays O(n)
+    assert len(rows_) <= 16 * 15 // 2 * 12 + 12 * n
+    # connectivity: union-find over emitted pairs links all n docs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows_:
+        a, b = find(int(r["id_a"])), find(int(r["id_b"]))
+        if a != b:
+            parent[a] = b
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_winnow_spans_detects_partial_copy(spark):
+    """A quoted paragraph inside an otherwise unrelated document lights up
+    as a shared-span pair even though global similarity is low."""
+    from otit_swt_spark.pipelines.dedup import winnow_shared_spans
+
+    quote = ("the quick brown fox jumps over the lazy dog while the "
+             "seasons turn slowly in the quiet valley below")
+    filler_a = " ".join(f"worda{i}" for i in range(60))
+    filler_b = " ".join(f"wordb{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {quote}"),
+         (2, f"{quote} {filler_b}"),
+         (3, " ".join(f"wordc{i}" for i in range(80)))],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_shared_spans(docs, k=4, w=4, min_shared=2).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert all(3 not in pair for pair in out)
