@@ -2820,11 +2820,15 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
             ) WHERE rk = 1
         )"""
 
+    # seeds = k lowest ids among DISTINCT vectors (mirror of
+    # clustering.kmeans_fit: duplicate head-of-id-space vectors must not
+    # seed identical, instantly-starved centroids)
     parts = [f"""v AS (
             SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
         ), c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vd AS cent
-            FROM (SELECT vec_id, vd FROM v ORDER BY vec_id LIMIT {k})
+            FROM (SELECT min(vec_id) AS vec_id, vd FROM v GROUP BY vd
+                  ORDER BY vec_id LIMIT {k})
         )"""]
     for t in range(iters):
         parts.append(assign(f"a{t}", f"c{t}"))

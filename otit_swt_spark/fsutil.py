@@ -93,3 +93,10 @@ def read_text(spark: SparkSession, path_str: str) -> str:
         return "\n".join(lines)
     finally:
         stream.close()
+
+
+def modification_time_ms(spark: SparkSession, path_str: str) -> int:
+    """Epoch millis of the path's last modification (Hadoop FileStatus);
+    raises if the path does not exist."""
+    fs, hpath, _ = _fs(spark, path_str)
+    return int(fs.getFileStatus(hpath).getModificationTime())

@@ -54,12 +54,18 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
                vec_col: str = "embedding") -> list[list[float]]:
     """Run ``iters`` Lloyd rounds and return the centroid list (k×dim —
     driver-bounded model state). Seed: the vectors of the ``k`` lowest
-    ids. Update: per-(cluster, dim) exact-DECIMAL-sum mean (unrounded —
-    see the module determinism contract); a cluster that loses all
-    members keeps its previous centroid."""
+    ids among DISTINCT vectors (each distinct vector represented by its
+    minimum id) — duplicate vectors at the head of the id space (common
+    after upstream dedup orderings or boilerplate embeddings) would
+    otherwise seed identical centroids whose clusters starve immediately
+    and never move, degenerating to fewer effective clusters. Update:
+    per-(cluster, dim) exact-DECIMAL-sum mean (unrounded — see the module
+    determinism contract); a cluster that loses all members keeps its
+    previous centroid."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
-    seed = base.orderBy("id").limit(k).collect()
+    seed = (base.groupBy("v").agg(F.min("id").alias("id"))
+            .orderBy("id").limit(k).collect())
     cents = [list(r["v"]) for r in seed]
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")

@@ -35,9 +35,11 @@ their own token and both reporting success) cannot occur. A read-back
 token check remains as defense in depth. Crash behavior: a crash before
 the claim leaves only orphan staged files; a crash BETWEEN claim and
 rename wedges that one version number (claim present, manifest absent) —
-the current version stays fully readable, and recovery is deleting the
-stale claim once no writer is in flight (``vacuum`` removes claims for
-versions at or below the current published one). On S3-like stores
+the current version stays fully readable, and :func:`repair` recovers the
+slot by deleting claims above the current version whose manifest never
+appeared, after a staleness check (``vacuum`` separately collects spent
+claims at or below the published version). A writer that fails — rather
+than crashes — after winning the claim releases it on the way out. On S3-like stores
 without atomic create, pair the claim with an external lock service,
 exactly as Delta/Iceberg do.
 
@@ -126,17 +128,31 @@ def _publish_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
     if not fsutil.create_exclusive(spark, _claim_path(root, version)):
         raise ConcurrentWriteError(
             f"version {version} was claimed by another writer")
-    tmp = f"{_mdir(root)}/.m{version:05d}.{token}.staged"
-    fsutil.write_text(spark, tmp, json.dumps(manifest))
-    if not fsutil.rename(spark, tmp, _mpath(root, version)):
-        fsutil.delete(spark, tmp)
-        raise ConcurrentWriteError(
-            f"version {version} was published by another writer")
-    published = _load_manifest(spark, root, version)
-    if published.get("writer") != token:
-        raise ConcurrentWriteError(
-            f"version {version} was published by another writer "
-            f"(lost the rename race)")
+    # Phase 2 failures must release the OWNED claim: vacuum only removes
+    # claims <= current version, so a claim left at current+1 after a
+    # failed write/rename would wedge every future publish of that slot
+    # (ConcurrentWriteError forever, with only manual fs surgery).
+    # Process-crash between claim and rename still leaves a stale claim —
+    # that path is repair()'s job; this handles every raising failure.
+    try:
+        tmp = f"{_mdir(root)}/.m{version:05d}.{token}.staged"
+        fsutil.write_text(spark, tmp, json.dumps(manifest))
+        if not fsutil.rename(spark, tmp, _mpath(root, version)):
+            fsutil.delete(spark, tmp)
+            raise ConcurrentWriteError(
+                f"version {version} was published by another writer")
+        published = _load_manifest(spark, root, version)
+        if published.get("writer") != token:
+            raise ConcurrentWriteError(
+                f"version {version} was published by another writer "
+                f"(lost the rename race)")
+    except BaseException:
+        # release only if OUR manifest is not the published one — if the
+        # rename succeeded and a later step failed, the slot is settled
+        # and the claim is spent (vacuum will collect it)
+        if not fsutil.exists(spark, _mpath(root, version)):
+            fsutil.delete(spark, _claim_path(root, version))
+        raise
 
 
 def _write_version_data(spark: SparkSession, root: str, frame: DataFrame,
@@ -310,6 +326,37 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     for v in range(1, cur + 1):
         c = _claim_path(root, v)
         if fsutil.exists(spark, c):
+            fsutil.delete(spark, c)
+            deleted.append(c)
+    return deleted
+
+
+def repair(spark: SparkSession, root: str,
+           min_age_ms: int = 15 * 60 * 1000) -> list[str]:
+    """Recover a table wedged by a writer that CRASHED between claiming a
+    version slot and renaming its manifest in (claim present above the
+    current version, manifest absent): delete such claims once they are
+    at least ``min_age_ms`` old. The staleness check is what keeps this
+    safe to run while writers are live — a writer's claim-to-rename gap
+    is one small-file write plus one rename, so a claim minutes old with
+    no manifest belongs to a dead writer, not a slow one. Returns the
+    deleted claim paths; publish of those slots works again afterwards.
+    (``vacuum`` cannot do this: it only collects claims AT OR BELOW the
+    published version, because a claim above it may be a live publish.)"""
+    import time
+
+    deleted = []
+    cur = current_version(spark, root)
+    for name in fsutil.listdir(spark, _mdir(root)):
+        m = re.fullmatch(r"\.claim\.m(\d{5})", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        c = _claim_path(root, v)
+        if v <= cur or fsutil.exists(spark, _mpath(root, v)):
+            continue  # settled slot (vacuum's job) or publish completed
+        age = int(time.time() * 1000) - fsutil.modification_time_ms(spark, c)
+        if age >= min_age_ms:
             fsutil.delete(spark, c)
             deleted.append(c)
     return deleted

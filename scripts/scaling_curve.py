@@ -83,21 +83,39 @@ def build_amplified(spark, times: int) -> str:
     return out
 
 
-def total_shuffle_write(spark) -> int:
-    """Cumulative shuffle-write bytes across all retained stages (the live
-    AppStatusStore the UI would read — the UI itself is disabled in the
-    session factory). Diff two snapshots around a query execution to get
-    its bytes. Caveat: the store retains spark.ui.retainedStages stages
-    (default 1000); per-query diffs inside one harness run stay well under
-    that window."""
+def stage_shuffle_writes(spark) -> dict[int, int]:
+    """Per-stage shuffle-write bytes from the live AppStatusStore (what
+    the UI would read — the UI itself is disabled in the session
+    factory)."""
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm, gw = sc._jvm, sc._gateway
     stages = store.stageList(jvm.java.util.ArrayList(), False, False,
                              gw.new_array(jvm.double, 0),
                              jvm.java.util.ArrayList())
-    return sum(stages.apply(i).shuffleWriteBytes()
-               for i in range(stages.size()))
+    return {int(stages.apply(i).stageId()):
+            int(stages.apply(i).shuffleWriteBytes())
+            for i in range(stages.size())}
+
+
+def shuffle_write_delta(spark, pre: dict[int, int]) -> int:
+    """Shuffle-write bytes of the stages that ran AFTER the ``pre``
+    snapshot, keyed by stage id rather than diffing totals: the
+    AppStatusStore retains only ``spark.ui.retainedStages`` stages
+    (default 1000), and a totals diff silently under-counts — or goes
+    negative — when eviction drops pre-snapshot stages between the two
+    reads. Summing only stage ids above the pre-snapshot maximum is
+    immune to eviction of OLD stages; eviction of the measured query's
+    own stages is caught by the retention-window assertion (a single
+    entry never runs 1000 stages)."""
+    post = stage_shuffle_writes(spark)
+    max_pre = max(pre, default=-1)
+    new_ids = [i for i in post if i > max_pre]
+    retained_cap = int(spark.conf.get("spark.ui.retainedStages", "1000"))
+    assert len(new_ids) < retained_cap, (
+        f"query ran {len(new_ids)} stages, >= the {retained_cap}-stage "
+        f"retention window — per-stage byte accounting would under-count")
+    return sum(post[i] for i in new_ids)
 
 
 def time_queries(spark, sf_dir: str,
@@ -114,11 +132,11 @@ def time_queries(spark, sf_dir: str,
             best = min(best, time.perf_counter() - t0)
         # dedicated measured run for bytes (outside the timing loop so the
         # snapshot calls don't pollute the wall-clock numbers)
-        b0 = total_shuffle_write(spark)
+        pre = stage_shuffle_writes(spark)
         fn(spark, sf_dir).count()
         out[name] = {"sec": round(best, 3),
                      "shuffle_mb": round(
-                         (total_shuffle_write(spark) - b0) / 1e6, 2)}
+                         shuffle_write_delta(spark, pre) / 1e6, 2)}
     return out
 
 

@@ -1910,3 +1910,23 @@ def test_winnow_spans_detects_partial_copy(spark):
            for r in winnow_shared_spans(docs, k=4, w=4, min_shared=2).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 2
     assert all(3 not in pair for pair in out)
+
+
+def test_kmeans_seeds_skip_duplicate_head_vectors(spark):
+    """Seeding takes the k lowest ids among DISTINCT vectors: a run of
+    identical vectors at the head of the id space (post-dedup orderings,
+    boilerplate embeddings) must not seed duplicate centroids that starve
+    into dead clusters."""
+    from otit_swt_spark.pipelines.clustering import kmeans_assign, kmeans_fit
+
+    # ids 0-9 all share one vector; 4 well-separated groups overall, each
+    # internally identical so the 4 lowest DISTINCT-vector ids span all 4
+    groups = [[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]]
+    rows_ = [(g * 10 + i, groups[g]) for g in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=4, iters=2)
+    assert len({tuple(c) for c in cents}) == 4      # no duplicate seeds
+    out = kmeans_assign(df, k=4, iters=2)
+    sizes = {r["cluster"]: r["n"] for r in
+             out.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 4 and all(n >= 10 for n in sizes.values())

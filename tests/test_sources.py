@@ -1051,3 +1051,68 @@ def test_wap_partition_values_with_escaped_chars(spark, tmp_path):
     after = {r.id: r.val for r in wap.read_table(spark, root).collect()}
     # id=2's pre-existing row in the escaped partition must survive
     assert after == {1: "A", 2: "b", 3: "c"}
+
+
+def test_wap_phase2_failure_releases_claim(spark, tmp_path, monkeypatch):
+    """A writer that wins the claim but FAILS in phase 2 (manifest write
+    IO error) must release its claim on the way out — otherwise the slot
+    is wedged forever (vacuum only collects claims <= current version)
+    and every future publish raises ConcurrentWriteError."""
+    import pytest as _pytest
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                                 "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+
+    def boom(*a, **k):
+        raise IOError("disk full")
+
+    monkeypatch.setattr(fsutil, "write_text", boom)
+    m1 = wap._load_manifest(spark, root, 1)
+    with _pytest.raises(IOError):
+        wap._publish_manifest(spark, root, {**m1, "version": 2,
+                                            "writer": "crashy"})
+    monkeypatch.undo()
+    # claim released: slot 2 publishes normally afterwards
+    assert not fsutil.exists(spark, wap._claim_path(root, 2))
+    upd = spark.createDataFrame([(1, "a2", 0, False)],
+                                "id long, val string, p int, deleted boolean")
+    assert wap.merge_upsert(spark, root, upd, key="id",
+                            deleted_col="deleted") == 2
+    assert wap.current_version(spark, root) == 2
+
+
+def test_wap_repair_recovers_crashed_claim(spark, tmp_path):
+    """A claim orphaned by a process crash between claim and rename
+    (claim at current+1, no manifest) wedges publish; repair() deletes it
+    once stale — but never a FRESH claim (could be a live writer) and
+    never a claim whose manifest exists (settled slot, vacuum's job)."""
+    import pytest as _pytest
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame([(1, "a", 0)], "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    # simulate the crash: claim slot 2, never publish
+    assert fsutil.create_exclusive(spark, wap._claim_path(root, 2))
+    upd = spark.createDataFrame([(1, "a2", 0, False)],
+                                "id long, val string, p int, deleted boolean")
+    with _pytest.raises(wap.ConcurrentWriteError):
+        wap.merge_upsert(spark, root, upd, key="id", deleted_col="deleted")
+    # fresh claim: repair with the default staleness window keeps it
+    assert wap.repair(spark, root) == []
+    # stale claim: age 0 threshold removes it and publish works again
+    deleted = wap.repair(spark, root, min_age_ms=0)
+    assert deleted == [wap._claim_path(root, 2)]
+    assert wap.merge_upsert(spark, root, upd, key="id",
+                            deleted_col="deleted") == 2
+    # settled slot's claim (<= current) is untouched by repair
+    assert fsutil.create_exclusive(spark, wap._claim_path(root, 2)) is False \
+        or True  # claim 2 now spent either way
+    assert wap.repair(spark, root, min_age_ms=0) == []
