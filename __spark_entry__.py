@@ -2353,6 +2353,22 @@ def q_winnow_shared_spans(spark, sf_dir):
     return winnow_shared_spans(d, k=4, w=4, min_shared=2)
 
 
+def q_winnow_decontam(spark, sf_dir):
+    """Winnowing-based benchmark decontamination: training docs sharing
+    >= 2 selected fingerprints with the benchmark slice (doc_id % 7 == 0,
+    same split as q_decontaminate) — catches partial copies / light
+    paraphrase that exact 13-gram matching misses. Benchmark reduces to a
+    broadcast distinct-fp set; no pairing, no caps needed."""
+    from otit_swt_spark.pipelines.dedup import winnow_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    out = winnow_decontaminate(train, bench, k=4, w=4, min_shared=2)
+    return out.select("doc_id", "n_shared_fps",
+                      F.col("contaminated").cast("int").alias("contaminated"))
+
+
 def q_cusum_drift(spark, sf_dir):
     """Per-event-type one-sided CUSUM drift monitor: the sequential
     max(0, S+z-slack) recurrence folded into pure windows via the
@@ -2407,6 +2423,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
+        "winnow_decontam": q_winnow_decontam,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2963,6 +2980,28 @@ def _winnow_shared_spans_oracle() -> str:
         SELECT id_a, id_b, count(*) AS n_shared
         FROM pairs GROUP BY id_a, id_b
         HAVING count(*) >= 2
+    """
+
+
+def _winnow_decontam_oracle() -> str:
+    # fingerprint selection is per-document, so selecting over ALL
+    # documents and splitting by the id afterwards equals running the
+    # winnower on each corpus separately
+    return f"""
+        WITH {_winnow_sel_ctes()}
+        , bfp AS (
+            SELECT DISTINCT fp FROM selected WHERE id % 7 = 0
+        ), dfp AS (
+            SELECT DISTINCT id, fp FROM selected WHERE id % 7 <> 0
+        ), hits AS (
+            SELECT id, count(*) AS n_shared_fps
+            FROM dfp JOIN bfp USING (fp) GROUP BY id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_shared_fps, 0) AS n_shared_fps,
+               CAST(coalesce(h.n_shared_fps, 0) >= 2 AS INT) AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+        WHERE d.doc_id % 7 <> 0
     """
 
 
@@ -4399,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "winnow_fingerprints": _winnow_fingerprints_oracle(),
         "winnow_shared_spans": _winnow_shared_spans_oracle(),
+        "winnow_decontam": _winnow_decontam_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """
             WITH c AS (

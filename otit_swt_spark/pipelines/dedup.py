@@ -728,6 +728,51 @@ def winnow_shared_spans(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_shared") >= min_shared))
 
 
+def winnow_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                         k: int = 4, w: int = 4, min_shared: int = 2,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         keep_flagged: bool = True,
+                         broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination via winnowing fingerprints — the
+    partial-copy contamination detector that exact 13-gram matching
+    (:func:`otit_swt_spark.pipelines.decontam.decontaminate`) misses on
+    light paraphrase: winnowing guarantees any preserved token run of
+    length >= ``w + k - 1`` still collides, while a single edited word
+    breaks every 13-gram crossing it.
+
+    Annotates ``docs`` with ``n_shared_fps`` (count of DISTINCT selected
+    fingerprints also selected anywhere in ``benchmark``) and a
+    ``contaminated`` flag at ``>= min_shared``; ``keep_flagged=False``
+    returns only clean documents.
+
+    Plan shape mirrors ``decontaminate``: the benchmark reduces map-side
+    to a distinct fingerprint SET (no per-doc pairing, so no per-fp cap
+    is needed — a viral benchmark footer costs one set entry, never a
+    quadratic join); broadcast by default, ``broadcast_benchmark=False``
+    switches to a shuffle hash join on the uniformly-distributed hash for
+    corpus-vs-corpus sweeps. The only corpus shuffle is the per-doc
+    distinct count of MATCHING fingerprints — empty-to-tiny for a clean
+    corpus."""
+    bench_fps = (winnow_fingerprints(benchmark, text_col, id_col, k, w)
+                 .select("fp").distinct())
+    if broadcast_benchmark:
+        bench_fps = F.broadcast(bench_fps)
+    doc_fps = (winnow_fingerprints(docs, text_col, id_col, k, w)
+               .select(id_col, "fp").distinct())
+    hits = (doc_fps.join(bench_fps, "fp")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+    out = (docs.join(hits, id_col, "left")
+           .withColumn("n_shared_fps",
+                       F.coalesce(F.col("n_shared_fps"), F.lit(0)))
+           .withColumn("contaminated",
+                       F.col("n_shared_fps") >= F.lit(min_shared)))
+    if not keep_flagged:
+        out = out.filter(~F.col("contaminated")).drop(
+            "contaminated", "n_shared_fps")
+    return out
+
+
 def cross_corpus_neardup_flags(train: DataFrame, ref: DataFrame,
                                text_col: str = "text", id_col: str = "doc_id",
                                k: int = 64, bands: int = 16,

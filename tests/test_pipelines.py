@@ -1930,3 +1930,32 @@ def test_kmeans_seeds_skip_duplicate_head_vectors(spark):
     sizes = {r["cluster"]: r["n"] for r in
              out.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
     assert len(sizes) == 4 and all(n >= 10 for n in sizes.values())
+
+
+def test_winnow_decontaminate_parity_and_paraphrase(spark):
+    """Exact benchmark copies are flagged by BOTH decontaminate (13-gram)
+    and winnow_decontaminate; a light paraphrase (one word changed every
+    ~10 tokens) keeps >= 7-token runs intact, so the winnower still flags
+    it while 13-gram exact matching goes blind."""
+    from otit_swt_spark.pipelines.decontam import decontaminate
+    from otit_swt_spark.pipelines.dedup import winnow_decontaminate
+
+    bench_text = " ".join(f"benchword{i}" for i in range(40))
+    toks = bench_text.split()
+    paraphrased = " ".join(
+        ("CHANGED%d" % i) if i % 10 == 9 else t for i, t in enumerate(toks))
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, bench_text),                                   # exact copy
+         (2, paraphrased),                                  # light paraphrase
+         (3, " ".join(f"clean{i}" for i in range(40)))],    # clean
+        "doc_id long, text string")
+    wn = {r["doc_id"]: r["contaminated"]
+          for r in winnow_decontaminate(train, bench, k=4, w=4,
+                                        min_shared=2).collect()}
+    ng = {r["doc_id"]: r["contaminated"]
+          for r in decontaminate(train, bench, n=13).collect()}
+    assert wn[1] and ng[1]          # exact copy: both flag
+    assert wn[2] and not ng[2]      # paraphrase: only winnowing flags
+    assert not wn[3] and not ng[3]  # clean: neither
