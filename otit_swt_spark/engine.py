@@ -307,13 +307,20 @@ class Engine:
         return self.add_timeseries_table(
             flight_timeseries(self.spark, location, query, **kwargs))
 
-    def set_opcua_history_read(self, opcua) -> "Engine":
-        """Reference-parity registration (lib.rs:67). The environment has
-        no OPC UA stack, so executing a query through this table raises —
-        see sources/opcua.py for the processed-read semantics on landed
-        frames."""
-        opcua.execute()  # raises NotImplementedError with guidance
-        return self
+    def set_opcua_history_read(self, opcua, node_ids: list[str] | None = None,
+                               start_time: float = 0.0, end_time: float = 0.0,
+                               **kwargs) -> "Engine":
+        """Reference-parity registration (lib.rs:67). With a configured
+        session transport (``session_factory`` — an in-process fake in
+        tests, a real client adapter in production) this registers the
+        history read as a TimeSeriesTable; without one it raises the
+        documented ``NotImplementedError`` (no OPC UA stack in this
+        environment — see sources/opcua.py)."""
+        if getattr(opcua, "session_factory", None) is None:
+            opcua.execute()  # raises NotImplementedError with guidance
+            return self
+        return self.add_timeseries_table(opcua.timeseries_table(
+            self.spark, node_ids or [], start_time, end_time, **kwargs))
 
     def name_predicate(self, predicate: str) -> "Engine":
         """Reference-parity DSL configuration (py_otit_swt_query/src/lib.rs

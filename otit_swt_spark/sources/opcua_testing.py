@@ -1,0 +1,60 @@
+"""In-process fake OPC UA history server for transport-level tests (the
+Flight-source in-process-server pattern applied to OPC UA). Lives in the
+package — not the test tree — because executor workers must be able to
+import it by reference when the session factory is shipped into
+``mapInPandas`` partitions.
+"""
+
+from __future__ import annotations
+
+
+class FakeOPCUAServer:
+    """In-process OPC UA history server speaking the HistoryRead
+    request/response shapes (the Flight-source pattern applied to OPC UA):
+    per-node raw pages with continuation points, and server-side processed
+    aggregation over intervals anchored at details.start_time. Picklable,
+    so executor partitions can each 'connect' (factory = the instance)."""
+
+    def __init__(self, series: dict[str, list[tuple[float, float]]],
+                 page_size: int = 100):
+        self.series = {k: sorted(v) for k, v in series.items()}
+        self.page_size = page_size
+        self.calls = 0
+
+    def __call__(self):            # session_factory protocol
+        return self
+
+    def history_read(self, details, timestamps_to_return, release, nodes):
+        from otit_swt_spark.sources import opcua as O
+
+        self.calls += 1
+        out = []
+        for hrvi in nodes:
+            key = hrvi.node_id.to_string()
+            pts = [p for p in self.series.get(key, [])
+                   if details.start_time <= p[0] < details.end_time]
+            if isinstance(details, O.ReadProcessedDetails):
+                agg_node = details.aggregate_type[len(out)]
+                name = {v: k for k, v in O.OPCUA_AGG_FUNC.items()}[agg_node]
+                ival = (details.processing_interval or 0.0) / 1000.0
+                buckets: dict[float, list[float]] = {}
+                for ts, v in pts:
+                    b = details.start_time if ival == 0 else \
+                        details.start_time + ival * ((ts - details.start_time) // ival)
+                    buckets.setdefault(b, []).append(v)
+                fn = {"Average": lambda xs: sum(xs) / len(xs),
+                      "Total": sum, "Minimum": min, "Maximum": max,
+                      "Count": len}[name]
+                dvs = tuple(O.DataValue(float(fn(vs)), b)
+                            for b, vs in sorted(buckets.items()))
+                out.append(O.HistoryReadResult(history_data=O.HistoryData(dvs)))
+            else:
+                off = int(hrvi.continuation_point or b"0")
+                page = pts[off:off + self.page_size]
+                nxt = off + len(page)
+                cp = str(nxt).encode() if nxt < len(pts) else b""
+                out.append(O.HistoryReadResult(
+                    continuation_point=cp,
+                    history_data=O.HistoryData(tuple(
+                        O.DataValue(v, ts) for ts, v in page))))
+        return out

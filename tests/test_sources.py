@@ -1116,3 +1116,160 @@ def test_wap_repair_recovers_crashed_claim(spark, tmp_path):
     assert fsutil.create_exclusive(spark, wap._claim_path(root, 2)) is False \
         or True  # claim 2 now spent either way
     assert wap.repair(spark, root, min_age_ms=0) == []
+
+
+# ------------------------------------------------------- OPC UA transport
+
+from otit_swt_spark.sources.opcua_testing import FakeOPCUAServer  # noqa: E402
+
+
+def test_opcua_node_id_parsing():
+    from otit_swt_spark.sources.opcua import InvalidNodeIdError, parse_node_id
+
+    n = parse_node_id("ns=2;s=my;sensor")       # identifier may contain ';'
+    assert (n.namespace, n.kind, n.identifier) == (2, "s", "my;sensor")
+    assert parse_node_id("ns=0;i=2342").identifier == 2342
+    g = parse_node_id("ns=1;g=72962B91-FA75-4ae6-8D28-B404DC7DAF63")
+    assert g.kind == "g"
+    assert parse_node_id("ns=3;b=aGVsbG8=").kind == "b"
+    for bad in ("s=noprefix", "ns=x;s=a", "ns=2;q=1", "ns=2;i=notint",
+                "ns=99999;s=a", "ns=2;g=notaguid", "ns=2;b=@@@"):
+        with pytest.raises(InvalidNodeIdError):
+            parse_node_id(bad)
+
+
+def test_opcua_find_grouping_interval():
+    """find_grouping_interval parity (opcua_history_read.rs:688-739): the
+    FLOOR(DateTimeAsSeconds(?t)/n)*n bucket expression — produced verbatim
+    by our DSL translator's aggregation lowering — yields n*1000 ms, in
+    either operand order; near-miss shapes and non-numeric literals give
+    None (reference sends interval 0.0 then)."""
+    from otit_swt_spark.sources.opcua import find_grouping_interval
+    from otit_swt_spark.sparql.parser import parse_query
+    import otit_swt_spark.sparql.algebra as A
+
+    def expr_of(sparql):
+        q = parse_query(sparql)
+        pat = q.pattern
+        while not isinstance(pat, A.Extend):
+            pat = getattr(pat, "pattern", None) or getattr(pat, "inner")
+        return pat.expr
+
+    dts = "<https://github.com/magbak/otit_swt#DateTimeAsSeconds>"
+    tpl = "SELECT ({} AS ?b) WHERE {{ ?s ?p ?t }}"
+    assert find_grouping_interval(
+        expr_of(tpl.format(f"FLOOR({dts}(?t) / 60) * 60"))) == 60000.0
+    assert find_grouping_interval(   # flipped multiplication
+        expr_of(tpl.format(f"900 * FLOOR({dts}(?t) / 900)"))) == 900000.0
+    assert find_grouping_interval(   # fractional interval
+        expr_of(tpl.format(f"FLOOR({dts}(?t) / 0.5) * 0.5"))) == 500.0
+    assert find_grouping_interval(   # not DateTimeAsSeconds -> None
+        expr_of(tpl.format("FLOOR(SECONDS(?t) / 60) * 60"))) is None
+    assert find_grouping_interval(   # string-typed literal -> None
+        expr_of(tpl.format(f'FLOOR({dts}(?t) / "60") * "60"'))) is None
+
+
+def test_opcua_raw_read_pages_continuation_points(spark):
+    """Raw HistoryRead end-to-end through the executor transport: 8 points
+    per node with a 3-point server page size drains through the
+    continuation-point loop (which the reference todo!()s) and lands every
+    point exactly once."""
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead
+
+    series = {
+        "ns=2;s=a": [(float(i), float(10 + i)) for i in range(8)],
+        "ns=2;s=b": [(float(i), float(100 + i)) for i in range(5)],
+    }
+    server = FakeOPCUAServer(series, page_size=3)
+    r = OPCUAHistoryRead(2, "opc.tcp://fake", session_factory=server)
+    df = r.history_read_frame(spark, list(series), 0.0, 100.0)
+    got = sorted((row["id"], row["timestamp"].timestamp(), row["value"])
+                 for row in df.collect())
+    want = sorted((k, ts, v) for k, pts in series.items() for ts, v in pts)
+    assert got == want
+
+
+def test_opcua_processed_read_matches_landed_twin(spark):
+    """Server-side ReadProcessedDetails aggregation through the fake
+    transport equals processed_interval_aggregation on the landed frame
+    (same 4s buckets, epoch-aligned start)."""
+    import pandas as pd
+
+    from otit_swt_spark.sources.opcua import (
+        OPCUAHistoryRead,
+        processed_interval_aggregation,
+    )
+
+    vals = [1.0, 10.0, 100.0, 301.0, 102.0, 303.0, 304.0, 105.0]
+    base = 1704067200.0                      # 2024-01-01 00:00:00 UTC
+    series = {"ns=2;s=s1": [(base + i, v) for i, v in enumerate(vals)]}
+    server = FakeOPCUAServer(series)
+    r = OPCUAHistoryRead(2, "opc.tcp://fake", session_factory=server)
+    df = r.history_read_frame(spark, ["ns=2;s=s1"], base, base + 8,
+                              aggregate="Average", interval_ms=4000.0)
+    got = sorted((row["timestamp"].timestamp(), row["value"])
+                 for row in df.collect())
+    landed = spark.createDataFrame(pd.DataFrame({
+        "id": ["s1"] * 8,
+        "timestamp": pd.to_datetime([base + i for i in range(8)], unit="s"),
+        "value": vals}))
+    twin = sorted((row["timestamp"].timestamp(), row["value"]) for row in
+                  processed_interval_aggregation(landed, 4, "Average").collect())
+    assert got == twin == [(base, 103.0), (base + 4.0, 203.5)]
+
+
+def test_opcua_interval_from_group_expr(spark):
+    """The grouping interval can come straight from the SPARQL bucket
+    expression: build_details pattern-matches it into
+    processing_interval."""
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead, ReadProcessedDetails
+    from otit_swt_spark.sparql.parser import parse_query
+    import otit_swt_spark.sparql.algebra as A
+
+    q = parse_query(
+        "SELECT (FLOOR(<https://github.com/magbak/otit_swt#DateTimeAsSeconds>"
+        "(?t) / 4) * 4 AS ?b) WHERE { ?s ?p ?t }")
+    pat = q.pattern
+    while not isinstance(pat, A.Extend):
+        pat = getattr(pat, "pattern", None) or getattr(pat, "inner")
+    d = OPCUAHistoryRead(2, "x", session_factory=lambda: None).build_details(
+        0.0, 8.0, 1, aggregate="Total", group_expr=pat.expr)
+    assert isinstance(d, ReadProcessedDetails)
+    assert d.processing_interval == 4000.0
+    assert d.aggregate_type == (2344,)      # OPC UA Total
+
+
+def test_engine_opcua_registration_with_transport(spark):
+    """set_opcua_history_read with a configured transport registers a live
+    TimeSeriesTable: a hybrid SPARQL aggregate over the OPC UA-landed
+    points runs end-to-end (the reference's lib.rs:67 registry role,
+    exercised rather than stubbed)."""
+    from otit_swt_spark.engine import Engine
+    from otit_swt_spark.graph import GraphStore
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead
+
+    series = {
+        "ns=2;s=ts1": [(float(i), float(i)) for i in range(1, 5)],      # sum 10
+        "ns=2;s=ts2": [(float(i), float(10 * i)) for i in range(1, 5)], # sum 100
+    }
+    server = FakeOPCUAServer(series, page_size=2)
+    graph = GraphStore.from_sparql_insert(spark, """
+        PREFIX ot: <https://github.com/magbak/otit_swt#>
+        INSERT DATA {
+            <http://example.com/w1> ot:hasTimeseries <http://example.com/t1> .
+            <http://example.com/t1> ot:hasExternalId "ns=2;s=ts1" .
+            <http://example.com/w2> ot:hasTimeseries <http://example.com/t2> .
+            <http://example.com/t2> ot:hasExternalId "ns=2;s=ts2" .
+        }""")
+    eng = Engine(spark, graph).set_opcua_history_read(
+        OPCUAHistoryRead(2, "opc.tcp://fake", session_factory=server),
+        node_ids=list(series), start_time=0.0, end_time=10.0)
+    df = eng.query("""
+        PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+        SELECT ?ts_id (SUM(?v) AS ?total) WHERE {
+            ?ts otit_swt:hasExternalId ?ts_id .
+            ?ts otit_swt:hasDataPoint ?dp .
+            ?dp otit_swt:hasValue ?v .
+        } GROUP BY ?ts_id ORDER BY ?ts_id""")
+    assert [(r[0], r[1]) for r in df.collect()] == [
+        ("ns=2;s=ts1", 10.0), ("ns=2;s=ts2", 100.0)]
