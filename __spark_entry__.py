@@ -2873,16 +2873,42 @@ def _kmeans_clusters_oracle() -> str:
 
 
 def _semantic_dedup_oracle() -> str:
+    # mirrors the sub-cell cap (clustering.semantic_dedup max_cell_size=
+    # 2048): md5 cells within oversized clusters + id-successor chain
+    # pairs; at the driver SFs every cluster fits one cell, so cells and
+    # chain are no-ops there — but the replay is exact at ANY scale
     return f"""
         WITH {_kmeans_ctes()},
-        pairs AS (
-            SELECT a.vec_id AS id_a, min(b.vec_id) AS dup_of
-            FROM afin a JOIN afin b
-              ON a.cl = b.cl AND b.vec_id < a.vec_id
+        sz AS (
+            SELECT cl, CAST(ceil(count(*) / 2048.0) AS BIGINT) AS nc
+            FROM afin GROUP BY cl
+        ), celled AS (
+            SELECT a.vec_id, a.vd, a.cl, s.nc,
+                   ('0x' || substr(md5('sdcell:' ||
+                        CAST(a.vec_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT::BIGINT % s.nc AS cell
+            FROM afin a JOIN sz s ON s.cl = a.cl
+        ), cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM celled a JOIN celled b
+              ON a.cl = b.cl AND a.cell = b.cell AND b.vec_id < a.vec_id
+            UNION
+            SELECT id_a, id_b FROM (
+                SELECT vec_id AS id_a,
+                       lag(vec_id) OVER (PARTITION BY cl
+                                         ORDER BY vec_id) AS id_b,
+                       nc
+                FROM celled
+            ) WHERE nc > 1 AND id_b IS NOT NULL
+        ), pairs AS (
+            SELECT c.id_a, min(c.id_b) AS dup_of
+            FROM cand c
+            JOIN celled a ON a.vec_id = c.id_a
+            JOIN celled b ON b.vec_id = c.id_b
             WHERE round(list_dot_product(a.vd, b.vd)
                         / (sqrt(list_dot_product(a.vd, a.vd))
                            * sqrt(list_dot_product(b.vd, b.vd))), 6) >= 0.4
-            GROUP BY a.vec_id
+            GROUP BY c.id_a
         )
         SELECT f.vec_id, f.cl AS cluster,
                p.dup_of IS NOT NULL AS is_dup, p.dup_of

@@ -107,7 +107,8 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
 
 def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
                    min_cosine: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cell_size: int = 2048) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings, compare pairs
     ONLY within a cluster, and flag a document as a semantic duplicate
     when some LOWER-id cluster-mate has cosine >= ``min_cosine`` (the
@@ -118,20 +119,49 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
     Scale: the self-join is cluster-bounded — the whole point of
     clustering first; size ``k`` ~ corpus/target_cluster_size so cluster
     populations stay bounded as the corpus grows (the assignment pass is
-    map-side, so large k costs plan literals, not shuffles)."""
+    map-side, so large k costs plan literals, not shuffles). Degenerate
+    corpora break that assumption (90% of vectors in one cluster stays
+    one cluster no matter what k is), so clusters larger than
+    ``max_cell_size`` are salted into ``ceil(n/max_cell_size)``
+    deterministic md5 sub-cells and all-pairs comparison runs within a
+    CELL; id-successor chain pairs across the whole cluster keep runs of
+    identical/near-identical vectors detected regardless of cell
+    boundaries. Recall caveat in the capped regime: a near-dup pair split
+    across cells with no id-adjacent bridge can go unflagged, and dup_of
+    reports the lowest id among DETECTED mates (which may exceed the true
+    cluster-wide minimum); pair volume is bounded at ~n*max_cell_size/2
+    per cluster — linear in n for fixed cell size."""
     from otit_swt_spark.pipelines.similarity import cosine
+    from pyspark.sql import Window as W
 
     assigned = kmeans_assign(df, k, iters, id_col, vec_col) \
         .select(F.col(id_col).alias("id"), "cluster")
+    n_cells = F.ceil(F.count(F.lit(1)).over(W.partitionBy("cluster"))
+                     / F.lit(float(max_cell_size))).cast("bigint")
+    cell = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("sdcell:"), F.col("id").cast("string"))), 1, 8),
+        16, 10).cast("long") % n_cells)
+    celled = assigned.select("id", "cluster", n_cells.alias("__nc"),
+                             cell.alias("__cell"))
+    l = celled.select(F.col("id").alias("id_a"), "cluster", "__cell")
+    r = celled.select(F.col("id").alias("id_b"), "cluster", "__cell")
+    cand = (l.join(r, ["cluster", "__cell"])
+            .filter(F.col("id_b") < F.col("id_a"))
+            .select("cluster", "id_a", "id_b"))
+    chain = (celled
+             .withColumn("__prev", F.lag("id").over(
+                 W.partitionBy("cluster").orderBy("id")))
+             .filter((F.col("__nc") > 1) & F.col("__prev").isNotNull())
+             .select("cluster", F.col("id").alias("id_a"),
+                     F.col("__prev").alias("id_b")))
+    cand = cand.unionByName(chain).dropDuplicates(["id_a", "id_b"])
     vecs = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
-    a = assigned.join(vecs, "id")
-    l = a.select(F.col("id").alias("id_a"), F.col("cluster"),
-                 F.col("v").alias("va"))
-    r = a.select(F.col("id").alias("id_b"), F.col("cluster"),
-                 F.col("v").alias("vb"))
-    dup_pairs = (l.join(r, "cluster")
-                 .filter(F.col("id_b") < F.col("id_a"))
+    dup_pairs = (cand
+                 .join(vecs.select(F.col("id").alias("id_a"),
+                                   F.col("v").alias("va")), "id_a")
+                 .join(vecs.select(F.col("id").alias("id_b"),
+                                   F.col("v").alias("vb")), "id_b")
                  .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
                          >= min_cosine)
                  .groupBy("id_a")

@@ -361,3 +361,76 @@ def test_label_propagation_amplified_graph(spark):
     n_nodes = out.count()
     n_comms = out.select("community").distinct().count()
     assert n_nodes > 0 and 0 < n_comms <= n_nodes
+
+
+def test_semantic_dedup_skewed_dominant_cluster(spark):
+    """90% of 20k vectors land in ONE k-means cluster (a degenerate but
+    realistic post-crawl embedding corpus): the sub-cell cap must keep the
+    within-cluster pair join linear (~n*cell/2, not 0.9*n²/2 ≈ 160M
+    pairs), while the id-successor chain still flags every identical
+    vector after the cluster minimum."""
+    from otit_swt_spark.pipelines.clustering import semantic_dedup
+
+    n, n_dom = 20_000, 18_000
+    dom = spark.range(n_dom).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(10.0), F.lit(0.0), F.lit(0.0)).alias("embedding"))
+    rest = spark.range(n_dom, n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(-10.0),
+                (F.col("id") % 40).cast("double") / 2.0,
+                -(F.col("id") % 7).cast("double")).alias("embedding"))
+    out = semantic_dedup(dom.unionByName(rest), k=4, iters=1,
+                         min_cosine=0.95, max_cell_size=512).cache()
+    assert out.count() == n
+    dom_rows = out.filter(F.col("vec_id") < n_dom)
+    # identical dominant vectors: everyone except the cluster minimum is
+    # a dup (chain pairs bridge the md5 cells)
+    assert dom_rows.filter(F.col("is_dup")).count() == n_dom - 1
+    assert dom_rows.filter(~F.col("is_dup")).select("vec_id").first()[0] == 0
+    out.unpersist()
+
+
+def test_cusum_single_mega_key(spark):
+    """CUSUM on ONE key carrying 1M points: the running-minimum identity
+    keeps it a pure two-window plan over a single partition — no
+    applyInPandas state, no per-row Python — and the drift injected at
+    the 80% mark alarms exactly there."""
+    from otit_swt_spark.pipelines.analytics import cusum_changepoints
+
+    n = 1_000_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit("megakey").alias("event_type"),
+        F.col("id").cast("double").alias("ts"),
+        (F.when(F.col("id") < 0.8 * n, (F.col("id") % 13).cast("double"))
+         .otherwise(F.lit(200.0) + (F.col("id") % 13))).alias("value"))
+    out = cusum_changepoints(ev, key="event_type", ts="ts", value="value",
+                             slack=0.5, threshold=5.0).cache()
+    assert out.count() == n
+    first_alarm = out.filter(F.col("alarm")) \
+        .agg(F.min("event_id")).first()[0]
+    assert 0.8 * n <= first_alarm < 0.8 * n + 10
+    out.unpersist()
+
+
+def test_winnow_boilerplate_heavy_corpus(spark):
+    """50k docs all carrying the same viral footer: every footer
+    fingerprint is shared corpus-wide, and the cap-16 all-pairs plus
+    rank-successor chains must keep shared-span pair volume linear
+    (uncapped would be ~50k²/2 per hot fingerprint)."""
+    from otit_swt_spark.pipelines.dedup import winnow_shared_spans
+
+    n = 50_000
+    footer = ("subscribe to our newsletter for updates terms of service "
+              "privacy policy all rights reserved contact us today")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lead token "),
+                 F.col("id").cast("string"), F.lit(" body word "),
+                 (F.col("id") % 997).cast("string"), F.lit(" " + footer))
+        .alias("text"))
+    pairs = winnow_shared_spans(docs, k=4, w=4, min_shared=1)
+    n_pairs = pairs.count()
+    # ~12 hot footer fps x (120 capped pairs + n chain pairs) -> O(n)
+    assert 0 < n_pairs <= 16 * n
