@@ -101,16 +101,23 @@ def main() -> None:
         fn = qs[name]
         # One untimed warmup run first: it absorbs JVM JIT / codegen /
         # Python-worker startup so the recorded number is steady-state —
-        # the regime a long-lived cluster actually runs in. Then best of 2
-        # timed runs.
+        # the regime a long-lived cluster actually runs in. Headline
+        # entries then record the MEDIAN of 5 timed runs (BASELINE.md's
+        # prescription): the r5 mapper bisect quantified ±0.05-0.1s of
+        # session-order variance per entry, which best-of-2 turns into
+        # phantom round-over-round regressions; the median is stable.
+        # --extended entries keep best-of-2 to bound total harness time.
         fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):
+        reps = 5 if name in HEADLINE else 2
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # forces full execution without driver collect cost
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        val = samples[len(samples) // 2] if reps >= 3 else samples[0]
+        times[name] = round(val, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     # the headline total stays comparable across rounds even when the
