@@ -120,7 +120,11 @@ def shuffle_write_delta(spark, pre: dict[int, int]) -> int:
 
 def time_queries(spark, sf_dir: str,
                  names: list[str]) -> dict[str, dict[str, float]]:
-    qs = entry_mod.queries()
+    # raw entry functions, NOT the memoized queries() registry: iterative
+    # entries (pointer jumping, Lloyd) materialize via localCheckpoint /
+    # driver-side fit at plan-BUILD time, so a memoized re-count would
+    # measure a cached result instead of the operator
+    qs = getattr(entry_mod, "_QUERIES", None) or entry_mod.queries()
     out = {}
     for name in names:
         fn = qs[name]
