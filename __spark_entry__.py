@@ -2369,6 +2369,55 @@ def q_winnow_decontam(spark, sf_dir):
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search top-10 for 'spark join window' — the lexical
+    retrieval leg (pipelines/search.py): broadcast query-term prune before
+    any shuffle, exact-DECIMAL score sums, deterministic (score desc, id)
+    ranking."""
+    from otit_swt_spark.pipelines.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "spark join window", k=10)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Standing posting-list frame (term, doc_id, tf, df) with the corpus
+    document frequency denormalized on — bucket by term on write and a
+    term lookup is a pruned scan. Restricted here to terms of the bench
+    query vocabulary so the entry output stays focused."""
+    from otit_swt_spark.pipelines.search import build_inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    return idx.filter(F.col("term").isin("spark", "join", "window",
+                                         "shuffle", "agg"))
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 leg over documents + exact-cosine leg over
+    embeddings (ids aligned with low doc ids), fused with reciprocal-rank
+    fusion 1/(60+rank) — rank-based, so the legs' incomparable score
+    scales never matter. Both legs are top-20-sized, so fusion cost is
+    independent of corpus size."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.search import bm25_topk, rrf_fuse
+    from otit_swt_spark.pipelines.similarity import cosine
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bleg = bm25_topk(d, "spark join window", k=20)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding").cast("array<double>"),
+                       F.col("qv").cast("array<double>")), 6).alias("cs"))
+    ctop = scored.orderBy(F.col("cs").desc(), F.col("doc_id")).limit(20)
+    cleg = ctop.withColumn("rank", F.row_number().over(
+        W.orderBy(F.col("cs").desc(), F.col("doc_id"))))
+    return rrf_fuse([bleg, cleg], k=10)
+
+
 def q_cusum_drift(spark, sf_dir):
     """Per-event-type one-sided CUSUM drift monitor: the sequential
     max(0, S+z-slack) recurrence folded into pure windows via the
@@ -2424,6 +2473,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
         "winnow_decontam": q_winnow_decontam,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2594,24 +2646,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     }
 
 
-# Driver rotation (round 5): the driver samples the FIRST ~50 registry
-# entries each round. Front-load everything that has never had a green
-# driver CORRECTNESS row (union of r1-r4 records; the r1 `err` eight plus
-# 32 never-sampled entries) so the round-5 sample closes the stale-record
-# gap. All 40 are green in the in-repo full sweep; this is ordering only.
+# Driver rotation (round 6): the driver samples the FIRST ~50 registry
+# entries each round. Front-load everything without a green driver
+# CORRECTNESS row across r1-r5 — the three r05 non-green rows (the
+# quantize entry-shape fix and the two winnow entries, all now fully
+# oracled) plus the four entries new this round. All seven are green in
+# the in-repo full sweep; this is ordering only.
 _NEVER_DRIVER_GREEN = [
-    "minhash_lsh_pairs", "simhash_pairs", "near_dedup_docs",
-    "embedding_neardup", "ngram_jaccard_verify", "ann_lsh_topk",
-    "ann_ivf_topk", "multimodal_features",          # r1 err rows
-    "sessionize", "interval_join", "pivot_events",  # r2 sampled-not-recorded
-    "corr_lineitem", "validate_lineitem", "mixture_sample", "hash_shards",
-    "spatial_radius_join", "spatial_knn_join", "graph_jaccard",
-    "graph_degree", "graph_triangles", "graph_pagerank", "quantized_topk",
-    "session_paths", "weight_sample", "ab_test_stats", "funnel_steps",
-    "retention_cohorts", "histogram_value", "distinct_users_daily",
-    "udtf_sentences", "group_mode", "pack_sequences", "pack_nosplit",
-    "quantize_embeddings", "ewma_events", "lm_quality", "dedup_paragraphs",
-    "repetition_stats", "pii_scrub", "near_dedup_best",
+    "quantize_embeddings",                     # r05 driver-red, fixed
+    "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
+    "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
+    "hybrid_search_rrf",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -3006,6 +3051,112 @@ def _winnow_shared_spans_oracle() -> str:
         SELECT id_a, id_b, count(*) AS n_shared
         FROM pairs GROUP BY id_a, id_b
         HAVING count(*) >= 2
+    """
+
+
+def _bm25_ctes(query_terms: tuple[str, ...], k1: float = 1.2,
+               b: float = 0.75) -> str:
+    """CTE chain replaying search.bm25_topk: raw-split dl (empties count
+    toward length, exactly like the Spark F.size on the split), query-term
+    prune, |q|-row document frequencies, exact-DECIMAL avgdl and score
+    sums, Lucene-style non-negative idf."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+        btok AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), bstats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CAST(len(tk) AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS avgdl
+            FROM btok
+        ), bex AS (
+            SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM btok
+        ), bposting AS (
+            SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+            FROM bex WHERE term IN ({terms})
+            GROUP BY doc_id, term
+        ), bdfreq AS (
+            SELECT term, count(*) AS df FROM bposting GROUP BY term
+        ), bscored AS (
+            SELECT p.doc_id,
+                   round(CAST(sum(CAST(round(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * {k1 + 1}) / (p.tf + {k1}
+                          * (1 - {b} + {b} * p.dl / s.avgdl)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+            FROM bposting p JOIN bdfreq d USING (term), bstats s
+            GROUP BY p.doc_id
+        )"""
+
+
+def _bm25_topk_oracle() -> str:
+    return f"""
+        WITH {_bm25_ctes(("spark", "join", "window"))}
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank
+        FROM bscored
+        QUALIFY rank <= 10
+    """
+
+
+def _inverted_index_oracle() -> str:
+    return """
+        WITH tok AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, unnest(tk) AS term FROM tok
+        ), t AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM ex WHERE term <> '' GROUP BY doc_id, term
+        )
+        SELECT term, doc_id, tf,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM t
+        WHERE term IN ('spark', 'join', 'window', 'shuffle', 'agg')
+    """
+
+
+def _hybrid_search_rrf_oracle() -> str:
+    return f"""
+        WITH {_bm25_ctes(("spark", "join", "window"))}
+        , bleg AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM bscored QUALIFY rank <= 20
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), cos AS (
+            SELECT vec_id AS doc_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[],
+                                                    qv::DOUBLE[]))), 6) AS cs
+            FROM embeddings, q
+        ), cleg AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+            FROM cos QUALIFY rank <= 20
+        ), parts AS (
+            SELECT doc_id, 1.0 / (60 + rank) AS part FROM bleg
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + rank) AS part FROM cleg
+        ), fused AS (
+            SELECT doc_id,
+                   round(CAST(sum(CAST(round(part, 12) AS DECIMAL(38,12)))
+                              AS DOUBLE), 6) AS rrf_score
+            FROM parts GROUP BY doc_id
+        )
+        SELECT doc_id, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INT) AS rank
+        FROM fused
+        QUALIFY rank <= 10
     """
 
 
@@ -4465,6 +4616,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_fingerprints_oracle(),
         "winnow_shared_spans": _winnow_shared_spans_oracle(),
         "winnow_decontam": _winnow_decontam_oracle(),
+        "bm25_topk": _bm25_topk_oracle(),
+        "inverted_index": _inverted_index_oracle(),
+        "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """
             WITH c AS (

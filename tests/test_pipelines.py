@@ -1959,3 +1959,59 @@ def test_winnow_decontaminate_parity_and_paraphrase(spark):
     assert wn[1] and ng[1]          # exact copy: both flag
     assert wn[2] and not ng[2]      # paraphrase: only winnowing flags
     assert not wn[3] and not ng[3]  # clean: neither
+
+
+# ------------------------------------------------------------------ search
+
+def test_bm25_formula_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus equals the hand-computed Robertson/Lucene
+    formula; ranking is deterministic and limited to k."""
+    import math
+
+    from otit_swt_spark.pipelines.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "apple cherry"),
+         (3, "durian elderberry fig grape")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["score"], r["rank"])
+           for r in bm25_topk(docs, "apple", k=10).collect()}
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+
+    assert out[1] == (s(2, 3), 1)     # tf=2 beats tf=1
+    assert out[2] == (s(1, 2), 2)
+    assert 3 not in out               # no match -> absent, not zero-scored
+
+
+def test_inverted_index_df_and_tf(spark):
+    from otit_swt_spark.pipelines.search import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "x z"), (3, "z z z")],
+        "doc_id long, text string")
+    rows_ = {(r["term"], r["doc_id"]): (r["tf"], r["df"])
+             for r in build_inverted_index(docs).collect()}
+    assert rows_[("x", 1)] == (2, 2) and rows_[("x", 2)] == (1, 2)
+    assert rows_[("z", 3)] == (3, 2) and rows_[("y", 1)] == (1, 1)
+
+
+def test_rrf_fusion_prefers_doc_ranked_by_both_legs(spark):
+    from otit_swt_spark.pipelines.search import rrf_fuse
+
+    leg1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                                 "doc_id long, rank int")
+    leg2 = spark.createDataFrame([(20, 1), (40, 2), (10, 3)],
+                                 "doc_id long, rank int")
+    out = [(r["doc_id"], r["rank"]) for r in
+           rrf_fuse([leg1, leg2], k=4).collect()]
+    # 20: 1/62+1/61 > 10: 1/61+1/63 > singles 30/40
+    assert out[0][0] == 20 and out[1][0] == 10
+    assert {d for d, _ in out} == {10, 20, 30, 40}
+    rrf = {r["doc_id"]: r["rrf_score"] for r in
+           rrf_fuse([leg1, leg2], k=4).collect()}
+    assert rrf[20] == round(1 / 62 + 1 / 61, 6)
