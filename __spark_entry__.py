@@ -2418,6 +2418,25 @@ def q_hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse([bleg, cleg], k=10)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation over o_custkey: build the
+    4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
+    partition, not keys), then estimate the 20 heaviest keys next to
+    their exact counts. est_count >= n_rows always (CMS overestimates);
+    the oracle replays the md5-salted cells bit-for-bit."""
+    from otit_swt_spark.pipelines.analytics import cms_estimate, count_min_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    sketch = count_min_sketch(o, "o_custkey", width=256, depth=4)
+    exact = (o.groupBy(F.col("o_custkey").alias("key"))
+             .agg(F.count(F.lit(1)).alias("n_rows"))
+             .orderBy(F.col("n_rows").desc(), "key").limit(20))
+    est = cms_estimate(sketch, exact.select("key"), "key",
+                       width=256, depth=4)
+    return (exact.join(est, "key")
+            .select("key", "n_rows", "est_count"))
+
+
 def q_cusum_drift(spark, sf_dir):
     """Per-event-type one-sided CUSUM drift monitor: the sequential
     max(0, S+z-slack) recurrence folded into pure windows via the
@@ -2476,6 +2495,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2656,7 +2676,7 @@ _NEVER_DRIVER_GREEN = [
     "quantize_embeddings",                     # r05 driver-red, fixed
     "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "cms_heavy_hitters",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4619,6 +4639,32 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_oracle(),
         "inverted_index": _inverted_index_oracle(),
         "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
+        "cms_heavy_hitters": """
+            WITH rr AS (
+                SELECT unnest(range(0, 4)) AS row
+            ), cells AS (
+                SELECT rr.row,
+                       ('0x' || substr(md5('cms' || rr.row || ':'
+                            || CAST(o_custkey AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 256 AS col,
+                       count(*) AS cnt
+                FROM orders, rr GROUP BY 1, 2
+            ), top AS (
+                SELECT o_custkey AS key, count(*) AS n_rows
+                FROM orders GROUP BY 1
+                ORDER BY n_rows DESC, key LIMIT 20
+            ), probes AS (
+                SELECT t.key, t.n_rows, rr.row,
+                       ('0x' || substr(md5('cms' || rr.row || ':'
+                            || CAST(t.key AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 256 AS col
+                FROM top t, rr
+            )
+            SELECT p.key, p.n_rows,
+                   min(coalesce(c.cnt, 0)) AS est_count
+            FROM probes p LEFT JOIN cells c USING (row, col)
+            GROUP BY p.key, p.n_rows
+        """,
         "quantized_topk": _quantized_topk_oracle(),
         "spatial_radius_join": """
             WITH c AS (

@@ -371,3 +371,54 @@ def population_stability(df_a: DataFrame, df_b: DataFrame, col: str,
                     F.round(pb, 6).alias("share_b"),
                     F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"))
             )
+
+
+def count_min_sketch(df: DataFrame, key_col: str, width: int = 256,
+                     depth: int = 4) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key column:
+    ``depth × width`` counters, cell ``(r, c)`` summing the rows whose
+    md5-salted hash for row ``r`` lands in column ``c``. The fixed-size
+    mergeable summary for frequency estimation over keys too numerous to
+    group exactly — per-partition sketches merge by cell addition, so the
+    shuffle is ``depth·width`` cells per partition regardless of key
+    cardinality (vs a full groupBy shuffling every distinct key).
+
+    Deterministic md5 row-salted hashing (the repo's oracle-replayable
+    primitive), so two sketches built anywhere agree cell-for-cell.
+    Returns ``(row, col, cnt)`` — only occupied cells; absent cells are
+    zero."""
+    rows_ = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}:"),
+                               F.col(key_col).cast("string"))), 1, 8),
+                16, 10).cast("long") % width).alias("col"))
+        for r in range(depth)])
+    return (df.select(F.explode(rows_).alias("rc"))
+            .groupBy(F.col("rc.row").alias("row"),
+                     F.col("rc.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 width: int = 256, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each key,
+    ``est = min over rows of cell(r, h_r(key))`` — an upper bound on the
+    true count with overestimate bounded by ``e·N/width`` at probability
+    ``1 − e^{−depth}``. The sketch is broadcast (``depth·width`` cells),
+    so estimating any number of keys is map-side + one small join."""
+    probes = keys.select(F.col(key_col), F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}:"),
+                               F.col(key_col).cast("string"))), 1, 8),
+                16, 10).cast("long") % width).alias("col"))
+        for r in range(depth)])).alias("rc")) \
+        .select(key_col, F.col("rc.row").alias("row"),
+                F.col("rc.col").alias("col"))
+    return (probes.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))

@@ -2015,3 +2015,35 @@ def test_rrf_fusion_prefers_doc_ranked_by_both_legs(spark):
     rrf = {r["doc_id"]: r["rrf_score"] for r in
            rrf_fuse([leg1, leg2], k=4).collect()}
     assert rrf[20] == round(1 / 62 + 1 / 61, 6)
+
+
+def test_count_min_sketch_bounds_and_merge(spark):
+    """CMS invariants: estimates NEVER undercount (est >= true for every
+    key), total cells bounded by depth x width, and sketches built on two
+    halves merge by cell addition into exactly the whole-corpus sketch
+    (the mergeability that makes it a shuffle-bounded summary)."""
+    from otit_swt_spark.pipelines.analytics import cms_estimate, count_min_sketch
+
+    w, d = 64, 3
+    df = spark.range(5000).select(
+        (F.col("id") % 37).alias("k"))           # 37 keys, skewed none
+    sketch = count_min_sketch(df, "k", width=w, depth=d).cache()
+    assert sketch.count() <= w * d
+    keys = df.distinct()
+    est = {r["k"]: r["est_count"] for r in
+           cms_estimate(sketch, keys, "k", width=w, depth=d).collect()}
+    true = {r["k"]: r["n"] for r in
+            df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    # small sketch, few keys: estimates should also be close
+    assert sum(est[k] - true[k] for k in true) / len(true) < 5000 / w * 3
+    # mergeability: half-sketches sum cell-wise to the full sketch
+    base = spark.range(5000).select("id", (F.col("id") % 37).alias("k"))
+    s1 = count_min_sketch(base.filter(F.col("id") < 2500), "k", width=w, depth=d)
+    s2 = count_min_sketch(base.filter(F.col("id") >= 2500), "k", width=w, depth=d)
+    merged = (s1.unionByName(s2).groupBy("row", "col")
+              .agg(F.sum("cnt").alias("cnt")))
+    full = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+    sketch.unpersist()
