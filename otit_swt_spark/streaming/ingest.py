@@ -391,3 +391,50 @@ def stream_wap_merge(df: DataFrame, root: str, key: str, checkpoint: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_count_min(df: DataFrame, key_col: str, path: str,
+                     checkpoint: str, width: int = 256, depth: int = 4):
+    """Maintain a count-min sketch parquet table from a stream: each
+    micro-batch builds its own ``depth × width`` sketch
+    (``pipelines.analytics.count_min_sketch``) and merges it into the
+    stored cells by addition — the CMS is mergeable by construction, so
+    the sink rewrite is always <= depth·width rows no matter the stream
+    volume or key cardinality (the entire point of sketching a stream).
+    Estimates over the stored table come from
+    ``pipelines.analytics.cms_estimate`` unchanged.
+
+    Same at-least-once discipline as :func:`stream_incremental_agg`: a
+    last-applied batch id sidecar skips replayed batches (cell addition
+    is not idempotent). Returns the started StreamingQuery."""
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import count_min_sketch
+
+    marker = path.rstrip("/") + ".__last_batch__"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if fsutil.exists(spark, marker):
+            try:
+                if batch_id <= int(fsutil.read_text(spark, marker).strip()):
+                    return
+            except ValueError:
+                pass
+        if not batch_df.isEmpty():
+            delta = count_min_sketch(batch_df, key_col, width, depth)
+            if fsutil.exists(spark, path):
+                merged = (spark.read.parquet(path).unionByName(delta)
+                          .groupBy("row", "col")
+                          .agg(F.sum("cnt").alias("cnt")))
+            else:
+                merged = delta
+            # the sketch is tiny (<= depth*width rows): materialize before
+            # the overwrite so the read above never races its own rewrite
+            out = merged.localCheckpoint(eager=True)
+            out.write.mode("overwrite").parquet(path)
+        fsutil.write_text(spark, marker, str(batch_id))
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -441,3 +441,37 @@ def test_stream_wap_merge_versions_per_batch(spark, tmp_path):
     # every intermediate version still time-travels
     assert {r.id for r in wap.read_table(spark, root, version=1).collect()} \
         == {1, 2}
+
+
+def test_stream_count_min_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS folded over two micro-batches must equal the batch
+    sketch of the full corpus cell-for-cell (mergeability through
+    foreachBatch), and estimates over the stored table never undercount."""
+    from otit_swt_spark.pipelines.analytics import cms_estimate, count_min_sketch
+    from otit_swt_spark.streaming.ingest import stream_count_min
+
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "sketch")
+    ck = str(tmp_path / "ck")
+    b1 = pd.DataFrame({"k": [str(i % 11) for i in range(300)]})
+    b2 = pd.DataFrame({"k": [str(i % 7) for i in range(200)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("k string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_count_min(stream, "k", sk, ck, width=64, depth=3)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    want = {(r["row"], r["col"]): r["cnt"] for r in
+            count_min_sketch(full, "k", width=64, depth=3).collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in
+           spark.read.parquet(sk).collect()}
+    assert got == want
+    est = {r["k"]: r["est_count"] for r in
+           cms_estimate(spark.read.parquet(sk), full.distinct(), "k",
+                        width=64, depth=3).collect()}
+    true = {r["k"]: r["n"] for r in
+            full.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)
