@@ -218,6 +218,73 @@ def find_grouping_interval(expr) -> float | None:
     return None
 
 
+def find_time_bounds(expr, ts_var: str) -> tuple[float | None, float | None]:
+    """``find_time`` / ``find_time_condition`` parity
+    (opcua_history_read.rs:480-620): extract (start, end) epoch seconds
+    from a SPARQL filter over the timestamp variable. Recognized shapes,
+    exactly the reference's arms — conjunctions recurse (two bounds of
+    the same kind in one AND is an error, like the reference's
+    "duplicate conditions" panic); strict bounds nudge by 1 ns:
+
+    - ``?t >  lit`` / ``lit <  ?t``  → start = lit + 1ns
+    - ``?t >= lit`` / ``lit <= ?t``  → start = lit
+    - ``?t <  lit`` / ``lit >  ?t``  → end   = lit - 1ns
+    - ``?t <= lit`` / ``lit >= ?t``  → end   = lit
+
+    Unmatched shapes contribute nothing (the reference sends a null
+    DateTime then — here ``None``)."""
+    from otit_swt_spark.sparql.algebra import EAnd, ECmp, ELiteral, EVar
+
+    NS = 1e-9
+
+    def lit_epoch(e) -> float | None:
+        if not isinstance(e, ELiteral):
+            return None
+        from datetime import datetime, timezone
+
+        lex = e.value.lexical
+        try:
+            dt = datetime.fromisoformat(lex.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+    def walk(e) -> tuple[float | None, float | None]:
+        if isinstance(e, EAnd):
+            ls, le = walk(e.left)
+            rs, re_ = walk(e.right)
+            if (ls is not None and rs is not None) or \
+                    (le is not None and re_ is not None):
+                raise ValueError("duplicate time bound in conjunction")
+            return (ls if ls is not None else rs,
+                    le if le is not None else re_)
+        if not isinstance(e, ECmp):
+            return (None, None)
+        lv = isinstance(e.left, EVar) and e.left.name == ts_var
+        rv = isinstance(e.right, EVar) and e.right.name == ts_var
+        if lv == rv:                 # neither or both sides the ts var
+            return (None, None)
+        lit = lit_epoch(e.right if lv else e.left)
+        if lit is None:
+            return (None, None)
+        # normalize to "?t OP lit" form
+        op = e.op if lv else {"<": ">", "<=": ">=",
+                              ">": "<", ">=": "<="}.get(e.op, e.op)
+        if op == ">":
+            return (lit + NS, None)
+        if op == ">=":
+            return (lit, None)
+        if op == "<":
+            return (None, lit - NS)
+        if op == "<=":
+            return (None, lit)
+        return (None, None)
+
+    return walk(expr)
+
+
 def processed_interval_aggregation(
     df: DataFrame,
     interval_seconds: float,

@@ -1273,3 +1273,40 @@ def test_engine_opcua_registration_with_transport(spark):
         } GROUP BY ?ts_id ORDER BY ?ts_id""")
     assert [(r[0], r[1]) for r in df.collect()] == [
         ("ns=2;s=ts1", 10.0), ("ns=2;s=ts2", 100.0)]
+
+
+def test_opcua_find_time_bounds():
+    """find_time/find_time_condition parity (opcua_history_read.rs:480-620):
+    start/end extraction from SPARQL filters, strict-bound 1ns nudges,
+    flipped operand forms, AND recursion, duplicate-bound error."""
+    from otit_swt_spark.sources.opcua import find_time_bounds
+    from otit_swt_spark.sparql.parser import parse_query
+    import otit_swt_spark.sparql.algebra as A
+
+    def filter_expr(cond):
+        q = parse_query(
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            f"SELECT ?t WHERE {{ ?s ?p ?t . FILTER({cond}) }}")
+        pat = q.pattern
+        while not isinstance(pat, A.Filter):
+            pat = getattr(pat, "pattern", None) or getattr(pat, "inner")
+        return pat.expr
+
+    lit = '"2024-01-01T00:00:00+00:00"^^xsd:dateTime'
+    base = 1704067200.0
+    ns = 1e-9
+    s, e = find_time_bounds(filter_expr(f"?t >= {lit}"), "t")
+    assert (s, e) == (base, None)
+    s, e = find_time_bounds(filter_expr(f"?t > {lit}"), "t")
+    assert (s, e) == (base + ns, None)
+    s, e = find_time_bounds(filter_expr(f"{lit} > ?t"), "t")   # flipped: end
+    assert (s, e) == (None, base - ns)
+    s, e = find_time_bounds(
+        filter_expr(f"?t >= {lit} && ?t < "
+                    '"2024-01-02T00:00:00+00:00"^^xsd:dateTime'), "t")
+    assert s == base and e == base + 86400.0 - ns
+    # unmatched shapes contribute nothing
+    assert find_time_bounds(filter_expr("?t != ?t"), "t") == (None, None)
+    with pytest.raises(ValueError, match="duplicate"):
+        find_time_bounds(
+            filter_expr(f"?t >= {lit} && ?t > {lit}"), "t")
