@@ -85,6 +85,18 @@ EXTENDED = [
     "session_paths",
     "graph_triangles",
     "spatial_radius_join",
+    # round-5/6 additions
+    "kmeans_clusters",
+    "semantic_dedup",
+    "diversity_sample",
+    "cusum_drift",
+    "winnow_fingerprints",
+    "winnow_shared_spans",
+    "winnow_decontam",
+    "bm25_topk",
+    "inverted_index",
+    "hybrid_search_rrf",
+    "cms_heavy_hitters",
 ]
 
 

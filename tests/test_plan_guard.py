@@ -40,7 +40,10 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # tiny per-source sizes frame
             "temperature_sample",
             # one-row total / one-row quantile-bounds broadcast crosses
-            "key_skew_report", "histogram_equidepth"}
+            "key_skew_report", "histogram_equidepth",
+            # one-row (n_docs, avgdl) corpus-stats broadcast cross in the
+            # BM25 scorer (search.bm25_topk), plus its hybrid composition
+            "bm25_topk", "hybrid_search_rrf"}
 
 
 def test_all_entries_plan_invariants(spark):
