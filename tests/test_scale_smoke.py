@@ -434,3 +434,23 @@ def test_winnow_boilerplate_heavy_corpus(spark):
     n_pairs = pairs.count()
     # ~12 hot footer fps x (120 capped pairs + n chain pairs) -> O(n)
     assert 0 < n_pairs <= 16 * n
+
+
+def test_bm25_common_term_posting_list(spark):
+    """A query term present in EVERY one of 200k docs: the score shuffle
+    keys on doc id (uniform) and the top-k is distributed TakeOrdered —
+    no global-window single partition, runtime bounded, ranking exact."""
+    from otit_swt_spark.pipelines.search import bm25_topk
+
+    n = 200_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("common filler words everywhere "),
+                 F.when(F.col("id") % 1000 == 0,
+                        F.lit("needle needle needle ")).otherwise(F.lit("")),
+                 (F.col("id") % 50).cast("string")).alias("text"))
+    out = bm25_topk(docs, "common needle", k=10).collect()
+    assert len(out) == 10
+    # docs carrying the rare term (higher idf, tf=3) dominate the top-k
+    assert all(r["doc_id"] % 1000 == 0 for r in out)
+    assert [r["rank"] for r in out] == list(range(1, 11))
