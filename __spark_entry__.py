@@ -2418,6 +2418,16 @@ def q_hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse([bleg, cleg], k=10)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval 'value table' via positional postings:
+    per-slot re-based starts intersected with one (doc, start) groupBy —
+    postings prune to the phrase terms map-side before the shuffle."""
+    from otit_swt_spark.pipelines.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, "value table")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2496,6 +2506,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "inverted_index": q_inverted_index,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "phrase_search": q_phrase_search,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2676,7 +2687,7 @@ _NEVER_DRIVER_GREEN = [
     "quantize_embeddings",                     # r05 driver-red, fixed
     "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
-    "hybrid_search_rrf", "cms_heavy_hitters",
+    "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4639,6 +4650,31 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_oracle(),
         "inverted_index": _inverted_index_oracle(),
         "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
+        "phrase_search": """
+            WITH ptok AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM documents
+            ), ppos AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                       unnest(tk) AS term
+                FROM ptok
+            ), hits AS (
+                SELECT doc_id, pos - 0 AS start, 0 AS slot
+                FROM ppos WHERE term = 'value'
+                UNION ALL
+                SELECT doc_id, pos - 1 AS start, 1 AS slot
+                FROM ppos WHERE term = 'table'
+            ), occ AS (
+                SELECT doc_id, start FROM hits
+                WHERE start >= 0
+                GROUP BY doc_id, start
+                HAVING count(DISTINCT slot) = 2
+            )
+            SELECT doc_id, count(*) AS n_occurrences
+            FROM occ GROUP BY doc_id
+        """,
         "cms_heavy_hitters": """
             WITH rr AS (
                 SELECT unnest(range(0, 4)) AS row

@@ -148,3 +148,57 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60,
     rk = F.row_number().over(
         W.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()))
     return top.withColumn("rank", rk).select(id_col, "rrf_score", "rank")
+
+
+def positional_index(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Positional postings ``(term, doc_id, pos)`` — the index layout
+    phrase and proximity queries need (plain tf postings cannot verify
+    adjacency). One map-side posexplode; write bucketed by term and a
+    phrase query's scan touches only its terms' postings."""
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(_tokens(text_col)).alias("pos", "term"))
+            .filter(F.col("term") != ""))
+
+
+def phrase_search(docs: DataFrame, phrase: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  index: DataFrame | None = None) -> DataFrame:
+    """Exact-phrase match via positional postings: ``(id_col,
+    n_occurrences)`` for documents containing the query tokens
+    CONSECUTIVELY. Each query term's postings are re-based to the
+    phrase start (``pos - i``) and a start position where all ``m``
+    terms land is a full occurrence — the classic positional-index
+    intersection, expressed as one groupBy over the pruned postings
+    (distinct terms count once per slot, so repeated-term phrases like
+    "the the" need all slots individually).
+
+    Pass a pre-built :func:`positional_index` to amortize the corpus
+    tokenization across many queries; otherwise it is built inline.
+    Scale: postings filter to the query terms map-side before the
+    one shuffle on (doc, start)."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = index if index is not None else positional_index(
+        docs, text_col, id_col)
+    pruned = idx.filter(F.col("term").isin(sorted(set(terms))))
+    # one row per (query slot i, posting): slot i of the phrase matched at
+    # start = pos - i. A start with all len(terms) distinct slots present
+    # is an occurrence.
+    slots = F.array(*[
+        F.when(F.col("term") == t, F.lit(i)).otherwise(F.lit(None))
+        for i, t in enumerate(terms)])
+    hits = (pruned
+            .select("doc_id", "pos",
+                    F.explode(F.filter(slots, lambda x: x.isNotNull()))
+                    .alias("slot"))
+            .select("doc_id", F.col("slot"),
+                    (F.col("pos") - F.col("slot")).alias("start")))
+    occ = (hits.groupBy("doc_id", "start")
+           .agg(F.count_distinct("slot").alias("n_slots"))
+           .filter((F.col("n_slots") == len(terms)) & (F.col("start") >= 0)))
+    return (occ.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .withColumnRenamed("doc_id", id_col))

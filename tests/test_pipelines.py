@@ -2047,3 +2047,29 @@ def test_count_min_sketch_bounds_and_merge(spark):
     got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
     assert got == full
     sketch.unpersist()
+
+
+def test_phrase_search_adjacency_and_repeats(spark):
+    """Phrase matching requires CONSECUTIVE tokens (bag-of-words co-occurrence
+    must not match), counts multiple occurrences, and handles repeated-term
+    phrases via per-slot distinct counting."""
+    from otit_swt_spark.pipelines.search import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [(1, "big red fox and big red dog"),       # "big red" twice
+         (2, "red big fox"),                        # reversed: no match
+         (3, "big blue red fox"),                   # non-adjacent: no match
+         (4, "echo echo once"),                     # repeated-term phrase
+         (5, "echo once echo")],                    # split repeats: no match
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, "big red").collect()}
+    assert out == {1: 2}
+    rep = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, "echo echo").collect()}
+    assert rep == {4: 1}
+    # pre-built index path gives identical results
+    idx = positional_index(docs)
+    viaidx = {r["doc_id"]: r["n_occurrences"]
+              for r in phrase_search(docs, "big red", index=idx).collect()}
+    assert viaidx == out
