@@ -299,6 +299,64 @@ def merge_upsert(spark: SparkSession, root: str, changes: DataFrame,
     return nxt
 
 
+def compact(spark: SparkSession, root: str,
+            partitions: list | None = None,
+            target_files_per_partition: int = 1) -> int:
+    """Small-file compaction: rewrite the named partitions (default: the
+    partitions whose dirs hold more than ``target_files_per_partition``
+    data files) coalesced to the target file count, and publish the
+    result as a new CONTENT-IDENTICAL version. The small-files problem is
+    the chronic failure mode of long-lived merge-heavy tables at 100 TB —
+    every merge adds files, scan task counts balloon — and compaction
+    through the same two-phase publish keeps snapshot isolation: readers
+    of the old version keep their files (``vacuum`` reclaims them later),
+    and a concurrent merge racing the compaction loses cleanly at the
+    claim.
+
+    Returns the new version, or the CURRENT version unchanged if nothing
+    needed compaction (no empty no-op versions)."""
+    base = current_version(spark, root)
+    if base == 0:
+        raise FileNotFoundError(f"{root} has no published versions")
+    m = _load_manifest(spark, root, base)
+    pcol, r = m["partition_col"], root.rstrip("/")
+
+    def n_files(rel: str) -> int:
+        return sum(1 for f in fsutil.listdir(spark, f"{r}/{rel}")
+                   if f.endswith(".parquet"))
+
+    if partitions is not None:
+        todo = [_part_key(p) for p in partitions if _part_key(p) in m["entries"]]
+    else:
+        todo = [k for k, rel in m["entries"].items()
+                if n_files(rel) > target_files_per_partition]
+    if not todo:
+        return base
+    nxt = base + 1
+    token = uuid.uuid4().hex[:8]
+    compacted = _read_entries(
+        spark, root, {k: m["entries"][k] for k in todo}, pcol)
+    if pcol is None:
+        compacted = compacted.coalesce(max(1, target_files_per_partition))
+    else:
+        # hash-repartition on the partition column: each value lands in
+        # exactly one task, so each rewritten dir gets one file (times the
+        # target multiplier)
+        compacted = compacted.repartition(
+            max(1, target_files_per_partition * len(todo)), F.col(pcol))
+    new_entries = _write_version_data(spark, root, compacted, nxt, pcol, token)
+    entries = {k: rel for k, rel in m["entries"].items() if k not in todo}
+    entries.update(new_entries)
+    try:
+        _publish_manifest(spark, root, {
+            "version": nxt, "partition_col": pcol, "entries": entries,
+            "writer": token})
+    except Exception:
+        fsutil.delete(spark, f"{r}/data/v{nxt}-{token}")
+        raise
+    return nxt
+
+
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and any
     physical dir no kept manifest references. Returns deleted paths."""

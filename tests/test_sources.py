@@ -1310,3 +1310,38 @@ def test_opcua_find_time_bounds():
     with pytest.raises(ValueError, match="duplicate"):
         find_time_bounds(
             filter_expr(f"?t >= {lit} && ?t > {lit}"), "t")
+
+
+def test_wap_compact_small_files(spark, tmp_path):
+    """Five merges leave a partition scattered across five physical dirs /
+    files; compact() rewrites it to one file in a new content-identical
+    version while untouched partitions carry over by reference, old
+    versions stay readable until vacuum, and a no-op compact publishes
+    nothing."""
+    import glob
+
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "wtbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(10)], "id long, val string, p int")
+    wap.init_table(spark, root, base, partition_col="p")
+    for i in range(5):
+        ch = spark.createDataFrame([(100 + i, f"new{i}", 0, False)],
+                                   "id long, val string, p int, deleted boolean")
+        wap.merge_upsert(spark, root, ch, key="id", deleted_col="deleted")
+    before = wap.current_version(spark, root)
+    rows_before = {(r.id, r.val) for r in wap.read_table(spark, root).collect()}
+
+    v = wap.compact(spark, root)
+    assert v == before + 1
+    rows_after = {(r.id, r.val) for r in wap.read_table(spark, root).collect()}
+    assert rows_after == rows_before                       # content-identical
+    m = wap._load_manifest(spark, root, v)
+    files_p0 = glob.glob(f"{root}/{m['entries']['0']}/*.parquet")
+    assert len(files_p0) == 1                              # compacted
+    # old version still readable (snapshot isolation until vacuum)
+    assert {(r.id, r.val) for r in
+            wap.read_table(spark, root, version=before).collect()} == rows_before
+    # second compact is a no-op: current version unchanged
+    assert wap.compact(spark, root) == v
