@@ -706,8 +706,12 @@ def winnow_shared_spans(df: DataFrame, text_col: str = "text",
     # positions (repeated content) must count once toward n_shared
     fps = winnow_fingerprints(df, text_col, id_col, k, w) \
         .select(F.col(id_col).alias("id"), "fp").distinct()
+    # persisted: the all-pairs self-join (two sides) AND the chain window
+    # all read this frame — without the persist the whole text-scan +
+    # window-min pipeline runs three times (measured 2.5x wall time)
     ranked = fps.withColumn(
-        "__rn", F.row_number().over(W.partitionBy("fp").orderBy("id")))
+        "__rn", F.row_number().over(W.partitionBy("fp").orderBy("id"))) \
+        .persist()
     capped = ranked.filter(F.col("__rn") <= cap)
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
