@@ -2428,6 +2428,23 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(d, "value table")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: 50 most frequent tokens with ranks —
+    explode + count on uniform term keys, distributed TakeOrdered."""
+    from otit_swt_spark.pipelines.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), n=50)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """One BPE vocabulary-induction step: adjacent character-pair counts
+    weighted by word frequency (Sennrich 2016), top 20 — computed over the
+    distinct-word table, so cost is corpus-size independent."""
+    from otit_swt_spark.pipelines.textstats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), n=20)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2507,6 +2524,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "phrase_search": q_phrase_search,
+        "vocab_topk": q_vocab_topk,
+        "bpe_merges": q_bpe_merges,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2688,6 +2707,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
+    "vocab_topk", "bpe_merges",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4674,6 +4694,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_occurrences
             FROM occ GROUP BY doc_id
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS term
+                FROM documents
+            ), c AS (
+                SELECT term, count(*) AS n_occurrences
+                FROM tok WHERE term <> '' GROUP BY term
+            )
+            SELECT term, n_occurrences,
+                   CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, term) AS INT) AS rank
+            FROM c QUALIFY rank <= 50
+        """,
+        "bpe_merges": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS w
+                FROM documents
+            ), words AS (
+                SELECT w, count(*) AS wc
+                FROM tok WHERE w <> '' GROUP BY w
+            ), pairs AS (
+                SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, wc
+                FROM words, LATERAL unnest(range(1, len(w))) t(i)
+                WHERE len(w) >= 2
+            ), c AS (
+                SELECT l AS "left", r AS "right", sum(wc) AS pair_count
+                FROM pairs GROUP BY 1, 2
+            )
+            SELECT "left", "right", pair_count,
+                   CAST(row_number() OVER (
+                       ORDER BY pair_count DESC, "left", "right") AS INT)
+                       AS rank
+            FROM c QUALIFY rank <= 20
         """,
         "cms_heavy_hitters": """
             WITH rr AS (

@@ -223,3 +223,51 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, "[ \\t]+", " ")
     t = F.regexp_replace(t, " ?\n ?", "\n")
     return F.trim(t)
+
+
+def vocab_topk(df: DataFrame, n: int = 1000, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the ``n`` most frequent whitespace tokens
+    as ``(term, n_occurrences, rank)`` — the first artifact any tokenizer
+    or stopword pipeline needs. One explode + count shuffle on uniform
+    term keys, then distributed TakeOrdered (no global window)."""
+    from pyspark.sql import Window as W
+
+    counts = (df.select(F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences")))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "term").limit(n)
+    rk = F.row_number().over(W.orderBy(F.col("n_occurrences").desc(), "term"))
+    return top.withColumn("rank", rk)
+
+
+def bpe_merge_candidates(df: DataFrame, n: int = 20,
+                         text_col: str = "text") -> DataFrame:
+    """One step of byte-pair-encoding vocabulary induction: adjacent
+    CHARACTER pair counts weighted by word frequency, as
+    ``(left, right, pair_count, rank)`` — the statistic whose argmax is
+    the next BPE merge (Sennrich et al. 2016). BPE trains on the distinct-
+    word frequency table, so the corpus collapses to one row per distinct
+    word BEFORE the character explode — the corpus-size-independent shape
+    (a 100 TB crawl has a bounded distinct-word table). Full training
+    iterates: apply the winning merge to the symbolization and re-count;
+    each round is this same aggregate over the re-split words."""
+    from pyspark.sql import Window as W
+
+    words = (df.select(F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(F.col("w").substr(i, F.lit(1)).alias("l"),
+                           F.col("w").substr(i + 1, F.lit(1)).alias("r")))
+    counts = (words.filter(F.length("w") >= 2)
+              .select("wc", F.explode(pairs).alias("p"))
+              .groupBy(F.col("p.l").alias("left"),
+                       F.col("p.r").alias("right"))
+              .agg(F.sum("wc").alias("pair_count")))
+    top = counts.orderBy(F.col("pair_count").desc(), "left", "right").limit(n)
+    rk = F.row_number().over(
+        W.orderBy(F.col("pair_count").desc(), "left", "right"))
+    return top.withColumn("rank", rk)

@@ -2073,3 +2073,63 @@ def test_phrase_search_adjacency_and_repeats(spark):
     viaidx = {r["doc_id"]: r["n_occurrences"]
               for r in phrase_search(docs, "big red", index=idx).collect()}
     assert viaidx == out
+
+
+def test_winnow_guarantee_property_randomized(spark):
+    """Property fuzz of the SIGMOD-2003 winnowing guarantee: for random
+    document pairs sharing a RANDOM >= w+k-1 token run at random offsets
+    inside random filler, the selected fingerprint sets always intersect;
+    pairs with no shared run of length >= k never do (their grams are
+    drawn from disjoint vocabularies)."""
+    import random
+
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+
+    rng = random.Random(20260814)
+    rows_, expect_overlap = [], {}
+    rid = 0
+    for case in range(12):
+        run_len = rng.randint(7, 15)            # >= w + k - 1 = 7
+        shared = " ".join(f"s{case}w{j}" for j in range(run_len))
+        fa = " ".join(f"a{case}x{j}" for j in range(rng.randint(0, 10)))
+        fb = " ".join(f"b{case}y{j}" for j in range(rng.randint(0, 10)))
+        fc = " ".join(f"c{case}z{j}" for j in range(rng.randint(4, 12)))
+        if case % 2 == 0:   # positive pair: shared run embedded both sides
+            rows_ += [(rid, f"{fa} {shared} {fb}".strip()),
+                      (rid + 1, f"{fb} {shared} {fa}".strip() or shared)]
+            expect_overlap[(rid, rid + 1)] = True
+        else:               # negative pair: disjoint vocabularies
+            rows_ += [(rid, f"{fa} {fc}".strip() or f"only{case}"),
+                      (rid + 1, fb.strip() or f"lone{case} t u v")]
+            expect_overlap[(rid, rid + 1)] = False
+        rid += 2
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for (a, b), want in expect_overlap.items():
+        got = bool(by_doc.get(a, set()) & by_doc.get(b, set()))
+        assert got == want, (a, b, want)
+
+
+def test_bpe_merge_candidates_and_vocab(spark):
+    """BPE pair counts weight by word FREQUENCY (not distinct words): the
+    'lo'/'ow' pairs of 3x'low' count 3 each plus derivatives; vocab_topk
+    ranks by count with deterministic term tie-break."""
+    from otit_swt_spark.pipelines.textstats import (
+        bpe_merge_candidates,
+        vocab_topk,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "new lowest")],
+        "doc_id long, text string")
+    pairs = {(r["left"], r["right"]): r["pair_count"]
+             for r in bpe_merge_candidates(d, n=30).collect()}
+    # 'l','o': low x3 + lower + lowest = 5; 'o','w' same
+    assert pairs[("l", "o")] == 5 and pairs[("o", "w")] == 5
+    assert pairs[("n", "e")] == 1
+    v = [(r["term"], r["n_occurrences"], r["rank"])
+         for r in vocab_topk(d, n=3).collect()]
+    assert v == [("low", 3, 1), ("lower", 1, 2), ("lowest", 1, 3)]
