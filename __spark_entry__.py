@@ -2445,6 +2445,19 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merge_candidates(_t(spark, sf_dir, "documents"), n=20)
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Full iterative BPE training, 6 merges: each round the argmax
+    adjacent symbol pair (one-row driver read, the kmeans-centroid
+    discipline) merges greedily via an array fold — (step, left, right,
+    pair_count). The oracle replays every round unrolled (list_reduce
+    fold with the argmax as a correlated scalar)."""
+    from otit_swt_spark.pipelines.textstats import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2526,6 +2539,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "phrase_search": q_phrase_search,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
+        "bpe_train_merges": q_bpe_train_merges,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2707,7 +2721,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
-    "vocab_topk", "bpe_merges",
+    "vocab_topk", "bpe_merges", "bpe_train_merges",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -3024,6 +3038,45 @@ def _diversity_sample_oracle() -> str:
             FROM afin
         ) WHERE pick_rank <= 20
     """
+
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    """Unrolled replay of textstats.bpe_train: per round, the argmax pair
+    (count desc, l, r — CAST to BIGINT, DuckDB sums are HUGEINT) feeds a
+    list_reduce greedy-merge fold as a correlated scalar from the one-row
+    tN cross join; the fold over singleton-wrapped symbols is exactly the
+    Spark aggregate (append, or replace the tail on a (l, r) match)."""
+    parts = ["""tok AS (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS w
+            FROM documents
+        ), words AS (
+            SELECT w, count(*) AS wc FROM tok WHERE w <> '' GROUP BY w
+        ), s0 AS (
+            SELECT wc, [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS syms
+            FROM words
+        )"""]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS (
+            SELECT syms[i] AS l, syms[i+1] AS r, wc
+            FROM s{i}, LATERAL unnest(range(1, len(syms))) t(i)
+            WHERE len(syms) >= 2
+        ), t{i} AS (
+            SELECT l, r, CAST(sum(wc) AS BIGINT) AS c FROM p{i}
+            GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+        )""")
+        if i + 1 < n_merges:
+            parts.append(f"""s{i + 1} AS (
+            SELECT wc, list_reduce(list_transform(syms, s -> [s]),
+                (acc, x) -> CASE WHEN acc[-1] = t{i}.l AND x[1] = t{i}.r
+                                 THEN acc[1:len(acc)-1] || [t{i}.l || t{i}.r]
+                                 ELSE acc || x END) AS syms
+            FROM s{i}, t{i}
+        )""")
+    union = "\n        UNION ALL ".join(
+        f'SELECT {i} AS step, l AS "left", r AS "right", c AS pair_count '
+        f"FROM t{i}" for i in range(n_merges))
+    return "WITH " + ",\n        ".join(parts) + "\n        " + union
 
 
 def _winnow_sel_ctes() -> str:
@@ -4709,6 +4762,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_occurrences DESC, term) AS INT) AS rank
             FROM c QUALIFY rank <= 50
         """,
+        "bpe_train_merges": _bpe_train_oracle(6),
         "bpe_merges": """
             WITH tok AS (
                 SELECT unnest(string_split_regex(lower(trim(text)),

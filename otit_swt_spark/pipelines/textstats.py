@@ -271,3 +271,58 @@ def bpe_merge_candidates(df: DataFrame, n: int = 20,
     rk = F.row_number().over(
         W.orderBy(F.col("pair_count").desc(), "left", "right"))
     return top.withColumn("rank", rk)
+
+
+def bpe_train(df: DataFrame, n_merges: int = 6,
+              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+    """Full BPE vocabulary training (Sennrich et al. 2016), distributed:
+    iterate :func:`bpe_merge_candidates`'s statistic — each round picks
+    the most frequent adjacent SYMBOL pair (count desc, then lexicographic
+    — deterministic) and merges it greedily left-to-right in every word's
+    symbolization. Returns ``[(step, left, right, pair_count), ...]``.
+
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table once; each round is one pair-count aggregate (driver reads ONE
+    row — the argmax) plus a map-side fold applying the merge
+    (``aggregate`` over the symbol array: append, or replace the tail
+    symbol when (tail, next) equals the merge — exactly greedy BPE, no
+    regex re-splitting). Lineage is truncated per round with a lazy
+    localCheckpoint, the kmeans/Pregel discipline."""
+    words = (df.select(F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    chars = F.transform(F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.col("w").substr(i, F.lit(1)))
+    state = words.select("wc", chars.alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(F.element_at("syms", i.cast("int")).alias("l"),
+                               F.element_at("syms", (i + 1).cast("int"))
+                               .alias("r")))
+        top = (state.filter(F.size("syms") >= 2)
+               .select("wc", F.explode(pairs).alias("p"))
+               .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+               .agg(F.sum("wc").alias("c"))
+               .orderBy(F.col("c").desc(), "l", "r").limit(1).collect())
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((step, l, r, c))
+        merged = l + r
+        head = F.slice("syms", 1, 1)
+        tail = F.when(F.size("syms") > 1,
+                      F.slice("syms", 2, F.size("syms") - 1)
+                      ).otherwise(F.array().cast("array<string>"))
+        fold = F.aggregate(
+            tail, head,
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        state = state.select("wc", fold.alias("syms")) \
+            .localCheckpoint(eager=False)
+    return merges

@@ -2133,3 +2133,22 @@ def test_bpe_merge_candidates_and_vocab(spark):
     v = [(r["term"], r["n_occurrences"], r["rank"])
          for r in vocab_topk(d, n=3).collect()]
     assert v == [("low", 3, 1), ("lower", 1, 2), ("lowest", 1, 3)]
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """Iterative BPE: later rounds merge MULTI-character symbols (lo+w),
+    and the in-word application is greedy left-to-right ('aaaa' with merge
+    (a,a) counts as two 'aa', never three overlapping)."""
+    from otit_swt_spark.pipelines.textstats import bpe_train
+
+    d = spark.createDataFrame(
+        [(1, "low low low lower lowest newest newest")],
+        "doc_id long, text string")
+    merges = bpe_train(d, n_merges=4)
+    assert merges[0] == (0, "l", "o", 5)
+    assert merges[1] == (1, "lo", "w", 5)       # multi-char left symbol
+    d2 = spark.createDataFrame([(1, "aaaa aaaa aaaa")],
+                               "doc_id long, text string")
+    m2 = bpe_train(d2, n_merges=2)
+    assert m2[0] == (0, "a", "a", 6)            # 2 per word x 3, not 3x3
+    assert m2[1] == (1, "aa", "aa", 3)
