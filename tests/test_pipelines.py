@@ -2150,5 +2150,8 @@ def test_bpe_train_greedy_merge_semantics(spark):
     d2 = spark.createDataFrame([(1, "aaaa aaaa aaaa")],
                                "doc_id long, text string")
     m2 = bpe_train(d2, n_merges=2)
-    assert m2[0] == (0, "a", "a", 6)            # 2 per word x 3, not 3x3
+    # the COUNT statistic is per adjacent slot (3 slots x wc 3 = 9, the
+    # Sennrich counter); the APPLICATION is greedy non-overlapping, so
+    # after the merge each word is [aa, aa] -> one (aa, aa) slot x 3
+    assert m2[0] == (0, "a", "a", 9)
     assert m2[1] == (1, "aa", "aa", 3)
