@@ -2458,6 +2458,18 @@ def q_bpe_train_merges(spark, sf_dir):
         merges, "step int, left string, right string, pair_count long")
 
 
+def q_bpe_segment_stats(spark, sf_dir):
+    """BPE tokenizer inference: apply the 6 trained merges to the corpus
+    vocabulary — (word, wc, n_syms, '|'-joined segmentation). Chained
+    map-side folds over the distinct-word table; the oracle replays the
+    train rounds AND the final segmentation state."""
+    from otit_swt_spark.pipelines.textstats import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=6)
+    return bpe_segment(d, [(l, r) for _, l, r, _ in merges])
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2540,6 +2552,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_train_merges": q_bpe_train_merges,
+        "bpe_segment_stats": q_bpe_segment_stats,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2721,7 +2734,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
-    "vocab_topk", "bpe_merges", "bpe_train_merges",
+    "vocab_topk", "bpe_merges", "bpe_train_merges", "bpe_segment_stats",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -3040,12 +3053,14 @@ def _diversity_sample_oracle() -> str:
     """
 
 
-def _bpe_train_oracle(n_merges: int = 6) -> str:
-    """Unrolled replay of textstats.bpe_train: per round, the argmax pair
-    (count desc, l, r — CAST to BIGINT, DuckDB sums are HUGEINT) feeds a
-    list_reduce greedy-merge fold as a correlated scalar from the one-row
-    tN cross join; the fold over singleton-wrapped symbols is exactly the
-    Spark aggregate (append, or replace the tail on a (l, r) match)."""
+def _bpe_ctes(n_merges: int = 6, final_state: bool = False) -> str:
+    """Unrolled CTE chain replaying textstats.bpe_train: per round, the
+    argmax pair (count desc, l, r — CAST to BIGINT, DuckDB sums are
+    HUGEINT) feeds a list_reduce greedy-merge fold as a correlated scalar
+    from the one-row tN cross join; the fold over singleton-wrapped
+    symbols is exactly the Spark aggregate (append, or replace the tail
+    on a (l, r) match). With ``final_state`` the chain also builds
+    s{n_merges} — the fully-segmented vocabulary bpe_segment reads."""
     parts = ["""tok AS (
             SELECT unnest(string_split_regex(lower(trim(text)),
                                              '\\s+')) AS w
@@ -3053,7 +3068,8 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
         ), words AS (
             SELECT w, count(*) AS wc FROM tok WHERE w <> '' GROUP BY w
         ), s0 AS (
-            SELECT wc, [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS syms
+            SELECT w, wc,
+                   [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS syms
             FROM words
         )"""]
     for i in range(n_merges):
@@ -3065,18 +3081,30 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
             SELECT l, r, CAST(sum(wc) AS BIGINT) AS c FROM p{i}
             GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
         )""")
-        if i + 1 < n_merges:
+        if i + 1 < n_merges or final_state:
             parts.append(f"""s{i + 1} AS (
-            SELECT wc, list_reduce(list_transform(syms, s -> [s]),
+            SELECT w, wc, list_reduce(list_transform(syms, s -> [s]),
                 (acc, x) -> CASE WHEN acc[-1] = t{i}.l AND x[1] = t{i}.r
                                  THEN acc[1:len(acc)-1] || [t{i}.l || t{i}.r]
                                  ELSE acc || x END) AS syms
             FROM s{i}, t{i}
         )""")
+    return ",\n        ".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
     union = "\n        UNION ALL ".join(
         f'SELECT {i} AS step, l AS "left", r AS "right", c AS pair_count '
         f"FROM t{i}" for i in range(n_merges))
-    return "WITH " + ",\n        ".join(parts) + "\n        " + union
+    return "WITH " + _bpe_ctes(n_merges) + "\n        " + union
+
+
+def _bpe_segment_oracle(n_merges: int = 6) -> str:
+    return f"""WITH {_bpe_ctes(n_merges, final_state=True)}
+        SELECT w AS word, wc, len(syms) AS n_syms,
+               array_to_string(syms, '|') AS segmentation
+        FROM s{n_merges}
+    """
 
 
 def _winnow_sel_ctes() -> str:
@@ -4763,6 +4791,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c QUALIFY rank <= 50
         """,
         "bpe_train_merges": _bpe_train_oracle(6),
+        "bpe_segment_stats": _bpe_segment_oracle(6),
         "bpe_merges": """
             WITH tok AS (
                 SELECT unnest(string_split_regex(lower(trim(text)),

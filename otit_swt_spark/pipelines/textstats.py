@@ -326,3 +326,42 @@ def bpe_train(df: DataFrame, n_merges: int = 6,
         state = state.select("wc", fold.alias("syms")) \
             .localCheckpoint(eager=False)
     return merges
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
+                text_col: str = "text") -> DataFrame:
+    """Apply an ORDERED BPE merge list (from :func:`bpe_train`) to the
+    corpus vocabulary: per distinct word, fold each merge greedily
+    left-to-right in sequence — the inference side of the tokenizer.
+    Returns ``(word, wc, n_syms, segmentation)`` with the symbolization
+    '|'-joined (scalar output). Pure chained map-side folds, zero extra
+    shuffle beyond the distinct-word collapse; merges ride as plan
+    literals."""
+    words = (df.select(F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    syms = F.transform(F.sequence(F.lit(1), F.length("w")),
+                       lambda i: F.col("w").substr(i, F.lit(1)))
+    def merge_fold(l: str, r: str):
+        # closure factory, NOT default-arg lambdas: PySpark's HOF arity
+        # inspection rejects lambdas with defaults
+        merged = l + r
+
+        def fold(acc, x):
+            return F.when(
+                (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged)))
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    for l, r in merges:
+        head = F.slice(syms, 1, 1)
+        tail = F.when(F.size(syms) > 1, F.slice(syms, 2, F.size(syms) - 1)
+                      ).otherwise(F.array().cast("array<string>"))
+        syms = F.aggregate(tail, head, merge_fold(l, r))
+    return words.select(F.col("w").alias("word"), "wc",
+                        F.size(syms).alias("n_syms"),
+                        F.array_join(syms, "|").alias("segmentation"))

@@ -2155,3 +2155,20 @@ def test_bpe_train_greedy_merge_semantics(spark):
     # after the merge each word is [aa, aa] -> one (aa, aa) slot x 3
     assert m2[0] == (0, "a", "a", 9)
     assert m2[1] == (1, "aa", "aa", 3)
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    """Tokenizer inference: the ordered merge list folds sequentially, so
+    later merges consume earlier merges' symbols; unmerged characters
+    survive as singletons."""
+    from otit_swt_spark.pipelines.textstats import bpe_segment
+
+    d = spark.createDataFrame([(1, "low lowest low")],
+                              "doc_id long, text string")
+    out = {r["word"]: (r["wc"], r["n_syms"], r["segmentation"])
+           for r in bpe_segment(d, [("l", "o"), ("lo", "w")]).collect()}
+    assert out["low"] == (2, 1, "low")
+    assert out["lowest"] == (1, 4, "low|e|s|t")
+    # empty merge list = character segmentation
+    out0 = {r["word"]: r["segmentation"] for r in bpe_segment(d, []).collect()}
+    assert out0["low"] == "l|o|w"
