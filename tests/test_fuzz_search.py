@@ -1,0 +1,76 @@
+"""Seeded random-differential fuzzer for the search family: random query
+term sets (drawn from the corpus vocabulary, plus out-of-vocabulary terms)
+run through Spark bm25_topk and the same parameterized DuckDB replay the
+oracle uses — order-insensitive comparison, the oracle-gate idea made
+combinatorial. Phrase search is fuzzed against a pure-Python sliding-window
+reference on the collected corpus."""
+
+import random
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"'{SF_DIR}/documents.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def vocab(spark):
+    from otit_swt_spark.pipelines.textstats import vocab_topk
+
+    return [r["term"] for r in
+            vocab_topk(spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                       n=40).collect()]
+
+
+def test_bm25_random_queries_match_duckdb(spark, con, vocab):
+    import __spark_entry__ as entry_mod
+    from otit_swt_spark.pipelines.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rng = random.Random(6)
+    for trial in range(8):
+        n_terms = rng.randint(1, 4)
+        terms = rng.sample(vocab, n_terms)
+        if trial % 3 == 2:
+            terms.append(f"oov{trial}")         # absent term: zero postings
+        query = " ".join(terms)
+        k = rng.choice([5, 10, 25])
+        got = sorted(
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, query, k=k).collect())
+        sql = (f"WITH {entry_mod._bm25_ctes(tuple(terms))}"
+               f' SELECT doc_id, score, CAST(row_number() OVER '
+               f'(ORDER BY score DESC, doc_id) AS INT) AS rank '
+               f"FROM bscored QUALIFY rank <= {k}")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"query={query!r} k={k}"
+
+
+def test_phrase_search_random_vs_python_reference(spark, vocab):
+    from otit_swt_spark.pipelines.search import phrase_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = {r["doc_id"]: (r["text"] or "").lower().strip().split()
+              for r in docs.collect()}
+    rng = random.Random(7)
+    for _ in range(6):
+        phrase_toks = rng.sample(vocab, rng.randint(2, 3))
+        phrase = " ".join(phrase_toks)
+        got = {r["doc_id"]: r["n_occurrences"]
+               for r in phrase_search(docs, phrase).collect()}
+        want = {}
+        m = len(phrase_toks)
+        for did, toks in corpus.items():
+            n = sum(1 for i in range(len(toks) - m + 1)
+                    if toks[i:i + m] == phrase_toks)
+            if n:
+                want[did] = n
+        assert got == want, f"phrase={phrase!r}"
