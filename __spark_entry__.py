@@ -2470,6 +2470,18 @@ def q_bpe_segment_stats(spark, sf_dir):
     return bpe_segment(d, [(l, r) for _, l, r, _ in merges])
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document sequence length under the trained 6-merge BPE
+    tokenizer: vocabulary segmented once, broadcast back onto the
+    exploded corpus, summed per doc — the token-budget number whitespace
+    counts under-estimate."""
+    from otit_swt_spark.pipelines.textstats import bpe_token_counts, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=6)
+    return bpe_token_counts(d, [(l, r) for _, l, r, _ in merges])
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2553,6 +2565,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_merges": q_bpe_merges,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_segment_stats": q_bpe_segment_stats,
+        "bpe_token_counts": q_bpe_token_counts,
         "cusum_drift": q_cusum_drift,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2735,6 +2748,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
     "vocab_topk", "bpe_merges", "bpe_train_merges", "bpe_segment_stats",
+    "bpe_token_counts",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4792,6 +4806,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train_merges": _bpe_train_oracle(6),
         "bpe_segment_stats": _bpe_segment_oracle(6),
+        "bpe_token_counts": f"""WITH {_bpe_ctes(6, final_state=True)}
+        , seg AS (
+            SELECT w AS word, len(syms) AS n_syms FROM s6
+        ), dtok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS word
+            FROM documents
+        )
+        SELECT d.doc_id, count(*) AS n_words,
+               sum(s.n_syms) AS n_bpe_tokens
+        FROM dtok d JOIN seg s USING (word)
+        GROUP BY d.doc_id
+        """,
         "bpe_merges": """
             WITH tok AS (
                 SELECT unnest(string_split_regex(lower(trim(text)),

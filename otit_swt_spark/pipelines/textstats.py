@@ -365,3 +365,23 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
     return words.select(F.col("w").alias("word"), "wc",
                         F.size(syms).alias("n_syms"),
                         F.array_join(syms, "|").alias("segmentation"))
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts UNDER A TRAINED TOKENIZER — the number
+    that token-budget planning actually needs (whitespace counts
+    under-estimate BPE sequence length). Segments the distinct-word
+    vocabulary once (:func:`bpe_segment`), broadcasts the (word → n_syms)
+    map back onto the exploded corpus, and sums per document:
+    ``(id_col, n_words, n_bpe_tokens)``. The per-word work is vocabulary-
+    sized; the corpus-sized pass is one explode + broadcast join + sum."""
+    seg = bpe_segment(df, merges, text_col).select("word", "n_syms")
+    toks = (df.select(F.col(id_col), F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"))
+        .filter(F.col("word") != ""))
+    return (toks.join(F.broadcast(seg), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_syms").alias("n_bpe_tokens")))

@@ -2172,3 +2172,15 @@ def test_bpe_segment_applies_merges_in_order(spark):
     # empty merge list = character segmentation
     out0 = {r["word"]: r["segmentation"] for r in bpe_segment(d, []).collect()}
     assert out0["low"] == "l|o|w"
+
+
+def test_bpe_token_counts_vs_segmentation(spark):
+    from otit_swt_spark.pipelines.textstats import bpe_token_counts
+
+    d = spark.createDataFrame(
+        [(1, "low low lowest"), (2, "x")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           bpe_token_counts(d, [("l", "o"), ("lo", "w")]).collect()}
+    # doc1: low(1 sym) x2 + lowest(low|e|s|t = 4 syms) = 6 bpe tokens
+    assert out[1] == (3, 6)
+    assert out[2] == (1, 1)
