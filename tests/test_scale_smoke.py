@@ -454,3 +454,21 @@ def test_bm25_common_term_posting_list(spark):
     # docs carrying the rare term (higher idf, tf=3) dominate the top-k
     assert all(r["doc_id"] % 1000 == 0 for r in out)
     assert [r["rank"] for r in out] == list(range(1, 11))
+
+
+def test_phrase_search_hot_phrase_corpus(spark):
+    """Every one of 100k docs contains the query phrase: postings prune
+    to the full corpus but the (doc, start) groupBy keys stay uniform —
+    linear, with exact per-doc occurrence counts."""
+    from otit_swt_spark.pipelines.search import phrase_search
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma hot pair filler "),
+                 (F.col("id") % 97).cast("string"),
+                 F.lit(" hot pair trailing")).alias("text"))
+    out = phrase_search(docs, "hot pair")
+    agg = out.agg(F.count("*").alias("docs"),
+                  F.sum("n_occurrences").alias("occ")).first()
+    assert agg["docs"] == n and agg["occ"] == 2 * n
