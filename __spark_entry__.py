@@ -2482,6 +2482,38 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(d, [(l, r) for _, l, r, _ in merges])
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership ledger: set-bit frame over o_custkey (4096
+    bits, k=5), probed with 30 present customer keys and 10 absent ones —
+    no false negatives by construction; any false positives are the
+    deterministic md5 collisions the oracle reproduces exactly."""
+    from otit_swt_spark.pipelines.analytics import bloom_build, bloom_probe
+
+    o = _t(spark, sf_dir, "orders")
+    bloom = bloom_build(o, "o_custkey", n_bits=4096, k=5)
+    present = (o.select(F.col("o_custkey").alias("key")).distinct()
+               .orderBy("key").limit(30))
+    absent = spark.range(10).select(
+        (F.col("id") + F.lit(1_000_000_000)).alias("key"))
+    keys = present.unionByName(absent)
+    out = bloom_probe(bloom, keys, "key", n_bits=4096, k=5)
+    return out.select("key", F.col("maybe_present").cast("int")
+                      .alias("maybe_present"))
+
+
+def q_hll_users(spark, sf_dir):
+    """Deterministic SQL-replayable HyperLogLog over event user_ids next
+    to the exact distinct count — the mergeable 1024-register sketch a
+    100 TB distinct-count rollup ships between stages (unlike
+    approx_count_distinct, the oracle replays it bit-for-bit)."""
+    from otit_swt_spark.pipelines.analytics import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(hll_sketch(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2560,6 +2592,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "inverted_index": q_inverted_index,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_membership": q_bloom_membership,
+        "hll_users": q_hll_users,
         "phrase_search": q_phrase_search,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
@@ -2748,7 +2782,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
     "vocab_topk", "bpe_merges", "bpe_train_merges", "bpe_segment_stats",
-    "bpe_token_counts",
+    "bpe_token_counts", "bloom_membership", "hll_users",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4841,6 +4875,68 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY pair_count DESC, "left", "right") AS INT)
                        AS rank
             FROM c QUALIFY rank <= 20
+        """,
+        "bloom_membership": """
+            WITH bits AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('bl' || i || ':'
+                            || CAST(o_custkey AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 4096 AS pos
+                FROM orders, (SELECT unnest(range(0, 5)) AS i)
+            ), present AS (
+                SELECT DISTINCT o_custkey AS key FROM orders
+                ORDER BY key LIMIT 30
+            ), keys AS (
+                SELECT key FROM present
+                UNION ALL
+                SELECT 1000000000 + unnest(range(0, 10)) AS key
+            ), probes AS (
+                SELECT k.key,
+                       ('0x' || substr(md5('bl' || i || ':'
+                            || CAST(k.key AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 4096 AS pos
+                FROM keys k, (SELECT unnest(range(0, 5)) AS i)
+            )
+            SELECT p.key,
+                   CAST(count(*) = sum(CASE WHEN b.pos IS NULL
+                                            THEN 0 ELSE 1 END) AS INT)
+                       AS maybe_present
+            FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY p.key
+        """,
+        "hll_users": f"""
+            WITH h AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                           ::UBIGINT::BIGINT AS hv
+                FROM events
+            ), reg AS (
+                SELECT CAST(hv >> 50 AS INT) AS bucket,
+                       max(CASE WHEN (hv & {(1 << 50) - 1}) > 0
+                                THEN 51 - length(bin(hv & {(1 << 50) - 1}))
+                                ELSE 51 END) AS max_rho
+                FROM h GROUP BY 1
+            ), agg AS (
+                SELECT count(*) AS used,
+                       CAST(sum(CAST(1 AS BIGINT) << (51 - max_rho))
+                            AS BIGINT) AS s
+                FROM reg
+            ), est AS (
+                SELECT used,
+                       CAST({0.7213 / (1.0 + 1.079 / 1024)!r} AS DOUBLE)
+                           * 1024.0 * 1024.0 * CAST({1 << 51} AS DOUBLE)
+                           / CAST(s + (1024 - used)
+                                  * CAST({1 << 51} AS BIGINT) AS DOUBLE)
+                           AS e_raw,
+                       CAST(1024 - used AS DOUBLE) AS v
+                FROM agg
+            )
+            SELECT used AS n_buckets_used,
+                   round(CASE WHEN e_raw <= 2560.0 AND v > 0
+                              THEN 1024.0 * ln(1024.0 / v)
+                              ELSE e_raw END, 6) AS estimate,
+                   (SELECT count(DISTINCT user_id) FROM events)
+                       AS exact_distinct
+            FROM est
         """,
         "cms_heavy_hitters": """
             WITH rr AS (

@@ -422,3 +422,84 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_count")))
+
+
+def bloom_build(df: DataFrame, key_col: str, n_bits: int = 4096,
+                k: int = 5) -> DataFrame:
+    """Bloom filter as a set-bit frame ``(pos)``: each key sets ``k``
+    md5-salted positions in ``[0, n_bits)``. The mergeable seen-set for
+    100 TB membership (URL dedup frontiers, processed-id ledgers): union
+    two filters by unioning their bit frames; the frame is at most
+    ``n_bits`` rows no matter how many keys went in, and probing
+    broadcasts it. Deterministic md5 hashing — replayable anywhere."""
+    positions = F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bl{i}:"), F.col(key_col).cast("string"))),
+            1, 8), 16, 10).cast("long") % n_bits)
+        for i in range(k)])
+    return (df.select(F.explode(positions).alias("pos")).distinct())
+
+
+def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str,
+                n_bits: int = 4096, k: int = 5) -> DataFrame:
+    """Membership probe: a key is (maybe) present iff ALL its ``k``
+    positions are set — no false negatives, false-positive rate
+    ``(1 - e^{-kn/m})^k``. The bit frame broadcasts; probing any number
+    of keys is map-side + one small join."""
+    probes = keys.select(F.col(key_col), F.explode(F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bl{i}:"), F.col(key_col).cast("string"))),
+            1, 8), 16, 10).cast("long") % n_bits)
+        for i in range(k)])).alias("pos"))
+    hit = (probes.join(F.broadcast(bloom.withColumn("__set", F.lit(1))),
+                       "pos", "left")
+           .groupBy(key_col)
+           .agg((F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0))))
+                .alias("maybe_present")))
+    return hit
+
+
+def hll_sketch(df: DataFrame, key_col: str, b: int = 10) -> DataFrame:
+    """Deterministic HyperLogLog register frame ``(bucket, max_rho)``
+    (Flajolet et al. 2007): 60-bit md5 hash, top ``b`` bits pick the
+    bucket, rho = leading-zeros-plus-one of the remaining ``50`` bits
+    (via ``length(bin(rest))`` — exact integer math, no floats). Unlike
+    ``approx_count_distinct`` this sketch is bit-replayable in any SQL
+    engine AND mergeable by ``max`` per bucket — shuffle-bounded distinct
+    counting at 2^b rows of state."""
+    if b != 10:
+        raise ValueError("b=10 is the calibrated/oracle-replayed width")
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    bucket = F.shiftright(h, 50)
+    rest = h.bitwiseAND(F.lit((1 << 50) - 1))
+    rho = F.when(rest > 0, F.lit(51) - F.length(F.bin(rest))) \
+        .otherwise(F.lit(51))
+    return (df.select(bucket.cast("int").alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_estimate(sketch: DataFrame, b: int = 10) -> DataFrame:
+    """Cardinality estimate from the register frame: the harmonic-mean
+    estimator with the small-range linear-counting correction. The
+    2^-rho sum runs SCALED IN INTEGERS (sum of 2^(51-rho) longs — exact,
+    order-insensitive) with ONE double division at the end, so the
+    rounded estimate is bit-identical across engines and partition
+    orders. Returns one row ``(n_buckets_used, estimate)``."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # 2^(51-rho) via double pow then cast: exponents <= 51 are exactly
+    # representable (< 2^53), and shiftleft needs a literal shift amount
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(51) - F.col("max_rho"))
+              .cast("long")).alias("s"))
+    total = (F.col("s")
+             + (F.lit(m) - F.col("used")) * F.lit(1 << 51).cast("long"))
+    e_raw = F.lit(alpha * m * m * float(1 << 51)) / total.cast("double")
+    v = (F.lit(m) - F.col("used")).cast("double")
+    est = F.when((e_raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+                 ).otherwise(e_raw)
+    return agg.select(F.col("used").alias("n_buckets_used"),
+                      F.round(est, 6).alias("estimate"))

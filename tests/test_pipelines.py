@@ -2184,3 +2184,45 @@ def test_bpe_token_counts_vs_segmentation(spark):
     # doc1: low(1 sym) x2 + lowest(low|e|s|t = 4 syms) = 6 bpe tokens
     assert out[1] == (3, 6)
     assert out[2] == (1, 1)
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from otit_swt_spark.pipelines.analytics import bloom_build, bloom_probe
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", n_bits=32768, k=5).cache()
+    assert bloom.count() <= 32768
+    # every inserted key probes present (no false negatives, ever)
+    present = bloom_probe(bloom, keys, "k", n_bits=32768, k=5)
+    assert present.filter(~F.col("maybe_present")).count() == 0
+    # absent keys: false-positive rate near (1-e^{-kn/m})^k ~ 0.04% here
+    absent = spark.range(4000).select((F.col("id") + 10_000_000).alias("k"))
+    fp = bloom_probe(bloom, absent, "k", n_bits=32768, k=5) \
+        .filter(F.col("maybe_present")).count()
+    assert fp <= 40
+    # mergeability: union of half-filters equals the full filter
+    b1 = bloom_build(keys.filter(F.col("k") < 1000), "k", 32768, 5)
+    b2 = bloom_build(keys.filter(F.col("k") >= 1000), "k", 32768, 5)
+    merged = b1.unionByName(b2).distinct()
+    assert {r["pos"] for r in merged.collect()} == \
+        {r["pos"] for r in bloom.collect()}
+    bloom.unpersist()
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL within ~2x the theoretical error (1.04/sqrt(1024) ~ 3.3%) at
+    10k distinct; half-sketches merged by per-bucket max equal the full
+    sketch (the mergeability that makes it a rollup-safe summary)."""
+    from otit_swt_spark.pipelines.analytics import hll_estimate, hll_sketch
+
+    df = spark.range(50_000).select((F.col("id") % 10_000).alias("u"))
+    sk = hll_sketch(df, "u").cache()
+    est = hll_estimate(sk).first()["estimate"]
+    assert abs(est - 10_000) / 10_000 < 0.07
+    s1 = hll_sketch(df.filter(F.col("u") < 5000), "u")
+    s2 = hll_sketch(df.filter(F.col("u") >= 5000), "u")
+    merged = (s1.unionByName(s2).groupBy("bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    full = {(r["bucket"], r["max_rho"]) for r in sk.collect()}
+    assert {(r["bucket"], r["max_rho"]) for r in merged.collect()} == full
+    sk.unpersist()
