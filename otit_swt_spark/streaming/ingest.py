@@ -438,3 +438,35 @@ def stream_count_min(df: DataFrame, key_col: str, path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_hll(df: DataFrame, key_col: str, path: str, checkpoint: str):
+    """Maintain a HyperLogLog register table from a stream: per
+    micro-batch, sketch the batch (``pipelines.analytics.hll_sketch``)
+    and merge into the stored registers by per-bucket max — register
+    merge is idempotent AND commutative, so unlike the CMS/incremental
+    sinks this needs NO batch-id replay guard: at-least-once redelivery
+    re-maxes the same registers harmlessly. Sink state is <= 1024 rows
+    forever; read the estimate with ``hll_estimate`` on the stored
+    table."""
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import hll_sketch
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta = hll_sketch(batch_df, key_col)
+        if fsutil.exists(spark, path):
+            merged = (spark.read.parquet(path).unionByName(delta)
+                      .groupBy("bucket").agg(F.max("max_rho")
+                                             .alias("max_rho")))
+        else:
+            merged = delta
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -475,3 +475,34 @@ def test_stream_count_min_matches_batch_sketch(spark, tmp_path):
     true = {r["k"]: r["n"] for r in
             full.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert all(est[k] >= true[k] for k in true)
+
+
+def test_stream_hll_matches_batch_sketch(spark, tmp_path):
+    """Streaming HLL registers folded over two micro-batches equal the
+    batch sketch of the full stream (max-merge is order-insensitive and
+    replay-safe), and the estimate lands within the 1024-register error
+    band."""
+    from otit_swt_spark.pipelines.analytics import hll_estimate, hll_sketch
+    from otit_swt_spark.streaming.ingest import stream_hll
+
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+    b1 = pd.DataFrame({"u": [f"user{i}" for i in range(800)]})
+    b2 = pd.DataFrame({"u": [f"user{i}" for i in range(400, 1200)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("u string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_hll(stream, "u", sk, ck)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    want = {(r["bucket"], r["max_rho"]) for r in
+            hll_sketch(full, "u").collect()}
+    got = {(r["bucket"], r["max_rho"]) for r in
+           spark.read.parquet(sk).collect()}
+    assert got == want
+    est = hll_estimate(spark.read.parquet(sk)).first()["estimate"]
+    assert abs(est - 1200) / 1200 < 0.1
