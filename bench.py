@@ -97,6 +97,11 @@ EXTENDED = [
     "inverted_index",
     "hybrid_search_rrf",
     "cms_heavy_hitters",
+    "phrase_search",
+    "vocab_topk",
+    "bpe_merges",
+    "bloom_membership",
+    "hll_users",
 ]
 
 
