@@ -19,6 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from otit_swt_spark.metrics import (  # noqa: E402
+    shuffle_write_delta,
+    stage_shuffle_writes,
+)
 from otit_swt_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -114,6 +118,7 @@ def main() -> None:
     names = HEADLINE + (EXTENDED if "--extended" in sys.argv else [])
     qs = entry_mod.queries()
     times: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         # One untimed warmup run first: it absorbs JVM JIT / codegen /
@@ -135,7 +140,13 @@ def main() -> None:
         samples.sort()
         val = samples[len(samples) // 2] if reps >= 3 else samples[0]
         times[name] = round(val, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # dedicated measured run for shuffle bytes (outside the timing
+        # loop so the snapshot calls don't pollute wall-clock numbers)
+        pre = stage_shuffle_writes(spark)
+        fn(spark, sf_dir).count()
+        shuffle_mb[name] = round(shuffle_write_delta(spark, pre) / 1e6, 2)
+        print(f"# {name}: {times[name]}s ({n} rows, "
+              f"{shuffle_mb[name]}MB shuffle)", file=sys.stderr)
 
     # the headline total stays comparable across rounds even when the
     # --extended set is timed alongside
@@ -145,6 +156,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "shuffle_mb": shuffle_mb,
         "sf": float(sf),
         "cpus": cpus,
     }))

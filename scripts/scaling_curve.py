@@ -26,7 +26,8 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-import __spark_entry__ as entry_mod  # noqa: E402
+import __spark_entry__ as entry_mod
+from otit_swt_spark.metrics import shuffle_write_delta, stage_shuffle_writes  # noqa: E402
 from otit_swt_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
@@ -81,41 +82,6 @@ def build_amplified(spark, times: int) -> str:
         rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     open(marker, "w").close()
     return out
-
-
-def stage_shuffle_writes(spark) -> dict[int, int]:
-    """Per-stage shuffle-write bytes from the live AppStatusStore (what
-    the UI would read — the UI itself is disabled in the session
-    factory)."""
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    jvm, gw = sc._jvm, sc._gateway
-    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
-                             gw.new_array(jvm.double, 0),
-                             jvm.java.util.ArrayList())
-    return {int(stages.apply(i).stageId()):
-            int(stages.apply(i).shuffleWriteBytes())
-            for i in range(stages.size())}
-
-
-def shuffle_write_delta(spark, pre: dict[int, int]) -> int:
-    """Shuffle-write bytes of the stages that ran AFTER the ``pre``
-    snapshot, keyed by stage id rather than diffing totals: the
-    AppStatusStore retains only ``spark.ui.retainedStages`` stages
-    (default 1000), and a totals diff silently under-counts — or goes
-    negative — when eviction drops pre-snapshot stages between the two
-    reads. Summing only stage ids above the pre-snapshot maximum is
-    immune to eviction of OLD stages; eviction of the measured query's
-    own stages is caught by the retention-window assertion (a single
-    entry never runs 1000 stages)."""
-    post = stage_shuffle_writes(spark)
-    max_pre = max(pre, default=-1)
-    new_ids = [i for i in post if i > max_pre]
-    retained_cap = int(spark.conf.get("spark.ui.retainedStages", "1000"))
-    assert len(new_ids) < retained_cap, (
-        f"query ran {len(new_ids)} stages, >= the {retained_cap}-stage "
-        f"retention window — per-stage byte accounting would under-count")
-    return sum(post[i] for i in new_ids)
 
 
 def time_queries(spark, sf_dir: str,
