@@ -43,7 +43,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "key_skew_report", "histogram_equidepth",
             # one-row (n_docs, avgdl) corpus-stats broadcast cross in the
             # BM25 scorer (search.bm25_topk), plus its hybrid composition
-            "bm25_topk", "hybrid_search_rrf"}
+            "bm25_topk", "hybrid_search_rrf",
+            # one-row estimate x one-row exact-distinct comparison cross
+            "hll_users"}
 
 
 def test_all_entries_plan_invariants(spark):
