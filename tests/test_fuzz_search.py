@@ -74,3 +74,48 @@ def test_phrase_search_random_vs_python_reference(spark, vocab):
             if n:
                 want[did] = n
         assert got == want, f"phrase={phrase!r}"
+
+
+def test_unicode_and_edge_docs_differential(spark, con):
+    """Unicode text (CJK, accents, emoji), empty and whitespace-only docs
+    through BM25 + winnow + BPE against their DuckDB replays — character
+    semantics (substr/len) must agree across engines, not byte
+    semantics."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from otit_swt_spark.pipelines.dedup import winnow_fingerprints
+    from otit_swt_spark.pipelines.search import bm25_topk
+    from otit_swt_spark.pipelines.textstats import bpe_train
+
+    rows_ = [(1, "héllo wörld héllo"),
+             (2, "数据 处理 引擎 数据"),
+             (3, "mixed 数据 text héllo"),
+             (4, ""),
+             (5, "   "),
+             (6, "emoji 🚀 test 🚀 emoji")]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+              ", ".join(f"({i}, '{t}')" for i, t in rows_) +
+              ") t(doc_id, text)")
+    # BM25: unicode query term
+    got = sorted((r["doc_id"], r["score"], r["rank"])
+                 for r in bm25_topk(docs, "héllo 数据", k=10).collect())
+    sql = (f"WITH {entry_mod._bm25_ctes(('héllo', '数据'))}"
+           ' SELECT doc_id, score, CAST(row_number() OVER '
+           '(ORDER BY score DESC, doc_id) AS INT) AS rank '
+           "FROM bscored QUALIFY rank <= 10")
+    want = sorted(tuple(r) for r in c.execute(sql).fetchall())
+    assert got == want
+    # winnow: same fingerprints both engines on the unicode corpus
+    got_w = sorted((r["doc_id"], r["gram_pos"], r["fp"])
+                   for r in winnow_fingerprints(docs, k=4, w=4).collect())
+    want_w = sorted(tuple(r) for r in c.execute(
+        entry_mod._winnow_fingerprints_oracle()).fetchall())
+    assert got_w == want_w
+    # BPE: character-level merges over multi-byte chars agree
+    merges = bpe_train(docs, n_merges=3)
+    want_m = [tuple(r) for r in c.execute(
+        entry_mod._bpe_train_oracle(3)).fetchall()]
+    assert [tuple(m) for m in merges] == want_m
