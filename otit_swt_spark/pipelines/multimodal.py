@@ -309,3 +309,78 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(idx).alias("frame_index"),
         F.col("payload").alias("frame_payload"),
     )
+
+
+def _parse_mp4_boxes(payload: bytes, start: int = 0,
+                     end: int | None = None) -> list[tuple[str, int, int]]:
+    """Walk ISO-BMFF box headers: [(type, body_start, body_end)].
+    Container-level only — no codec; 64-bit largesize boxes handled."""
+    out = []
+    i = start
+    n = len(payload) if end is None else end
+    while i + 8 <= n:
+        size = struct.unpack(">I", payload[i:i + 4])[0]
+        btype = payload[i + 4:i + 8].decode("latin-1")
+        body = i + 8
+        if size == 1:                      # 64-bit largesize
+            if i + 16 > n:
+                break
+            size = struct.unpack(">Q", payload[i + 8:i + 16])[0]
+            body = i + 16
+        elif size == 0:                    # box extends to EOF
+            size = n - i
+        if size < 8 or i + size > n:
+            break
+        out.append((btype, body, i + size))
+        i += size
+    return out
+
+
+def probe_video_mp4(payload: bytes) -> dict | None:
+    """Container-level MP4/ISO-BMFF probe — REAL metadata without any
+    codec (the BMP/WAV discipline applied to video): walks boxes to
+    moov/mvhd for (timescale, duration) and counts moov/trak boxes.
+    Returns {duration_s, timescale, n_tracks} or None for non-MP4
+    payloads. mvhd version 0 (32-bit times) and 1 (64-bit) both parsed."""
+    boxes = _parse_mp4_boxes(payload)
+    if not any(b[0] == "ftyp" for b in boxes):
+        return None
+    for btype, s, e in boxes:
+        if btype != "moov":
+            continue
+        inner = _parse_mp4_boxes(payload, s, e)
+        n_tracks = sum(1 for t, _, _ in inner if t == "trak")
+        for t, bs, be in inner:
+            if t != "mvhd" or be - bs < 20:
+                continue
+            version = payload[bs]
+            if version == 1 and be - bs >= 28:
+                timescale = struct.unpack(">I", payload[bs + 20:bs + 24])[0]
+                duration = struct.unpack(">Q", payload[bs + 24:bs + 32])[0]
+            else:
+                timescale = struct.unpack(">I", payload[bs + 12:bs + 16])[0]
+                duration = struct.unpack(">I", payload[bs + 16:bs + 20])[0]
+            return {"duration_s": (duration / timescale) if timescale else None,
+                    "timescale": timescale, "n_tracks": n_tracks}
+        return {"duration_s": None, "timescale": None, "n_tracks": n_tracks}
+    return None
+
+
+def extract_video_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 probe over the binary column: ``(media_id, mime,
+    duration_s, timescale, n_tracks)`` — map-side, container-level, no
+    codec dependency; non-MP4 payloads yield nulls."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"],
+                                          pdf["payload"]):
+                meta = probe_video_mp4(bytes(payload)) or {}
+                rows.append((mid, mime, meta.get("duration_s"),
+                             meta.get("timescale"), meta.get("n_tracks")))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mime", "duration_s", "timescale", "n_tracks"])
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, mime string, duration_s double, "
+                       "timescale long, n_tracks long")
