@@ -2514,6 +2514,17 @@ def q_hll_users(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def q_fuzzy_part_names(spark, sf_dir):
+    """Entity-resolution fuzzy self-join over distinct part names: q-gram
+    blocking (cap-64 hot grams) + length filter + Levenshtein <= 2 verify
+    — record-linkage pairs like 'cold bolt'/'old bolt' that exact joins
+    miss; the whole pipeline replays in DuckDB (identical levenshtein)."""
+    from otit_swt_spark.pipelines.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(_t(spark, sf_dir, "part"), "p_name",
+                            max_distance=2, q=3, cap=64)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2594,6 +2605,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "hll_users": q_hll_users,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "phrase_search": q_phrase_search,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
@@ -2782,7 +2794,7 @@ _NEVER_DRIVER_GREEN = [
     "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
     "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
     "vocab_topk", "bpe_merges", "bpe_train_merges", "bpe_segment_stats",
-    "bpe_token_counts", "bloom_membership", "hll_users",
+    "bpe_token_counts", "bloom_membership", "hll_users", "fuzzy_part_names",
 ]
 _QUERIES = {
     **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
@@ -4937,6 +4949,36 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT user_id) FROM events)
                        AS exact_distinct
             FROM est
+        """,
+        "fuzzy_part_names": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS s FROM part
+                WHERE p_name IS NOT NULL
+            ), g AS (
+                SELECT DISTINCT s,
+                       unnest(CASE WHEN len(lower(s)) < 3 THEN [lower(s)]
+                              ELSE [substr(lower(s), i, 3)
+                                    FOR i IN range(1,
+                                        greatest(len(lower(s)) - 2, 1) + 1)]
+                              END) AS gram
+                FROM names
+            ), capped AS (
+                SELECT gram, s FROM (
+                    SELECT gram, s,
+                           row_number() OVER (PARTITION BY gram
+                                              ORDER BY s) AS rn
+                    FROM g
+                ) WHERE rn <= 64
+            ), cand AS (
+                SELECT DISTINCT a.s AS name_a, b.s AS name_b
+                FROM capped a JOIN capped b USING (gram)
+                WHERE abs(len(a.s) - len(b.s)) <= 2
+            )
+            SELECT name_a, name_b,
+                   levenshtein(lower(name_a), lower(name_b)) AS distance
+            FROM cand
+            WHERE levenshtein(lower(name_a), lower(name_b)) <= 2
+              AND name_a < name_b
         """,
         "cms_heavy_hitters": """
             WITH rr AS (

@@ -2261,3 +2261,40 @@ def test_mp4_container_probe_real(spark):
            for r in extract_video_metadata(media).collect()}
     assert out[1] == (45.5, 2)
     assert out[2] == (None, None)
+
+
+# ------------------------------------------------------------ fuzzy joins
+
+def test_fuzzy_join_recall_and_blocking(spark):
+    """Pairs within the edit budget are found whenever the q-gram count
+    bound guarantees a shared gram (len >= q*(d+1)); pairs beyond the
+    budget are rejected by the verify; case-insensitive; the per-gram cap
+    keeps a hot-gram corpus from going quadratic."""
+    from otit_swt_spark.pipelines.fuzzy import fuzzy_join_names, fuzzy_self_pairs
+
+    a = spark.createDataFrame(
+        [("acme corporation",), ("ACME Corporatian",),   # 1 edit + case
+         ("globex incorporated",), ("globex corp",),      # far apart
+         ("aa",)], "name string")
+    pairs = {(r["name_a"], r["name_b"]): r["distance"]
+             for r in fuzzy_self_pairs(a, "name", max_distance=2).collect()}
+    assert pairs[("ACME Corporatian", "acme corporation")] == 1
+    assert all("globex incorporated" not in p or "globex corp" not in p
+               for p in pairs)
+    # two-sided join propagates both names
+    b = spark.createDataFrame([("acme corporatio",)], "other string")
+    out = fuzzy_join_names(a, b, "name", "other", max_distance=2).collect()
+    assert {(r["name_a"], r["distance"]) for r in out} == {
+        ("acme corporation", 1), ("ACME Corporatian", 2)}
+    # hot-gram cap: 500 strings sharing hot trigram blocks — candidate
+    # (and hence output) volume is bounded by distinct_grams x cap^2/2,
+    # never by corpus^2/2
+    hot = spark.createDataFrame(
+        [(f"xyz{i:04d}",) for i in range(500)], "name string")
+    from otit_swt_spark.pipelines.fuzzy import _gram_entries
+
+    n_grams = _gram_entries(hot, "name", 3, 10 ** 9, "x") \
+        .select("gram").distinct().count()
+    n = fuzzy_self_pairs(hot, "name", max_distance=2, cap=16).count()
+    assert n <= n_grams * 16 * 15 // 2
+    assert n < 500 * 499 // 2 / 4    # far below uncapped all-pairs
