@@ -4862,7 +4862,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT d.doc_id, count(*) AS n_words,
-               sum(s.n_syms) AS n_bpe_tokens
+               CAST(sum(s.n_syms) AS BIGINT) AS n_bpe_tokens
         FROM dtok d JOIN seg s USING (word)
         GROUP BY d.doc_id
         """,
@@ -4879,7 +4879,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM words, LATERAL unnest(range(1, len(w))) t(i)
                 WHERE len(w) >= 2
             ), c AS (
-                SELECT l AS "left", r AS "right", sum(wc) AS pair_count
+                SELECT l AS "left", r AS "right",
+                       CAST(sum(wc) AS BIGINT) AS pair_count
                 FROM pairs GROUP BY 1, 2
             )
             SELECT "left", "right", pair_count,

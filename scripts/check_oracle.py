@@ -33,6 +33,80 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+# --- dtype faithfulness (r6 post-mortem) -------------------------------
+# The driver canonicalizes both result sets through pandas frames before
+# hashing, so a DuckDB HUGEINT (sum of any integer type) or DECIMAL wider
+# than int64 materializes as float64/object and hash-mismatches Spark's
+# long even when the stringified values are identical.  fetchall()+str()
+# erased exactly that class (r5 quantize red, both r6 bpe reds), so the
+# sweep now also compares dtype FAMILIES between the Spark schema and the
+# DuckDB declared result types (via DESCRIBE, which binds without
+# executing).
+
+_SPARK_INT = {"byte", "short", "int", "integer", "bigint", "long"}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "REAL", "DOUBLE"}
+
+
+def spark_family(dt_simple: str) -> str:
+    s = dt_simple.lower()
+    if s in _SPARK_INT:
+        return "int"
+    if s in _SPARK_FLOAT:
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def duck_family(type_str: str) -> str:
+    t = type_str.upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        # DECIMAL(p,s): p > 18 can't live in an int64/float64 pandas col
+        try:
+            prec = int(t.split("(")[1].split(",")[0])
+        except (IndexError, ValueError):
+            prec = 38
+        return "decimal_wide" if prec > 18 else "decimal"
+    return "other"
+
+
+def duck_result_types(con, sql: str) -> dict[str, str]:
+    """Column -> declared DuckDB type for the query's final projection."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def dtype_drift(spark_schema, duck_types: dict[str, str]) -> list[str]:
+    """Return human-readable drift findings between the Spark schema and
+    DuckDB declared types — the cases that survive str() equality but
+    break the driver's pandas-frame hash."""
+    sfam = {f.name: spark_family(f.dataType.simpleString())
+            for f in spark_schema.fields}
+    bad = []
+    for col, dtyp in duck_types.items():
+        dfam = duck_family(dtyp)
+        sf = sfam.get(col)
+        if sf is None:
+            continue  # schema-mismatch check reports missing columns
+        if dfam in ("hugeint", "decimal_wide"):
+            bad.append(f"{col}: duckdb {dtyp} (pandas float64/object) "
+                       f"vs spark {sf}")
+        elif sf == "int" and dfam in ("float", "decimal"):
+            bad.append(f"{col}: spark int-family vs duckdb {dtyp}")
+        elif sf == "float" and dfam in ("int", "decimal"):
+            bad.append(f"{col}: spark float vs duckdb {dtyp}")
+    return bad
+
+
 def run_sweep(spark, sf_dir: str = "/root/testdata/sf0.01",
               only: list[str] | None = None) -> list[tuple[str, str]]:
     """Run every queries() entry on Spark and its oracle_sql() twin on
@@ -67,9 +141,15 @@ def run_sweep(spark, sf_dir: str = "/root/testdata/sf0.01",
             res = con.execute(oracles[name])
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
+            d_types = duck_result_types(con, oracles[name])
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {str(e)[:300]}"))
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        drift = dtype_drift(df.schema, d_types)
+        if drift:
+            failures.append((name, f"dtype drift: {'; '.join(drift)}"))
+            print(f"FAIL  {name}: dtype drift {drift}")
             continue
         sc, sr = norm_rows(s_cols, pdf_rows)
         dc, dr = norm_rows(d_cols, d_rows)
