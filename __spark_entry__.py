@@ -2782,24 +2782,50 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     }
 
 
-# Driver rotation (round 6): the driver samples the FIRST ~50 registry
-# entries each round. Front-load everything without a green driver
-# CORRECTNESS row across r1-r5 — the three r05 non-green rows (the
-# quantize entry-shape fix and the two winnow entries, all now fully
-# oracled) plus the four entries new this round. All seven are green in
-# the in-repo full sweep; this is ordering only.
-_NEVER_DRIVER_GREEN = [
-    "quantize_embeddings",                     # r05 driver-red, fixed
-    "winnow_fingerprints", "winnow_shared_spans",  # r05 no_oracle, oracled
-    "winnow_decontam", "bm25_topk", "inverted_index",  # new in r6
-    "hybrid_search_rrf", "cms_heavy_hitters", "phrase_search",
-    "vocab_topk", "bpe_merges", "bpe_train_merges", "bpe_segment_stats",
-    "bpe_token_counts", "bloom_membership", "hll_users", "fuzzy_part_names",
-]
-_QUERIES = {
-    **{k: _QUERIES[k] for k in _NEVER_DRIVER_GREEN},
-    **{k: v for k, v in _QUERIES.items() if k not in _NEVER_DRIVER_GREEN},
-}
+# Driver rotation (round 7): the driver samples the FIRST ~50 registry
+# entries each round, so ordering decides which entries get a FRESH
+# driver CORRECTNESS row. Instead of a hand-kept never-green list (r6),
+# the order is DERIVED from the committed CORRECTNESS_r*.json records:
+# entries with no triple-green driver row ever sort first (they need
+# their first green), then stalest-green-first (oldest verified round
+# re-verifies next), ties broken by registry insertion order. New
+# entries have no record, so they automatically front-load; every stale
+# green rotates back through the sample with zero list maintenance.
+
+
+def _driver_green_rounds() -> dict[str, int]:
+    """entry name -> latest round with a triple-green driver row, read
+    from the committed CORRECTNESS_r*.json files beside this module."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("schema_match") and row.get("hash_match")):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _rotation_order(names: list[str]) -> list[str]:
+    green = _driver_green_rounds()
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (green.get(n, -1), pos[n]))
+
+
+_QUERIES = {k: _QUERIES[k] for k in _rotation_order(list(_QUERIES))}
 
 
 def _zorder_oracle() -> str:

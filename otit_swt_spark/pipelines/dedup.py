@@ -706,12 +706,16 @@ def winnow_shared_spans(df: DataFrame, text_col: str = "text",
     # positions (repeated content) must count once toward n_shared
     fps = winnow_fingerprints(df, text_col, id_col, k, w) \
         .select(F.col(id_col).alias("id"), "fp").distinct()
-    # persisted: the all-pairs self-join (two sides) AND the chain window
-    # all read this frame — without the persist the whole text-scan +
-    # window-min pipeline runs three times (measured 2.5x wall time)
+    # materialized once: the all-pairs self-join (two sides) AND the chain
+    # window all read this frame — without it the whole text-scan +
+    # window-min pipeline runs three times (measured 2.5x wall time).
+    # localCheckpoint rather than persist(): it skips the CacheManager, so
+    # repeated invocations in a long-lived session neither accumulate
+    # pinned executor memory nor silently serve a prior run's cache to the
+    # bench timing loop; the blocks are reclaimed when the frame is GC'd.
     ranked = fps.withColumn(
         "__rn", F.row_number().over(W.partitionBy("fp").orderBy("id"))) \
-        .persist()
+        .localCheckpoint(eager=True)
     capped = ranked.filter(F.col("__rn") <= cap)
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))

@@ -383,20 +383,32 @@ class OPCUAHistoryRead:
                 for lo in range(0, len(ids), per_req):
                     group = ids[lo:lo + per_req]
                     to_read = [HistoryReadValueId(node_id=n) for n in group]
-                    deets = details
-                    if isinstance(details, ReadProcessedDetails):
-                        deets = ReadProcessedDetails(
-                            start_time=details.start_time,
-                            end_time=details.end_time,
-                            processing_interval=details.processing_interval,
-                            aggregate_type=details.aggregate_type[:len(group)],
-                            aggregate_configuration=details.aggregate_configuration)
+                    group_aggs = (details.aggregate_type[:len(group)]
+                                  if isinstance(details,
+                                                ReadProcessedDetails)
+                                  else None)
                     # continuation loop: the server returns a continuation
                     # point per node while more pages remain; re-request
                     # ONLY the nodes that handed one back
                     pending = list(range(len(to_read)))
                     while pending:
                         req = [to_read[i] for i in pending]
+                        deets = details
+                        if group_aggs is not None:
+                            # OPC UA Part 11 §6.4.4: ReadProcessedDetails
+                            # carries exactly one aggregate per
+                            # nodes_to_read entry — rebuild for the
+                            # pending SUBSET each iteration, or a paging
+                            # server would misalign/reject the request
+                            deets = ReadProcessedDetails(
+                                start_time=details.start_time,
+                                end_time=details.end_time,
+                                processing_interval=details
+                                .processing_interval,
+                                aggregate_type=[group_aggs[i]
+                                                for i in pending],
+                                aggregate_configuration=details
+                                .aggregate_configuration)
                         resp = session.history_read(deets, "Source", False, req)
                         out_ids, out_ts, out_val = [], [], []
                         nxt = []

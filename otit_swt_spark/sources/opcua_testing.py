@@ -28,6 +28,15 @@ class FakeOPCUAServer:
         from otit_swt_spark.sources import opcua as O
 
         self.calls += 1
+        if isinstance(details, O.ReadProcessedDetails) and \
+                len(details.aggregate_type) != len(nodes):
+            # OPC UA Part 11 §6.4.4: the aggregateType array size shall
+            # match nodesToRead — real servers reject the request, and a
+            # continuation re-request for a SUBSET of nodes must carry a
+            # matching subset of aggregates
+            raise ValueError(
+                f"Bad_InvalidArgument: {len(details.aggregate_type)} "
+                f"aggregates for {len(nodes)} nodes_to_read")
         out = []
         for hrvi in nodes:
             key = hrvi.node_id.to_string()
@@ -45,9 +54,17 @@ class FakeOPCUAServer:
                 fn = {"Average": lambda xs: sum(xs) / len(xs),
                       "Total": sum, "Minimum": min, "Maximum": max,
                       "Count": len}[name]
-                dvs = tuple(O.DataValue(float(fn(vs)), b)
-                            for b, vs in sorted(buckets.items()))
-                out.append(O.HistoryReadResult(history_data=O.HistoryData(dvs)))
+                all_dvs = tuple(O.DataValue(float(fn(vs)), b)
+                                for b, vs in sorted(buckets.items()))
+                # processed reads page too (real servers hand back
+                # continuation points when many intervals are requested)
+                off = int(hrvi.continuation_point or b"0")
+                page = all_dvs[off:off + self.page_size]
+                nxt = off + len(page)
+                cp = str(nxt).encode() if nxt < len(all_dvs) else b""
+                out.append(O.HistoryReadResult(
+                    continuation_point=cp,
+                    history_data=O.HistoryData(page)))
             else:
                 off = int(hrvi.continuation_point or b"0")
                 page = pts[off:off + self.page_size]

@@ -406,7 +406,13 @@ def stream_count_min(df: DataFrame, key_col: str, path: str,
 
     Same at-least-once discipline as :func:`stream_incremental_agg`: a
     last-applied batch id sidecar skips replayed batches (cell addition
-    is not idempotent). Returns the started StreamingQuery."""
+    is not idempotent). The sidecar is written AFTER the sketch rewrite
+    and the two are not atomic, so a crash landing between them
+    double-adds that one batch on replay — the same bounded window
+    documented on the incremental-agg sink; closing it needs a table
+    format that commits data + batch id in one transaction (Delta/
+    Iceberg), or the idempotent-by-construction HLL sink below, which
+    needs no guard at all. Returns the started StreamingQuery."""
     from otit_swt_spark import fsutil
     from otit_swt_spark.pipelines.analytics import count_min_sketch
 

@@ -1218,6 +1218,37 @@ def test_opcua_processed_read_matches_landed_twin(spark):
     assert got == twin == [(base, 103.0), (base + 4.0, 203.5)]
 
 
+def test_opcua_processed_read_pages_with_aligned_aggregates(spark):
+    """Paged ReadProcessedDetails: two nodes draining at different rates
+    through a 2-interval server page size. The continuation re-request
+    carries only the still-pending nodes, so the rebuilt details must hold
+    exactly one aggregate per pending node — the fake enforces OPC UA
+    Part 11 §6.4.4 (aggregateType size shall match nodesToRead) and
+    rejects the pre-fix shape that reused the full-group aggregate list."""
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead
+
+    base = 1704067200.0
+    # node a: 12 points -> 6 buckets (3 pages); node b: 4 points -> 2
+    # buckets (1 page) — b drains first, so later iterations re-request a
+    # strict subset of the group
+    series = {
+        "ns=2;s=a": [(base + 2 * i, float(i)) for i in range(12)],
+        "ns=2;s=b": [(base + 2 * i, float(100 + i)) for i in range(4)],
+    }
+    server = FakeOPCUAServer(series, page_size=2)
+    r = OPCUAHistoryRead(2, "opc.tcp://fake", session_factory=server)
+    df = r.history_read_frame(spark, list(series), base, base + 24,
+                              aggregate="Total", interval_ms=4000.0)
+    got = sorted((row["id"], row["timestamp"].timestamp(), row["value"])
+                 for row in df.collect())
+    want = sorted(
+        [("ns=2;s=a", base + 4.0 * k, float(2 * k + (2 * k + 1)))
+         for k in range(6)] +
+        [("ns=2;s=b", base + 4.0 * k, float(200 + 2 * k + (2 * k + 1)))
+         for k in range(2)])
+    assert got == want
+
+
 def test_opcua_interval_from_group_expr(spark):
     """The grouping interval can come straight from the SPARQL bucket
     expression: build_details pattern-matches it into
