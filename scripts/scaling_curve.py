@@ -41,6 +41,15 @@ FACTS = {
     "embeddings": "vec_id",
     "events": "event_id",
 }
+# --graph mode additionally amplifies the KG-bearing dimensions (shifted
+# keys mint distinct urn:cust:/urn:supp: IRIs while nation/region refs
+# stay fixed, so TRIPLE counts and join fan-in grow linearly) — the
+# SPARQL engine's OPTIONAL/MINUS/Kleene entries read customer/supplier,
+# which the default amplifier deliberately leaves untouched.
+GRAPH_FACTS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+}
 SHIFT = 10 ** 9
 
 QUERIES = [
@@ -57,18 +66,22 @@ QUERIES = [
 ]
 
 
-def build_amplified(spark, times: int) -> str:
-    out = os.path.join("/tmp", "otit_swt_scale", f"sf0.1x{times}")
+def build_amplified(spark, times: int, graph: bool = False) -> str:
+    facts = {**FACTS, **GRAPH_FACTS} if graph else FACTS
+    out = os.path.join("/tmp", "otit_swt_scale",
+                       f"sf0.1{'g' if graph else ''}x{times}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
+        if t in facts:
+            continue
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
             "overwrite").parquet(f"{out}/{t}.parquet")
     from otit_swt_spark.tpch_graph import load_events
 
-    for t, key in FACTS.items():
+    for t, key in facts.items():
         df = (load_events(spark, BASE) if t == "events"
               else spark.read.parquet(f"{BASE}/{t}.parquet"))
         rep = df
@@ -110,11 +123,16 @@ def time_queries(spark, sf_dir: str,
     return out
 
 
+GRAPH_QUERIES = ["sparql_optional", "sparql_minus", "sparql_path_plus"]
+
+
 def main() -> None:
-    times = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    names = sys.argv[2:] or QUERIES
+    args = [a for a in sys.argv[1:] if a != "--graph"]
+    graph = "--graph" in sys.argv[1:]
+    times = int(args[0]) if args else 4
+    names = args[1:] or (GRAPH_QUERIES if graph else QUERIES)
     spark = get_spark("scaling_curve")
-    amp = build_amplified(spark, times)
+    amp = build_amplified(spark, times, graph=graph)
     base_m = time_queries(spark, BASE, names)
     amp_m = time_queries(spark, amp, names)
     rows = {}

@@ -472,3 +472,87 @@ def test_phrase_search_hot_phrase_corpus(spark):
     agg = out.agg(F.count("*").alias("docs"),
                   F.sum("n_occurrences").alias("occ")).first()
     assert agg["docs"] == n and agg["occ"] == 2 * n
+
+
+def test_fuzzy_join_hot_gram_corpus(spark):
+    """Adversarial blocking for the entity-resolution join: 100k distinct
+    names drawn from a hex alphabet, so the q-gram domain collapses to
+    <= 16^3 = 4096 DISTINCT grams and every single gram is hot (~25
+    carriers each, far beyond toy corpora). The per-gram cap-64 must
+    bound candidate volume at (distinct grams) x cap^2 regardless of
+    corpus size — an uncapped blocker would emit ~100k^2/4096 * grams
+    candidates. Two planted near-duplicates that sort below the cap must
+    still be found (the stated recall contract)."""
+    from otit_swt_spark.pipelines.fuzzy import fuzzy_self_pairs
+
+    n = 100_000
+    names = spark.range(n).select(
+        F.concat(F.lit("x"), F.md5(F.col("id").cast("string")))
+        .alias("name"))
+    # planted pair at edit distance 1; '0...' sorts below every md5-hex
+    # name under the per-gram cap's orderBy
+    planted = spark.createDataFrame(
+        [("000planteda",), ("000plantedb",)], "name string")
+    pairs = fuzzy_self_pairs(names.unionByName(planted), "name",
+                             max_distance=1, q=3, cap=64)
+    rows = pairs.collect()
+    # hot-gram bound: every candidate came through a <=64x64 gram block;
+    # hex md5 names differ in >1 edit almost surely, so true matches are
+    # ~just the planted pair — the assertion is boundedness + recall
+    assert len(rows) < 4096 * 64 * 64 // 1000  # far below the hard cap
+    assert any(r["name_a"] == "000planteda" and r["name_b"] == "000plantedb"
+               for r in rows)
+
+
+def test_bpe_train_giant_distinct_vocab(spark):
+    """BPE training against a 2M-row DISTINCT-word table (every word
+    unique, 16 hex chars): each round must stay ONE pair-count aggregate
+    over the word table plus a map-side fold — the driver reads a single
+    argmax row per round, independent of vocabulary size."""
+    from otit_swt_spark.pipelines.textstats import bpe_train
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("text"))
+    merges = bpe_train(docs, n_merges=3)
+    assert len(merges) == 3
+    # hex-pair frequencies: ~n*15 total adjacent pairs over a 256-pair
+    # domain -> every argmax count is large and positive
+    assert all(c > n // 256 for _, _, _, c in merges)
+    steps = [s for s, _, _, _ in merges]
+    assert steps == [0, 1, 2]
+
+
+def test_hll_sketch_10m_keys(spark):
+    """HLL register sketch at 10M distinct keys: state stays <= 2^10
+    rows no matter the cardinality, and the deterministic md5 hashing
+    gives a stable estimate within the ~3.2% design error."""
+    from otit_swt_spark.pipelines.analytics import hll_estimate, hll_sketch
+
+    n = 10_000_000
+    keys = spark.range(n).select(F.col("id").alias("k"))
+    sketch = hll_sketch(keys, "k")
+    assert sketch.count() <= 1024
+    est = hll_estimate(sketch).first()["estimate"]
+    assert abs(est - n) / n < 0.05
+
+
+def test_bloom_build_10m_keys(spark):
+    """Bloom set-bit frame at 10M keys / 2^26 bits: the frame is bounded
+    by the bit domain (never the key count), present keys always probe
+    true (no false negatives), and the absent-key FPR tracks the
+    (1 - e^{-kn/m})^k design bound (~4%)."""
+    from otit_swt_spark.pipelines.analytics import bloom_build, bloom_probe
+
+    n, m = 10_000_000, 1 << 26
+    keys = spark.range(n).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", n_bits=m, k=5)
+    n_bits_set = bloom.count()
+    assert n_bits_set <= m
+    present = spark.range(200).select(F.col("id").alias("k"))
+    absent = spark.range(200).select((F.col("id") + n + 1).alias("k"))
+    hits = bloom_probe(bloom, present, "k", n_bits=m, k=5)
+    assert hits.filter(~F.col("maybe_present")).count() == 0
+    fp = bloom_probe(bloom, absent, "k", n_bits=m, k=5) \
+        .filter(F.col("maybe_present")).count()
+    assert fp <= 30  # design FPR ~4% of 200 = 8; deterministic hashing
