@@ -2525,6 +2525,48 @@ def q_fuzzy_part_names(spark, sf_dir):
                             max_distance=2, q=3, cap=64)
 
 
+def q_ssjoin_part_names(spark, sf_dir):
+    """EXACT set-similarity self-join (prefix filtering, Chaudhuri et al.
+    2006 / PPJoin family) over DISTINCT part-name token sets: the
+    lossless complement to MinHash — every emitted Jaccard exact, no
+    false negatives. Identical sets collapse to a min-id representative
+    first (TPC-H part names are permutations of a small color vocabulary:
+    20k rows -> 64 distinct sets), then candidates come only from shared
+    rarest-first prefix tokens with the min>=t*max length filter. The
+    oracle replays representative selection + brute-force verification —
+    equality IS the losslessness proof for the prefix filter."""
+    from otit_swt_spark.pipelines.fuzzy import ssjoin_distinct_sets
+
+    return ssjoin_distinct_sets(_t(spark, sf_dir, "part"), "p_name",
+                                "p_partkey", threshold=0.3)
+
+
+def q_scd2_user_events(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history from the event change log:
+    per-user event_type runs collapsed into validity intervals
+    (valid_from, valid_to, is_current) — the dimension-versioning
+    primitive consumed by point-in-time (as-of) joins. One shuffle keyed
+    by user; two window passes share the same sort."""
+    from otit_swt_spark.pipelines.incremental import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    return scd2_intervals(ev, "user_id", "ts", ["event_type"],
+                          order_cols=["event_id"])
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: split by the near-dup
+    CLUSTER root (LSH -> exact trigram-Jaccard verify -> connected
+    components), md5-bucketed — so near-duplicate documents can never
+    straddle the train/eval boundary. The oracle replays the full chain:
+    signatures, banded buckets, capped pairing, verification, recursive
+    closure, and the md5 bucket arithmetic."""
+    from otit_swt_spark.pipelines.dedup import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation over o_custkey: build the
     4x256 sketch (fixed-size mergeable summary — the shuffle is cells per
@@ -2606,6 +2648,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bloom_membership": q_bloom_membership,
         "hll_users": q_hll_users,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "ssjoin_part_names": q_ssjoin_part_names,
+        "scd2_user_events": q_scd2_user_events,
+        "leakage_split": q_leakage_split,
         "phrase_search": q_phrase_search,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
@@ -5007,6 +5052,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(lower(name_a), lower(name_b)) <= 2
               AND name_a < name_b
         """,
+        "ssjoin_part_names": """
+            WITH tok AS (
+                SELECT DISTINCT p_partkey AS id, t.tok
+                FROM part,
+                     LATERAL unnest(string_split_regex(lower(trim(p_name)),
+                                                       '\\s+')) t(tok)
+                WHERE t.tok <> ''
+            ), sets AS (
+                SELECT id, list_sort(list(tok)) AS ts FROM tok GROUP BY id
+            ), reps AS (
+                SELECT min(id) AS id, ts FROM sets GROUP BY ts
+            ), rt AS (
+                SELECT id, unnest(ts) AS tok FROM reps
+            ), sz AS (
+                SELECT id, count(*) AS sz FROM rt GROUP BY id
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS ov
+                FROM rt a JOIN rt b USING (tok)
+                WHERE a.id < b.id GROUP BY 1, 2
+            ), j AS (
+                SELECT id_a, id_b,
+                       round(CAST(ov AS DOUBLE)
+                             / (sa.sz + sb.sz - ov), 6) AS jaccard
+                FROM inter
+                JOIN sz sa ON sa.id = id_a
+                JOIN sz sb ON sb.id = id_b
+            )
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
+        """,
+        "scd2_user_events": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER w AS prev_type,
+                       lag(ts) OVER w AS prev_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), versions AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM ordered
+                WHERE prev_ts IS NULL
+                   OR event_type IS DISTINCT FROM prev_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM versions
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "cms_heavy_hitters": """
             WITH rr AS (
                 SELECT unnest(range(0, 4)) AS row
@@ -6048,6 +6141,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT size, count(*) AS n_clusters FROM (
                 SELECT cluster, count(*) AS size FROM cc GROUP BY cluster)
             GROUP BY size
+        """,
+        "leakage_split": _nd_chain + """
+            , roots AS (
+                SELECT d.doc_id AS id,
+                       coalesce(cc.cluster, d.doc_id) AS root
+                FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+            ), bucketed AS (
+                SELECT id, root,
+                       ('0x' || substr(md5('split:'
+                            || CAST(root AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 100 AS b
+                FROM roots
+            )
+            SELECT id, root,
+                   CASE WHEN b < 10 THEN 'test'
+                        WHEN b < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM bucketed
         """,
         "normalize_text": r"""
             WITH n AS (

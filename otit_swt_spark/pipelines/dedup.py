@@ -875,3 +875,47 @@ def ngram_containment(df_pairs: DataFrame, docs: DataFrame,
                 / F.greatest(F.size("grams_b"), F.lit(1)), 6)
         .alias("containment_b_in_a"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    val_pct: int = 10,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.8,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: every document is keyed by its near-dup CLUSTER root (LSH
+    candidates -> exact n-gram Jaccard verify -> connected components),
+    and the split is a deterministic md5 bucket of the ROOT — so all
+    members of a duplicate cluster land in the same split by
+    construction. Plain per-doc hash splitting puts ~2·p·(1-p) of each
+    duplicate pair across the train/eval boundary, which inflates eval
+    scores; splitting on the closure root is the standard fix.
+
+    Returns (id, root, split) with split in {'train','val','test'}.
+    Deterministic end to end (md5 bucketing, min-id roots) — replayable
+    in any SQL engine. Scale: the closure is the pointer-jumping
+    machinery of ``dedup_clusters`` (log-diameter rounds); the bucket
+    assignment is map-side."""
+    pairs = (candidate_pairs if candidate_pairs is not None
+             else minhash_lsh_pairs(df, text_col, id_col, k, bands,
+                                    shingle_n))
+    verified = ngram_jaccard(pairs, df, text_col, id_col, shingle_n) \
+        .filter(F.col("jaccard") >= min_jaccard)
+    clusters = dedup_clusters(verified)
+    out = (df.select(F.col(id_col).alias("id"))
+           .join(clusters, "id", "left")
+           .withColumn("root", F.coalesce("cluster", F.col("id"))))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("root").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100)
+    split = (F.when(bucket < test_pct, F.lit("test"))
+             .when(bucket < test_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("train")))
+    return out.select("id", "root", split.alias("split"))

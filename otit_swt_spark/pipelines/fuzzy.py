@@ -73,3 +73,103 @@ def fuzzy_self_pairs(df: DataFrame, col: str, max_distance: int = 2,
     and mirrored pairs) — the name-dedup pass of entity resolution."""
     out = fuzzy_join_names(df, df, col, col, max_distance, q, cap)
     return out.filter(F.col("name_a") < F.col("name_b"))
+
+
+def token_sets(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, tok) pairs: each document reduced to its token SET
+    (whitespace tokens, lowercased) — the input relation for exact
+    set-similarity joins."""
+    return (df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct())
+
+
+def _ssjoin_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs over a (id, tok) set relation
+    — the shared core of :func:`ssjoin_jaccard` (all rows) and
+    :func:`ssjoin_distinct_sets` (identical-set representatives)."""
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (toks.join(freq, "tok")
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
+                    .alias("o"))
+               .select("id",
+                       F.transform("o", lambda x: x["tok"]).alias("toks"),
+                       F.size("o").alias("sz")))
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+                  + F.lit(1))
+    prefix = ordered.select(
+        "id", "sz", F.explode(F.slice("toks", F.lit(1), prefix_len))
+        .alias("tok"))
+    pa = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+                       "tok")
+    pb = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+                       "tok")
+    cand = (pa.join(pb, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.least("sz_a", "sz_b")
+                    >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+            .select("id_a", "id_b").distinct())
+    ta = ordered.select(F.col("id").alias("id_a"),
+                        F.col("toks").alias("toks_a"),
+                        F.col("sz").alias("sz_a"))
+    tb = ordered.select(F.col("id").alias("id_b"),
+                        F.col("toks").alias("toks_b"),
+                        F.col("sz").alias("sz_b"))
+    ov = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = ov.cast("double") / (F.col("sz_a") + F.col("sz_b") - ov)
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ssjoin_jaccard(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   threshold: float = 0.5) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs whose token-set Jaccard
+    similarity is >= ``threshold``, via prefix filtering (Chaudhuri et
+    al. 2006 / PPJoin family) — the lossless complement to the
+    probabilistic MinHash pipeline: no false negatives, no false
+    positives, every emitted ``jaccard`` exact.
+
+    Prefix principle: order each document's tokens by ascending global
+    document frequency (rarest first, token as tiebreak); two sets with
+    Jaccard >= t MUST share a token within each other's first
+    ``|T| - ceil(t*|T|) + 1`` tokens, so the candidate join runs only on
+    the prefix postings — dominated by RARE tokens by construction (the
+    hottest tokens sort last and rarely enter a prefix).
+
+    Scale shape: one vocabulary aggregate (token -> doc frequency), one
+    per-doc sort of its own tokens (map-side after a doc-keyed shuffle),
+    a prefix-postings equi-join on token, then one verify join back to
+    the token arrays. Shuffles key on uniform ids/tokens. Length filter
+    ``min(sz) >= t * max(sz)`` prunes before verification. Honest bound:
+    m documents with IDENTICAL token sets emit m(m-1)/2 pairs — that is
+    the TRUE result set (exact semantics), not a blocking failure; use
+    :func:`ssjoin_distinct_sets` when identical-copy mass is expected."""
+    return _ssjoin_pairs(token_sets(df, text_col, id_col), threshold)
+
+
+def ssjoin_distinct_sets(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact set-similarity join over DISTINCT token sets: collapse rows
+    with identical token sets to one representative (minimum id) before
+    the prefix-filtered join — the composition :func:`ssjoin_jaccard`'s
+    docstring prescribes for duplicate-heavy corpora. On a corpus where
+    m rows share a set, the all-rows join's output is m²-shaped by
+    definition; over representatives it is (distinct sets)²-shaped at
+    worst and the identical-set mass costs ONE groupBy. Returned pairs
+    are between representatives; join back on the set digest to fan out
+    to row ids when needed."""
+    toks = token_sets(df, text_col, id_col)
+    reps = (toks.groupBy("id")
+            .agg(F.sort_array(F.collect_list("tok")).alias("ts"))
+            .groupBy("ts").agg(F.min("id").alias("id")))
+    rep_toks = reps.select("id", F.explode("ts").alias("tok"))
+    return _ssjoin_pairs(rep_toks, threshold)

@@ -112,3 +112,40 @@ def read_agg(spark: SparkSession, path: str, sum_cols: list[str]) -> DataFrame:
                                          F.col(f"cnt_{c}")), 6)
                     .alias(f"avg_{c}"))
     return df.select(*cols)
+
+
+def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
+                   attr_cols: list[str],
+                   order_cols: list[str] | None = None) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: collapse
+    per-key consecutive rows with unchanged attributes into validity
+    intervals ``(key, attrs..., valid_from, valid_to, is_current)`` —
+    the dimension-versioning primitive (customer moved segment, sensor
+    recalibrated) that point-in-time joins (`timeseries.asof_join`)
+    consume. ``valid_to`` is NULL on each key's open current version.
+
+    Change detection is null-safe (NULL -> value and value -> NULL are
+    changes; NULL -> NULL is not). ``order_cols`` breaks equal-timestamp
+    ties deterministically (e.g. an event id).
+
+    Scale shape: two window passes over the SAME (key, order) partitioning
+    — Catalyst plans one Exchange + one sort for both — so cost is one
+    shuffle of the change log keyed by the dimension key; no self-joins,
+    no state beyond a row's predecessor."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
+    w = W.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    versions = (df.withColumn("__new_version", first | changed)
+                .filter(F.col("__new_version"))
+                .drop("__new_version"))
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    return (versions
+            .select(key_col, *attr_cols,
+                    F.col(ts_col).alias("valid_from"),
+                    F.lead(ts_col).over(w2).alias("valid_to"))
+            .withColumn("is_current", F.col("valid_to").isNull()))

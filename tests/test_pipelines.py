@@ -2298,3 +2298,109 @@ def test_fuzzy_join_recall_and_blocking(spark):
     n = fuzzy_self_pairs(hot, "name", max_distance=2, cap=16).count()
     assert n <= n_grams * 16 * 15 // 2
     assert n < 500 * 499 // 2 / 4    # far below uncapped all-pairs
+
+
+def test_ssjoin_exact_jaccard_lossless(spark):
+    """The prefix filter is LOSSLESS: ssjoin output equals brute-force
+    all-pairs exact Jaccard computed in the test; values exact; the
+    distinct-set variant collapses identical sets to the min-id rep."""
+    from otit_swt_spark.pipelines.fuzzy import (
+        ssjoin_distinct_sets,
+        ssjoin_jaccard,
+    )
+
+    rows = [
+        (1, "red green blue"),
+        (2, "red green blue yellow"),     # j(1,2) = 3/4
+        (3, "red green"),                 # j(1,3) = 2/3, j(2,3) = 2/4
+        (4, "cyan magenta"),              # disjoint from the rest
+        (5, "blue green red"),            # identical SET to 1
+        (6, "green red   green BLUE"),    # dup tokens/case -> same set as 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ssjoin_jaccard(docs, threshold=0.5).collect()}
+    # brute force over token sets
+    sets = {i: set(t.lower().split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.5:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert got[(1, 5)] == 1.0 and got[(1, 6)] == 1.0
+    # distinct-set variant: {1,5,6} collapse to rep 1; pairs only between
+    # distinct sets
+    reps = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ssjoin_distinct_sets(docs, threshold=0.5).collect()}
+    assert (1, 2) in reps and (1, 3) in reps
+    assert all(5 not in p and 6 not in p for p in reps)
+    assert (1, 5) not in reps
+
+
+def test_scd2_intervals_semantics(spark):
+    """Run collapse, null-safe change detection, tie-broken ordering,
+    open current interval."""
+    from datetime import datetime
+
+    from otit_swt_spark.pipelines.incremental import scd2_intervals
+
+    t = lambda s: datetime(2024, 1, s)  # noqa: E731
+    rows = [
+        # key 1: a a b b a -> intervals a, b, a (last open)
+        (1, t(1), 1, "a"), (1, t(2), 2, "a"), (1, t(3), 3, "b"),
+        (1, t(4), 4, "b"), (1, t(5), 5, "a"),
+        # key 2: null -> x -> null (null-safe: three versions)
+        (2, t(1), 1, None), (2, t(2), 2, "x"), (2, t(3), 3, None),
+        # key 3: equal timestamps, order_cols tiebreak by id
+        (3, t(1), 1, "p"), (3, t(1), 2, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, attr string")
+    out = scd2_intervals(df, "k", "ts", ["attr"], order_cols=["eid"])
+    key = lambda x: (x[0], str(x[1]), x[2], str(x[3]), x[4])  # noqa: E731
+    got = sorted(((r["k"], r["attr"], r["valid_from"].day,
+                   r["valid_to"].day if r["valid_to"] else None,
+                   r["is_current"]) for r in out.collect()), key=key)
+    assert got == sorted([
+        (1, "a", 1, 3, False), (1, "a", 5, None, True),
+        (1, "b", 3, 5, False),
+        (2, None, 1, 2, False), (2, None, 3, None, True),
+        (2, "x", 2, 3, False),
+        (3, "p", 1, 1, False), (3, "q", 1, None, True),
+    ], key=key)
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    """Every near-dup cluster lands wholly inside ONE split; singletons
+    get their own deterministic bucket; assignment is reproducible."""
+    from otit_swt_spark.pipelines.dedup import leakage_safe_split
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows = []
+    for c in range(30):                    # 30 clusters of 4 near-dups
+        for m in range(4):
+            rows.append((c * 10 + m,
+                         base + f" cluster{c}" + (" extra" * m)))
+    for s in range(300, 340):              # singletons, all distinct
+        rows.append((s, f"completely unrelated text number {s} with "
+                        f"unique words w{s}a w{s}b w{s}c w{s}d w{s}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    split_of = {r["id"]: r["split"] for r in out}
+    root_of = {r["id"]: r["root"] for r in out}
+    assert len(out) == len(rows)
+    for c in range(30):
+        ids = [c * 10 + m for m in range(4)]
+        # same cluster -> same root -> same split (the leakage guarantee)
+        assert len({root_of[i] for i in ids}) == 1
+        assert len({split_of[i] for i in ids}) == 1
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # deterministic: a second run is identical
+    again = {r["id"]: r["split"]
+             for r in leakage_safe_split(docs).collect()}
+    assert again == split_of
