@@ -2525,6 +2525,21 @@ def q_fuzzy_part_names(spark, sf_dir):
                             max_distance=2, q=3, cap=64)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011): per-subspace
+    Lloyd codebooks under the clustering determinism contract (min-id
+    seeding, DECIMAL-sum updates, lowest-index ties), 8 one-byte codes
+    per 64-dim vector (32× corpus-state cut), query scored via an m×k
+    distance table — m lookups + adds per vector, no floats at query
+    time. The oracle re-trains all 8 codebooks in SQL and replays
+    encoding + ADC bit-for-bit — a LEARNED quantizer passing a value-hash
+    gate."""
+    from otit_swt_spark.pipelines.embedding import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(e, query_id=0, k=10, m=8, codebook_size=16, iters=2)
+
+
 def q_ssjoin_part_names(spark, sf_dir):
     """EXACT set-similarity self-join (prefix filtering, Chaudhuri et al.
     2006 / PPJoin family) over DISTINCT part-name token sets: the
@@ -2649,6 +2664,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hll_users": q_hll_users,
         "fuzzy_part_names": q_fuzzy_part_names,
         "ssjoin_part_names": q_ssjoin_part_names,
+        "pq_topk": q_pq_topk,
         "scd2_user_events": q_scd2_user_events,
         "leakage_split": q_leakage_split,
         "phrase_search": q_phrase_search,
@@ -3117,6 +3133,83 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         )""")
     parts.append(assign("afin", f"c{iters}"))
     return ",\n".join(parts)
+
+
+def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
+                    dim: int = 64, topk: int = 10) -> str:
+    """DuckDB twin of q_pq_topk: re-trains each subspace codebook with the
+    same Lloyd replay as _kmeans_ctes (min-id distinct-subvector seeds,
+    row_number tie-break, DECIMAL-sum updates), re-encodes every vector,
+    and recomputes the query's per-subspace distance tables — the ADC sum
+    adds the m lookup terms in the same left-to-right order as the Spark
+    expression."""
+    sub = dim // m
+    parts = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vd "
+             "FROM embeddings)"]
+    diff = (f"list_transform(generate_series(1, {sub}), "
+            "i -> v.vd[i] - c.cent[i])")
+    for j in range(m):
+        p = f"s{j}"
+        lo, hi = j * sub + 1, (j + 1) * sub
+
+        def assign(name: str, cents: str, p=p) -> str:
+            return f"""{name} AS (
+                SELECT vec_id, vd, j AS cl FROM (
+                    SELECT vec_id, vd, j,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, j) AS rk
+                    FROM (
+                        SELECT v.vec_id, v.vd, c.j,
+                               list_dot_product({diff}, {diff}) AS d
+                        FROM {p}v v CROSS JOIN {cents} c
+                    )
+                ) WHERE rk = 1
+            )"""
+
+        parts.append(f"{p}v AS (SELECT vec_id, vd[{lo}:{hi}] AS vd FROM v)")
+        parts.append(f"""{p}c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vd AS cent
+            FROM (SELECT min(vec_id) AS vec_id, vd FROM {p}v GROUP BY vd
+                  ORDER BY vec_id LIMIT {k})
+        )""")
+        for t in range(iters):
+            parts.append(assign(f"{p}a{t}", f"{p}c{t}"))
+            parts.append(f"""{p}u{t} AS (
+                SELECT cl AS j, r.pos,
+                       CAST(sum(CAST(vd[r.pos] AS DECIMAL(38,12)))
+                            AS DOUBLE) / count(*) AS mu
+                FROM {p}a{t} CROSS JOIN range(1, {sub + 1}) r(pos)
+                GROUP BY cl, r.pos
+            ), {p}c{t + 1} AS (
+                SELECT pc.j, coalesce(n.cent, pc.cent) AS cent
+                FROM {p}c{t} pc LEFT JOIN (
+                    SELECT j, list(mu ORDER BY pos) AS cent
+                    FROM {p}u{t} GROUP BY j
+                ) n ON n.j = pc.j
+            )""")
+        parts.append(assign(f"{p}afin", f"{p}c{iters}"))
+    parts.append("q AS (SELECT vd AS qv FROM v WHERE vec_id = 0)")
+    for j in range(m):
+        p = f"s{j}"
+        qdiff = (f"list_transform(generate_series(1, {sub}), "
+                 f"i -> q.qv[{j * sub} + i] - c.cent[i])")
+        parts.append(f"""{p}dt AS (
+            SELECT c.j, list_dot_product({qdiff}, {qdiff}) AS d
+            FROM {p}c{iters} c CROSS JOIN q
+        )""")
+    joins = " ".join(
+        f"JOIN s{j}afin e{j} ON e{j}.vec_id = e0.vec_id "
+        f"JOIN s{j}dt d{j} ON d{j}.j = e{j}.cl"
+        for j in range(1, m))
+    addsum = " + ".join(f"d{j}.d" for j in range(m))
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, round(dist, 6) AS adc_dist2 FROM (
+            SELECT e0.vec_id, {addsum} AS dist
+            FROM s0afin e0 JOIN s0dt d0 ON d0.j = e0.cl {joins}
+        ) ORDER BY dist, vec_id LIMIT {topk}
+    """
 
 
 def _kmeans_clusters_oracle() -> str:
@@ -4873,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING)
         """,
         "kmeans_clusters": _kmeans_clusters_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "diversity_sample": _diversity_sample_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),

@@ -279,3 +279,94 @@ def standardize_embeddings(df: DataFrame, id_col: str = "vec_id",
                 / F.lit(sd[i]), 6)
         for i in range(len(stats))]
     return df.select(F.col(id_col), F.array(*comps).alias("z"))
+
+
+def pq_fit(df: DataFrame, m: int = 8, codebook_size: int = 16,
+           iters: int = 2, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` contiguous subspaces and run fixed-iteration Lloyd
+    per subspace under ``pipelines.clustering``'s determinism contract
+    (min-id distinct-vector seeding, DECIMAL-sum updates, lowest-index
+    tie-break) — which is what makes a LEARNED codebook SQL-replayable.
+    Returns ``m`` codebooks of ``codebook_size`` sub-centroids each
+    (driver-bounded model state: m × k × dim/m doubles).
+
+    Scale: each fit is one map-side assignment + one (cluster, dim)-keyed
+    aggregate per round over the subvector projection; the ``m`` fits are
+    independent passes (at cluster scale, fuse them by training on a
+    sampled slice — the codebook needs distributional coverage, not the
+    full corpus)."""
+    from otit_swt_spark.pipelines.clustering import kmeans_fit
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(base.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        kmeans_fit(
+            base.select("id", F.slice("v", j * sub + 1, sub).alias("sv")),
+            k=codebook_size, iters=iters, id_col="id", vec_col="sv")
+        for j in range(m)
+    ]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ codes ``(id_col, codes array<int>)``: per subspace, the index
+    of the nearest sub-centroid (lowest index on ties). Map-side only —
+    the codebooks ride in the plan as literals; at 64 dims / m=8 / k=16
+    the corpus state drops 32× (8 bytes vs 256)."""
+    from otit_swt_spark.pipelines.clustering import _assign_expr
+
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        cl, _d = _assign_expr(F.slice(v, j * sub + 1, sub), book)
+        codes.append(cl)
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def _sq_l2(a: list[float], b: list[float]) -> float:
+    """Ordered left-fold squared L2 — FP-identical to the SQL twin's
+    list_dot_product(diff, diff)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def pq_topk(df: DataFrame, query_id, k: int = 10, m: int = 8,
+            codebook_size: int = 16, iters: int = 2,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: train codebooks,
+    encode the corpus once, build the query's m×k distance table on the
+    driver, and score every vector with ``m`` table lookups + adds — no
+    float vectors touched at query time. This is the memory-scale ANN
+    query path beyond scalar quantization (``quantized_topk``): corpus
+    state is m small ints per vector, and the scoring pass is pure
+    map-side lookup arithmetic, so a 100 TB corpus scans its codes at
+    RAM-like density. Returns (id_col, adc_dist2) — the k smallest
+    APPROXIMATE distances (quantization error bounds recall, the standard
+    PQ trade)."""
+    books = pq_fit(df, m, codebook_size, iters, id_col, vec_col)
+    sub = len(books[0][0])
+    q = (df.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).cast("array<double>").alias("v"))
+         .first()["v"])
+    enc = pq_encode(df, books, id_col, vec_col)
+    adc = None
+    for j, book in enumerate(books):
+        qs = list(q[j * sub:(j + 1) * sub])
+        table = F.array(*[F.lit(_sq_l2(qs, c)) for c in book])
+        term = F.element_at(table, F.element_at("codes", j + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = enc.select(F.col(id_col), adc.alias("__raw"))
+    return (scored.orderBy("__raw", id_col).limit(k)
+            .select(id_col, F.round("__raw", 6).alias("adc_dist2")))

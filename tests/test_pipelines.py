@@ -2404,3 +2404,44 @@ def test_leakage_safe_split_no_cluster_straddles(spark):
     again = {r["id"]: r["split"]
              for r in leakage_safe_split(docs).collect()}
     assert again == split_of
+
+
+def test_pq_codebooks_encode_and_adc(spark):
+    """PQ end-to-end on a controlled corpus: codebook shapes, code range,
+    ADC self-distance smallest for the query, and agreement of the ADC
+    score with a driver-side replay of table lookups."""
+    from otit_swt_spark.pipelines.embedding import (
+        _sq_l2,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    import random
+    rng = random.Random(7)
+    dim, m, k = 16, 4, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_fit(df, m=m, codebook_size=k, iters=2)
+    assert len(books) == m
+    assert all(len(b) == k and all(len(c) == dim // m for c in b)
+               for b in books)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    assert all(len(c) == m and all(0 <= x < k for x in c)
+               for c in enc.values())
+    out = pq_topk(df, query_id=5, k=10, m=m, codebook_size=k, iters=2)
+    got = [(r["vec_id"], r["adc_dist2"]) for r in out.collect()]
+    # replay ADC in the test: distance tables from the same codebooks
+    q = dict(rows)[5]
+    sub = dim // m
+    def adc(vid):
+        acc = 0.0
+        for j in range(m):
+            acc += _sq_l2(list(q[j*sub:(j+1)*sub]), books[j][enc[vid][j]])
+        return round(acc, 6)
+    want = sorted(((i, adc(i)) for i, _ in rows),
+                  key=lambda x: (x[1], x[0]))[:10]
+    assert got == want
+    # the query's own code cell contains it -> it ranks first
+    assert got[0][0] == 5

@@ -556,3 +556,42 @@ def test_bloom_build_10m_keys(spark):
     fp = bloom_probe(bloom, absent, "k", n_bits=m, k=5) \
         .filter(F.col("maybe_present")).count()
     assert fp <= 30  # design FPR ~4% of 200 = 8; deterministic hashing
+
+
+def test_ssjoin_distinct_sets_duplicate_mass(spark):
+    """200k rows = 2000 distinct token sets x 100 identical copies each:
+    the identical-copy mass (which would emit 100^2/2 pairs per set, ~10M
+    total, under exact all-rows semantics) must collapse to ONE groupBy —
+    the join then runs over 2000 representatives. Disjoint per-set
+    vocabularies + 10 planted overlapping set pairs give an exactly-known
+    result."""
+    from otit_swt_spark.pipelines.fuzzy import ssjoin_distinct_sets
+
+    # 2000 templates with disjoint vocab: "wA wB wC wD" per template t
+    tmpl = F.concat_ws(
+        " ",
+        F.concat(F.lit("t"), F.col("t"), F.lit("a")),
+        F.concat(F.lit("t"), F.col("t"), F.lit("b")),
+        F.concat(F.lit("t"), F.col("t"), F.lit("c")),
+        F.concat(F.lit("t"), F.col("t"), F.lit("d")))
+    docs = (spark.range(200_000)
+            .select(F.col("id").alias("doc_id"),
+                    (F.col("id") % 2000).alias("t"))
+            .select("doc_id", tmpl.alias("text")))
+    # planted: 10 extra docs whose set shares 3 of 4 tokens with template
+    # k (j = 3/5 = 0.6)
+    planted = spark.range(10).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("t"), F.col("id"), F.lit("a")),
+            F.concat(F.lit("t"), F.col("id"), F.lit("b")),
+            F.concat(F.lit("t"), F.col("id"), F.lit("c")),
+            F.lit("oddball")).alias("text"))
+    pairs = ssjoin_distinct_sets(docs.unionByName(planted),
+                                 threshold=0.6).collect()
+    # exactly the 10 planted (template-rep, planted-doc) pairs — nothing
+    # from the 100-copy duplicate mass, nothing across disjoint vocab
+    assert len(pairs) == 10
+    assert all(r["jaccard"] == 0.6 for r in pairs)
+    assert all(r["id_b"] >= 1_000_000 and r["id_a"] < 2000 for r in pairs)
