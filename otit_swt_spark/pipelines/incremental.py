@@ -116,7 +116,8 @@ def read_agg(spark: SparkSession, path: str, sum_cols: list[str]) -> DataFrame:
 
 def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
                    attr_cols: list[str],
-                   order_cols: list[str] | None = None) -> DataFrame:
+                   order_cols: list[str] | None = None,
+                   carry_cols: list[str] | None = None) -> DataFrame:
     """Slowly-changing-dimension type-2 history from a change log: collapse
     per-key consecutive rows with unchanged attributes into validity
     intervals ``(key, attrs..., valid_from, valid_to, is_current)`` —
@@ -126,7 +127,9 @@ def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
 
     Change detection is null-safe (NULL -> value and value -> NULL are
     changes; NULL -> NULL is not). ``order_cols`` breaks equal-timestamp
-    ties deterministically (e.g. an event id).
+    ties deterministically (e.g. an event id). ``carry_cols`` are
+    retained from each version-START row (e.g. the order column itself,
+    which the streaming sink needs to re-merge deterministically).
 
     Scale shape: two window passes over the SAME (key, order) partitioning
     — Catalyst plans one Exchange + one sort for both — so cost is one
@@ -145,7 +148,7 @@ def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
                 .drop("__new_version"))
     w2 = W.partitionBy(key_col).orderBy(*order)
     return (versions
-            .select(key_col, *attr_cols,
+            .select(key_col, *attr_cols, *(carry_cols or []),
                     F.col(ts_col).alias("valid_from"),
                     F.lead(ts_col).over(w2).alias("valid_to"))
             .withColumn("is_current", F.col("valid_to").isNull()))

@@ -476,3 +476,59 @@ def stream_hll(df: DataFrame, key_col: str, path: str, checkpoint: str):
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_scd2(df: DataFrame, path: str, checkpoint: str,
+                key_col: str, ts_col: str, attr_cols: list,
+                order_col: str):
+    """Maintain a slowly-changing-dimension type-2 table from a change
+    stream, LOG-STRUCTURED: each micro-batch appends to a raw change log
+    beside the table, then the touched keys' interval histories are
+    re-derived from the log (``pipelines.incremental.scd2_intervals``)
+    and the table rewritten with untouched keys carried over. Deriving
+    from the LOG — never from the stored intervals — is what makes late
+    and out-of-order changes exact: a late change can land between two
+    stored versions and REVIVE a change row the earlier collapse dropped
+    (same attr before and after the gap), information the collapsed
+    intervals no longer hold.
+
+    Replay-safe without a batch-id guard: a redelivered batch appends
+    duplicate log rows, and exact-duplicate change rows are collapsed
+    away by the interval derivation (unchanged attr against its own
+    copy) — the fold is idempotent like the HLL register sink, unlike
+    the CMS/incremental folds. At cluster scale, partition both log and
+    table by a stable key hash so a batch reads/rewrites only touched
+    partitions (the pipelines.merge machinery); the log is the
+    event-sourcing system of record, the table a derived view. Returns
+    the started StreamingQuery."""
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.incremental import scd2_intervals
+
+    log_path = path.rstrip("/") + "__log"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(key_col, ts_col, order_col, *attr_cols)
+        batch.write.mode("append").parquet(log_path)
+        touched = batch.select(key_col).distinct()
+        mine = (spark.read.parquet(log_path)
+                .join(touched, key_col, "left_semi"))
+        out = scd2_intervals(mine, key_col, ts_col, attr_cols,
+                             order_cols=[order_col]) \
+            .select(key_col, *attr_cols,
+                    "valid_from", "valid_to", "is_current")
+        if fsutil.exists(spark, path):
+            keep = spark.read.parquet(path) \
+                .join(touched, key_col, "left_anti")
+            out = keep.unionByName(out)
+        # materialize before the overwrite so the stored-table read above
+        # never races its own rewrite
+        out.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -119,3 +119,41 @@ def test_unicode_and_edge_docs_differential(spark, con):
     want_m = [tuple(r) for r in c.execute(
         entry_mod._bpe_train_oracle(3)).fetchall()]
     assert [tuple(m) for m in merges] == want_m
+
+
+def test_ssjoin_random_corpora_vs_python_reference(spark):
+    """Random-differential losslessness proof for the prefix filter:
+    random corpora (skewed token frequencies, duplicate sets, singleton
+    tokens, empty-ish docs) at random thresholds, ssjoin_jaccard vs a
+    pure-Python brute-force all-pairs reference."""
+    import random
+
+    from otit_swt_spark.pipelines.fuzzy import ssjoin_jaccard
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n_docs = rng.randint(10, 60)
+        vocab_n = rng.randint(5, 30)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        # zipf-ish skew: low-index tokens much hotter
+        rows = []
+        for i in range(n_docs):
+            sz = rng.randint(1, 12)
+            toks = [vocab[min(int(rng.expovariate(0.35)), vocab_n - 1)]
+                    for _ in range(sz)]
+            rows.append((i, " ".join(toks)))
+        if trial % 2:
+            rows.append((n_docs, rows[0][1]))       # exact duplicate set
+        tau = rng.choice([0.3, 0.5, 0.7, 0.9])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ssjoin_jaccard(df, threshold=tau).collect()}
+        sets = {i: set(t.split()) for i, t in rows if t.strip()}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if j >= tau:
+                        want[(a, b)] = round(j, 6)
+        assert got == want, f"trial={trial} tau={tau}"

@@ -506,3 +506,62 @@ def test_stream_hll_matches_batch_sketch(spark, tmp_path):
     assert got == want
     est = hll_estimate(spark.read.parquet(sk)).first()["estimate"]
     assert abs(est - 1200) / 1200 < 0.1
+
+
+def test_stream_scd2_matches_batch_twin_and_handles_late_data(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1) folded into the SCD2
+    table — including a LATE change that lands between two already-stored
+    versions — must equal one batch scd2_intervals over the full log;
+    restarting the stream over the same source (full replay) leaves the
+    table unchanged (idempotent fold, no batch-id guard needed)."""
+    from otit_swt_spark.pipelines.incremental import scd2_intervals
+    from otit_swt_spark.streaming.ingest import stream_scd2
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "scd2")
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return pd.DataFrame({
+            "k": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(days=r[1]) for r in rows],
+            "eid": [r[2] for r in rows],
+            "attr": [r[3] for r in rows]})
+
+    b1 = mk([(1, 1, 1, "a"), (1, 3, 2, "a"), (2, 1, 3, "p")])
+    b2 = mk([(1, 5, 4, "b"), (2, 2, 5, "q")])
+    b3 = mk([(1, 2, 6, "c")])          # LATE: lands between days 1 and 3
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b).coalesce(1).write.mode(
+            "append" if i else "overwrite").parquet(src)
+
+    schema = "k long, ts timestamp, eid long, attr string"
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = stream_scd2(stream, tbl, ck, "k", "ts", ["attr"], "eid")
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck1"))
+    full_log = spark.createDataFrame(pd.concat([b1, b2, b3]), schema)
+    want = rows(scd2_intervals(full_log, "k", "ts", ["attr"],
+                               order_cols=["eid"])
+                .select("k", "attr", "valid_from", "valid_to",
+                        "is_current"))
+    got = rows(spark.read.parquet(tbl)
+               .select("k", "attr", "valid_from", "valid_to", "is_current"))
+    assert got == want
+    # key 1's history after the late merge (days are base+offset, so
+    # Jan 2/3/4/6): a -> late c -> REVIVED a -> b. The revived middle 'a'
+    # is exactly the row a stored-interval re-derivation would lose —
+    # the log-structured design is what recovers it.
+    k1 = [(r[1], r[2].day) for r in got if r[0] == 1]
+    assert sorted(k1, key=lambda x: x[1]) == [
+        ("a", 2), ("c", 3), ("a", 4), ("b", 6)]
+    # full replay from a fresh checkpoint: idempotent, table unchanged
+    run(str(tmp_path / "ck2"))
+    again = rows(spark.read.parquet(tbl)
+                 .select("k", "attr", "valid_from", "valid_to",
+                         "is_current"))
+    assert again == want
