@@ -108,6 +108,12 @@ EXTENDED = [
     "bpe_merges",
     "bloom_membership",
     "hll_users",
+    # round-7 additions (pq_topk is excluded: its 8 codebook fits are
+    # ~16 driver-synchronized training jobs — evidenced by the oracle
+    # sweep and plan audit instead of inflating the bench harness)
+    "ssjoin_part_names",
+    "scd2_user_events",
+    "leakage_split",
 ]
 
 

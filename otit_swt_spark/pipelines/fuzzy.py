@@ -93,13 +93,18 @@ def _ssjoin_pairs(toks: DataFrame, threshold: float) -> DataFrame:
     — the shared core of :func:`ssjoin_jaccard` (all rows) and
     :func:`ssjoin_distinct_sets` (identical-set representatives)."""
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # materialized once (lazy localCheckpoint, no CacheManager entry):
+    # three consumers read this frame — the prefix postings and both
+    # sides of the verification join — and each would otherwise rerun
+    # the tokenize + frequency-join + per-doc sort pipeline
     ordered = (toks.join(freq, "tok")
                .groupBy("id")
                .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
                     .alias("o"))
                .select("id",
                        F.transform("o", lambda x: x["tok"]).alias("toks"),
-                       F.size("o").alias("sz")))
+                       F.size("o").alias("sz"))
+               .localCheckpoint(eager=False))
     prefix_len = (F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
                   + F.lit(1))

@@ -2445,3 +2445,47 @@ def test_pq_codebooks_encode_and_adc(spark):
     assert got == want
     # the query's own code cell contains it -> it ranks first
     assert got[0][0] == 5
+
+
+def test_scd2_random_logs_vs_python_reference(spark):
+    """Random change logs (duplicate timestamps, null attrs, multi-attr
+    rows, unchanged runs) vs a pure-Python SCD2 reference."""
+    import random
+    from datetime import datetime, timedelta
+
+    from otit_swt_spark.pipelines.incremental import scd2_intervals
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    for trial in range(5):
+        rows = []
+        eid = 0
+        for k in range(rng.randint(1, 6)):
+            for _ in range(rng.randint(1, 15)):
+                eid += 1
+                rows.append((k,
+                             base + timedelta(hours=rng.randint(0, 20)),
+                             eid,
+                             rng.choice(["a", "b", None]),
+                             rng.choice([1, 2])))
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, eid long, s string, i long")
+        got = sorted(
+            ((r["k"], r["s"], r["i"], r["valid_from"], r["valid_to"],
+              r["is_current"]) for r in
+             scd2_intervals(df, "k", "ts", ["s", "i"],
+                            order_cols=["eid"]).collect()),
+            key=str)
+        # python reference: sort per key by (ts, eid), collapse runs
+        want = []
+        bykey: dict = {}
+        for r in rows:
+            bykey.setdefault(r[0], []).append(r)
+        for k, rs in bykey.items():
+            rs.sort(key=lambda r: (r[1], r[2]))
+            versions = [r for i, r in enumerate(rs)
+                        if i == 0 or (r[3], r[4]) != (rs[i-1][3], rs[i-1][4])]
+            for i, r in enumerate(versions):
+                nxt = versions[i+1][1] if i+1 < len(versions) else None
+                want.append((k, r[3], r[4], r[1], nxt, nxt is None))
+        assert got == sorted(want, key=str), f"trial={trial}"
