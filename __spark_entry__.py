@@ -2540,6 +2540,22 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(e, query_id=0, k=10, m=8, codebook_size=16, iters=2)
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ / IVFADC (Jégou et al. 2011), the full FAISS-style ANN
+    composition: coarse Lloyd quantizer partitions the corpus into
+    inverted lists, vectors carry PQ codes of their RESIDUAL against
+    their coarse centroid, and the query scans only the n_probe nearest
+    lists with per-list ADC tables from the query residual. Every stage
+    (coarse training, residual codebooks, probe selection, ADC) follows
+    the determinism contract, so the oracle replays the ENTIRE index
+    build + search in SQL."""
+    from otit_swt_spark.pipelines.embedding import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(e, query_id=0, k=10, n_clusters=8, n_probe=2,
+                       m=8, codebook_size=16, iters=2)
+
+
 def q_ssjoin_part_names(spark, sf_dir):
     """EXACT set-similarity self-join (prefix filtering, Chaudhuri et al.
     2006 / PPJoin family) over DISTINCT part-name token sets: the
@@ -2665,6 +2681,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fuzzy_part_names": q_fuzzy_part_names,
         "ssjoin_part_names": q_ssjoin_part_names,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "scd2_user_events": q_scd2_user_events,
         "leakage_split": q_leakage_split,
         "phrase_search": q_phrase_search,
@@ -3135,17 +3152,15 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return ",\n".join(parts)
 
 
-def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
-                    dim: int = 64, topk: int = 10) -> str:
-    """DuckDB twin of q_pq_topk: re-trains each subspace codebook with the
-    same Lloyd replay as _kmeans_ctes (min-id distinct-subvector seeds,
-    row_number tie-break, DECIMAL-sum updates), re-encodes every vector,
-    and recomputes the query's per-subspace distance tables — the ADC sum
-    adds the m lookup terms in the same left-to-right order as the Spark
-    expression."""
+def _pq_train_ctes(src: str, m: int = 8, k: int = 16, iters: int = 2,
+                   dim: int = 64) -> list[str]:
+    """Per-subspace codebook-training CTE parts (the _kmeans_ctes replay
+    applied to each dim/m slice of ``src``'s (vec_id, vd) rows): defines
+    s{j}v .. s{j}c{iters} and the final encoding s{j}afin(vec_id, cl) for
+    every subspace j. Shared by the PQ and IVF-PQ oracles — the latter
+    feeds RESIDUALS as ``src``."""
     sub = dim // m
-    parts = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vd "
-             "FROM embeddings)"]
+    parts = []
     diff = (f"list_transform(generate_series(1, {sub}), "
             "i -> v.vd[i] - c.cent[i])")
     for j in range(m):
@@ -3166,7 +3181,8 @@ def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
                 ) WHERE rk = 1
             )"""
 
-        parts.append(f"{p}v AS (SELECT vec_id, vd[{lo}:{hi}] AS vd FROM v)")
+        parts.append(f"{p}v AS (SELECT vec_id, vd[{lo}:{hi}] AS vd "
+                     f"FROM {src})")
         parts.append(f"""{p}c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vd AS cent
             FROM (SELECT min(vec_id) AS vec_id, vd FROM {p}v GROUP BY vd
@@ -3188,6 +3204,21 @@ def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
                 ) n ON n.j = pc.j
             )""")
         parts.append(assign(f"{p}afin", f"{p}c{iters}"))
+    return parts
+
+
+def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
+                    dim: int = 64, topk: int = 10) -> str:
+    """DuckDB twin of q_pq_topk: re-trains each subspace codebook with the
+    same Lloyd replay as _kmeans_ctes (min-id distinct-subvector seeds,
+    row_number tie-break, DECIMAL-sum updates), re-encodes every vector,
+    and recomputes the query's per-subspace distance tables — the ADC sum
+    adds the m lookup terms in the same left-to-right order as the Spark
+    expression."""
+    sub = dim // m
+    parts = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vd "
+             "FROM embeddings)"]
+    parts += _pq_train_ctes("v", m, k, iters, dim)
     parts.append("q AS (SELECT vd AS qv FROM v WHERE vec_id = 0)")
     for j in range(m):
         p = f"s{j}"
@@ -3208,6 +3239,62 @@ def _pq_topk_oracle(m: int = 8, k: int = 16, iters: int = 2,
         SELECT vec_id, round(dist, 6) AS adc_dist2 FROM (
             SELECT e0.vec_id, {addsum} AS dist
             FROM s0afin e0 JOIN s0dt d0 ON d0.j = e0.cl {joins}
+        ) ORDER BY dist, vec_id LIMIT {topk}
+    """
+
+
+def _ivf_pq_topk_oracle(n_clusters: int = 8, n_probe: int = 2,
+                        m: int = 8, k: int = 16, iters: int = 2,
+                        dim: int = 64, topk: int = 10) -> str:
+    """DuckDB twin of q_ivf_pq_topk (IVFADC): the coarse quantizer is the
+    _kmeans_ctes replay verbatim (afin = final list assignment, c{iters}
+    = coarse centroids), residuals feed _pq_train_ctes, probe selection
+    is the exact coarse distance ORDER BY (d, j) LIMIT n_probe, and the
+    per-probe ADC tables are built from the query's residual against
+    each probed centroid — summed in the same subspace order as Spark."""
+    sub = dim // m
+    parts = [_kmeans_ctes(k=n_clusters, iters=iters, dim=dim)]
+    parts.append(f"""rsd AS (
+        SELECT a.vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> a.vd[i] - c.cent[i]) AS vd
+        FROM afin a JOIN c{iters} c ON c.j = a.cl
+    )""")
+    parts += _pq_train_ctes("rsd", m, k, iters, dim)
+    qd = (f"list_transform(generate_series(1, {dim}), "
+          "i -> q.qv[i] - c.cent[i])")
+    parts.append("q AS (SELECT vd AS qv FROM v WHERE vec_id = 0)")
+    parts.append(f"""pd AS (
+        SELECT c.j, list_dot_product({qd}, {qd}) AS d
+        FROM c{iters} c CROSS JOIN q
+    ), probe AS (
+        SELECT j FROM pd ORDER BY d, j LIMIT {n_probe}
+    ), qres AS (
+        SELECT c.j AS list_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> q.qv[i] - c.cent[i]) AS rv
+        FROM c{iters} c JOIN probe p ON p.j = c.j CROSS JOIN q
+    )""")
+    for j in range(m):
+        rdiff = (f"list_transform(generate_series(1, {sub}), "
+                 f"i -> r.rv[{j * sub} + i] - cb.cent[i])")
+        parts.append(f"""s{j}dt AS (
+            SELECT r.list_id, cb.j, list_dot_product({rdiff}, {rdiff}) AS d
+            FROM qres r CROSS JOIN s{j}c{iters} cb
+        )""")
+    joins = " ".join(
+        f"JOIN s{j}afin e{j} ON e{j}.vec_id = l.vec_id "
+        f"JOIN s{j}dt d{j} ON d{j}.list_id = l.list_id AND d{j}.j = e{j}.cl"
+        for j in range(m))
+    addsum = " + ".join(f"d{j}.d" for j in range(m))
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, list_id, round(dist, 6) AS adc_dist2 FROM (
+            SELECT l.vec_id, l.list_id, {addsum} AS dist
+            FROM (SELECT a.vec_id, a.cl AS list_id FROM afin a
+                  JOIN probe p ON p.j = a.cl) l
+            {joins}
         ) ORDER BY dist, vec_id LIMIT {topk}
     """
 
@@ -4967,6 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "ivf_pq_topk": _ivf_pq_topk_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "diversity_sample": _diversity_sample_oracle(),
         "quantize_embeddings": _quantize_embeddings_oracle(),

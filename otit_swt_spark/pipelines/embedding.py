@@ -370,3 +370,76 @@ def pq_topk(df: DataFrame, query_id, k: int = 10, m: int = 8,
     scored = enc.select(F.col(id_col), adc.alias("__raw"))
     return (scored.orderBy("__raw", id_col).limit(k)
             .select(id_col, F.round("__raw", 6).alias("adc_dist2")))
+
+
+def ivf_pq_topk(df: DataFrame, query_id, k: int = 10,
+                n_clusters: int = 8, n_probe: int = 2,
+                m: int = 8, codebook_size: int = 16, iters: int = 2,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): a coarse Lloyd quantizer
+    partitions the corpus into inverted lists, vectors store PQ codes of
+    their RESIDUAL against their coarse centroid, and a query scans only
+    the ``n_probe`` nearest lists with a per-list ADC table built from
+    the query's residual — the full FAISS-style composition of the ANN
+    ladder's pieces (``ann_ivf_topk``'s pruning × ``pq_topk``'s code
+    arithmetic). Every stage follows the clustering determinism contract,
+    so the whole thing — coarse training, residual codebooks, probe
+    selection, ADC — replays in SQL.
+
+    Scale: unprobed lists cost nothing at query time (at cluster scale,
+    physically partition the code table by list id, as ann_ivf_topk's
+    cluster dirs do, and probing prunes at the SCAN); corpus state is m
+    small ints + one list id per vector; all driver state is bounded
+    (coarse k×dim + m×k×dim/m codebooks + n_probe×m×k tables)."""
+    from otit_swt_spark.pipelines.clustering import _assign_expr, kmeans_fit
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    coarse = kmeans_fit(base, k=n_clusters, iters=iters,
+                        id_col="id", vec_col="v")
+    cl, _d = _assign_expr(F.col("v"), coarse)
+    cent_lookup = F.element_at(
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]),
+        F.col("list_id") + 1)
+    resid = (base.withColumn("list_id", cl)
+             .withColumn("rv", F.zip_with("v", cent_lookup,
+                                          lambda a, b: a - b))
+             .select("id", "list_id", "rv"))
+    books = pq_fit(resid, m=m, codebook_size=codebook_size, iters=iters,
+                   id_col="id", vec_col="rv")
+    codes = pq_encode(resid, books, id_col="id", vec_col="rv") \
+        .join(resid.select("id", "list_id"), "id")
+    sub = len(books[0][0])
+    q = (base.filter(F.col("id") == query_id)
+         .select("v").first()["v"])
+    # probe selection: exact coarse distances, lowest index on ties —
+    # the same left-fold arithmetic as the SQL replay
+    cd = sorted(((_sq_l2(list(q), c), j) for j, c in enumerate(coarse)))
+    probes = [j for _d2, j in cd[:n_probe]]
+    # per-probe ADC tables from the query's residual against that list
+    tables = {}
+    for pj in probes:
+        qr = [x - y for x, y in zip(q, coarse[pj])]
+        tables[pj] = [
+            [_sq_l2(qr[j * sub:(j + 1) * sub], c) for c in books[j]]
+            for j in range(m)
+        ]
+    probe_pos = None
+    for i, pj in enumerate(probes):
+        cond = F.col("list_id") == pj
+        probe_pos = (F.when(cond, i) if probe_pos is None
+                     else probe_pos.when(cond, i))
+    adc = None
+    for j in range(m):
+        per_probe = F.array(*[
+            F.array(*[F.lit(t) for t in tables[pj][j]]) for pj in probes])
+        term = F.element_at(F.element_at(per_probe, probe_pos + 1),
+                            F.element_at("codes", j + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (codes.filter(F.col("list_id").isin([int(p) for p in probes]))
+              .select("id", "list_id", adc.alias("__raw")))
+    return (scored.orderBy("__raw", "id").limit(k)
+            .select(F.col("id").alias(id_col),
+                    F.col("list_id"),
+                    F.round("__raw", 6).alias("adc_dist2")))

