@@ -2540,6 +2540,20 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(e, query_id=0, k=10, m=8, codebook_size=16, iters=2)
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Per-user Holt linear-trend forecast (double exponential smoothing)
+    over the event stream: sequential per-key fold (the documented Arrow
+    escape hatch), one bounded state row per key out; the oracle replays
+    the identical (level, trend) struct fold with a SQL list_reduce."""
+    from otit_swt_spark.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "value")
+    return holt_forecast(ev, key="user_id", ts="ts", value="value",
+                         alpha=0.2, beta=0.1, horizon=3,
+                         order_cols=["event_id"])
+
+
 def q_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ / IVFADC (Jégou et al. 2011), the full FAISS-style ANN
     composition: coarse Lloyd quantizer partitions the corpus into
@@ -2682,6 +2696,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ssjoin_part_names": q_ssjoin_part_names,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "holt_forecast": q_holt_forecast,
         "scd2_user_events": q_scd2_user_events,
         "leakage_split": q_leakage_split,
         "phrase_search": q_phrase_search,
@@ -3797,6 +3812,40 @@ def _ewma_oracle(alpha: float = 0.2) -> str:
                round(list_reduce(prefix, (acc, x) -> {a} * x + {b} * acc), 6)
                    AS ewma
         FROM w
+    """
+
+
+def _holt_oracle(alpha: float, beta: float, horizon: int) -> str:
+    # embed the SAME precomputed doubles the Spark fold uses, and compute
+    # the new level twice inside the lambda (no local bindings in SQL
+    # lambdas) — identical double expression, identical result. State is
+    # a 2-element LIST [level, trend], NOT a struct: DuckDB's struct
+    # lambdas alias later field expressions onto already-updated earlier
+    # fields (probed on v1.0.0 — '{l: acc.l+10, b: acc.l}' folds to
+    # b = NEW l), while list-valued accumulators keep honest
+    # old-accumulator semantics.
+    a, one_a = repr(alpha), repr(1.0 - alpha)
+    b, one_b = repr(beta), repr(1.0 - beta)
+    new_l = f"({a} * e[1] + {one_a} * (acc[1] + acc[2]))"
+    return f"""
+        WITH s AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+            FROM events GROUP BY user_id
+        ), folded AS (
+            SELECT user_id, len(xs) AS n_points,
+                   list_reduce(
+                       list_transform(xs, x -> [x, 0.0::DOUBLE]),
+                       (acc, e) -> [
+                           {new_l},
+                           {b} * ({new_l} - acc[1]) + {one_b} * acc[2]
+                       ]) AS st
+            FROM s
+        )
+        SELECT user_id, n_points,
+               round(st[1], 6) AS level,
+               round(st[2], 6) AS trend,
+               round(st[1] + {float(horizon)!r} * st[2], 6) AS forecast
+        FROM folded
     """
 
 
@@ -5593,6 +5642,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE x.doc_id IS NULL
         """,
         "ewma_events": _ewma_oracle(0.2),
+        "holt_forecast": _holt_oracle(0.2, 0.1, 3),
         "lm_quality": """
             WITH norm AS (
                 SELECT doc_id,

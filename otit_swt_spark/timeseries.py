@@ -501,3 +501,58 @@ def in_memory_timeseries(
     tall = pd.concat(parts, ignore_index=True)
     df = spark.createDataFrame(tall)
     return TimeSeriesTable(df, value_datatype=value_datatype or XSD_DOUBLE)
+
+
+def holt_forecast(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    horizon: int = 3,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Holt linear-trend forecasting (double exponential
+    smoothing): ``l_0 = x_0, b_0 = 0``; then
+    ``l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})`` and
+    ``b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}``. Returns ONE row per key:
+    ``(key, n_points, level, trend, forecast)`` with
+    ``forecast = level + horizon·trend`` — the smoothed state a monitoring
+    pipeline projects forward per sensor.
+
+    Like :func:`ewma`, the recursion is sequential per key: one shuffle
+    on the key, then an Arrow-batched fold in time order with the α /
+    1-α / β / 1-β doubles precomputed once — so a SQL ``list_reduce``
+    over the same struct state replays it bit-exactly. Output state is
+    one row per key (bounded), whatever the series length."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    a, one_a = alpha, 1.0 - alpha
+    bt, one_b = beta, 1.0 - beta
+    h = float(horizon)
+    order = [ts, *(order_cols or [])]
+    out_schema = (f"`{key}` {dict(series.dtypes)[key]}, n_points long, "
+                  "level double, trend double, forecast double")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        xs = pdf[value].tolist()
+        kv = pdf[key].iloc[0]
+        lvl = xs[0]
+        trd = 0.0
+        for x in xs[1:]:
+            new_l = a * x + one_a * (lvl + trd)
+            trd = bt * (new_l - lvl) + one_b * trd
+            lvl = new_l
+        return pd.DataFrame({
+            key: [kv], "n_points": [len(xs)],
+            "level": [round(lvl, 6)], "trend": [round(trd, 6)],
+            "forecast": [round(lvl + h * trd, 6)]})
+
+    return series.select(key, *order, value).groupBy(key) \
+        .applyInPandas(fold, out_schema)

@@ -2513,3 +2513,34 @@ def test_ivf_pq_probes_and_adc(spark):
     assert len({r["list_id"] for r in out}) == 1   # one probed list only
     ids = {r["vec_id"] for r in out}
     assert ids <= set(range(30))             # all results from blob A
+
+
+def test_holt_forecast_matches_reference_and_edges(spark):
+    """Holt fold vs a pure-Python replay; single-point series gives
+    (level=x, trend=0); out-of-order input is sorted by (ts, order)."""
+    from datetime import datetime, timedelta
+
+    from otit_swt_spark.timeseries import holt_forecast
+
+    base = datetime(2024, 1, 1)
+    xs = [10.0, 12.0, 9.0, 15.0, 14.0]
+    rows = [(1, base + timedelta(hours=i), i, x) for i, x in enumerate(xs)]
+    rows = rows[::-1]                       # shuffled input order
+    rows.append((2, base, 0, 42.0))         # single-point key
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, value double")
+    out = {r["k"]: r for r in
+           holt_forecast(df, key="k", ts="ts", value="value",
+                         alpha=0.2, beta=0.1, horizon=3,
+                         order_cols=["eid"]).collect()}
+    lvl, trd = xs[0], 0.0
+    for x in xs[1:]:
+        nl = 0.2 * x + 0.8 * (lvl + trd)
+        trd = 0.1 * (nl - lvl) + 0.9 * trd
+        lvl = nl
+    assert out[1]["n_points"] == 5
+    assert out[1]["level"] == round(lvl, 6)
+    assert out[1]["trend"] == round(trd, 6)
+    assert out[1]["forecast"] == round(lvl + 3.0 * trd, 6)
+    assert (out[2]["level"], out[2]["trend"], out[2]["forecast"]) == \
+        (42.0, 0.0, 42.0)
