@@ -532,3 +532,75 @@ def stream_scd2(df: DataFrame, path: str, checkpoint: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+_HOLT_OUT = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("forecast", T.DoubleType()),
+])
+
+
+def holt_stream(df: DataFrame, alpha: float = 0.2, beta: float = 0.1,
+                horizon: int = 3,
+                watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of :func:`otit_swt_spark.timeseries.holt_forecast`:
+    the (level, trend) double-exponential fold carried across
+    micro-batches in one two-double state row per id
+    (``applyInPandasWithState``), emitting the updated per-key state +
+    horizon forecast each batch — the live anomaly/forecast monitor over
+    an unbounded sensor stream at O(1) state per key. Within a batch
+    rows fold in event-time order; on a batch DataFrame, delegates to
+    the exact replayable batch implementation."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    one_a, one_b = 1.0 - alpha, 1.0 - beta
+    h = float(horizon)
+
+    if not df.isStreaming:
+        from otit_swt_spark.timeseries import holt_forecast
+
+        return holt_forecast(df, key="id", ts="timestamp", value="value",
+                             alpha=alpha, beta=beta, horizon=horizon)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        lvl, trd, seen = state.get if state.exists else (None, 0.0, 0)
+        chunks = list(pdf_iter)
+        if not chunks:
+            yield pd.DataFrame(columns=[f.name for f in _HOLT_OUT])
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("timestamp")
+        for x in pdf["value"]:
+            x = float(x)
+            if lvl is None:
+                lvl = x
+                trd = 0.0
+            else:
+                new_l = alpha * x + one_a * (lvl + trd)
+                trd = beta * (new_l - lvl) + one_b * trd
+                lvl = new_l
+            seen += 1
+        state.update((lvl, trd, seen))
+        yield pd.DataFrame([(key[0], seen, round(lvl, 6), round(trd, 6),
+                             round(lvl + h * trd, 6))],
+                           columns=[f.name for f in _HOLT_OUT])
+
+    state_schema = T.StructType([
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("trd", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    return (
+        df.withWatermark("timestamp", watermark)
+        .groupBy("id")
+        .applyInPandasWithState(
+            fold, _HOLT_OUT, state_schema, "append",
+            GroupStateTimeout.NoTimeout))

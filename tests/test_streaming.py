@@ -565,3 +565,45 @@ def test_stream_scd2_matches_batch_twin_and_handles_late_data(spark, tmp_path):
                  .select("k", "attr", "valid_from", "valid_to",
                          "is_current"))
     assert again == want
+
+
+def test_holt_stream_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches through the stateful Holt fold: the final
+    emitted state equals the batch holt_forecast over the full series
+    (state carried across batches), and the batch-mode delegation
+    matches exactly."""
+    from otit_swt_spark.streaming.ingest import holt_stream
+    from otit_swt_spark.timeseries import holt_forecast
+
+    src = str(tmp_path / "src")
+    base = pd.Timestamp("2024-01-01")
+    xs = [10.0, 12.0, 9.0, 15.0, 14.0, 11.0]
+    mk = lambda lo, hi: pd.DataFrame({  # noqa: E731
+        "id": ["s1"] * (hi - lo),
+        "timestamp": [base + pd.Timedelta(hours=i) for i in range(lo, hi)],
+        "value": xs[lo:hi]})
+    spark.createDataFrame(mk(0, 3)).coalesce(1).write.parquet(src)
+    spark.createDataFrame(mk(3, 6)).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema("id string, timestamp timestamp, "
+                                      "value double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = holt_stream(stream, alpha=0.2, beta=0.1, horizon=3)
+    q = (out.writeStream.format("memory").queryName("holt_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "SELECT * FROM holt_out ORDER BY n_points").collect()
+    assert [r["n_points"] for r in emitted] == [3, 6]
+
+    full = spark.createDataFrame(mk(0, 6))
+    want = holt_forecast(full, key="id", ts="timestamp", value="value",
+                         alpha=0.2, beta=0.1, horizon=3).first()
+    last = emitted[-1]
+    assert (last["level"], last["trend"], last["forecast"]) == \
+        (want["level"], want["trend"], want["forecast"])
+    # batch delegation returns the replayable batch implementation
+    bat = holt_stream(full, alpha=0.2, beta=0.1, horizon=3).first()
+    assert (bat["level"], bat["trend"], bat["forecast"]) == \
+        (want["level"], want["trend"], want["forecast"])
