@@ -2681,7 +2681,43 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_assoc_rules_brands(spark, sf_dir):
+    """Market-basket association rules over orders: which part BRANDS
+    co-occur in the same order beyond chance — support / confidence /
+    lift per ordered brand pair, top-50 by (lift, confidence) under a
+    deterministic total order. The pair join is keyed on the basket
+    (order) so the blow-up is quadratic only in order width; brand
+    marginals broadcast and the basket total is a one-row scalar
+    cross."""
+    from otit_swt_spark.pipelines.analytics import assoc_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(F.broadcast(p),
+                       li.l_partkey == p.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    return assoc_rules(baskets, "l_orderkey", "p_brand",
+                       min_pair=2, top=50)
+
+
+def q_theta_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types via theta/KMV
+    sketches (k=64 smallest 60-bit md5 hashes of the distinct user
+    sets): intersection / union distinct-count estimates and set
+    Jaccard per event-type pair, computed from n_groups sketch rows
+    instead of pairwise exact-distinct joins. Salted two-phase top-k
+    keeps hot groups off single tasks; the oracle replays hashes,
+    clipping, and the final double division bit-for-bit."""
+    from otit_swt_spark.pipelines.analytics import theta_overlap
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return theta_overlap(ev, key_col="user_id", group_col="event_type",
+                         k=64, salt=32)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "theta_audience_overlap": q_theta_audience_overlap,
+        "assoc_rules_brands": q_assoc_rules_brands,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -5643,6 +5679,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ewma_events": _ewma_oracle(0.2),
         "holt_forecast": _holt_oracle(0.2, 0.1, 3),
+        # theta/KMV overlap: 60-bit md5 hashes; two-phase salted top-k on
+        # the Spark side == global top-k (semilattice), so the oracle
+        # takes the global k smallest directly. All-integer until the
+        # single final double division (exact long->double casts).
+        "assoc_rules_brands": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), tot AS (
+                SELECT count(DISTINCT b) AS n FROM items
+            ), marg AS (
+                SELECT i, count(*) AS m FROM items GROUP BY i
+            ), pairs AS (
+                SELECT a.i AS antecedent, c.i AS consequent,
+                       count(*) AS n_ab
+                FROM items a JOIN items c USING (b)
+                WHERE a.i <> c.i
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT antecedent, consequent, n_ab,
+                   round(n_ab / CAST(n AS DOUBLE), 6) AS support,
+                   round(n_ab / CAST(ma.m AS DOUBLE), 6) AS confidence,
+                   round((n_ab / CAST(ma.m AS DOUBLE))
+                         * (n / CAST(mc.m AS DOUBLE)), 6) AS lift
+            FROM pairs, tot
+            JOIN marg ma ON ma.i = antecedent
+            JOIN marg mc ON mc.i = consequent
+            ORDER BY lift DESC, confidence DESC, antecedent, consequent
+            LIMIT 50
+        """,
+        "theta_audience_overlap": """
+            WITH d AS (
+                SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) AS k FROM events
+            ), h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(k), 1, 15))::UBIGINT::BIGINT AS h
+                FROM d
+            ), r AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM h
+            ), sk AS (
+                SELECT event_type,
+                       list(h ORDER BY h) AS ks,
+                       count(*) AS n_kept,
+                       CASE WHEN count(*) >= 64
+                            THEN max(CASE WHEN rn = 64 THEN h END)
+                            ELSE 1152921504606846976 END AS theta
+                FROM r WHERE rn <= 64 GROUP BY event_type
+            ), est AS (
+                SELECT event_type, ks, theta,
+                       CASE WHEN n_kept >= 64
+                            THEN round(63 * 1152921504606846976.0
+                                       / CAST(theta AS DOUBLE), 6)
+                            ELSE CAST(n_kept AS DOUBLE) END AS est
+                FROM sk
+            ), pairs AS (
+                SELECT a.event_type AS group_a, b.event_type AS group_b,
+                       a.est AS est_a, b.est AS est_b,
+                       least(a.theta, b.theta) AS th,
+                       len(list_filter(list_intersect(a.ks, b.ks),
+                                       x -> x < least(a.theta, b.theta)))
+                           AS ni,
+                       len(list_filter(list_distinct(a.ks || b.ks),
+                                       x -> x < least(a.theta, b.theta)))
+                           AS nu
+                FROM est a JOIN est b ON a.event_type < b.event_type
+            )
+            SELECT group_a, group_b, est_a, est_b,
+                   round(ni * 1152921504606846976.0
+                         / CAST(th AS DOUBLE), 6) AS est_intersection,
+                   round(nu * 1152921504606846976.0
+                         / CAST(th AS DOUBLE), 6) AS est_union,
+                   CASE WHEN nu > 0
+                        THEN round(CAST(ni AS DOUBLE)
+                                   / CAST(nu AS DOUBLE), 6)
+                        ELSE 0.0 END AS jaccard
+            FROM pairs
+        """,
         "lm_quality": """
             WITH norm AS (
                 SELECT doc_id,

@@ -503,3 +503,152 @@ def hll_estimate(sketch: DataFrame, b: int = 10) -> DataFrame:
                  ).otherwise(e_raw)
     return agg.select(F.col("used").alias("n_buckets_used"),
                       F.round(est, 6).alias("estimate"))
+
+
+def theta_sketch(df: DataFrame, key_col: str, group_col: str,
+                 k: int = 64, salt: int = 32) -> DataFrame:
+    """KMV / theta sketch per group (Bar-Yossef et al. 2002; the
+    Datasketches theta family): keep the ``k`` SMALLEST 60-bit md5
+    hashes of the distinct keys in each group. Distinct-count estimate
+    ``(k-1) * 2^60 / theta`` where ``theta`` is the k-th smallest hash;
+    groups with fewer than ``k`` distinct keys are counted exactly
+    (``theta`` pegged at ``2^60``).
+
+    Unlike HLL (:func:`hll_sketch`), a theta sketch supports SET
+    OPERATIONS — intersections and Jaccard between groups
+    (:func:`theta_overlap`) — because it keeps a uniform hash SAMPLE,
+    not just register maxima. Reference parity: the reference exposes
+    only exact COUNT(DISTINCT) (hybrid GroupBy lowering); this is the
+    100 TB-scale companion (audience overlap without pairwise exact
+    distinct joins).
+
+    Scale shape: one shuffle for the (group, key) distinct, then a
+    SALTED two-phase top-k — per-(group, salt-cell) window keeps ``k``
+    rows, then the per-group merge window sees at most ``salt * k`` rows
+    per group, so a hot group (every user clicks) never funnels its full
+    distinct set through one task. Top-k is a semilattice, so the
+    two-phase merge is exactly the global top-k (what a cluster-wide
+    sketch union computes). Deterministic md5 — replayable in any SQL
+    engine. Output: ``(group_col, ks array<long>, n_kept, theta, est)``.
+    """
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    theta_one = 1 << 60
+    d = (df.select(F.col(group_col), F.col(key_col).cast("string")
+                   .alias("__k")).distinct()
+         .select(group_col, _md5_60(F.col("__k")).alias("__h"),
+                 F.pmod(F.xxhash64("__k"), F.lit(salt)).alias("__s")))
+    w1 = W.partitionBy(group_col, "__s").orderBy("__h")
+    w2 = W.partitionBy(group_col).orderBy("__h")
+    kept = (d.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k))
+    sk = (kept.groupBy(group_col)
+          .agg(F.sort_array(F.collect_list("__h")).alias("ks"),
+               F.count(F.lit(1)).alias("n_kept")))
+    theta = F.when(F.col("n_kept") >= k,
+                   F.element_at("ks", k)).otherwise(F.lit(theta_one))
+    est = F.when(F.col("n_kept") >= k,
+                 F.round(F.lit(float(k - 1) * float(theta_one))
+                         / F.col("theta").cast("double"), 6)) \
+        .otherwise(F.col("n_kept").cast("double"))
+    return (sk.withColumn("theta", theta).withColumn("est", est))
+
+
+def theta_overlap(df: DataFrame, key_col: str, group_col: str,
+                  k: int = 64, salt: int = 32) -> DataFrame:
+    """Pairwise audience overlap between groups from theta sketches:
+    for each group pair the intersection/union distinct-count estimates
+    and the Jaccard similarity of the two key SETS — without ever
+    joining the raw key sets pairwise (the sketch frame is ``n_groups``
+    rows; the pair join is a broadcast self-join over it).
+
+    Estimator (standard theta set ops): clip both sketches to
+    ``theta_min = min(theta_a, theta_b)``; among the clipped hash
+    union, the fraction also present in both sketches estimates Jaccard
+    exactly as a uniform-sample ratio, and ``count * 2^60 / theta_min``
+    scales the clipped counts back to cardinalities. All arithmetic is
+    exact-integer until one final double division — bit-replayable.
+
+    Output: ``(group_a, group_b, est_a, est_b, est_intersection,
+    est_union, jaccard)``, one row per unordered pair, group_a <
+    group_b."""
+    theta_one_f = float(1 << 60)
+    sk = theta_sketch(df, key_col, group_col, k=k, salt=salt)
+    a = sk.select(F.col(group_col).alias("group_a"),
+                  F.col("ks").alias("ks_a"), F.col("theta").alias("th_a"),
+                  F.col("est").alias("est_a"))
+    b = sk.select(F.col(group_col).alias("group_b"),
+                  F.col("ks").alias("ks_b"), F.col("theta").alias("th_b"),
+                  F.col("est").alias("est_b"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    th = F.least("th_a", "th_b")
+    below = lambda c: F.filter(c, lambda x: x < F.col("__th"))
+    inter = F.size(below(F.array_intersect("ks_a", "ks_b")))
+    union = F.size(below(F.array_union("ks_a", "ks_b")))
+    return (pairs.withColumn("__th", th)
+            .withColumn("__ni", inter).withColumn("__nu", union)
+            .select("group_a", "group_b", "est_a", "est_b",
+                    F.round(F.col("__ni") * F.lit(theta_one_f)
+                            / F.col("__th").cast("double"), 6)
+                    .alias("est_intersection"),
+                    F.round(F.col("__nu") * F.lit(theta_one_f)
+                            / F.col("__th").cast("double"), 6)
+                    .alias("est_union"),
+                    F.when(F.col("__nu") > 0,
+                           F.round(F.col("__ni").cast("double")
+                                   / F.col("__nu").cast("double"), 6))
+                    .otherwise(F.lit(0.0)).alias("jaccard")))
+
+
+def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
+                min_pair: int = 2, top: int = 50) -> DataFrame:
+    """Association-rule mining (Agrawal & Srikant 1994's support/
+    confidence frame plus lift) over (basket, item) rows: for every
+    ordered item pair co-occurring in >= ``min_pair`` baskets, emit
+    ``support = n_ab / N``, ``confidence = n_ab / n_a`` and
+    ``lift = (n_ab / n_a) * (N / n_b)``, keeping the ``top`` rules by
+    (lift, confidence, antecedent, consequent) — a deterministic
+    total order, replayable in any SQL engine.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE BASKET KEY,
+    so the blow-up is quadratic only in basket size (bounded by order
+    width, not corpus size) and the shuffle is linear in total items;
+    item marginals broadcast, and the basket total is the one-row
+    scalar cross this repo whitelists. No all-pairs item join ever
+    happens — the co-occurrence graph materializes only where baskets
+    witness it."""
+    items = (df.select(F.col(basket_col).alias("__b"),
+                       F.col(item_col).alias("__i")).distinct())
+    total = items.agg(F.countDistinct("__b").alias("__n"))
+    marg = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__m"))
+    a = items.select(F.col("__b"), F.col("__i").alias("antecedent"))
+    b = items.select(F.col("__b"), F.col("__i").alias("consequent"))
+    pairs = (a.join(b, "__b")
+             .where(F.col("antecedent") != F.col("consequent"))
+             .groupBy("antecedent", "consequent")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair))
+    rules = (pairs
+             .join(F.broadcast(marg.select(F.col("__i").alias("antecedent"),
+                                           F.col("__m").alias("__na"))),
+                   "antecedent")
+             .join(F.broadcast(marg.select(F.col("__i").alias("consequent"),
+                                           F.col("__m").alias("__nb"))),
+                   "consequent")
+             .crossJoin(F.broadcast(total)))
+    return (rules.select(
+        "antecedent", "consequent", "n_ab",
+        F.round(F.col("n_ab") / F.col("__n").cast("double"), 6)
+        .alias("support"),
+        F.round(F.col("n_ab") / F.col("__na").cast("double"), 6)
+        .alias("confidence"),
+        F.round((F.col("n_ab") / F.col("__na").cast("double"))
+                * (F.col("__n") / F.col("__nb").cast("double")), 6)
+        .alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("confidence").desc(),
+                 "antecedent", "consequent")
+        .limit(top))

@@ -2544,3 +2544,65 @@ def test_holt_forecast_matches_reference_and_edges(spark):
     assert out[1]["forecast"] == round(lvl + 3.0 * trd, 6)
     assert (out[2]["level"], out[2]["trend"], out[2]["forecast"]) == \
         (42.0, 0.0, 42.0)
+
+
+def test_theta_sketch_exact_and_estimates(spark):
+    from otit_swt_spark.pipelines.analytics import theta_overlap, theta_sketch
+
+    # two groups with known overlap: A = 0..999, B = 500..1499
+    rows = ([("A", i) for i in range(1000)]
+            + [("B", i) for i in range(500, 1500)])
+    df = spark.createDataFrame(rows, "g string, k long")
+
+    # small-group exact path: n < k => theta pegged, est == exact count
+    small = theta_sketch(df.filter("k < 20"), "k", "g", k=64)
+    got = {r["g"]: r for r in small.collect()}
+    assert got["A"]["est"] == 20.0 and got["A"]["theta"] == 1 << 60
+    assert "B" not in got  # no B keys below 20 -> no sketch row
+
+    # estimator accuracy at k=64 over 1000 distinct: within ~25%
+    sk = theta_sketch(df, "k", "g", k=64)
+    for r in sk.collect():
+        assert 750 <= r["est"] <= 1250, r
+
+    # overlap: true intersection 500, union 1500, jaccard 1/3
+    ov = theta_overlap(df, "k", "g", k=64).collect()
+    assert len(ov) == 1
+    r = ov[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert 250 <= r["est_intersection"] <= 800
+    assert 1050 <= r["est_union"] <= 2000
+    assert 0.15 <= r["jaccard"] <= 0.55
+
+    # duplicate keys don't move the sketch (set semantics)
+    dup = df.union(df).union(df)
+    sk2 = {r["g"]: r["ks"] for r in theta_sketch(dup, "k", "g", k=64).collect()}
+    sk1 = {r["g"]: r["ks"] for r in sk.collect()}
+    assert sk1 == sk2
+
+    # mergeability: two-phase top-k == global top-k regardless of salt
+    sk_s1 = {r["g"]: r["ks"] for r in theta_sketch(df, "k", "g", k=64,
+                                                   salt=1).collect()}
+    assert sk1 == sk_s1
+
+
+def test_assoc_rules_known_counts(spark):
+    from otit_swt_spark.pipelines.analytics import assoc_rules
+
+    # 4 baskets: x+y together in 2 of 4; z alone with x once
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (4, "y"), (1, "x")]  # duplicate (1, x) must not double-count
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in assoc_rules(df, "b", "i", min_pair=2, top=10).collect()}
+    # only x<->y co-occurs >= 2 times
+    assert set(out) == {("x", "y"), ("y", "x")}
+    xy = out[("x", "y")]
+    assert xy["n_ab"] == 2
+    assert xy["support"] == 0.5          # 2 of 4 baskets
+    assert abs(xy["confidence"] - 2 / 3) < 1e-6   # x in 3 baskets
+    # lift = (2/3) * (4/3)
+    assert abs(xy["lift"] - 8 / 9) < 1e-6
+    yx = out[("y", "x")]
+    assert abs(yx["confidence"] - 2 / 3) < 1e-6
+    assert abs(yx["lift"] - xy["lift"]) < 1e-6    # lift is symmetric

@@ -45,7 +45,12 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # BM25 scorer (search.bm25_topk), plus its hybrid composition
             "bm25_topk", "hybrid_search_rrf",
             # one-row estimate x one-row exact-distinct comparison cross
-            "hll_users"}
+            "hll_users",
+            # n_groups-row sketch self-join (group_a < group_b) — the
+            # whole point of sketching is that the pair join is tiny
+            "theta_audience_overlap",
+            # one-row basket-total scalar broadcast cross
+            "assoc_rules_brands"}
 
 
 def test_all_entries_plan_invariants(spark):
