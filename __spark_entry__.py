@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_graph_kcore(spark, sf_dir):
+    """80-core of the part co-order graph: fixed-round peel (6 rounds,
+    cascade-depth 5 at every test SF — probed, not assumed) deleting
+    nodes of co-purchase degree < 80 until stable; output is each
+    surviving node with its degree inside the core. The oracle unrolls
+    the identical 6 peel rounds in SQL, so the check is exact even
+    mid-cascade."""
+    from otit_swt_spark.pipelines.graphalgo import kcore
+
+    return kcore(_part_coorder_edges(spark, sf_dir), k=80, rounds=6)
+
+
 def q_assoc_rules_brands(spark, sf_dir):
     """Market-basket association rules over orders: which part BRANDS
     co-occur in the same order beyond chance — support / confidence /
@@ -2718,6 +2730,7 @@ def q_theta_audience_overlap(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "theta_audience_overlap": q_theta_audience_overlap,
         "assoc_rules_brands": q_assoc_rules_brands,
+        "graph_kcore": q_graph_kcore,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -3849,6 +3862,39 @@ def _ewma_oracle(alpha: float = 0.2) -> str:
                    AS ewma
         FROM w
     """
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled fixed-round peel: e{i+1} = e{i} semi-joined against the
+    degree->=k survivors of e{i} — identical to the Spark loop round for
+    round, so the compare is exact even if the cascade has not
+    converged by the last round."""
+    parts = ["""WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e0 AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )"""]
+    for i in range(rounds):
+        parts.append(f"""k{i} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT a AS node FROM e{i}
+                    UNION ALL SELECT b FROM e{i})
+                GROUP BY 1 HAVING count(*) >= {k}
+            ), e{i + 1} AS MATERIALIZED (
+                SELECT e{i}.a, e{i}.b FROM e{i}
+                JOIN k{i} x ON e{i}.a = x.node
+                JOIN k{i} y ON e{i}.b = y.node
+            )""")
+    last = f"e{rounds}"
+    return ",\n".join(parts) + f"""
+            SELECT node, count(*) AS degree
+            FROM (SELECT a AS node FROM {last}
+                  UNION ALL SELECT b FROM {last})
+            GROUP BY 1
+        """
 
 
 def _holt_oracle(alpha: float, beta: float, horizon: int) -> str:
@@ -5679,6 +5725,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ewma_events": _ewma_oracle(0.2),
         "holt_forecast": _holt_oracle(0.2, 0.1, 3),
+        "graph_kcore": _kcore_oracle(80, 6),
         # theta/KMV overlap: 60-bit md5 hashes; two-phase salted top-k on
         # the Spark side == global top-k (semilattice), so the oracle
         # takes the global k smallest directly. All-integer until the

@@ -232,3 +232,33 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .withColumn("community", F.col("id")))
     return aggregate_messages(und, init, send, merge, iters,
                               checkpoint_every=1)
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
+          checkpoint_every: int = 2) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (Matula & Beck 1983):
+    repeatedly delete nodes of degree < ``k`` (each deletion can push a
+    neighbor under the threshold, cascading) until the surviving
+    subgraph — the k-core — is stable. Returns ``(node, degree)`` over
+    the edge set after ``rounds`` peels; with ``rounds`` at or above
+    the cascade depth this IS the k-core (extra rounds are no-ops), and
+    the SQL oracle replays the identical unrolled rounds either way.
+
+    Scale shape: each round is one grouped degree count plus a
+    semi-join of the (monotonically shrinking) edge list against the
+    survivors — two linear shuffles, no pairwise blow-up anywhere.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds keeps the
+    plan from growing with the iteration count, the same discipline as
+    the Kleene fixpoint and PageRank loops. On a real cluster the loop
+    maps 1:1 onto a Pregel/GraphFrames peel."""
+    live = edges
+    for i in range(rounds):
+        deg = degree_stats(live)
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        live = (live
+                .join(keep.withColumnRenamed("node", "a"), "a")
+                .join(keep.withColumnRenamed("node", "b"), "b")
+                .select("a", "b"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            live = live.localCheckpoint(eager=False)
+    return degree_stats(live)

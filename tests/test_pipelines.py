@@ -2606,3 +2606,24 @@ def test_assoc_rules_known_counts(spark):
     yx = out[("y", "x")]
     assert abs(yx["confidence"] - 2 / 3) < 1e-6
     assert abs(yx["lift"] - xy["lift"]) < 1e-6    # lift is symmetric
+
+
+def test_kcore_known_graph(spark):
+    from otit_swt_spark.pipelines.graphalgo import kcore
+
+    # 4-clique {1,2,3,4} plus a pendant chain 4-5-6: k=3 peels the
+    # chain (6 first, then 5 cascades) and keeps exactly the clique
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    out = {r["node"]: r["degree"] for r in kcore(edges, k=3,
+                                                 rounds=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # k above the clique degree empties the graph
+    assert kcore(edges, k=4, rounds=4).count() == 0
+
+    # rounds beyond convergence are no-ops
+    out2 = {r["node"]: r["degree"] for r in kcore(edges, k=3,
+                                                  rounds=8).collect()}
+    assert out2 == out
