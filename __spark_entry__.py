@@ -2681,6 +2681,19 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction over the document corpus: stopword-
+    delimited candidate phrases, word score = degree/frequency over all
+    phrases, phrase score = ordered fold of member word scores — top-40
+    by score. One window pass to segment, one grouped count for word
+    stats, one linear word-key join; scores are exact integer ratios
+    folded in word order so the oracle replays bit-for-bit."""
+    from otit_swt_spark.pipelines.textstats import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"),
+                           max_phrase_len=4, top=40)
+
+
 def q_graph_kcore(spark, sf_dir):
     """80-core of the part co-order graph: fixed-round peel (6 rounds,
     cascade-depth 5 at every test SF — probed, not assumed) deleting
@@ -2731,6 +2744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "theta_audience_overlap": q_theta_audience_overlap,
         "assoc_rules_brands": q_assoc_rules_brands,
         "graph_kcore": q_graph_kcore,
+        "rake_keyphrases": q_rake_keyphrases,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -5726,6 +5740,50 @@ def oracle_sql() -> dict[str, str]:
         "ewma_events": _ewma_oracle(0.2),
         "holt_forecast": _holt_oracle(0.2, 0.1, 3),
         "graph_kcore": _kcore_oracle(80, 6),
+        "rake_keyphrases": """
+            WITH lst AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   x -> x <> '') AS lst
+                FROM documents
+            ), toks AS MATERIALIZED (
+                SELECT id, i AS pos, lst[i] AS w,
+                       lst[i] IN ('a','an','and','are','as','at','be','by','for','from','in','is','it','of','on','or','that','the','this','to','with') AS stop
+                FROM lst, LATERAL unnest(range(1, len(lst) + 1)) t(i)
+            ), tk AS (
+                SELECT id, pos, w, stop,
+                       sum(CASE WHEN stop THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY id ORDER BY pos) AS pid
+                FROM toks
+            ), phr AS MATERIALIZED (
+                SELECT id, pid, list(w ORDER BY pos) AS ws
+                FROM tk WHERE NOT stop
+                GROUP BY id, pid HAVING count(*) <= 4
+            ), wstat AS MATERIALIZED (
+                SELECT t.w, count(*) AS freq, sum(p.lw) AS deg
+                FROM (SELECT ws, len(ws) AS lw FROM phr) p,
+                     LATERAL unnest(p.ws) t(w)
+                GROUP BY 1
+            ), msc AS (
+                SELECT p.id, p.pid, t.i,
+                       s.deg / CAST(s.freq AS DOUBLE) AS sc
+                FROM phr p, LATERAL unnest(range(1, len(p.ws) + 1)) t(i)
+                JOIN wstat s ON s.w = p.ws[t.i]
+            ), folded AS (
+                SELECT id, pid,
+                       list_reduce(list_prepend(0.0, list(sc ORDER BY i)),
+                                   (a, b) -> a + b) AS sc
+                FROM msc GROUP BY id, pid
+            ), ph AS (
+                SELECT array_to_string(p.ws, ' ') AS phrase, f.sc
+                FROM phr p JOIN folded f USING (id, pid)
+            )
+            SELECT phrase, count(*) AS n_occurrences,
+                   round(max(sc), 6) AS score
+            FROM ph GROUP BY 1
+            ORDER BY score DESC, phrase LIMIT 40
+        """,
         # theta/KMV overlap: 60-bit md5 hashes; two-phase salted top-k on
         # the Spark side == global top-k (semilattice), so the oracle
         # takes the global k smallest directly. All-integer until the

@@ -385,3 +385,68 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_syms").alias("n_bpe_tokens")))
+
+
+RAKE_STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "by", "for",
+                  "from", "in", "is", "it", "of", "on", "or", "that",
+                  "the", "this", "to", "with")
+
+
+def rake_keyphrases(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_phrase_len: int = 4,
+                    top: int = 40) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) at corpus level:
+    split each document into candidate phrases at stopwords, score each
+    word ``degree / frequency`` over ALL candidate phrases (degree =
+    sum of lengths of the phrases containing it — rewarding words that
+    travel in long collocations), and score a phrase as the sum of its
+    member word scores. Returns the ``top`` phrases by score with their
+    corpus occurrence counts.
+
+    Scale shape: phrase segmentation is one per-document window pass
+    (running count of stopword breaks); word stats are one grouped
+    count over exploded phrase members; the score join is a linear
+    shuffle on the word key. Phrases longer than ``max_phrase_len``
+    are discarded (bounding phrase-array width). Determinism: word
+    scores are exact integer ratios, and the phrase score folds member
+    scores IN WORD ORDER (``F.aggregate`` / SQL ``list_reduce``), so
+    the doubles are bit-identical in any engine."""
+    from pyspark.sql import Window as W
+
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(F.split(F.lower(F.trim(F.col(text_col))),
+                                           r"\s+"))
+                      .alias("__pos", "__w"))
+            .where(F.col("__w") != ""))
+    stop = F.col("__w").isin(*RAKE_STOPWORDS)
+    toks = toks.withColumn(
+        "__pid", F.sum(stop.cast("int"))
+        .over(W.partitionBy("__id").orderBy("__pos")))
+    phr = (toks.where(~stop)
+           .groupBy("__id", "__pid")
+           .agg(F.transform(F.array_sort(F.collect_list(
+               F.struct("__pos", "__w"))), lambda s: s["__w"])
+               .alias("ws"))
+           .where(F.size("ws") <= max_phrase_len))
+    members = phr.select(F.explode("ws").alias("__w"),
+                         F.size("ws").alias("__len"))
+    wstat = (members.groupBy("__w")
+             .agg(F.count(F.lit(1)).alias("__freq"),
+                  F.sum("__len").alias("__deg"))
+             .select("__w", (F.col("__deg") / F.col("__freq")
+                             .cast("double")).alias("__s")))
+    scored = (phr.select("__id", "__pid", "ws",
+                         F.posexplode("ws").alias("__i", "__w"))
+              .join(wstat, "__w")
+              .groupBy("__id", "__pid")
+              .agg(F.first("ws").alias("ws"),
+                   F.aggregate(
+                       F.transform(F.array_sort(F.collect_list(
+                           F.struct("__i", "__s"))), lambda s: s["__s"]),
+                       F.lit(0.0), lambda a, x: a + x).alias("__sc")))
+    return (scored
+            .groupBy(F.concat_ws(" ", "ws").alias("phrase"))
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.round(F.max("__sc"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), "phrase")
+            .limit(top))

@@ -2627,3 +2627,26 @@ def test_kcore_known_graph(spark):
     out2 = {r["node"]: r["degree"] for r in kcore(edges, k=3,
                                                   rounds=8).collect()}
     assert out2 == out
+
+
+def test_rake_keyphrases_textbook(spark):
+    from otit_swt_spark.pipelines.textstats import rake_keyphrases
+
+    # two docs; "deep learning" always co-travels, "data" appears alone
+    # and inside a longer phrase
+    docs = [(1, "deep learning is the future of data"),
+            (2, "deep learning and big data systems")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["phrase"]: r for r in rake_keyphrases(df, top=10).collect()}
+    # phrases: doc1 -> [deep learning], [future], [data]
+    #          doc2 -> [deep learning], [big data systems]
+    assert out["deep learning"]["n_occurrences"] == 2
+    # word scores: deep 4/2=2, learning 4/2=2 -> phrase 4.0
+    assert out["deep learning"]["score"] == 4.0
+    # big 3/1, data (3+1)/2=2, systems 3/1 -> 3+2+3 = 8
+    assert out["big data systems"]["score"] == 8.0
+    assert out["data"]["score"] == 2.0
+    assert out["future"]["score"] == 1.0
+    # ranking: longer collocations outscore singletons
+    top = rake_keyphrases(df, top=1).collect()[0]
+    assert top["phrase"] == "big data systems"
