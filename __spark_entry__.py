@@ -2681,6 +2681,22 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_holt_winters_forecast(spark, sf_dir):
+    """Per-user additive Holt-Winters (level + trend + period-4
+    positional seasonality) over the event stream: sequential per-key
+    Arrow fold, one bounded state row per key; the oracle replays the
+    [t, level, trend, s0..s3] list fold with a SQL list_reduce,
+    including the computed-index seasonal slot update — bit-exact."""
+    from otit_swt_spark.timeseries import holt_winters_forecast
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "value")
+    return holt_winters_forecast(ev, key="user_id", ts="ts",
+                                 value="value", m=4, alpha=0.2, beta=0.1,
+                                 gamma=0.3, horizon=2,
+                                 order_cols=["event_id"])
+
+
 def q_rake_keyphrases(spark, sf_dir):
     """RAKE keyphrase extraction over the document corpus: stopword-
     delimited candidate phrases, word score = degree/frequency over all
@@ -2745,6 +2761,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "assoc_rules_brands": q_assoc_rules_brands,
         "graph_kcore": q_graph_kcore,
         "rake_keyphrases": q_rake_keyphrases,
+        "holt_winters_forecast": q_holt_winters_forecast,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -3875,6 +3892,47 @@ def _ewma_oracle(alpha: float = 0.2) -> str:
                round(list_reduce(prefix, (acc, x) -> {a} * x + {b} * acc), 6)
                    AS ewma
         FROM w
+    """
+
+
+def _holt_winters_oracle(m: int, alpha: float, beta: float,
+                         gamma: float, horizon: int) -> str:
+    """Replays the additive Holt-Winters Arrow fold as a SQL
+    list_reduce over the list state [t, l, b, s_0..s_{m-1}]: the first
+    transformed element IS the init (l=x_0, b=0, zero seasonals), the
+    seasonal slot is read and rebuilt via a computed list index/slice
+    (no local bindings in SQL lambdas, so new_l / s_i are inlined
+    wherever used — identical double expressions, identical bits)."""
+    a, one_a = repr(alpha), repr(1.0 - alpha)
+    b, one_b = repr(beta), repr(1.0 - beta)
+    g, one_g = repr(gamma), repr(1.0 - gamma)
+    si = f"acc[4 + (CAST(acc[1] AS INT) % {m})]"
+    new_l = f"({a} * (e[2] - {si}) + {one_a} * (acc[2] + acc[3]))"
+    new_b = f"({b} * ({new_l} - acc[2]) + {one_b} * acc[3])"
+    new_si = f"({g} * (e[2] - {new_l}) + {one_g} * {si})"
+    idx = f"(4 + (CAST(acc[1] AS INT) % {m}))"
+    zeros = ", ".join(["0.0"] * m)
+    slot = f"(4 + ((CAST(st[1] AS INT) - 1 + {horizon}) % {m}))"
+    return f"""
+        WITH s AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+            FROM events GROUP BY user_id
+        ), folded AS (
+            SELECT user_id, len(xs) AS n_points,
+                   list_reduce(
+                       list_transform(xs, x -> [1.0, x, 0.0, {zeros}]),
+                       (acc, e) -> [acc[1] + 1.0, {new_l}, {new_b}]
+                                   || acc[4:{idx} - 1] || [{new_si}]
+                                   || acc[{idx} + 1:{3 + m}]) AS st
+            FROM s
+        )
+        SELECT user_id, n_points,
+               round(st[2], 6) AS level,
+               round(st[3], 6) AS trend,
+               round(st[{slot}], 6) AS seasonal,
+               round(st[2] + {float(horizon)!r} * st[3] + st[{slot}], 6)
+                   AS forecast
+        FROM folded
     """
 
 
@@ -5740,6 +5798,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_events": _ewma_oracle(0.2),
         "holt_forecast": _holt_oracle(0.2, 0.1, 3),
         "graph_kcore": _kcore_oracle(80, 6),
+        "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "rake_keyphrases": """
             WITH lst AS (
                 SELECT doc_id AS id,

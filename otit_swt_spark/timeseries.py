@@ -556,3 +556,70 @@ def holt_forecast(
 
     return series.select(key, *order, value).groupBy(key) \
         .applyInPandas(fold, out_schema)
+
+
+def holt_winters_forecast(
+    series: DataFrame,
+    key: str = "id",
+    ts: str = "timestamp",
+    value: str = "value",
+    m: int = 4,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 2,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (triple exponential smoothing,
+    Winters 1960) with positional seasonality of period ``m``:
+    ``l_0 = x_0``, ``b_0 = 0``, seasonal offsets start at zero; then for
+    the t-th point (slot ``i = t mod m``)
+    ``l_t = α·(x_t − s_i) + (1−α)·(l_{t−1} + b_{t−1})``,
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``,
+    ``s_i ← γ·(x_t − l_t) + (1−γ)·s_i``.
+    Forecast ``h`` steps out: ``l + h·b + s_{(n−1+h) mod m}``. Returns
+    ONE bounded row per key: ``(key, n_points, level, trend, seasonal,
+    forecast)`` where ``seasonal`` is the slot applied to the forecast.
+
+    Same discipline as :func:`holt_forecast`: the recursion is
+    sequential per key — one shuffle on the key, then an Arrow-batched
+    time-ordered fold with all smoothing doubles precomputed, so a SQL
+    ``list_reduce`` over the list state ``[t, l, b, s_0..s_{m-1}]``
+    replays it bit-exactly."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0 or not 0.0 <= gamma <= 1.0:
+        raise ValueError("beta/gamma must be in [0, 1]")
+    if m < 2:
+        raise ValueError("seasonal period m must be >= 2")
+    a, one_a = alpha, 1.0 - alpha
+    bt, one_b = beta, 1.0 - beta
+    g, one_g = gamma, 1.0 - gamma
+    h = float(horizon)
+    order = [ts, *(order_cols or [])]
+    out_schema = (f"`{key}` {dict(series.dtypes)[key]}, n_points long, "
+                  "level double, trend double, seasonal double, "
+                  "forecast double")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        xs = pdf[value].tolist()
+        kv = pdf[key].iloc[0]
+        lvl, trd, s = xs[0], 0.0, [0.0] * m
+        for t, x in enumerate(xs[1:], start=1):
+            i = t % m
+            new_l = a * (x - s[i]) + one_a * (lvl + trd)
+            trd = bt * (new_l - lvl) + one_b * trd
+            s[i] = g * (x - new_l) + one_g * s[i]
+            lvl = new_l
+        slot = s[(len(xs) - 1 + horizon) % m]
+        return pd.DataFrame({
+            key: [kv], "n_points": [len(xs)],
+            "level": [round(lvl, 6)], "trend": [round(trd, 6)],
+            "seasonal": [round(slot, 6)],
+            "forecast": [round(lvl + h * trd + slot, 6)]})
+
+    return series.select(key, *order, value).groupBy(key) \
+        .applyInPandas(fold, out_schema)

@@ -2650,3 +2650,27 @@ def test_rake_keyphrases_textbook(spark):
     # ranking: longer collocations outscore singletons
     top = rake_keyphrases(df, top=1).collect()[0]
     assert top["phrase"] == "big data systems"
+
+
+def test_holt_winters_seasonal_signal(spark):
+    from otit_swt_spark.timeseries import holt_forecast, holt_winters_forecast
+
+    # trend 0.5/step + period-4 seasonal pattern [0, 4, -2, -2]
+    season = [0.0, 4.0, -2.0, -2.0]
+    xs = [0.5 * t + season[t % 4] for t in range(48)]
+    rows = [(1, t, float(x)) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, timestamp long, value double")
+    hw = holt_winters_forecast(df, m=4, alpha=0.3, beta=0.1, gamma=0.5,
+                               horizon=1).collect()[0]
+    true_next = 0.5 * 48 + season[48 % 4]
+    assert abs(hw["forecast"] - true_next) < 1.0, hw
+    # plain Holt can't see the seasonal: its miss is much larger
+    h = holt_forecast(df, alpha=0.3, beta=0.1, horizon=1).collect()[0]
+    assert abs(h["forecast"] - true_next) > abs(hw["forecast"] - true_next)
+
+    # gamma=0 keeps all seasonals at their init 0.0 -> reduces to Holt
+    hw0 = holt_winters_forecast(df, m=4, alpha=0.3, beta=0.1, gamma=0.0,
+                                horizon=1).collect()[0]
+    assert hw0["seasonal"] == 0.0
+    assert abs(hw0["level"] - h["level"]) < 1e-9
+    assert abs(hw0["trend"] - h["trend"]) < 1e-9
