@@ -2681,6 +2681,20 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_power_iteration_pc1(spark, sf_dir):
+    """Top principal component of the embedding corpus: 4 fixed rounds
+    of power iteration on the mean-centered covariance direction —
+    never materializing the d x d matrix (one broadcast-literal dot
+    pass + one per-dim DECIMAL-sum per round; driver state is d
+    numbers, the bounded kmeans-style model read). Oracle replays all
+    rounds in SQL: decimal sums are partition-order independent and
+    every float reduction is an index-ordered fold."""
+    from otit_swt_spark.pipelines.embedding import power_iteration_pc1
+
+    return power_iteration_pc1(_t(spark, sf_dir, "embeddings"),
+                               rounds=4)
+
+
 def q_holt_winters_forecast(spark, sf_dir):
     """Per-user additive Holt-Winters (level + trend + period-4
     positional seasonality) over the event stream: sequential per-key
@@ -2762,6 +2776,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_kcore": q_graph_kcore,
         "rake_keyphrases": q_rake_keyphrases,
         "holt_winters_forecast": q_holt_winters_forecast,
+        "power_iteration_pc1": q_power_iteration_pc1,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -3893,6 +3908,57 @@ def _ewma_oracle(alpha: float = 0.2) -> str:
                    AS ewma
         FROM w
     """
+
+
+def _pc1_oracle(d: int, rounds: int) -> str:
+    """Unrolled power iteration: per round one centered-dot pass and one
+    per-dimension DECIMAL(38,12) sum (partition-order independent),
+    normalization as an index-ordered fold — the exact float sequence
+    the Spark side's driver loop produces."""
+    rng = f"range(1, {d + 1})"
+    v0 = "[" + ", ".join([repr(1.0 / (d ** 0.5))] * d) + "]"
+
+    def fold(terms):
+        return (f"list_reduce(list_prepend(0.0, {terms}), "
+                f"(a, b) -> a + b)")
+
+    parts = [f"""WITH mu0 AS (
+                SELECT i,
+                       CAST(sum(CAST(embedding[i]::DOUBLE
+                                     AS DECIMAL(38, 12))) AS DOUBLE)
+                       / count(*) AS m
+                FROM embeddings, LATERAL unnest({rng}) t(i)
+                GROUP BY i
+            ), muv AS MATERIALIZED (
+                SELECT list(m ORDER BY i) AS mu,
+                       (SELECT count(*) FROM embeddings) AS n
+                FROM mu0
+            ), v0 AS (SELECT {v0}::DOUBLE[] AS v, 0.0 AS norm)"""]
+    for r in range(rounds):
+        dot_terms = (f"list_transform({rng}, i -> "
+                     f"(embedding[i]::DOUBLE - mu[i]) * v[i])")
+        normsq = fold("list_transform(sv, y -> y * y)")
+        parts.append(f"""dots{r} AS MATERIALIZED (
+                SELECT list_transform({rng},
+                           i -> embedding[i]::DOUBLE - mu[i]) AS c,
+                       {fold(dot_terms)} AS dot
+                FROM embeddings, muv, v{r}
+            ), s{r} AS (
+                SELECT i, CAST(sum(CAST(dot * c[i] AS DECIMAL(38, 12)))
+                               AS DOUBLE) AS s
+                FROM dots{r}, LATERAL unnest({rng}) t(i)
+                GROUP BY i
+            ), sv{r} AS (SELECT list(s ORDER BY i) AS sv FROM s{r}),
+            v{r + 1} AS MATERIALIZED (
+                SELECT list_transform(sv, z -> z / sqrt({normsq})) AS v,
+                       sqrt({normsq}) AS norm
+                FROM sv{r}
+            )""")
+    return ",\n".join(parts) + f"""
+            SELECT i AS pos, round(v[i], 6) AS loading,
+                   round(norm / n, 6) AS eigenvalue
+            FROM v{rounds}, muv, LATERAL unnest({rng}) t(i)
+        """
 
 
 def _holt_winters_oracle(m: int, alpha: float, beta: float,
@@ -5799,6 +5865,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast": _holt_oracle(0.2, 0.1, 3),
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
+        "power_iteration_pc1": _pc1_oracle(64, 4),
         "rake_keyphrases": """
             WITH lst AS (
                 SELECT doc_id AS id,

@@ -443,3 +443,67 @@ def ivf_pq_topk(df: DataFrame, query_id, k: int = 10,
             .select(F.col("id").alias(id_col),
                     F.col("list_id"),
                     F.round("__raw", 6).alias("adc_dist2")))
+
+
+def power_iteration_pc1(df: DataFrame, vec_col: str = "embedding",
+                        rounds: int = 4) -> DataFrame:
+    """Top principal component of the embedding corpus by fixed-round
+    power iteration on the (mean-centered) covariance direction:
+    ``v_{r+1} = normalize(Σ_rows ((x−μ)·v_r)(x−μ))`` from the uniform
+    unit start. Returns ``(pos, loading, eigenvalue)`` — one row per
+    dimension with the PC1 loading and the shared eigenvalue estimate
+    ``‖Σ terms‖ / n`` of the final round (the Rayleigh numerator under
+    the 1/n covariance scaling).
+
+    Never materializes the d×d covariance: each round is one map-side
+    dot product against the broadcast-literal ``v_r`` plus one grouped
+    per-dimension sum — two linear passes, state is d numbers on the
+    driver (the bounded kmeans-style model read). Determinism contract
+    (same as kmeans_fit): per-dimension sums run in DECIMAL(38,12)
+    (partition-order independent), every float reduction that follows
+    is an INDEX-ORDERED fold, so a SQL oracle replays all ``rounds``
+    bit-for-bit including the final loadings."""
+    import math
+
+    base = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    head = base.select(F.size("v").alias("d")).first()
+    if head is None:
+        raise ValueError("power_iteration_pc1: empty corpus")
+    d = head["d"]
+    stats = (base.select(F.posexplode("v").alias("pos", "x"))
+             .groupBy("pos")
+             .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    n = stats[0]["n"]
+    mu = [0.0] * d
+    for r in stats:
+        mu[r["pos"]] = float(r["s"]) / r["n"]
+    vec = [1.0 / math.sqrt(d)] * d
+    norm = 0.0
+    for _ in range(rounds):
+        mu_lit = F.array(*[F.lit(x) for x in mu])
+        v_lit = F.array(*[F.lit(x) for x in vec])
+        centered = F.zip_with("v", mu_lit, lambda x, m: x - m)
+        dot = F.aggregate(F.zip_with(centered, v_lit, lambda c, w: c * w),
+                          F.lit(0.0), lambda a, x: a + x)
+        sums = (base.select(dot.alias("dot"), centered.alias("c"))
+                .select("dot", F.posexplode("c").alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.sum((F.col("dot") * F.col("x"))
+                           .cast("decimal(38,12)")).alias("s"))
+                .collect())
+        sv = [0.0] * d
+        for r in sums:
+            sv[r["pos"]] = float(r["s"])
+        acc = 0.0
+        for x in sv:                      # index-ordered norm fold
+            acc = acc + x * x
+        norm = math.sqrt(acc)
+        vec = [x / norm for x in sv]
+    spark = df.sparkSession
+    rows = [(i + 1, round(vec[i], 6), round(norm / n, 6))
+            for i in range(d)]
+    return spark.createDataFrame(rows,
+                                 "pos int, loading double, "
+                                 "eigenvalue double")

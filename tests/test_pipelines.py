@@ -2674,3 +2674,34 @@ def test_holt_winters_seasonal_signal(spark):
     assert hw0["seasonal"] == 0.0
     assert abs(hw0["level"] - h["level"]) < 1e-9
     assert abs(hw0["trend"] - h["trend"]) < 1e-9
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    import math
+    import random
+
+    from otit_swt_spark.pipelines.embedding import power_iteration_pc1
+
+    # synthetic corpus with one dominant variance direction e_2 (var 9)
+    # against isotropic noise (var ~0.01 per other dim)
+    rng = random.Random(7)
+    d = 8
+    rows = []
+    for i in range(400):
+        t = rng.gauss(0, 3.0)
+        vec = [t * (1.0 if j == 2 else 0.0) + rng.gauss(0, 0.1)
+               for j in range(d)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = power_iteration_pc1(df, rounds=6).collect()
+    loadings = {r["pos"]: r["loading"] for r in out}
+    ev = out[0]["eigenvalue"]
+    # |loading| on the signal dim ~ 1, all others ~ 0
+    assert abs(abs(loadings[3]) - 1.0) < 0.02      # pos is 1-based
+    for p, v in loadings.items():
+        if p != 3:
+            assert abs(v) < 0.1, (p, v)
+    # eigenvalue ~ variance of the signal (9), sample-noise tolerant
+    assert 6.0 < ev < 12.0
+    # unit norm
+    assert abs(sum(v * v for v in loadings.values()) - 1.0) < 1e-4
