@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_jw_part_names(spark, sf_dir):
+    """Jaro-Winkler near-duplicate part names: q-gram blocked candidate
+    pairs (hot grams capped), verified by an Arrow pandas UDF that
+    replicates DuckDB's jaro_winkler_similarity bit-for-bit (80k-pair
+    differential fuzz) — prefix-weighted record linkage where edit
+    distance over-penalizes transposed tokens."""
+    from otit_swt_spark.pipelines.fuzzy import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(_t(spark, sf_dir, "part"), "p_name",
+                              min_sim=0.85)
+
+
 def q_power_iteration_pc1(spark, sf_dir):
     """Top principal component of the embedding corpus: 4 fixed rounds
     of power iteration on the mean-centered covariance direction —
@@ -2777,6 +2789,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rake_keyphrases": q_rake_keyphrases,
         "holt_winters_forecast": q_holt_winters_forecast,
         "power_iteration_pc1": q_power_iteration_pc1,
+        "jw_part_names": q_jw_part_names,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -5866,6 +5879,38 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "jw_part_names": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS s FROM part
+                WHERE p_name IS NOT NULL
+            ), g AS (
+                SELECT DISTINCT s,
+                       unnest(CASE WHEN len(lower(s)) < 3 THEN [lower(s)]
+                              ELSE [substr(lower(s), i, 3)
+                                    FOR i IN range(1,
+                                        greatest(len(lower(s)) - 2, 1) + 1)]
+                              END) AS gram
+                FROM names
+            ), capped AS (
+                SELECT gram, s FROM (
+                    SELECT gram, s,
+                           row_number() OVER (PARTITION BY gram
+                                              ORDER BY s) AS rn
+                    FROM g
+                ) WHERE rn <= 64
+            ), cand AS (
+                SELECT DISTINCT a.s AS name_a, b.s AS name_b
+                FROM capped a JOIN capped b USING (gram)
+                WHERE a.s < b.s
+            )
+            SELECT name_a, name_b,
+                   round(jaro_winkler_similarity(lower(name_a),
+                                                 lower(name_b)), 6)
+                       AS jw_sim
+            FROM cand
+            WHERE jaro_winkler_similarity(lower(name_a),
+                                          lower(name_b)) >= 0.85
+        """,
         "rake_keyphrases": """
             WITH lst AS (
                 SELECT doc_id AS id,

@@ -2705,3 +2705,36 @@ def test_power_iteration_recovers_dominant_direction(spark):
     assert 6.0 < ev < 12.0
     # unit norm
     assert abs(sum(v * v for v in loadings.values()) - 1.0) < 1e-4
+
+
+def test_jaro_winkler_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from otit_swt_spark.pipelines.fuzzy import (_jaro_winkler_py,
+                                                jaro_winkler_pairs)
+
+    # differential check of the scorer against DuckDB, incl. edge cases
+    rng = random.Random(11)
+    cases = [("", ""), ("a", ""), ("a", "a"), ("ab", "ba"),
+             ("martha", "marhta"), ("dwayne", "duane")]
+    for _ in range(3000):
+        cases.append((
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10))),
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == want, (a, b)
+
+    # the join surfaces prefix-weighted near-dups and honors min_sim
+    names = [(1, "acme steel works"), (2, "acme steel work"),
+             (3, "zorbo plastics"), (4, "completely different co")]
+    df = spark.createDataFrame(names, "id long, p_name string")
+    out = jaro_winkler_pairs(df, "p_name", min_sim=0.9).collect()
+    pairs = {(r["name_a"], r["name_b"]) for r in out}
+    assert ("acme steel work", "acme steel works") in pairs
+    assert all("completely different co" not in p for pr in pairs
+               for p in pr)
