@@ -2681,6 +2681,20 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov next-event model over per-user event
+    sequences: one window pass pairs each event with its successor,
+    counts aggregate once, Laplace-smoothed probabilities are exact
+    integer-ratio doubles. The state vocabulary enters as a one-row
+    broadcast scalar."""
+    from otit_swt_spark.pipelines.analytics import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev, key="user_id", ts="ts",
+                              state_col="event_type",
+                              order_cols=["event_id"], laplace=1.0)
+
+
 def q_jw_part_names(spark, sf_dir):
     """Jaro-Winkler near-duplicate part names: q-gram blocked candidate
     pairs (hot grams capped), verified by an Arrow pandas UDF that
@@ -2790,6 +2804,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "holt_winters_forecast": q_holt_winters_forecast,
         "power_iteration_pc1": q_power_iteration_pc1,
         "jw_part_names": q_jw_part_names,
+        "markov_transitions": q_markov_transitions,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -5879,6 +5894,26 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "markov_transitions": """
+            WITH seq AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS to_state
+                FROM events
+            ), pairs AS (
+                SELECT from_state, to_state, count(*) AS n
+                FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ), tot AS (
+                SELECT from_state, CAST(sum(n) AS BIGINT) AS t
+                FROM pairs GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT event_type) AS v FROM events
+            )
+            SELECT from_state, to_state, n,
+                   round((n + 1.0) / (t + 1.0 * v), 6) AS p
+            FROM pairs JOIN tot USING (from_state), v
+        """,
         "jw_part_names": """
             WITH names AS (
                 SELECT DISTINCT p_name AS s FROM part

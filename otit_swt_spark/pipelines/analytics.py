@@ -652,3 +652,40 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
         .orderBy(F.col("lift").desc(), F.col("confidence").desc(),
                  "antecedent", "consequent")
         .limit(top))
+
+
+def markov_transitions(events: DataFrame, key: str = "user_id",
+                       ts: str = "ts", state_col: str = "event_type",
+                       order_cols: list[str] | None = None,
+                       laplace: float = 1.0) -> DataFrame:
+    """First-order Markov transition model of per-key event sequences:
+    ``(from_state, to_state, n, p)`` where ``p`` is the
+    Laplace-smoothed transition probability
+    ``(n + λ) / (n_from + λ·|states|)`` — the user-behavior /
+    next-event model behind session simulation and anomaly scoring
+    (a low-probability observed transition is a surprise signal).
+
+    One key-partitioned window pass pairs each event with its
+    successor (no self-join); counts aggregate once. The state
+    vocabulary size enters as a one-row broadcast scalar. Smoothed
+    probabilities are exact integer-ratio doubles, SQL-replayable."""
+    from pyspark.sql import Window as W
+
+    order = [ts, *(order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    pairs = (events.select(F.col(key), *[F.col(c) for c in order],
+                           F.col(state_col).alias("from_state"))
+             .withColumn("to_state", F.lead("from_state").over(w))
+             .where(F.col("to_state").isNotNull())
+             .groupBy("from_state", "to_state")
+             .agg(F.count(F.lit(1)).alias("n")))
+    n_states = (events.select(F.col(state_col)).distinct()
+                .agg(F.count(F.lit(1)).alias("__v")))
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return (pairs.join(F.broadcast(totals), "from_state")
+            .crossJoin(F.broadcast(n_states))
+            .select("from_state", "to_state", "n",
+                    F.round((F.col("n") + F.lit(laplace))
+                            / (F.col("__t")
+                               + F.lit(laplace) * F.col("__v")), 6)
+                    .alias("p")))

@@ -2738,3 +2738,23 @@ def test_jaro_winkler_matches_duckdb(spark):
     assert ("acme steel work", "acme steel works") in pairs
     assert all("completely different co" not in p for pr in pairs
                for p in pr)
+
+
+def test_markov_transitions_known_chain(spark):
+    from otit_swt_spark.pipelines.analytics import markov_transitions
+
+    # user 1: a->b->a->b ; user 2: a->b->c
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {(r["from_state"], r["to_state"]): r
+           for r in markov_transitions(df, order_cols=None,
+                                       laplace=1.0).collect()}
+    # transitions: a->b x3, b->a x1, b->c x1 (no cross-user pairs)
+    assert out[("a", "b")]["n"] == 3
+    assert out[("b", "a")]["n"] == 1
+    assert out[("b", "c")]["n"] == 1
+    assert ("c", "a") not in out  # c is terminal per user
+    # smoothing with |V|=3: p(a->b) = (3+1)/(3+3) = 2/3
+    assert abs(out[("a", "b")]["p"] - 2 / 3) < 1e-6
+    assert abs(out[("b", "a")]["p"] - (1 + 1) / (2 + 3)) < 1e-6

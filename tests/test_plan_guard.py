@@ -50,7 +50,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # whole point of sketching is that the pair join is tiny
             "theta_audience_overlap",
             # one-row basket-total scalar broadcast cross
-            "assoc_rules_brands"}
+            "assoc_rules_brands",
+            # one-row state-vocabulary scalar broadcast cross
+            "markov_transitions"}
 
 
 def test_all_entries_plan_invariants(spark):
