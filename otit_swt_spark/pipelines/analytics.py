@@ -689,3 +689,21 @@ def markov_transitions(events: DataFrame, key: str = "user_id",
                             / (F.col("__t")
                                + F.lit(laplace) * F.col("__v")), 6)
                     .alias("p")))
+
+
+def theta_finalize(kept: DataFrame, group_col: str,
+                   k: int = 64) -> DataFrame:
+    """Finalize a ``(group, __h)`` minimum-hash frame (as stored by the
+    streaming theta sink) into the sketch row shape of
+    :func:`theta_sketch`: ``(group_col, ks, n_kept, theta, est)``."""
+    theta_one = 1 << 60
+    sk = (kept.groupBy(group_col)
+          .agg(F.sort_array(F.collect_list("__h")).alias("ks"),
+               F.count(F.lit(1)).alias("n_kept")))
+    theta = F.when(F.col("n_kept") >= k,
+                   F.element_at("ks", k)).otherwise(F.lit(theta_one))
+    est = F.when(F.col("n_kept") >= k,
+                 F.round(F.lit(float(k - 1) * float(theta_one))
+                         / F.col("theta").cast("double"), 6)) \
+        .otherwise(F.col("n_kept").cast("double"))
+    return (sk.withColumn("theta", theta).withColumn("est", est))

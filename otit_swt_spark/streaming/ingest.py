@@ -604,3 +604,43 @@ def holt_stream(df: DataFrame, alpha: float = 0.2, beta: float = 0.1,
         .applyInPandasWithState(
             fold, _HOLT_OUT, state_schema, "append",
             GroupStateTimeout.NoTimeout))
+
+
+def stream_theta(df: DataFrame, key_col: str, group_col: str, path: str,
+                 checkpoint: str, k: int = 64):
+    """Maintain per-group theta/KMV sketches from a stream: each
+    micro-batch hashes its distinct ``(group, key)`` pairs (60-bit md5,
+    same as ``pipelines.analytics.theta_sketch``) and merges into the
+    stored minimum-hash frame, keeping the ``k`` smallest per group.
+    Min-k union is idempotent AND commutative — like the HLL register
+    sink, at-least-once redelivery re-unions the same hashes harmlessly,
+    so NO batch-id replay guard is needed. Sink state is <= k rows per
+    group forever; finalize estimates (or pairwise audience overlaps)
+    with ``pipelines.analytics.theta_finalize`` on the stored frame."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta = (batch_df.select(F.col(group_col),
+                                 F.col(key_col).cast("string")
+                                 .alias("__k")).distinct()
+                 .select(group_col, _md5_60(F.col("__k")).alias("__h")))
+        if fsutil.exists(spark, path):
+            delta = spark.read.parquet(path).unionByName(delta)
+        w = W.partitionBy(group_col).orderBy("__h")
+        merged = (delta.distinct()
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") <= k)
+                  .select(group_col, "__h"))
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -607,3 +607,50 @@ def test_holt_stream_state_carries_across_batches(spark, tmp_path):
     bat = holt_stream(full, alpha=0.2, beta=0.1, horizon=3).first()
     assert (bat["level"], bat["trend"], bat["forecast"]) == \
         (want["level"], want["trend"], want["forecast"])
+
+
+def test_stream_theta_matches_batch_sketch(spark, tmp_path):
+    """Streaming theta/KMV min-hash frames folded over two micro-batches
+    equal the batch sketch of the full stream (min-k union is
+    order-insensitive and replay-safe), and replaying the stream from a
+    fresh checkpoint leaves the frame unchanged."""
+    from otit_swt_spark.pipelines.analytics import theta_finalize, theta_sketch
+    from otit_swt_spark.streaming.ingest import stream_theta
+
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "theta")
+    b1 = pd.DataFrame({"g": ["A"] * 600 + ["B"] * 200,
+                       "u": [f"u{i}" for i in range(600)]
+                       + [f"u{i}" for i in range(200)]})
+    b2 = pd.DataFrame({"g": ["A"] * 500,
+                       "u": [f"u{i}" for i in range(300, 800)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("g string, u string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_theta(stream, "u", "g", sk, str(tmp_path / "ck"), k=64)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    want = {(r["g"], tuple(r["ks"]), r["n_kept"], r["theta"], r["est"])
+            for r in theta_sketch(full, "u", "g", k=64).collect()}
+    got = {(r["g"], tuple(r["ks"]), r["n_kept"], r["theta"], r["est"])
+           for r in theta_finalize(spark.read.parquet(sk), "g",
+                                   k=64).collect()}
+    assert got == want
+    # estimates in range: A has 800 distinct, B exactly 200
+    ests = {r["g"]: r["est"] for r in
+            theta_finalize(spark.read.parquet(sk), "g", k=64).collect()}
+    assert 560 <= ests["A"] <= 1100
+    assert 150 <= ests["B"] <= 280
+
+    # full replay from a fresh checkpoint: fold is idempotent
+    stream2 = (spark.readStream.schema("g string, u string")
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = stream_theta(stream2, "u", "g", sk, str(tmp_path / "ck2"), k=64)
+    q2.awaitTermination(120)
+    got2 = {(r["g"], tuple(r["ks"]))
+            for r in theta_finalize(spark.read.parquet(sk), "g",
+                                    k=64).collect()}
+    assert got2 == {(g, ks) for g, ks, *_ in got}
