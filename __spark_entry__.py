@@ -2681,6 +2681,41 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_exact_ts_median(spark, sf_dir):
+    """EXACT median event timestamp via distributed range-pruned
+    selection (iterative 1024-bucket histogram, <= 7 map-side passes,
+    driver state bounded) — the exact order statistic a global sort
+    cannot deliver at scale. Output is the value plus its rank basis;
+    the oracle just sorts (an order statistic is a value, not an
+    algorithm)."""
+    from otit_swt_spark.pipelines.analytics import exact_kth_int
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    n = ev.count()
+    k = (n + 1) // 2
+    v = exact_kth_int(ev, "us", k)
+    return spark.createDataFrame([(n, k, v)],
+                                 "n long, k long, median_us long")
+
+
+def q_temporal_split_embargo(spark, sf_dir):
+    """Purged temporal train/test split with a 2-day embargo: the
+    boundary is the exact 80% order statistic of event time (computed
+    by distributed selection, no global sort), rows in the embargo gap
+    belong to neither side. Returns per-class counts and the time span
+    each class covers."""
+    from otit_swt_spark.pipelines.analytics import temporal_split_embargo
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split_embargo(ev, "ts", train_frac=0.8,
+                                 embargo_us=2 * 86400 * 1000000)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(us).alias("min_us"), F.max(us).alias("max_us")))
+
+
 def q_markov_transitions(spark, sf_dir):
     """First-order Markov next-event model over per-user event
     sequences: one window pass pairs each event with its successor,
@@ -2805,6 +2840,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "power_iteration_pc1": q_power_iteration_pc1,
         "jw_part_names": q_jw_part_names,
         "markov_transitions": q_markov_transitions,
+        "exact_ts_median": q_exact_ts_median,
+        "temporal_split_embargo": q_temporal_split_embargo,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_shared_spans": q_winnow_shared_spans,
@@ -5894,6 +5931,37 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "exact_ts_median": """
+            WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+            o AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,
+                         count(*) OVER () AS n
+                  FROM e)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST((max(n) + 1) // 2 AS BIGINT) AS k,
+                   CAST(max(CASE WHEN rn = (n + 1) // 2 THEN us END)
+                        AS BIGINT) AS median_us
+            FROM o
+        """,
+        "temporal_split_embargo": """
+            WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+            o AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,
+                         count(*) OVER () AS n
+                  FROM e),
+            c AS (SELECT max(CASE WHEN rn = greatest(
+                                      CAST(floor(0.8 * n) AS BIGINT), 1)
+                                  THEN us END) AS cutoff
+                  FROM o),
+            lab AS (
+                SELECT CASE WHEN us <= cutoff THEN 'train'
+                            WHEN us <= cutoff + 172800000000
+                            THEN 'embargo'
+                            ELSE 'test' END AS split, us
+                FROM e, c
+            )
+            SELECT split, count(*) AS n_rows,
+                   min(us) AS min_us, max(us) AS max_us
+            FROM lab GROUP BY split
+        """,
         "markov_transitions": """
             WITH seq AS (
                 SELECT event_type AS from_state,

@@ -2758,3 +2758,34 @@ def test_markov_transitions_known_chain(spark):
     # smoothing with |V|=3: p(a->b) = (3+1)/(3+3) = 2/3
     assert abs(out[("a", "b")]["p"] - 2 / 3) < 1e-6
     assert abs(out[("b", "a")]["p"] - (1 + 1) / (2 + 3)) < 1e-6
+
+
+def test_exact_kth_and_temporal_split(spark):
+    import random
+
+    from otit_swt_spark.pipelines.analytics import (exact_kth_int,
+                                                    temporal_split_embargo)
+
+    rng = random.Random(3)
+    vals = [rng.randint(-10**12, 10**12) for _ in range(5000)]
+    vals += [vals[0]] * 50                      # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    for k in (1, 2, 17, 2500, len(vals)):
+        assert exact_kth_int(df, "v", k) == s[k - 1], k
+    # narrow domain takes the tail path (no histogram rounds)
+    small = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    assert exact_kth_int(small, "v", 50) == sorted(i % 7 for i in range(100))[49]
+
+    # purged split: value-based boundary, embargo excluded from both
+    rows = [(i, i * 1_000_000) for i in range(100)]   # 1s apart in us
+    ev = spark.createDataFrame(rows, "event_id long, us long") \
+        .select("event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    out = temporal_split_embargo(ev, "ts", train_frac=0.8,
+                                 embargo_us=5_000_000)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    # cutoff = 80th smallest (us of i=79); embargo covers i=80..84
+    assert counts == {"train": 80, "embargo": 5, "test": 15}
