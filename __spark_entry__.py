@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_trend_ols_users(spark, sf_dir):
+    """Per-user OLS trend of event value against time: slope/intercept/
+    R-squared closed-form from five DECIMAL(38,12) sufficient moments
+    (exact, partition-order independent), one grouped pass, one bounded
+    row per user — the scale-safe alternative to float regr_*
+    aggregates whose partial-merge order perturbs low bits."""
+    from otit_swt_spark.timeseries import trend_ols
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return trend_ols(ev, key="user_id", ts="ts", value="value")
+
+
 def q_exact_ts_median(spark, sf_dir):
     """EXACT median event timestamp via distributed range-pruned
     selection (iterative 1024-bucket histogram, <= 7 map-side passes,
@@ -2841,6 +2853,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "jw_part_names": q_jw_part_names,
         "markov_transitions": q_markov_transitions,
         "exact_ts_median": q_exact_ts_median,
+        "trend_ols_users": q_trend_ols_users,
         "temporal_split_embargo": q_temporal_split_embargo,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -5931,6 +5944,56 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "trend_ols_users": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, value FROM events
+            ), mn AS (
+                SELECT user_id, min(us) AS m FROM e GROUP BY 1
+            ), xy AS (
+                SELECT e.user_id,
+                       CAST((us - m) // 1000000 AS BIGINT) AS x,
+                       value AS y
+                FROM e JOIN mn USING (user_id)
+            ), s AS (
+                SELECT user_id, count(*) AS n,
+                       CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sx,
+                       CAST(sum(CAST(y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sxx,
+                       CAST(sum(CAST(y * y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS syy
+                FROM xy GROUP BY 1
+            )
+            SELECT user_id, n,
+                   round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                         END, 6) + 0.0 AS slope,
+                   round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              THEN (sy - ((CAST(n AS DOUBLE) * sxy
+                                           - sx * sy)
+                                          / (CAST(n AS DOUBLE) * sxx
+                                             - sx * sx)) * sx)
+                                   / CAST(n AS DOUBLE)
+                         END, 6) + 0.0 AS intercept,
+                   round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              AND CAST(n AS DOUBLE) * syy - sy * sy
+                                   <> 0.0
+                              THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                                    * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                                   / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                      * (CAST(n AS DOUBLE) * syy
+                                         - sy * sy))
+                         END, 6) + 0.0 AS r2
+            FROM s
+        """,
         "exact_ts_median": """
             WITH e AS (SELECT epoch_us(ts) AS us FROM events),
             o AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,

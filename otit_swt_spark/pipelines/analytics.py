@@ -605,7 +605,8 @@ def theta_overlap(df: DataFrame, key_col: str, group_col: str,
 
 
 def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
-                min_pair: int = 2, top: int = 50) -> DataFrame:
+                min_pair: int = 2, top: int = 50,
+                max_basket_size: int | None = None) -> DataFrame:
     """Association-rule mining (Agrawal & Srikant 1994's support/
     confidence frame plus lift) over (basket, item) rows: for every
     ordered item pair co-occurring in >= ``min_pair`` baskets, emit
@@ -623,6 +624,14 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
     witness it."""
     items = (df.select(F.col(basket_col).alias("__b"),
                        F.col(item_col).alias("__i")).distinct())
+    if max_basket_size is not None:
+        # one mega-basket (the bot order, the crawler session) otherwise
+        # emits |basket|^2 pairs and owns the stage — drop it BEFORE
+        # pairing, the same clip cooccurrence_edges applies
+        ok = (items.groupBy("__b")
+              .agg(F.count(F.lit(1)).alias("__sz"))
+              .filter(F.col("__sz") <= max_basket_size).select("__b"))
+        items = items.join(ok, "__b")
     total = items.agg(F.countDistinct("__b").alias("__n"))
     marg = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__m"))
     a = items.select(F.col("__b"), F.col("__i").alias("antecedent"))

@@ -623,3 +623,60 @@ def holt_winters_forecast(
 
     return series.select(key, *order, value).groupBy(key) \
         .applyInPandas(fold, out_schema)
+
+
+def trend_ols(series: DataFrame, key: str = "id", ts: str = "timestamp",
+              value: str = "value") -> DataFrame:
+    """Per-key ordinary-least-squares trend: slope, intercept and R² of
+    ``value`` against time (seconds since the key's first observation),
+    closed-form from the five sufficient moments — ``Σx, Σy, Σxy, Σx²,
+    Σy²`` — accumulated in DECIMAL(38,12) so the sums are exact and
+    partition-order independent (the same determinism contract as
+    kmeans/power-iteration), with the final slope/intercept/R² computed
+    in ONE identical double expression per statistic. Keys with < 2
+    points or zero time variance return NULL statistics.
+
+    This is the scale-safe alternative to ``regr_slope``-style float
+    aggregates (whose partial-merge order perturbs low bits) — one
+    grouped pass, bounded output (one row per key), bit-replayable in
+    any SQL engine. x is integer seconds (micros // 1e6) so x² sums fit
+    decimal range out to ~1e9 rows per key at year-long spans."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    dec = "decimal(38,12)"
+    staged = (series
+              .withColumn("__us", us)
+              .withColumn("__x", ((F.col("__us")
+                                   - F.min("__us").over(
+                                       Window.partitionBy(key)))
+                                  / F.lit(1000000)).cast("long")))
+    y = F.col(value).cast("double")
+    x = F.col("__x")
+    agg = (staged.groupBy(key)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(x.cast(dec)).alias("sx"),
+                F.sum(y.cast(dec)).alias("sy"),
+                F.sum((x * y).cast(dec)).alias("sxy"),
+                F.sum((x * x).cast(dec)).alias("sxx"),
+                F.sum((y * y).cast(dec)).alias("syy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = n * sxx - sx * sx
+    dey = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den != 0.0, num / den)
+    intercept = F.when(den != 0.0, (sy - (num / den) * sx) / n)
+    r2 = F.when((den != 0.0) & (dey != 0.0),
+                (num * num) / (den * dey))
+    # + 0.0 canonicalizes IEEE negative zero (round(-1e-9, 6) is -0.0
+    # in some engines, +0.0 in others; -0.0 + 0.0 == +0.0 everywhere)
+    return agg.select(key, "n",
+                      (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+                      (F.round(intercept, 6) + F.lit(0.0))
+                      .alias("intercept"),
+                      (F.round(r2, 6) + F.lit(0.0)).alias("r2"))

@@ -2789,3 +2789,22 @@ def test_exact_kth_and_temporal_split(spark):
               .collect()}
     # cutoff = 80th smallest (us of i=79); embargo covers i=80..84
     assert counts == {"train": 80, "embargo": 5, "test": 15}
+
+
+def test_trend_ols_known_line(spark):
+    from otit_swt_spark.timeseries import trend_ols
+
+    # key 1: exact line y = 2x + 5 (R^2 = 1); key 2: constant (den_y = 0
+    # -> r2 NULL, slope 0); key 3: single point -> all NULL
+    rows = ([(1, t * 1_000_000, 2.0 * t + 5.0) for t in range(10)]
+            + [(2, t * 1_000_000, 7.0) for t in range(5)]
+            + [(3, 0, 3.0)])
+    df = spark.createDataFrame(rows, "id long, us long, value double") \
+        .select("id", F.timestamp_micros("us").alias("ts"), "value")
+    out = {r["id"]: r for r in
+           trend_ols(df, key="id", ts="ts", value="value").collect()}
+    assert out[1]["slope"] == 2.0
+    assert out[1]["intercept"] == 5.0
+    assert out[1]["r2"] == 1.0
+    assert out[2]["slope"] == 0.0 and out[2]["r2"] is None
+    assert out[3]["slope"] is None and out[3]["intercept"] is None

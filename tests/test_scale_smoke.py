@@ -595,3 +595,50 @@ def test_ssjoin_distinct_sets_duplicate_mass(spark):
     assert len(pairs) == 10
     assert all(r["jaccard"] == 0.6 for r in pairs)
     assert all(r["id_b"] >= 1_000_000 and r["id_a"] < 2000 for r in pairs)
+
+
+def test_theta_sketch_single_mega_group(spark):
+    """1M distinct keys in ONE group: the salted two-phase top-k keeps
+    every task's window bounded (k rows per salt cell), the merged
+    sketch is exactly the global k minimum hashes, and the estimate
+    lands within the KMV error band."""
+    from otit_swt_spark.pipelines.analytics import theta_sketch
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    n = 1_000_000
+    df = spark.range(n).select(F.lit("all").alias("g"),
+                               F.col("id").cast("string").alias("k"))
+    sk = theta_sketch(df, "k", "g", k=256, salt=64).collect()
+    assert len(sk) == 1
+    row = sk[0]
+    assert row["n_kept"] == 256
+    # exact global 256 smallest hashes (top-k merge is a semilattice)
+    want = [r["h"] for r in
+            df.select(_md5_60(F.col("k")).alias("h"))
+            .orderBy("h").limit(256).collect()]
+    assert list(row["ks"]) == want
+    assert abs(row["est"] - n) / n < 0.15
+
+
+def test_assoc_rules_mega_basket_clip(spark):
+    """One 20k-item bot basket next to 10k normal baskets: unclipped it
+    alone would emit 4e8 pairs; with max_basket_size the stage stays
+    linear and the rule stats are computed over the surviving baskets
+    only (stated contract)."""
+    from otit_swt_spark.pipelines.analytics import assoc_rules
+
+    normal = spark.range(10_000).select(
+        F.col("id").alias("b"), (F.col("id") % 50).alias("i1"))
+    normal = normal.select("b", F.explode(F.array(
+        F.col("i1"), F.col("i1") + 1)).alias("i"))
+    mega = spark.range(20_000).select(F.lit(-1).alias("b"),
+                                      F.col("id").alias("i"))
+    df = normal.unionByName(mega)
+    out = assoc_rules(df, "b", "i", min_pair=2, top=10,
+                      max_basket_size=64).collect()
+    assert len(out) == 10
+    # every surviving rule comes from the normal baskets' {x, x+1} pairs
+    for r in out:
+        assert abs(r["antecedent"] - r["consequent"]) == 1
+        # support uses the clipped basket total (10k), not 10k+1
+        assert r["support"] == round(r["n_ab"] / 10_000, 6)
