@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_quota_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) allocation of a 10,000-sequence
+    training budget across document sources: floor shares plus
+    leftover seats to the largest fractional remainders — allocations
+    sum to exactly the budget. All-integer arithmetic (64-bit `div`),
+    windows run on the tiny per-source count frame."""
+    from otit_swt_spark.pipelines.sampling import quota_allocation
+
+    return quota_allocation(_t(spark, sf_dir, "documents"), "source",
+                            budget=10000)
+
+
 def q_trend_ols_users(spark, sf_dir):
     """Per-user OLS trend of event value against time: slope/intercept/
     R-squared closed-form from five DECIMAL(38,12) sufficient moments
@@ -2854,6 +2866,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "markov_transitions": q_markov_transitions,
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
+        "quota_allocation": q_quota_allocation,
         "temporal_split_embargo": q_temporal_split_embargo,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -5944,6 +5957,29 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "quota_allocation": """
+            WITH c AS (
+                SELECT source, count(*) AS n_rows FROM documents
+                GROUP BY 1
+            ), t AS (
+                SELECT source, n_rows,
+                       CAST(sum(n_rows) OVER () AS BIGINT) AS tot
+                FROM c
+            ), s AS (
+                SELECT source, n_rows,
+                       (10000 * n_rows) // tot AS base,
+                       (10000 * n_rows) % tot AS rem,
+                       CAST(10000 - sum((10000 * n_rows) // tot) OVER ()
+                            AS BIGINT) AS leftover,
+                       row_number() OVER (ORDER BY (10000 * n_rows) % tot
+                                          DESC, source) AS rk
+                FROM t
+            )
+            SELECT source, n_rows,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS allocated
+            FROM s
+        """,
         "trend_ols_users": """
             WITH e AS (
                 SELECT user_id, epoch_us(ts) AS us, value FROM events

@@ -334,3 +334,42 @@ def preference_pairs(df: DataFrame, group_cols: list[str], score: Column,
                     F.col("__w.i").alias("rejected_id"),
                     (F.col("__b.s") - F.col("__w.s")).alias("margin"))
             .filter(F.col("margin") > 0))
+
+
+def quota_allocation(df: DataFrame, group_col: str,
+                     budget: int) -> DataFrame:
+    """Exact proportional allocation of an integer ``budget`` across
+    groups by the largest-remainder (Hamilton) method: each group gets
+    ``floor(budget·n_g / total)``, and the leftover seats go to the
+    largest fractional remainders (ties broken by group value) — so
+    allocations sum to EXACTLY ``budget``, something independent
+    per-group rounding cannot promise. The training-mixture budgeting
+    primitive behind "sample 10M sequences proportionally by source".
+
+    All arithmetic is integer (``budget·n_g`` stays in long range for
+    budgets×counts < 2^63) — no float quotas, no engine drift; the
+    group-count frame is tiny, so the ranking windows cost nothing.
+    Output: ``(group_col, n_rows, allocated)``."""
+    from pyspark.sql import Window as W
+
+    counts = (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = F.sum("n_rows").over(W.partitionBy())
+    # `div` is true 64-bit integer division (no double detour — a
+    # budget*count product past 2^53 would floor wrong under `/`)
+    staged = (counts.withColumn("__t", total)
+              .withColumn("__base",
+                          F.expr(f"(CAST({int(budget)} AS BIGINT) "
+                                 f"* n_rows) div __t"))
+              .withColumn("__rem", F.pmod(F.lit(budget) * F.col("n_rows"),
+                                          F.col("__t"))))
+    leftover = (F.lit(budget)
+                - F.sum("__base").over(W.partitionBy())).cast("long")
+    rank = F.row_number().over(
+        W.partitionBy().orderBy(F.col("__rem").desc(), F.col(group_col)))
+    return (staged.withColumn("__l", leftover)
+            .withColumn("__rk", rank)
+            .select(group_col, "n_rows",
+                    (F.col("__base")
+                     + F.when(F.col("__rk") <= F.col("__l"), 1)
+                     .otherwise(0)).alias("allocated")))

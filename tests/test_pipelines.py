@@ -2808,3 +2808,25 @@ def test_trend_ols_known_line(spark):
     assert out[1]["r2"] == 1.0
     assert out[2]["slope"] == 0.0 and out[2]["r2"] is None
     assert out[3]["slope"] is None and out[3]["intercept"] is None
+
+
+def test_quota_allocation_sums_exactly(spark):
+    from otit_swt_spark.pipelines.sampling import quota_allocation
+
+    # counts 3/3/1 over budget 10: quotas 4+2/7, 4+2/7, 1+3/7 ->
+    # bases 4/4/1, the single leftover seat goes to the LARGEST
+    # fractional remainder, which is c (3/7 beats 2/7)
+    rows = [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["g"]: r["allocated"] for r in
+           quota_allocation(df, "g", budget=10).collect()}
+    assert sum(out.values()) == 10
+    assert out == {"a": 4, "b": 4, "c": 2}
+
+    # budget larger than rows still sums exactly
+    out2 = {r["g"]: r["allocated"] for r in
+            quota_allocation(df, "g", budget=1000).collect()}
+    assert sum(out2.values()) == 1000
+    # proportionality: 3/7 and 1/7 of 1000
+    assert out2["c"] in (142, 143)
+    assert abs(out2["a"] - out2["b"]) <= 1
