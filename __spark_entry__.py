@@ -2681,6 +2681,36 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_column_entropy_docs(spark, sf_dir):
+    """Shannon entropy (nats) of the lang / source / n_chars value
+    distributions over documents: the profiling skew alarm. Per-group
+    p*ln(p) terms are cast to DECIMAL before summing so the reduction
+    is exact and partition-order independent."""
+    from otit_swt_spark.pipelines.profile import column_entropy
+
+    return column_entropy(_t(spark, sf_dir, "documents"),
+                          ["lang", "source", "n_chars"])
+
+
+def q_gini_user_events(spark, sf_dir):
+    """Gini coefficient of per-user event counts — the one-number
+    activity-imbalance alarm (0 = uniform users, ->1 = one bot owns the
+    stream). Sorted-rank identity over the per-user count frame with
+    all-integer DECIMAL-summed products."""
+    from otit_swt_spark.pipelines.profile import gini_coefficient
+
+    return gini_coefficient(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_zipf_exponent(spark, sf_dir):
+    """Zipf-law fit of the corpus token frequencies: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 tokens (natural text sits
+    near -1) — corpus-health in one number, decimal-exact moments."""
+    from otit_swt_spark.pipelines.textstats import zipf_exponent
+
+    return zipf_exponent(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
 def q_quota_allocation(spark, sf_dir):
     """Largest-remainder (Hamilton) allocation of a 10,000-sequence
     training budget across document sources: floor shares plus
@@ -2867,6 +2897,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
+        "column_entropy_docs": q_column_entropy_docs,
+        "gini_user_events": q_gini_user_events,
+        "zipf_exponent": q_zipf_exponent,
         "temporal_split_embargo": q_temporal_split_embargo,
         # --- round-5 additions (newest, never sampled) ---
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -5957,6 +5990,118 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "column_entropy_docs": """
+            SELECT 'lang' AS col, nd AS n_distinct,
+                   round(-s, 6) + 0.0 AS entropy
+            FROM (
+                SELECT count(*) AS nd,
+                       CAST(sum(CAST((n / CAST(t AS DOUBLE))
+                                     * ln(n / CAST(t AS DOUBLE))
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS s
+                FROM (SELECT n, sum(n) OVER () AS t
+                      FROM (SELECT CAST(lang AS VARCHAR) AS v,
+                                   count(*) AS n
+                            FROM documents GROUP BY 1))
+            )
+            UNION ALL
+            SELECT 'source' AS col, nd AS n_distinct,
+                   round(-s, 6) + 0.0 AS entropy
+            FROM (
+                SELECT count(*) AS nd,
+                       CAST(sum(CAST((n / CAST(t AS DOUBLE))
+                                     * ln(n / CAST(t AS DOUBLE))
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS s
+                FROM (SELECT n, sum(n) OVER () AS t
+                      FROM (SELECT CAST(source AS VARCHAR) AS v,
+                                   count(*) AS n
+                            FROM documents GROUP BY 1))
+            )
+            UNION ALL
+            SELECT 'n_chars' AS col, nd AS n_distinct,
+                   round(-s, 6) + 0.0 AS entropy
+            FROM (
+                SELECT count(*) AS nd,
+                       CAST(sum(CAST((n / CAST(t AS DOUBLE))
+                                     * ln(n / CAST(t AS DOUBLE))
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS s
+                FROM (SELECT n, sum(n) OVER () AS t
+                      FROM (SELECT CAST(n_chars AS VARCHAR) AS v,
+                                   count(*) AS n
+                            FROM documents GROUP BY 1))
+            )
+        """,
+        "gini_user_events": """
+            WITH c AS (
+                SELECT user_id AS g, count(*) AS n FROM events GROUP BY 1
+            ), r AS (
+                SELECT n, row_number() OVER (ORDER BY n, g) AS rk FROM c
+            ), a AS (
+                SELECT count(*) AS k,
+                       sum(CAST(n AS DECIMAL(38, 12))) AS s,
+                       sum(CAST(rk * n AS DECIMAL(38, 12))) AS rs
+                FROM r
+            )
+            SELECT CAST(k AS BIGINT) AS n_groups,
+                   CAST(s AS BIGINT) AS n_rows,
+                   round(2.0 * CAST(rs AS DOUBLE)
+                         / (CAST(k AS DOUBLE) * CAST(s AS DOUBLE))
+                         - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE),
+                         6) + 0.0 AS gini
+            FROM a
+        """,
+        "zipf_exponent": """
+            WITH freq AS (
+                SELECT w, count(*) AS n FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents)
+                GROUP BY 1 ORDER BY n DESC, w LIMIT 1000
+            ), r AS (
+                SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w)
+                               AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM freq
+            ), s AS (
+                SELECT count(*) AS k,
+                       CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sx,
+                       CAST(sum(CAST(y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS sxx,
+                       CAST(sum(CAST(y * y AS DECIMAL(38, 12))) AS DOUBLE)
+                           AS syy
+                FROM r
+            )
+            SELECT k AS n_tokens_fit,
+                   round(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              THEN (CAST(k AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(k AS DOUBLE) * sxx - sx * sx)
+                         END, 6) + 0.0 AS slope,
+                   round(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              THEN (sy - ((CAST(k AS DOUBLE) * sxy
+                                           - sx * sy)
+                                          / (CAST(k AS DOUBLE) * sxx
+                                             - sx * sx)) * sx)
+                                   / CAST(k AS DOUBLE)
+                         END, 6) + 0.0 AS intercept,
+                   round(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx
+                                   <> 0.0
+                              AND CAST(k AS DOUBLE) * syy - sy * sy
+                                   <> 0.0
+                              THEN ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                                    * (CAST(k AS DOUBLE) * sxy - sx * sy))
+                                   / ((CAST(k AS DOUBLE) * sxx - sx * sx)
+                                      * (CAST(k AS DOUBLE) * syy
+                                         - sy * sy))
+                         END, 6) + 0.0 AS r2
+            FROM s
+        """,
         "quota_allocation": """
             WITH c AS (
                 SELECT source, count(*) AS n_rows FROM documents

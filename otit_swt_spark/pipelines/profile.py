@@ -117,3 +117,66 @@ def fk_violations(fact: DataFrame, dim: DataFrame, fact_key: str,
     if broadcast_dim:
         keys = F.broadcast(keys)
     return fact.join(keys, fact_key, "left_anti")
+
+
+_DEC = "decimal(38,12)"
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each named column's value distribution
+    — the profiling statistic behind skew alarms ("this partition key
+    has 0.3 nats — everything is one value") and feature audits. NULLs
+    count as a category. One grouped count per column.
+
+    Determinism contract: each group's ``p·ln p`` term is cast to
+    DECIMAL(38,12) BEFORE summing, so the reduction is exact and
+    partition-order independent (float entropy sums differ in low bits
+    per merge order); one double conversion at the end. Output:
+    ``(col, n_distinct, entropy)``."""
+    outs = []
+    for c in cols:
+        counts = (df.groupBy(F.col(c).cast("string").alias("__v"))
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        from pyspark.sql import Window as W
+
+        tot = F.sum("__n").over(W.partitionBy())
+        p = F.col("__n") / F.col("__t").cast("double")
+        term = (p * F.log(p)).cast(_DEC)
+        outs.append(counts.withColumn("__t", tot)
+                    .agg(F.count(F.lit(1)).alias("n_distinct"),
+                         F.sum(term).alias("__s"))
+                    .select(F.lit(c).alias("col"), "n_distinct",
+                            (F.round(-F.col("__s").cast("double"), 6)
+                             + F.lit(0.0)).alias("entropy")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def gini_coefficient(df: DataFrame, group_col: str) -> DataFrame:
+    """Gini coefficient of the row-count distribution across groups —
+    0 = perfectly balanced corpus, ->1 = one group owns everything; the
+    single-number imbalance alarm for source mix / shard balance.
+    Computed by the sorted-rank identity
+    ``G = 2·Σ(rank·n_g) / (n·Σn_g) − (n+1)/n`` with ranks ascending by
+    (count, group): all-integer products summed in DECIMAL (exact,
+    order-independent), one double expression at the end. The rank
+    window runs over the per-group count frame, not the corpus."""
+    from pyspark.sql import Window as W
+
+    counts = (df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    rk = F.row_number().over(W.partitionBy().orderBy("n", "g"))
+    agg = (counts.withColumn("__rk", rk)
+           .agg(F.count(F.lit(1)).alias("k"),
+                F.sum(F.col("n").cast(_DEC)).alias("s"),
+                F.sum((F.col("__rk") * F.col("n")).cast(_DEC))
+                .alias("rs")))
+    k = F.col("k").cast("double")
+    g = (F.lit(2.0) * F.col("rs").cast("double")
+         / (k * F.col("s").cast("double"))
+         - (k + F.lit(1.0)) / k)
+    return agg.select(F.col("k").alias("n_groups"),
+                      F.col("s").cast("long").alias("n_rows"),
+                      (F.round(g, 6) + F.lit(0.0)).alias("gini"))

@@ -450,3 +450,54 @@ def rake_keyphrases(df: DataFrame, text_col: str = "text",
                  F.round(F.max("__sc"), 6).alias("score"))
             .orderBy(F.col("score").desc(), "phrase")
             .limit(top))
+
+
+def zipf_exponent(df: DataFrame, text_col: str = "text",
+                  top_n: int = 1000) -> DataFrame:
+    """Zipf-law fit of the corpus token frequency distribution: OLS of
+    ``ln(freq)`` against ``ln(rank)`` over the ``top_n`` most frequent
+    tokens (rank ties broken by token). Natural text sits near slope
+    −1; a corpus of boilerplate or template spam drifts far off — a
+    one-number corpus-health check. Returns one row
+    ``(n_tokens_fit, slope, intercept, r2)``.
+
+    Same determinism contract as ``timeseries.trend_ols``: the OLS
+    moments accumulate in DECIMAL(38,12) over the (tiny) rank frame and
+    the statistics are single double expressions."""
+    from pyspark.sql import Window as W
+
+    freq = (df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "w").limit(top_n))
+    rk = F.row_number().over(W.partitionBy().orderBy(F.col("n").desc(),
+                                                     "w"))
+    dec = "decimal(38,12)"
+    x = F.log(F.col("__rk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    agg = (freq.withColumn("__rk", rk)
+           .agg(F.count(F.lit(1)).alias("k"),
+                F.sum(x.cast(dec)).alias("sx"),
+                F.sum(y.cast(dec)).alias("sy"),
+                F.sum((x * y).cast(dec)).alias("sxy"),
+                F.sum((x * x).cast(dec)).alias("sxx"),
+                F.sum((y * y).cast(dec)).alias("syy")))
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = k * sxx - sx * sx
+    dey = k * syy - sy * sy
+    num = k * sxy - sx * sy
+    return agg.select(
+        F.col("k").alias("n_tokens_fit"),
+        (F.round(F.when(den != 0.0, num / den), 6)
+         + F.lit(0.0)).alias("slope"),
+        (F.round(F.when(den != 0.0, (sy - (num / den) * sx) / k), 6)
+         + F.lit(0.0)).alias("intercept"),
+        (F.round(F.when((den != 0.0) & (dey != 0.0),
+                        (num * num) / (den * dey)), 6)
+         + F.lit(0.0)).alias("r2"))

@@ -2830,3 +2830,38 @@ def test_quota_allocation_sums_exactly(spark):
     # proportionality: 3/7 and 1/7 of 1000
     assert out2["c"] in (142, 143)
     assert abs(out2["a"] - out2["b"]) <= 1
+
+
+def test_corpus_statistics_known_values(spark):
+    import math
+
+    from otit_swt_spark.pipelines.profile import column_entropy, gini_coefficient
+    from otit_swt_spark.pipelines.textstats import zipf_exponent
+
+    # entropy: uniform over 4 values = ln(4); constant = 0
+    df = spark.createDataFrame(
+        [(i % 4, "same") for i in range(400)], "u long, c string")
+    ent = {r["col"]: r for r in column_entropy(df, ["u", "c"]).collect()}
+    assert abs(ent["u"]["entropy"] - math.log(4)) < 1e-6
+    assert ent["u"]["n_distinct"] == 4
+    assert ent["c"]["entropy"] == 0.0
+
+    # gini: perfectly uniform groups -> (k-1)/(3k-ish)? exact: ranks
+    # 1..k each weight n: G = 2*(n*k(k+1)/2)/(k*kn) - (k+1)/k = 0
+    uni = spark.createDataFrame([(i % 10,) for i in range(1000)],
+                                "g long")
+    assert gini_coefficient(uni, "g").first()["gini"] == 0.0
+    # extreme skew: one group has ~everything
+    skew = spark.createDataFrame([(0,)] * 991 + [(i,) for i in range(1, 10)],
+                                 "g long")
+    assert gini_coefficient(skew, "g").first()["gini"] > 0.85
+
+    # zipf: synthesize freq(rank) = 1000/rank exactly -> slope -1, r2 1
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * (1000 // rank)
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    z = zipf_exponent(docs, top_n=50).first()
+    assert -1.08 < z["slope"] < -0.92, z
+    assert z["r2"] > 0.99
