@@ -2681,6 +2681,20 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_dp_event_counts(spark, sf_dir):
+    """Differentially-private per-event-type counts (Laplace mechanism,
+    epsilon=1) with seeded DETERMINISTIC noise — md5-derived uniform
+    through the Laplace inverse CDF, exact binary arithmetic into the
+    open unit interval — so the release is reproducible and the oracle
+    replays noise bit-for-bit (keep_true on for the calibration
+    check)."""
+    from otit_swt_spark.pipelines.analytics import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon=1.0, seed="dp0",
+                           keep_true=True)
+
+
 def q_column_entropy_docs(spark, sf_dir):
     """Shannon entropy (nats) of the lang / source / n_chars value
     distributions over documents: the profiling skew alarm. Per-group
@@ -2898,6 +2912,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
         "column_entropy_docs": q_column_entropy_docs,
+        "dp_event_counts": q_dp_event_counts,
         "gini_user_events": q_gini_user_events,
         "zipf_exponent": q_zipf_exponent,
         "temporal_split_embargo": q_temporal_split_embargo,
@@ -5990,6 +6005,23 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "dp_event_counts": """
+            WITH c AS (
+                SELECT event_type, count(*) AS n FROM events GROUP BY 1
+            ), u AS (
+                SELECT event_type, n,
+                       (CAST((('0x' || substr(md5('dp0:' || event_type),
+                                              1, 15))::UBIGINT::BIGINT
+                              >> 9) AS DOUBLE) + 0.5)
+                       / 2251799813685248.0 AS u
+                FROM c
+            )
+            SELECT event_type, n,
+                   round(n + (-1.0) * sign(u - 0.5)
+                             * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+                       AS noisy_n
+            FROM u
+        """,
         "column_entropy_docs": """
             SELECT 'lang' AS col, nd AS n_distinct,
                    round(-s, 6) + 0.0 AS entropy

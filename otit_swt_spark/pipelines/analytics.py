@@ -792,3 +792,36 @@ def temporal_split_embargo(df: DataFrame, ts_col: str = "ts",
              .when(F.col("__us") <= cutoff + embargo_us, "embargo")
              .otherwise("test"))
     return staged.select(*df.columns, split.alias("split"))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
+                    seed: str = "dp0", keep_true: bool = False) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism
+    (sensitivity 1, scale ``1/epsilon``), with DETERMINISTIC seeded
+    noise: the uniform draw is the group key's 60-bit md5 hash mapped
+    to the open interval (0,1) as ``(h>>9 + 0.5) / 2^51`` (exact in
+    binary — both half-integers below 2^51 and the power-of-two divide
+    are lossless), pushed through the Laplace inverse CDF
+    ``-b·sgn(u−½)·ln(1−2|u−½|)``. Seeded determinism makes releases
+    reproducible and REPLAYABLE in any SQL engine — the usual DP-noise
+    testing problem (nondeterministic output, untestable pipeline)
+    disappears; rotate ``seed`` per release to resample.
+
+    One grouped count, map-side noise. ``keep_true`` retains the raw
+    count for calibration tests — leave False for actual releases.
+    Output: ``(group_col, [n], noisy_n)``."""
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    b = 1.0 / epsilon
+    h = _md5_60(F.concat(F.lit(seed + ":"),
+                         F.col(group_col).cast("string")))
+    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 51)))
+    p = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    noise = -F.lit(b) * F.signum(u - F.lit(0.5)) * F.log(p)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    out = counts.withColumn(
+        "noisy_n", F.round(F.col("n") + noise, 6))
+    if keep_true:
+        return out.select(group_col, "n", "noisy_n")
+    return out.select(group_col, "noisy_n")

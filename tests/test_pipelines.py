@@ -2865,3 +2865,37 @@ def test_corpus_statistics_known_values(spark):
     z = zipf_exponent(docs, top_n=50).first()
     assert -1.08 < z["slope"] < -0.92, z
     assert z["r2"] > 0.99
+
+
+def test_dp_noisy_counts_laplace_properties(spark):
+    from otit_swt_spark.pipelines.analytics import dp_noisy_counts
+
+    df = spark.createDataFrame([(f"g{i % 500}",) for i in range(5000)],
+                               "g string")
+    out = dp_noisy_counts(df, "g", epsilon=1.0, seed="s1",
+                          keep_true=True).collect()
+    assert len(out) == 500
+    noises = [r["noisy_n"] - r["n"] for r in out]
+    # Laplace(0,1): mean ~0, ~50% of |noise| below ln(2)=0.693,
+    # essentially all below 8
+    assert abs(sum(noises) / len(noises)) < 0.2
+    frac_small = sum(1 for x in noises if abs(x) < 0.6931472) / len(noises)
+    assert 0.4 < frac_small < 0.6
+    assert max(abs(x) for x in noises) < 8.0
+
+    # determinism: same seed reproduces; new seed resamples
+    again = dp_noisy_counts(df, "g", epsilon=1.0, seed="s1",
+                            keep_true=True).collect()
+    assert {(r["g"], r["noisy_n"]) for r in again} == \
+        {(r["g"], r["noisy_n"]) for r in out}
+    other = dp_noisy_counts(df, "g", epsilon=1.0, seed="s2",
+                            keep_true=True).collect()
+    assert {(r["g"], r["noisy_n"]) for r in other} != \
+        {(r["g"], r["noisy_n"]) for r in out}
+    # epsilon scales the noise linearly
+    wide = dp_noisy_counts(df, "g", epsilon=0.1, seed="s1",
+                           keep_true=True).collect()
+    wn = {r["g"]: r["noisy_n"] - r["n"] for r in wide}
+    base = {r["g"]: r["noisy_n"] - r["n"] for r in out}
+    for g in list(wn)[:20]:
+        assert abs(wn[g] - 10.0 * base[g]) < 1e-4
