@@ -114,6 +114,23 @@ EXTENDED = [
     "ssjoin_part_names",
     "scd2_user_events",
     "leakage_split",
+    # round-7 late additions (power_iteration_pc1 and holt_winters are
+    # excluded like pq_topk: driver-synchronized fits / per-key Arrow
+    # folds already evidenced by the oracle sweep and x16 curves)
+    "theta_audience_overlap",
+    "assoc_rules_brands",
+    "graph_kcore",
+    "rake_keyphrases",
+    "markov_transitions",
+    "trend_ols_users",
+    "exact_ts_median",
+    "gini_user_events",
+    "zipf_exponent",
+    "quota_allocation",
+    "dp_event_counts",
+    "jw_part_names",
+    "temporal_split_embargo",
+    "column_entropy_docs",
 ]
 
 
