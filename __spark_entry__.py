@@ -2681,6 +2681,19 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_lsh_recall_eval(spark, sf_dir):
+    """Recall/precision of the banded-MinHash candidate generator
+    measured against exact shingle-Jaccard ground truth (lossless
+    prefix-filtered self-join at 0.8) — caps, banding and chain pairs
+    included, so the number gates the REAL near-dedup pipeline. The
+    oracle composes the full minhash replay chain with an exact
+    all-pairs truth chain."""
+    from otit_swt_spark.pipelines.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(_t(spark, sf_dir, "documents"),
+                           threshold=0.8)
+
+
 def q_dp_event_counts(spark, sf_dir):
     """Differentially-private per-event-type counts (Laplace mechanism,
     epsilon=1) with seeded DETERMINISTIC noise — md5-derived uniform
@@ -2913,6 +2926,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quota_allocation": q_quota_allocation,
         "column_entropy_docs": q_column_entropy_docs,
         "dp_event_counts": q_dp_event_counts,
+        "lsh_recall_eval": q_lsh_recall_eval,
         "gini_user_events": q_gini_user_events,
         "zipf_exponent": q_zipf_exponent,
         "temporal_split_embargo": q_temporal_split_embargo,
@@ -4343,7 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         pick += f"WHEN {' AND '.join(conds)} AND ({score[lang]}) > 0 THEN '{lang}' "
     pick += "ELSE 'unknown' END"
 
-    return {
+    d = {
         "sparql_bgp_join": """
             SELECT n_name AS nation_name, r_name AS region_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -7181,3 +7195,53 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
     }
+
+    # composed oracle: the full minhash replay chain as a CTE against an
+    # exact all-pairs shingle-Jaccard truth chain (prefix filtering is
+    # lossless, so truth computes the SEMANTIC result directly)
+    d["lsh_recall_eval"] = f"""
+        WITH mh AS MATERIALIZED ({d["minhash_lsh_pairs"]}
+        ), toks2 AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ), grams2 AS (
+            SELECT id,
+                   CASE WHEN len(tk) <= 3
+                        THEN [coalesce(array_to_string(tk, ' '), '')]
+                        ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              FOR i IN range(1, len(tk) - 1)]
+                   END AS g
+            FROM toks2
+        ), gsets AS MATERIALIZED (
+            SELECT DISTINCT id, unnest(g) AS tok FROM grams2
+        ), sz AS (
+            SELECT id, count(*) AS sz FROM gsets GROUP BY 1
+        ), it AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS ov
+            FROM gsets a JOIN gsets b USING (tok)
+            WHERE a.id < b.id GROUP BY 1, 2
+        ), truth AS MATERIALIZED (
+            SELECT id_a, id_b
+            FROM it JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+            WHERE CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov) >= 0.8
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT id_a, id_b FROM mh
+        ), agg AS (
+            SELECT (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM truth
+                    JOIN cand USING (id_a, id_b)) AS n_hits
+        )
+        SELECT n_truth, n_candidates, n_hits,
+               CASE WHEN n_truth > 0
+                    THEN round(n_hits / CAST(n_truth AS DOUBLE), 6)
+                    ELSE 1.0 END AS recall,
+               CASE WHEN n_candidates > 0
+                    THEN round(n_hits / CAST(n_candidates AS DOUBLE), 6)
+                    ELSE 1.0 END AS precision
+        FROM agg
+    """
+    return d

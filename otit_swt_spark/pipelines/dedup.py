@@ -919,3 +919,47 @@ def leakage_safe_split(
              .when(bucket < test_pct + val_pct, F.lit("val"))
              .otherwise(F.lit("train")))
     return out.select("id", "root", split.alias("split"))
+
+
+def lsh_recall_eval(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.8,
+                    k: int = 64, bands: int = 16,
+                    shingle_n: int = 3) -> DataFrame:
+    """Measured recall/precision of the banded-MinHash candidate
+    generator against EXACT ground truth — the evaluation harness that
+    turns "LSH should catch most near-dups" into a number you can
+    regression-gate. Ground truth is the exact shingle-set Jaccard
+    self-join at ``threshold`` via lossless prefix filtering
+    (:func:`~otit_swt_spark.pipelines.fuzzy._ssjoin_pairs` over the
+    SAME word-``shingle_n``-gram domain MinHash sketches); candidates
+    are :func:`minhash_lsh_pairs` (banding, per-bucket caps and chain
+    pairs included — so the number measures the REAL pipeline, blocking
+    losses and all). One row out: ``(n_truth, n_candidates, n_hits,
+    recall, precision)`` — precision here is "candidate pairs that are
+    truly >= threshold", no second verify pass needed because truth is
+    complete."""
+    from otit_swt_spark.pipelines.fuzzy import _ssjoin_pairs
+
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.explode(shingles(F.col(text_col), shingle_n))
+                       .alias("tok"))
+             .distinct())
+    truth = _ssjoin_pairs(grams, threshold).select("id_a", "id_b")
+    cand = (minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands,
+                              shingle_n=shingle_n)
+            .select("id_a", "id_b").distinct())
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(h))
+            .select("n_truth", "n_candidates", "n_hits",
+                    F.when(F.col("n_truth") > 0,
+                           F.round(F.col("n_hits")
+                                   / F.col("n_truth").cast("double"), 6))
+                    .otherwise(F.lit(1.0)).alias("recall"),
+                    F.when(F.col("n_candidates") > 0,
+                           F.round(F.col("n_hits")
+                                   / F.col("n_candidates")
+                                   .cast("double"), 6))
+                    .otherwise(F.lit(1.0)).alias("precision")))

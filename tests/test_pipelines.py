@@ -2899,3 +2899,21 @@ def test_dp_noisy_counts_laplace_properties(spark):
     base = {r["g"]: r["noisy_n"] - r["n"] for r in out}
     for g in list(wn)[:20]:
         assert abs(wn[g] - 10.0 * base[g]) < 1e-4
+
+
+def test_lsh_recall_eval_planted_dups(spark):
+    from otit_swt_spark.pipelines.dedup import lsh_recall_eval
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(0, base), (1, base + " extra"),          # near-dup pair
+            (2, base.replace("alpha", "ALPHA2")),     # another near-dup
+            (3, "completely unrelated words go here nothing shared at all"),
+            (4, "another disjoint document with its own vocabulary set")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_eval(df, threshold=0.6).first()
+    # ground truth: docs 0/1/2 pairwise-similar above 0.6
+    assert r["n_truth"] >= 2
+    assert r["recall"] == 1.0          # identical-prefix docs must collide
+    assert r["n_candidates"] >= r["n_hits"]
+    assert 0.0 < r["precision"] <= 1.0
