@@ -2681,6 +2681,34 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_k_anonymity_events(spark, sf_dir):
+    """k-anonymity audit of (event_type, date, value-band) as the
+    quasi-identifier over events: classes smaller than k=5 are
+    re-identification risks — one grouped count, empty result means
+    the release is safe. Pairs with dp_event_counts for
+    suppress-then-noise."""
+    from otit_swt_spark.pipelines.profile import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.floor(F.col("value") / 10.0).alias("value_band"))
+    return k_anonymity_report(ev, ["event_type", "day", "value_band"],
+                              k=5)
+
+
+def q_twap_users(spark, sf_dir):
+    """Per-user time-weighted average of event values (TWAP): value
+    times held-duration in exact DECIMAL micro-sums, one window pass +
+    one grouped aggregate — the honest mean for irregular series."""
+    from otit_swt_spark.timeseries import twap
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "value")
+    return twap(ev, key="user_id", ts="ts", value="value",
+                order_cols=["event_id"])
+
+
 def q_lsh_recall_eval(spark, sf_dir):
     """Recall/precision of the banded-MinHash candidate generator
     measured against exact shingle-Jaccard ground truth (lossless
@@ -2927,6 +2955,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "column_entropy_docs": q_column_entropy_docs,
         "dp_event_counts": q_dp_event_counts,
         "lsh_recall_eval": q_lsh_recall_eval,
+        "k_anonymity_events": q_k_anonymity_events,
+        "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
         "zipf_exponent": q_zipf_exponent,
         "temporal_split_embargo": q_temporal_split_embargo,
@@ -6019,6 +6049,34 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "k_anonymity_events": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(value / 10.0) AS BIGINT) AS value_band,
+                   count(*) AS class_size
+            FROM events
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
+        """,
+        "twap_users": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS us, value,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                           - epoch_us(ts) AS dt
+                FROM events
+            ), s AS (
+                SELECT user_id, count(*) AS n_weighted,
+                       sum(CAST(value * dt AS DECIMAL(38, 12))) AS wv,
+                       sum(CAST(dt AS DECIMAL(38, 12))) AS w
+                FROM o WHERE dt IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id, n_weighted,
+                   CASE WHEN CAST(w AS DOUBLE) > 0.0
+                        THEN round(CAST(wv AS DOUBLE)
+                                   / CAST(w AS DOUBLE), 6) + 0.0
+                   END AS twap
+            FROM s
+        """,
         "dp_event_counts": """
             WITH c AS (
                 SELECT event_type, count(*) AS n FROM events GROUP BY 1

@@ -180,3 +180,18 @@ def gini_coefficient(df: DataFrame, group_col: str) -> DataFrame:
     return agg.select(F.col("k").alias("n_groups"),
                       F.col("s").cast("long").alias("n_rows"),
                       (F.round(g, 6) + F.lit(0.0)).alias("gini"))
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity risk audit over a quasi-identifier combination: rows
+    whose quasi-identifier equivalence class has fewer than ``k``
+    members are re-identifiable; the report returns one row per
+    AT-RISK class with its size — empty result == the release satisfies
+    k-anonymity. One grouped count; no row-level data leaves the
+    cluster. Pairs with the Laplace release in
+    ``analytics.dp_noisy_counts`` (suppress-then-noise is the standard
+    pipeline)."""
+    cls = (df.groupBy(*[F.col(c) for c in quasi_cols])
+           .agg(F.count(F.lit(1)).alias("class_size")))
+    return cls.where(F.col("class_size") < k)

@@ -680,3 +680,39 @@ def trend_ols(series: DataFrame, key: str = "id", ts: str = "timestamp",
                       (F.round(intercept, 6) + F.lit(0.0))
                       .alias("intercept"),
                       (F.round(r2, 6) + F.lit(0.0)).alias("r2"))
+
+
+def twap(series: DataFrame, key: str = "id", ts: str = "timestamp",
+         value: str = "value",
+         order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation is
+    weighted by the time it remained current — ``Σ value·Δt / Σ Δt``
+    with ``Δt`` the gap to the key's next observation (the last
+    observation carries no weight, standard left-closed convention).
+    The honest average for irregular series, where the arithmetic mean
+    over-weights bursts.
+
+    One key-partitioned window pass pairs each row with its successor
+    timestamp; the weighted sums accumulate value·Δt products in
+    DECIMAL(38,12) (Δt integer micros — exact, partition-order
+    independent) with ONE double division at the end. Keys with a
+    single observation return NULL (no elapsed time)."""
+    from pyspark.sql import Window as W
+
+    order = [ts, *(order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    staged = (series
+              .withColumn("__us", us)
+              .withColumn("__dt", F.lead("__us").over(w) - F.col("__us"))
+              .where(F.col("__dt").isNotNull()))
+    dec = "decimal(38,12)"
+    agg = (staged.groupBy(key)
+           .agg(F.count(F.lit(1)).alias("n_weighted"),
+                F.sum((F.col(value) * F.col("__dt")).cast(dec))
+                .alias("__wv"),
+                F.sum(F.col("__dt").cast(dec)).alias("__w")))
+    out = F.when(F.col("__w").cast("double") > 0.0,
+                 F.round(F.col("__wv").cast("double")
+                         / F.col("__w").cast("double"), 6) + F.lit(0.0))
+    return agg.select(key, "n_weighted", out.alias("twap"))

@@ -2917,3 +2917,29 @@ def test_lsh_recall_eval_planted_dups(spark):
     assert r["recall"] == 1.0          # identical-prefix docs must collide
     assert r["n_candidates"] >= r["n_hits"]
     assert 0.0 < r["precision"] <= 1.0
+
+
+def test_k_anonymity_and_twap(spark):
+    from otit_swt_spark.pipelines.profile import k_anonymity_report
+    from otit_swt_spark.timeseries import twap
+
+    # quasi-id (a, b): class (1, 'x') has 5 rows (safe at k=5),
+    # (2, 'y') has 2 rows (at risk)
+    rows = [(1, "x")] * 5 + [(2, "y")] * 2
+    df = spark.createDataFrame(rows, "a long, b string")
+    risky = k_anonymity_report(df, ["a", "b"], k=5).collect()
+    assert len(risky) == 1
+    assert (risky[0]["a"], risky[0]["b"], risky[0]["class_size"]) == (2, "y", 2)
+    assert k_anonymity_report(df, ["a", "b"], k=2).count() == 0
+
+    # TWAP: value 10 held 3s then 20 held 1s -> (10*3 + 20*1)/4 = 12.5;
+    # the final observation (value 99) carries no weight
+    rows = [(1, 0, 10.0), (1, 3_000_000, 20.0), (1, 4_000_000, 99.0),
+            (2, 0, 7.0)]                       # single point -> no row
+    ev = spark.createDataFrame(rows, "id long, us long, value double") \
+        .select("id", F.timestamp_micros("us").alias("ts"), "value")
+    out = {r["id"]: r for r in twap(ev, key="id", ts="ts",
+                                    value="value").collect()}
+    assert out[1]["twap"] == 12.5
+    assert out[1]["n_weighted"] == 2
+    assert 2 not in out
