@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_er_golden_records(spark, sf_dir):
+    """End-to-end entity resolution over part names: q-gram blocking ->
+    Levenshtein match -> min-label components (pointer jumping) -> one
+    golden record per entity (minimum-partkey survivor). The oracle
+    replays blocking, matching, a recursive-CTE closure and min_by
+    survivorship."""
+    from otit_swt_spark.pipelines.fuzzy import er_golden_records
+
+    return er_golden_records(_t(spark, sf_dir, "part"), "p_name",
+                             "p_partkey")
+
+
 def q_k_anonymity_events(spark, sf_dir):
     """k-anonymity audit of (event_type, date, value-band) as the
     quasi-identifier over events: classes smaller than k=5 are
@@ -2956,6 +2968,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dp_event_counts": q_dp_event_counts,
         "lsh_recall_eval": q_lsh_recall_eval,
         "k_anonymity_events": q_k_anonymity_events,
+        "er_golden_records": q_er_golden_records,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
         "zipf_exponent": q_zipf_exponent,
@@ -6049,6 +6062,57 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "er_golden_records": """
+            WITH RECURSIVE names AS (
+                SELECT DISTINCT p_name AS s FROM part
+                WHERE p_name IS NOT NULL
+            ), g AS (
+                SELECT DISTINCT s,
+                       unnest(CASE WHEN len(lower(s)) < 3 THEN [lower(s)]
+                              ELSE [substr(lower(s), i, 3)
+                                    FOR i IN range(1,
+                                        greatest(len(lower(s)) - 2, 1) + 1)]
+                              END) AS gram
+                FROM names
+            ), capped AS (
+                SELECT gram, s FROM (
+                    SELECT gram, s,
+                           row_number() OVER (PARTITION BY gram
+                                              ORDER BY s) AS rn
+                    FROM g
+                ) WHERE rn <= 64
+            ), cand AS (
+                SELECT DISTINCT a.s AS name_a, b.s AS name_b
+                FROM capped a JOIN capped b USING (gram)
+                WHERE abs(len(a.s) - len(b.s)) <= 2 AND a.s < b.s
+            ), fpairs AS MATERIALIZED (
+                SELECT name_a, name_b FROM cand
+                WHERE levenshtein(lower(name_a), lower(name_b)) <= 2
+            ), edges AS (
+                SELECT name_a AS a, name_b AS b FROM fpairs
+                UNION
+                SELECT name_b, name_a FROM fpairs
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ), cc AS (
+                SELECT src AS id, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ), rows_ AS (
+                SELECT p_name AS nm, p_partkey AS k FROM part
+                WHERE p_name IS NOT NULL
+            ), lab AS (
+                SELECT nm, k, coalesce(cc.cluster, nm) AS cluster
+                FROM rows_ LEFT JOIN cc ON cc.id = nm
+            )
+            SELECT cluster,
+                   min(k) AS survivor_key,
+                   min_by(nm, k) AS survivor_name,
+                   count(*) AS n_rows,
+                   count(DISTINCT nm) AS n_names
+            FROM lab GROUP BY cluster
+        """,
         "k_anonymity_events": """
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(floor(value / 10.0) AS BIGINT) AS value_band,

@@ -253,3 +253,38 @@ def jaro_winkler_pairs(df: DataFrame, col: str, min_sim: float = 0.85,
             .filter(F.col("__s") >= min_sim)
             .select("name_a", "name_b",
                     F.round("__s", 6).alias("jw_sim")))
+
+
+def er_golden_records(df: DataFrame, name_col: str, key_col: str,
+                      max_distance: int = 2, q: int = 3,
+                      cap: int = 64) -> DataFrame:
+    """End-to-end entity resolution: block (:func:`_gram_entries`
+    q-grams) -> match (:func:`fuzzy_self_pairs` Levenshtein) ->
+    cluster (min-label connected components over the match graph,
+    ``dedup.dedup_clusters`` pointer jumping) -> survive (one GOLDEN
+    RECORD per entity cluster: the row with the minimum ``key_col``,
+    the deterministic survivorship rule). Names with no fuzzy match
+    are their own singleton entity. Output: ``(cluster, survivor_key,
+    survivor_name, n_rows, n_names)`` — ``cluster`` is the
+    lexicographic minimum name in the entity.
+
+    Scale shape is the sum of its parts: capped gram blocking (never
+    all-pairs), log-diameter pointer jumping, and a single grouped
+    argmin at the end. The oracle replays blocking, matching, a
+    recursive-CTE closure, and min_by survivorship."""
+    from otit_swt_spark.pipelines.dedup import dedup_clusters
+
+    pairs = fuzzy_self_pairs(df, name_col, max_distance, q, cap)
+    comps = dedup_clusters(pairs.select(F.col("name_a").alias("id_a"),
+                                        F.col("name_b").alias("id_b")))
+    rows = (df.select(F.col(name_col).alias("__nm"),
+                      F.col(key_col).alias("__k"))
+            .where(F.col(name_col).isNotNull()))
+    labeled = (rows.join(comps, rows["__nm"] == comps["id"], "left")
+               .select("__nm", "__k",
+                       F.coalesce("cluster", "__nm").alias("cluster")))
+    return (labeled.groupBy("cluster")
+            .agg(F.min("__k").alias("survivor_key"),
+                 F.min_by("__nm", "__k").alias("survivor_name"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("__nm").alias("n_names")))

@@ -2943,3 +2943,25 @@ def test_k_anonymity_and_twap(spark):
     assert out[1]["twap"] == 12.5
     assert out[1]["n_weighted"] == 2
     assert 2 not in out
+
+
+def test_er_golden_records_pipeline(spark):
+    from otit_swt_spark.pipelines.fuzzy import er_golden_records
+
+    rows = [(10, "acme steel"), (11, "acme steel co"), (12, "acme stel"),
+            (20, "zorbo plastics"), (21, "zorbo plastic"),
+            (30, "unique name here")]
+    df = spark.createDataFrame(rows, "k long, name string")
+    out = {r["cluster"]: r for r in
+           er_golden_records(df, "name", "k", max_distance=3).collect()}
+    # three entities: acme*, zorbo*, and the singleton
+    assert len(out) == 3
+    acme = out["acme steel"]
+    assert acme["survivor_key"] == 10
+    assert acme["survivor_name"] == "acme steel"
+    assert acme["n_rows"] == 3 and acme["n_names"] == 3
+    zorbo = out["zorbo plastic"]
+    assert zorbo["survivor_key"] == 20
+    assert zorbo["n_rows"] == 2
+    single = out["unique name here"]
+    assert single["n_rows"] == 1 and single["survivor_key"] == 30
