@@ -2681,6 +2681,28 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_cumulative_users(spark, sf_dir):
+    """Exact total-users-to-date growth curve: first-appearance day per
+    user (one keyed shuffle), first-appearances per day, running sum
+    over the tiny per-day frame — exact without distinct-set state and
+    incremental by construction."""
+    from otit_swt_spark.pipelines.analytics import cumulative_distinct
+
+    return cumulative_distinct(_t(spark, sf_dir, "events"),
+                               key="user_id", ts="ts")
+
+
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth ledger: active users split into new / retained /
+    resurrected (the identity active = new+retained+resurrected holds
+    row-wise) plus churned from the previous day — one distinct
+    (user, day) shuffle, one lag window, one grouped count."""
+    from otit_swt_spark.pipelines.analytics import growth_accounting
+
+    return growth_accounting(_t(spark, sf_dir, "events"),
+                             key="user_id", ts="ts")
+
+
 def q_er_golden_records(spark, sf_dir):
     """End-to-end entity resolution over part names: q-gram blocking ->
     Levenshtein match -> min-label components (pointer jumping) -> one
@@ -2969,6 +2991,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_recall_eval": q_lsh_recall_eval,
         "k_anonymity_events": q_k_anonymity_events,
         "er_golden_records": q_er_golden_records,
+        "cumulative_users": q_cumulative_users,
+        "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
         "zipf_exponent": q_zipf_exponent,
@@ -6062,6 +6086,51 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "cumulative_users": """
+            WITH f AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS day
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT day, count(*) AS n_new FROM f GROUP BY 1
+            )
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS n_cumulative
+            FROM d
+        """,
+        "growth_accounting": """
+            WITH kd AS (
+                SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+                FROM events
+            ), fl AS (
+                SELECT k, day,
+                       lag(day) OVER (PARTITION BY k ORDER BY day)
+                           AS prev,
+                       lead(day) OVER (PARTITION BY k ORDER BY day)
+                           AS nxt
+                FROM kd
+            ), pd AS (
+                SELECT day, count(*) AS n_active,
+                       CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_new,
+                       CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_retained,
+                       CAST(sum(CASE WHEN prev IS NOT NULL
+                                     AND prev < day - 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_resurrected,
+                       CAST(sum(CASE WHEN nxt IS NULL OR nxt > day + 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS lost_after
+                FROM fl GROUP BY 1
+            ), lost AS (
+                SELECT day + 1 AS day, lost_after AS n_churned FROM pd
+            )
+            SELECT pd.day, n_active, n_new, n_retained, n_resurrected,
+                   coalesce(n_churned, 0) AS n_churned
+            FROM pd LEFT JOIN lost ON lost.day = pd.day
+            ORDER BY pd.day
+        """,
         "er_golden_records": """
             WITH RECURSIVE names AS (
                 SELECT DISTINCT p_name AS s FROM part

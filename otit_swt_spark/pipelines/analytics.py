@@ -825,3 +825,69 @@ def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
     if keep_true:
         return out.select(group_col, "n", "noisy_n")
     return out.select(group_col, "noisy_n")
+
+
+def cumulative_distinct(events: DataFrame, key: str = "user_id",
+                        ts: str = "ts") -> DataFrame:
+    """Exact cumulative distinct count over time (the "total users to
+    date" growth curve): mark each key's FIRST day (one shuffle keyed
+    on the key), count first-appearances per day, and running-sum over
+    the (tiny) per-day frame — exact without ever holding a distinct
+    set in state, and incremental by construction (yesterday's curve
+    never changes). Output: ``(day, n_new, n_cumulative)``."""
+    from pyspark.sql import Window as W
+
+    day = F.to_date(F.col(ts).cast("timestamp")).alias("day")
+    first_day = (events.select(F.col(key).alias("k"), day)
+                 .groupBy("k").agg(F.min("day").alias("day")))
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select("day", "n_new",
+                        F.sum("n_new").over(w).alias("n_cumulative"))
+
+
+def growth_accounting(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts") -> DataFrame:
+    """Growth accounting (the new/retained/resurrected/churned ledger):
+    for each day, users active that day split into NEW (first ever
+    appearance), RETAINED (also active the previous day) and
+    RESURRECTED (seen before, but not the previous day); CHURNED counts
+    users active the previous day who did not return. The identity
+    ``active_today = new + retained + resurrected`` holds row-wise.
+
+    One distinct (key, day) shuffle, one key-partitioned lag window,
+    one grouped count — no self-joins, no distinct sets in state.
+    Output: ``(day, n_active, n_new, n_retained, n_resurrected,
+    n_churned)``."""
+    from pyspark.sql import Window as W
+
+    kd = (events.select(F.col(key).alias("k"),
+                        F.to_date(F.col(ts).cast("timestamp"))
+                        .alias("day")).distinct())
+    w = W.partitionBy("k").orderBy("day")
+    flags = (kd.withColumn("__prev", F.lag("day").over(w))
+             .withColumn("__next", F.lead("day").over(w)))
+    # NULL-safe flag sums: a NULL lag/lead makes the raw comparison
+    # NULL, and an all-NULL sum is NULL, not 0 (bit the first day)
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    per_day = (flags.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        _n(F.col("__prev").isNull()).alias("n_new"),
+        _n(F.col("__prev") == F.date_sub(F.col("day"), 1))
+        .alias("n_retained"),
+        _n(F.col("__prev").isNotNull()
+           & (F.col("__prev") < F.date_sub(F.col("day"), 1)))
+        .alias("n_resurrected"),
+        _n(F.col("__next").isNull()
+           | (F.col("__next") > F.date_add(F.col("day"), 1)))
+        .alias("__lost_after")))
+    # churned on day D = users active D-1 whose next active day != D
+    lost = per_day.select(F.date_add(F.col("day"), 1).alias("day"),
+                          F.col("__lost_after").alias("n_churned"))
+    return (per_day.join(lost, "day", "left")
+            .select("day", "n_active", "n_new", "n_retained",
+                    "n_resurrected",
+                    F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
+            .orderBy("day"))

@@ -2965,3 +2965,31 @@ def test_er_golden_records_pipeline(spark):
     assert zorbo["n_rows"] == 2
     single = out["unique name here"]
     assert single["n_rows"] == 1 and single["survivor_key"] == 30
+
+
+def test_growth_accounting_ledger(spark):
+    from otit_swt_spark.pipelines.analytics import (cumulative_distinct,
+                                                    growth_accounting)
+
+    # u1 active d1,d2,d4 ; u2 active d1 only ; u3 active d2,d3
+    d = "2024-01-0{}"
+    rows = [(1, d.format(1)), (1, d.format(2)), (1, d.format(4)),
+            (2, d.format(1)), (3, d.format(2)), (3, d.format(3))]
+    ev = spark.createDataFrame(rows, "user_id long, s string") \
+        .select("user_id", F.to_timestamp("s").alias("ts"))
+    g = {str(r["day"]): r for r in growth_accounting(ev).collect()}
+    assert g["2024-01-01"]["n_new"] == 2
+    assert g["2024-01-02"]["n_new"] == 1            # u3
+    assert g["2024-01-02"]["n_retained"] == 1       # u1
+    assert g["2024-01-02"]["n_churned"] == 1        # u2 gone after d1
+    assert g["2024-01-03"]["n_retained"] == 1       # u3
+    assert g["2024-01-03"]["n_churned"] == 1        # u1 skipped d3
+    assert g["2024-01-04"]["n_resurrected"] == 1    # u1 back after gap
+    for r in g.values():                            # ledger identity
+        assert r["n_active"] == (r["n_new"] + r["n_retained"]
+                                 + r["n_resurrected"])
+
+    c = {str(r["day"]): r for r in cumulative_distinct(ev).collect()}
+    assert c["2024-01-01"]["n_cumulative"] == 2
+    assert c["2024-01-02"]["n_cumulative"] == 3
+    assert "2024-01-03" not in c                    # no first-timers
