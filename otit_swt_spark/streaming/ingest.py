@@ -644,3 +644,82 @@ def stream_theta(df: DataFrame, key_col: str, group_col: str, path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_markov(df: DataFrame, key_col: str, ts_col: str,
+                  state_col: str, order_col: str, path: str,
+                  checkpoint: str):
+    """Maintain per-key Markov transition counts from an event stream,
+    LOG-STRUCTURED like the SCD2 sink: each micro-batch appends to a
+    raw event log, then the TOUCHED keys' transition contributions are
+    re-derived from the log (window lead over the key's full ordered
+    history) and the per-key contribution table rewritten with
+    untouched keys carried over. Deriving from the log makes
+    cross-batch transitions exact — the last event of a key in batch N
+    pairs with its first event in batch N+1, and a LATE event lands
+    inside the sequence and splits the transition it interrupted,
+    which a stored-counts fold could never undo.
+
+    Replay-safe without a batch-id guard: a redelivered batch appends
+    duplicate log rows; exact duplicates collapse in the distinct()
+    before pairing, so the fold is idempotent. Read the model with
+    ``finalize_markov`` (global counts + Laplace smoothing)."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark import fsutil
+
+    log_path = path.rstrip("/") + "__log"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(key_col, ts_col, order_col, state_col)
+        batch.write.mode("append").parquet(log_path)
+        touched = batch.select(key_col).distinct()
+        mine = (spark.read.parquet(log_path)
+                .join(touched, key_col, "left_semi").distinct())
+        w = W.partitionBy(key_col).orderBy(ts_col, order_col)
+        contrib = (mine
+                   .withColumn("__to", F.lead(state_col).over(w))
+                   .where(F.col("__to").isNotNull())
+                   .groupBy(key_col,
+                            F.col(state_col).alias("from_state"),
+                            F.col("__to").alias("to_state"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+        if fsutil.exists(spark, path):
+            keep = spark.read.parquet(path) \
+                .join(touched, key_col, "left_anti")
+            contrib = keep.unionByName(contrib)
+        contrib.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def finalize_markov(contrib: DataFrame, laplace: float = 1.0,
+                    n_states: int | None = None) -> DataFrame:
+    """Global transition model from the streaming per-key contribution
+    table: ``(from_state, to_state, n, p)`` with the same Laplace
+    smoothing as ``pipelines.analytics.markov_transitions``. The state
+    vocabulary defaults to the states observed in the table."""
+    pairs = (contrib.groupBy("from_state", "to_state")
+             .agg(F.sum("n").alias("n")))
+    if n_states is None:
+        vocab = (contrib.select(F.col("from_state").alias("s"))
+                 .unionByName(contrib.select(F.col("to_state").alias("s")))
+                 .distinct().agg(F.count(F.lit(1)).alias("__v")))
+    else:
+        vocab = contrib.sparkSession.createDataFrame([(n_states,)],
+                                                     "__v long")
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return (pairs.join(F.broadcast(totals), "from_state")
+            .crossJoin(F.broadcast(vocab))
+            .select("from_state", "to_state", "n",
+                    F.round((F.col("n") + F.lit(laplace))
+                            / (F.col("__t")
+                               + F.lit(laplace) * F.col("__v")), 6)
+                    .alias("p")))

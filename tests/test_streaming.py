@@ -654,3 +654,51 @@ def test_stream_theta_matches_batch_sketch(spark, tmp_path):
             for r in theta_finalize(spark.read.parquet(sk), "g",
                                     k=64).collect()}
     assert got2 == {(g, ks) for g, ks, *_ in got}
+
+
+def test_stream_markov_matches_batch_twin(spark, tmp_path):
+    """Three micro-batches with a CROSS-BATCH transition and a LATE
+    event that splits a stored transition must equal the batch
+    markov_transitions over the full log; replay from a fresh
+    checkpoint is idempotent."""
+    from otit_swt_spark.pipelines.analytics import markov_transitions
+    from otit_swt_spark.streaming.ingest import finalize_markov, stream_markov
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "markov")
+    schema = "user_id long, us long, event_id long, event_type string"
+    b1 = [(1, 1, 1, "a"), (1, 2, 2, "b"), (2, 1, 3, "a")]
+    b2 = [(1, 4, 4, "c"), (2, 5, 5, "b")]       # cross-batch: b->c, a->b
+    b3 = [(1, 3, 6, "z")]                        # LATE: lands between b and c
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_markov(stream, "user_id", "us", "event_type", "event_id",
+                      tbl, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+           for r in finalize_markov(spark.read.parquet(tbl)).collect()}
+    full = spark.createDataFrame(b1 + b2 + b3, schema) \
+        .select("user_id", F.timestamp_micros("us").alias("ts"),
+                "event_id", "event_type")
+    want = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+            for r in markov_transitions(full, key="user_id", ts="ts",
+                                        order_cols=["event_id"]).collect()}
+    assert got == want
+    # the late z SPLIT b->c into b->z and z->c
+    assert ("b", "z") in got and ("z", "c") in got
+    assert ("b", "c") not in got
+
+    # full replay, fresh checkpoint: idempotent
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = stream_markov(stream2, "user_id", "us", "event_type",
+                       "event_id", tbl, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    again = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+             for r in finalize_markov(spark.read.parquet(tbl)).collect()}
+    assert again == got
