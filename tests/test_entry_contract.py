@@ -67,3 +67,20 @@ def test_every_entry_has_oracle_or_documented_exception():
     undocumented = sorted(rows_only - allowed)
     assert not undocumented, (
         f"entries without oracle_sql and not in ROWS_ONLY_OK: {undocumented}")
+
+
+def test_bench_names_exist_in_registry():
+    """Every HEADLINE/EXTENDED name bench.py times must be a registry
+    entry — a typo here would silently shrink the driver's BENCH."""
+    import importlib.util
+
+    import __spark_entry__ as entry_mod
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    keys = set(entry_mod._QUERIES)
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED
+               if n not in keys]
+    assert not missing, missing
