@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH ANN path vs exact cosine ground
+    truth, per query (first 16 vectors as queries) — the ANN twin of
+    lsh_recall_eval, gating the sketch-width / hamming-radius trade.
+    The oracle replays sketches, the hamming<=1 prefilter and both
+    rounded-cosine rankings."""
+    from otit_swt_spark.pipelines.similarity import ann_recall_eval
+
+    return ann_recall_eval(_t(spark, sf_dir, "embeddings"),
+                           n_queries=16, k=10, n_bits=6)
+
+
 def q_cumulative_users(spark, sf_dir):
     """Exact total-users-to-date growth curve: first-appearance day per
     user (one keyed shuffle), first-appearances per day, running sum
@@ -2992,6 +3004,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "k_anonymity_events": q_k_anonymity_events,
         "er_golden_records": q_er_golden_records,
         "cumulative_users": q_cumulative_users,
+        "ann_recall_eval": q_ann_recall_eval,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -7386,6 +7399,54 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
     }
+
+    # composed oracle: ANN recall — sketches + hamming prefilter + both
+    # rounded-cosine rankings replayed per query
+    d["ann_recall_eval"] = f"""
+        WITH sk AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({sketch_terms}) AS sketch
+            FROM embeddings
+        ), q AS MATERIALIZED (
+            SELECT vec_id AS qid, v AS qv, sketch AS qsk
+            FROM sk WHERE vec_id < 16
+        ), scored AS MATERIALIZED (
+            SELECT q.qid, sk.vec_id AS id, sk.sketch, q.qsk,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS c
+            FROM sk, q WHERE sk.vec_id <> q.qid
+        ), exact AS MATERIALIZED (
+            SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY c DESC, id) AS rn
+                FROM scored) WHERE rn <= 10
+        ), ann AS MATERIALIZED (
+            SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY c DESC, id) AS rn
+                FROM scored
+                WHERE bit_count(xor(sketch::BIGINT, qsk::BIGINT)) <= 1)
+            WHERE rn <= 10
+        ), ex_n AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+        an_n AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY 1),
+        hits AS (
+            SELECT e.qid, count(*) AS n_hits
+            FROM exact e JOIN ann a ON a.qid = e.qid AND a.id = e.id
+            GROUP BY 1
+        )
+        SELECT q.qid,
+               coalesce(n_exact, 0) AS n_exact,
+               coalesce(n_ann, 0) AS n_ann,
+               coalesce(n_hits, 0) AS n_hits,
+               CASE WHEN coalesce(n_exact, 0) > 0
+                    THEN round(coalesce(n_hits, 0)
+                               / CAST(n_exact AS DOUBLE), 6)
+                    ELSE 1.0 END AS recall
+        FROM q LEFT JOIN ex_n ON ex_n.qid = q.qid
+        LEFT JOIN an_n ON an_n.qid = q.qid
+        LEFT JOIN hits ON hits.qid = q.qid
+    """
 
     # composed oracle: the full minhash replay chain as a CTE against an
     # exact all-pairs shingle-Jaccard truth chain (prefix filtering is

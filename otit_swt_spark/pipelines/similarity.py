@@ -469,3 +469,62 @@ def late_interaction_topk(df: DataFrame, query_vec: list[float],
     return (df.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
             .orderBy(F.col("maxsim").desc(), F.col(id_col))
             .limit(k))
+
+
+def ann_recall_eval(df: DataFrame, n_queries: int = 16, k: int = 10,
+                    n_bits: int = 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
+    """Measured recall@k of the hyperplane-LSH ANN path against exact
+    cosine ground truth, per query — the regression gate for the
+    sketch-width / hamming-radius trade (the ANN twin of
+    ``dedup.lsh_recall_eval``). The first ``n_queries`` corpus vectors
+    serve as queries (broadcast — the ground-truth pass is one
+    map-side scan per query batch, Q·N scored rows through ONE
+    window); the ANN side applies the same hamming<=1 prefilter the
+    production path uses. Output: one row per query ``(qid, n_exact,
+    n_ann, n_hits, recall)`` with recall = hits / k ground-truth
+    neighbors (query itself excluded)."""
+    from pyspark.sql import Window as W
+
+    if dim is None:
+        head = df.select(F.size(vec_col).alias("d")).first()
+        if head is None:
+            raise ValueError("ann_recall_eval: empty corpus")
+        dim = head["d"]
+    planes = _hyperplanes(dim, n_bits)
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("sketch", lsh_sketch(F.col("v"), planes)))
+    q = (base.filter(F.col("id") < n_queries)
+         .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                 F.col("sketch").alias("qsk")))
+    scored = (base.crossJoin(F.broadcast(q))
+              .where(F.col("id") != F.col("qid"))
+              .withColumn("__cos", F.round(cosine(F.col("v"),
+                                                  F.col("qv")), 6)))
+    w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("id"))
+    exact = (scored.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= k).select("qid", "id"))
+    ann = (scored
+           .where(F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsk")))
+                  <= 1)
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= k).select("qid", "id"))
+    ex_n = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    an_n = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ann"))
+    hits = (exact.join(ann, ["qid", "id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    out = (q.select("qid")
+           .join(ex_n, "qid", "left").join(an_n, "qid", "left")
+           .join(hits, "qid", "left")
+           .select("qid",
+                   F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+                   F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+                   F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+    return out.select("qid", "n_exact", "n_ann", "n_hits",
+                      F.when(F.col("n_exact") > 0,
+                             F.round(F.col("n_hits")
+                                     / F.col("n_exact").cast("double"),
+                                     6)).otherwise(F.lit(1.0))
+                      .alias("recall"))

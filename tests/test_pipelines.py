@@ -2993,3 +2993,18 @@ def test_growth_accounting_ledger(spark):
     assert c["2024-01-01"]["n_cumulative"] == 2
     assert c["2024-01-02"]["n_cumulative"] == 3
     assert "2024-01-03" not in c                    # no first-timers
+
+
+def test_ann_recall_eval_invariants(spark):
+    from otit_swt_spark.pipelines.similarity import ann_recall_eval
+
+    # corpus in one tight cone: every sketch equals the query's, ANN
+    # candidates = everything, so ANN == exact and recall is 1.0
+    rows = [(i, [1.0 + 0.001 * i, 0.5, 0.25, 0.1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_recall_eval(df, n_queries=4, k=5, n_bits=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_exact"] == 5
+        assert r["n_hits"] <= min(r["n_exact"], r["n_ann"])
+        assert r["recall"] == 1.0
