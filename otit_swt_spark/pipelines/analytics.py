@@ -731,7 +731,12 @@ def exact_kth_int(df: DataFrame, col: str, k: int,
     (take-ordered collects k rows to the driver).
 
     The oracle side needs no algorithm replay: the k-th order statistic
-    is a VALUE — any engine's sort produces the same one."""
+    is a VALUE — any engine's sort produces the same one.
+
+    Domain constraint: ``max - min`` must fit in int64 (the shifted
+    ``value - lo`` term is computed in BIGINT under ANSI mode); the
+    full 2^64 span of simultaneous near-min and near-max longs would
+    overflow the shift. Timestamps, counts and ids are fine."""
     if k < 1:
         raise ValueError("k is 1-indexed and must be >= 1")
     c = F.col(col)
@@ -742,8 +747,12 @@ def exact_kth_int(df: DataFrame, col: str, k: int,
         raise ValueError(f"k={k} out of range (n={n})")
     while hi - lo > tail:
         w = (hi - lo) // buckets + 1
+        # 64-bit `div`, not `/`: a float quotient misassigns buckets
+        # once (value - lo) exceeds 2^53 (full-range long domains)
         hist = (df.where(c.between(lo, hi))
-                .groupBy(((c - F.lit(lo)) / F.lit(w)).cast("long")
+                .groupBy(F.expr(f"(CAST({col} AS BIGINT) "
+                                f"- CAST({int(lo)} AS BIGINT)) "
+                                f"div CAST({int(w)} AS BIGINT)")
                          .alias("b"))
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect())

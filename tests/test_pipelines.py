@@ -3008,3 +3008,16 @@ def test_ann_recall_eval_invariants(spark):
         assert r["n_exact"] == 5
         assert r["n_hits"] <= min(r["n_exact"], r["n_ann"])
         assert r["recall"] == 1.0
+
+
+def test_exact_kth_full_long_domain(spark):
+    """Values spanning the full 64-bit range: bucket assignment must use
+    integer division (a float quotient misassigns past 2^53)."""
+    from otit_swt_spark.pipelines.analytics import exact_kth_int
+
+    vals = [-(1 << 62), -(1 << 53) - 3, -1, 0, 1, (1 << 53) + 1,
+            (1 << 53) + 2, (1 << 62) - 5, (1 << 62) - 4, (1 << 62) - 3]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    for k in (1, 2, 5, 6, 9, 10):
+        assert exact_kth_int(df, "v", k, tail=2) == s[k - 1], k
