@@ -2681,6 +2681,17 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_es_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sample without replacement (Efraimidis-
+    Spirakis): deterministic md5-seeded uniforms, rank by ln(u)/weight
+    descending, top-100 documents weighted by length — map-side keys
+    plus one TakeOrdered, seed-rotatable, bit-replayable."""
+    from otit_swt_spark.pipelines.sampling import es_weighted_sample
+
+    return es_weighted_sample(_t(spark, sf_dir, "documents"), "doc_id",
+                              "n_chars", k=100, seed="es0")
+
+
 def q_ann_recall_eval(spark, sf_dir):
     """Recall@10 of the hyperplane-LSH ANN path vs exact cosine ground
     truth, per query (first 16 vectors as queries) — the ANN twin of
@@ -3005,6 +3016,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "er_golden_records": q_er_golden_records,
         "cumulative_users": q_cumulative_users,
         "ann_recall_eval": q_ann_recall_eval,
+        "es_weighted_sample": q_es_weighted_sample,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -6099,6 +6111,22 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "es_weighted_sample": """
+            WITH u AS (
+                SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                       (CAST((('0x' || substr(md5('es0:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))
+                              ::UBIGINT::BIGINT >> 9) AS DOUBLE) + 0.5)
+                       / 2251799813685248.0 AS uu
+                FROM documents
+                WHERE CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, weight,
+                   round(ln(uu) / weight, 6) + 0.0 AS es_key
+            FROM u
+            ORDER BY ln(uu) / weight DESC, doc_id
+            LIMIT 100
+        """,
         "cumulative_users": """
             WITH f AS (
                 SELECT user_id, min(CAST(ts AS DATE)) AS day

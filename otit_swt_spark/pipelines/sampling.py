@@ -373,3 +373,36 @@ def quota_allocation(df: DataFrame, group_col: str,
                     (F.col("__base")
                      + F.when(F.col("__rk") <= F.col("__l"), 1)
                      .otherwise(0)).alias("allocated")))
+
+
+def es_weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                       k: int = 100, seed: str = "es0") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size ``k``
+    (Efraimidis & Spirakis 2006): each row draws a deterministic
+    md5-seeded uniform ``u`` and ranks by ``ln(u) / w`` descending —
+    the top ``k`` keys are a weight-proportional sample, unlike
+    per-row Bernoulli (:func:`weighted_sample`) whose output size is
+    only expected. ``ln(u)/w`` is the log-space form of the paper's
+    ``u^(1/w)`` key (same order, no pow). The uniform is the exact
+    binary ``(h>>9 + 0.5) / 2^51`` construction shared with
+    ``analytics.dp_noisy_counts``; rotate ``seed`` to resample.
+
+    One map-side key computation + one top-k (TakeOrdered) — no
+    shuffle beyond the final k rows. Rows with weight <= 0 are
+    excluded (zero weight cannot be sampled; ES keys are undefined
+    there). Output: ``(key_col, weight, es_key)``."""
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    h = _md5_60(F.concat(F.lit(seed + ":"),
+                         F.col(key_col).cast("string")))
+    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 51)))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (df.where(w > 0)
+            .select(F.col(key_col), w.alias("weight"),
+                    (F.round(key, 6) + F.lit(0.0)).alias("es_key"),
+                    key.alias("__raw"))
+            .orderBy(F.col("__raw").desc(), key_col)
+            .limit(k)
+            .drop("__raw"))

@@ -3021,3 +3021,28 @@ def test_exact_kth_full_long_domain(spark):
     s = sorted(vals)
     for k in (1, 2, 5, 6, 9, 10):
         assert exact_kth_int(df, "v", k, tail=2) == s[k - 1], k
+
+
+def test_es_weighted_sample_proportionality(spark):
+    from otit_swt_spark.pipelines.sampling import es_weighted_sample
+
+    # two strata: ids 0..499 weight 10, ids 500..999 weight 1 —
+    # a k=200 ES sample should be dominated by the heavy stratum
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = es_weighted_sample(df, "id", "w", k=200, seed="t1").collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["id"] < 500)
+    assert heavy > 140                      # ~10:1 odds per pick
+    # deterministic per seed; different seed resamples
+    again = {r["id"] for r in es_weighted_sample(df, "id", "w", k=200,
+                                                 seed="t1").collect()}
+    assert again == {r["id"] for r in out}
+    other = {r["id"] for r in es_weighted_sample(df, "id", "w", k=200,
+                                                 seed="t2").collect()}
+    assert other != again
+    # zero/negative weights never sampled
+    dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)],
+                                "id long, w double")
+    assert [r["id"] for r in
+            es_weighted_sample(dfz, "id", "w", k=10).collect()] == [3]
