@@ -2681,6 +2681,20 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_bootstrap_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean event value: each row
+    enters each of 64 replicates with deterministic md5-seeded
+    Poisson(1) multiplicity (inverse-CDF on an exact binary uniform),
+    replicate means via DECIMAL-exact weighted sums, CI = empirical
+    2.5/97.5 order statistics over the replicate means. No resampled
+    data ever shuffles — the distributed bootstrap."""
+    from otit_swt_spark.pipelines.analytics import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(ev, "value", "event_id", b=64, alpha=0.05,
+                             seed="bs0")
+
+
 def q_es_weighted_sample(spark, sf_dir):
     """Exact-size weighted sample without replacement (Efraimidis-
     Spirakis): deterministic md5-seeded uniforms, rank by ln(u)/weight
@@ -3017,6 +3031,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cumulative_users": q_cumulative_users,
         "ann_recall_eval": q_ann_recall_eval,
         "es_weighted_sample": q_es_weighted_sample,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -6111,6 +6126,46 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "bootstrap_mean_ci": """
+            WITH rows_ AS (
+                SELECT CAST(event_id AS VARCHAR) AS id, value AS v, r
+                FROM events, LATERAL unnest(range(0, 64)) t(r)
+            ), u AS (
+                SELECT r, v,
+                       (CAST((('0x' || substr(md5('bs0:'
+                                  || CAST(r AS VARCHAR) || ':' || id),
+                                  1, 15))::UBIGINT::BIGINT >> 9)
+                             AS DOUBLE) + 0.5)
+                       / 2251799813685248.0 AS uu
+                FROM rows_
+            ), w AS (
+                SELECT r, v, CASE WHEN uu <= 0.36787944117144233 THEN 0 WHEN uu <= 0.7357588823428847 THEN 1 WHEN uu <= 0.9196986029286058 THEN 2 WHEN uu <= 0.9810118431238463 THEN 3 WHEN uu <= 0.9963401531726563 THEN 4 WHEN uu <= 0.9994058151824183 THEN 5 WHEN uu <= 0.999916758850712 THEN 6 WHEN uu <= 0.9999897508033253 THEN 7 WHEN uu <= 0.999998874797402 THEN 8 WHEN uu <= 0.9999998885745216 THEN 9 ELSE 10 END AS w FROM u
+            ), means AS (
+                SELECT r,
+                       CAST(sum(CAST(w * v AS DECIMAL(38, 12)))
+                            AS DOUBLE)
+                       / CAST(sum(CAST(w AS DECIMAL(38, 12)))
+                              AS DOUBLE) AS m
+                FROM w GROUP BY r
+                HAVING CAST(sum(CAST(w AS DECIMAL(38, 12))) AS DOUBLE)
+                       > 0.0
+            ), rk AS (
+                SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+                FROM means
+            ), s AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(38, 12)))
+                            AS DOUBLE) AS sv
+                FROM events
+            )
+            SELECT 64 AS b, n,
+                   round(sv / CAST(n AS DOUBLE), 6) AS mean,
+                   (SELECT round(m, 6) + 0.0 FROM rk WHERE rk = 2)
+                       AS ci_lo,
+                   (SELECT round(m, 6) + 0.0 FROM rk WHERE rk = 63)
+                       AS ci_hi
+            FROM s
+        """,
         "es_weighted_sample": """
             WITH u AS (
                 SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,

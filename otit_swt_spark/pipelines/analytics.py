@@ -900,3 +900,72 @@ def growth_accounting(events: DataFrame, key: str = "user_id",
                     "n_resurrected",
                     F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
             .orderBy("day"))
+
+
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238463,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.999916758850712, 0.9999897508033253,
+                 0.999998874797402, 0.9999998885745216)
+
+
+def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
+                      b: int = 64, alpha: float = 0.05,
+                      seed: str = "bs0") -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean via the
+    POISSON BOOTSTRAP (Chamandy et al. 2012, Google's "Estimating
+    uncertainty for massive data streams"): instead of resampling n
+    rows with replacement (impossible to coordinate across executors),
+    each row independently enters replicate ``r`` with multiplicity
+    ``Poisson(1)`` — here drawn DETERMINISTICALLY by inverting the
+    Poisson CDF on an md5-seeded uniform per (row, replicate), so the
+    whole procedure replays bit-for-bit in any engine and rotates with
+    ``seed``. Replicate means use DECIMAL-exact weighted sums; the CI
+    is the empirical alpha/2 .. 1-alpha/2 band over the ``b`` replicate
+    means (exact order statistics on a b-row frame).
+
+    Cost: one map-side explode to b·n weighted rows, one grouped
+    aggregate to b rows — no shuffling of resampled DATA, which is the
+    whole point of the Poisson trick at scale. Output one row:
+    ``(b, n, mean, ci_lo, ci_hi)``."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    reps = F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r")
+    base = df.select(F.col(id_col).cast("string").alias("__id"),
+                     F.col(value_col).cast("double").alias("__v"))
+    rows = base.select("__id", "__v", reps)
+    h = _md5_60(F.concat(F.lit(seed + ":"), F.col("__r").cast("string"),
+                         F.lit(":"), F.col("__id")))
+    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 51)))
+    wexpr = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        wexpr = F.when(u <= F.lit(_POISSON1_CDF[k]), F.lit(k)) \
+            .otherwise(wexpr)
+    dec = "decimal(38,12)"
+    means = (rows.withColumn("__w", wexpr)
+             .groupBy("__r")
+             .agg(F.sum((F.col("__w") * F.col("__v")).cast(dec))
+                  .alias("__wv"),
+                  F.sum(F.col("__w").cast(dec)).alias("__ws"))
+             .where(F.col("__ws").cast("double") > 0.0)
+             .select("__r", (F.col("__wv").cast("double")
+                             / F.col("__ws").cast("double"))
+                     .alias("__m")))
+    r_lo = int(alpha / 2 * b) + 1
+    r_hi = b - int(alpha / 2 * b)
+    ranked = means.withColumn(
+        "__rk", F.row_number().over(W.partitionBy().orderBy("__m", "__r")))
+    stats = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(value_col).cast(dec)).alias("__s"))
+    band = (ranked.agg(
+        F.max(F.when(F.col("__rk") == r_lo, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == r_hi, F.col("__m"))).alias("__hi")))
+    return (stats.crossJoin(F.broadcast(band))
+            .select(F.lit(b).alias("b"), "n",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n").cast("double"), 6).alias("mean"),
+                    (F.round("__lo", 6) + F.lit(0.0)).alias("ci_lo"),
+                    (F.round("__hi", 6) + F.lit(0.0)).alias("ci_hi")))

@@ -3046,3 +3046,28 @@ def test_es_weighted_sample_proportionality(spark):
                                 "id long, w double")
     assert [r["id"] for r in
             es_weighted_sample(dfz, "id", "w", k=10).collect()] == [3]
+
+
+def test_bootstrap_mean_ci_calibration(spark):
+    import random
+
+    from otit_swt_spark.pipelines.analytics import bootstrap_mean_ci
+
+    rng = random.Random(5)
+    vals = [rng.gauss(50.0, 10.0) for _ in range(2000)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "event_id long, value double")
+    r = bootstrap_mean_ci(df, "value", "event_id", b=64).first()
+    true_mean = sum(vals) / len(vals)
+    se = 10.0 / (len(vals) ** 0.5)          # ~0.224
+    assert abs(r["mean"] - true_mean) < 1e-6
+    assert r["ci_lo"] < true_mean < r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    # 95% band ~ 3.92 se, wide tolerance for 64 replicates
+    assert 2.0 * se < width < 7.0 * se, (width, se)
+    # deterministic per seed; new seed moves the band slightly
+    again = bootstrap_mean_ci(df, "value", "event_id", b=64).first()
+    assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    other = bootstrap_mean_ci(df, "value", "event_id", b=64,
+                              seed="bs1").first()
+    assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
