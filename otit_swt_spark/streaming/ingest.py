@@ -723,3 +723,51 @@ def finalize_markov(contrib: DataFrame, laplace: float = 1.0,
                             / (F.col("__t")
                                + F.lit(laplace) * F.col("__v")), 6)
                     .alias("p")))
+
+
+def stream_weighted_reservoir(df: DataFrame, key_col: str,
+                              weight_col: str, path: str,
+                              checkpoint: str, k: int = 100,
+                              seed: str = "es0"):
+    """Maintain an exact-size-k weighted sample WITHOUT replacement
+    over a stream (distributed reservoir): Efraimidis-Spirakis keys
+    ``ln(u)/w`` with deterministic md5-seeded uniforms are a
+    SEMILATTICE under top-k — merging any batch's keyed rows with the
+    stored reservoir and keeping the k largest keys yields exactly the
+    sample the batch algorithm (``pipelines.sampling
+    .es_weighted_sample``) would draw over everything seen so far.
+    Idempotent and commutative like the theta/HLL sinks: redelivered
+    rows rescore to the same key, so no batch-id guard. State is <= k
+    rows forever."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        h = _md5_60(F.concat(F.lit(seed + ":"),
+                             F.col(key_col).cast("string")))
+        u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
+             / F.lit(float(1 << 51)))
+        w = F.col(weight_col).cast("double")
+        delta = (batch_df.where(w > 0)
+                 .select(F.col(key_col), w.alias("weight"),
+                         (F.log(u) / w).alias("__raw")))
+        if fsutil.exists(spark, path):
+            delta = spark.read.parquet(path).unionByName(delta)
+        win = W.partitionBy().orderBy(F.col("__raw").desc(),
+                                      F.col(key_col))
+        merged = (delta.distinct()
+                  .withColumn("__rn", F.row_number().over(win))
+                  .where(F.col("__rn") <= k)
+                  .select(key_col, "weight", "__raw"))
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -702,3 +702,39 @@ def test_stream_markov_matches_batch_twin(spark, tmp_path):
     again = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
              for r in finalize_markov(spark.read.parquet(tbl)).collect()}
     assert again == got
+
+
+def test_stream_weighted_reservoir_matches_batch(spark, tmp_path):
+    """Reservoir folded over two micro-batches equals the batch
+    Efraimidis-Spirakis sample over the full stream (top-k by ES key is
+    a semilattice), and replay is idempotent."""
+    from otit_swt_spark.pipelines.sampling import es_weighted_sample
+    from otit_swt_spark.streaming.ingest import stream_weighted_reservoir
+
+    src = str(tmp_path / "src")
+    res = str(tmp_path / "res")
+    b1 = [(i, float(1 + i % 7)) for i in range(500)]
+    b2 = [(i, float(1 + i % 7)) for i in range(500, 1000)]
+    schema = "id long, w double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_weighted_reservoir(stream, "id", "w", res,
+                                  str(tmp_path / "ck"), k=50, seed="s")
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {r["id"] for r in
+            es_weighted_sample(full, "id", "w", k=50, seed="s").collect()}
+    got = {r["id"] for r in spark.read.parquet(res).collect()}
+    assert got == want and len(got) == 50
+
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = stream_weighted_reservoir(stream2, "id", "w", res,
+                                   str(tmp_path / "ck2"), k=50, seed="s")
+    q2.awaitTermination(120)
+    assert {r["id"] for r in spark.read.parquet(res).collect()} == want
