@@ -2681,6 +2681,17 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_kaplan_meier_churn(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes with right
+    censoring (active within 7 days of corpus end): the churn-analysis
+    estimator, as an exp(cumsum(ln(1-d/n))) ordered fold over the tiny
+    per-duration frame — deterministic and SQL-replayable."""
+    from otit_swt_spark.pipelines.analytics import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf_dir, "events"), key="user_id",
+                        ts="ts", censor_days=7)
+
+
 def q_bootstrap_mean_ci(spark, sf_dir):
     """Poisson-bootstrap 95% CI for the mean event value: each row
     enters each of 64 replicates with deterministic md5-seeded
@@ -3032,6 +3043,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_recall_eval": q_ann_recall_eval,
         "es_weighted_sample": q_es_weighted_sample,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "kaplan_meier_churn": q_kaplan_meier_churn,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -6126,6 +6138,38 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "kaplan_meier_churn": """
+            WITH lives AS (
+                SELECT user_id,
+                       min(CAST(ts AS DATE)) AS first_d,
+                       max(CAST(ts AS DATE)) AS last_d
+                FROM events GROUP BY 1
+            ), h AS (SELECT max(last_d) AS hz FROM lives),
+            staged AS (
+                SELECT date_diff('day', first_d, last_d) AS dur,
+                       date_diff('day', last_d, hz) < 7 AS censored
+                FROM lives, h
+            ), per_dur AS (
+                SELECT dur,
+                       CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_deaths,
+                       count(*) AS n_total
+                FROM staged GROUP BY 1
+            ), risk AS (
+                SELECT dur, n_deaths,
+                       CAST(sum(n_total) OVER (ORDER BY dur DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS n_at_risk
+                FROM per_dur
+            )
+            SELECT dur AS duration_days, n_at_risk, n_deaths,
+                   round(exp(sum(ln(1.0 - n_deaths
+                                     / CAST(n_at_risk AS DOUBLE)))
+                             OVER (ORDER BY dur
+                                   ROWS UNBOUNDED PRECEDING)), 6)
+                       AS survival
+            FROM risk WHERE n_deaths > 0
+        """,
         "bootstrap_mean_ci": """
             WITH rows_ AS (
                 SELECT CAST(event_id AS VARCHAR) AS id, value AS v, r

@@ -969,3 +969,48 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
                             / F.col("n").cast("double"), 6).alias("mean"),
                     (F.round("__lo", 6) + F.lit(0.0)).alias("ci_lo"),
                     (F.round("__hi", 6) + F.lit(0.0)).alias("ci_hi")))
+
+
+def kaplan_meier(events: DataFrame, key: str = "user_id",
+                 ts: str = "ts", censor_days: int = 7) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes (churn analysis):
+    a user's lifetime runs from first to last activity day; users
+    still active within ``censor_days`` of the corpus end are
+    right-CENSORED (they leave the risk set without counting as a
+    death — the estimator's whole point). At each death time ``t``:
+    ``S(t) = Π (1 − d_i / n_i)`` over death times ≤ t, computed as
+    ``exp(cumsum(ln(1 − d/n)))`` with the cumulative sum ordered by
+    time — a deterministic fold both engines replay identically.
+
+    One grouped pass for lifetimes, one tiny per-duration frame for
+    the product (windows run over distinct durations, not users).
+    Output: ``(duration_days, n_at_risk, n_deaths, survival)``."""
+    from pyspark.sql import Window as W
+
+    day = F.to_date(F.col(ts).cast("timestamp"))
+    lives = (events.select(F.col(key).alias("k"), day.alias("d"))
+             .groupBy("k")
+             .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d")))
+    horizon = lives.agg(F.max("last_d").alias("__h"))
+    staged = (lives.crossJoin(F.broadcast(horizon))
+              .select(F.datediff("last_d", "first_d").alias("dur"),
+                      (F.datediff("__h", "last_d") < censor_days)
+                      .alias("censored")))
+    per_dur = (staged.groupBy("dur")
+               .agg(F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+                    .alias("n_deaths"),
+                    F.count(F.lit(1)).alias("n_total")))
+    w_risk = (W.orderBy(F.col("dur").desc())
+              .rowsBetween(W.unboundedPreceding, 0))
+    w_surv = (W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0))
+    curve = (per_dur
+             .withColumn("n_at_risk", F.sum("n_total").over(w_risk))
+             .where(F.col("n_deaths") > 0)
+             .withColumn("__ln", F.log(F.lit(1.0)
+                                       - F.col("n_deaths")
+                                       / F.col("n_at_risk")
+                                       .cast("double")))
+             .withColumn("survival",
+                         F.round(F.exp(F.sum("__ln").over(w_surv)), 6)))
+    return curve.select("dur", "n_at_risk", "n_deaths", "survival") \
+        .withColumnRenamed("dur", "duration_days")

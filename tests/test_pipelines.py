@@ -3071,3 +3071,32 @@ def test_bootstrap_mean_ci_calibration(spark):
     other = bootstrap_mean_ci(df, "value", "event_id", b=64,
                               seed="bs1").first()
     assert (other["ci_lo"], other["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+
+
+def test_kaplan_meier_textbook(spark):
+    from otit_swt_spark.pipelines.analytics import kaplan_meier
+
+    # Users with last day chosen so censoring (within 7d of horizon
+    # 2024-02-01) applies to u5/u6. Lifetimes: deaths at 5, 5, 10, 20;
+    # censored at 15 and 30.
+    mk = lambda u, a, b: [(u, a), (u, b)]
+    rows = (mk(1, "2024-01-01", "2024-01-06")       # dur 5, death
+            + mk(2, "2024-01-01", "2024-01-06")     # dur 5, death
+            + mk(3, "2024-01-01", "2024-01-11")     # dur 10, death
+            + mk(4, "2024-01-01", "2024-01-21")     # dur 20, death
+            + mk(5, "2024-01-12", "2024-01-27")     # dur 15, censored
+            + mk(6, "2024-01-02", "2024-02-01"))    # dur 30, censored
+    ev = spark.createDataFrame(rows, "user_id long, s string") \
+        .select("user_id", F.to_timestamp("s").alias("ts"))
+    km = {r["duration_days"]: r for r in
+          kaplan_meier(ev, censor_days=7).collect()}
+    # risk sets: t=5 -> 6 at risk, 2 deaths -> S = 4/6
+    # t=10 -> 4 at risk (u1,u2 gone), 1 death -> S = 4/6 * 3/4 = 0.5
+    # t=20 -> 2 at risk (u5 censored at 15 left), 1 death -> S = 0.25
+    assert km[5]["n_at_risk"] == 6 and km[5]["n_deaths"] == 2
+    assert abs(km[5]["survival"] - 4 / 6) < 1e-6
+    assert km[10]["n_at_risk"] == 4
+    assert abs(km[10]["survival"] - 0.5) < 1e-6
+    assert km[20]["n_at_risk"] == 2
+    assert abs(km[20]["survival"] - 0.25) < 1e-6
+    assert 15 not in km and 30 not in km       # censor-only durations
