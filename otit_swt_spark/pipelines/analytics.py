@@ -451,7 +451,11 @@ def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str,
             F.md5(F.concat(F.lit(f"bl{i}:"), F.col(key_col).cast("string"))),
             1, 8), 16, 10).cast("long") % n_bits)
         for i in range(k)])).alias("pos"))
-    hit = (probes.join(F.broadcast(bloom.withColumn("__set", F.lit(1))),
+    # no forced broadcast: a 2^12-bit filter broadcasts on its own under
+    # the threshold, while a 2^26-bit frame (tens of millions of set
+    # bits) must go through a shuffle join — the forced hint OOMed the
+    # driver at exactly that scale (caught by the 10M-key smoke)
+    hit = (probes.join(bloom.withColumn("__set", F.lit(1)),
                        "pos", "left")
            .groupBy(key_col)
            .agg((F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0))))
