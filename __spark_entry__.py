@@ -6163,11 +6163,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_dur
             )
             SELECT dur AS duration_days, n_at_risk, n_deaths,
-                   round(exp(sum(ln(1.0 - n_deaths
-                                     / CAST(n_at_risk AS DOUBLE)))
+                   CASE WHEN max(CASE WHEN n_deaths >= n_at_risk
+                                      THEN 1 ELSE 0 END)
+                             OVER (ORDER BY dur
+                                   ROWS UNBOUNDED PRECEDING) = 1
+                        THEN 0.0
+                        ELSE round(exp(sum(
+                                 CASE WHEN n_deaths < n_at_risk
+                                      THEN ln(1.0 - n_deaths
+                                              / CAST(n_at_risk AS DOUBLE))
+                                      ELSE 0.0 END)
                              OVER (ORDER BY dur
                                    ROWS UNBOUNDED PRECEDING)), 6)
-                       AS survival
+                   END AS survival
             FROM risk WHERE n_deaths > 0
         """,
         "bootstrap_mean_ci": """
@@ -6266,10 +6274,14 @@ def oracle_sql() -> dict[str, str]:
             ), lost AS (
                 SELECT day + 1 AS day, lost_after AS n_churned FROM pd
             )
-            SELECT pd.day, n_active, n_new, n_retained, n_resurrected,
+            SELECT coalesce(pd.day, lost.day) AS day,
+                   coalesce(n_active, 0) AS n_active,
+                   coalesce(n_new, 0) AS n_new,
+                   coalesce(n_retained, 0) AS n_retained,
+                   coalesce(n_resurrected, 0) AS n_resurrected,
                    coalesce(n_churned, 0) AS n_churned
-            FROM pd LEFT JOIN lost ON lost.day = pd.day
-            ORDER BY pd.day
+            FROM pd FULL JOIN lost ON lost.day = pd.day
+            ORDER BY 1
         """,
         "er_golden_records": """
             WITH RECURSIVE names AS (

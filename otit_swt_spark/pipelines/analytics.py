@@ -539,7 +539,6 @@ def theta_sketch(df: DataFrame, key_col: str, group_col: str,
 
     from otit_swt_spark.pipelines.dedup import _md5_60
 
-    theta_one = 1 << 60
     d = (df.select(F.col(group_col), F.col(key_col).cast("string")
                    .alias("__k")).distinct()
          .select(group_col, _md5_60(F.col("__k")).alias("__h"),
@@ -550,16 +549,7 @@ def theta_sketch(df: DataFrame, key_col: str, group_col: str,
             .where(F.col("__r1") <= k)
             .withColumn("__r2", F.row_number().over(w2))
             .where(F.col("__r2") <= k))
-    sk = (kept.groupBy(group_col)
-          .agg(F.sort_array(F.collect_list("__h")).alias("ks"),
-               F.count(F.lit(1)).alias("n_kept")))
-    theta = F.when(F.col("n_kept") >= k,
-                   F.element_at("ks", k)).otherwise(F.lit(theta_one))
-    est = F.when(F.col("n_kept") >= k,
-                 F.round(F.lit(float(k - 1) * float(theta_one))
-                         / F.col("theta").cast("double"), 6)) \
-        .otherwise(F.col("n_kept").cast("double"))
-    return (sk.withColumn("theta", theta).withColumn("est", est))
+    return theta_finalize(kept, group_col, k=k)
 
 
 def theta_overlap(df: DataFrame, key_col: str, group_col: str,
@@ -686,13 +676,17 @@ def markov_transitions(events: DataFrame, key: str = "user_id",
 
     order = [ts, *(order_cols or [])]
     w = W.partitionBy(key).orderBy(*order)
-    pairs = (events.select(F.col(key), *[F.col(c) for c in order],
-                           F.col(state_col).alias("from_state"))
+    # NULL is not a state: excluded from sequences AND the vocabulary
+    # (the SQL oracle's count(DISTINCT ...) drops NULL; counting it
+    # here would skew the Laplace denominator)
+    nn = events.where(F.col(state_col).isNotNull())
+    pairs = (nn.select(F.col(key), *[F.col(c) for c in order],
+                       F.col(state_col).alias("from_state"))
              .withColumn("to_state", F.lead("from_state").over(w))
              .where(F.col("to_state").isNotNull())
              .groupBy("from_state", "to_state")
              .agg(F.count(F.lit(1)).alias("n")))
-    n_states = (events.select(F.col(state_col)).distinct()
+    n_states = (nn.select(F.col(state_col)).distinct()
                 .agg(F.count(F.lit(1)).alias("__v")))
     totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
     return (pairs.join(F.broadcast(totals), "from_state")
@@ -723,7 +717,8 @@ def theta_finalize(kept: DataFrame, group_col: str,
 
 
 def exact_kth_int(df: DataFrame, col: str, k: int,
-                  buckets: int = 1024, tail: int = 4096) -> int:
+                  buckets: int = 1024, tail: int = 4096,
+                  bounds: tuple[int, int, int] | None = None) -> int:
     """EXACT k-th smallest value (1-indexed) of an integer column,
     computed distributed: iterative range-pruned counting — each round
     one map-side histogram over at most ``buckets`` groups narrows the
@@ -744,9 +739,11 @@ def exact_kth_int(df: DataFrame, col: str, k: int,
     if k < 1:
         raise ValueError("k is 1-indexed and must be >= 1")
     c = F.col(col)
-    row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
-                 F.count(c).alias("n")).first()
-    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if bounds is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi"),
+                     F.count(c).alias("n")).first()
+        bounds = (row["lo"], row["hi"], row["n"])
+    lo, hi, n = bounds
     if lo is None or k > n:
         raise ValueError(f"k={k} out of range (n={n})")
     while hi - lo > tail:
@@ -795,12 +792,16 @@ def temporal_split_embargo(df: DataFrame, ts_col: str = "ts",
     the assignment itself is map-side (two broadcast literals)."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     staged = df.withColumn("__us", us)
-    n = staged.count()
+    # one stats pass serves both the row count and the selection bounds
+    row = staged.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi"),
+                     F.count("__us").alias("n")).first()
+    n = row["n"]
     if n == 0:
         return staged.select(*df.columns,
                              F.lit("train").alias("split")).where(F.lit(False))
     k = max(int(train_frac * n), 1)
-    cutoff = exact_kth_int(staged, "__us", k)
+    cutoff = exact_kth_int(staged, "__us", k,
+                           bounds=(row["lo"], row["hi"], n))
     split = (F.when(F.col("__us") <= cutoff, "train")
              .when(F.col("__us") <= cutoff + embargo_us, "embargo")
              .otherwise("test"))
@@ -823,13 +824,11 @@ def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
     One grouped count, map-side noise. ``keep_true`` retains the raw
     count for calibration tests — leave False for actual releases.
     Output: ``(group_col, [n], noisy_n)``."""
-    from otit_swt_spark.pipelines.dedup import _md5_60
+    from otit_swt_spark.pipelines.dedup import seeded_uniform
 
     b = 1.0 / epsilon
-    h = _md5_60(F.concat(F.lit(seed + ":"),
-                         F.col(group_col).cast("string")))
-    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
-         / F.lit(float(1 << 51)))
+    u = seeded_uniform(F.concat(F.lit(seed + ":"),
+                                F.col(group_col).cast("string")))
     p = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
     noise = -F.lit(b) * F.signum(u - F.lit(0.5)) * F.log(p)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
@@ -896,13 +895,17 @@ def growth_accounting(events: DataFrame, key: str = "user_id",
         _n(F.col("__next").isNull()
            | (F.col("__next") > F.date_add(F.col("day"), 1)))
         .alias("__lost_after")))
-    # churned on day D = users active D-1 whose next active day != D
+    # churned on day D = users active D-1 whose next active day != D.
+    # FULL outer join: a day with zero active users still owes a churn
+    # row (everyone active the day before left), which a left join
+    # would silently drop
     lost = per_day.select(F.date_add(F.col("day"), 1).alias("day"),
                           F.col("__lost_after").alias("n_churned"))
-    return (per_day.join(lost, "day", "left")
-            .select("day", "n_active", "n_new", "n_retained",
-                    "n_resurrected",
-                    F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
+    return (per_day.join(lost, "day", "full")
+            .select("day",
+                    *[F.coalesce(c, F.lit(0)).alias(c)
+                      for c in ("n_active", "n_new", "n_retained",
+                                "n_resurrected", "n_churned")])
             .orderBy("day"))
 
 
@@ -934,16 +937,15 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
     ``(b, n, mean, ci_lo, ci_hi)``."""
     from pyspark.sql import Window as W
 
-    from otit_swt_spark.pipelines.dedup import _md5_60
+    from otit_swt_spark.pipelines.dedup import seeded_uniform
 
     reps = F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r")
     base = df.select(F.col(id_col).cast("string").alias("__id"),
                      F.col(value_col).cast("double").alias("__v"))
     rows = base.select("__id", "__v", reps)
-    h = _md5_60(F.concat(F.lit(seed + ":"), F.col("__r").cast("string"),
-                         F.lit(":"), F.col("__id")))
-    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
-         / F.lit(float(1 << 51)))
+    u = seeded_uniform(F.concat(F.lit(seed + ":"),
+                                F.col("__r").cast("string"),
+                                F.lit(":"), F.col("__id")))
     wexpr = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         wexpr = F.when(u <= F.lit(_POISSON1_CDF[k]), F.lit(k)) \
@@ -1007,14 +1009,24 @@ def kaplan_meier(events: DataFrame, key: str = "user_id",
     w_risk = (W.orderBy(F.col("dur").desc())
               .rowsBetween(W.unboundedPreceding, 0))
     w_surv = (W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0))
+    # terminal duration where everyone at risk dies: 1 - d/n = 0 and
+    # ln(0) poisons the fold (NULL in Spark, an error in some engines)
+    # — force survival to exactly 0.0 from the first full-death time on
     curve = (per_dur
              .withColumn("n_at_risk", F.sum("n_total").over(w_risk))
              .where(F.col("n_deaths") > 0)
-             .withColumn("__ln", F.log(F.lit(1.0)
-                                       - F.col("n_deaths")
-                                       / F.col("n_at_risk")
-                                       .cast("double")))
+             .withColumn("__dead", (F.col("n_deaths")
+                                    >= F.col("n_at_risk")).cast("int"))
+             .withColumn("__ln",
+                         F.when(F.col("__dead") == 0,
+                                F.log(F.lit(1.0) - F.col("n_deaths")
+                                      / F.col("n_at_risk")
+                                      .cast("double")))
+                         .otherwise(F.lit(0.0)))
              .withColumn("survival",
-                         F.round(F.exp(F.sum("__ln").over(w_surv)), 6)))
+                         F.when(F.max("__dead").over(w_surv) == 1,
+                                F.lit(0.0))
+                         .otherwise(F.round(
+                             F.exp(F.sum("__ln").over(w_surv)), 6))))
     return curve.select("dur", "n_at_risk", "n_deaths", "survival") \
         .withColumnRenamed("dur", "duration_days")

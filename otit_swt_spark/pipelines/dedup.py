@@ -633,6 +633,18 @@ def _md5_60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def seeded_uniform(tag: Column) -> Column:
+    """Deterministic uniform draw in the OPEN interval (0, 1) from a
+    seed-tagged string column: ``(md5_60(tag) >> 9 + 0.5) / 2^51``.
+    Every step is exact in binary (half-integers below 2^51 and the
+    power-of-two divide are lossless), so any SQL engine replays the
+    draw bit-for-bit — the shared primitive behind the DP Laplace
+    noise, the Poisson bootstrap, and the Efraimidis-Spirakis sampler
+    (batch + streaming). Change it ONLY in lockstep with the oracles."""
+    return ((F.shiftright(_md5_60(tag), 9).cast("double") + F.lit(0.5))
+            / F.lit(float(1 << 51)))
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 4,
                         w: int = 4) -> DataFrame:

@@ -355,11 +355,14 @@ def pq_topk(df: DataFrame, query_id, k: int = 10, m: int = 8,
     RAM-like density. Returns (id_col, adc_dist2) — the k smallest
     APPROXIMATE distances (quantization error bounds recall, the standard
     PQ trade)."""
+    qrow = (df.filter(F.col(id_col) == query_id)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .first())
+    if qrow is None:
+        raise ValueError(f"pq_topk: query_id {query_id!r} not found")
+    q = qrow["v"]
     books = pq_fit(df, m, codebook_size, iters, id_col, vec_col)
     sub = len(books[0][0])
-    q = (df.filter(F.col(id_col) == query_id)
-         .select(F.col(vec_col).cast("array<double>").alias("v"))
-         .first()["v"])
     enc = pq_encode(df, books, id_col, vec_col)
     adc = None
     for j, book in enumerate(books):
@@ -411,8 +414,10 @@ def ivf_pq_topk(df: DataFrame, query_id, k: int = 10,
     codes = pq_encode(resid, books, id_col="id", vec_col="rv") \
         .join(resid.select("id", "list_id"), "id")
     sub = len(books[0][0])
-    q = (base.filter(F.col("id") == query_id)
-         .select("v").first()["v"])
+    qrow = base.filter(F.col("id") == query_id).select("v").first()
+    if qrow is None:
+        raise ValueError(f"ivf_pq_topk: query_id {query_id!r} not found")
+    q = qrow["v"]
     # probe selection: exact coarse distances, lowest index on ties —
     # the same left-fold arithmetic as the SQL replay
     cd = sorted(((_sq_l2(list(q), c), j) for j, c in enumerate(coarse)))

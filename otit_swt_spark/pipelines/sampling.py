@@ -391,12 +391,10 @@ def es_weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     shuffle beyond the final k rows. Rows with weight <= 0 are
     excluded (zero weight cannot be sampled; ES keys are undefined
     there). Output: ``(key_col, weight, es_key)``."""
-    from otit_swt_spark.pipelines.dedup import _md5_60
+    from otit_swt_spark.pipelines.dedup import seeded_uniform
 
-    h = _md5_60(F.concat(F.lit(seed + ":"),
-                         F.col(key_col).cast("string")))
-    u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
-         / F.lit(float(1 << 51)))
+    u = seeded_uniform(F.concat(F.lit(seed + ":"),
+                                F.col(key_col).cast("string")))
     w = F.col(weight_col).cast("double")
     key = F.log(u) / w
     return (df.where(w > 0)

@@ -483,21 +483,12 @@ def zipf_exponent(df: DataFrame, text_col: str = "text",
                 F.sum((x * y).cast(dec)).alias("sxy"),
                 F.sum((x * x).cast(dec)).alias("sxx"),
                 F.sum((y * y).cast(dec)).alias("syy")))
-    k = F.col("k").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
-    den = k * sxx - sx * sx
-    dey = k * syy - sy * sy
-    num = k * sxy - sx * sy
-    return agg.select(
-        F.col("k").alias("n_tokens_fit"),
-        (F.round(F.when(den != 0.0, num / den), 6)
-         + F.lit(0.0)).alias("slope"),
-        (F.round(F.when(den != 0.0, (sy - (num / den) * sx) / k), 6)
-         + F.lit(0.0)).alias("intercept"),
-        (F.round(F.when((den != 0.0) & (dey != 0.0),
-                        (num * num) / (den * dey)), 6)
-         + F.lit(0.0)).alias("r2"))
+    from otit_swt_spark.timeseries import ols_from_moments
+
+    slope, intercept, r2 = ols_from_moments(
+        F.col("k").cast("double"), F.col("sx").cast("double"),
+        F.col("sy").cast("double"), F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"), F.col("syy").cast("double"))
+    return agg.select(F.col("k").alias("n_tokens_fit"),
+                      slope.alias("slope"), intercept.alias("intercept"),
+                      r2.alias("r2"))

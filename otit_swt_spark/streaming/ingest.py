@@ -552,8 +552,19 @@ def holt_stream(df: DataFrame, alpha: float = 0.2, beta: float = 0.1,
     (``applyInPandasWithState``), emitting the updated per-key state +
     horizon forecast each batch — the live anomaly/forecast monitor over
     an unbounded sensor stream at O(1) state per key. Within a batch
-    rows fold in event-time order; on a batch DataFrame, delegates to
-    the exact replayable batch implementation."""
+    rows fold in event-time order (STABLE sort, ties keep arrival
+    order); on a batch DataFrame, delegates to the exact replayable
+    batch implementation.
+
+    Honest late-data contract: the fold is state-forward — an event
+    arriving in a LATER micro-batch than a newer already-folded event
+    is folded out of order (state cannot rewind), so the streaming
+    state equals the batch fold only when arrival respects event time
+    across batches (within a batch, order is repaired). Exponential
+    smoothing forgets geometrically, so a bounded disorder horizon
+    perturbs the state by O((1-alpha)^lag); for exact late-data
+    semantics use the batch fold over a log-structured sink (the
+    ``stream_markov``/``stream_scd2`` pattern)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if not 0.0 <= beta <= 1.0:
@@ -577,7 +588,8 @@ def holt_stream(df: DataFrame, alpha: float = 0.2, beta: float = 0.1,
         if not chunks:
             yield pd.DataFrame(columns=[f.name for f in _HOLT_OUT])
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("timestamp")
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "timestamp", kind="mergesort")   # stable: ties keep order
         for x in pdf["value"]:
             x = float(x)
             if lvl is None:
@@ -674,7 +686,8 @@ def stream_markov(df: DataFrame, key_col: str, ts_col: str,
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        batch = batch_df.select(key_col, ts_col, order_col, state_col)
+        batch = (batch_df.select(key_col, ts_col, order_col, state_col)
+                 .where(F.col(state_col).isNotNull()))  # NULL != a state
         batch.write.mode("append").parquet(log_path)
         touched = batch.select(key_col).distinct()
         mine = (spark.read.parquet(log_path)
@@ -742,16 +755,14 @@ def stream_weighted_reservoir(df: DataFrame, key_col: str,
     from pyspark.sql import Window as W
 
     from otit_swt_spark import fsutil
-    from otit_swt_spark.pipelines.dedup import _md5_60
+    from otit_swt_spark.pipelines.dedup import seeded_uniform
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        h = _md5_60(F.concat(F.lit(seed + ":"),
-                             F.col(key_col).cast("string")))
-        u = ((F.shiftright(h, 9).cast("double") + F.lit(0.5))
-             / F.lit(float(1 << 51)))
+        u = seeded_uniform(F.concat(F.lit(seed + ":"),
+                                    F.col(key_col).cast("string")))
         w = F.col(weight_col).cast("double")
         delta = (batch_df.where(w > 0)
                  .select(F.col(key_col), w.alias("weight"),

@@ -625,6 +625,24 @@ def holt_winters_forecast(
         .applyInPandas(fold, out_schema)
 
 
+def ols_from_moments(n, sx, sy, sxy, sxx, syy):
+    """(slope, intercept, r2) column triple from the five DECIMAL-exact
+    sufficient moments, as the ONE canonical double expression both the
+    per-key trend fit and the Zipf log-log fit (and their SQL oracles)
+    share — rounded to 6 dp with IEEE negative zero canonicalized.
+    ``n`` must already be cast double; zero-variance denominators yield
+    NULL."""
+    den = n * sxx - sx * sx
+    dey = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den != 0.0, num / den)
+    intercept = F.when(den != 0.0, (sy - (num / den) * sx) / n)
+    r2 = F.when((den != 0.0) & (dey != 0.0), (num * num) / (den * dey))
+    return ((F.round(slope, 6) + F.lit(0.0)),
+            (F.round(intercept, 6) + F.lit(0.0)),
+            (F.round(r2, 6) + F.lit(0.0)))
+
+
 def trend_ols(series: DataFrame, key: str = "id", ts: str = "timestamp",
               value: str = "value") -> DataFrame:
     """Per-key ordinary-least-squares trend: slope, intercept and R² of
@@ -660,26 +678,12 @@ def trend_ols(series: DataFrame, key: str = "id", ts: str = "timestamp",
                 F.sum((x * y).cast(dec)).alias("sxy"),
                 F.sum((x * x).cast(dec)).alias("sxx"),
                 F.sum((y * y).cast(dec)).alias("syy")))
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
-    den = n * sxx - sx * sx
-    dey = n * syy - sy * sy
-    num = n * sxy - sx * sy
-    slope = F.when(den != 0.0, num / den)
-    intercept = F.when(den != 0.0, (sy - (num / den) * sx) / n)
-    r2 = F.when((den != 0.0) & (dey != 0.0),
-                (num * num) / (den * dey))
-    # + 0.0 canonicalizes IEEE negative zero (round(-1e-9, 6) is -0.0
-    # in some engines, +0.0 in others; -0.0 + 0.0 == +0.0 everywhere)
-    return agg.select(key, "n",
-                      (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
-                      (F.round(intercept, 6) + F.lit(0.0))
-                      .alias("intercept"),
-                      (F.round(r2, 6) + F.lit(0.0)).alias("r2"))
+    slope, intercept, r2 = ols_from_moments(
+        F.col("n").cast("double"), F.col("sx").cast("double"),
+        F.col("sy").cast("double"), F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"), F.col("syy").cast("double"))
+    return agg.select(key, "n", slope.alias("slope"),
+                      intercept.alias("intercept"), r2.alias("r2"))
 
 
 def twap(series: DataFrame, key: str = "id", ts: str = "timestamp",
@@ -696,7 +700,8 @@ def twap(series: DataFrame, key: str = "id", ts: str = "timestamp",
     timestamp; the weighted sums accumulate value·Δt products in
     DECIMAL(38,12) (Δt integer micros — exact, partition-order
     independent) with ONE double division at the end. Keys with a
-    single observation return NULL (no elapsed time)."""
+    single observation are EXCLUDED (no elapsed time, no weight —
+    join back to the key universe if a row per key is required)."""
     from pyspark.sql import Window as W
 
     order = [ts, *(order_cols or [])]

@@ -3100,3 +3100,33 @@ def test_kaplan_meier_textbook(spark):
     assert km[20]["n_at_risk"] == 2
     assert abs(km[20]["survival"] - 0.25) < 1e-6
     assert 15 not in km and 30 not in km       # censor-only durations
+
+
+def test_kaplan_meier_terminal_death_is_zero(spark):
+    """Everyone at risk dying at the last duration must yield survival
+    exactly 0.0 (ln(0) would otherwise poison the fold)."""
+    from otit_swt_spark.pipelines.analytics import kaplan_meier
+
+    rows = [(1, "2024-01-01"), (1, "2024-04-10"),    # death at dur 100
+            (2, "2024-04-29"), (2, "2024-04-30")]    # censored
+    ev = spark.createDataFrame(rows, "user_id long, s string") \
+        .select("user_id", F.to_timestamp("s").alias("ts"))
+    km = {r["duration_days"]: r for r in
+          kaplan_meier(ev, censor_days=7).collect()}
+    assert km[100]["survival"] == 0.0
+    assert km[100]["n_at_risk"] == 1 and km[100]["n_deaths"] == 1
+
+
+def test_growth_accounting_zero_active_day_churn(spark):
+    """A day with zero active users still reports the churn of everyone
+    who left — a left join would drop the row entirely."""
+    from otit_swt_spark.pipelines.analytics import growth_accounting
+
+    rows = [(1, "2024-01-01"), (2, "2024-01-01")]   # both vanish after d1
+    ev = spark.createDataFrame(rows, "user_id long, s string") \
+        .select("user_id", F.to_timestamp("s").alias("ts"))
+    g = {str(r["day"]): r for r in growth_accounting(ev).collect()}
+    assert g["2024-01-01"]["n_new"] == 2
+    assert "2024-01-02" in g
+    assert g["2024-01-02"]["n_active"] == 0
+    assert g["2024-01-02"]["n_churned"] == 2
