@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the k-means fit (k=8,
+    2 Lloyd rounds): the O(n*k) centroid-based clustering-quality gate
+    — distances against broadcast-literal centroids, per-cluster means
+    as DECIMAL-exact sums. The oracle extends the unrolled Lloyd
+    chain with a min-other-centroid distance pass."""
+    from otit_swt_spark.pipelines.clustering import kmeans_silhouette
+
+    return kmeans_silhouette(_t(spark, sf_dir, "embeddings"), k=8,
+                             iters=2)
+
+
 def q_kaplan_meier_churn(spark, sf_dir):
     """Kaplan-Meier survival curve of user lifetimes with right
     censoring (active within 7 days of corpus end): the churn-analysis
@@ -3044,6 +3056,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "es_weighted_sample": q_es_weighted_sample,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "kaplan_meier_churn": q_kaplan_meier_churn,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -3678,6 +3691,37 @@ def _ivf_pq_topk_oracle(n_clusters: int = 8, n_probe: int = 2,
                   JOIN probe p ON p.j = a.cl) l
             {joins}
         ) ORDER BY dist, vec_id LIMIT {topk}
+    """
+
+
+def _kmeans_silhouette_oracle() -> str:
+    # a/b from the final centroids: own (afin.d) vs nearest OTHER
+    # centroid; s = (b - a)/max(a, b); per-cluster DECIMAL-exact mean
+    return f"""
+        WITH {_kmeans_ctes()},
+        oth AS (
+            SELECT a.vec_id, a.cl, a.d AS d_own,
+                   min(list_dot_product(
+                       list_transform(generate_series(1, 64),
+                                      i -> a.vd[i] - c.cent[i]),
+                       list_transform(generate_series(1, 64),
+                                      i -> a.vd[i] - c.cent[i])))
+                       AS d_other
+            FROM afin a JOIN c2 c ON c.j <> a.cl
+            GROUP BY a.vec_id, a.cl, a.d
+        ), s AS (
+            SELECT cl,
+                   CASE WHEN greatest(sqrt(d_own), sqrt(d_other)) > 0.0
+                        THEN (sqrt(d_other) - sqrt(d_own))
+                             / greatest(sqrt(d_own), sqrt(d_other))
+                        ELSE 0.0 END AS s
+            FROM oth
+        )
+        SELECT cl AS cluster, count(*) AS n_vectors,
+               round(CAST(sum(CAST(s AS DECIMAL(38, 12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0
+                   AS mean_silhouette
+        FROM s GROUP BY cl
     """
 
 
@@ -6138,6 +6182,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(80, 6),
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
+        "kmeans_silhouette": _kmeans_silhouette_oracle(),
         "kaplan_meier_churn": """
             WITH lives AS (
                 SELECT user_id,

@@ -193,3 +193,39 @@ def diversity_sample(df: DataFrame, per_cluster: int, k: int = 8,
             .withColumn("pick_rank", F.row_number().over(w))
             .filter(F.col("pick_rank") <= per_cluster)
             .select(id_col, "cluster", "pick_rank"))
+
+
+def kmeans_silhouette(df: DataFrame, k: int = 8, iters: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality gate: for each vector, ``a`` = distance to its
+    own centroid, ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b − a) / max(a, b)`` (0 for a vector sitting exactly on two
+    centroids); report per-cluster size and mean silhouette. This is
+    the O(n·k) medoid-free variant (exact silhouette is O(n²) pairwise
+    — never at 100 TB); scores near 0 flag clusters that overlap their
+    neighbor, negative means mis-assignment pressure.
+
+    Map-side after the fit: distances against broadcast-literal
+    centroids, per-cluster means as DECIMAL-exact sums — the same
+    replay contract as kmeans_fit, so the oracle extends the unrolled
+    Lloyd chain."""
+    cents = kmeans_fit(df, k, iters, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    cl, d_own = _assign_expr(v, cents)
+    d_other = F.array_min(F.array(*[
+        F.when(F.lit(j) == cl, F.lit(float("inf")))
+        .otherwise(_dist2(v, c))
+        for j, c in enumerate(cents)]))
+    a = F.sqrt(d_own)
+    b = F.sqrt(d_other)
+    s = F.when(F.greatest(a, b) > 0.0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    staged = df.select(cl.alias("cluster"), s.alias("__s"))
+    return (staged.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 (F.round(F.sum(F.col("__s").cast("decimal(38,12)"))
+                          .cast("double")
+                          / F.count(F.lit(1)).cast("double"), 6)
+                  + F.lit(0.0)).alias("mean_silhouette")))

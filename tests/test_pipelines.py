@@ -3130,3 +3130,29 @@ def test_growth_accounting_zero_active_day_churn(spark):
     assert "2024-01-02" in g
     assert g["2024-01-02"]["n_active"] == 0
     assert g["2024-01-02"]["n_churned"] == 2
+
+
+def test_kmeans_silhouette_separation(spark):
+    import random
+
+    from otit_swt_spark.pipelines.clustering import kmeans_silhouette
+
+    rng = random.Random(9)
+    # two tight, far-apart blobs -> silhouette near 1 for both clusters
+    far = ([(i, [rng.gauss(0, 0.05), rng.gauss(0, 0.05)])
+            for i in range(100)]
+           + [(100 + i, [rng.gauss(10, 0.05), rng.gauss(10, 0.05)])
+              for i in range(100)])
+    df = spark.createDataFrame(far, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(df, k=2, iters=3).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["mean_silhouette"] > 0.9, r
+
+    # one isotropic blob split into k=2 -> low silhouette
+    blob = [(i, [rng.gauss(0, 1.0), rng.gauss(0, 1.0)])
+            for i in range(300)]
+    db = spark.createDataFrame(blob, "vec_id long, embedding array<float>")
+    low = kmeans_silhouette(db, k=2, iters=3).collect()
+    for r in low:
+        assert r["mean_silhouette"] < 0.6, r
