@@ -3156,3 +3156,45 @@ def test_kmeans_silhouette_separation(spark):
     low = kmeans_silhouette(db, k=2, iters=3).collect()
     for r in low:
         assert r["mean_silhouette"] < 0.6, r
+
+
+def test_bootstrap_ci_coverage_property(spark):
+    """Statistical validation: across 30 seed rotations on skewed data,
+    the 95% Poisson-bootstrap CI should contain the SAMPLE mean (the
+    bootstrap's own estimand) nearly always — gross miscoverage here
+    means the resampling or the order statistics are broken."""
+    import random
+
+    from otit_swt_spark.pipelines.analytics import bootstrap_mean_ci
+
+    rng = random.Random(17)
+    vals = [rng.expovariate(0.1) for _ in range(800)]     # skewed
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "event_id long, value double").cache()
+    sample_mean = sum(vals) / len(vals)
+    hit = 0
+    for s in range(30):
+        r = bootstrap_mean_ci(df, "value", "event_id", b=64,
+                              seed=f"cov{s}").first()
+        if r["ci_lo"] <= sample_mean <= r["ci_hi"]:
+            hit += 1
+    df.unpersist()
+    # the sample mean is re-estimated by each bootstrap; ~95% nominal,
+    # allow generous slack for 30 draws of 64 replicates
+    assert hit >= 24, hit
+
+
+def test_theta_estimate_differential(spark):
+    """Differential property: across corpus sizes spanning the exact
+    (n < k) and estimated (n >> k) regimes, the theta estimate tracks
+    the true distinct count within the KMV error envelope."""
+    from otit_swt_spark.pipelines.analytics import theta_sketch
+
+    for n, tol in ((50, 0.0), (5_000, 0.2), (50_000, 0.2)):
+        df = spark.range(n).select(F.lit("g").alias("g"),
+                                   F.col("id").cast("string").alias("k"))
+        est = theta_sketch(df, "k", "g", k=256).first()["est"]
+        if tol == 0.0:
+            assert est == float(n)          # exact below k
+        else:
+            assert abs(est - n) / n < tol, (n, est)
