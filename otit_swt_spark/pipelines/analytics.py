@@ -871,14 +871,28 @@ def growth_accounting(events: DataFrame, key: str = "user_id",
     one grouped count — no self-joins, no distinct sets in state.
     Output: ``(day, n_active, n_new, n_retained, n_resurrected,
     n_churned)``."""
-    from pyspark.sql import Window as W
-
     kd = (events.select(F.col(key).alias("k"),
                         F.to_date(F.col(ts).cast("timestamp"))
                         .alias("day")).distinct())
+    return growth_ledger(activity_flags(kd))
+
+
+def activity_flags(kd: DataFrame) -> DataFrame:
+    """Per-(key, day) activity flags — each active day paired with the
+    key's previous and next active day (one lag/lead window). The
+    intermediate the streaming sink stores per key, so late days can
+    re-derive a key's flags exactly."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("k").orderBy("day")
-    flags = (kd.withColumn("__prev", F.lag("day").over(w))
-             .withColumn("__next", F.lead("day").over(w)))
+    return (kd.withColumn("__prev", F.lag("day").over(w))
+            .withColumn("__next", F.lead("day").over(w)))
+
+
+def growth_ledger(flags: DataFrame) -> DataFrame:
+    """Per-day new/retained/resurrected/churned ledger from an
+    :func:`activity_flags` frame (shared by the batch operator and the
+    streaming sink's finalize)."""
     # NULL-safe flag sums: a NULL lag/lead makes the raw comparison
     # NULL, and an all-NULL sum is NULL, not 0 (bit the first day)
     def _n(cond):

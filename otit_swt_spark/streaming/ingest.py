@@ -782,3 +782,48 @@ def stream_weighted_reservoir(df: DataFrame, key_col: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_growth(df: DataFrame, key_col: str, ts_col: str, path: str,
+                  checkpoint: str):
+    """Maintain the growth-accounting ledger from an event stream,
+    LOG-STRUCTURED like the Markov/SCD2 sinks: each micro-batch appends
+    its distinct (key, day) activity to a log, then the TOUCHED keys'
+    :func:`~otit_swt_spark.pipelines.analytics.activity_flags` rows are
+    re-derived from each key's full day history and the per-key flag
+    table rewritten with untouched keys carried over. Late days are
+    exact: a late activity day can flip a stored churn into a
+    retention (it fills the gap that made the next day look
+    resurrected), which per-day counters could never undo. Idempotent
+    on replay (duplicate log rows collapse in the distinct). Read the
+    per-day ledger with ``pipelines.analytics.growth_ledger`` over the
+    stored flags."""
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import activity_flags
+
+    log_path = path.rstrip("/") + "__log"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch = (batch_df.select(
+            F.col(key_col).alias("k"),
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("day"))
+            .distinct())
+        batch.write.mode("append").parquet(log_path)
+        touched = batch.select("k").distinct()
+        mine = (spark.read.parquet(log_path)
+                .join(touched, "k", "left_semi").distinct())
+        flags = activity_flags(mine)
+        if fsutil.exists(spark, path):
+            keep = spark.read.parquet(path) \
+                .join(touched, "k", "left_anti")
+            flags = keep.unionByName(flags)
+        flags.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

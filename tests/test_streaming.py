@@ -738,3 +738,45 @@ def test_stream_weighted_reservoir_matches_batch(spark, tmp_path):
                                    str(tmp_path / "ck2"), k=50, seed="s")
     q2.awaitTermination(120)
     assert {r["id"] for r in spark.read.parquet(res).collect()} == want
+
+
+def test_stream_growth_matches_batch_and_late_day_flip(spark, tmp_path):
+    """Growth ledger over three micro-batches — including a LATE
+    activity day that retroactively flips a churn into retention — must
+    equal the batch growth_accounting over the full stream."""
+    from otit_swt_spark.pipelines.analytics import (growth_accounting,
+                                                    growth_ledger)
+    from otit_swt_spark.streaming.ingest import stream_growth
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "flags")
+    schema = "user_id long, s string"
+    b1 = [(1, "2024-01-01"), (2, "2024-01-01")]
+    b2 = [(1, "2024-01-03")]                 # gap -> u1 looks resurrected
+    b3 = [(1, "2024-01-02")]                 # LATE: fills the gap
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_growth(
+        stream.select("user_id", F.to_timestamp("s").alias("ts")),
+        "user_id", "ts", tbl, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {str(r["day"]): tuple(r[c] for c in
+                                ("n_active", "n_new", "n_retained",
+                                 "n_resurrected", "n_churned"))
+           for r in growth_ledger(spark.read.parquet(tbl)).collect()}
+    full = spark.createDataFrame(b1 + b2 + b3, schema) \
+        .select("user_id", F.to_timestamp("s").alias("ts"))
+    want = {str(r["day"]): tuple(r[c] for c in
+                                 ("n_active", "n_new", "n_retained",
+                                  "n_resurrected", "n_churned"))
+            for r in growth_accounting(full).collect()}
+    assert got == want
+    # the late day turned 01-03 from resurrection into retention
+    assert want["2024-01-03"][3] == 0 and want["2024-01-03"][2] == 1
+    # 01-02 after the late fill: u1 retained (1 active), u2 churned
+    assert got["2024-01-02"] == (1, 0, 1, 0, 1)
