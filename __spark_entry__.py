@@ -2681,6 +2681,18 @@ def q_diversity_sample(spark, sf_dir):
     return diversity_sample(e, per_cluster=20, k=8, iters=2)
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: recency/frequency/monetary with exact
+    rank-based quintile scores (deterministic tie-breaks — ntile tie
+    behavior is engine-specific, ceil(5*rank/n) is not) and the
+    concatenated segment label. Rank windows run on the per-user
+    aggregate frame."""
+    from otit_swt_spark.pipelines.analytics import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"), key="user_id",
+                        ts="ts", value="value", n_bins=5)
+
+
 def q_kmeans_silhouette(spark, sf_dir):
     """Per-cluster simplified silhouette of the k-means fit (k=8,
     2 Lloyd rounds): the O(n*k) centroid-based clustering-quality gate
@@ -3057,6 +3069,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "rfm_segments": q_rfm_segments,
         "growth_accounting": q_growth_accounting,
         "twap_users": q_twap_users,
         "gini_user_events": q_gini_user_events,
@@ -6183,6 +6196,36 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_forecast": _holt_winters_oracle(4, 0.2, 0.1, 0.3, 2),
         "power_iteration_pc1": _pc1_oracle(64, 4),
         "kmeans_silhouette": _kmeans_silhouette_oracle(),
+        "rfm_segments": """
+            WITH agg AS (
+                SELECT user_id AS k, max(CAST(ts AS DATE)) AS last_day,
+                       count(*) AS frequency,
+                       round(CAST(sum(CAST(value AS DECIMAL(38, 12)))
+                                  AS DOUBLE), 6) AS monetary
+                FROM events GROUP BY 1
+            ), h AS (SELECT max(last_day) AS hz FROM agg),
+            st AS (
+                SELECT k, date_diff('day', last_day, hz) AS recency,
+                       frequency, monetary, count(*) OVER () AS n
+                FROM agg, h
+            ), sc AS (
+                SELECT k, recency, frequency, monetary,
+                       CAST(ceil(5 * row_number() OVER (
+                            ORDER BY recency DESC, k) / CAST(n AS DOUBLE))
+                            AS INT) AS r_score,
+                       CAST(ceil(5 * row_number() OVER (
+                            ORDER BY frequency ASC, k) / CAST(n AS DOUBLE))
+                            AS INT) AS f_score,
+                       CAST(ceil(5 * row_number() OVER (
+                            ORDER BY monetary ASC, k) / CAST(n AS DOUBLE))
+                            AS INT) AS m_score
+                FROM st
+            )
+            SELECT k AS user_id, recency, frequency, monetary,
+                   r_score, f_score, m_score,
+                   r_score || '-' || f_score || '-' || m_score AS segment
+            FROM sc
+        """,
         "kaplan_meier_churn": """
             WITH lives AS (
                 SELECT user_id,

@@ -1044,3 +1044,53 @@ def kaplan_meier(events: DataFrame, key: str = "user_id",
                              F.exp(F.sum("__ln").over(w_surv)), 6))))
     return curve.select("dur", "n_at_risk", "n_deaths", "survival") \
         .withColumnRenamed("dur", "duration_days")
+
+
+def rfm_segments(events: DataFrame, key: str = "user_id",
+                 ts: str = "ts", value: str = "value",
+                 n_bins: int = 5) -> DataFrame:
+    """RFM segmentation: per key, Recency (days since last activity,
+    against the corpus max day), Frequency (event count) and Monetary
+    (summed value, DECIMAL-exact), each scored into ``n_bins``
+    rank-based bins — score ``ceil(n_bins·rank/n)`` with deterministic
+    (metric, key) tie-breaks, so the binning is exact and
+    engine-replayable where ``ntile`` tie behavior is not. Recency
+    ranks DESCENDING (most recent = highest score), frequency/monetary
+    ascending. Output: one row per key with the three raw metrics,
+    three scores, and the concatenated segment label.
+
+    One grouped pass over events; the rank windows run on the per-key
+    aggregate frame (|keys| rows, not |events|)."""
+    from pyspark.sql import Window as W
+
+    day = F.to_date(F.col(ts).cast("timestamp"))
+    agg = (events.groupBy(F.col(key).alias("k"))
+           .agg(F.max(day).alias("last_day"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.col(value).cast("decimal(38,12)")).alias("__m")))
+    horizon = agg.agg(F.max("last_day").alias("__h"))
+    staged = (agg.crossJoin(F.broadcast(horizon))
+              .select("k", F.datediff("__h", "last_day").alias("recency"),
+                      "frequency",
+                      F.round(F.col("__m").cast("double"), 6)
+                      .alias("monetary")))
+    n_tot = F.count(F.lit(1)).over(W.partitionBy())
+
+    def score(order_cols, name):
+        rk = F.row_number().over(W.partitionBy().orderBy(*order_cols))
+        return F.ceil(F.lit(n_bins) * rk / F.col("__n")).cast("int") \
+            .alias(name)
+
+    out = (staged.withColumn("__n", n_tot)
+           .select("k", "recency", "frequency", "monetary", "__n",
+                   score([F.col("recency").desc(), F.col("k")],
+                         "r_score"),
+                   score([F.col("frequency").asc(), F.col("k")],
+                         "f_score"),
+                   score([F.col("monetary").asc(), F.col("k")],
+                         "m_score")))
+    return out.select(
+        F.col("k").alias(key), "recency", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score")
+        .alias("segment"))

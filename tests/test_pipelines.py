@@ -3198,3 +3198,26 @@ def test_theta_estimate_differential(spark):
             assert est == float(n)          # exact below k
         else:
             assert abs(est - n) / n < tol, (n, est)
+
+
+def test_rfm_segments_scores(spark):
+    from otit_swt_spark.pipelines.analytics import rfm_segments
+
+    # 5 users with strictly increasing activity/recency/value
+    rows = []
+    for u in range(5):
+        for e in range(u + 1):                  # frequency 1..5
+            rows.append((u, f"2024-01-{10 + u:02d}", float((u + 1) * 10)))
+    ev = spark.createDataFrame(rows, "user_id long, s string, value double") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "value")
+    out = {r["user_id"]: r for r in rfm_segments(ev, n_bins=5).collect()}
+    # user 4: most recent, most frequent, highest value -> 5-5-5
+    assert out[4]["segment"] == "5-5-5"
+    assert out[0]["segment"] == "1-1-1"
+    # recency in days against the corpus max day (user4's day)
+    assert out[0]["recency"] == 4 and out[4]["recency"] == 0
+    assert out[3]["frequency"] == 4
+    # every score in 1..5
+    for r in out.values():
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
