@@ -19,6 +19,8 @@ def csv_timeseries(
     """Read ``{external_id: csv_path}`` into one tall TimeSeriesTable.
     Schema is inferred per file (the reference infers per-column dtypes);
     timestamps parse via Spark's CSV timestamp inference."""
+    if not paths:
+        raise ValueError("csv_timeseries: empty id->path mapping")
     parts = []
     for ext_id, path in paths.items():
         df = (spark.read.option("header", True).option("inferSchema", True)

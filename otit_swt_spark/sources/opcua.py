@@ -228,14 +228,19 @@ def find_time_bounds(expr, ts_var: str) -> tuple[float | None, float | None]:
 
     - ``?t >  lit`` / ``lit <  ?t``  → start = lit + 1ns
     - ``?t >= lit`` / ``lit <= ?t``  → start = lit
-    - ``?t <  lit`` / ``lit >  ?t``  → end   = lit - 1ns
-    - ``?t <= lit`` / ``lit >= ?t``  → end   = lit
+    - ``?t <  lit`` / ``lit >  ?t``  → end   = lit   (half-open end)
+    - ``?t <= lit`` / ``lit >= ?t``  → end   = nextafter(lit)
+
+    Bounds are float epoch seconds and the read range is half-open
+    ``start <= t < end``, so strictness adjustments use ONE FLOAT ULP
+    (``math.nextafter``) — an absolute 1 ns nudge is a no-op at modern
+    epochs where the float64 ulp is ~240 ns.
 
     Unmatched shapes contribute nothing (the reference sends a null
     DateTime then — here ``None``)."""
     from otit_swt_spark.sparql.algebra import EAnd, ECmp, ELiteral, EVar
 
-    NS = 1e-9
+    import math
 
     def lit_epoch(e) -> float | None:
         if not isinstance(e, ELiteral):
@@ -273,13 +278,13 @@ def find_time_bounds(expr, ts_var: str) -> tuple[float | None, float | None]:
         op = e.op if lv else {"<": ">", "<=": ">=",
                               ">": "<", ">=": "<="}.get(e.op, e.op)
         if op == ">":
-            return (lit + NS, None)
+            return (math.nextafter(lit, math.inf), None)
         if op == ">=":
             return (lit, None)
         if op == "<":
-            return (None, lit - NS)
-        if op == "<=":
             return (None, lit)
+        if op == "<=":
+            return (None, math.nextafter(lit, math.inf))
         return (None, None)
 
     return walk(expr)

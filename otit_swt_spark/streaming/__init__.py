@@ -17,11 +17,23 @@ from otit_swt_spark.streaming.dedup import (
 )
 from otit_swt_spark.streaming.ingest import (
     ewma_stream,
+    finalize_markov,
+    holt_stream,
     read_timeseries_stream,
+    registered_table,
     session_downsample,
     session_gaps,
-    stream_incremental_agg,
     sliding_downsample,
+    stream_count_min,
+    stream_growth,
+    stream_hll,
+    stream_incremental_agg,
+    stream_interval_join,
+    stream_markov,
+    stream_scd2,
+    stream_theta,
+    stream_wap_merge,
+    stream_weighted_reservoir,
     to_timeseries_sink,
     windowed_downsample,
 )
@@ -29,13 +41,25 @@ from otit_swt_spark.streaming.ingest import (
 __all__ = [
     "build_lsh_index",
     "ewma_stream",
+    "finalize_markov",
+    "holt_stream",
     "read_timeseries_stream",
+    "registered_table",
     "session_downsample",
-    "stream_incremental_agg",
     "session_gaps",
     "sliding_downsample",
+    "stream_count_min",
     "stream_exact_dedup",
+    "stream_growth",
+    "stream_hll",
+    "stream_incremental_agg",
+    "stream_interval_join",
+    "stream_markov",
     "stream_near_dup_flags",
+    "stream_scd2",
+    "stream_theta",
+    "stream_wap_merge",
+    "stream_weighted_reservoir",
     "to_timeseries_sink",
     "windowed_downsample",
 ]

@@ -111,11 +111,12 @@ def to_timeseries_sink(
     df: DataFrame,
     path: str,
     checkpoint: str,
-    value_column: str = "avg_value",
     available_now: bool = False,
 ):
     """Write a (possibly aggregated) stream to date-partitioned parquet in
-    the TimeSeriesTable layout. Returns the StreamingQuery."""
+    the TimeSeriesTable layout (all input columns pass through; name the
+    value column when REGISTERING via ``registered_table``). Returns the
+    StreamingQuery."""
     out = df.withColumn("year", F.year("timestamp")) \
             .withColumn("month", F.month("timestamp")) \
             .withColumn("day", F.dayofmonth("timestamp"))
@@ -185,9 +186,14 @@ def session_gaps(df: DataFrame, max_gap_seconds: float = 60.0,
 
         last_ts = state.get[0] if state.exists else None
         rows = {"id": [], "gap_start": [], "gap_end": [], "gap_seconds": []}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("timestamp")
-            for ts in pdf["timestamp"]:
+        chunks = list(pdf_iter)
+        if chunks:
+            # concat BEFORE sorting: a group split across Arrow batches
+            # (maxRecordsPerBatch) otherwise folds chunk-local order and
+            # last_ts rewinds at the boundary (same fix as ewma/holt)
+            whole = pd.concat(chunks, ignore_index=True).sort_values(
+                "timestamp", kind="mergesort")
+            for ts in whole["timestamp"]:
                 cur = ts.timestamp()
                 if last_ts is not None and cur - last_ts > max_gap_seconds:
                     rows["id"].append(key[0])
@@ -326,6 +332,8 @@ def stream_interval_join(clicks: DataFrame, views: DataFrame,
                          key: str = "id",
                          left_ts: str = "timestamp",
                          right_ts: str = "timestamp",
+                         left_value: str = "value",
+                         right_value: str = "value",
                          within: str = "10 minutes",
                          watermark: str = "30 minutes") -> DataFrame:
     """Stream-stream interval join: pair each left event with right
@@ -341,10 +349,10 @@ def stream_interval_join(clicks: DataFrame, views: DataFrame,
     columns suffixed."""
     l = clicks.select(F.col(key).alias("id"),
                       F.col(left_ts).alias("l_ts"),
-                      F.col("value").alias("l_value"))
+                      F.col(left_value).alias("l_value"))
     r = views.select(F.col(key).alias("r_id"),
                      F.col(right_ts).alias("r_ts"),
-                     F.col("value").alias("r_value"))
+                     F.col(right_value).alias("r_value"))
     if clicks.isStreaming:
         l = l.withWatermark("l_ts", watermark)
     if views.isStreaming:
@@ -769,9 +777,17 @@ def stream_weighted_reservoir(df: DataFrame, key_col: str,
                          (F.log(u) / w).alias("__raw")))
         if fsutil.exists(spark, path):
             delta = spark.read.parquet(path).unionByName(delta)
+        # one row per KEY: a key whose weight changes across batches
+        # re-scores, and ln(u)/w is monotone in w for fixed u, so
+        # keeping max(__raw) == sampling each key at its MAXIMUM
+        # observed weight (stated contract; without this, two weights
+        # of one key could both land in the top-k and the "sample of
+        # k" would hold k-1 distinct keys)
         win = W.partitionBy().orderBy(F.col("__raw").desc(),
                                       F.col(key_col))
-        merged = (delta.distinct()
+        merged = (delta.groupBy(key_col)
+                  .agg(F.max("weight").alias("weight"),
+                       F.max("__raw").alias("__raw"))
                   .withColumn("__rn", F.row_number().over(win))
                   .where(F.col("__rn") <= k)
                   .select(key_col, "weight", "__raw"))

@@ -1308,7 +1308,10 @@ def test_engine_opcua_registration_with_transport(spark):
 
 def test_opcua_find_time_bounds():
     """find_time/find_time_condition parity (opcua_history_read.rs:480-620):
-    start/end extraction from SPARQL filters, strict-bound 1ns nudges,
+    start/end extraction from SPARQL filters against the HALF-OPEN read
+    range [start, end): strict lower bounds advance by one float ULP
+    (math.nextafter — an absolute 1 ns is a no-op at modern epochs),
+    inclusive upper bounds advance the half-open end by one ULP,
     flipped operand forms, AND recursion, duplicate-bound error."""
     from otit_swt_spark.sources.opcua import find_time_bounds
     from otit_swt_spark.sparql.parser import parse_query
@@ -1323,19 +1326,23 @@ def test_opcua_find_time_bounds():
             pat = getattr(pat, "pattern", None) or getattr(pat, "inner")
         return pat.expr
 
+    import math
+
     lit = '"2024-01-01T00:00:00+00:00"^^xsd:dateTime'
     base = 1704067200.0
-    ns = 1e-9
+    up = math.nextafter(base, math.inf)
     s, e = find_time_bounds(filter_expr(f"?t >= {lit}"), "t")
     assert (s, e) == (base, None)
     s, e = find_time_bounds(filter_expr(f"?t > {lit}"), "t")
-    assert (s, e) == (base + ns, None)
-    s, e = find_time_bounds(filter_expr(f"{lit} > ?t"), "t")   # flipped: end
-    assert (s, e) == (None, base - ns)
+    assert (s, e) == (up, None) and s > base       # a REAL strict bound
+    s, e = find_time_bounds(filter_expr(f"{lit} > ?t"), "t")   # flipped: < 
+    assert (s, e) == (None, base)                  # half-open end
+    s, e = find_time_bounds(filter_expr(f"?t <= {lit}"), "t")
+    assert (s, e) == (None, up) and e > base       # inclusive upper
     s, e = find_time_bounds(
         filter_expr(f"?t >= {lit} && ?t < "
                     '"2024-01-02T00:00:00+00:00"^^xsd:dateTime'), "t")
-    assert s == base and e == base + 86400.0 - ns
+    assert s == base and e == base + 86400.0
     # unmatched shapes contribute nothing
     assert find_time_bounds(filter_expr("?t != ?t"), "t") == (None, None)
     with pytest.raises(ValueError, match="duplicate"):

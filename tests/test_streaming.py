@@ -780,3 +780,66 @@ def test_stream_growth_matches_batch_and_late_day_flip(spark, tmp_path):
     assert want["2024-01-03"][3] == 0 and want["2024-01-03"][2] == 1
     # 01-02 after the late fill: u1 retained (1 active), u2 churned
     assert got["2024-01-02"] == (1, 0, 1, 0, 1)
+
+
+def test_session_gaps_survives_arrow_chunking(spark, tmp_path):
+    """A key whose micro-batch spans multiple Arrow record batches must
+    fold in global time order — chunk-local sorting rewinds last_ts at
+    the boundary and fabricates/misses gaps."""
+    from otit_swt_spark.streaming.ingest import session_gaps
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        src = str(tmp_path / "src")
+        # 300 in-order points 1s apart, ONE real 121s gap in the middle
+        # (last of block 1 at t=1149, first of block 2 at t=1270)
+        ts = ([1000 + i for i in range(150)]
+              + [1000 + 150 + 120 + i for i in range(150)])
+        import random
+        rng = random.Random(4)
+        rng.shuffle(ts)                       # arrival order scrambled
+        pdf = pd.DataFrame({"id": ["s"] * 300,
+                            "timestamp": pd.to_datetime(ts, unit="s"),
+                            "value": [1.0] * 300})
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        stream = (spark.readStream
+                  .schema("id string, timestamp timestamp, value double")
+                  .parquet(src))
+        q = session_gaps(stream, max_gap_seconds=60.0)
+        out = str(tmp_path / "out")
+        (q.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+        gaps = spark.read.parquet(out).collect()
+        assert len(gaps) == 1, gaps
+        assert abs(gaps[0]["gap_seconds"] - 121.0) < 1e-6
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+
+
+def test_stream_reservoir_weight_change_one_row_per_key(spark, tmp_path):
+    """A key whose weight changes across batches must hold ONE reservoir
+    row (sampled at its maximum observed weight), never two."""
+    from otit_swt_spark.streaming.ingest import stream_weighted_reservoir
+
+    src = str(tmp_path / "src")
+    schema = "id long, w double"
+    spark.createDataFrame([(i, 1.0) for i in range(40)], schema) \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([(i, 2.0) for i in range(40)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_weighted_reservoir(stream, "id", "w", str(tmp_path / "r"),
+                                  str(tmp_path / "ck"), k=30)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "r")).collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 30
+    assert all(r["weight"] == 2.0 for r in rows)   # max observed weight
