@@ -154,6 +154,10 @@ class Engine:
             out = self._construct(sm, query.template)
         elif isinstance(query, A.DescribeQuery):
             out = self._describe(compiler, query)
+        elif isinstance(query, A.UpdateQuery):
+            raise ValueError(
+                "query() got a SPARQL Update — use Engine.update() for "
+                "INSERT/DELETE forms")
         else:
             sm = compiler.compile_query(query)
             out = self._finalize(sm, query.variables, cache_key=sparql)
@@ -174,15 +178,22 @@ class Engine:
                 if cur is None:
                     merged[p] = dict(info)
                     continue
-                if cur == info:
+                # compare the TYPE judgement only — catalog entries also
+                # carry the selectivity count "n", and comparing full
+                # dicts misflagged identically-typed predicates from two
+                # graphs as mixed whenever their counts differed
+                n = cur.get("n", 0) + info.get("n", 0)
+                if (cur.get("dt"), cur.get("mixed")) == \
+                        (info.get("dt"), info.get("mixed")):
+                    merged[p] = {**cur, "n": n}
                     continue
                 dts = {cur.get("dt"), info.get("dt")}
                 if (not cur["mixed"] and not info["mixed"]
                         and dts <= {None, XSD_STRING}):
                     merged[p] = {"dt": XSD_STRING if XSD_STRING in dts else None,
-                                 "mixed": False}
+                                 "mixed": False, "n": n}
                 else:
-                    merged[p] = {"dt": None, "mixed": True}
+                    merged[p] = {"dt": None, "mixed": True, "n": n}
         return merged
 
     def ask(self, sparql: str) -> bool:
@@ -387,6 +398,12 @@ class Engine:
                     return mint_bnode(term.name)
                 m = sm.vars.get(term.name)
                 if m is None:
+                    return F.lit(None).cast("string")
+                if m.kind != "term" and m.hint != "iri":
+                    # a native value (double/long/bool/timestamp) is a
+                    # literal — never a legal subject/predicate; emitting
+                    # it unguarded minted invalid RDF (SPARQL 16.2 says
+                    # drop the triple)
                     return F.lit(None).cast("string")
                 col = F.col(term.name).cast("string")
                 dt = sm.dt_col(term.name) if m.kind == "term" else None

@@ -32,7 +32,9 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from otit_swt_spark.sparql import algebra as A
-from otit_swt_spark.sparql.expressions import INTEGRAL, NUMERIC, Typed, compile_expr, literal_typed
+from otit_swt_spark.sparql.expressions import (INTEGRAL, NUMERIC, Typed,
+                                               _as_bool, compile_expr,
+                                               literal_typed)
 from otit_swt_spark.terms import (
     HAS_DATA_POINT,
     HAS_EXTERNAL_ID,
@@ -274,19 +276,56 @@ class Compiler:
                        how: str = "inner") -> SolutionMapping:
         shared = [v for v in left.vars if v in right.vars]
         left, right = self._coerce_join_keys(left, right, shared)
+        # TERM-identity join keys: where a shared term var carries a
+        # __dt/__lang companion on either side (or the sides disagree on
+        # a statically-known datatype), joining on the canonical string
+        # alone would conflate distinct RDF terms with one lexical form
+        # ("1"^^xsd:integer vs "1"^^xsd:string, "x"@en vs "x"@fr). Those
+        # vars join on value + effective datatype + effective language
+        # instead. Residual (documented) canonicalization trade: a plain
+        # literal and an IRI with the same lexical and NO companions on
+        # either side still conflate.
+        ident = [v for v in shared
+                 if left.vars[v].kind == "term"
+                 and right.vars[v].kind == "term"
+                 and (v in left.dt_vars or v in right.dt_vars
+                      or v in left.lang_vars or v in right.lang_vars
+                      or left.vars[v].xsd != right.vars[v].xsd)]
+        sep = "\x01"
+
+        def _tkey(sm_, v):
+            dt = (F.col(f"{v}__dt") if v in sm_.dt_vars
+                  else F.lit(sm_.vars[v].xsd))
+            lg = (F.col(f"{v}__lang") if v in sm_.lang_vars
+                  else F.lit(None).cast("string"))
+            return F.concat(F.col(v).cast("string"), F.lit(sep),
+                            F.coalesce(dt, F.lit("")), F.lit(sep),
+                            F.coalesce(lg, F.lit("")))
+
+        ldf = left.df
+        rdf = right.df
+        keys = list(shared)
+        for v in ident:
+            ldf = ldf.withColumn(f"__tk_{v}", _tkey(left, v))
+            rdf = rdf.withColumn(f"__tk_{v}", _tkey(right, v))
+            # right's value column is a function of the key — drop it so
+            # the named join doesn't duplicate it (left's copy survives)
+            rdf = rdf.drop(v)
+            keys[keys.index(v)] = f"__tk_{v}"
         # drop right-side aux duplicates for shared term vars (values agree on
         # matched rows), and resolve any other duplicate non-var columns
-        rdf = right.df
         for v in shared:
             for aux in right.aux_cols(v):
-                if aux in left.df.columns:
+                if aux in ldf.columns:
                     rdf = rdf.drop(aux)
         dup_extra = [c for c in rdf.columns
-                     if c in left.df.columns and c not in shared]
+                     if c in ldf.columns and c not in keys]
         for c in dup_extra:
             rdf = rdf.drop(c)
         if shared:
-            df = left.df.join(rdf, on=shared, how=how)
+            df = ldf.join(rdf, on=keys, how=how)
+            for v in ident:
+                df = df.drop(f"__tk_{v}")
         elif how == "inner":
             df = left.df.crossJoin(rdf)
         else:
@@ -415,11 +454,12 @@ class Compiler:
             return self.join_solutions(input, sm) if input is not None else sm
         if isinstance(p, A.Distinct):
             sm = self.compile_pattern(p.inner, input)
-            keys = [v for v in sm.vars]
-            return replace(sm, df=sm.df.dropDuplicates(keys))
+            return replace(sm, df=sm.df.dropDuplicates(
+                self._term_identity_cols(sm)))
         if isinstance(p, A.Reduced):
             sm = self.compile_pattern(p.inner, input)
-            return replace(sm, df=sm.df.dropDuplicates([v for v in sm.vars]))
+            return replace(sm, df=sm.df.dropDuplicates(
+                self._term_identity_cols(sm)))
         if isinstance(p, A.Slice):
             sm = self.compile_pattern(p.inner, input)
             df = sm.df
@@ -433,6 +473,21 @@ class Compiler:
         if isinstance(p, A.Graph):
             return self.compile_graph(p, input)
         raise NotImplementedError(f"pattern {type(p).__name__}")
+
+    @staticmethod
+    def _term_identity_cols(sm: SolutionMapping) -> list[str]:
+        """Columns defining RDF TERM identity for DISTINCT/REDUCED: the
+        canonical value plus any __dt/__lang companions — deduping on the
+        value alone collapsed "1"^^xsd:integer with "1"^^xsd:string and
+        "x"@en with "x"@fr (distinct terms, same lexical)."""
+        cols = []
+        for v in sm.vars:
+            cols.append(v)
+            if v in sm.dt_vars:
+                cols.append(f"{v}__dt")
+            if v in sm.lang_vars:
+                cols.append(f"{v}__lang")
+        return [c for c in cols if c in sm.df.columns]
 
     def compile_graph(self, p: A.Graph, input: SolutionMapping | None) -> SolutionMapping:
         """GRAPH <iri> {...}: evaluate against that registered named graph.
@@ -1101,7 +1156,7 @@ class Compiler:
             return sm if keep else replace(sm, df=sm.df.limit(0))
         sm2, exists_cols, flags = self.resolve_exists(sm, expr)
         cond = compile_expr(expr, sm2, exists_cols)
-        df = sm2.df.filter(cond.col.try_cast("boolean"))
+        df = sm2.df.filter(_as_bool(cond))   # SPARQL EBV, not a bare cast
         for p in self._partition_prune_predicates(sm2, expr):
             df = df.filter(p)
         for flag in flags:
@@ -1317,7 +1372,7 @@ class Compiler:
         for c in conds[1:]:
             cond = cond & c
         if p.expr is not None:
-            e = compile_expr(p.expr, sm).col.try_cast("boolean")
+            e = _as_bool(compile_expr(p.expr, sm))   # SPARQL EBV
             cond = e if cond is None else cond & e
         if not adds:
             return left  # OPTIONAL binds nothing new: never removes rows
@@ -1354,7 +1409,7 @@ class Compiler:
             left.dt_vars | {v for v in right.dt_vars if v not in shared},
             left.lang_vars | {v for v in right.lang_vars if v not in shared},
         )
-        cond = compile_expr(expr, merged).col.try_cast("boolean")
+        cond = _as_bool(compile_expr(expr, merged))   # SPARQL EBV
         for v in shared:
             cond = (F.col(v) == F.col(f"__rj_{v}")) & cond
         df = left.df.join(rdf, cond, "left")
@@ -1501,7 +1556,14 @@ class Compiler:
         hybrid/src/combiner/lazy_aggregate.rs). Returns (column, meta,
         extra aggregate columns — e.g. a carried datatype col)."""
         no_extra: list[tuple[str, Column]] = []
-        if a.expr is None:  # COUNT(*)
+        if a.expr is None:  # COUNT(*) / COUNT(DISTINCT *)
+            if a.distinct:
+                # distinct SOLUTIONS: countDistinct over all current
+                # columns via one struct (bare countDistinct(cols...)
+                # would drop rows with any NULL binding)
+                return (F.count_distinct(F.struct(*[
+                    F.col(c) for c in sm.df.columns])),
+                    VarMeta("native", "long"), no_extra)
             return F.count(F.lit(1)), VarMeta("native", "long"), no_extra
         t = compile_expr(a.expr, sm)
         name = a.name

@@ -75,7 +75,25 @@ def _as_str(t: Typed) -> Column:
 
 
 def _as_bool(t: Typed) -> Column:
-    return t.col if t.hint == "bool" else t.col.try_cast("boolean")
+    """Effective boolean value (SPARQL 17.2.2): booleans are themselves,
+    numerics are true unless 0/NaN, strings are true unless empty. For
+    canonical term strings the datatype isn't visible here, so lexicals
+    are tried as boolean, then numeric, then fall back to the
+    non-empty-string rule — the one mismatch is a PLAIN literal
+    spelling exactly "true"/"false"/a number, which EBVs by its lexical
+    value instead of its length. The previous try_cast('boolean')
+    dropped every ordinary non-empty string (EBV true in SPARQL)."""
+    if t.hint == "bool":
+        return t.col
+    if t.hint in ("long", "int"):
+        return t.col != 0
+    if t.hint in ("double", "float"):
+        return (t.col != 0.0) & ~F.isnan(t.col)
+    b = t.col.try_cast("boolean")
+    d = t.col.try_cast("double")
+    return (F.when(b.isNotNull(), b)
+            .when(d.isNotNull(), (d != 0.0) & ~F.isnan(d))
+            .otherwise(F.length(t.col) > 0))
 
 
 def literal_typed(lit) -> Typed:
@@ -289,6 +307,20 @@ def compile_expr(e: A.Expr, sm, exists_cols: dict[int, Column] | None = None) ->
                     return Typed(out, "iri")
                 if m is not None and m.xsd:
                     return Typed(F.lit(m.xsd), "iri")
+                if m is not None and m.kind == "native" and m.hint:
+                    # native columns (ts values, BIND results) carry a
+                    # spark-ish hint, not a dt column — map it to the
+                    # XSD IRI instead of defaulting to xsd:string
+                    from otit_swt_spark.terms import (XSD_BOOLEAN,
+                                                      XSD_DATETIME,
+                                                      XSD_DOUBLE,
+                                                      XSD_INTEGER)
+                    hint_dt = {"double": XSD_DOUBLE, "float": XSD_DOUBLE,
+                               "long": XSD_INTEGER, "int": XSD_INTEGER,
+                               "bool": XSD_BOOLEAN,
+                               "timestamp": XSD_DATETIME}.get(m.hint)
+                    if hint_dt is not None:
+                        return Typed(F.lit(hint_dt), "iri")
             return Typed(F.lit(XSD_STRING), "iri")
         if name == "SAMETERM":
             return Typed(args[0].col.eqNullSafe(args[1].col), "bool")

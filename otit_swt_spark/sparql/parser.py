@@ -158,6 +158,12 @@ class Parser:
             return Literal(lex)
         if t.kind == "num":
             return _num_literal(t.value)
+        if t.kind == "op" and t.value in ("-", "+"):
+            # NumericLiteralNegative/Positive (SPARQL grammar [131]/[132]):
+            # the tokenizer emits sign and digits separately
+            n = self.expect("num")
+            return _num_literal(t.value + n.value
+                                if t.value == "-" else n.value)
         if t.kind in ("TRUE", "FALSE"):
             return Literal(t.value.lower(), XSD_BOOLEAN)
         raise SyntaxError(f"expected literal, got {t.value!r}")
@@ -172,7 +178,9 @@ class Parser:
             # (reference renames them, preprocessing.rs:394-412)
             self.next()
             return Variable(f"__bnode_{t.value[2:]}")
-        if t.kind in ("string", "num", "TRUE", "FALSE"):
+        if t.kind in ("string", "num", "TRUE", "FALSE") or (
+                t.kind == "op" and t.value in ("-", "+")
+                and self.peek(1).kind == "num"):
             return self.parse_literal()
         return self.parse_iri()
 
@@ -373,6 +381,11 @@ class Parser:
                         e = self.parse_expression()
                         self.expect("op", ")")
                         order.append((e, True))
+                    elif t.kind in ("name", "iri", "pname") and \
+                            self.peek(1).kind == "op" and \
+                            self.peek(1).value == "(":
+                        # bare Constraint key: ORDER BY lcase(?x)
+                        order.append((self.parse_primary(), True))
                     else:
                         break
             elif self.accept("LIMIT"):
@@ -873,4 +886,14 @@ def _num_literal(lex: str) -> Literal:
 
 
 def parse_query(text: str) -> A.SelectQuery:
-    return Parser(text).parse_query()
+    p = Parser(text)
+    q = p.parse_query()
+    # EOF check: unconsumed tokens mean a clause the grammar above did
+    # not understand — failing loudly beats silently dropping an ORDER
+    # BY / LIMIT and returning differently-shaped results
+    t = p.peek()
+    if t.kind != "eof":
+        raise SyntaxError(
+            f"unparsed input from {t.value!r} — unsupported or misplaced "
+            "clause")
+    return q

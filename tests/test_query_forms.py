@@ -293,3 +293,23 @@ def test_graph_variable_constrains_inner_binding(spark):
     # only the g1 self-triple qualifies: g2's triple about urn:g1 has
     # subject != g2, and urn:other never names a graph
     assert got == {("urn:g1", "http://example.org/self")}
+
+
+def test_from_merged_catalog_same_datatype_different_counts(spark):
+    """Two FROM graphs typing the same predicate identically but with
+    different triple counts must stay consistently typed — the merge
+    used to compare full catalog dicts including the selectivity count
+    and misflagged them mixed (-> InconsistentDatatype)."""
+    from otit_swt_spark import Engine, GraphStore
+
+    g1 = GraphStore.from_sparql_insert(spark, """
+        INSERT DATA { <urn:s1> <urn:p> 1.5 . }""")
+    g2 = GraphStore.from_sparql_insert(spark, """
+        INSERT DATA { <urn:s2> <urn:p> 2.5 . <urn:s3> <urn:p> 3.5 . }""")
+    eng = Engine(spark, g1)
+    eng.register_named_graph("urn:g1", g1)
+    eng.register_named_graph("urn:g2", g2)
+    out = eng.query("""
+        SELECT ?o FROM <urn:g1> FROM <urn:g2>
+        WHERE { ?s <urn:p> ?o } ORDER BY ?o""")
+    assert [r["o"] for r in out.collect()] == [1.5, 2.5, 3.5]
