@@ -203,7 +203,12 @@ class Mapping:
         for name, m in mint.items():
             df, minted = self._mint(template.iri, name, df, m)
             iri_cols.add(name)
-            report.minted_iris = minted.select(KEY_COL, name)
+            frame = minted.select(KEY_COL, name)
+            # several minted arguments: report them ALL (a plain
+            # assignment kept only the last loop iteration's frame)
+            report.minted_iris = (frame if report.minted_iris is None
+                                  else report.minted_iris.join(frame,
+                                                               KEY_COL))
         for name, r in resolve.items():
             prior = self._minted.get((r.template, r.argument))
             if prior is None:

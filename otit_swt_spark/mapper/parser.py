@@ -245,7 +245,11 @@ class _Parser:
             return Literal(lex)
         if kind == "number":
             self.next()
-            if "." in val or "e" in val or "E" in val:
+            if "e" in val or "E" in val:
+                # xsd:decimal's lexical space forbids exponents — the
+                # Turtle/stOTTR grammar types exponent literals DOUBLE
+                return Literal(val, datatype=XSD + "double")
+            if "." in val:
                 return Literal(val, datatype=XSD + "decimal")
             return Literal(val, datatype=XSD + "integer")
         if val in ("true", "false"):

@@ -88,10 +88,14 @@ def incremental_agg_upsert(spark: SparkSession, path: str, delta: DataFrame,
         spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
         fsutil.delete(spark, tmp)
         return
-    from otit_swt_spark.pipelines.merge import stage_dynamic_overwrite
+    from otit_swt_spark.pipelines.merge import (partition_predicate,
+                                                 stage_dynamic_overwrite)
 
     parts = [r[0] for r in d.select(partition_col).distinct().collect()]
-    touched = stored.filter(F.col(partition_col).isin(parts))
+    # null-safe: isin([None, ...]) never matches the stored NULL
+    # partition, which silently replaced its aggregate state
+    touched = stored.filter(partition_predicate(F.col(partition_col),
+                                                parts))
     combined = combine_partials(touched, d, keys)
     stage_dynamic_overwrite(spark, path, combined, partition_col, parts,
                             tmp_suffix=".__incr_tmp__")

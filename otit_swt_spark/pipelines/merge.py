@@ -23,6 +23,43 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from otit_swt_spark import fsutil
 
 
+def partition_predicate(col, values):
+    """Null-safe membership test for partition pruning: ``isin`` with a
+    NULL in the list never matches NULL column values (three-valued
+    logic), which silently excluded the stored NULL partition from
+    merges — a data-loss bug. Splits NULL out explicitly."""
+    non_null = [v for v in values if v is not None]
+    pred = col.isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | col.isNull()
+    return pred
+
+
+def spark_partition_dirname(value) -> str:
+    """Render a partition VALUE exactly as Spark names its directory:
+    NULL -> __HIVE_DEFAULT_PARTITION__, booleans lowercase, and Hive
+    %XX escaping for path-special characters — Python str() produced
+    'True'/'10:00'/'None', which never matches 'true'/'10%3A00'/
+    '__HIVE_DEFAULT_PARTITION__' on disk (tombstoned partitions
+    resurrected, manifest lookups went empty)."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    s = str(value)
+    # Spark ExternalCatalogUtils.escapePathName char set
+    special = '"#%\'*/:=?\\\x7f{[]^'
+    out = []
+    for ch in s:
+        if ch in special or ord(ch) < 32:
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def stage_dynamic_overwrite(spark: SparkSession, path: str, frame: DataFrame,
                             partition_col: str, touched_parts: list,
                             tmp_suffix: str = ".__stage_tmp__") -> None:
@@ -44,17 +81,35 @@ def stage_dynamic_overwrite(spark: SparkSession, path: str, frame: DataFrame,
         staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    surviving = {str(r[0])
+    surviving = {spark_partition_dirname(r[0])
                  for r in staged.select(partition_col).distinct().collect()}
-    for v in (p for p in touched_parts if str(p) not in surviving):
-        fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={v}")
+    for p in touched_parts:
+        d = spark_partition_dirname(p)
+        if d not in surviving:
+            fsutil.delete(spark, f"{path.rstrip('/')}/{partition_col}={d}")
     fsutil.delete(spark, tmp)
 
 
 def apply_changes(target: DataFrame, changes: DataFrame, key: str,
-                  deleted_col: str | None = None) -> DataFrame:
+                  deleted_col: str | None = None,
+                  precombine_col: str | None = None) -> DataFrame:
     """Pure-DataFrame merge: rows of ``target`` not keyed in ``changes``,
-    plus the non-tombstone rows of ``changes`` (which win on key clash)."""
+    plus the non-tombstone rows of ``changes`` (which win on key clash).
+
+    A batch carrying SEVERAL rows for one key (an uncompacted CDC feed)
+    is precombined to one row per key first — by the greatest
+    ``precombine_col`` (the Hudi-style event-sequence rule) when given,
+    else by an arbitrary-but-single winner (exact duplicates collapse
+    either way). Without precombining, both rows would land in the
+    keyed table and double-count forever."""
+    from pyspark.sql import Window as W
+
+    if precombine_col is not None:
+        w = W.partitionBy(key).orderBy(F.col(precombine_col).desc())
+        changes = (changes.withColumn("__pc_rn", F.row_number().over(w))
+                   .where(F.col("__pc_rn") == 1).drop("__pc_rn"))
+    else:
+        changes = changes.dropDuplicates([key])
     keys = F.broadcast(changes.select(key).distinct())
     survivors = target.join(keys, key, "left_anti")
     incoming = changes
@@ -87,7 +142,8 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
     tmp = path.rstrip("/") + ".__merge_tmp__"
     if partition_col is not None:
         parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
-        target = target.filter(F.col(partition_col).isin(parts))
+        target = target.filter(partition_predicate(F.col(partition_col),
+                                                   parts))
         merged = apply_changes(target, changes, key, deleted_col)
         stage_dynamic_overwrite(spark, path, merged, partition_col, parts,
                                 tmp_suffix=".__merge_tmp__")

@@ -78,8 +78,18 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _part_key(value) -> str:
-    """Canonical manifest key for a partition value (NULL-safe)."""
-    return _NULL_PART if value is None else str(value)
+    """Canonical manifest key for a partition value (NULL-safe), in
+    SPARK's rendering: booleans lowercase — manifest keys come from
+    unescaped directory names ('true'), and Python str(True) ('True')
+    would silently miss them (merge replaced instead of merging, reads
+    pruned to empty)."""
+    if value is None:
+        return _NULL_PART
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    return str(value)
 
 
 def _unescape_dir(name: str) -> str:
@@ -102,8 +112,8 @@ def _mpath(root: str, version: int) -> str:
 def current_version(spark: SparkSession, root: str) -> int:
     """Highest published manifest number (0 = not a WAP table yet)."""
     names = fsutil.listdir(spark, _mdir(root))
-    versions = [int(n[1:6]) for n in names
-                if n.startswith("m") and n.endswith(".json")]
+    versions = [int(n[1:-5]) for n in names
+                if re.fullmatch(r"m\d+\.json", n)]
     return max(versions, default=0)
 
 
@@ -370,9 +380,19 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     r = root.rstrip("/")
     deleted = []
     for d in fsutil.listdir(spark, f"{r}/data"):
-        if d not in referenced:
-            fsutil.delete(spark, f"{r}/data/{d}")
-            deleted.append(f"{r}/data/{d}")
+        if d in referenced:
+            continue
+        # live-writer guard: a publish in flight stages data/v<n>-<tok>
+        # with n > cur BEFORE claiming its slot; deleting it would let
+        # the writer publish a manifest over vanished files. Dirs at
+        # n > cur are spared (if that writer loses the slot race its
+        # rename fails and a later vacuum, with cur advanced, reaps the
+        # dir safely).
+        m = re.match(r"v(\d+)-", d)
+        if m and int(m.group(1)) > cur:
+            continue
+        fsutil.delete(spark, f"{r}/data/{d}")
+        deleted.append(f"{r}/data/{d}")
     for v in range(1, max(1, cur - keep_last + 1)):
         p = _mpath(root, v)
         if fsutil.exists(spark, p):
@@ -406,7 +426,7 @@ def repair(spark: SparkSession, root: str,
     deleted = []
     cur = current_version(spark, root)
     for name in fsutil.listdir(spark, _mdir(root)):
-        m = re.fullmatch(r"\.claim\.m(\d{5})", name)
+        m = re.fullmatch(r"\.claim\.m(\d{5,})", name)
         if not m:
             continue
         v = int(m.group(1))
@@ -435,10 +455,16 @@ def table_diff(spark: SparkSession, root: str, v_from: int, v_to: int,
     byte-identical digests (they ARE the same files)."""
     a = read_table(spark, root, version=v_from)
     b = read_table(spark, root, version=v_to)
-    cols = sorted(c for c in a.columns if c != key)
+    # UNION of both schemas: a column added (or dropped) between the
+    # versions is itself a change — hashing v_from's columns only
+    # missed updates that touched new columns and crashed on dropped
+    # ones. A side lacking a column contributes NULL for it.
+    cols = sorted({*a.columns, *b.columns} - {key})
 
     def digest(df: DataFrame) -> DataFrame:
-        d = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        d = F.md5(F.to_json(F.struct(*[
+            (F.col(c) if c in df.columns
+             else F.lit(None)).alias(c) for c in cols])))
         return df.select(F.col(key), d.alias("__d"))
 
     da = digest(a).withColumnRenamed("__d", "__da")

@@ -3221,3 +3221,63 @@ def test_rfm_segments_scores(spark):
     for r in out.values():
         for c in ("r_score", "f_score", "m_score"):
             assert 1 <= r[c] <= 5
+
+
+def test_merge_upsert_null_partition_preserved(spark, tmp_path):
+    """Upserting into the NULL partition must MERGE with its stored rows
+    — isin([None]) never matches NULL, which silently replaced the
+    whole partition with just the batch."""
+    from otit_swt_spark.pipelines.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", None if i < 50 else "A") for i in range(100)],
+        "id long, val string, p string")
+    base.write.partitionBy("p").parquet(path)
+    changes = spark.createDataFrame([(1, "UPDATED", None)],
+                                    "id long, val string, p string")
+    merge_upsert(spark, path, changes, key="id", partition_col="p")
+    out = spark.read.parquet(path)
+    nulls = out.filter(F.col("p").isNull())
+    assert nulls.count() == 50                      # nothing lost
+    assert nulls.filter("id = 1").first()["val"] == "UPDATED"
+    assert out.count() == 100
+
+
+def test_apply_changes_precombines_multi_row_batches(spark):
+    from otit_swt_spark.pipelines.merge import apply_changes
+
+    target = spark.createDataFrame([(7, "old")], "id long, val string")
+    batch = spark.createDataFrame(
+        [(7, "first", 1), (7, "second", 2)], "id long, val string, seq int")
+    out = apply_changes(target, batch.drop("seq").unionByName(
+        batch.drop("seq")), "id").collect()
+    assert len(out) == 1                            # never duplicate keys
+    out2 = apply_changes(target.withColumn("seq", F.lit(0)), batch, "id",
+                         precombine_col="seq").collect()
+    assert len(out2) == 1 and out2[0]["val"] == "second"
+
+
+def test_wap_partition_key_bool_and_diff_schema_evolution(spark, tmp_path):
+    from otit_swt_spark.pipelines import wap
+
+    root = str(tmp_path / "w")
+    base = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False)], "id long, v string, act boolean")
+    wap.init_table(spark, root, base, partition_col="act")
+    # bool partition: merge must MERGE the 'true' partition, not replace
+    wap.merge_upsert(spark, root,
+                     spark.createDataFrame([(3, "c", True)],
+                                           "id long, v string, act boolean"),
+                     key="id")
+    cur = wap.read_table(spark, root)
+    assert cur.count() == 3
+    assert cur.filter("act = true").count() == 2    # id 1 survived
+    # schema evolution: v3 adds a column; diff sees changed rows
+    plus = (wap.read_table(spark, root)
+            .withColumn("score", F.col("id") * 1.0))
+    wap.publish(spark, root, plus)
+    d = {r["id"]: r["change_type"] for r in
+         wap.table_diff(spark, root, 2, 3, key="id").collect()}
+    assert set(d.values()) == {"update"}            # new column = change
+    assert len(d) == 3
