@@ -92,24 +92,29 @@ def stage_dynamic_overwrite(spark: SparkSession, path: str, frame: DataFrame,
 
 def apply_changes(target: DataFrame, changes: DataFrame, key: str,
                   deleted_col: str | None = None,
-                  precombine_col: str | None = None) -> DataFrame:
+                  precombine_col: str | None = None,
+                  identity_cols: list[str] | None = None) -> DataFrame:
     """Pure-DataFrame merge: rows of ``target`` not keyed in ``changes``,
     plus the non-tombstone rows of ``changes`` (which win on key clash).
 
-    A batch carrying SEVERAL rows for one key (an uncompacted CDC feed)
-    is precombined to one row per key first — by the greatest
-    ``precombine_col`` (the Hudi-style event-sequence rule) when given,
-    else by an arbitrary-but-single winner (exact duplicates collapse
-    either way). Without precombining, both rows would land in the
+    A batch carrying SEVERAL rows for one RECORD (an uncompacted CDC
+    feed) is precombined to one row per ``identity_cols`` (default
+    ``[key]``; merge_upsert passes ``[partition_col, key]`` so a
+    cross-partition MOVE — tombstone in the old partition + insert in
+    the new — keeps both rows) — by the greatest ``precombine_col``
+    (the Hudi-style event-sequence rule) when given, else by an
+    arbitrary-but-single winner (exact duplicates collapse either
+    way). Without precombining, duplicate records would land in the
     keyed table and double-count forever."""
     from pyspark.sql import Window as W
 
+    ident = identity_cols or [key]
     if precombine_col is not None:
-        w = W.partitionBy(key).orderBy(F.col(precombine_col).desc())
+        w = W.partitionBy(*ident).orderBy(F.col(precombine_col).desc())
         changes = (changes.withColumn("__pc_rn", F.row_number().over(w))
                    .where(F.col("__pc_rn") == 1).drop("__pc_rn"))
     else:
-        changes = changes.dropDuplicates([key])
+        changes = changes.dropDuplicates(ident)
     keys = F.broadcast(changes.select(key).distinct())
     survivors = target.join(keys, key, "left_anti")
     incoming = changes
@@ -144,7 +149,8 @@ def merge_upsert(spark: SparkSession, path: str, changes: DataFrame,
         parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
         target = target.filter(partition_predicate(F.col(partition_col),
                                                    parts))
-        merged = apply_changes(target, changes, key, deleted_col)
+        merged = apply_changes(target, changes, key, deleted_col,
+                               identity_cols=[partition_col, key])
         stage_dynamic_overwrite(spark, path, merged, partition_col, parts,
                                 tmp_suffix=".__merge_tmp__")
         return
