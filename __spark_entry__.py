@@ -6417,7 +6417,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster,
                    min(k) AS survivor_key,
-                   min_by(nm, k) AS survivor_name,
+                   -- deterministic (k, nm) tie-break, mirroring the
+                   -- operator's min-over-struct survivorship
+                   min(struct_pack(k := k, nm := nm)).nm AS survivor_name,
                    count(*) AS n_rows,
                    count(DISTINCT nm) AS n_names
             FROM lab GROUP BY cluster
@@ -6685,11 +6687,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "markov_transitions": """
             WITH seq AS (
+                -- NULL states are dropped BEFORE pairing (matching the
+                -- operator: A->B forms across a removed NULL, and no
+                -- NULL from_state group is emitted)
                 SELECT event_type AS from_state,
                        lead(event_type) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id)
                            AS to_state
-                FROM events
+                FROM events WHERE event_type IS NOT NULL
             ), pairs AS (
                 SELECT from_state, to_state, count(*) AS n
                 FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2

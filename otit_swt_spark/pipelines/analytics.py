@@ -819,7 +819,17 @@ def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
     ``-b·sgn(u−½)·ln(1−2|u−½|)``. Seeded determinism makes releases
     reproducible and REPLAYABLE in any SQL engine — the usual DP-noise
     testing problem (nondeterministic output, untestable pipeline)
-    disappears; rotate ``seed`` per release to resample.
+    disappears.
+
+    PRIVACY CAVEAT — the formal epsilon-DP guarantee holds ONLY if the
+    seed is secret and never reused: the noise here is a function of
+    (seed, group key) alone, so two releases over neighboring datasets
+    under the SAME seed receive identical noise draws and their
+    difference reveals the true delta exactly (unbounded privacy loss
+    for an adversary comparing releases, or one who learns the seed).
+    Use the seeded path for testing/replay/oracle verification; for a
+    real release draw a fresh cryptographic seed per release (or swap
+    in non-seeded randomness) and never publish or reuse it.
 
     One grouped count, map-side noise. ``keep_true`` retains the raw
     count for calibration tests — leave False for actual releases.
@@ -1046,6 +1056,44 @@ def kaplan_meier(events: DataFrame, key: str = "user_id",
         .withColumnRenamed("dur", "duration_days")
 
 
+def two_phase_row_number(df: DataFrame, val: str, tie: str, out: str,
+                         lo: float, hi: float, descending: bool = False,
+                         n_buckets: int = 1024) -> DataFrame:
+    """Distributed global ``row_number() OVER (ORDER BY val [DESC],
+    tie)`` — bit-identical to the naive window but with NO
+    unpartitioned WindowExec, so it scales past |frame| = one executor.
+
+    Two exactly-equivalent phases (the ``token_budget_select``
+    pattern, sampling.py): quantize ``val`` into ``n_buckets`` range
+    buckets (monotone: FP division by a positive constant preserves
+    order, equal values share a bucket); prefix-count the TINY
+    per-bucket frame (<= n_buckets rows — the only global window);
+    then global rank = broadcast bucket offset + a PER-BUCKET
+    row_number. Worst case (all values identical) degrades to the
+    naive single-partition window; any real metric distribution
+    spreads the work across buckets.
+
+    ``lo``/``hi`` are the caller-supplied value bounds (compute all
+    metrics' bounds in ONE driver ``first()``)."""
+    from pyspark.sql import Window as W
+
+    width = (float(hi) - float(lo)) / n_buckets or 1.0
+    b = F.least(F.floor((F.col(val) - F.lit(float(lo))) / F.lit(width)),
+                F.lit(n_buckets - 1)).cast("int")
+    bucketed = df.withColumn("__b", b)
+    border = F.desc("__b") if descending else F.asc("__b")
+    wb = W.orderBy(border).rowsBetween(W.unboundedPreceding, -1)
+    prefix = (bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+              .withColumn("__off",
+                          F.coalesce(F.sum("__bn").over(wb), F.lit(0)))
+              .select("__b", "__off"))
+    vorder = F.col(val).desc() if descending else F.col(val).asc()
+    ww = W.partitionBy("__b").orderBy(vorder, F.col(tie))
+    return (bucketed.join(F.broadcast(prefix), "__b")
+            .withColumn(out, F.col("__off") + F.row_number().over(ww))
+            .drop("__b", "__off"))
+
+
 def rfm_segments(events: DataFrame, key: str = "user_id",
                  ts: str = "ts", value: str = "value",
                  n_bins: int = 5) -> DataFrame:
@@ -1059,38 +1107,50 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
     ascending. Output: one row per key with the three raw metrics,
     three scores, and the concatenated segment label.
 
-    One grouped pass over events; the rank windows run on the per-key
-    aggregate frame (|keys| rows, not |events|)."""
-    from pyspark.sql import Window as W
-
+    One grouped pass over events; the three rank passes run on the
+    per-key aggregate frame via :func:`two_phase_row_number` (bucketed
+    offsets + per-bucket windows — no single-partition WindowExec over
+    the |keys| frame), with all metric bounds and the horizon read in
+    ONE driver ``first()``."""
     day = F.to_date(F.col(ts).cast("timestamp"))
     agg = (events.groupBy(F.col(key).alias("k"))
            .agg(F.max(day).alias("last_day"),
                 F.count(F.lit(1)).alias("frequency"),
-                F.sum(F.col(value).cast("decimal(38,12)")).alias("__m")))
-    horizon = agg.agg(F.max("last_day").alias("__h"))
-    staged = (agg.crossJoin(F.broadcast(horizon))
-              .select("k", F.datediff("__h", "last_day").alias("recency"),
-                      "frequency",
-                      F.round(F.col("__m").cast("double"), 6)
-                      .alias("monetary")))
-    n_tot = F.count(F.lit(1)).over(W.partitionBy())
+                F.sum(F.col(value).cast("decimal(38,12)")).alias("__m"))
+           .withColumn("monetary",
+                       F.round(F.col("__m").cast("double"), 6))
+           .drop("__m"))
+    bounds = agg.agg(
+        F.max("last_day").alias("h"), F.min("last_day").alias("d0"),
+        F.min("frequency").alias("f0"), F.max("frequency").alias("f1"),
+        F.min("monetary").alias("m0"), F.max("monetary").alias("m1"),
+        F.count(F.lit(1)).alias("n")).first()
+    if bounds["n"] == 0:
+        empty = agg.select(
+            F.col("k").alias(key),
+            F.lit(0).alias("recency"), "frequency", "monetary",
+            F.lit(0).alias("r_score"), F.lit(0).alias("f_score"),
+            F.lit(0).alias("m_score"), F.lit("").alias("segment"))
+        return empty.limit(0)
+    staged = agg.select(
+        "k", F.datediff(F.lit(bounds["h"]), "last_day").alias("recency"),
+        "frequency", "monetary")
+    n = bounds["n"]
+    max_rec = (bounds["h"] - bounds["d0"]).days
+    staged = two_phase_row_number(staged, "recency", "k", "__rr",
+                                  0, max_rec, descending=True)
+    staged = two_phase_row_number(staged, "frequency", "k", "__rf",
+                                  bounds["f0"], bounds["f1"])
+    staged = two_phase_row_number(staged, "monetary", "k", "__rm",
+                                  bounds["m0"], bounds["m1"])
 
-    def score(order_cols, name):
-        rk = F.row_number().over(W.partitionBy().orderBy(*order_cols))
-        return F.ceil(F.lit(n_bins) * rk / F.col("__n")).cast("int") \
-            .alias(name)
+    def score(rk, name):
+        return (F.ceil(F.lit(n_bins) * F.col(rk) / F.lit(float(n)))
+                .cast("int").alias(name))
 
-    out = (staged.withColumn("__n", n_tot)
-           .select("k", "recency", "frequency", "monetary", "__n",
-                   score([F.col("recency").desc(), F.col("k")],
-                         "r_score"),
-                   score([F.col("frequency").asc(), F.col("k")],
-                         "f_score"),
-                   score([F.col("monetary").asc(), F.col("k")],
-                         "m_score")))
-    return out.select(
+    return staged.select(
         F.col("k").alias(key), "recency", "frequency", "monetary",
-        "r_score", "f_score", "m_score",
-        F.concat_ws("-", "r_score", "f_score", "m_score")
-        .alias("segment"))
+        score("__rr", "r_score"), score("__rf", "f_score"),
+        score("__rm", "m_score")) \
+        .withColumn("segment",
+                    F.concat_ws("-", "r_score", "f_score", "m_score"))

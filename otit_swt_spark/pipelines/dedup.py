@@ -936,7 +936,9 @@ def leakage_safe_split(
 def lsh_recall_eval(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.8,
                     k: int = 64, bands: int = 16,
-                    shingle_n: int = 3) -> DataFrame:
+                    shingle_n: int = 3,
+                    sample_fraction: float = 1.0,
+                    sample_seed: str = "recall0") -> DataFrame:
     """Measured recall/precision of the banded-MinHash candidate
     generator against EXACT ground truth — the evaluation harness that
     turns "LSH should catch most near-dups" into a number you can
@@ -949,8 +951,25 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
     losses and all). One row out: ``(n_truth, n_candidates, n_hits,
     recall, precision)`` — precision here is "candidate pairs that are
     truly >= threshold", no second verify pass needed because truth is
-    complete."""
+    complete.
+
+    ``sample_fraction < 1`` bounds the exact-truth cost at corpus
+    scale: a DETERMINISTIC hash-sample of documents (seeded md5 of the
+    id — replayable in SQL, no Bernoulli nondeterminism) is taken
+    FIRST, and truth, candidates and hits are all computed on the same
+    sample, so the measured recall is an unbiased estimate while the
+    quadratic truth-pair mass shrinks ~fraction². At ``1.0`` (the
+    default, and the oracle-gated setting) the eval is exact and
+    bit-replayable."""
     from otit_swt_spark.pipelines.fuzzy import _ssjoin_pairs
+
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    if sample_fraction < 1.0:
+        df = df.where(
+            seeded_uniform(F.concat(F.lit(sample_seed + ":"),
+                                    F.col(id_col).cast("string")))
+            < F.lit(sample_fraction))
 
     grams = (df.select(F.col(id_col).alias("id"),
                        F.explode(shingles(F.col(text_col), shingle_n))

@@ -283,8 +283,14 @@ def er_golden_records(df: DataFrame, name_col: str, key_col: str,
     labeled = (rows.join(comps, rows["__nm"] == comps["id"], "left")
                .select("__nm", "__k",
                        F.coalesce("cluster", "__nm").alias("cluster")))
+    # survivor_name: min over (key, name) struct, NOT min_by(name, key) —
+    # when key_col values tie within a cluster min_by's pick is
+    # engine-arbitrary; the struct's lexicographic (key, name) order is
+    # deterministic and bit-replayable against the DuckDB oracle
+    surv = F.min(F.struct(F.col("__k").alias("k"),
+                          F.col("__nm").alias("nm")))
     return (labeled.groupBy("cluster")
             .agg(F.min("__k").alias("survivor_key"),
-                 F.min_by("__nm", "__k").alias("survivor_name"),
+                 surv["nm"].alias("survivor_name"),
                  F.count(F.lit(1)).alias("n_rows"),
                  F.countDistinct("__nm").alias("n_names")))

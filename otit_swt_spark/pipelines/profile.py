@@ -161,14 +161,25 @@ def gini_coefficient(df: DataFrame, group_col: str) -> DataFrame:
     Computed by the sorted-rank identity
     ``G = 2·Σ(rank·n_g) / (n·Σn_g) − (n+1)/n`` with ranks ascending by
     (count, group): all-integer products summed in DECIMAL (exact,
-    order-independent), one double expression at the end. The rank
-    window runs over the per-group count frame, not the corpus."""
-    from pyspark.sql import Window as W
+    order-independent), one double expression at the end. The rank is
+    the bucketed two-phase ``row_number``
+    (:func:`~otit_swt_spark.pipelines.analytics.two_phase_row_number`)
+    over the per-group count frame — no single-partition WindowExec,
+    so group_col may be an unbounded key (users), not just a handful
+    of sources."""
+    from otit_swt_spark.pipelines.analytics import two_phase_row_number
 
     counts = (df.groupBy(F.col(group_col).alias("g"))
               .agg(F.count(F.lit(1)).alias("n")))
-    rk = F.row_number().over(W.partitionBy().orderBy("n", "g"))
-    agg = (counts.withColumn("__rk", rk)
+    b = counts.agg(F.min("n").alias("lo"), F.max("n").alias("hi")).first()
+    if b["lo"] is None:
+        return counts.agg(F.count(F.lit(1)).alias("n_groups"),
+                          F.sum("n").cast("long").alias("n_rows"),
+                          F.lit(None).cast("double").alias("gini")) \
+            .limit(0)
+    ranked = two_phase_row_number(counts, "n", "g", "__rk",
+                                  b["lo"], b["hi"])
+    agg = (ranked
            .agg(F.count(F.lit(1)).alias("k"),
                 F.sum(F.col("n").cast(_DEC)).alias("s"),
                 F.sum((F.col("__rk") * F.col("n")).cast(_DEC))

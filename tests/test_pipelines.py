@@ -2919,6 +2919,45 @@ def test_lsh_recall_eval_planted_dups(spark):
     assert 0.0 < r["precision"] <= 1.0
 
 
+def test_lsh_recall_eval_sampled_bounds_truth_mass(spark):
+    # duplicate-mass corpus: 60 copies of the same text would produce
+    # C(60,2)=1770 truth pairs exact; a deterministic hash-sample keeps
+    # the sampled truth-pair mass well below that while the metric stays
+    # meaningful (recall still 1.0 for identical copies that survive).
+    from otit_swt_spark.pipelines.dedup import lsh_recall_eval
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, base) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = lsh_recall_eval(df, threshold=0.6).first()
+    assert full["n_truth"] == 60 * 59 // 2
+    samp = lsh_recall_eval(df, threshold=0.6, sample_fraction=0.3).first()
+    # sampled truth mass ~ fraction^2 of the full quadratic mass
+    assert 0 < samp["n_truth"] < full["n_truth"] * 0.3
+    # under duplicate mass the candidate side is chain-paired (per-bucket
+    # caps), so recall < 1 by design — it just has to be a real number
+    assert 0.0 < samp["recall"] <= 1.0
+    # deterministic: same seed, same sample, same numbers
+    again = lsh_recall_eval(df, threshold=0.6, sample_fraction=0.3).first()
+    assert samp == again
+    with pytest.raises(ValueError):
+        lsh_recall_eval(df, sample_fraction=0.0)
+
+
+def test_er_survivor_name_tie_break(spark):
+    # key ties within a cluster: survivor_name must be the (key, name)
+    # struct-min, not an engine-arbitrary min_by pick
+    from otit_swt_spark.pipelines.fuzzy import er_golden_records
+
+    rows = [(1, "acme steel"), (1, "acme stel"), (2, "acme steels")]
+    df = spark.createDataFrame(rows, "k long, name string")
+    out = er_golden_records(df, "name", "k", max_distance=3).collect()
+    assert len(out) == 1
+    assert out[0]["survivor_key"] == 1
+    assert out[0]["survivor_name"] == "acme steel"
+
+
 def test_k_anonymity_and_twap(spark):
     from otit_swt_spark.pipelines.profile import k_anonymity_report
     from otit_swt_spark.timeseries import twap

@@ -1,10 +1,10 @@
-"""Plan guard over EVERY __spark_entry__ query (opt-in,
-SPARK_GRAFT_PLAN_GUARD=1): compiles each entry at sf0.001 and asserts the
-global plan invariants the 100 TB posture depends on —
+"""Plan guard over EVERY __spark_entry__ query: compiles each entry at
+sf0.001 and asserts the global plan invariants the 100 TB posture
+depends on —
 
 - no CartesianProduct / BroadcastNestedLoopJoin (except the intentional
-  broadcast cross in the embedding top-k entries, where the broadcast side
-  is one row),
+  bounded broadcast crosses whitelisted in CROSS_OK, each with its bound
+  stated),
 - no row-at-a-time Python UDFs (BatchEvalPython); Arrow-batched
   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the allowed
   Python escape hatches.
@@ -12,6 +12,11 @@ global plan invariants the 100 TB posture depends on —
 Compile-only (no execution), so the sweep stays minutes even as entries
 grow. A new entry that accidentally introduces a cross join or a row UDF
 fails here with its name.
+
+Runs in the DEFAULT suite (round-7 verdict: an opt-in guard rots
+silently — five entries landed with unwhitelisted crosses because
+nobody re-ran it). Set SPARK_GRAFT_SKIP_PLAN_GUARD=1 to skip during
+tight inner loops; CI/closeout must not.
 """
 
 import os
@@ -22,8 +27,8 @@ import pytest
 import __spark_entry__ as entry_mod
 
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_PLAN_GUARD"),
-    reason="plan guard is opt-in (SPARK_GRAFT_PLAN_GUARD=1)")
+    os.environ.get("SPARK_GRAFT_SKIP_PLAN_GUARD"),
+    reason="plan guard skipped (SPARK_GRAFT_SKIP_PLAN_GUARD set)")
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -52,7 +57,21 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # one-row basket-total scalar broadcast cross
             "assoc_rules_brands",
             # one-row state-vocabulary scalar broadcast cross
-            "markov_transitions"}
+            "markov_transitions",
+            # one-row (n_rows, mean) stats x one-row CI-band broadcast
+            # crosses (Poisson bootstrap, analytics.bootstrap_mean_ci)
+            "bootstrap_mean_ci",
+            # one-row horizon(max last_day) broadcast cross into the
+            # per-user lifetime frame (analytics.kaplan_meier_churn)
+            "kaplan_meier_churn",
+            # eval harness: 1-row truth-count x 1-row hit-count x 1-row
+            # pair-total crosses when folding recall/precision scalars
+            "lsh_recall_eval",
+            # eval harness: the n_queries-row (default 16) query sample
+            # is DELIBERATELY scored against the whole corpus to build
+            # exact ground truth — bound = n_queries x corpus, stated in
+            # similarity.ann_recall_eval's docstring
+            "ann_recall_eval"}
 
 
 def test_all_entries_plan_invariants(spark):
