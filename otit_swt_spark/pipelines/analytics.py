@@ -1137,12 +1137,60 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
         "frequency", "monetary")
     n = bounds["n"]
     max_rec = (bounds["h"] - bounds["d0"]).days
-    staged = two_phase_row_number(staged, "recency", "k", "__rr",
-                                  0, max_rec, descending=True)
-    staged = two_phase_row_number(staged, "frequency", "k", "__rf",
-                                  bounds["f0"], bounds["f1"])
-    staged = two_phase_row_number(staged, "monetary", "k", "__rm",
-                                  bounds["m0"], bounds["m1"])
+
+    # All three metrics bucketed on ONE frame; the three <=1024-row
+    # bucket-prefix maps are computed from ONE extra aggregate job
+    # (explode into (metric, bucket) pairs, count, collect <=3072 rows)
+    # and re-attached as broadcast joins — the final plan scans and
+    # aggregates events exactly once, where per-metric DataFrame
+    # branches would replicate the scan+agg subtree (column pruning
+    # makes the branch exchanges non-identical, defeating
+    # ReuseExchange).
+    from pyspark.sql import Window as W
+
+    def bucket(col, lo, hi):
+        width = (float(hi) - float(lo)) / 1024 or 1.0
+        return F.least(F.floor((F.col(col) - F.lit(float(lo)))
+                               / F.lit(width)),
+                       F.lit(1023)).cast("int")
+
+    bucketed = (staged
+                .withColumn("__br", bucket("recency", 0, max_rec))
+                .withColumn("__bf", bucket("frequency", bounds["f0"],
+                                           bounds["f1"]))
+                .withColumn("__bm", bucket("monetary", bounds["m0"],
+                                           bounds["m1"])))
+    hist = (bucketed.select(F.explode(F.array(
+                F.struct(F.lit("r").alias("m"), F.col("__br").alias("b")),
+                F.struct(F.lit("f").alias("m"), F.col("__bf").alias("b")),
+                F.struct(F.lit("m").alias("m"), F.col("__bm").alias("b"))))
+            .alias("e"))
+            .groupBy("e.m", "e.b").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    spark = bucketed.sparkSession
+    pre = {}
+    for metric, descending in (("r", True), ("f", False), ("m", False)):
+        rows = sorted(((r["b"], r["n"]) for r in hist
+                       if r["m"] == metric), reverse=descending)
+        acc, offs = 0, []
+        for bkt, cnt in rows:
+            offs.append((bkt, acc))
+            acc += cnt
+        pre[metric] = offs
+    staged = (bucketed
+              .join(F.broadcast(spark.createDataFrame(
+                    pre["r"], "__br int, __or bigint")), "__br")
+              .join(F.broadcast(spark.createDataFrame(
+                    pre["f"], "__bf int, __of bigint")), "__bf")
+              .join(F.broadcast(spark.createDataFrame(
+                    pre["m"], "__bm int, __om bigint")), "__bm"))
+    wr = W.partitionBy("__br").orderBy(F.col("recency").desc(), "k")
+    wf = W.partitionBy("__bf").orderBy(F.col("frequency").asc(), "k")
+    wm = W.partitionBy("__bm").orderBy(F.col("monetary").asc(), "k")
+    staged = (staged
+              .withColumn("__rr", F.col("__or") + F.row_number().over(wr))
+              .withColumn("__rf", F.col("__of") + F.row_number().over(wf))
+              .withColumn("__rm", F.col("__om") + F.row_number().over(wm)))
 
     def score(rk, name):
         return (F.ceil(F.lit(n_bins) * F.col(rk) / F.lit(float(n)))
@@ -1154,3 +1202,170 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
         score("__rm", "m_score")) \
         .withColumn("segment",
                     F.concat_ws("-", "r_score", "f_score", "m_score"))
+
+
+def chi_square_independence(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the feature-vs-label dependency screen (is event type
+    independent of weekday? is source independent of language?).
+    Uses the zero-cell-free identity ``chi2 = sum(c^2/e) - N`` over the
+    OBSERVED cells only (every unobserved cell's expected mass is
+    absorbed by the -N term), so the plan never materializes the full
+    R x C grid: one grouped count per margin plus the cell counts, two
+    broadcast margin joins, a one-row total. Per-cell terms are exact
+    integer ratios evaluated in double and summed in DECIMAL(38,12)
+    (order-independent); dof = (R-1)(C-1). Output one row:
+    ``(chi2, dof, n)``."""
+    cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    ra = cells.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = cells.agg(F.sum("c").alias("n"),
+                    F.countDistinct("a").alias("nr"),
+                    F.countDistinct("b").alias("nc"))
+    term = ((F.col("c").cast("double") * F.col("c").cast("double")
+             * F.col("n").cast("double"))
+            / (F.col("ra").cast("double") * F.col("cb").cast("double")))
+    joined = (cells.join(F.broadcast(ra), "a")
+              .join(F.broadcast(cb), "b")
+              .crossJoin(F.broadcast(tot)))
+    agg = joined.agg(
+        F.sum(term.cast("decimal(38,12)")).alias("s"),
+        F.max("n").alias("n"), F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"))
+    return agg.select(
+        (F.round(F.col("s").cast("double") - F.col("n").cast("double"), 6)
+         + F.lit(0.0)).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"))
+
+
+def mad_anomalies(events: DataFrame, key: str = "user_id",
+                  value: str = "value", id_col: str = "event_id",
+                  k: float = 3.0) -> DataFrame:
+    """Robust per-key outliers by median absolute deviation — the
+    outlier detector that survives the outliers themselves (a single
+    10^6 spike inflates a stddev-based z-score's own yardstick; the
+    median and MAD barely move). Flags rows with
+    ``|v - median| > k * MAD``; keys with MAD = 0 (constant-majority
+    series, modified z undefined) are excluded by contract.
+
+    Two grouped exact percentiles + two joins, all on the same key —
+    one hash partitioning reused end-to-end, no windows. Output:
+    ``(id_col, key, value, med, mad, deviation)``."""
+    med = (events.groupBy(F.col(key).alias("__k"))
+           .agg(F.expr(f"percentile({value}, 0.5)").alias("med")))
+    staged = (events.select(F.col(id_col), F.col(key), F.col(value))
+              .join(med, F.col(key) == F.col("__k")).drop("__k")
+              .withColumn("__ad", F.abs(F.col(value) - F.col("med"))))
+    mad = (staged.groupBy(F.col(key).alias("__k"))
+           .agg(F.expr("percentile(__ad, 0.5)").alias("mad")))
+    return (staged.join(mad, F.col(key) == F.col("__k")).drop("__k")
+            .where((F.col("mad") > 0)
+                   & (F.col("__ad") > F.lit(k) * F.col("mad")))
+            .select(id_col, key, value,
+                    (F.round("med", 6) + F.lit(0.0)).alias("med"),
+                    F.round("mad", 6).alias("mad"),
+                    F.round("__ad", 6).alias("deviation")))
+
+
+def ks_two_sample(df: DataFrame, value: str, group: str,
+                  group_a, group_b, n_buckets: int = 1024) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value`` distributions of two groups — the drift test that needs
+    no binning choice (unlike PSI): D = max over observed values of
+    |F_a(x) - F_b(x)|. The argmax search runs on EXACT INTEGERS
+    (max |cum_a*n_b - cum_b*n_a|, one DECIMAL division at the end), so
+    no float-accumulation order can move the maximum.
+
+    Distributed shape: per-value counts, then the cumulative sums via
+    the bucketed two-phase pattern (:func:`two_phase_row_number`'s
+    sibling): range-bucket the value, prefix-sum the <=``n_buckets``-row
+    bucket frame (the only global window), per-bucket window cumsums.
+    Output one row: ``(n_a, n_b, ks)``."""
+    from pyspark.sql import Window as W
+
+    v = (df.where(F.col(group).isin([group_a, group_b]))
+         .select(F.col(value).alias("v"),
+                 F.when(F.col(group) == group_a, 1).otherwise(0)
+                 .alias("__ia")))
+    counts = (v.groupBy("v")
+              .agg(F.sum("__ia").alias("ca"),
+                   F.sum(F.lit(1) - F.col("__ia")).alias("cb")))
+    b = counts.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if b["lo"] is None:
+        return counts.agg(F.lit(0).cast("long").alias("n_a"),
+                          F.lit(0).cast("long").alias("n_b"),
+                          F.lit(None).cast("double").alias("ks")).limit(0)
+    width = (float(b["hi"]) - float(b["lo"])) / n_buckets or 1.0
+    bk = F.least(F.floor((F.col("v") - F.lit(float(b["lo"])))
+                         / F.lit(width)), F.lit(n_buckets - 1)).cast("int")
+    bucketed = counts.withColumn("__b", bk)
+    wb = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    wtot = W.orderBy("__b").rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing)
+    prefix = (bucketed.groupBy("__b")
+              .agg(F.sum("ca").alias("__ba"), F.sum("cb").alias("__bb"))
+              .select("__b",
+                      F.coalesce(F.sum("__ba").over(wb), F.lit(0))
+                      .alias("__oa"),
+                      F.coalesce(F.sum("__bb").over(wb), F.lit(0))
+                      .alias("__ob"),
+                      F.sum("__ba").over(wtot).alias("n_a"),
+                      F.sum("__bb").over(wtot).alias("n_b")))
+    ww = (W.partitionBy("__b").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(prefix), "__b")
+           .select((F.col("__oa") + F.sum("ca").over(ww)).alias("cum_a"),
+                   (F.col("__ob") + F.sum("cb").over(ww)).alias("cum_b"),
+                   "n_a", "n_b"))
+    # scale-0 decimals: the counts are integers, and (38,0)x(38,0)
+    # products stay exact where (38,12) scales would clamp
+    num = F.abs(F.col("cum_a").cast("decimal(38,0)")
+                * F.col("n_b").cast("decimal(38,0)")
+                - F.col("cum_b").cast("decimal(38,0)")
+                * F.col("n_a").cast("decimal(38,0)"))
+    return (cum.agg(F.max(num).alias("__d"),
+                    F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
+            .select(F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.round(F.col("__d").cast("double")
+                                   / (F.col("n_a").cast("double")
+                                      * F.col("n_b").cast("double")), 6))
+                    .alias("ks")))
+
+
+def seq_patterns(events: DataFrame, n: int = 3, key: str = "user_id",
+                 ts: str = "ts", state_col: str = "event_type",
+                 order_cols: list[str] | None = None,
+                 top_n: int = 25) -> DataFrame:
+    """Top contiguous event-type n-gram patterns ranked by SUPPORT
+    (distinct keys exhibiting the pattern) — the bounded-length heart of
+    sequential-pattern mining (the "view -> cart -> purchase vs
+    view -> cart -> exit" question), without PrefixSpan's exponential
+    candidate lattice. NULL states are dropped before pairing (the
+    :func:`markov_transitions` contract). One key-partitioned window
+    builds the n-gram via lead(); support and occurrence counts
+    aggregate once; distributed TakeOrdered for the head."""
+    from pyspark.sql import Window as W
+
+    order = [ts, *(order_cols or [])]
+    w = W.partitionBy("__k").orderBy(*order)
+    seq = (events.where(F.col(state_col).isNotNull())
+           .select(F.col(key).alias("__k"), *[F.col(c) for c in order],
+                   F.col(state_col).alias("s0")))
+    cols = ["s0"]
+    for i in range(1, n):
+        seq = seq.withColumn(f"s{i}", F.lead("s0", i).over(w))
+        cols.append(f"s{i}")
+    grams = seq.where(F.col(f"s{n-1}").isNotNull())
+    agg = (grams.groupBy(*cols)
+           .agg(F.countDistinct("__k").alias("support"),
+                F.count(F.lit(1)).alias("n_occurrences")))
+    return (agg.select(F.concat_ws(" -> ", *cols).alias("pattern"),
+                       "support", "n_occurrences")
+            .orderBy(F.col("support").desc(),
+                     F.col("n_occurrences").desc(), "pattern")
+            .limit(top_n))

@@ -128,26 +128,29 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     has 0.3 nats — everything is one value") and feature audits. NULLs
     count as a category. One grouped count per column.
 
-    Determinism contract: each group's ``p·ln p`` term is cast to
+    Determinism contract: each group's ``n·ln n`` term is cast to
     DECIMAL(38,12) BEFORE summing, so the reduction is exact and
     partition-order independent (float entropy sums differ in low bits
-    per merge order); one double conversion at the end. Output:
-    ``(col, n_distinct, entropy)``."""
+    per merge order); one double conversion at the end. Uses the
+    windowless identity ``H = ln N − (Σ n·ln n)/N`` — the per-value
+    count frame (unbounded for high-cardinality columns) is reduced in
+    ONE grouped aggregate, never pushed through a global total window.
+    Output: ``(col, n_distinct, entropy)``."""
     outs = []
     for c in cols:
         counts = (df.groupBy(F.col(c).cast("string").alias("__v"))
                   .agg(F.count(F.lit(1)).alias("__n")))
-        from pyspark.sql import Window as W
-
-        tot = F.sum("__n").over(W.partitionBy())
-        p = F.col("__n") / F.col("__t").cast("double")
-        term = (p * F.log(p)).cast(_DEC)
-        outs.append(counts.withColumn("__t", tot)
+        term = (F.col("__n").cast("double")
+                * F.log(F.col("__n").cast("double"))).cast(_DEC)
+        h = (F.log(F.col("__t").cast("double"))
+             - F.col("__s").cast("double") / F.col("__t").cast("double"))
+        outs.append(counts
                     .agg(F.count(F.lit(1)).alias("n_distinct"),
+                         F.sum("__n").alias("__t"),
                          F.sum(term).alias("__s"))
                     .select(F.lit(c).alias("col"), "n_distinct",
-                            (F.round(-F.col("__s").cast("double"), 6)
-                             + F.lit(0.0)).alias("entropy")))
+                            (F.round(h, 6) + F.lit(0.0))
+                            .alias("entropy")))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -206,3 +209,34 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
     cls = (df.groupBy(*[F.col(c) for c in quasi_cols])
            .agg(F.count(F.lit(1)).alias("class_size")))
     return cls.where(F.col("class_size") < k)
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-data / unit-mixing alarm for financial and
+    metering columns (naturally-grown magnitudes follow
+    ``p(d) = log10(1 + 1/d)``; uniform or hand-entered values don't).
+    The leading digit is taken from the integer part's string head
+    (never ``log10`` — float log of exact powers of ten can land a
+    hair below the integer and misassign the digit). Values < 1 or
+    NULL are excluded (no stable first digit). Output: one row per
+    digit 1-9 with observed count/frequency, the Benford expectation,
+    and the deviation; the only window runs over the <=9-row digit
+    frame."""
+    from pyspark.sql import Window as W
+
+    d = (df.select(F.col(col).cast("double").alias("v"))
+         .where(F.col("v") >= 1)
+         .select(F.substring(F.floor("v").cast("long").cast("string"),
+                             1, 1).cast("int").alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(W.partitionBy())
+    freq = F.col("n") / F.col("__t").cast("double")
+    expect = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (d.withColumn("__t", tot)
+            .select("digit", "n",
+                    (F.round(freq, 6) + F.lit(0.0)).alias("observed"),
+                    (F.round(expect, 6) + F.lit(0.0)).alias("benford"),
+                    (F.round(freq - expect, 6) + F.lit(0.0))
+                    .alias("deviation"))
+            .orderBy("digit"))

@@ -492,3 +492,54 @@ def zipf_exponent(df: DataFrame, text_col: str = "text",
     return agg.select(F.col("k").alias("n_tokens_fit"),
                       slope.alias("slope"), intercept.alias("intercept"),
                       r2.alias("r2"))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top_n: int = 50) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations — the standard
+    fixed-phrase detector (Church & Hanks 1990) a tokenizer/vocab
+    pipeline runs to decide which word pairs deserve single-token status
+    ("new york", "machine learning"). PMI = ln(p(a,b) / (p(a)·p(b)))
+    with p(a,b) over the bigram stream and p(·) over the unigram
+    stream; ``min_count`` suppresses the low-frequency PMI explosion
+    (a pair seen once with rare words scores arbitrarily high).
+
+    Shape: one explode->count per stream (uniform token keys), two
+    equi-joins of the bigram frame against the unigram counts, scalar
+    totals as a one-row broadcast, distributed TakeOrdered for the
+    head — no global window, no cross join over data. The PMI argument
+    is assembled as one double expression from exact integer counts
+    (identical operation order in the SQL oracle), so the statistic is
+    bit-replayable."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = df.select(toks.alias("__t"))
+    uni = (staged.select(F.explode("__t").alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n_w")))
+    idx = F.sequence(F.lit(0), F.size("__t") - F.lit(2))
+    bi = (staged.where(F.size("__t") >= 2)
+          .select(F.explode(F.transform(
+              idx, lambda i: F.struct(
+                  F.element_at("__t", (i + 1).cast("int")).alias("a"),
+                  F.element_at("__t", (i + 2).cast("int")).alias("b"))))
+              .alias("p"))
+          .select("p.a", "p.b")
+          .where((F.col("a") != "") & (F.col("b") != ""))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+          .where(F.col("n_ab") >= min_count))
+    totals = (uni.agg(F.sum("n_w").alias("__nu"))
+              .crossJoin(F.broadcast(
+                  bi.agg(F.sum("n_ab").alias("__nb")))))
+    ua = uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b"))
+    pmi = F.log((F.col("n_ab").cast("double")
+                 * F.col("__nu").cast("double")
+                 * F.col("__nu").cast("double"))
+                / (F.col("__nb").cast("double")
+                   * F.col("n_a").cast("double")
+                   * F.col("n_b").cast("double")))
+    scored = (bi.join(ua, "a").join(ub, "b")
+              .crossJoin(F.broadcast(totals))
+              .select("a", "b", "n_ab", "n_a", "n_b",
+                      (F.round(pmi, 6) + F.lit(0.0)).alias("pmi")))
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(top_n)

@@ -19,6 +19,51 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from otit_swt_spark.session import get_spark  # noqa: E402
 
 
+def _single_partition_windows(plan: str) -> int:
+    """Count Window operators with an EMPTY partition spec — the ones
+    WindowExec warns about ("Moving all data to a single partition").
+    In plan text a window node prints its NON-EMPTY specs as top-level
+    bracket groups: ``Window [exprs], [part], [order]`` when fully
+    specified, ``Window [exprs], [spec]`` when only one of
+    partition/order exists, ``Window [exprs]`` when neither. The
+    single remaining spec is an ORDER spec iff it carries sort
+    directions (``ASC``/``DESC`` — partition specs never do), so:
+    1 group, or 2 groups with a directed second group => empty
+    partition spec => single-partition execution. Brackets nest inside
+    windowspecdefinition; groups are counted by bracket depth.
+    A global window is FINE over a bounded frame (bucket prefixes,
+    per-day rollups) and a scale bug over an unbounded one — this
+    count surfaces regressions in the audit diff (round-7 verdict
+    item 8)."""
+    n = 0
+    for line in plan.splitlines():
+        # plain Window nodes only: WindowGroupLimit prints its partition
+        # spec as the FIRST bracket group (2 groups even when
+        # partitioned), and it always accompanies the Window node it
+        # limits, so counting it would double- and over-report
+        m = re.match(r"[\s:+-]*(?:\*\(\d+\)\s*)?Window ", line)
+        if not m:
+            continue
+        depth = 0
+        groups = []
+        for pos, ch in enumerate(line[m.end() - 1:], start=m.end() - 1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append([pos + 1, pos + 1])
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups[-1][1] = pos
+        if len(groups) == 1:
+            n += 1
+        elif len(groups) == 2:
+            second = line[groups[1][0]:groups[1][1]]
+            if re.search(r"\b(ASC|DESC)\b", second):
+                n += 1
+    return n
+
+
 def audit(name: str, df) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
@@ -36,7 +81,8 @@ def audit(name: str, df) -> None:
     # only appears in the formatted explain), so count distinct span ids
     codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
     print(f"   exchanges: {plan.count('Exchange')}, "
-          f"codegen spans: {codegen}")
+          f"codegen spans: {codegen}, "
+          f"single-partition windows: {_single_partition_windows(plan)}")
 
 
 def main() -> None:

@@ -84,3 +84,24 @@ def test_bench_names_exist_in_registry():
     missing = [n for n in bench.HEADLINE + bench.EXTENDED
                if n not in keys]
     assert not missing, missing
+
+
+def test_plan_audit_covers_registry():
+    """Plan-audit drift guard (round-7 verdict item 4): the committed
+    PLAN_AUDIT file must contain a block for EVERY registry entry —
+    adding an entry without regenerating the audit
+    (``python scripts/explain_audit.py /root/testdata/sf0.001 >
+    docs/PLAN_AUDIT_r<N>.md``) fails here, the same structural
+    protection OPERATORS.md already has."""
+    import glob
+
+    audits = sorted(glob.glob("/root/repo/docs/PLAN_AUDIT_r*.md"),
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    assert audits, "no committed PLAN_AUDIT_r*.md"
+    with open(audits[-1]) as f:
+        text = f.read()
+    audited = set(re.findall(r"^== ([a-z0-9_]+)$", text, re.M))
+    missing = sorted(set(entry_mod.queries()) - audited)
+    assert not missing, (
+        f"{audits[-1]} misses {len(missing)} registry entries "
+        f"(regenerate with scripts/explain_audit.py): {missing[:10]}")

@@ -144,6 +144,40 @@ def test_ann_lsh_topk_contains_self(spark):
     assert top["vec_id"] == 11
 
 
+def test_ann_production_route_recall_gate(spark):
+    """Registry-level recall gate (round-7 verdict item 5): the config
+    named the production default (similarity.ANN_PRODUCTION, used by the
+    ann_multitable_topk entry) must hold mean recall@10 >= 0.9 on the
+    testdata corpus; a config change that silently degrades recall
+    fails here."""
+    from otit_swt_spark.pipelines.similarity import (ANN_PRODUCTION,
+                                                     ann_recall_eval)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean = (ann_recall_eval(emb, n_queries=16, k=10, **ANN_PRODUCTION)
+            .agg(F.avg("recall").alias("m")).first()["m"])
+    assert mean >= 0.9, f"production ANN route recall@10 {mean:.3f} < 0.9"
+    # and the documented cheap tier really is the low-recall one
+    single = (ann_recall_eval(emb, n_queries=16, k=10, n_bits=6)
+              .agg(F.avg("recall").alias("m")).first()["m"])
+    assert single < mean
+
+
+def test_ivf_recall_gate(spark):
+    """IVF route instrumentation (seeded KMeans -> deterministic):
+    measured 0.794 recall@10 at n_clusters=16/n_probe=8 on sf0.001 —
+    gate at 0.7 so a fit/probe regression surfaces. The candidate set
+    is KMeans-dependent (not SQL-replayable), so this harness is
+    pytest-gated rather than a registry entry."""
+    from otit_swt_spark.pipelines.similarity import ivf_recall_eval
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean = (ivf_recall_eval(emb, n_queries=16, k=10,
+                            n_clusters=16, n_probe=8)
+            .agg(F.avg("recall").alias("m")).first()["m"])
+    assert mean >= 0.7, f"IVF route recall@10 {mean:.3f} < 0.7"
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
                                       whitelist_characters=" \t"),
@@ -3320,3 +3354,94 @@ def test_wap_partition_key_bool_and_diff_schema_evolution(spark, tmp_path):
          wap.table_diff(spark, root, 2, 3, key="id").collect()}
     assert set(d.values()) == {"update"}            # new column = change
     assert len(d) == 3
+
+
+def test_chi_square_independence_known_values(spark):
+    from otit_swt_spark.pipelines.analytics import chi_square_independence
+
+    # perfectly independent 2x2: p(a,b) = p(a)p(b) everywhere -> chi2 = 0
+    rows = ([("x", "u")] * 20 + [("x", "v")] * 20
+            + [("y", "u")] * 30 + [("y", "v")] * 30)
+    ind = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(ind, "a", "b").first()
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 100
+    # perfectly dependent 2x2: chi2 = N
+    dep = spark.createDataFrame([("x", "u")] * 25 + [("y", "v")] * 25,
+                                "a string, b string")
+    r = chi_square_independence(dep, "a", "b").first()
+    assert r["chi2"] == 50.0 and r["dof"] == 1
+
+
+def test_mad_anomalies_robust_to_spike(spark):
+    from otit_swt_spark.pipelines.analytics import mad_anomalies
+
+    # user 1: values clustered at 10 +- 1 with one huge spike ->
+    # only the spike flags (a stddev z-score would be blinded by it);
+    # user 2: constant (MAD=0) -> excluded entirely
+    rows = ([(i, 1, 10.0 + (i % 3) - 1) for i in range(9)]
+            + [(100, 1, 1e6)] + [(200 + i, 2, 5.0) for i in range(5)])
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = mad_anomalies(ev).collect()
+    assert [r["event_id"] for r in out] == [100]
+    assert out[0]["mad"] == 1.0
+
+
+def test_ks_two_sample_extremes(spark):
+    from otit_swt_spark.pipelines.analytics import ks_two_sample
+
+    # identical distributions -> ks = 0
+    rows = [(float(v), g) for v in range(50) for g in ("a", "b")]
+    same = spark.createDataFrame(rows, "v double, g string")
+    r = ks_two_sample(same, "v", "g", "a", "b").first()
+    assert r["ks"] == 0.0 and r["n_a"] == 50 and r["n_b"] == 50
+    # disjoint supports -> ks = 1
+    rows = ([(float(v), "a") for v in range(50)]
+            + [(float(v + 1000), "b") for v in range(50)])
+    disj = spark.createDataFrame(rows, "v double, g string")
+    assert ks_two_sample(disj, "v", "g", "a", "b").first()["ks"] == 1.0
+
+
+def test_seq_patterns_support_counting(spark):
+    from otit_swt_spark.pipelines.analytics import seq_patterns
+
+    # both users run view->cart->buy once; user 1 additionally runs
+    # view->view->cart; NULL states are dropped before pairing
+    rows = [(1, 1, "view"), (1, 2, None), (1, 3, "view"),
+            (1, 4, "cart"), (1, 5, "buy"),
+            (2, 1, "view"), (2, 2, "cart"), (2, 3, "buy")]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string") \
+        .select("user_id", F.timestamp_micros(F.col("ts") * 1000000).alias("ts"),
+                "event_type")
+    out = {r["pattern"]: r for r in seq_patterns(ev, n=3).collect()}
+    assert out["view -> cart -> buy"]["support"] == 2
+    assert out["view -> view -> cart"]["support"] == 1
+
+
+def test_benford_digits_uniform_and_bounds(spark):
+    from otit_swt_spark.pipelines.profile import benford_digits
+
+    # powers of 10 never misassign (the float-log10 trap); values < 1 drop
+    rows = [(float(10 ** i),) for i in range(1, 10)] + [(0.5,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_digits(df, "v").collect()
+    assert len(out) == 1 and out[0]["digit"] == 1 and out[0]["n"] == 9
+    assert out[0]["observed"] == 1.0
+    assert abs(out[0]["benford"] - 0.30103) < 1e-5
+
+
+def test_pmi_collocations_fixed_phrase(spark):
+    from otit_swt_spark.pipelines.textstats import pmi_collocations
+
+    # "new york" always adjacent; filler words are independent (seeded
+    # random order, so no filler bigram repeats systematically)
+    import random
+    rng = random.Random(42)
+    docs = [(i, "new york " + " ".join(
+        rng.choice([f"w{k}" for k in range(13)]) for _ in range(10)))
+        for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top["a"], top["b"]) == ("new", "york")
+    assert top["n_ab"] == 40 and top["pmi"] > 0

@@ -71,7 +71,14 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # is DELIBERATELY scored against the whole corpus to build
             # exact ground truth — bound = n_queries x corpus, stated in
             # similarity.ann_recall_eval's docstring
-            "ann_recall_eval"}
+            "ann_recall_eval",
+            # same harness, multi-table production route (16-row
+            # broadcast x corpus)
+            "ann_recall_multitable",
+            # one-row (N, R, C) contingency-total broadcast cross
+            "chi2_events",
+            # one-row (unigram-total, bigram-total) broadcast cross
+            "pmi_collocations"}
 
 
 def test_all_entries_plan_invariants(spark):
