@@ -2151,6 +2151,47 @@ def q_benford_lineitem(spark, sf_dir):
                           "l_extendedprice")
 
 
+def q_seasonal_decompose_events(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event-count
+    series per event type (period 7): centered-MA trend, zero-centered
+    phase seasonals, residual — key-partitioned windows only."""
+    from otit_swt_spark.timeseries import classical_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.col("ts").cast("timestamp"))
+                        .alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return classical_decompose(daily, key="event_type", ts="day",
+                               value="n", period=7) \
+        .orderBy("event_type", "day")
+
+
+def q_psi_windows_events(spark, sf_dir):
+    """Batch twin of streaming.ingest.stream_psi (same code path, plain
+    windowed groupBy): daily PSI of the event value distribution vs a
+    fixed uniform reference — one stateful-op shape, bucket counts as
+    conditional sums inside a single aggregate. Oracle-gates the
+    streaming drift monitor's math."""
+    from otit_swt_spark.streaming.ingest import stream_psi
+
+    ev = _t(spark, sf_dir, "events") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    return stream_psi(ev, ref_shares=[0.2] * 5, lo=0.0, hi=500.0,
+                      ts_col="ts", window="1 day") \
+        .orderBy("window_start")
+
+
+def q_percentile_rank_events(spark, sf_dir):
+    """Percentile-rank transform of event values ((rank-1)/(n-1), ties
+    broken by event_id) via the bucketed two-phase rank — the full-frame
+    global-order transform with no single-partition WindowExec."""
+    from otit_swt_spark.pipelines.analytics import percentile_rank
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return percentile_rank(ev, "value", "event_id")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top PMI bigram collocations over documents (min_count=5) — the
     fixed-phrase detector for tokenizer/vocab pipelines; explode-count
@@ -3154,6 +3195,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "seq_patterns_events": q_seq_patterns_events,
         "benford_lineitem": q_benford_lineitem,
         "pmi_collocations": q_pmi_collocations,
+        "seasonal_decompose_events": q_seasonal_decompose_events,
+        "psi_windows_events": q_psi_windows_events,
+        "percentile_rank_events": q_percentile_rank_events,
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
@@ -6971,6 +7015,96 @@ def oracle_sql() -> dict[str, str]:
             FROM bi JOIN uni ua ON ua.w = bi.a
             JOIN uni ub ON ub.w = bi.b, tot
             ORDER BY pmi DESC, a, b LIMIT 50
+        """,
+        "seasonal_decompose_events": """
+            WITH daily AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, 2
+            ), st AS (
+                SELECT k, day, y,
+                       CASE WHEN count(*) OVER w = 7 THEN
+                           CAST(sum(CAST(y AS DECIMAL(38, 12))) OVER w
+                                AS DOUBLE) / 7.0
+                       END AS tr,
+                       (row_number() OVER (PARTITION BY k ORDER BY day)
+                        - 1) % 7 AS ph
+                FROM daily
+                WINDOW w AS (PARTITION BY k ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), phase AS (
+                SELECT k, ph,
+                       CAST(sum(CAST(y - tr AS DECIMAL(38, 12)))
+                            AS DOUBLE) / count(*) AS raw
+                FROM st WHERE tr IS NOT NULL GROUP BY 1, 2
+            ), center AS (
+                SELECT k, CAST(sum(CAST(raw AS DECIMAL(38, 12)))
+                               AS DOUBLE) / count(*) AS c
+                FROM phase GROUP BY 1
+            ), seas AS (
+                SELECT phase.k, ph, raw - c AS s
+                FROM phase JOIN center USING (k)
+            )
+            SELECT st.k AS event_type, st.day, st.y AS n,
+                   round(tr, 6) + 0.0 AS trend,
+                   round(s, 6) + 0.0 AS seasonal,
+                   round(st.y - tr - s, 6) + 0.0 AS resid
+            FROM st LEFT JOIN seas ON seas.k = st.k AND seas.ph = st.ph
+            ORDER BY event_type, day
+        """,
+        "psi_windows_events": """
+            -- replay of streaming.stream_psi's batch twin: Spark's
+            -- window(ts, '1 day') is epoch-aligned == date_trunc('day');
+            -- 5 equi-width buckets over [0, 500), edge-clamped; shares
+            -- eps-floored at 1e-6 against the uniform 0.2 reference
+            WITH b AS (
+                -- CAST: DuckDB's date_trunc('day') returns DATE, Spark's
+                -- window() emits TIMESTAMP bounds
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS TIMESTAMP) AS w,
+                       least(greatest(CAST(floor(CAST(value AS DOUBLE)
+                                                 / 100.0) AS BIGINT), 0),
+                             4) AS bk
+                FROM events
+            ), g AS (
+                SELECT w,
+                       CAST(sum(CASE WHEN bk = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b0,
+                       CAST(sum(CASE WHEN bk = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b1,
+                       CAST(sum(CASE WHEN bk = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b2,
+                       CAST(sum(CASE WHEN bk = 3 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b3,
+                       CAST(sum(CASE WHEN bk = 4 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b4,
+                       count(*) AS n
+                FROM b GROUP BY 1
+            )
+            SELECT w AS window_start,
+                   w + INTERVAL 1 DAY AS window_end,
+                   n,
+                   round(
+                     (greatest(b0 / CAST(n AS DOUBLE), 1e-6) - 0.2)
+                       * ln(greatest(b0 / CAST(n AS DOUBLE), 1e-6) / 0.2)
+                   + (greatest(b1 / CAST(n AS DOUBLE), 1e-6) - 0.2)
+                       * ln(greatest(b1 / CAST(n AS DOUBLE), 1e-6) / 0.2)
+                   + (greatest(b2 / CAST(n AS DOUBLE), 1e-6) - 0.2)
+                       * ln(greatest(b2 / CAST(n AS DOUBLE), 1e-6) / 0.2)
+                   + (greatest(b3 / CAST(n AS DOUBLE), 1e-6) - 0.2)
+                       * ln(greatest(b3 / CAST(n AS DOUBLE), 1e-6) / 0.2)
+                   + (greatest(b4 / CAST(n AS DOUBLE), 1e-6) - 0.2)
+                       * ln(greatest(b4 / CAST(n AS DOUBLE), 1e-6) / 0.2),
+                   6) AS psi
+            FROM g ORDER BY window_start
+        """,
+        "percentile_rank_events": """
+            SELECT event_id, value,
+                   round((row_number() OVER (ORDER BY value, event_id)
+                          - 1)
+                         / CAST(greatest(count(*) OVER () - 1, 1)
+                                AS DOUBLE), 6) AS pct_rank
+            FROM events WHERE value IS NOT NULL
         """,
         "jw_part_names": """
             WITH names AS (

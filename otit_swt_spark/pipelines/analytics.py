@@ -1369,3 +1369,30 @@ def seq_patterns(events: DataFrame, n: int = 3, key: str = "user_id",
             .orderBy(F.col("support").desc(),
                      F.col("n_occurrences").desc(), "pattern")
             .limit(top_n))
+
+
+def percentile_rank(df: DataFrame, value_col: str, tie_col: str,
+                    n_buckets: int = 1024) -> DataFrame:
+    """Percentile-rank transform: every row's position quantile
+    ``(rank - 1) / (n - 1)`` under the deterministic total order
+    (value, tie) — the rank-based feature scaling (quantile
+    normalization's first half) that is immune to outliers where
+    min-max scaling is not. Rank is :func:`two_phase_row_number`
+    (range-bucketed offsets + per-bucket windows), so the transform of
+    an arbitrarily large frame never funnels through one WindowExec
+    partition — the operator the naive ``percent_rank() OVER ()``
+    cannot be at scale. NULL values are excluded (no position in the
+    order). Output: input columns + ``pct_rank`` in [0, 1]; single-row
+    inputs get 0.0."""
+    staged = df.where(F.col(value_col).isNotNull())
+    b = staged.agg(F.min(value_col).alias("lo"),
+                   F.max(value_col).alias("hi"),
+                   F.count(F.lit(1)).alias("n")).first()
+    if b["n"] == 0:
+        return staged.withColumn("pct_rank", F.lit(None).cast("double"))
+    ranked = two_phase_row_number(staged, value_col, tie_col, "__rn",
+                                  b["lo"], b["hi"], n_buckets=n_buckets)
+    denom = float(max(b["n"] - 1, 1))
+    return ranked.withColumn(
+        "pct_rank",
+        F.round((F.col("__rn") - 1) / F.lit(denom), 6)).drop("__rn")

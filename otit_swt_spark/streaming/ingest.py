@@ -843,3 +843,50 @@ def stream_growth(df: DataFrame, key_col: str, ts_col: str, path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_psi(df: DataFrame, ref_shares: list[float], lo: float,
+               hi: float, ts_col: str = "timestamp",
+               value_col: str = "value", window: str = "5 minutes",
+               watermark: str = "1 minute",
+               eps: float = 1e-6) -> DataFrame:
+    """Streaming drift monitor: population-stability index of each
+    event-time window's ``value_col`` distribution against a FIXED
+    reference share vector — the live "has the input distribution
+    shifted" alarm a feature pipeline runs next to its windowed
+    aggregates. ``ref_shares`` comes from the training corpus (e.g. the
+    ``share_a`` column of ``analytics.population_stability``); bucket
+    semantics mirror ``analytics.histogram`` exactly (fixed bounds,
+    equi-width, out-of-range clamps into the edge buckets), so batch
+    PSI and streaming PSI are the same number over the same rows.
+
+    Single stateful operator: bucket membership is a map-side
+    expression and every bucket's count is a conditional sum inside ONE
+    watermarked windowed aggregate — no second aggregation, so the
+    query stays append-mode legal and emits one finalized row per
+    closed window: ``(window_start, window_end, n, psi)``
+    (PSI < 0.1 stable, > 0.25 shifted). On a batch DataFrame the same
+    plan runs as a plain windowed groupBy (exact twin, used by the
+    pytest oracle)."""
+    nbins = len(ref_shares)
+    if nbins < 2 or hi <= lo:
+        raise ValueError("need >= 2 reference shares and hi > lo")
+    width = (hi - lo) / nbins
+    v = F.col(value_col).cast("double")
+    bucket = F.least(F.greatest(F.floor((v - lo) / width), F.lit(0)),
+                     F.lit(nbins - 1))
+    base = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    aggs = [F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"__b{i}")
+            for i in range(nbins)]
+    g = (base.groupBy(F.window(F.col(ts_col), window).alias("__w"))
+         .agg(*aggs, F.count(F.lit(1)).alias("n")))
+    psi = None
+    for i, r in enumerate(ref_shares):
+        p = F.greatest(F.col(f"__b{i}") / F.col("n").cast("double"),
+                       F.lit(float(eps)))
+        rr = F.lit(max(float(r), float(eps)))
+        term = (p - rr) * F.log(p / rr)
+        psi = term if psi is None else psi + term
+    return g.select(F.col("__w.start").alias("window_start"),
+                    F.col("__w.end").alias("window_end"),
+                    "n", F.round(psi, 6).alias("psi"))

@@ -721,3 +721,59 @@ def twap(series: DataFrame, key: str = "id", ts: str = "timestamp",
                  F.round(F.col("__wv").cast("double")
                          / F.col("__w").cast("double"), 6) + F.lit(0.0))
     return agg.select(key, "n_weighted", out.alias("twap"))
+
+
+def classical_decompose(series: DataFrame, key: str = "id",
+                        ts: str = "timestamp", value: str = "value",
+                        period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL refines): per key, trend = centered moving average over
+    one ``period`` (odd periods only — the even case needs the 2x2 MA
+    and a different oracle), seasonal = phase mean of the detrended
+    series re-centered to sum to zero, residual = y - trend - seasonal.
+    The decomposition behind "is this spike seasonal or real" anomaly
+    triage and seasonal-adjustment features.
+
+    All windows are key-partitioned (trend) or (key, phase)-grouped
+    (seasonal) — nothing global. Determinism: the trend average divides
+    a DECIMAL-exact windowed sum; phase means sum DECIMAL-cast terms, so
+    no float reduction order leaks into the output. Rows whose centered
+    window is incomplete (the first/last half-period per key) carry NULL
+    trend/residual, as in statsmodels. Output: ``(key, ts, value,
+    trend, seasonal, resid)``."""
+    from pyspark.sql import Window as W
+
+    if period % 2 == 0:
+        raise ValueError("classical_decompose: period must be odd")
+    half = period // 2
+    dec = "decimal(38,12)"
+    w = (W.partitionBy(key).orderBy(ts).rowsBetween(-half, half))
+    pos = F.row_number().over(W.partitionBy(key).orderBy(ts))
+    staged = (series.select(F.col(key), F.col(ts),
+                            F.col(value).cast("double").alias("__y"))
+              .withColumn("__n", F.count(F.lit(1)).over(w))
+              .withColumn("__tr",
+                          F.when(F.col("__n") == period,
+                                 F.sum(F.col("__y").cast(dec)).over(w)
+                                 .cast("double") / F.lit(float(period))))
+              .withColumn("__ph", (pos - 1) % period))
+    phase = (staged.where(F.col("__tr").isNotNull())
+             .groupBy(F.col(key).alias("__k"), "__ph")
+             .agg((F.sum((F.col("__y") - F.col("__tr")).cast(dec))
+                   .cast("double")
+                   / F.count(F.lit(1))).alias("__raw")))
+    center = (phase.groupBy("__k")
+              .agg((F.sum(F.col("__raw").cast(dec)).cast("double")
+                    / F.count(F.lit(1))).alias("__c")))
+    seas = (phase.join(center, "__k")
+            .select("__k", "__ph",
+                    (F.col("__raw") - F.col("__c")).alias("__s")))
+    out = (staged.join(seas, (staged[key] == seas["__k"])
+                       & (staged["__ph"] == seas["__ph"]), "left")
+           .drop("__k", "__ph", "__n"))
+    return out.select(
+        key, ts, F.col("__y").alias(value),
+        (F.round("__tr", 6) + F.lit(0.0)).alias("trend"),
+        (F.round("__s", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round(F.col("__y") - F.col("__tr") - F.col("__s"), 6)
+         + F.lit(0.0)).alias("resid"))

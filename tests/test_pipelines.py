@@ -3445,3 +3445,40 @@ def test_pmi_collocations_fixed_phrase(spark):
     top = out[0]
     assert (top["a"], top["b"]) == ("new", "york")
     assert top["n_ab"] == 40 and top["pmi"] > 0
+
+
+def test_classical_decompose_recovers_planted_seasonality(spark):
+    from otit_swt_spark.timeseries import classical_decompose
+
+    # y = 100 + e[t % 7] with sum(e) = 0: every full centered 7-window
+    # averages to exactly 100, detrended == e, seasonal == e (already
+    # zero-centered), residual == 0; edge rows (first/last 3) are NULL
+    import datetime
+    e = [3.0, -3.0, 1.0, -1.0, 2.0, -2.0, 0.0]
+    d0 = datetime.date(2026, 1, 1)
+    rows = [("a", d0 + datetime.timedelta(days=t), 100.0 + e[t % 7])
+            for t in range(28)]
+    df = spark.createDataFrame(rows, "id string, day date, v double")
+    out = classical_decompose(df, key="id", ts="day", value="v",
+                              period=7).orderBy("day").collect()
+    assert out[0]["trend"] is None and out[2]["resid"] is None
+    mid = out[3:-3]
+    assert all(r["trend"] == 100.0 for r in mid)
+    for t, r in enumerate(mid, start=3):
+        assert r["seasonal"] == e[t % 7]
+        assert r["resid"] == 0.0
+    with pytest.raises(ValueError):
+        classical_decompose(df, key="id", ts="day", value="v", period=4)
+
+
+def test_percentile_rank_known_and_ties(spark):
+    from otit_swt_spark.pipelines.analytics import percentile_rank
+
+    rows = [(1, 10.0), (2, 20.0), (3, 30.0), (4, 20.0), (5, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = {r["event_id"]: r["pct_rank"]
+           for r in percentile_rank(df, "value", "event_id").collect()}
+    # order: 10, 20(id2), 20(id4), 30 -> ranks 1..4 over n-1=3
+    assert out == {1: 0.0, 2: round(1 / 3, 6), 4: round(2 / 3, 6), 3: 1.0}
+    one = spark.createDataFrame([(1, 5.0)], "event_id long, value double")
+    assert percentile_rank(one, "value", "event_id").first()["pct_rank"] == 0.0

@@ -843,3 +843,51 @@ def test_stream_reservoir_weight_change_one_row_per_key(spark, tmp_path):
     ids = [r["id"] for r in rows]
     assert len(ids) == len(set(ids)) == 30
     assert all(r["weight"] == 2.0 for r in rows)   # max observed weight
+
+
+def test_stream_psi_drift_alarm(spark, tmp_path):
+    """Streaming PSI vs a fixed reference: first window drawn FROM the
+    reference distribution (psi ~ 0), second window shifted hard
+    (psi > 0.25); streaming result equals the batch twin row-for-row."""
+    from otit_swt_spark.streaming.ingest import stream_psi
+
+    src = str(tmp_path / "psi_src")
+    # reference: uniform over [0, 100) in 5 buckets
+    ref = [0.2] * 5
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows_in = []
+    for i in range(200):  # window 1: matches reference
+        rows_in.append(("a", ts0 + pd.Timedelta(seconds=i),
+                        float(i % 100)))
+    for i in range(200):  # window 2: all mass in the top bucket
+        rows_in.append(("a", ts0 + pd.Timedelta(minutes=10, seconds=i),
+                        95.0))
+    pdf = pd.DataFrame(rows_in, columns=["id", "timestamp", "value"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+
+    stream = read_timeseries_stream(spark, src)
+    out = stream_psi(stream, ref, lo=0.0, hi=100.0,
+                     window="5 minutes", watermark="1 minute")
+    sink = str(tmp_path / "psi_sink")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in spark.read.parquet(sink).collect()}
+    # append mode: the last in-flight window is held back; window 1 closed
+    assert got, "no closed windows emitted"
+    w1 = got[ts0.to_pydatetime()]
+    assert w1["n"] == 200 and w1["psi"] < 0.01
+
+    # batch twin over ALL rows (both windows) must agree with streaming
+    # on window 1 and show the alarm on window 2
+    batch = {r["window_start"]: r for r in
+             stream_psi(spark.read.parquet(src), ref, lo=0.0, hi=100.0,
+                        window="5 minutes").collect()}
+    assert batch[ts0.to_pydatetime()]["psi"] == w1["psi"]
+    w2 = batch[(ts0 + pd.Timedelta(minutes=10)).to_pydatetime()]
+    assert w2["psi"] > 0.25
+    with pytest.raises(ValueError):
+        stream_psi(spark.read.parquet(src), [1.0], 0.0, 100.0)
