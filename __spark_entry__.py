@@ -2192,6 +2192,20 @@ def q_percentile_rank_events(spark, sf_dir):
     return percentile_rank(ev, "value", "event_id")
 
 
+def q_dbscan_customers(spark, sf_dir):
+    """DBSCAN density clustering over synthetic md5-derived customer
+    coordinates (bounded 2000-key subset; eps=40, min_pts=5): grid
+    radius self-join -> core/border/noise roles -> pointer-jumping
+    components; oracle replays pairs brute-force and the components
+    with a recursive CTE."""
+    from otit_swt_spark.pipelines.spatial import dbscan_clusters, hash_coords
+
+    c = hash_coords(_t(spark, sf_dir, "customer")
+                    .where(F.col("c_custkey") <= 2000)
+                    .select("c_custkey"), "c_custkey")
+    return dbscan_clusters(c, "c_custkey", eps=40.0, min_pts=5)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top PMI bigram collocations over documents (min_count=5) — the
     fixed-phrase detector for tokenizer/vocab pipelines; explode-count
@@ -3198,6 +3212,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "seasonal_decompose_events": q_seasonal_decompose_events,
         "psi_windows_events": q_psi_windows_events,
         "percentile_rank_events": q_percentile_rank_events,
+        "dbscan_customers": q_dbscan_customers,
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
@@ -7105,6 +7120,58 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest(count(*) OVER () - 1, 1)
                                 AS DOUBLE), 6) AS pct_rank
             FROM events WHERE value IS NOT NULL
+        """,
+        "dbscan_customers": """
+            WITH RECURSIVE pts AS (
+                SELECT c_custkey AS id,
+                       CAST(CAST(concat('0x', substr(md5('geo:x'
+                                || CAST(c_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE)
+                           * CAST(1000 AS DOUBLE) AS x,
+                       CAST(CAST(concat('0x', substr(md5('geo:y'
+                                || CAST(c_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS DOUBLE)
+                           / CAST(4294967296 AS DOUBLE)
+                           * CAST(1000 AS DOUBLE) AS y
+                FROM customer WHERE c_custkey <= 2000
+            ), pairs AS MATERIALIZED (
+                SELECT a.id AS a, b.id AS b
+                FROM pts a JOIN pts b ON a.id <> b.id
+                 AND (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y)
+                     <= CAST(1600 AS DOUBLE)
+            ), core AS MATERIALIZED (
+                SELECT a AS id FROM pairs GROUP BY a
+                HAVING count(*) + 1 >= 5
+            ), cedges AS MATERIALIZED (
+                SELECT a, b FROM pairs
+                WHERE a IN (SELECT id FROM core)
+                  AND b IN (SELECT id FROM core)
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM cedges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN cedges e
+                ON e.a = r.dst
+            ), cc AS (
+                SELECT src AS id, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ), core_lab AS (
+                SELECT core.id, coalesce(cc.cluster, core.id) AS cl
+                FROM core LEFT JOIN cc ON cc.id = core.id
+            ), border AS (
+                SELECT p.a AS id, min(core_lab.cl) AS cl
+                FROM pairs p JOIN core_lab ON core_lab.id = p.b
+                WHERE p.a NOT IN (SELECT id FROM core)
+                GROUP BY p.a
+            )
+            SELECT pts.id AS c_custkey,
+                   CASE WHEN core_lab.id IS NOT NULL THEN 'core'
+                        WHEN border.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(core_lab.cl, border.cl) AS cluster
+            FROM pts LEFT JOIN core_lab ON core_lab.id = pts.id
+            LEFT JOIN border ON border.id = pts.id
         """,
         "jw_part_names": """
             WITH names AS (

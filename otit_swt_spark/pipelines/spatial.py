@@ -106,3 +106,58 @@ def hash_coords(df: DataFrame, key_col: str, scale: float = 1000.0,
                 / F.lit(4294967296.0) * F.lit(scale))
 
     return df.withColumn(x, coord(":x")).withColumn(y, coord(":y"))
+
+
+def dbscan_clusters(df: DataFrame, id_col: str, x: str = "x",
+                    y: str = "y", eps: float = 20.0,
+                    min_pts: int = 4) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996), distributed:
+
+    1. eps-neighbor pairs via the grid-bucketed radius SELF-join (3x3
+       neighbor cells — work bounded by local density: a cell holds
+       ~density*eps² points, so uniform data costs linear; a degenerate
+       everything-in-one-spot input degrades to its quadratic semantic
+       answer, same contract as :func:`radius_join`),
+    2. CORE points: |N_eps(p)| >= min_pts, the point itself included,
+    3. clusters = connected components of the core-core eps graph
+       (``dedup.dedup_clusters`` pointer jumping, min-id labels,
+       O(log diameter) rounds),
+    4. BORDER points: non-core with >= 1 core eps-neighbor, labeled
+       with the MINIMUM cluster among their core neighbors (the
+       deterministic tie-break plain DBSCAN leaves visit-order
+       dependent), 5. everything else NOISE.
+
+    Output: ``(id_col, role, cluster)`` with cluster NULL for noise.
+    Every stage is a grouped aggregate or key equi-join; the oracle
+    replays the grid join brute-force and the components with a
+    recursive CTE."""
+    from otit_swt_spark.pipelines.dedup import dedup_clusters
+
+    pts = df.select(F.col(id_col).alias("id"), F.col(x).alias("x"),
+                    F.col(y).alias("y"))
+    pairs = (radius_join(pts, pts, eps)
+             .where(F.col("id_l") != F.col("id_r"))
+             .select(F.col("id_l").alias("a"), F.col("id_r").alias("b")))
+    deg = pairs.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("__n"))
+    core = deg.where(F.col("__n") >= min_pts).select(F.col("a").alias("id"))
+    cedges = (pairs
+              .join(core.select(F.col("id").alias("a")), "a", "left_semi")
+              .join(core.select(F.col("id").alias("b")), "b", "left_semi"))
+    comps = dedup_clusters(cedges.select(F.col("a").alias("id_a"),
+                                         F.col("b").alias("id_b")))
+    core_lab = (core.join(comps, "id", "left")
+                .select("id", F.coalesce("cluster", F.col("id"))
+                        .alias("__cc")))
+    border = (pairs.join(core, F.col("a") == core["id"], "left_anti")
+              .join(core_lab.select(F.col("id").alias("b"),
+                                    F.col("__cc").alias("cluster")), "b")
+              .groupBy("a").agg(F.min("cluster").alias("__bc")))
+    return (pts.select("id")
+            .join(core_lab, "id", "left")
+            .join(border.select(F.col("a").alias("id"), "__bc"),
+                  "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("__cc").isNotNull(), F.lit("core"))
+                    .when(F.col("__bc").isNotNull(), F.lit("border"))
+                    .otherwise(F.lit("noise")).alias("role"),
+                    F.coalesce("__cc", "__bc").alias("cluster")))

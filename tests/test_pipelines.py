@@ -3482,3 +3482,23 @@ def test_percentile_rank_known_and_ties(spark):
     assert out == {1: 0.0, 2: round(1 / 3, 6), 4: round(2 / 3, 6), 3: 1.0}
     one = spark.createDataFrame([(1, 5.0)], "event_id long, value double")
     assert percentile_rank(one, "value", "event_id").first()["pct_rank"] == 0.0
+
+
+def test_dbscan_core_border_noise(spark):
+    from otit_swt_spark.pipelines.spatial import dbscan_clusters
+
+    # tight square = 4 mutual cores (n=4 each incl self at eps=2);
+    # (2.5, 0.5) reaches only the two right-edge cores (n=3) -> border;
+    # (10, 10) -> noise; second square far away -> distinct cluster
+    rows = [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 1.0, 1.0),
+            (5, 2.5, 0.5), (6, 10.0, 10.0),
+            (7, 50.0, 50.0), (8, 50.0, 51.0), (9, 51.0, 50.0),
+            (10, 51.0, 51.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r for r in
+           dbscan_clusters(df, "id", eps=2.0, min_pts=4).collect()}
+    assert all(out[i]["role"] == "core" for i in (1, 2, 3, 4))
+    assert all(out[i]["cluster"] == 1 for i in (1, 2, 3, 4, 5))
+    assert out[5]["role"] == "border"
+    assert out[6]["role"] == "noise" and out[6]["cluster"] is None
+    assert all(out[i]["cluster"] == 7 for i in (7, 8, 9, 10))
