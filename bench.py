@@ -131,6 +131,21 @@ EXTENDED = [
     "jw_part_names",
     "temporal_split_embargo",
     "column_entropy_docs",
+    # round-8 additions (bootstrap_mean_ci, rfm_segments and the eval
+    # harnesses are excluded like pq_topk: driver-synchronized bounds /
+    # eval-only paths already evidenced by the oracle sweep, x16 curves
+    # and pytest recall gates)
+    "chi2_events",
+    "mad_outlier_events",
+    "ks_drift_events",
+    "seq_patterns_events",
+    "benford_lineitem",
+    "pmi_collocations",
+    "seasonal_decompose_events",
+    "psi_windows_events",
+    "percentile_rank_events",
+    "ann_multitable_topk",
+    "dbscan_customers",
 ]
 
 

@@ -642,3 +642,69 @@ def test_assoc_rules_mega_basket_clip(spark):
         assert abs(r["antecedent"] - r["consequent"]) == 1
         # support uses the clipped basket total (10k), not 10k+1
         assert r["support"] == round(r["n_ab"] / 10_000, 6)
+
+
+def test_percentile_rank_constant_value_degenerate(spark):
+    """Worst case for the bucketed two-phase rank: EVERY row shares one
+    value, so all 1.6M rows land in a single bucket and the per-bucket
+    window degrades to the naive single-partition sort — the documented
+    semantic floor. It must still finish and produce the exact
+    deterministic ranks (ties broken by id)."""
+    from otit_swt_spark.pipelines.analytics import percentile_rank
+
+    ev = _amplify(spark.read.parquet(f"{SF_DIR}/events.parquet")
+                  .select("event_id"), 16, "event_id", 10_000_000) \
+        .withColumn("value", F.lit(42.0))
+    n = ev.count()
+    assert n == 1_600_000
+    out = percentile_rank(ev, "value", "event_id")
+    got = out.agg(F.min("pct_rank"), F.max("pct_rank"),
+                  F.count(F.lit(1))).first()
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == n
+
+
+def test_ks_two_sample_hot_value(spark):
+    """KS with 99% of one group's mass on a single value: the per-value
+    count frame collapses that mass into ONE row, so the cumulative pass
+    is tiny regardless of row count — and the statistic is still exact."""
+    from otit_swt_spark.pipelines.analytics import ks_two_sample
+
+    a = spark.range(1_000_000).select(
+        F.lit("a").alias("g"), F.lit(7.0).alias("v"))
+    b = spark.range(1_000_000).select(
+        F.lit("b").alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"))
+    r = ks_two_sample(a.unionByName(b), "v", "g", "a", "b").first()
+    assert r["n_a"] == 1_000_000 and r["n_b"] == 1_000_000
+    # F_a jumps 0 -> 1 at v=7; F_b(7) = 8/1000 -> D = 1 - 0.008
+    assert r["ks"] == 0.992
+
+
+def test_seq_patterns_single_mega_user(spark):
+    """One user owns 1.6M events: the lead() window is per-user (one
+    partition carries that user — Spark's windowed sort, not a shuffle
+    explosion) and the n-gram aggregate output stays bounded by the
+    event-type alphabet cubed."""
+    from otit_swt_spark.pipelines.analytics import seq_patterns
+
+    ev = _amplify(spark.read.parquet(f"{SF_DIR}/events.parquet")
+                  .select("event_id", "ts", "event_type"), 16,
+                  "event_id", 10_000_000) \
+        .withColumn("user_id", F.lit(1))
+    out = seq_patterns(ev, n=3, order_cols=["event_id"]).collect()
+    assert 0 < len(out) <= 25
+    assert all(r["support"] == 1 for r in out)
+
+
+def test_pmi_mega_repeated_bigram(spark):
+    """A 2-token document repeated 100k times: bigram and unigram frames
+    stay one-row-per-distinct (counts absorb the mass map-side) and the
+    planted pair dominates PMI."""
+    from otit_swt_spark.pipelines.textstats import pmi_collocations
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("foo bar").alias("text"))
+    out = pmi_collocations(docs, min_count=5, top_n=5).collect()
+    assert len(out) == 1
+    assert (out[0]["a"], out[0]["b"]) == ("foo", "bar")
+    assert out[0]["n_ab"] == 100_000
