@@ -4661,6 +4661,16 @@ def oracle_sql() -> dict[str, str]:
     # The sign-sketch hyperplanes are a deterministic function of (dim=64,
     # n_bits=6, seed) — embed them as literals so DuckDB reproduces the
     # exact LSH bucketing of q_embedding_neardup, then verifies cosine.
+    import random as _random
+
+    # bootstrap_mean_ci's per-replicate affine constants — the SAME
+    # Random('bs0') draw order as the operator (a first, then c, per r)
+    _bs_rng = _random.Random("bs0")
+    _bs_consts = ", ".join(
+        "({}, {}, {})".format(r, _bs_rng.randrange(0, 1 << 30) * 2 + 1,
+                              _bs_rng.randrange(0, 1 << 31))
+        for r in range(64))
+
     _planes = _hyperplanes(64, 6)
 
     def _sketch_terms(planes):
@@ -6442,16 +6452,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS survival
             FROM risk WHERE n_deaths > 0
         """,
-        "bootstrap_mean_ci": """
-            WITH rows_ AS (
-                SELECT CAST(event_id AS VARCHAR) AS id, value AS v, r
-                FROM events, LATERAL unnest(range(0, 64)) t(r)
+        "bootstrap_mean_ci": f"""
+            -- one md5 per row; per-replicate uniforms via the same
+            -- (a_r*h + c_r) mod 2^51 affine maps the operator draws
+            -- from Random('bs0')
+            WITH consts(r, a, c) AS (
+                VALUES {_bs_consts}
+            ), rows_ AS (
+                SELECT ('0x' || substr(md5('bs0:'
+                           || CAST(event_id AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT AS h,
+                       value AS v, r, a, c
+                FROM events, consts
             ), u AS (
                 SELECT r, v,
-                       (CAST((('0x' || substr(md5('bs0:'
-                                  || CAST(r AS VARCHAR) || ':' || id),
-                                  1, 15))::UBIGINT::BIGINT >> 9)
-                             AS DOUBLE) + 0.5)
+                       (CAST((a * h + c) % 2251799813685248 AS DOUBLE)
+                        + 0.5)
                        / 2251799813685248.0 AS uu
                 FROM rows_
             ), w AS (

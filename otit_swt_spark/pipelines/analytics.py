@@ -955,21 +955,37 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
     is the empirical alpha/2 .. 1-alpha/2 band over the ``b`` replicate
     means (exact order statistics on a b-row frame).
 
-    Cost: one map-side explode to b·n weighted rows, one grouped
-    aggregate to b rows — no shuffling of resampled DATA, which is the
-    whole point of the Poisson trick at scale. Output one row:
-    ``(b, n, mean, ci_lo, ci_hi)``."""
+    Cost: ONE md5 per input row (not per row x replicate — the row's
+    32-bit digest is stretched into the ``b`` per-replicate uniforms by
+    per-replicate affine maps ``(a_r·h + c_r) mod 2^51``, odd
+    ``a_r < 2^31`` drawn from ``Random(seed)`` so products stay inside
+    int64 under ANSI overflow checks; every step is exact integer /
+    power-of-two-divide arithmetic, so the whole procedure still
+    replays bit-for-bit in SQL), then a map-side explode to b·n
+    weighted rows and one grouped aggregate to b rows — no shuffling of
+    resampled DATA, which is the whole point of the Poisson trick at
+    scale. Output one row: ``(b, n, mean, ci_lo, ci_hi)``."""
+    import random
+
     from pyspark.sql import Window as W
 
-    from otit_swt_spark.pipelines.dedup import seeded_uniform
+    rng = random.Random(seed)
+    a_c = [(rng.randrange(0, 1 << 30) * 2 + 1, rng.randrange(0, 1 << 31))
+           for _ in range(b)]
+    two51 = 1 << 51
 
     reps = F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r")
     base = df.select(F.col(id_col).cast("string").alias("__id"),
                      F.col(value_col).cast("double").alias("__v"))
-    rows = base.select("__id", "__v", reps)
-    u = seeded_uniform(F.concat(F.lit(seed + ":"),
-                                F.col("__r").cast("string"),
-                                F.lit(":"), F.col("__id")))
+    h32 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col("__id"))), 1, 8),
+        16, 10).cast("long")
+    rows = base.withColumn("__h", h32).select("__h", "__v", reps)
+    a_arr = F.array(*[F.lit(a) for a, _ in a_c])
+    c_arr = F.array(*[F.lit(c) for _, c in a_c])
+    mix = (F.element_at(a_arr, F.col("__r") + 1) * F.col("__h")
+           + F.element_at(c_arr, F.col("__r") + 1)) % F.lit(two51)
+    u = (mix.cast("double") + F.lit(0.5)) / F.lit(float(two51))
     wexpr = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         wexpr = F.when(u <= F.lit(_POISSON1_CDF[k]), F.lit(k)) \
