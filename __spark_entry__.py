@@ -2194,7 +2194,7 @@ def q_percentile_rank_events(spark, sf_dir):
 
 def q_dbscan_customers(spark, sf_dir):
     """DBSCAN density clustering over synthetic md5-derived customer
-    coordinates (bounded 2000-key subset; eps=40, min_pts=5): grid
+    coordinates (bounded 2000-key subset; eps=25, min_pts=4): grid
     radius self-join -> core/border/noise roles -> pointer-jumping
     components; oracle replays pairs brute-force and the components
     with a recursive CTE."""
@@ -2203,7 +2203,7 @@ def q_dbscan_customers(spark, sf_dir):
     c = hash_coords(_t(spark, sf_dir, "customer")
                     .where(F.col("c_custkey") <= 2000)
                     .select("c_custkey"), "c_custkey")
-    return dbscan_clusters(c, "c_custkey", eps=40.0, min_pts=5)
+    return dbscan_clusters(c, "c_custkey", eps=25.0, min_pts=4)
 
 
 def q_pmi_collocations(spark, sf_dir):
@@ -7156,10 +7156,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM pts a JOIN pts b ON a.id <> b.id
                  AND (a.x - b.x) * (a.x - b.x)
                      + (a.y - b.y) * (a.y - b.y)
-                     <= CAST(1600 AS DOUBLE)
+                     <= CAST(625 AS DOUBLE)
             ), core AS MATERIALIZED (
                 SELECT a AS id FROM pairs GROUP BY a
-                HAVING count(*) + 1 >= 5
+                HAVING count(*) + 1 >= 4
             ), cedges AS MATERIALIZED (
                 SELECT a, b FROM pairs
                 WHERE a IN (SELECT id FROM core)
