@@ -2192,6 +2192,16 @@ def q_percentile_rank_events(spark, sf_dir):
     return percentile_rank(ev, "value", "event_id")
 
 
+def q_theil_user_events(spark, sf_dir):
+    """Theil T inequality index of per-user event counts — gini's
+    additively-decomposable sibling, via the windowless identity
+    T = (sum n ln n)/S - ln(S/k): one grouped count + one aggregate,
+    no rank, no window."""
+    from otit_swt_spark.pipelines.profile import theil_index
+
+    return theil_index(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_dbscan_customers(spark, sf_dir):
     """DBSCAN density clustering over synthetic md5-derived customer
     coordinates (bounded 2000-key subset; eps=25, min_pts=4): grid
@@ -3213,6 +3223,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "psi_windows_events": q_psi_windows_events,
         "percentile_rank_events": q_percentile_rank_events,
         "dbscan_customers": q_dbscan_customers,
+        "theil_user_events": q_theil_user_events,
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
@@ -7188,6 +7199,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(core_lab.cl, border.cl) AS cluster
             FROM pts LEFT JOIN core_lab ON core_lab.id = pts.id
             LEFT JOIN border ON border.id = pts.id
+        """,
+        "theil_user_events": """
+            WITH c AS (
+                SELECT user_id AS g, count(*) AS n FROM events GROUP BY 1
+            ), a AS (
+                SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(CAST(CAST(n AS DOUBLE)
+                                     * ln(CAST(n AS DOUBLE))
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS t
+                FROM c
+            )
+            SELECT CAST(k AS BIGINT) AS n_groups, s AS n_rows,
+                   round(t / CAST(s AS DOUBLE)
+                         - ln(CAST(s AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+                       + 0.0 AS theil
+            FROM a
         """,
         "jw_part_names": """
             WITH names AS (

@@ -240,3 +240,30 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
                     (F.round(freq - expect, 6) + F.lit(0.0))
                     .alias("deviation"))
             .orderBy("digit"))
+
+
+def theil_index(df: DataFrame, group_col: str) -> DataFrame:
+    """Theil T inequality index of the row-count distribution across
+    groups — gini's information-theoretic sibling (0 = balanced,
+    ln(k) = one group owns everything), with the property gini lacks:
+    it DECOMPOSES additively across sub-populations, so per-shard
+    Theils + a between-shard term reconstruct the corpus number.
+    Computed by the windowless identity
+    ``T = (Σ n·ln n)/S − ln(S/k)`` (S = Σn, k = #groups): ONE grouped
+    count and ONE aggregate — no rank, no window, no second pass; the
+    cheapest imbalance alarm in the module. Terms are DECIMAL-cast
+    before summing (order-independent), one double expression at the
+    end. Output: ``(n_groups, n_rows, theil)``."""
+    counts = (df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    term = (F.col("n").cast("double")
+            * F.log(F.col("n").cast("double"))).cast(_DEC)
+    agg = counts.agg(F.count(F.lit(1)).alias("k"),
+                     F.sum("n").alias("s"),
+                     F.sum(term).alias("t"))
+    theil = (F.col("t").cast("double") / F.col("s").cast("double")
+             - F.log(F.col("s").cast("double")
+                     / F.col("k").cast("double")))
+    return agg.select(F.col("k").cast("long").alias("n_groups"),
+                      F.col("s").cast("long").alias("n_rows"),
+                      (F.round(theil, 6) + F.lit(0.0)).alias("theil"))

@@ -3502,3 +3502,17 @@ def test_dbscan_core_border_noise(spark):
     assert out[5]["role"] == "border"
     assert out[6]["role"] == "noise" and out[6]["cluster"] is None
     assert all(out[i]["cluster"] == 7 for i in (7, 8, 9, 10))
+
+
+def test_theil_index_extremes(spark):
+    from otit_swt_spark.pipelines.profile import theil_index
+
+    # perfectly balanced: theil = 0
+    uni = spark.createDataFrame([(g,) for g in range(10) for _ in range(5)],
+                                "g long")
+    r = theil_index(uni, "g").first()
+    assert r["theil"] == 0.0 and r["n_groups"] == 10 and r["n_rows"] == 50
+    # one group owns almost everything: theil -> ln(k)-ish, far from 0
+    skew = spark.createDataFrame([(0,)] * 991 + [(g,) for g in range(1, 10)],
+                                 "g long")
+    assert theil_index(skew, "g").first()["theil"] > 2.0
