@@ -2192,6 +2192,32 @@ def q_percentile_rank_events(spark, sf_dir):
     return percentile_rank(ev, "value", "event_id")
 
 
+def q_seasonal_anomaly_events(spark, sf_dir):
+    """Seasonality-aware anomalies: classical-decomposition residuals
+    exceeding 2 per-type residual sigmas (DECIMAL-exact moments) —
+    "is the spike real or just the weekday" as one operator."""
+    from otit_swt_spark.timeseries import seasonal_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.col("ts").cast("timestamp"))
+                        .alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return seasonal_anomalies(daily, key="event_type", ts="day",
+                              value="n", period=7, k=2.0) \
+        .orderBy("event_type", "day")
+
+
+def q_weighted_median_lineitem(spark, sf_dir):
+    """Exact lower weighted median of l_extendedprice weighted by
+    l_quantity — DECIMAL-exact 2*cumw >= W test, bucketed two-phase
+    cumulative weights (no unbounded global window)."""
+    from otit_swt_spark.pipelines.analytics import weighted_median
+
+    return weighted_median(_t(spark, sf_dir, "lineitem"),
+                           "l_extendedprice", "l_quantity")
+
+
 def q_theil_user_events(spark, sf_dir):
     """Theil T inequality index of per-user event counts — gini's
     additively-decomposable sibling, via the windowless identity
@@ -3224,6 +3250,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "percentile_rank_events": q_percentile_rank_events,
         "dbscan_customers": q_dbscan_customers,
         "theil_user_events": q_theil_user_events,
+        "weighted_median_lineitem": q_weighted_median_lineitem,
+        "seasonal_anomaly_events": q_seasonal_anomaly_events,
         "exact_ts_median": q_exact_ts_median,
         "trend_ols_users": q_trend_ols_users,
         "quota_allocation": q_quota_allocation,
@@ -7216,6 +7244,27 @@ def oracle_sql() -> dict[str, str]:
                        + 0.0 AS theil
             FROM a
         """,
+        "weighted_median_lineitem": """
+            WITH pv AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                       sum(CAST(l_quantity AS DECIMAL(38, 6))) AS w,
+                       count(*) AS c
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+                GROUP BY 1
+            ), cum AS (
+                SELECT v, c,
+                       sum(w) OVER (ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cw,
+                       sum(w) OVER () AS tw
+                FROM pv
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   round(CAST(max(tw) AS DOUBLE), 6) AS total_weight,
+                   round(min(CASE WHEN 2 * cw >= tw THEN v END), 6)
+                       AS weighted_median
+            FROM cum
+        """,
         "jw_part_names": """
             WITH names AS (
                 SELECT DISTINCT p_name AS s FROM part
@@ -8254,6 +8303,30 @@ def oracle_sql() -> dict[str, str]:
         FROM q LEFT JOIN ex_n ON ex_n.qid = q.qid
         LEFT JOIN an_n ON an_n.qid = q.qid
         LEFT JOIN hits ON hits.qid = q.qid
+    """
+
+    # composed oracle: the seasonal decomposition replayed as a CTE, then
+    # per-type residual sigma from DECIMAL-exact moments and the 2-sigma
+    # anomaly filter
+    d["seasonal_anomaly_events"] = f"""
+        WITH sd AS MATERIALIZED ({d["seasonal_decompose_events"]}
+        ), mo AS (
+            SELECT event_type AS k, count(*) AS nn,
+                   CAST(sum(CAST(resid AS DECIMAL(38, 12)))
+                        AS DOUBLE) AS s,
+                   CAST(sum(CAST(resid * resid AS DECIMAL(38, 12)))
+                        AS DOUBLE) AS s2
+            FROM sd WHERE resid IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2
+        ), sg AS (
+            SELECT k, sqrt((s2 - s * s / nn) / (nn - 1.0)) AS sig
+            FROM mo
+        )
+        SELECT sd.event_type, sd.day, sd.n, sd.resid,
+               round(sig, 6) + 0.0 AS sigma
+        FROM sd JOIN sg ON sg.k = sd.event_type
+        WHERE sd.resid IS NOT NULL AND abs(sd.resid) > 2.0 * sig
+        ORDER BY sd.event_type, sd.day
     """
 
     # composed oracle: the full minhash replay chain as a CTE against an

@@ -146,6 +146,9 @@ EXTENDED = [
     "percentile_rank_events",
     "ann_multitable_topk",
     "dbscan_customers",
+    "theil_user_events",
+    "weighted_median_lineitem",
+    "seasonal_anomaly_events",
 ]
 
 

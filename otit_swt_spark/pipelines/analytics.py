@@ -1412,3 +1412,57 @@ def percentile_rank(df: DataFrame, value_col: str, tie_col: str,
     return ranked.withColumn(
         "pct_rank",
         F.round((F.col("__rn") - 1) / F.lit(denom), 6)).drop("__rn")
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str,
+                    n_buckets: int = 1024) -> DataFrame:
+    """EXACT lower weighted median: the smallest value whose cumulative
+    weight reaches half the total — the size-aware center ("the price
+    where half the QUANTITY sits", "the doc length where half the
+    TOKENS sit") that the unweighted median misstates whenever weight
+    correlates with value. The test is ``2·cumw >= W`` on DECIMAL-exact
+    sums (never a float halving), and the cumulative pass uses the
+    bucketed two-phase pattern over the per-value weight frame — no
+    unbounded global window, no sort of the raw rows. NULL values and
+    NULL/non-positive weights are excluded. Output one row:
+    ``(n_rows, total_weight, weighted_median)``."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,6)"
+    staged = (df.where(F.col(value_col).isNotNull()
+                       & (F.col(weight_col) > 0))
+              .select(F.col(value_col).cast("double").alias("v"),
+                      F.col(weight_col).cast(dec).alias("w")))
+    pv = (staged.groupBy("v")
+          .agg(F.sum("w").alias("w"), F.count(F.lit(1)).alias("c")))
+    b = pv.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if b["lo"] is None:
+        return pv.agg(F.lit(0).cast("long").alias("n_rows"),
+                      F.lit(None).cast("double").alias("total_weight"),
+                      F.lit(None).cast("double")
+                      .alias("weighted_median")).limit(0)
+    width = (float(b["hi"]) - float(b["lo"])) / n_buckets or 1.0
+    bk = F.least(F.floor((F.col("v") - F.lit(float(b["lo"])))
+                         / F.lit(width)), F.lit(n_buckets - 1)).cast("int")
+    bucketed = pv.withColumn("__b", bk)
+    wb = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    wtot = W.orderBy("__b").rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing)
+    prefix = (bucketed.groupBy("__b").agg(F.sum("w").alias("__bw"))
+              .select("__b",
+                      F.coalesce(F.sum("__bw").over(wb),
+                                 F.lit(0).cast(dec)).alias("__off"),
+                      F.sum("__bw").over(wtot).alias("__tw")))
+    ww = (W.partitionBy("__b").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(prefix), "__b")
+           .withColumn("__cw", F.col("__off") + F.sum("w").over(ww)))
+    hit = cum.where(F.lit(2) * F.col("__cw") >= F.col("__tw"))
+    return (cum.agg(F.sum("c").alias("n_rows"),
+                    F.max("__tw").alias("tw"))
+            .crossJoin(F.broadcast(
+                hit.agg(F.min("v").alias("wm"))))
+            .select(F.col("n_rows").cast("long").alias("n_rows"),
+                    F.round(F.col("tw").cast("double"), 6)
+                    .alias("total_weight"),
+                    F.round("wm", 6).alias("weighted_median")))

@@ -777,3 +777,40 @@ def classical_decompose(series: DataFrame, key: str = "id",
         (F.round("__s", 6) + F.lit(0.0)).alias("seasonal"),
         (F.round(F.col("__y") - F.col("__tr") - F.col("__s"), 6)
          + F.lit(0.0)).alias("resid"))
+
+
+def seasonal_anomalies(series: DataFrame, key: str = "id",
+                       ts: str = "timestamp", value: str = "value",
+                       period: int = 7, k: float = 3.0) -> DataFrame:
+    """Seasonality-aware anomaly detection: decompose with
+    :func:`classical_decompose`, then flag rows whose residual exceeds
+    ``k`` residual standard deviations for that key — "is this spike
+    real, or just Saturday" as one operator. Plain z-scores fire on
+    every weekend for weekly-seasonal series; here the seasonal
+    component is removed before the yardstick is computed.
+
+    The per-key sigma uses DECIMAL-exact moment sums
+    ``(Σr², Σr, n)`` (order-independent), then one double expression —
+    so the flag set is bit-replayable. Keys need >= 2 complete-window
+    residuals. Output: the anomalous rows
+    ``(key, ts, value, resid, sigma)``."""
+    dec = classical_decompose(series, key=key, ts=ts, value=value,
+                              period=period)
+    d38 = "decimal(38,12)"
+    r = F.col("resid")
+    m = (dec.where(r.isNotNull())
+         .groupBy(F.col(key).alias("__k"))
+         .agg(F.count(F.lit(1)).alias("__n"),
+              F.sum(r.cast(d38)).alias("__s"),
+              F.sum((r * r).cast(d38)).alias("__s2"))
+         .where(F.col("__n") >= 2))
+    sd = F.col("__s").cast("double")
+    s2d = F.col("__s2").cast("double")
+    nd = F.col("__n").cast("double")
+    sigma = F.sqrt((s2d - sd * sd / nd) / (nd - F.lit(1.0)))
+    m = m.select("__k", sigma.alias("__sig"))
+    return (dec.where(r.isNotNull())
+            .join(m, dec[key] == m["__k"]).drop("__k")
+            .where(F.abs(r) > F.lit(k) * F.col("__sig"))
+            .select(key, ts, value, "resid",
+                    (F.round("__sig", 6) + F.lit(0.0)).alias("sigma")))

@@ -3516,3 +3516,46 @@ def test_theil_index_extremes(spark):
     skew = spark.createDataFrame([(0,)] * 991 + [(g,) for g in range(1, 10)],
                                  "g long")
     assert theil_index(skew, "g").first()["theil"] > 2.0
+
+
+def test_weighted_median_known_values(spark):
+    from otit_swt_spark.pipelines.analytics import weighted_median
+
+    # values 1..4 with weights 1,1,1,7 -> total 10, half 5: cumw hits
+    # 5 only at v=4 (unweighted median would be 2.5)
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0),
+            (99.0, 0.0), (None, 5.0)]          # zero-weight + NULL drop
+    df = spark.createDataFrame(rows, "v double, w double")
+    r = weighted_median(df, "v", "w").first()
+    assert r["weighted_median"] == 4.0
+    assert r["n_rows"] == 4 and r["total_weight"] == 10.0
+    # equal weights degenerate to the lower median
+    eq = spark.createDataFrame([(float(v), 1.0) for v in range(1, 5)],
+                               "v double, w double")
+    assert weighted_median(eq, "v", "w").first()["weighted_median"] == 2.0
+
+
+def test_seasonal_anomalies_flags_spike_not_weekend(spark):
+    from otit_swt_spark.timeseries import seasonal_anomalies
+
+    # weekly-seasonal series (weekend +30) with ONE real spike on day 17:
+    # a plain z-score would fire on every weekend; the seasonal residual
+    # flags only the spike
+    import datetime
+    d0 = datetime.date(2026, 1, 5)              # a Monday
+    rows = []
+    for t in range(35):
+        day = d0 + datetime.timedelta(days=t)
+        y = 100.0 + (30.0 if day.weekday() >= 5 else 0.0)
+        if t == 17:
+            y += 80.0
+        rows.append(("a", day, y))
+    df = spark.createDataFrame(rows, "id string, day date, v double")
+    out = seasonal_anomalies(df, key="id", ts="day", value="v",
+                             period=7, k=3.0).collect()
+    flagged = {r["day"] for r in out}
+    assert (d0 + datetime.timedelta(days=17)) in flagged
+    # no plain weekend is flagged (spike-adjacent windows may echo)
+    for r in out:
+        t = (r["day"] - d0).days
+        assert abs(t - 17) <= 3 or r["day"].weekday() < 5

@@ -78,7 +78,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # one-row (N, R, C) contingency-total broadcast cross
             "chi2_events",
             # one-row (unigram-total, bigram-total) broadcast cross
-            "pmi_collocations"}
+            "pmi_collocations",
+            # one-row (n, W) stats x one-row median broadcast cross
+            "weighted_median_lineitem"}
 
 
 def test_all_entries_plan_invariants(spark):
