@@ -6428,6 +6428,8 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(sum(CAST(value AS DECIMAL(38, 12)))
                                   AS DOUBLE), 6) AS monetary
                 FROM events GROUP BY 1
+                HAVING max(CAST(ts AS DATE)) IS NOT NULL
+                   AND sum(CAST(value AS DECIMAL(38, 12))) IS NOT NULL
             ), h AS (SELECT max(last_day) AS hz FROM agg),
             st AS (
                 SELECT k, date_diff('day', last_day, hz) AS recency,
@@ -6944,7 +6946,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS a,
                        dayofweek(CAST(ts AS DATE)) + 1 AS b,
                        count(*) AS c
-                FROM events GROUP BY 1, 2
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
             ), ra AS (
                 SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1
             ), cb AS (
@@ -6992,6 +6996,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
                        END AS ia
                 FROM events WHERE event_type IN ('purchase', 'click')
+                  AND value IS NOT NULL
             ), counts AS (
                 SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
                        CAST(sum(1 - ia) AS BIGINT) AS cb
@@ -8319,13 +8324,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sd WHERE resid IS NOT NULL
             GROUP BY 1 HAVING count(*) >= 2
         ), sg AS (
-            SELECT k, sqrt((s2 - s * s / nn) / (nn - 1.0)) AS sig
+            SELECT k, sqrt(greatest(s2 - s * s / nn, 0.0)
+                           / (nn - 1.0)) AS sig
             FROM mo
         )
         SELECT sd.event_type, sd.day, sd.n, sd.resid,
                round(sig, 6) + 0.0 AS sigma
         FROM sd JOIN sg ON sg.k = sd.event_type
-        WHERE sd.resid IS NOT NULL AND abs(sd.resid) > 2.0 * sig
+        WHERE sig > 0
+          AND sd.resid IS NOT NULL AND abs(sd.resid) > 2.0 * sig
         ORDER BY sd.event_type, sd.day
     """
 

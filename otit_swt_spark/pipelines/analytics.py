@@ -1127,7 +1127,13 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
     per-key aggregate frame via :func:`two_phase_row_number` (bucketed
     offsets + per-bucket windows — no single-partition WindowExec over
     the |keys| frame), with all metric bounds and the horizon read in
-    ONE driver ``first()``."""
+    ONE driver ``first()``.
+
+    NULL contract: keys whose recency or monetary metric is NULL
+    (every ts unparseable / every value NULL for that key) are DROPPED
+    — a key with no dateable activity or no monetary signal has no
+    defined rank position, and carrying it would poison the bucket
+    histograms (NULL buckets) and the horizon math."""
     day = F.to_date(F.col(ts).cast("timestamp"))
     agg = (events.groupBy(F.col(key).alias("k"))
            .agg(F.max(day).alias("last_day"),
@@ -1135,13 +1141,15 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
                 F.sum(F.col(value).cast("decimal(38,12)")).alias("__m"))
            .withColumn("monetary",
                        F.round(F.col("__m").cast("double"), 6))
-           .drop("__m"))
+           .drop("__m")
+           .where(F.col("last_day").isNotNull()
+                  & F.col("monetary").isNotNull()))
     bounds = agg.agg(
         F.max("last_day").alias("h"), F.min("last_day").alias("d0"),
         F.min("frequency").alias("f0"), F.max("frequency").alias("f1"),
         F.min("monetary").alias("m0"), F.max("monetary").alias("m1"),
         F.count(F.lit(1)).alias("n")).first()
-    if bounds["n"] == 0:
+    if bounds["n"] == 0 or bounds["h"] is None:
         empty = agg.select(
             F.col("k").alias(key),
             F.lit(0).alias("recency"), "frequency", "monetary",
@@ -1232,8 +1240,16 @@ def chi_square_independence(df: DataFrame, col_a: str,
     broadcast margin joins, a one-row total. Per-cell terms are exact
     integer ratios evaluated in double and summed in DECIMAL(38,12)
     (order-independent); dof = (R-1)(C-1). Output one row:
-    ``(chi2, dof, n)``."""
-    cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    ``(chi2, dof, n)``.
+
+    NULL contract: rows where EITHER column is NULL are excluded up
+    front — NULL is "category unobserved", not a category. (Keeping
+    them would silently corrupt the statistic: the grouped count keeps
+    a NULL cell in ``n`` while the equi-joins on a/b drop it from the
+    chi2 sum and countDistinct drops it from dof, so chi2 could go
+    negative.)"""
+    cells = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
              .agg(F.count(F.lit(1)).alias("c")))
     ra = cells.groupBy("a").agg(F.sum("c").alias("ra"))
     cb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
@@ -1299,10 +1315,16 @@ def ks_two_sample(df: DataFrame, value: str, group: str,
     the bucketed two-phase pattern (:func:`two_phase_row_number`'s
     sibling): range-bucket the value, prefix-sum the <=``n_buckets``-row
     bucket frame (the only global window), per-bucket window cumsums.
-    Output one row: ``(n_a, n_b, ks)``."""
+    Output one row: ``(n_a, n_b, ks)``.
+
+    NULL contract: NULL-valued rows are excluded before counting (a
+    NULL carries no position on the value axis; counting it into
+    n_a/n_b while the bucket join drops it would skew D), matching
+    :func:`percentile_rank`'s explicit NULL exclusion."""
     from pyspark.sql import Window as W
 
-    v = (df.where(F.col(group).isin([group_a, group_b]))
+    v = (df.where(F.col(group).isin([group_a, group_b])
+                  & F.col(value).isNotNull())
          .select(F.col(value).alias("v"),
                  F.when(F.col(group) == group_a, 1).otherwise(0)
                  .alias("__ia")))

@@ -791,9 +791,15 @@ def seasonal_anomalies(series: DataFrame, key: str = "id",
 
     The per-key sigma uses DECIMAL-exact moment sums
     ``(Σr², Σr, n)`` (order-independent), then one double expression —
-    so the flag set is bit-replayable. Keys need >= 2 complete-window
-    residuals. Output: the anomalous rows
-    ``(key, ts, value, resid, sigma)``."""
+    so the flag set is bit-replayable. The variance operand is clamped
+    at 0 (``greatest(s2 - s²/n, 0)``): float cancellation on
+    near-constant residuals can drive it epsilon-negative, and a NaN
+    sigma would silently disable detection for that key. Keys need
+    >= 2 complete-window residuals, and keys with sigma == 0
+    (constant residual — no yardstick, every nonzero deviation would
+    fire) are excluded by contract, mirroring the mad == 0 exclusion
+    in :func:`~otit_swt_spark.pipelines.analytics.mad_anomalies`.
+    Output: the anomalous rows ``(key, ts, value, resid, sigma)``."""
     dec = classical_decompose(series, key=key, ts=ts, value=value,
                               period=period)
     d38 = "decimal(38,12)"
@@ -807,8 +813,9 @@ def seasonal_anomalies(series: DataFrame, key: str = "id",
     sd = F.col("__s").cast("double")
     s2d = F.col("__s2").cast("double")
     nd = F.col("__n").cast("double")
-    sigma = F.sqrt((s2d - sd * sd / nd) / (nd - F.lit(1.0)))
-    m = m.select("__k", sigma.alias("__sig"))
+    sigma = F.sqrt(F.greatest(s2d - sd * sd / nd, F.lit(0.0))
+                   / (nd - F.lit(1.0)))
+    m = m.select("__k", sigma.alias("__sig")).where(F.col("__sig") > 0)
     return (dec.where(r.isNotNull())
             .join(m, dec[key] == m["__k"]).drop("__k")
             .where(F.abs(r) > F.lit(k) * F.col("__sig"))

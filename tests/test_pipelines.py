@@ -3559,3 +3559,117 @@ def test_seasonal_anomalies_flags_spike_not_weekend(spark):
     for r in out:
         t = (r["day"] - d0).days
         assert abs(t - 17) <= 3 or r["day"].weekday() < 5
+
+
+# ---------------------------------------------------------------------------
+# NULL contracts (round-9 advisor findings): rows/keys with NULL inputs
+# must be excluded by documented contract, never silently miscounted.
+
+
+def test_chi_square_null_categories_excluded(spark):
+    """NULL in either column is 'category unobserved': the statistic over
+    (clean + NULL-bearing rows) must equal the statistic over clean rows
+    alone — before the fix the NULL cells inflated n but vanished from
+    the chi2 sum, which could drive chi2 negative."""
+    from otit_swt_spark.pipelines.analytics import chi_square_independence
+
+    clean = ([("x", "u")] * 20 + [("x", "v")] * 20
+             + [("y", "u")] * 30 + [("y", "v")] * 30)
+    noisy = clean + [(None, "u")] * 15 + [("x", None)] * 15 + [(None, None)]
+    df_c = spark.createDataFrame(clean, "a string, b string")
+    df_n = spark.createDataFrame(noisy, "a string, b string")
+    rc = chi_square_independence(df_c, "a", "b").first()
+    rn = chi_square_independence(df_n, "a", "b").first()
+    assert (rn["chi2"], rn["dof"], rn["n"]) == (rc["chi2"], rc["dof"], rc["n"])
+    assert rn["n"] == 100 and rn["chi2"] == 0.0
+
+
+def test_ks_two_sample_null_values_excluded(spark):
+    """NULL values carry no position on the value axis: D and n_a/n_b
+    must match the NULL-free computation (previously NULLs were counted
+    into n_a/n_b and every prefix offset but dropped by the bucket join,
+    silently skewing D)."""
+    from otit_swt_spark.pipelines.analytics import ks_two_sample
+
+    rows = [(float(v), g) for v in range(50) for g in ("a", "b")]
+    withnulls = rows + [(None, "a")] * 20 + [(None, "b")] * 7
+    df = spark.createDataFrame(withnulls, "v double, g string")
+    r = ks_two_sample(df, "v", "g", "a", "b").first()
+    assert r["ks"] == 0.0 and r["n_a"] == 50 and r["n_b"] == 50
+
+
+def test_rfm_segments_null_metric_keys_dropped(spark):
+    """Keys with no dateable activity (all-NULL ts) or no monetary signal
+    (all-NULL value) are dropped by contract instead of crashing the
+    driver-side histogram sort; all-NULL corpora return an empty frame."""
+    from otit_swt_spark.pipelines.analytics import rfm_segments
+
+    rows = []
+    for u in range(5):
+        for e in range(u + 1):
+            rows.append((u, f"2024-01-{10 + u:02d}", float((u + 1) * 10)))
+    rows += [(90, None, 5.0), (90, None, 6.0)]        # no dateable ts
+    rows += [(91, "2024-01-11", None)]                # no monetary signal
+    ev = spark.createDataFrame(rows, "user_id long, s string, value double") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "value")
+    out = {r["user_id"]: r for r in rfm_segments(ev, n_bins=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[4]["segment"] == "5-5-5" and out[0]["segment"] == "1-1-1"
+    # all-NULL corpus: empty result, no crash on the None horizon
+    allnull = spark.createDataFrame([(1, None, None), (2, None, None)],
+                                    "user_id long, s string, value double") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "value")
+    assert rfm_segments(allnull).count() == 0
+
+
+def test_seasonal_anomalies_constant_residual_keys(spark):
+    """sigma == 0 keys (constant residual) are excluded by contract, and
+    the clamped variance operand can never produce NaN sigma on
+    near-constant residuals (float cancellation drove it epsilon-
+    negative before the fix)."""
+    import datetime
+
+    from otit_swt_spark.timeseries import seasonal_anomalies
+
+    d0 = datetime.date(2026, 1, 5)
+    rows = []
+    for t in range(35):
+        day = d0 + datetime.timedelta(days=t)
+        # key 'flat': perfectly periodic -> residuals identically 0
+        rows.append(("flat", day, 100.0 + 30.0 * (day.weekday() >= 5)))
+        # key 'nearflat': value huge + tiny wiggle -> cancellation bait
+        rows.append(("nearflat", day, 1e9 + 1e-6 * (t % 2)))
+        # key 'live': real spike mid-series
+        rows.append(("live", day, 100.0 + (80.0 if t == 17 else 0.0)))
+    df = spark.createDataFrame(rows, "id string, day date, v double")
+    out = seasonal_anomalies(df, key="id", ts="day", value="v",
+                             period=7, k=3.0).collect()
+    keys = {r["id"] for r in out}
+    assert "flat" not in keys                     # sigma == 0 excluded
+    assert "live" in keys
+    for r in out:                                 # clamp: sigma is finite
+        assert r["sigma"] == r["sigma"] and r["sigma"] > 0
+
+
+def test_bootstrap_ci_planted_distribution_coverage(spark):
+    """Advisor regression gate: across independent planted datasets the
+    95% CI must cover the TRUE mean at near-nominal rate — a bad
+    Random(seed) affine-multiplier draw (the 2^51 lattice concern)
+    would show up here as gross miscoverage."""
+    import random
+
+    from otit_swt_spark.pipelines.analytics import bootstrap_mean_ci
+
+    hits = 0
+    n_sets = 16
+    for s in range(n_sets):
+        rng = random.Random(1000 + s)
+        vals = [rng.expovariate(0.25) for _ in range(600)]   # true mean 4
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "event_id long, value double")
+        r = bootstrap_mean_ci(df, "value", "event_id", b=64,
+                              seed=f"plant{s}").first()
+        if r["ci_lo"] <= 4.0 <= r["ci_hi"]:
+            hits += 1
+    # nominal 95% on the true mean of n=600 draws; allow sampling slack
+    assert hits >= n_sets - 4, hits
