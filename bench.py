@@ -6,7 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set: the flagship hybrid SPARQL+TS aggregation (the reference's
 wind-power-style workload shape: KG join -> TS scan -> grouped agg), the
 DSL-style tumbling window, TPC-H Q1/Q3, MinHash LSH dedup, and cosine top-k
-— the operators whose cost dominates at 100 TB.
+— the operators whose cost dominates at 100 TB. A second "production"
+tier (ANN multitable, k-core, ER golden records, DBSCAN, LSH recall eval)
+is timed in the default run and reported separately, so regressions on
+the heavy ops are visible round-over-round without moving the headline
+total. Per-entry sample spread is reported as the variance band:
+read it (and shuffle_mb identity) before calling a wall-clock delta a
+regression.
 """
 
 from __future__ import annotations
@@ -40,6 +46,20 @@ HEADLINE = [
     "chunk_docs",
     "sparql_orders_agg",
     "mapper_expand_lineitem",
+]
+
+# Heavy production-path entries promoted (round 9) into a SECOND timed
+# tier that runs in the DEFAULT invocation, so perf regressions on the
+# expensive ops surface in the driver's round-over-round BENCH diff
+# instead of only under --extended. Reported separately
+# ("production" / "production_total"): the headline total stays the
+# comparable 14-query sum it has been since round 1.
+PRODUCTION = [
+    "ann_multitable_topk",
+    "graph_kcore",
+    "er_golden_records",
+    "dbscan_customers",
+    "lsh_recall_eval",
 ]
 
 # Round-3/4 additions, timed only with --extended so the default headline
@@ -158,7 +178,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench", cpus=cpus)
 
-    names = HEADLINE + (EXTENDED if "--extended" in sys.argv else [])
+    extended = [n for n in EXTENDED if n not in PRODUCTION]
+    names = (HEADLINE + PRODUCTION
+             + (extended if "--extended" in sys.argv else []))
     # raw _QUERIES, not the memoized queries() registry: the memo returns
     # the SAME DataFrame on re-invocation, so iterative entries (kmeans
     # driver-side fit, localCheckpoint lineage, the winnow materialize)
@@ -171,6 +193,7 @@ def main() -> None:
     MEDIAN3 = {"near_dedup_docs", "kmeans_clusters", "knn_graph",
                "winnow_shared_spans", "dup_ngram_spans"}
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     for name in names:
         fn = qs[name]
@@ -182,7 +205,8 @@ def main() -> None:
         # session-order variance per entry, which best-of-2 turns into
         # phantom round-over-round regressions; the median is stable.
         fn(spark, sf_dir).count()
-        reps = 5 if name in HEADLINE else (3 if name in MEDIAN3 else 2)
+        reps = (5 if name in HEADLINE
+                else 3 if name in MEDIAN3 or name in PRODUCTION else 2)
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -192,6 +216,10 @@ def main() -> None:
         samples.sort()
         val = samples[len(samples) // 2] if reps >= 3 else samples[0]
         times[name] = round(val, 3)
+        # per-entry spread (max - min of the timed samples): the one-line
+        # variance band that tells the next reader whether a wall-clock
+        # delta is signal before they reach for shuffle-byte forensics
+        spread[name] = round(samples[-1] - samples[0], 3)
         # dedicated measured run for shuffle bytes (outside the timing
         # loop so the snapshot calls don't pollute wall-clock numbers)
         pre = stage_shuffle_writes(spark)
@@ -201,13 +229,18 @@ def main() -> None:
               f"{shuffle_mb[name]}MB shuffle)", file=sys.stderr)
 
     # the headline total stays comparable across rounds even when the
-    # --extended set is timed alongside
+    # production / --extended sets are timed alongside
     total = round(sum(times[n] for n in HEADLINE), 3)
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "production": {n: times[n] for n in PRODUCTION},
+        "production_total": round(sum(times[n] for n in PRODUCTION), 3),
+        "spread_sec": spread,
+        "headline_spread_total": round(
+            sum(spread[n] for n in HEADLINE), 3),
         "shuffle_mb": shuffle_mb,
         "sf": float(sf),
         "cpus": cpus,

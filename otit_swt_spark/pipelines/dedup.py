@@ -390,7 +390,47 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Single-pass union-find over a COLLECTED edge list — the small-graph
+    short-circuit of :func:`dedup_clusters`. Path-compressed union-find,
+    then each component labeled with its minimum member, matching the
+    pointer-jumping fixpoint exactly. Only called when the edge frame is
+    known to fit on the driver (bounded by ``small_graph_edges``)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = []
+    for members in comp.values():
+        m = min(members)
+        out.extend((n, m) for n in members)
+    from pyspark.sql.types import StructField, StructType
+
+    t = edges.schema["a"].dataType
+    schema = StructType([StructField("id", t), StructField("cluster", t)])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
+                   small_graph_edges: int = 500_000) -> DataFrame:
     """Connected components over candidate near-dup pairs: returns
     (id, cluster) where cluster is the minimum doc id reachable through the
     pair graph.
@@ -405,13 +445,24 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     label rides along as a column, so changed-row counting happens INSIDE
     the round's materializing aggregate — no separate compare-join or
     isEmpty job per round. This is the standard large-scale alternative to
-    driver-side union-find."""
+    driver-side union-find.
+
+    Small-graph short-circuit: when the symmetrized edge frame has at
+    most ``small_graph_edges`` rows — one cheap count on the
+    already-checkpointed frame — components resolve in ONE driver-side
+    union-find pass instead of O(log diameter) Spark rounds, each of which
+    costs fixed scheduler latency that dominates wall-clock on small
+    graphs. The 100x path (edge count above the bound) keeps the
+    log-round distributed contract untouched; pass
+    ``small_graph_edges=0`` to force it."""
     import logging
 
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .unionByName(pairs.select(F.col("id_b").alias("a"),
                                        F.col("id_a").alias("b")))
              .localCheckpoint())
+    if small_graph_edges > 0 and edges.count() <= small_graph_edges:
+        return _components_driver(edges)
     labels = (edges.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id"))

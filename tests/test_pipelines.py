@@ -3673,3 +3673,26 @@ def test_bootstrap_ci_planted_distribution_coverage(spark):
             hits += 1
     # nominal 95% on the true mean of n=600 draws; allow sampling slack
     assert hits >= n_sets - 4, hits
+
+
+def test_dedup_clusters_shortcircuit_matches_distributed(spark):
+    """The small-graph driver-side union-find must produce EXACTLY the
+    same (id, cluster) labeling as the pointer-jumping path on a random
+    graph with chains, stars, and singleton-free isolates mixed in."""
+    import random
+
+    from otit_swt_spark.pipelines.dedup import dedup_clusters
+
+    rng = random.Random(99)
+    edges = [(i, i + 1) for i in range(0, 40)]                 # long chain
+    edges += [(100, 100 + j) for j in range(1, 12)]            # star
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(80)]                              # random blob
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["cluster"])
+            for r in dedup_clusters(pairs).collect()}
+    slow = {(r["id"], r["cluster"])
+            for r in dedup_clusters(pairs, small_graph_edges=0).collect()}
+    assert fast == slow and len(fast) > 0
+    # chain collapses to min id through 40 hops either way
+    assert (40, 0) in fast
