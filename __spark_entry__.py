@@ -2110,6 +2110,41 @@ def q_chi2_events(spark, sf_dir):
     return chi_square_independence(staged, "event_type", "dow")
 
 
+def q_mi_events(spark, sf_dir):
+    """Mutual information + marginal entropies + normalized MI for
+    event_type x weekday — the cross-table-comparable dependency screen
+    next to chi2_events, computed from the same cell/margin/total frame
+    (count-form identities, one log of integers per cell, DECIMAL
+    sums)."""
+    from otit_swt_spark.pipelines.analytics import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        F.col("event_type"),
+        F.dayofweek(F.to_date(F.col("ts").cast("timestamp"))).alias("dow"))
+    return mutual_information(staged, "event_type", "dow")
+
+
+def q_url_canonical_docs(spark, sf_dir):
+    """URL canonicalization + registered domain over deterministically
+    messy URLs built from each document's fields (mixed-case scheme and
+    host, default port, www prefix, tracking params, unsorted query,
+    fragment): lowercase scheme/host, strip :80/www./fragment/utm_*,
+    sort surviving params — all built-in regex/list expressions, no
+    UDF; the oracle replays the identical chain. Output one row per
+    doc: ``(doc_id, canonical_url, domain)``."""
+    from otit_swt_spark.pipelines.urltools import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM:80/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("/page?utm_source=feed&z=26&lang="), F.col("lang"),
+        F.lit("&a=1&gclid=abc#section-2"))
+    out = canonicalize_urls(d.select("doc_id", messy.alias("url")))
+    return out.select("doc_id", "canonical_url", "domain")
+
+
 def q_mad_outlier_events(spark, sf_dir):
     """Robust per-user outliers by median absolute deviation (|v - med| >
     3 MAD) — two grouped exact percentiles + two joins on one reused key
@@ -2914,6 +2949,63 @@ def q_bootstrap_mean_ci(spark, sf_dir):
                              seed="bs0")
 
 
+def q_quantile_sketch_events(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (k=256 smallest md5(seed:id)
+    hashes per event_type = deterministic uniform row sample), then
+    p25/p50/p75/p95 as exact order statistics of each group's sample —
+    the streaming-p99 monitoring primitive (quantile member of the
+    HLL/CMS/theta sketch family) whose merge is an exact top-k
+    semilattice. Unlike KLL/t-digest the sketch is a pure function of
+    the input set, so the oracle replays hash ranking + nearest-lower
+    quantile bit-for-bit."""
+    from otit_swt_spark.pipelines.analytics import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "value", "event_id", "event_type",
+                         k=256, seed="qs0")
+    return quantile_estimate(sk, "event_type",
+                             probs=(0.25, 0.5, 0.75, 0.95))
+
+
+def q_html_extract(spark, sf_dir):
+    """Main-text extraction from raw HTML (the stage a real pretraining
+    pipeline runs FIRST): pages are built deterministically around each
+    document's text (title + nav + h1 + body paragraph + footer +
+    script), then the stdlib-parser extractor strips the boilerplate by
+    text-density (link-dense nav/footer blocks drop, script/style
+    subtrees drop wholesale, entities unescape) in one Arrow-batched
+    map pass. The oracle doesn't parse — it predicts the extraction
+    invariant (h1 + normalized body text survive, everything injected
+    around them vanishes), so any boilerplate leak hash-mismatches."""
+    from otit_swt_spark.pipelines.htmltext import html_extract
+
+    d = _t(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "&", "&amp;"),
+            "<", "&lt;"),
+        ">", "&gt;")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{}</style><script>var x=1;</script>'
+              '</head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav>'
+              '<h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'), esc,
+        F.lit('</p><footer>(c) 2026 <a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer>'
+              '<script>trailing()</script></body></html>'))
+    pages = d.select("doc_id", page.alias("html"))
+    return html_extract(pages, html_col="html", id_col="doc_id")
+
+
 def q_es_weighted_sample(spark, sf_dir):
     """Exact-size weighted sample without replacement (Efraimidis-
     Spirakis): deterministic md5-seeded uniforms, rank by ln(u)/weight
@@ -3264,6 +3356,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_recall_eval": q_ann_recall_eval,
         "es_weighted_sample": q_es_weighted_sample,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "quantile_sketch_events": q_quantile_sketch_events,
+        "html_extract": q_html_extract,
+        "mi_events": q_mi_events,
+        "url_canonical_docs": q_url_canonical_docs,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
         "rfm_segments": q_rfm_segments,
@@ -6940,6 +7036,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, n,
                    round((n + 1.0) / (t + 1.0 * v), 6) AS p
             FROM pairs JOIN tot USING (from_state), v
+        """,
+        "html_extract": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       trim(regexp_replace(coalesce(text, ''),
+                                           '\s+', ' ', 'g')) AS norm
+            FROM documents
+            ), built AS (
+                SELECT doc_id,
+                       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                       CASE WHEN length(norm) >= 25
+                            THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                                 || chr(10) || chr(10) || norm
+                            ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                       END AS text
+                FROM base
+            )
+            SELECT doc_id, title, text,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM built
+        """,
+        "mi_events": """
+            WITH cells AS (
+                SELECT event_type AS a,
+                       dayofweek(CAST(ts AS DATE)) + 1 AS b,
+                       count(*) AS c
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ), ra AS (
+                SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1
+            ), cb AS (
+                SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1
+            ), j AS (
+                SELECT CAST(sum(CAST(c::DOUBLE
+                                     * ln(c::DOUBLE
+                                          / (ra::DOUBLE * cb::DOUBLE))
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS sj,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells JOIN ra USING (a) JOIN cb USING (b)
+            ), sa AS (
+                SELECT CAST(sum(CAST(ra::DOUBLE * ln(ra::DOUBLE)
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS sa
+                FROM ra
+            ), sb AS (
+                SELECT CAST(sum(CAST(cb::DOUBLE * ln(cb::DOUBLE)
+                                     AS DECIMAL(38, 12))) AS DOUBLE) AS sb
+                FROM cb
+            ), fin AS (
+                SELECT ln(n::DOUBLE) + sj / n::DOUBLE AS mi,
+                       ln(n::DOUBLE) - sa / n::DOUBLE AS h_a,
+                       ln(n::DOUBLE) - sb / n::DOUBLE AS h_b, n
+                FROM j, sa, sb
+            )
+            SELECT round(mi, 6) + 0.0 AS mi,
+                   round(h_a, 6) + 0.0 AS h_a,
+                   round(h_b, 6) + 0.0 AS h_b,
+                   round(CASE WHEN least(h_a, h_b) > 0
+                              THEN mi / least(h_a, h_b)
+                              ELSE 0.0 END, 6) + 0.0 AS nmi,
+                   n
+            FROM fin
+        """,
+        "url_canonical_docs": """
+            SELECT doc_id,
+                   'http://' || lower(source) || '.example.com/Docs/'
+                       || CAST(doc_id AS VARCHAR) || '/page?a=1&lang='
+                       || lang || '&z=26' AS canonical_url,
+                   'example.com' || CASE WHEN source IS NULL
+                                         THEN NULL ELSE '' END AS domain
+            FROM documents
+        """,
+        "quantile_sketch_events": """
+            WITH h AS (
+                SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+                       ('0x' || substr(md5('qs0:'
+                                || CAST(event_id AS VARCHAR)), 1, 15))
+                           ::UBIGINT::BIGINT AS hv
+                FROM events WHERE value IS NOT NULL
+            ), kept AS (
+                SELECT g, v FROM (
+                    SELECT g, v, row_number() OVER (
+                        PARTITION BY g ORDER BY hv) AS rn
+                    FROM h
+                ) WHERE rn <= 256
+            ), arr AS (
+                SELECT g, list(v ORDER BY v) AS a,
+                       count(*) AS n_kept
+                FROM kept GROUP BY 1
+            ), pp AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95])
+                                  AS DOUBLE) AS p)
+            SELECT g AS event_type, p,
+                   a[CAST(floor(p * (n_kept - 1)) AS INT) + 1] AS q,
+                   CAST(n_kept AS BIGINT) AS n_kept
+            FROM arr CROSS JOIN pp
         """,
         "chi2_events": """
             WITH cells AS (

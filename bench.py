@@ -169,6 +169,12 @@ EXTENDED = [
     "theil_user_events",
     "weighted_median_lineitem",
     "seasonal_anomaly_events",
+    # round-9 additions (the heavy production tier is timed in the
+    # DEFAULT run via PRODUCTION above)
+    "quantile_sketch_events",
+    "html_extract",
+    "mi_events",
+    "url_canonical_docs",
 ]
 
 

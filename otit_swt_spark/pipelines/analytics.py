@@ -716,6 +716,94 @@ def theta_finalize(kept: DataFrame, group_col: str,
     return (sk.withColumn("theta", theta).withColumn("est", est))
 
 
+def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
+                    group_col: str, k: int = 256, seed: str = "qs0",
+                    salt: int = 32) -> DataFrame:
+    """Mergeable bottom-k quantile sketch per group: keep the ``k`` rows
+    with the SMALLEST 60-bit md5 hash of ``seed:id`` — a deterministic
+    uniform without-replacement sample of the group's rows (hash ranking
+    is the distributed reservoir), from which any quantile is estimated
+    as an exact order statistic of the sample. The quantile member of
+    the sketch family (HLL = distinct, CMS = counts, theta = set ops):
+    the streaming-p99 / monitoring primitive that answers "what is this
+    window's p95 doc length" at 100 TB without an exact per-window sort.
+
+    Design note vs KLL/t-digest (Karnin-Lang-Liberty 2016; Dunning's
+    t-digest): those compactor sketches give tighter space/error
+    tradeoffs but their state depends on arrival/merge ORDER (random or
+    sequence-dependent compaction), so no SQL engine can replay them
+    bit-for-bit. The bottom-k sample is a pure function of the input
+    SET: same house invariants as :func:`theta_sketch` (deterministic
+    md5, order-independent, SQL-replayable) and its merge is EXACT —
+    bottom-k of a union is the bottom-k of the two bottom-k's (top-k
+    semilattice), so cluster-wide unions lose nothing. Rank error is
+    the sampling envelope O(sqrt(p(1-p)/k)) whp, pytest-gated against
+    exact quantiles.
+
+    Scale shape: one SALTED two-phase top-k exactly like
+    :func:`theta_sketch` — per-(group, salt-cell) window keeps ``k``
+    rows, the per-group merge window sees at most ``salt * k`` rows, so
+    a hot group never funnels its raw rows through one task. NULL
+    values are excluded (a NULL has no rank position). Output:
+    ``(group_col, __h, v)`` — one row per kept sample."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    d = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col),
+                 F.col(value_col).cast("double").alias("v"),
+                 _md5_60(F.concat(F.lit(seed + ":"),
+                                  F.col(id_col).cast("string")))
+                 .alias("__h"),
+                 F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                        F.lit(salt)).alias("__s")))
+    w1 = W.partitionBy(group_col, "__s").orderBy("__h")
+    w2 = W.partitionBy(group_col).orderBy("__h")
+    return (d.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k)
+            .select(group_col, "__h", "v"))
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, group_col: str,
+                          k: int = 256) -> DataFrame:
+    """Merge two bottom-k quantile sketches: union and re-take the k
+    smallest hashes per group (on at most 2k rows per group). Duplicate
+    (group, hash) rows — the same underlying row seen by both sides —
+    collapse first, so merge is idempotent as well as associative and
+    commutative: EXACTLY the sketch of the union of the two row sets."""
+    from pyspark.sql import Window as W
+
+    u = (a.select(group_col, "__h", "v")
+         .unionByName(b.select(group_col, "__h", "v"))
+         .dropDuplicates([group_col, "__h"]))
+    w = W.partitionBy(group_col).orderBy("__h")
+    return (u.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k).drop("__r"))
+
+
+def quantile_estimate(sketch: DataFrame, group_col: str,
+                      probs: tuple = (0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """Quantile estimates from a bottom-k sketch frame: per group, sort
+    the (<= k) sampled values and read each probability's NEAREST-LOWER
+    order statistic — ``q_p = arr[floor(p * (n-1)) + 1]`` (1-based), the
+    deterministic interpolation both engines replay exactly (no float
+    averaging of adjacent order statistics). The per-group state is the
+    sketch's k rows, so the collect_list is bounded by construction.
+    Output long format: ``(group_col, p, q, n_kept)``."""
+    agg = (sketch.groupBy(group_col)
+           .agg(F.array_sort(F.collect_list("v")).alias("__arr"),
+                F.count(F.lit(1)).alias("n_kept")))
+    p = F.explode(F.array(*[F.lit(float(x)) for x in probs])).alias("p")
+    idx = (F.floor(F.col("p") * (F.col("n_kept") - 1).cast("double"))
+           .cast("int") + 1)
+    return (agg.select(group_col, "n_kept", "__arr", p)
+            .select(group_col, "p",
+                    F.element_at("__arr", idx).alias("q"), "n_kept"))
+
+
 def exact_kth_int(df: DataFrame, col: str, k: int,
                   buckets: int = 1024, tail: int = 4096,
                   bounds: tuple[int, int, int] | None = None) -> int:
@@ -1085,13 +1173,39 @@ def two_phase_row_number(df: DataFrame, val: str, tie: str, out: str,
     order, equal values share a bucket); prefix-count the TINY
     per-bucket frame (<= n_buckets rows — the only global window);
     then global rank = broadcast bucket offset + a PER-BUCKET
-    row_number. Worst case (all values identical) degrades to the
-    naive single-partition window; any real metric distribution
-    spreads the work across buckets.
+    row_number; any real metric distribution spreads the work across
+    buckets.
+
+    Degenerate-range fallback (round 9): when ``hi <= lo`` — every
+    value identical, detectable for FREE from the bounds the caller
+    already computed — value-range bucketing would put the whole frame
+    in one bucket (the documented single-partition floor). Instead the
+    frame is range-partitioned on the FULL sort key (val, tie) and
+    ranked as partition offset + per-partition row_number: same total
+    order, same output, no single-task window. The staged frame is
+    localCheckpoint'ed so the sampled range boundaries (and thus
+    partition ids) are computed exactly once.
 
     ``lo``/``hi`` are the caller-supplied value bounds (compute all
     metrics' bounds in ONE driver ``first()``)."""
     from pyspark.sql import Window as W
+
+    vorder = F.col(val).desc() if descending else F.col(val).asc()
+    if float(hi) <= float(lo):
+        parts = min(n_buckets, 64)
+        staged = (df.repartitionByRange(parts, vorder, F.col(tie))
+                  .withColumn("__pid", F.spark_partition_id())
+                  .localCheckpoint())
+        wb = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        prefix = (staged.groupBy("__pid")
+                  .agg(F.count(F.lit(1)).alias("__pn"))
+                  .withColumn("__off",
+                              F.coalesce(F.sum("__pn").over(wb), F.lit(0)))
+                  .select("__pid", "__off"))
+        ww = W.partitionBy("__pid").orderBy(vorder, F.col(tie))
+        return (staged.join(F.broadcast(prefix), "__pid")
+                .withColumn(out, F.col("__off") + F.row_number().over(ww))
+                .drop("__pid", "__off"))
 
     width = (float(hi) - float(lo)) / n_buckets or 1.0
     b = F.least(F.floor((F.col(val) - F.lit(float(lo))) / F.lit(width)),
@@ -1270,6 +1384,59 @@ def chi_square_independence(df: DataFrame, col_a: str,
         (F.round(F.col("s").cast("double") - F.col("n").cast("double"), 6)
          + F.lit(0.0)).alias("chi2"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"))
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized coefficient — the
+    feature-dependency screen that, unlike chi-square
+    (:func:`chi_square_independence`), is comparable across tables:
+    ``NMI = MI / min(H(a), H(b))`` is 0 for independence and 1 when
+    one column determines the other.
+
+    Same scale shape as chi2: cell counts + two broadcast margin joins
+    + a one-row total — never the full R x C grid. Every term is an
+    exact integer ratio evaluated in double and summed in
+    DECIMAL(38,12) (order-independent), using the count-form identities
+    ``MI = ln n + (1/n)·Σ c·ln(c/(ra·cb))`` and
+    ``H = ln n - (1/n)·Σ m·ln m`` so each cell contributes ONE log of
+    integers. NULL contract: rows with NULL in either column are
+    excluded up front (same rule as chi2). Output one row:
+    ``(mi, h_a, h_b, nmi, n)`` in nats, rounded to 6."""
+    dec = "decimal(38,12)"
+    cells = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    ra = cells.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    cd = F.col("c").cast("double")
+    joint = (cells.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+             .agg(F.sum((cd * F.log(cd / (F.col("ra").cast("double")
+                                          * F.col("cb").cast("double"))))
+                        .cast(dec)).alias("sj"),
+                  F.sum("c").alias("n")))
+    ha = ra.agg(F.sum((F.col("ra").cast("double")
+                       * F.log(F.col("ra").cast("double")))
+                      .cast(dec)).alias("sa"))
+    hb = cb.agg(F.sum((F.col("cb").cast("double")
+                       * F.log(F.col("cb").cast("double")))
+                      .cast(dec)).alias("sb"))
+    nd = F.col("n").cast("double")
+    mi = F.log(nd) + F.col("sj").cast("double") / nd
+    h_a = F.log(nd) - F.col("sa").cast("double") / nd
+    h_b = F.log(nd) - F.col("sb").cast("double") / nd
+    out = (joint.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+           .select(mi.alias("__mi"), h_a.alias("__ha"), h_b.alias("__hb"),
+                   F.col("n")))
+    minh = F.least(F.col("__ha"), F.col("__hb"))
+    nmi = F.when(minh > 0, F.col("__mi") / minh).otherwise(F.lit(0.0))
+    return out.select(
+        (F.round("__mi", 6) + F.lit(0.0)).alias("mi"),
+        (F.round("__ha", 6) + F.lit(0.0)).alias("h_a"),
+        (F.round("__hb", 6) + F.lit(0.0)).alias("h_b"),
+        (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
         F.col("n").cast("long").alias("n"))
 
 

@@ -61,6 +61,7 @@ def prepare_corpus_full(
     min_lm_score: float | None = None,
     decontam_n: int = 8,
     chunk_chars: int = 200,
+    html_col: str | None = None,
 ) -> DataFrame:
     """The whole pre-training prep recipe in one composition, every stage
     from this package: PII scrub → repetition filter → quality filter +
@@ -72,12 +73,23 @@ def prepare_corpus_full(
     the text that ships), decontamination runs before chunking (benchmark
     n-grams span chunk boundaries), and every map-side stage (scrub,
     repetition, quality) runs before the first shuffle so the corpus is
-    smallest when it first crosses the wire."""
+    smallest when it first crosses the wire.
+
+    ``html_col``: when given, the pipeline starts one stage EARLIER — at
+    raw crawl HTML: ``htmltext.html_extract`` strips boilerplate and the
+    extracted main text feeds the chain as ``text_col`` (another
+    map-side, pre-shuffle stage, so the raw markup never crosses the
+    wire either)."""
     from otit_swt_spark.pipelines.decontam import decontaminate
     from otit_swt_spark.pipelines.lm_quality import lm_filter, train_char_lm
     from otit_swt_spark.pipelines.pii import scrub_pii
     from otit_swt_spark.pipelines.textstats import repetition_stats
 
+    if html_col is not None:
+        from otit_swt_spark.pipelines.htmltext import html_extract
+
+        docs = (html_extract(docs, html_col=html_col, id_col=id_col)
+                .select(id_col, F.col("text").alias(text_col)))
     scrubbed = scrub_pii(docs.select(id_col, text_col), text_col=text_col)
     low_rep = (repetition_stats(scrubbed, text_col=text_col)
                .filter(F.col("rep_dup_token_frac") <= max_dup_token_frac)

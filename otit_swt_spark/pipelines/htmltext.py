@@ -1,0 +1,172 @@
+"""HTML -> main-text extraction: the stage real pretraining pipelines run
+FIRST — raw crawl pages become clean text before any dedup / quality /
+chunking stage sees them. Pure stdlib (``html.parser``) with
+trafilatura-style text-density heuristics (Kohlschütter et al. 2010
+boilerplate detection, public knowledge): strip non-content subtrees
+outright, split the rest into block-level text runs, then keep blocks
+whose LINK DENSITY is low — navigation/footer boilerplate is short and
+link-saturated, body prose is long and link-sparse.
+
+Reference parity: the reference engine has no HTML stage (its inputs are
+already-structured stores, SURVEY §2.1); this module is part of the
+additive LLM-data-pipeline surface, composed as the optional first stage
+of :func:`otit_swt_spark.pipelines.corpus.prepare_corpus_full`.
+
+Scale shape: one Arrow-batched ``mapInPandas`` pass — per-row stateless
+parsing, no shuffle, linear in corpus bytes, exactly the profile a
+100 TB crawl wants (the parse is the bottleneck, so it must live in the
+map stage next to the scan)."""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Subtrees that never contain main text — dropped wholesale.
+_DROP = {"script", "style", "noscript", "template", "svg", "head",
+         "nav", "footer", "header", "aside", "form", "button", "iframe"}
+# Elements that terminate the current text block.
+_BLOCK = {"p", "div", "li", "ul", "ol", "table", "tr", "td", "th",
+          "article", "section", "main", "br", "h1", "h2", "h3", "h4",
+          "h5", "h6", "blockquote", "pre", "figure", "figcaption",
+          "body", "html"}
+_HEADING = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+class _TextBlocks(HTMLParser):
+    """Collect (text, link_chars, is_heading) block tuples plus the page
+    title; tolerant of unclosed tags (stack depth counters, not a strict
+    tree). ``convert_charrefs=True`` (the default) unescapes entities."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, bool]] = []
+        self.title = ""
+        self._drop_depth = 0
+        self._in_title = False
+        self._link_depth = 0
+        self._heading_depth = 0
+        self._buf: list[str] = []
+        self._link_chars = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((text, self._link_chars,
+                                self._heading_depth > 0))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP and tag != "head":
+            self._drop_depth += 1
+            return
+        if tag == "head":
+            # title lives in head; only title text is read there
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag in _BLOCK:
+            self._flush()
+            if tag in _HEADING:
+                self._heading_depth += 1
+        elif tag == "a":
+            self._link_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if not self._drop_depth and tag in _BLOCK:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP or tag == "head":
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if self._drop_depth:
+            return
+        if tag in _BLOCK:
+            self._flush()
+            if tag in _HEADING and self._heading_depth:
+                self._heading_depth -= 1
+        elif tag == "a" and self._link_depth:
+            self._link_depth -= 1
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title += data
+            return
+        if self._drop_depth:
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._link_chars += len(data)
+
+class _TitleAwareBlocks(_TextBlocks):
+    """<title> lives inside <head>, which is otherwise dropped — route
+    its text to the title field before the drop check sees it."""
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title":
+            self._in_title = True
+            return
+        super().handle_starttag(tag, attrs)
+
+
+def extract_main_text(html: str, min_block_chars: int = 25,
+                      max_link_density: float = 0.5) -> tuple[str, str]:
+    """Parse ONE page: returns ``(title, text)`` where ``text`` joins the
+    retained blocks with blank lines. A block survives if it is a
+    heading, or it is long enough AND link-sparse:
+    ``len >= min_block_chars and link_chars/len <= max_link_density`` —
+    the two-feature version of the text-density boilerplate rule (long,
+    link-poor blocks are prose; short or link-rich blocks are chrome)."""
+    p = _TitleAwareBlocks()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass  # salvage whatever was collected from malformed input
+    p._flush()
+    kept = []
+    for text, link_chars, heading in p.blocks:
+        if heading:
+            kept.append(text)
+        elif (len(text) >= min_block_chars
+                and link_chars / len(text) <= max_link_density):
+            kept.append(text)
+    return " ".join(p.title.split()), "\n\n".join(kept)
+
+
+def html_extract(df: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id", min_block_chars: int = 25,
+                 max_link_density: float = 0.5) -> DataFrame:
+    """Distributed main-text extraction: one ``mapInPandas`` pass turning
+    ``(id, html)`` into ``(id, title, text, n_chars)``. Stateless per
+    row — no shuffle, linear scan, Arrow-batched; the id column is
+    passed through so the result joins back to any sibling metadata
+    without re-keying."""
+    schema = f"{id_col} long, title string, text string, n_chars long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, texts = [], []
+            for h in pdf[html_col]:
+                t, x = extract_main_text(h, min_block_chars,
+                                         max_link_density)
+                titles.append(t)
+                texts.append(x)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "title": titles,
+                "text": texts,
+                "n_chars": [len(x) for x in texts],
+            })
+
+    return df.select(id_col, html_col).mapInPandas(run, schema)

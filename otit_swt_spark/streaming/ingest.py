@@ -890,3 +890,96 @@ def stream_psi(df: DataFrame, ref_shares: list[float], lo: float,
     return g.select(F.col("__w.start").alias("window_start"),
                     F.col("__w.end").alias("window_end"),
                     "n", F.round(psi, 6).alias("psi"))
+
+
+def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
+                           group_col: str, path: str, checkpoint: str,
+                           k: int = 256, seed: str = "qs0"):
+    """Maintain per-group bottom-k quantile sketches from a stream: each
+    micro-batch sketches its own rows (same 60-bit ``md5(seed:id)``
+    ranking as ``pipelines.analytics.quantile_sketch``) and merges into
+    the stored frame, keeping the ``k`` smallest hashes per group — the
+    live "what is this feed's p95 value" monitor whose state is <= k
+    rows per group FOREVER, with no per-window exact sort. Bottom-k
+    union is idempotent and commutative (duplicate (group, hash) rows
+    collapse in the dropDuplicates), so at-least-once redelivery
+    re-unions the same sampled rows harmlessly — no batch-id replay
+    guard needed, same argument as the theta/HLL sinks. Finalize with
+    ``pipelines.analytics.quantile_estimate`` on the stored frame; the
+    stored sketch is BIT-IDENTICAL to the batch sketch over the union
+    of all delivered rows (exact merge semilattice), which is what the
+    cross-batch parity test asserts."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta = (batch_df.where(F.col(value_col).isNotNull())
+                 .select(F.col(group_col),
+                         F.col(value_col).cast("double").alias("v"),
+                         _md5_60(F.concat(
+                             F.lit(seed + ":"),
+                             F.col(id_col).cast("string"))).alias("__h")))
+        # batch-local pre-shrink: at most k rows per group leave the batch
+        wl = W.partitionBy(group_col).orderBy("__h")
+        delta = (delta.withColumn("__rn", F.row_number().over(wl))
+                 .where(F.col("__rn") <= k).drop("__rn"))
+        if fsutil.exists(spark, path):
+            delta = (spark.read.parquet(path)
+                     .select(group_col, "__h", "v").unionByName(delta))
+        merged = (delta.dropDuplicates([group_col, "__h"])
+                  .withColumn("__rn", F.row_number().over(wl))
+                  .where(F.col("__rn") <= k)
+                  .select(group_col, "__h", "v"))
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def stream_seasonal_score(df: DataFrame, profile: DataFrame,
+                          key: str = "id", ts: str = "timestamp",
+                          value: str = "value", period: int = 7,
+                          k: float = 3.0) -> DataFrame:
+    """Streaming twin of ``timeseries.seasonal_anomalies``: score
+    incoming rows against a BROADCAST stored seasonal profile (the
+    batch decompose output, distilled by ``timeseries.seasonal_profile``
+    into one row per (key, phase): expected level + seasonal offset +
+    residual sigma) — the "is this spike real or just Saturday" alert
+    path, shaped like ``stream_psi`` scoring against ``ref_shares``.
+
+    STATELESS: phase is derived from the event time alone
+    (``pmod(datediff(day, epoch_monday), period)``, the calendar twin of
+    the batch decompose's position phase on gapless daily series), and
+    the profile join is a broadcast hash join — no watermark, no state
+    store, append-mode legal with ZERO stateful operators, and the same
+    plan runs unchanged on a batch frame (the exact twin the parity
+    test replays). Rows whose (key, phase) has no profile entry pass
+    through unflagged (left-semi style inner join drops them — an
+    unprofiled key has no yardstick, mirroring the batch sigma == 0
+    exclusion). Emits ``(key, ts, value, resid, sigma)``."""
+    from otit_swt_spark.timeseries import seasonal_phase
+
+    ph = seasonal_phase(F.col(ts), period)
+    prof = profile.select(F.col(key).alias("__pk"),
+                          F.col("phase").alias("__pph"),
+                          "level", "seasonal", "sigma")
+    scored = (df.select(F.col(key), F.col(ts),
+                        F.col(value).cast("double").alias("__y"))
+              .withColumn("__ph", ph)
+              .join(F.broadcast(prof),
+                    (F.col(key) == F.col("__pk"))
+                    & (F.col("__ph") == F.col("__pph")))
+              .withColumn("__resid",
+                          F.col("__y") - F.col("level") - F.col("seasonal")))
+    return (scored.where(F.abs(F.col("__resid")) > F.lit(k) * F.col("sigma"))
+            .select(key, ts, F.col("__y").alias(value),
+                    (F.round("__resid", 6) + F.lit(0.0)).alias("resid"),
+                    (F.round("sigma", 6) + F.lit(0.0)).alias("sigma")))

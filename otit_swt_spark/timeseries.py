@@ -821,3 +821,54 @@ def seasonal_anomalies(series: DataFrame, key: str = "id",
             .where(F.abs(r) > F.lit(k) * F.col("__sig"))
             .select(key, ts, value, "resid",
                     (F.round("__sig", 6) + F.lit(0.0)).alias("sigma")))
+
+
+def seasonal_phase(ts_col, period: int = 7, epoch: str = "1970-01-05"):
+    """Calendar phase expression: ``pmod(datediff(day(ts), epoch),
+    period)`` with the epoch anchored on a Monday, so period=7 gives a
+    stable weekday index. On a gapless daily series this is the
+    position phase of :func:`classical_decompose` up to a constant
+    rotation — and a rotation is invisible to profile scoring, because
+    the profile is KEYED by the same expression it is scored with."""
+    return F.pmod(F.datediff(F.to_date(ts_col.cast("timestamp")),
+                             F.to_date(F.lit(epoch))), F.lit(period))
+
+
+def seasonal_profile(series: DataFrame, key: str = "id",
+                     ts: str = "timestamp", value: str = "value",
+                     period: int = 7) -> DataFrame:
+    """Distill a batch :func:`classical_decompose` run into the compact
+    scoring profile the streaming side broadcasts: one row per
+    (key, phase) with the key's LEVEL (mean trend — the stationary
+    baseline), the phase's SEASONAL offset, and the key's residual
+    SIGMA (DECIMAL-exact moments, variance operand clamped at 0, and
+    sigma == 0 keys excluded — same contract as
+    :func:`seasonal_anomalies`). Feed the result to
+    ``streaming.ingest.stream_seasonal_score``; at |keys| x period
+    rows the profile is dimension-table sized by construction."""
+    dec = classical_decompose(series, key=key, ts=ts, value=value,
+                              period=period)
+    d38 = "decimal(38,12)"
+    staged = (dec.where(F.col("resid").isNotNull())
+              .withColumn("phase", seasonal_phase(F.col(ts), period)))
+    r = F.col("resid")
+    perkey = (staged.groupBy(F.col(key).alias("__k"))
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum(F.col("trend").cast(d38)).alias("__t"),
+                   F.sum(r.cast(d38)).alias("__s"),
+                   F.sum((r * r).cast(d38)).alias("__s2"))
+              .where(F.col("__n") >= 2))
+    nd = F.col("__n").cast("double")
+    sd = F.col("__s").cast("double")
+    s2d = F.col("__s2").cast("double")
+    sigma = F.sqrt(F.greatest(s2d - sd * sd / nd, F.lit(0.0))
+                   / (nd - F.lit(1.0)))
+    perkey = (perkey.select(
+        "__k", (F.col("__t").cast("double") / nd).alias("level"),
+        sigma.alias("sigma")).where(F.col("sigma") > 0))
+    perphase = (staged.groupBy(F.col(key), "phase")
+                .agg((F.sum(F.col("seasonal").cast(d38)).cast("double")
+                      / F.count(F.lit(1))).alias("seasonal")))
+    return (perphase.join(perkey, perphase[key] == perkey["__k"])
+            .drop("__k")
+            .select(key, "phase", "level", "seasonal", "sigma"))

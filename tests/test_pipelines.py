@@ -3696,3 +3696,234 @@ def test_dedup_clusters_shortcircuit_matches_distributed(spark):
     assert fast == slow and len(fast) > 0
     # chain collapses to min id through 40 hops either way
     assert (40, 0) in fast
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch family (round 9): deterministic bottom-k sample sketch
+
+
+def test_quantile_sketch_error_gate_vs_exact(spark):
+    """Rank-error gate: on 50k uniform values the k=1024 sample
+    quantiles must sit within the sampling envelope of the true
+    quantiles, and on a skewed distribution the EXACT empirical CDF
+    rank of each estimate must be within the same envelope of p —
+    the sketch's contract vs exact percentile / grouped_quantiles."""
+    import random
+
+    from otit_swt_spark.pipelines.analytics import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    rng = random.Random(41)
+    uni = [(i, rng.random()) for i in range(50_000)]
+    df = spark.createDataFrame(uni, "rid long, v double") \
+        .withColumn("g", F.lit("u"))
+    sk = quantile_sketch(df, "v", "rid", "g", k=1024)
+    est = {r["p"]: r["q"] for r in
+           quantile_estimate(sk, "g", probs=(0.25, 0.5, 0.75, 0.95))
+           .collect()}
+    for p, q in est.items():
+        assert abs(q - p) < 0.05, (p, q)      # ~4.5 sigma at k=1024
+
+    skewed = [(i, rng.expovariate(1.0)) for i in range(50_000)]
+    df2 = spark.createDataFrame(skewed, "rid long, v double") \
+        .withColumn("g", F.lit("e"))
+    sk2 = quantile_sketch(df2, "v", "rid", "g", k=1024)
+    est2 = {r["p"]: r["q"] for r in
+            quantile_estimate(sk2, "g", probs=(0.25, 0.5, 0.75, 0.95))
+            .collect()}
+    vals = sorted(v for _, v in skewed)
+    import bisect
+    for p, q in est2.items():
+        rank = bisect.bisect_right(vals, q) / len(vals)
+        assert abs(rank - p) < 0.05, (p, rank)
+
+
+def test_quantile_sketch_merge_semantics(spark):
+    """Merge exactness: sketch(A u B) == merge(sketch(A), sketch(B))
+    bit-for-bit, including with OVERLAPPING rows (idempotent union);
+    constant values estimate every quantile as that constant."""
+    import random
+
+    from otit_swt_spark.pipelines.analytics import (
+        quantile_estimate,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    rng = random.Random(5)
+    rows_all = [(i, rng.gauss(0, 1), "A" if i % 3 else "B")
+                for i in range(4_000)]
+    half_a = rows_all[:2_500]                 # overlap rows 2000..2499
+    half_b = rows_all[2_000:]
+    schema = "rid long, v double, g string"
+    full = spark.createDataFrame(rows_all, schema)
+    da = spark.createDataFrame(half_a, schema)
+    db = spark.createDataFrame(half_b, schema)
+    k = 128
+    want = {(r["g"], r["__h"], r["v"]) for r in
+            quantile_sketch(full, "v", "rid", "g", k=k).collect()}
+    got = {(r["g"], r["__h"], r["v"]) for r in
+           quantile_sketch_merge(
+               quantile_sketch(da, "v", "rid", "g", k=k),
+               quantile_sketch(db, "v", "rid", "g", k=k),
+               "g", k=k).collect()}
+    assert got == want and len(got) > 0
+
+    const = spark.createDataFrame([(i, 7.5, "c") for i in range(500)],
+                                  schema)
+    ce = quantile_estimate(quantile_sketch(const, "v", "rid", "g", k=64),
+                           "g", probs=(0.25, 0.5, 0.95)).collect()
+    assert all(r["q"] == 7.5 and r["n_kept"] == 64 for r in ce)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-text extraction (round 9)
+
+
+def test_html_extract_goldens(spark):
+    """Golden crafted pages: nav/footer/script/style subtrees stripped,
+    link-dense blocks dropped by text density, headings always kept,
+    entities unescaped, paragraph order preserved, malformed (unclosed)
+    tags tolerated, NULL html yields empty text."""
+    from otit_swt_spark.pipelines.htmltext import html_extract
+
+    full = ("<html><head><title> T1 </title><style>p{c}</style>"
+            "<script>x()</script></head><body>"
+            "<nav><a href=/>Home</a> <a href=/a>About</a></nav>"
+            "<h1>Heading</h1>"
+            "<p>First real paragraph, comfortably longer than the "
+            "minimum &amp; carrying an entity.</p>"
+            "<div><a href=x>link</a> <a href=y>farm</a> <a>here</a></div>"
+            "<p>Second real paragraph, also long enough to survive.</p>"
+            "<footer>(c) <a href=/t>Terms</a></footer></body></html>")
+    malformed = ("<p>Unclosed paragraph long enough to be kept going"
+                 "<p>Second unclosed block also long enough to retain")
+    rows_in = [(1, full), (2, malformed), (3, None),
+               (4, "<body><div>" + "word " * 40 + "</div></body>")]
+    df = spark.createDataFrame(rows_in, "doc_id long, html string")
+    out = {r["doc_id"]: r for r in
+           html_extract(df, "html", "doc_id").collect()}
+    assert out[1]["title"] == "T1"
+    blocks = out[1]["text"].split("\n\n")
+    assert blocks[0] == "Heading"
+    assert blocks[1].startswith("First real paragraph") \
+        and "&" in blocks[1] and "&amp;" not in blocks[1]
+    assert blocks[2].startswith("Second real paragraph")
+    assert len(blocks) == 3                      # link farm dropped
+    for bad in ("Home", "About", "Terms", "x()", "p{c}", "(c)"):
+        assert bad not in out[1]["text"]
+    assert out[2]["text"].count("\n\n") == 1     # both unclosed blocks
+    assert out[3]["text"] == "" and out[3]["n_chars"] == 0
+    assert out[4]["text"].startswith("word word")
+    assert out[4]["n_chars"] == len(out[4]["text"])
+
+
+def test_prepare_corpus_full_from_html(spark):
+    """prepare_corpus_full(html_col=...) starts at raw crawl HTML: the
+    extracted body prose flows through scrub/quality/dedup/chunking and
+    the nav boilerplate never reaches the corpus."""
+    from otit_swt_spark.pipelines.corpus import prepare_corpus_full
+
+    body = ("The quick brown fox jumps over the lazy dog and keeps "
+            "running through the meadow for quite a while longer. ") * 3
+    page = ("<html><head><title>t</title></head><body>"
+            "<nav><a href=/>Home</a> <a href=/b>Blog</a></nav>"
+            f"<p>{body}</p>"
+            "<footer><a href=/t>Terms</a></footer></body></html>")
+    docs = spark.createDataFrame(
+        [(i, page) for i in range(3)], "doc_id long, html string")
+    out = prepare_corpus_full(docs, html_col="html").collect()
+    assert len(out) > 0
+    joined = " ".join(r["chunk"] for r in out)
+    assert "quick brown fox" in joined and "Home" not in joined
+
+
+def test_two_phase_row_number_constant_values_fallback(spark):
+    """Degenerate range (hi <= lo, every value identical): the range-
+    partitioned fallback must reproduce the naive global window's ranks
+    bit-for-bit in BOTH directions, with no single-partition window over
+    the data frame."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark.pipelines.analytics import two_phase_row_number
+
+    df = spark.createDataFrame([(7.0, i) for i in range(5_000)],
+                               "v double, k long")
+    for desc in (False, True):
+        got = {r["k"]: r["rk"] for r in
+               two_phase_row_number(df, "v", "k", "rk", lo=7.0, hi=7.0,
+                                    descending=desc).collect()}
+        vorder = F.col("v").desc() if desc else F.col("v").asc()
+        want = {r["k"]: r["rk"] for r in
+                df.withColumn("rk", F.row_number().over(
+                    W.orderBy(vorder, "k"))).collect()}
+        assert got == want
+    # rfm over constant metrics (one day, one value) survives end-to-end
+    from otit_swt_spark.pipelines.analytics import rfm_segments
+    ev = spark.createDataFrame(
+        [(u, "2024-02-02", 5.0) for u in range(300)],
+        "user_id long, s string, value double") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "value")
+    out = rfm_segments(ev, n_bins=5).collect()
+    assert len(out) == 300
+    assert sorted(r["r_score"] for r in out)[0] == 1
+
+
+def test_weighted_median_constant_values(spark):
+    """Constant-value corpus: the weighted median is that constant, and
+    the bucket-prefix path survives the all-one-bucket degeneracy."""
+    from otit_swt_spark.pipelines.analytics import weighted_median
+
+    df = spark.createDataFrame([(3.25, float(w % 5 + 1))
+                                for w in range(10_000)],
+                               "v double, w double")
+    r = weighted_median(df, "v", "w").first()
+    assert r["weighted_median"] == 3.25 and r["n_rows"] == 10_000
+
+
+def test_mutual_information_known_values(spark):
+    from math import log
+
+    from otit_swt_spark.pipelines.analytics import mutual_information
+
+    # perfect dependence: MI = H(a) = H(b) = ln 2, NMI = 1
+    dep = spark.createDataFrame([("x", "u")] * 25 + [("y", "v")] * 25,
+                                "a string, b string")
+    r = mutual_information(dep, "a", "b").first()
+    assert abs(r["mi"] - log(2)) < 1e-6 and r["nmi"] == 1.0
+    assert abs(r["h_a"] - log(2)) < 1e-6 and r["n"] == 50
+    # perfect independence: MI = 0, NMI = 0; NULL rows excluded
+    ind = ([("x", "u")] * 20 + [("x", "v")] * 20
+           + [("y", "u")] * 30 + [("y", "v")] * 30)
+    noisy = ind + [(None, "u")] * 9 + [("x", None)] * 9
+    r2 = mutual_information(
+        spark.createDataFrame(noisy, "a string, b string"), "a", "b").first()
+    assert r2["mi"] == 0.0 and r2["nmi"] == 0.0 and r2["n"] == 100
+
+
+def test_url_canonicalization_goldens(spark):
+    from otit_swt_spark.pipelines.urltools import canonicalize_urls
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://WWW.Site.COM:80/A/b?utm_source=x&b=2&a=1#frag",
+         "http://site.com/A/b?a=1&b=2", "site.com"),
+        ("https://Sub.Example.org:443/", "https://sub.example.org/",
+         "example.org"),
+        ("https://example.org:8443/x", "https://example.org:8443/x",
+         "example.org"),                      # non-default port kept
+        ("http://example.com", "http://example.com/", "example.com"),
+        ("http://example.com/p?utm_a=1&gclid=2&ref=3",
+         "http://example.com/p", "example.com"),   # emptied query drops ?
+        ("http://a.com/p?z=1&y=2&z=0", "http://a.com/p?y=2&z=0&z=1",
+         "a.com"),                            # bytewise sort, dups kept
+        ("ftp://Host.Net:80/f", "ftp://host.net:80/f", "host.net"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i long, url string")
+    out = {r["i"]: r for r in canonicalize_urls(df).collect()}
+    for i, (_, want_c, want_d) in enumerate(cases):
+        assert out[i]["canonical_url"] == want_c, (i, out[i]["canonical_url"])
+        assert out[i]["domain"] == want_d, (i, out[i]["domain"])

@@ -77,6 +77,9 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "ann_recall_multitable",
             # one-row (N, R, C) contingency-total broadcast cross
             "chi2_events",
+            # one-row joint-sum x one-row marginal-entropy broadcast
+            # crosses (analytics.mutual_information, chi2's sibling)
+            "mi_events",
             # one-row (unigram-total, bigram-total) broadcast cross
             "pmi_collocations",
             # one-row (n, W) stats x one-row median broadcast cross

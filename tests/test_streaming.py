@@ -891,3 +891,126 @@ def test_stream_psi_drift_alarm(spark, tmp_path):
     assert w2["psi"] > 0.25
     with pytest.raises(ValueError):
         stream_psi(spark.read.parquet(src), [1.0], 0.0, 100.0)
+
+
+def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
+    """Streaming bottom-k quantile sketch folded over two micro-batches
+    equals the batch sketch of the full stream BIT-FOR-BIT (bottom-k
+    union is an exact semilattice), replay from a fresh checkpoint is
+    idempotent, and the finalized quantiles agree."""
+    from otit_swt_spark.pipelines.analytics import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from otit_swt_spark.streaming.ingest import stream_quantile_sketch
+
+    src = str(tmp_path / "src")
+    sk_path = str(tmp_path / "qsk")
+    import random
+    rng = random.Random(13)
+    b1 = pd.DataFrame({"g": ["A"] * 800 + ["B"] * 300,
+                       "rid": list(range(800)) + list(range(5000, 5300)),
+                       "v": [rng.random() for _ in range(1100)]})
+    b2 = pd.DataFrame({"g": ["A"] * 600,
+                       "rid": list(range(800, 1400)),
+                       "v": [rng.random() * 10 for _ in range(600)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("g string, rid long, v double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_quantile_sketch(stream, "v", "rid", "g", sk_path,
+                               str(tmp_path / "ck"), k=128)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    want = {(r["g"], r["__h"], r["v"]) for r in
+            quantile_sketch(full, "v", "rid", "g", k=128).collect()}
+    got = {(r["g"], r["__h"], r["v"]) for r in
+           spark.read.parquet(sk_path).collect()}
+    assert got == want and len(got) > 0
+
+    est = {(r["g"], r["p"]): r["q"] for r in
+           quantile_estimate(spark.read.parquet(sk_path), "g",
+                             probs=(0.5, 0.95)).collect()}
+    batch_est = {(r["g"], r["p"]): r["q"] for r in
+                 quantile_estimate(
+                     quantile_sketch(full, "v", "rid", "g", k=128),
+                     "g", probs=(0.5, 0.95)).collect()}
+    assert est == batch_est
+
+    # replay from a fresh checkpoint: fold is idempotent
+    stream2 = (spark.readStream.schema("g string, rid long, v double")
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = stream_quantile_sketch(stream2, "v", "rid", "g", sk_path,
+                                str(tmp_path / "ck2"), k=128)
+    q2.awaitTermination(120)
+    again = {(r["g"], r["__h"], r["v"]) for r in
+             spark.read.parquet(sk_path).collect()}
+    assert again == want
+
+
+def test_stream_seasonal_score_parity(spark, tmp_path):
+    """Streaming seasonal scorer vs the batch path: a weekly-seasonal
+    daily series with one real spike — the stream (scored against the
+    broadcast profile distilled from the batch decompose) flags the
+    spike and no plain weekend, matches its own batch twin row-for-row,
+    and agrees with batch seasonal_anomalies on the interior rows
+    (complete trend windows)."""
+    import datetime
+    import random
+
+    from otit_swt_spark.streaming.ingest import stream_seasonal_score
+    from otit_swt_spark.timeseries import seasonal_anomalies, seasonal_profile
+
+    rng = random.Random(7)
+    d0 = datetime.date(2026, 1, 5)              # a Monday (epoch-aligned)
+    rows_in = []
+    for t in range(35):
+        day = d0 + datetime.timedelta(days=t)
+        y = 100.0 + (30.0 if day.weekday() >= 5 else 0.0) \
+            + rng.uniform(-1, 1)
+        if t == 17:
+            y += 80.0
+        rows_in.append(("a", day, y))
+    series = spark.createDataFrame(rows_in, "id string, day date, v double")
+    prof = seasonal_profile(series, key="id", ts="day", value="v",
+                            period=7)
+    assert prof.count() == 7                    # one row per phase
+
+    # batch twin of the scorer
+    batch_flags = stream_seasonal_score(series, prof, key="id", ts="day",
+                                        value="v", period=7, k=3.0)
+    bset = {(r["id"], r["day"]) for r in batch_flags.collect()}
+
+    # streaming run over the same rows, two micro-batches
+    src = str(tmp_path / "sea_src")
+    series.where(F.col("day") < datetime.date(2026, 1, 20)) \
+        .coalesce(1).write.parquet(src)
+    series.where(F.col("day") >= datetime.date(2026, 1, 20)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("id string, day date, v double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_seasonal_score(stream, prof, key="id", ts="day",
+                                value="v", period=7, k=3.0)
+    sink = str(tmp_path / "sea_sink")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "sea_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sset = {(r["id"], r["day"]) for r in spark.read.parquet(sink).collect()}
+    assert sset == bset                          # stream == batch twin
+
+    spike_day = d0 + datetime.timedelta(days=17)
+    assert ("a", spike_day) in sset
+    for _, day in sset:                          # no plain weekend fires
+        assert day == spike_day or day.weekday() < 5
+
+    # interior agreement with the batch anomaly operator
+    interior = {(r["id"], r["day"]) for r in
+                seasonal_anomalies(series, key="id", ts="day", value="v",
+                                   period=7, k=3.0).collect()}
+    assert interior == {("a", spike_day)}
+    lo = d0 + datetime.timedelta(days=3)
+    hi = d0 + datetime.timedelta(days=31)
+    assert {x for x in sset if lo <= x[1] <= hi} == interior
