@@ -708,3 +708,29 @@ def test_pmi_mega_repeated_bigram(spark):
     assert len(out) == 1
     assert (out[0]["a"], out[0]["b"]) == ("foo", "bar")
     assert out[0]["n_ab"] == 100_000
+
+
+def test_quantile_sketch_single_mega_group(spark):
+    """1M rows in ONE group (the hot-feed shape the streaming p99
+    monitor sees): the salted two-phase bottom-k keeps every task's
+    window bounded, the kept rows are exactly the global k smallest
+    row hashes, and the sample quantiles land inside the k=1024
+    sampling envelope of the true uniform quantiles."""
+    from otit_swt_spark.pipelines.analytics import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit("all").alias("g"), F.col("id").alias("rid"),
+        # deterministic pseudo-uniform value in [0, 1)
+        (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1_000_000))
+         .cast("double") / F.lit(1_000_000.0)).alias("v"))
+    sk = quantile_sketch(df, "v", "rid", "g", k=1024, salt=64)
+    kept = sk.collect()
+    assert len(kept) == 1024
+    est = {r["p"]: r["q"] for r in
+           quantile_estimate(sk, "g", probs=(0.5, 0.95, 0.99)).collect()}
+    for p, q in est.items():
+        assert abs(q - p) < 0.06, (p, q)
