@@ -2145,6 +2145,43 @@ def q_url_canonical_docs(spark, sf_dir):
     return out.select("doc_id", "canonical_url", "domain")
 
 
+def q_link_graph_domains(spark, sf_dir):
+    """Crawl-graph composition: deterministic pages (nav + body with
+    two-to-three real outlinks + a footer tracker link) -> content-area
+    link extraction (nav/footer links NEVER reach the graph — a leak
+    hash-mismatches) -> registered-domain canonicalization -> domain
+    edge counts. The outlink-graph stage between raw HTML and
+    PageRank/syndication dedup."""
+    from otit_swt_spark.pipelines.htmltext import html_links
+    from otit_swt_spark.pipelines.urltools import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    link1 = F.concat(
+        F.lit('<a href="HTTP://WWW.News-'), F.col("lang"),
+        F.lit('.ORG:80/item/'), F.col("doc_id").cast("string"),
+        F.lit('?utm_ref=x&k=1">story</a>'))
+    link2 = F.concat(
+        F.lit('<a href="https://Cdn-'), F.upper(F.col("source")),
+        F.lit('.Net:443/asset">asset</a>'))
+    rep = F.when(F.col("doc_id") % 2 == 0, link1).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><a href="/home">Home</a></nav><p>See '),
+        link1, F.lit(" and "), link2, F.lit(" plus "), rep,
+        F.lit(' in the long body paragraph.</p>'
+              '<footer><a href="http://tracker.example.com/px">px</a>'
+              '</footer></body></html>'))
+    pages = d.select("doc_id", page.alias("html"))
+    links = html_links(pages, html_col="html", id_col="doc_id")
+    edges = (links.select(
+        "doc_id", registered_domain(F.col("href")).alias("domain"))
+        .where(F.col("domain") != ""))
+    return (edges.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("domain"))
+
+
 def q_mad_outlier_events(spark, sf_dir):
     """Robust per-user outliers by median absolute deviation (|v - med| >
     3 MAD) — two grouped exact percentiles + two joins on one reused key
@@ -3360,6 +3397,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "html_extract": q_html_extract,
         "mi_events": q_mi_events,
         "url_canonical_docs": q_url_canonical_docs,
+        "link_graph_domains": q_link_graph_domains,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
         "rfm_segments": q_rfm_segments,
@@ -7107,6 +7145,27 @@ def oracle_sql() -> dict[str, str]:
                    'example.com' || CASE WHEN source IS NULL
                                          THEN NULL ELSE '' END AS domain
             FROM documents
+        """,
+        "link_graph_domains": """
+            WITH src AS (
+                SELECT doc_id, lang, source FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), l1 AS (
+                SELECT 'news-' || lower(lang) || '.org' AS domain,
+                       count(*) + sum(CASE WHEN doc_id % 2 = 0
+                                           THEN 1 ELSE 0 END) AS n_links,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM src GROUP BY 1
+            ), l2 AS (
+                SELECT 'cdn-' || lower(source) || '.net' AS domain,
+                       count(*) AS n_links,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM src GROUP BY 1
+            )
+            SELECT domain, CAST(n_links AS BIGINT) AS n_links,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+            ORDER BY domain
         """,
         "quantile_sketch_events": """
             WITH h AS (

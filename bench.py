@@ -175,6 +175,7 @@ EXTENDED = [
     "html_extract",
     "mi_events",
     "url_canonical_docs",
+    "link_graph_domains",
 ]
 
 

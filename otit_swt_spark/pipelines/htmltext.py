@@ -170,3 +170,72 @@ def html_extract(df: DataFrame, html_col: str = "html",
             })
 
     return df.select(id_col, html_col).mapInPandas(run, schema)
+
+
+class _LinkCollector(_TitleAwareBlocks):
+    """Also collect (href, anchor_text) for <a> tags OUTSIDE dropped
+    subtrees — nav/footer/script links are chrome, not citations, and
+    never reach the outlink graph."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a" and not self._drop_depth:
+            self._href = dict(attrs).get("href") or ""
+            self._anchor = []
+        super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and not self._drop_depth and self._href is not None:
+            self.links.append(
+                (self._href, " ".join("".join(self._anchor).split())))
+            self._href = None
+        super().handle_endtag(tag)
+
+    def handle_data(self, data):
+        if self._href is not None and not self._drop_depth:
+            self._anchor.append(data)
+        super().handle_data(data)
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """Parse ONE page into its content-area outlinks:
+    ``[(href, anchor_text), ...]`` in document order, excluding links
+    inside dropped subtrees (nav/footer/header/aside/script/...)."""
+    p = _LinkCollector()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    return p.links
+
+
+def html_links(df: DataFrame, html_col: str = "html",
+               id_col: str = "doc_id") -> DataFrame:
+    """Distributed outlink extraction: ``(id, html)`` -> one row per
+    content-area link ``(id_col, href, anchor)`` — the crawl-graph edge
+    list that feeds :mod:`urltools` canonicalization and the graph
+    operators (domain-level PageRank, dedup of syndicated sources).
+    Same mapInPandas shape as :func:`html_extract`: stateless per row,
+    no shuffle, linear in corpus bytes."""
+    schema = f"{id_col} long, href string, anchor string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hrefs, anchors = [], [], []
+            for rid, h in zip(pdf[id_col], pdf[html_col]):
+                for href, anchor in extract_links(h):
+                    ids.append(rid)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "href": pd.array(hrefs, dtype="string"),
+                                "anchor": pd.array(anchors,
+                                                   dtype="string")})
+
+    return df.select(id_col, html_col).mapInPandas(run, schema)

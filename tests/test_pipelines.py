@@ -3927,3 +3927,29 @@ def test_url_canonicalization_goldens(spark):
     for i, (_, want_c, want_d) in enumerate(cases):
         assert out[i]["canonical_url"] == want_c, (i, out[i]["canonical_url"])
         assert out[i]["domain"] == want_d, (i, out[i]["domain"])
+
+
+def test_html_links_content_area_only(spark):
+    """Outlink extraction collects (href, anchor) in document order from
+    the CONTENT area only: nav/footer/script links never appear, nested
+    markup inside the anchor is flattened, href-less anchors yield empty
+    href, malformed trailing markup is tolerated."""
+    from otit_swt_spark.pipelines.htmltext import html_links
+
+    page = ("<html><head><title>t</title></head><body>"
+            "<nav><a href='/x'>NavLink</a></nav>"
+            "<p>See <a href='http://a.com/1'>first <b>bold</b> src</a>"
+            " then <a>no href</a>"
+            " and <a href='http://b.com/2'>second</a></p>"
+            "<footer><a href='http://t.com/px'>Track</a></footer>"
+            "<p>broken <a href='http://c.com/3'>dangling")
+    df = spark.createDataFrame([(1, page), (2, None)],
+                               "doc_id long, html string")
+    out = html_links(df, "html", "doc_id").collect()
+    got = [(r["href"], r["anchor"]) for r in out]
+    assert ("http://a.com/1", "first bold src") in got
+    assert ("http://b.com/2", "second") in got
+    assert ("", "no href") in got
+    assert all(r["doc_id"] == 1 for r in out)     # NULL html -> no rows
+    assert not any("Nav" in a or "Track" in a for _, a in got)
+    assert not any(h.startswith("/x") or "t.com" in h for h, _ in got)
