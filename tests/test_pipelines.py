@@ -3953,3 +3953,47 @@ def test_html_links_content_area_only(spark):
     assert all(r["doc_id"] == 1 for r in out)     # NULL html -> no rows
     assert not any("Nav" in a or "Track" in a for _, a in got)
     assert not any(h.startswith("/x") or "t.com" in h for h, _ in got)
+
+
+def test_url_canonicalization_idempotent(spark):
+    """Canonicalization is a projection: canonical(canonical(u)) ==
+    canonical(u) over 300 structured-random URLs, and every output
+    satisfies the contract invariants (no fragment, no default port,
+    no www., no tracking params, query sorted)."""
+    import random
+
+    rng = random.Random(23)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["WWW.Example.COM", "sub.Site.org", "www.a.b.co", "X.Net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x%20y/Z"]
+    params = ["a=1", "B=2", "utm_source=t", "gclid", "ref=r", "z=",
+              "dup=1", "dup=0"]
+    frags = ["", "#f", "#Sec-2"]
+    urls = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randrange(0, 5)))
+        urls.append(rng.choice(schemes) + "://" + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + ("?" + q if q else "") + rng.choice(frags))
+    from otit_swt_spark.pipelines.urltools import canonical_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    out = (df.withColumn("c1", canonical_url(F.col("url")))
+           .withColumn("c2", canonical_url(F.col("c1"))).collect())
+    for r in out:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        c = r["c1"]
+        assert "#" not in c and "utm_" not in c and "gclid" not in c
+        assert "://www." not in c.lower()
+        scheme = c.split("://")[0]
+        hostpart = c.split("://")[1].split("/")[0]
+        if scheme == "http":
+            assert not hostpart.endswith(":80")
+        if scheme == "https":
+            assert not hostpart.endswith(":443")
+        if "?" in c:
+            q = c.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts) and all(parts)
