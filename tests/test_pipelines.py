@@ -3997,3 +3997,33 @@ def test_url_canonicalization_idempotent(spark):
             q = c.split("?", 1)[1]
             parts = q.split("&")
             assert parts == sorted(parts) and all(parts)
+
+
+def test_html_extractor_never_crashes_on_tag_soup():
+    """Robustness property (no Spark needed): the extractor survives
+    arbitrary malformed tag soup — unbalanced tags, stray brackets,
+    half-entities, nested drops — and always returns strings; when the
+    soup contains a clearly long prose block, that block survives."""
+    import random
+
+    from otit_swt_spark.pipelines.htmltext import (
+        extract_links,
+        extract_main_text,
+    )
+
+    rng = random.Random(11)
+    frags = ["<div>", "</div>", "<p", ">", "<script>", "</nav>", "&am",
+             "&amp;", "<a href='x'>", "</a>", "<<>>", "<b>", "</i>",
+             "text chunk ", "<h1>", "</h1>", "<!-- c -->", "<br/>",
+             "\x00", "<footer>", "</footer>", "<img src=y>", "word "]
+    prose = ("a genuinely long sentence of body prose that must survive "
+             "the density filter because it is link free and lengthy. ")
+    for _ in range(200):
+        soup = "".join(rng.choice(frags)
+                       for _ in range(rng.randrange(0, 40)))
+        t, x = extract_main_text(soup)
+        assert isinstance(t, str) and isinstance(x, str)
+        assert isinstance(extract_links(soup), list)
+    # prose embedded mid-soup survives unless a drop subtree swallowed it
+    t, x = extract_main_text("<div><p>" + prose + "</p><script>junk()")
+    assert prose.strip() in x
