@@ -2182,6 +2182,38 @@ def q_link_graph_domains(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_robots_filter_docs(spark, sf_dir):
+    """RFC 9309 longest-match robots filtering over deterministic URLs
+    (every 5th doc lands under /docs/private): per-source rule sets
+    (disallow /docs/private, allow /docs, disallow /) resolve by
+    longest prefix, src0 has no robots file (allowed, NULL rule). The
+    crawl-permission stage before any fetch-derived table enters the
+    corpus; broadcast rule join + one bounded per-URL aggregate."""
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://site-"), F.lower(F.col("source")),
+        F.lit(".com/docs/"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("private")).otherwise(F.lit("pub")),
+        F.lit("/"), F.col("doc_id").cast("string"))
+    urls = d.select("doc_id", url.alias("url"))
+    doms = (d.where(F.col("source") != "src0")
+            .select(F.concat(F.lit("site-"), F.lower(F.col("source")),
+                             F.lit(".com")).alias("domain"))
+            .distinct())
+    rules = (doms.select("domain", F.explode(F.array(
+        F.struct(F.lit("disallow").alias("directive"),
+                 F.lit("/docs/private").alias("path_prefix")),
+        F.struct(F.lit("allow").alias("directive"),
+                 F.lit("/docs").alias("path_prefix")),
+        F.struct(F.lit("disallow").alias("directive"),
+                 F.lit("/").alias("path_prefix")))).alias("r"))
+        .select("domain", "r.directive", "r.path_prefix"))
+    return robots_filter(urls, rules).orderBy("doc_id")
+
+
 def q_mad_outlier_events(spark, sf_dir):
     """Robust per-user outliers by median absolute deviation (|v - med| >
     3 MAD) — two grouped exact percentiles + two joins on one reused key
@@ -3398,6 +3430,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mi_events": q_mi_events,
         "url_canonical_docs": q_url_canonical_docs,
         "link_graph_domains": q_link_graph_domains,
+        "robots_filter_docs": q_robots_filter_docs,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
         "rfm_segments": q_rfm_segments,
@@ -7145,6 +7178,18 @@ def oracle_sql() -> dict[str, str]:
                    'example.com' || CASE WHEN source IS NULL
                                          THEN NULL ELSE '' END AS domain
             FROM documents
+        """,
+        "robots_filter_docs": """
+            SELECT doc_id,
+                   'http://site-' || lower(source) || '.com/docs/'
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN 'private' ELSE 'pub' END
+                       || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN source = 'src0' THEN NULL
+                        ELSE '/docs' END AS matched_prefix
+            FROM documents
+            WHERE source = 'src0' OR doc_id % 5 <> 0
+            ORDER BY doc_id
         """,
         "link_graph_domains": """
             WITH src AS (

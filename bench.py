@@ -176,6 +176,7 @@ EXTENDED = [
     "mi_events",
     "url_canonical_docs",
     "link_graph_domains",
+    "robots_filter_docs",
 ]
 
 

@@ -73,3 +73,48 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     balancing (group by domain, cap per key)."""
     return (df.withColumn(out_col, canonical_url(F.col(url_col)))
             .withColumn(domain_col, registered_domain(F.col(url_col))))
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Crawl-permission filter with RFC 9309 longest-match semantics
+    (the robots.txt resolution rule, public standard): for each URL,
+    among the domain's rules whose ``path_prefix`` literally prefixes
+    the URL path, the LONGEST prefix wins; a length tie resolves to
+    allow (least-restrictive, RFC 9309 §2.2.2); no matching rule means
+    allowed. Wildcard-free literal prefixes only — the documented
+    subset; '' or '/' disallow blocks the whole host.
+
+    ``rules``: ``(domain, directive, path_prefix)`` with directive in
+    {'allow', 'disallow'} — robots files are dimension-sized, so the
+    join broadcasts and the whole filter is map-side + one bounded
+    per-URL aggregate. Returns the input rows that are ALLOWED, with
+    the deciding rule attached (``matched_prefix``, NULL when no rule
+    matched)."""
+    path = F.regexp_extract(F.trim(F.col(url_col)),
+                            r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    u = (urls.withColumn("__dom", registered_domain(F.col(url_col)))
+         .withColumn("__path", path))
+    r = (rules.select(
+        F.col("domain").alias("__rdom"),
+        F.when(F.lower(F.col("directive")) == "allow", F.lit(1))
+        .otherwise(F.lit(0)).alias("__allow"),
+        F.coalesce(F.col("path_prefix"), F.lit("")).alias("__pfx")))
+    joined = (u.join(F.broadcast(r),
+                     (F.col("__dom") == F.col("__rdom"))
+                     & F.col("__path").startswith(F.col("__pfx")),
+                     "left"))
+    # longest prefix wins; struct max breaks length ties toward allow=1
+    best = F.max(F.when(F.col("__pfx").isNotNull(),
+                        F.struct(F.length("__pfx").alias("l"),
+                                 F.col("__allow").alias("a"),
+                                 F.col("__pfx").alias("p"))))
+    agg = (joined.groupBy(id_col)
+           .agg(F.first(F.col(url_col), ignorenulls=True).alias(url_col),
+                best.alias("__best")))
+    return (agg.where(F.col("__best").isNull()
+                      | (F.col("__best.a") == 1))
+            .select(id_col, url_col,
+                    F.col("__best.p").alias("matched_prefix")))

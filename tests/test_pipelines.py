@@ -4027,3 +4027,33 @@ def test_html_extractor_never_crashes_on_tag_soup():
     # prose embedded mid-soup survives unless a drop subtree swallowed it
     t, x = extract_main_text("<div><p>" + prose + "</p><script>junk()")
     assert prose.strip() in x
+
+
+def test_robots_filter_rfc_semantics(spark):
+    """RFC 9309 resolution cases: longest prefix wins, equal-length tie
+    resolves to allow, no matching rule (or no rules for the domain)
+    means allowed, '/' disallow blocks the host, and the deciding rule
+    is attached."""
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    urls = spark.createDataFrame([
+        (1, "http://a.com/docs/pub/x"),        # allow /docs beats /
+        (2, "http://a.com/docs/private/x"),    # disallow longest
+        (3, "http://a.com/other"),             # only '/' matches -> block
+        (4, "http://b.com/tie/x"),             # equal length -> allow
+        (5, "http://c.com/anything"),          # no rules -> allowed
+        (6, "http://b.com/free"),              # no matching rule -> allowed
+    ], "doc_id long, url string")
+    rules = spark.createDataFrame([
+        ("a.com", "disallow", "/docs/private"),
+        ("a.com", "allow", "/docs"),
+        ("a.com", "disallow", "/"),
+        ("b.com", "allow", "/tie/"),
+        ("b.com", "disallow", "/tie/"),
+    ], "domain string, directive string, path_prefix string")
+    out = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert set(out) == {1, 4, 5, 6}
+    assert out[1]["matched_prefix"] == "/docs"
+    assert out[4]["matched_prefix"] == "/tie/"
+    assert out[5]["matched_prefix"] is None
+    assert out[6]["matched_prefix"] is None
