@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 from otit_swt_spark.pipelines.htmltext import html_extract, html_links  # noqa: E402
-from otit_swt_spark.pipelines.urltools import registered_domain  # noqa: E402
+from otit_swt_spark.pipelines.urltools import (  # noqa: E402
+    registered_domain,
+    robots_filter,
+)
 from otit_swt_spark.pipelines.analytics import (  # noqa: E402
     quantile_estimate,
     quantile_sketch,
@@ -65,6 +68,17 @@ def main() -> None:
                .groupBy("domain").count().orderBy(F.desc("count")))
     print("== content-area outlink domains (nav/footer excluded) ==")
     domains.show(10, truncate=False)
+
+    # crawl permissions: block the zh wire by robots before any fetch
+    rules = spark.createDataFrame(
+        [("news-zh.org", "disallow", "/")],
+        "domain string, directive string, path_prefix string")
+    outlinks = links.where(F.col("href") != "") \
+        .withColumn("link_id", F.monotonically_increasing_id())
+    allowed = robots_filter(outlinks, rules, url_col="href",
+                            id_col="link_id")
+    print("== outlinks allowed by robots (RFC 9309 longest match) ==")
+    print(f"{links.count()} links -> {allowed.count()} fetchable")
 
     # ---- Part 2: feed monitoring --------------------------------------
     events = spark.read.parquet(f"{sf_dir}/events.parquet") \
