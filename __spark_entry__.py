@@ -2182,6 +2182,19 @@ def q_link_graph_domains(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_gopher_filter_docs(spark, sf_dir):
+    """The Gopher document-quality rules (Rae et al. 2021 App. A) as
+    auditable per-rule flags + the pass conjunction — word-count band,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stopword presence; pure map-side string/array
+    expressions, the named filter set pretraining pipelines start
+    from."""
+    from otit_swt_spark.pipelines.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_words=30) \
+        .orderBy("doc_id")
+
+
 def q_robots_filter_docs(spark, sf_dir):
     """RFC 9309 longest-match robots filtering over deterministic URLs
     (every 5th doc lands under /docs/private): per-source rule sets
@@ -3431,6 +3444,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "url_canonical_docs": q_url_canonical_docs,
         "link_graph_domains": q_link_graph_domains,
         "robots_filter_docs": q_robots_filter_docs,
+        "gopher_filter_docs": q_gopher_filter_docs,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
         "rfm_segments": q_rfm_segments,
@@ -7178,6 +7192,84 @@ def oracle_sql() -> dict[str, str]:
                    'example.com' || CASE WHEN source IS NULL
                                          THEN NULL ELSE '' END AS domain
             FROM documents
+        """,
+        "gopher_filter_docs": r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), w AS (
+                SELECT doc_id, t,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   x -> x <> '') AS words,
+                       list_filter(string_split(t, chr(10)),
+                                   x -> trim(x) <> '') AS lines
+                FROM base
+            ), m AS (
+                SELECT doc_id, t, words, lines,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           CAST(list_sum(list_transform(words,
+                                x -> length(x))) AS DOUBLE)
+                           / len(words) END AS mean_wl,
+                       length(t) - length(replace(t, '#', '')) AS n_hash,
+                       (length(t) - length(replace(t, '...', ''))) // 3
+                           AS n_ell,
+                       len(list_filter(lines, x ->
+                           regexp_matches(trim(x), '^[-*•]'))) AS bullets,
+                       len(list_filter(lines, x ->
+                           regexp_matches(trim(x), '(\.\.\.|…)$')))
+                           AS ells,
+                       len(list_filter(words, x ->
+                           regexp_matches(x, '[A-Za-z]'))) AS alpha,
+                       ' ' || regexp_replace(lower(t), '\s+', ' ', 'g')
+                           || ' ' AS low
+                FROM w
+            ), r AS (
+                SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                       round(mean_wl, 6) + 0.0 AS mean_word_len,
+                       round(CASE WHEN n_words > 0 THEN
+                             CAST(n_hash + n_ell AS DOUBLE) / n_words
+                             END, 6) + 0.0 AS symbol_ratio,
+                       round(CASE WHEN len(lines) > 0 THEN
+                             CAST(bullets AS DOUBLE) / len(lines)
+                             END, 6) + 0.0 AS bullet_frac,
+                       round(CASE WHEN len(lines) > 0 THEN
+                             CAST(ells AS DOUBLE) / len(lines)
+                             END, 6) + 0.0 AS ellipsis_frac,
+                       round(CASE WHEN n_words > 0 THEN
+                             CAST(alpha AS DOUBLE) / n_words
+                             END, 6) + 0.0 AS alpha_word_frac,
+                       CAST((CASE WHEN low LIKE '% the %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% be %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% to %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% of %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% and %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% that %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% have %' THEN 1 ELSE 0 END
+                           + CASE WHEN low LIKE '% with %' THEN 1 ELSE 0
+                             END) AS INT) AS stopword_hits
+                FROM m
+            ), f AS (
+                SELECT *,
+                       n_words BETWEEN 30 AND 100000 AS ok_word_count,
+                       mean_word_len BETWEEN 3.0 AND 10.0
+                           AS ok_mean_word_len,
+                       symbol_ratio <= 0.1 AS ok_symbol_ratio,
+                       coalesce(bullet_frac, 0.0) <= 0.9 AS ok_bullet,
+                       coalesce(ellipsis_frac, 0.0) <= 0.3 AS ok_ellipsis,
+                       alpha_word_frac >= 0.8 AS ok_alpha,
+                       stopword_hits >= 2 AS ok_stopwords
+                FROM r
+            )
+            SELECT *,
+                   coalesce(ok_word_count, false)
+                   AND coalesce(ok_mean_word_len, false)
+                   AND coalesce(ok_symbol_ratio, false)
+                   AND coalesce(ok_bullet, false)
+                   AND coalesce(ok_ellipsis, false)
+                   AND coalesce(ok_alpha, false)
+                   AND coalesce(ok_stopwords, false) AS passes
+            FROM f
+            ORDER BY doc_id
         """,
         "robots_filter_docs": """
             SELECT doc_id,

@@ -177,6 +177,7 @@ EXTENDED = [
     "url_canonical_docs",
     "link_graph_domains",
     "robots_filter_docs",
+    "gopher_filter_docs",
 ]
 
 

@@ -543,3 +543,87 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
               .select("a", "b", "n_ab", "n_a", "n_b",
                       (F.round(pmi, 6) + F.lit(0.0)).alias("pmi")))
     return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(top_n)
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, Appendix A —
+    the published filter set most pretraining pipelines start from), as
+    per-rule boolean flags plus the conjunction, so downstream callers
+    can audit WHICH rule rejected a document instead of losing it to a
+    composite score (:func:`quality_score` stays the cheap scalar):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' and '...') <= 0.1
+    - <= 90% of lines start with a bullet ('-', '*', '•')
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stopwords of {the, be, to, of, and, that, have,
+      with} present (the "prose not keyword soup" test)
+
+    Pure built-in string/array expressions — map-side, SQL-replayable,
+    no UDF. Duplicate-content rules live in
+    :func:`repetition_stats` (document-internal n-gram/line dup
+    fractions) and compose with these flags. Output: one row per doc
+    with the raw measures, seven ``ok_*`` flags and ``passes``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_words > 0,
+                     sum_len.cast("double") / n_words.cast("double"))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = ((F.length(t)
+              - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3) \
+        .cast("long")
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ell).cast("double")
+                       / n_words.cast("double"))
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0,
+                         bullet.cast("double") / n_lines.cast("double"))
+    ell_frac = F.when(n_lines > 0,
+                      ellipsis.cast("double") / n_lines.cast("double"))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0,
+                        alpha.cast("double") / n_words.cast("double"))
+    low = F.concat(F.lit(" "),
+                   F.regexp_replace(F.lower(t), r"\s+", " "), F.lit(" "))
+    stop_hits = None
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with"):
+        hit = F.when(low.contains(f" {w} "), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (F.round(mean_wl, 6) + F.lit(0.0)).alias("mean_word_len"),
+        (F.round(sym_ratio, 6) + F.lit(0.0)).alias("symbol_ratio"),
+        (F.round(bullet_frac, 6) + F.lit(0.0)).alias("bullet_frac"),
+        (F.round(ell_frac, 6) + F.lit(0.0)).alias("ellipsis_frac"),
+        (F.round(alpha_frac, 6) + F.lit(0.0)).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"))
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= min_words)
+         & (F.col("n_words") <= max_words)).alias("ok_word_count"),
+        (F.col("mean_word_len").between(3.0, 10.0)).alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= 0.1).alias("ok_symbol_ratio"),
+        (F.coalesce(F.col("bullet_frac"), F.lit(0.0)) <= 0.9)
+        .alias("ok_bullet"),
+        (F.coalesce(F.col("ellipsis_frac"), F.lit(0.0)) <= 0.3)
+        .alias("ok_ellipsis"),
+        (F.col("alpha_word_frac") >= 0.8).alias("ok_alpha"),
+        (F.col("stopword_hits") >= 2).alias("ok_stopwords"))
+    passes = None
+    for c in ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+              "ok_bullet", "ok_ellipsis", "ok_alpha", "ok_stopwords"):
+        term = F.coalesce(F.col(c), F.lit(False))
+        passes = term if passes is None else passes & term
+    return flags.withColumn("passes", passes)

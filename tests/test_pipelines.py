@@ -4057,3 +4057,35 @@ def test_robots_filter_rfc_semantics(spark):
     assert out[4]["matched_prefix"] == "/tie/"
     assert out[5]["matched_prefix"] is None
     assert out[6]["matched_prefix"] is None
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    """Each Gopher rule fires on a crafted violator and passes on clean
+    prose; the pass column is the conjunction."""
+    from otit_swt_spark.pipelines.textstats import gopher_rules
+
+    prose = ("the quick brown fox and the lazy dog have agreed that "
+             "running with purpose beats standing still of late ") * 3
+    docs = [
+        (1, prose),                                   # passes everything
+        (2, "short text of little length"),           # word count
+        (3, " ".join(["a"] * 60)),                    # mean word len < 3
+        (4, prose + " " + "#" * 40),                  # symbol ratio
+        (5, "\n".join(["- item one here"] * 10)),     # all-bullet lines
+        (6, "\n".join([f"line {i} trails off..." for i in range(10)])),
+        (7, " ".join(["12345"] * 60)),                # non-alpha words
+        (8, " ".join(["lorem", "ipsum", "dolor"] * 20)),  # no stopwords
+    ]
+    out = {r["doc_id"]: r for r in
+           gopher_rules(spark.createDataFrame(docs,
+                                              "doc_id long, text string"),
+                        min_words=30).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["passes"] is False
+    assert out[3]["ok_mean_word_len"] is False
+    assert out[4]["ok_symbol_ratio"] is False
+    assert out[5]["ok_bullet"] is False
+    assert out[6]["ok_ellipsis"] is False
+    assert out[7]["ok_alpha"] is False and out[7]["ok_stopwords"] is False
+    assert out[8]["ok_stopwords"] is False
+    assert all(not r["passes"] for i, r in out.items() if i != 1)
