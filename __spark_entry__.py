@@ -2182,6 +2182,36 @@ def q_link_graph_domains(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_robots_parse_docs(spark, sf_dir):
+    """Distributed robots.txt parsing with RFC 9309 group semantics:
+    per-source synthetic robots bodies (comments, blank lines, mixed
+    case, a Googlebot-only group that must be ignored, a two-agent
+    *-group whose rules all bind) -> the (domain, directive,
+    path_prefix) rules frame robots_filter consumes. The oracle
+    predicts the surviving rules from the construction, so a leaked
+    per-bot rule or a swallowed *-rule hash-mismatches."""
+    from otit_swt_spark.pipelines.urltools import parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    doms = (d.where(F.col("source").isNotNull())
+            .select(F.concat(F.lit("site-"), F.lower(F.col("source")),
+                             F.lit(".com")).alias("domain"),
+                    F.lower(F.col("source")).alias("__s")).distinct())
+    body = F.concat(
+        F.lit("# robots for "), F.col("domain"), F.lit("\n"
+              "User-agent: Googlebot\n"
+              "Disallow: /bot-only\n"
+              "\n"
+              "User-agent: *\n"
+              "User-agent: AcmeBot\n"
+              "Disallow: /docs/private  # keep out\n"
+              "ALLOW: /docs\n"
+              "Allow: /docs/"), F.col("__s"), F.lit("\n"
+              "disallow: /\n"))
+    parsed = parse_robots(doms.select("domain", body.alias("robots_txt")))
+    return parsed.orderBy("domain", "directive", "path_prefix")
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3445,6 +3475,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "link_graph_domains": q_link_graph_domains,
         "robots_filter_docs": q_robots_filter_docs,
         "gopher_filter_docs": q_gopher_filter_docs,
+        "robots_parse_docs": q_robots_parse_docs,
         "kaplan_meier_churn": q_kaplan_meier_churn,
         "kmeans_silhouette": q_kmeans_silhouette,
         "rfm_segments": q_rfm_segments,
@@ -7192,6 +7223,22 @@ def oracle_sql() -> dict[str, str]:
                    'example.com' || CASE WHEN source IS NULL
                                          THEN NULL ELSE '' END AS domain
             FROM documents
+        """,
+        "robots_parse_docs": """
+            WITH doms AS (
+                SELECT DISTINCT
+                       'site-' || lower(source) || '.com' AS domain,
+                       lower(source) AS s
+                FROM documents WHERE source IS NOT NULL
+            ), r AS (
+                SELECT domain, 'disallow' AS directive,
+                       '/docs/private' AS path_prefix FROM doms
+                UNION ALL SELECT domain, 'allow', '/docs' FROM doms
+                UNION ALL SELECT domain, 'allow', '/docs/' || s FROM doms
+                UNION ALL SELECT domain, 'disallow', '/' FROM doms
+            )
+            SELECT domain, directive, path_prefix FROM r
+            ORDER BY domain, directive, path_prefix
         """,
         "gopher_filter_docs": r"""
             WITH base AS (

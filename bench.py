@@ -178,6 +178,7 @@ EXTENDED = [
     "link_graph_domains",
     "robots_filter_docs",
     "gopher_filter_docs",
+    "robots_parse_docs",
 ]
 
 

@@ -118,3 +118,54 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                       | (F.col("__best.a") == 1))
             .select(id_col, url_col,
                     F.col("__best.p").alias("matched_prefix")))
+
+
+def parse_robots(df: DataFrame, domain_col: str = "domain",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """Distributed robots.txt parser: ``(domain, body)`` -> the
+    ``(domain, directive, path_prefix)`` rules frame
+    :func:`robots_filter` consumes, honoring RFC 9309 GROUP semantics —
+    consecutive ``User-agent`` lines form one group, a group's rules
+    apply to every agent named in it, and only groups naming ``*`` are
+    kept (per-bot groups are ignored). Comments (``# ...``), blank
+    lines, directive case, and surrounding whitespace are handled.
+
+    Shape: posexplode the lines, then two windows PARTITIONED BY
+    domain and ordered by line position — group ids via a running sum
+    of group-start indicators (a ``User-agent`` line whose predecessor
+    wasn't one), wildcard membership via a per-(domain, group) max.
+    Window frames are bounded by a single robots file's line count, so
+    the parse distributes across domains and never builds a global
+    window."""
+    from pyspark.sql import Window as W
+
+    lines = (df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")),
+                             "\n")).alias("pos", "__raw")))
+    clean = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
+    field = F.lower(F.regexp_extract(
+        clean, r"^(?i)(user-agent|allow|disallow)\s*:", 1))
+    value = F.trim(F.regexp_extract(
+        clean, r"^(?i)(?:user-agent|allow|disallow)\s*:\s*(.*)$", 1))
+    parsed = (lines.select("domain", "pos", field.alias("__f"),
+                           value.alias("__v"))
+              .where(F.col("__f") != ""))
+    w = (W.partitionBy("domain").orderBy("pos")
+         .rowsBetween(W.unboundedPreceding, 0))
+    is_ua = (F.col("__f") == "user-agent").cast("int")
+    prev_ua = F.coalesce(
+        F.lag(is_ua).over(W.partitionBy("domain").orderBy("pos")),
+        F.lit(0))
+    staged = (parsed
+              .withColumn("__start",
+                          ((is_ua == 1) & (prev_ua == 0)).cast("int"))
+              .withColumn("__grp", F.sum("__start").over(w)))
+    wild = (staged.where((F.col("__f") == "user-agent")
+                         & (F.col("__v") == "*"))
+            .select("domain", F.col("__grp").alias("__wg")).distinct())
+    return (staged.where(F.col("__f") != "user-agent")
+            .join(wild, (staged["domain"] == wild["domain"])
+                  & (staged["__grp"] == wild["__wg"]), "left_semi")
+            .select("domain", F.col("__f").alias("directive"),
+                    F.col("__v").alias("path_prefix")))

@@ -4089,3 +4089,39 @@ def test_gopher_rules_per_rule_flags(spark):
     assert out[7]["ok_alpha"] is False and out[7]["ok_stopwords"] is False
     assert out[8]["ok_stopwords"] is False
     assert all(not r["passes"] for i, r in out.items() if i != 1)
+
+
+def test_parse_robots_group_semantics(spark):
+    """RFC 9309 grouping: consecutive User-agent lines form one group,
+    rules apply to every agent in the group, only *-groups survive;
+    comments, blank lines, case and whitespace are tolerated."""
+    from otit_swt_spark.pipelines.urltools import parse_robots
+
+    body = (
+        "# global robots\n"
+        "User-agent: Googlebot\n"
+        "Disallow: /g-only\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: Bingbot\n"
+        "Disallow: /private   # trailing comment\n"
+        "ALLOW: /private/ok\n"
+        "\n"
+        "user-agent: DuckBot\n"
+        "disallow: /duck\n")
+    df = spark.createDataFrame([("a.com", body), ("b.com", None)],
+                               "domain string, robots_txt string")
+    got = {(r["domain"], r["directive"], r["path_prefix"])
+           for r in parse_robots(df).collect()}
+    assert got == {("a.com", "disallow", "/private"),
+                   ("a.com", "allow", "/private/ok")}
+
+    # parse -> filter composition: the *-group rules actually gate URLs
+    from otit_swt_spark.pipelines.urltools import robots_filter
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/private/x"), (2, "http://a.com/private/ok/y"),
+         (3, "http://a.com/g-only"), (4, "http://a.com/duck")],
+        "doc_id long, url string")
+    kept = {r["doc_id"] for r in
+            robots_filter(urls, parse_robots(df)).collect()}
+    assert kept == {2, 3, 4}      # per-bot groups don't bind us
