@@ -7357,7 +7357,8 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5('qs0:'
                                 || CAST(event_id AS VARCHAR)), 1, 15))
                            ::UBIGINT::BIGINT AS hv
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
             ), kept AS (
                 SELECT g, v FROM (
                     SELECT g, v, row_number() OVER (

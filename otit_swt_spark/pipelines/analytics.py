@@ -744,13 +744,17 @@ def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
     :func:`theta_sketch` — per-(group, salt-cell) window keeps ``k``
     rows, the per-group merge window sees at most ``salt * k`` rows, so
     a hot group never funnels its raw rows through one task. NULL
-    values are excluded (a NULL has no rank position). Output:
+    values are excluded (a NULL has no rank position), and so are NULL
+    ids — a row without identity hashes to NULL, which Spark's
+    ascending sort puts FIRST and most SQL engines put LAST, so it
+    would silently displace real samples on one side only. Output:
     ``(group_col, __h, v)`` — one row per kept sample."""
     from pyspark.sql import Window as W
 
     from otit_swt_spark.pipelines.dedup import _md5_60
 
-    d = (df.where(F.col(value_col).isNotNull())
+    d = (df.where(F.col(value_col).isNotNull()
+                  & F.col(id_col).isNotNull())
          .select(F.col(group_col),
                  F.col(value_col).cast("double").alias("v"),
                  _md5_60(F.concat(F.lit(seed + ":"),

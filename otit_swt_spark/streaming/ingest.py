@@ -918,7 +918,8 @@ def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        delta = (batch_df.where(F.col(value_col).isNotNull())
+        delta = (batch_df.where(F.col(value_col).isNotNull()
+                                & F.col(id_col).isNotNull())
                  .select(F.col(group_col),
                          F.col(value_col).cast("double").alias("v"),
                          _md5_60(F.concat(

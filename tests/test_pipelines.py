@@ -4125,3 +4125,22 @@ def test_parse_robots_group_semantics(spark):
     kept = {r["doc_id"] for r in
             robots_filter(urls, parse_robots(df)).collect()}
     assert kept == {2, 3, 4}      # per-bot groups don't bind us
+
+
+def test_quantile_sketch_null_id_and_value_excluded(spark):
+    """NULL ids hash to NULL, which Spark sorts FIRST and SQL engines
+    sort LAST — both NULL ids and NULL values are excluded by contract
+    so the sample is identical cross-engine."""
+    from otit_swt_spark.pipelines.analytics import quantile_sketch
+
+    rows_in = [(i, float(i), "g") for i in range(200)]
+    df = spark.createDataFrame(
+        rows_in + [(None, 1.0, "g"), (999, None, "g")],
+        "rid long, v double, g string")
+    clean = spark.createDataFrame(rows_in, "rid long, v double, g string")
+    a = {(r["__h"], r["v"]) for r in
+         quantile_sketch(df, "v", "rid", "g", k=64).collect()}
+    b = {(r["__h"], r["v"]) for r in
+         quantile_sketch(clean, "v", "rid", "g", k=64).collect()}
+    assert a == b and len(a) == 64
+    assert all(h is not None for h, _ in a)
