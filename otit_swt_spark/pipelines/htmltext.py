@@ -150,9 +150,10 @@ def html_extract(df: DataFrame, html_col: str = "html",
     """Distributed main-text extraction: one ``mapInPandas`` pass turning
     ``(id, html)`` into ``(id, title, text, n_chars)``. Stateless per
     row — no shuffle, linear scan, Arrow-batched; the id column is
-    passed through so the result joins back to any sibling metadata
-    without re-keying."""
-    schema = f"{id_col} long, title string, text string, n_chars long"
+    passed through (its input type preserved) so the result joins back
+    to any sibling metadata without re-keying."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, title string, text string, n_chars long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,8 +223,10 @@ def html_links(df: DataFrame, html_col: str = "html",
     list that feeds :mod:`urltools` canonicalization and the graph
     operators (domain-level PageRank, dedup of syndicated sources).
     Same mapInPandas shape as :func:`html_extract`: stateless per row,
-    no shuffle, linear in corpus bytes."""
-    schema = f"{id_col} long, href string, anchor string"
+    no shuffle, linear in corpus bytes; the id column's input type is
+    preserved."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, href string, anchor string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -233,7 +236,7 @@ def html_links(df: DataFrame, html_col: str = "html",
                     ids.append(rid)
                     hrefs.append(href)
                     anchors.append(anchor)
-            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=object),
                                 "href": pd.array(hrefs, dtype="string"),
                                 "anchor": pd.array(anchors,
                                                    dtype="string")})

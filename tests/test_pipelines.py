@@ -4144,3 +4144,21 @@ def test_quantile_sketch_null_id_and_value_excluded(spark):
          quantile_sketch(clean, "v", "rid", "g", k=64).collect()}
     assert a == b and len(a) == 64
     assert all(h is not None for h, _ in a)
+
+
+def test_html_ops_preserve_string_ids(spark):
+    """The html ops keep the caller's id type — string doc ids (the
+    common crawl shape: URL or UUID keys) round-trip unchanged."""
+    from otit_swt_spark.pipelines.htmltext import html_extract, html_links
+
+    page = ("<html><body><p>A long enough paragraph of real prose to "
+            "pass the density filter with room to spare.</p>"
+            "<p>Cite <a href='http://x.com/1'>one</a></p></body></html>")
+    df = spark.createDataFrame([("doc-abc", page), ("doc-def", page)],
+                               "doc_id string, html string")
+    ex = html_extract(df)
+    assert dict(ex.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in ex.collect()} == {"doc-abc", "doc-def"}
+    ln = html_links(df)
+    assert dict(ln.dtypes)["doc_id"] == "string"
+    assert ln.count() == 2
