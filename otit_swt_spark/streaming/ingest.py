@@ -984,3 +984,64 @@ def stream_seasonal_score(df: DataFrame, profile: DataFrame,
             .select(key, ts, F.col("__y").alias(value),
                     (F.round("__resid", 6) + F.lit(0.0)).alias("resid"),
                     (F.round("sigma", 6) + F.lit(0.0)).alias("sigma")))
+
+
+def stream_windowed_quantile_sketch(df: DataFrame, value_col: str,
+                                    id_col: str, group_col: str,
+                                    ts_col: str, path: str,
+                                    checkpoint: str, k: int = 256,
+                                    window: str = "5 minutes",
+                                    retain_windows: int = 12,
+                                    seed: str = "qs0"):
+    """Per-(group, event-time window) bottom-k quantile sketches — the
+    "p99 value per 5-minute window" monitor. Each micro-batch assigns
+    rows to tumbling windows, sketches per (group, window) with the
+    same ``md5(seed:id)`` ranking as the global sink, merges into the
+    store, then RETAINS only each group's ``retain_windows`` most
+    recent windows (dense-rank pruning — no interval arithmetic, and
+    the bound holds under replay because rank is derived from the
+    stored data itself). Sink state is therefore <= k x groups x
+    retain_windows rows FOREVER; late rows within the retention
+    horizon merge exactly (bottom-k union), rows older than it are
+    dropped with the window they belong to. Finalize with
+    ``pipelines.analytics.quantile_estimate`` grouping on
+    (group, window_start) via the stored ``window_start`` column."""
+    from pyspark.sql import Window as W
+
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.dedup import _md5_60
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta = (batch_df.where(F.col(value_col).isNotNull()
+                                & F.col(id_col).isNotNull())
+                 .select(F.col(group_col),
+                         F.window(F.col(ts_col), window)["start"]
+                         .alias("window_start"),
+                         F.col(value_col).cast("double").alias("v"),
+                         _md5_60(F.concat(
+                             F.lit(seed + ":"),
+                             F.col(id_col).cast("string"))).alias("__h")))
+        wl = W.partitionBy(group_col, "window_start").orderBy("__h")
+        delta = (delta.withColumn("__rn", F.row_number().over(wl))
+                 .where(F.col("__rn") <= k).drop("__rn"))
+        if fsutil.exists(spark, path):
+            delta = (spark.read.parquet(path)
+                     .select(group_col, "window_start", "__h", "v")
+                     .unionByName(delta))
+        merged = (delta.dropDuplicates([group_col, "window_start", "__h"])
+                  .withColumn("__rn", F.row_number().over(wl))
+                  .where(F.col("__rn") <= k).drop("__rn"))
+        # retention: keep each group's retain_windows most recent windows
+        wr = W.partitionBy(group_col).orderBy(F.col("window_start").desc())
+        merged = (merged.withColumn("__wrk", F.dense_rank().over(wr))
+                  .where(F.col("__wrk") <= retain_windows).drop("__wrk"))
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -1014,3 +1014,61 @@ def test_stream_seasonal_score_parity(spark, tmp_path):
     lo = d0 + datetime.timedelta(days=3)
     hi = d0 + datetime.timedelta(days=31)
     assert {x for x in sset if lo <= x[1] <= hi} == interior
+
+
+def test_stream_windowed_quantile_sketch_retention(spark, tmp_path):
+    """Per-(group, window) sketches with dense-rank retention: the two
+    most recent windows' stored sketches are BIT-IDENTICAL to the batch
+    sketch of exactly those windows' rows, and the oldest window is
+    pruned — sink state bounded at k x groups x retain_windows."""
+    import random
+
+    from otit_swt_spark.pipelines.analytics import quantile_sketch
+    from otit_swt_spark.streaming.ingest import (
+        stream_windowed_quantile_sketch,
+    )
+
+    rng = random.Random(3)
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    rows_in = []
+    rid = 0
+    for wi in range(3):                       # three 5-minute windows
+        for _ in range(300):
+            rows_in.append(("g", rid,
+                            t0 + pd.Timedelta(minutes=5 * wi,
+                                              seconds=rng.randrange(0, 300)),
+                            rng.random() * (wi + 1)))
+            rid += 1
+    pdf = pd.DataFrame(rows_in, columns=["g", "rid", "ts", "v"])
+    src = str(tmp_path / "wq_src")
+    spark.createDataFrame(pdf.iloc[:500]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[500:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sk_path = str(tmp_path / "wq_sk")
+    stream = (spark.readStream
+              .schema("g string, rid long, ts timestamp, v double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_windowed_quantile_sketch(
+        stream, "v", "rid", "g", "ts", sk_path, str(tmp_path / "wq_ck"),
+        k=64, window="5 minutes", retain_windows=2)
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(sk_path)
+    starts = {r["window_start"] for r in
+              stored.select("window_start").distinct().collect()}
+    w1 = (t0 + pd.Timedelta(minutes=5)).to_pydatetime()
+    w2 = (t0 + pd.Timedelta(minutes=10)).to_pydatetime()
+    assert starts == {w1, w2}                  # window 0 pruned
+
+    full = spark.createDataFrame(pdf)
+    for lo_min, wstart in ((5, w1), (10, w2)):
+        sub = full.where(
+            (F.col("ts") >= pd.Timestamp(wstart))
+            & (F.col("ts") < pd.Timestamp(wstart) + pd.Timedelta(minutes=5)))
+        want = {(r["g"], r["__h"], r["v"]) for r in
+                quantile_sketch(sub, "v", "rid", "g", k=64).collect()}
+        got = {(r["g"], r["__h"], r["v"]) for r in
+               stored.where(F.col("window_start")
+                            == pd.Timestamp(wstart)).collect()}
+        assert got == want and len(got) == 64, wstart
