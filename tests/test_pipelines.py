@@ -4162,3 +4162,71 @@ def test_html_ops_preserve_string_ids(spark):
     ln = html_links(df)
     assert dict(ln.dtypes)["doc_id"] == "string"
     assert ln.count() == 2
+
+
+def test_parse_robots_differential_fuzz(spark):
+    """Differential fuzz: 60 randomly generated robots files checked
+    against an independent pure-Python reference implementation of the
+    group semantics (consecutive user-agent lines form a group, rules
+    bind every agent in the group, only *-groups survive, comments and
+    junk lines ignored)."""
+    import random
+
+    from otit_swt_spark.pipelines.urltools import parse_robots
+
+    rng = random.Random(77)
+    agents = ["*", "Googlebot", "BingBot", "duckbot"]
+    prefixes = ["/", "/a", "/docs", "/docs/private", "/x/y", ""]
+
+    def gen_body():
+        out = []
+        for _ in range(rng.randrange(0, 18)):
+            roll = rng.random()
+            if roll < 0.3:
+                out.append(f"User-agent: {rng.choice(agents)}")
+            elif roll < 0.55:
+                out.append(f"Disallow: {rng.choice(prefixes)}"
+                           + (" # c" if rng.random() < 0.3 else ""))
+            elif roll < 0.75:
+                out.append(f"allow: {rng.choice(prefixes)}")
+            elif roll < 0.85:
+                out.append("")                       # blank
+            elif roll < 0.95:
+                out.append("# pure comment line")
+            else:
+                out.append("Crawl-delay: 5")         # ignored field
+        return "\n".join(out)
+
+    def reference(body):
+        rules = []
+        group_agents, in_ua_run = [], False
+        for raw in body.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            low = line.lower()
+            if low.startswith("user-agent") and ":" in line:
+                agent = line.split(":", 1)[1].strip()
+                if in_ua_run:
+                    group_agents.append(agent)
+                else:
+                    group_agents, in_ua_run = [agent], True
+            elif (low.startswith("allow") or low.startswith("disallow")) \
+                    and ":" in line:
+                in_ua_run = False
+                if "*" in group_agents:
+                    d = "allow" if low.startswith("allow") else "disallow"
+                    rules.append((d, line.split(":", 1)[1].strip()))
+            # RFC 9309: ignorable lines (blank, comments, unknown fields
+            # like Crawl-delay) neither terminate a user-agent run nor a
+            # group — only rules end the run, only a later user-agent
+            # line after rules starts a new group
+        return rules
+
+    bodies = [(f"d{i}.com", gen_body()) for i in range(60)]
+    df = spark.createDataFrame(bodies, "domain string, robots_txt string")
+    got: dict = {}
+    for r in parse_robots(df).collect():
+        got.setdefault(r["domain"], []).append(
+            (r["directive"], r["path_prefix"]))
+    for dom, body in bodies:
+        want = sorted(reference(body))
+        assert sorted(got.get(dom, [])) == want, (dom, body)
