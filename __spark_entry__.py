@@ -2234,7 +2234,7 @@ def q_robots_filter_docs(spark, sf_dir):
     corpus; broadcast rule join + one bounded per-URL aggregate."""
     from otit_swt_spark.pipelines.urltools import robots_filter
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     url = F.concat(
         F.lit("http://site-"), F.lower(F.col("source")),
         F.lit(".com/docs/"),
@@ -7221,6 +7221,7 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) || '/page?a=1&lang='
                        || lang || '&z=26' AS canonical_url,
                    'example.com' || CASE WHEN source IS NULL
+                                             OR lang IS NULL
                                          THEN NULL ELSE '' END AS domain
             FROM documents
         """,
@@ -7327,7 +7328,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN source = 'src0' THEN NULL
                         ELSE '/docs' END AS matched_prefix
             FROM documents
-            WHERE source = 'src0' OR doc_id % 5 <> 0
+            WHERE source IS NOT NULL
+              AND (source = 'src0' OR doc_id % 5 <> 0)
             ORDER BY doc_id
         """,
         "link_graph_domains": """

@@ -771,19 +771,24 @@ def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
             .select(group_col, "__h", "v"))
 
 
-def quantile_sketch_merge(a: DataFrame, b: DataFrame, group_col: str,
+def quantile_sketch_merge(a: DataFrame, b: DataFrame,
+                          group_col: str | list[str],
                           k: int = 256) -> DataFrame:
     """Merge two bottom-k quantile sketches: union and re-take the k
     smallest hashes per group (on at most 2k rows per group). Duplicate
     (group, hash) rows — the same underlying row seen by both sides —
     collapse first, so merge is idempotent as well as associative and
-    commutative: EXACTLY the sketch of the union of the two row sets."""
+    commutative: EXACTLY the sketch of the union of the two row sets.
+    ``group_col`` may be a composite key (the windowed streaming sink
+    merges on (group, window_start)); the streaming sinks delegate
+    here so batch and stream share ONE merge implementation."""
     from pyspark.sql import Window as W
 
-    u = (a.select(group_col, "__h", "v")
-         .unionByName(b.select(group_col, "__h", "v"))
-         .dropDuplicates([group_col, "__h"]))
-    w = W.partitionBy(group_col).orderBy("__h")
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    u = (a.select(*gcols, "__h", "v")
+         .unionByName(b.select(*gcols, "__h", "v"))
+         .dropDuplicates([*gcols, "__h"]))
+    w = W.partitionBy(*gcols).orderBy("__h")
     return (u.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= k).drop("__r"))
 

@@ -61,11 +61,12 @@ class _TextBlocks(HTMLParser):
         self._link_chars = 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in _DROP and tag != "head":
-            self._drop_depth += 1
-            return
-        if tag == "head":
-            # title lives in head; only title text is read there
+        if tag == "body":
+            # browsers implicitly close an unclosed <head> (or any other
+            # stray open drop-subtree) when <body> starts; without this a
+            # missing </head> would swallow the whole document
+            self._drop_depth = 0
+        if tag in _DROP:
             self._drop_depth += 1
             return
         if self._drop_depth:
@@ -82,7 +83,7 @@ class _TextBlocks(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag):
-        if tag in _DROP or tag == "head":
+        if tag in _DROP:
             if self._drop_depth:
                 self._drop_depth -= 1
             return
@@ -110,12 +111,16 @@ class _TextBlocks(HTMLParser):
 
 class _TitleAwareBlocks(_TextBlocks):
     """<title> lives inside <head>, which is otherwise dropped — route
-    its text to the title field before the drop check sees it."""
+    its text to the title field before the drop check sees it. An
+    UNCLOSED <title> must not swallow the document: html.parser does
+    not treat title as RCDATA (no close tag is ever synthesized), so
+    any subsequent start tag also ends title mode."""
 
     def handle_starttag(self, tag, attrs):
         if tag == "title":
             self._in_title = True
             return
+        self._in_title = False
         super().handle_starttag(tag, attrs)
 
 

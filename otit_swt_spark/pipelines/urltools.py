@@ -37,10 +37,13 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://",
                                       1))
     hostport = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
-    host = F.when(
-        (scheme == "http") | (scheme == "https"), host
-    ).otherwise(hostport)
+    # each scheme strips only ITS OWN default port: https://x:80 is a
+    # genuinely different endpoint and must not merge with https://x
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, r":443$", ""))
+            .otherwise(hostport))
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -89,9 +92,11 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     ``rules``: ``(domain, directive, path_prefix)`` with directive in
     {'allow', 'disallow'} — robots files are dimension-sized, so the
     join broadcasts and the whole filter is map-side + one bounded
-    per-URL aggregate. Returns the input rows that are ALLOWED, with
-    the deciding rule attached (``matched_prefix``, NULL when no rule
-    matched)."""
+    per-URL aggregate. Returns the input rows that are ALLOWED, every
+    input column preserved (``id_col`` must uniquely key rows — rider
+    columns are constant within an id, so the post-join ``first()`` is
+    deterministic), with the deciding rule attached
+    (``matched_prefix``, NULL when no rule matched)."""
     path = F.regexp_extract(F.trim(F.col(url_col)),
                             r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -111,12 +116,13 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                         F.struct(F.length("__pfx").alias("l"),
                                  F.col("__allow").alias("a"),
                                  F.col("__pfx").alias("p"))))
+    riders = [c for c in urls.columns if c != id_col]
     agg = (joined.groupBy(id_col)
-           .agg(F.first(F.col(url_col), ignorenulls=True).alias(url_col),
+           .agg(*[F.first(F.col(c)).alias(c) for c in riders],
                 best.alias("__best")))
     return (agg.where(F.col("__best").isNull()
                       | (F.col("__best.a") == 1))
-            .select(id_col, url_col,
+            .select(id_col, *riders,
                     F.col("__best.p").alias("matched_prefix")))
 
 

@@ -912,6 +912,7 @@ def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
     from pyspark.sql import Window as W
 
     from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import quantile_sketch_merge
     from otit_swt_spark.pipelines.dedup import _md5_60
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -929,13 +930,10 @@ def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
         wl = W.partitionBy(group_col).orderBy("__h")
         delta = (delta.withColumn("__rn", F.row_number().over(wl))
                  .where(F.col("__rn") <= k).drop("__rn"))
-        if fsutil.exists(spark, path):
-            delta = (spark.read.parquet(path)
-                     .select(group_col, "__h", "v").unionByName(delta))
-        merged = (delta.dropDuplicates([group_col, "__h"])
-                  .withColumn("__rn", F.row_number().over(wl))
-                  .where(F.col("__rn") <= k)
-                  .select(group_col, "__h", "v"))
+        stored = (spark.read.parquet(path).select(group_col, "__h", "v")
+                  if fsutil.exists(spark, path)
+                  else delta.limit(0))
+        merged = quantile_sketch_merge(stored, delta, group_col, k=k)
         merged.localCheckpoint(eager=True) \
             .write.mode("overwrite").parquet(path)
 
@@ -1009,6 +1007,7 @@ def stream_windowed_quantile_sketch(df: DataFrame, value_col: str,
     from pyspark.sql import Window as W
 
     from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import quantile_sketch_merge
     from otit_swt_spark.pipelines.dedup import _md5_60
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1027,13 +1026,11 @@ def stream_windowed_quantile_sketch(df: DataFrame, value_col: str,
         wl = W.partitionBy(group_col, "window_start").orderBy("__h")
         delta = (delta.withColumn("__rn", F.row_number().over(wl))
                  .where(F.col("__rn") <= k).drop("__rn"))
-        if fsutil.exists(spark, path):
-            delta = (spark.read.parquet(path)
-                     .select(group_col, "window_start", "__h", "v")
-                     .unionByName(delta))
-        merged = (delta.dropDuplicates([group_col, "window_start", "__h"])
-                  .withColumn("__rn", F.row_number().over(wl))
-                  .where(F.col("__rn") <= k).drop("__rn"))
+        stored = (spark.read.parquet(path)
+                  .select(group_col, "window_start", "__h", "v")
+                  if fsutil.exists(spark, path) else delta.limit(0))
+        merged = quantile_sketch_merge(stored, delta,
+                                       [group_col, "window_start"], k=k)
         # retention: keep each group's retain_windows most recent windows
         wr = W.partitionBy(group_col).orderBy(F.col("window_start").desc())
         merged = (merged.withColumn("__wrk", F.dense_rank().over(wr))

@@ -4230,3 +4230,52 @@ def test_parse_robots_differential_fuzz(spark):
     for dom, body in bodies:
         want = sorted(reference(body))
         assert sorted(got.get(dom, [])) == want, (dom, body)
+
+
+def test_url_canonical_port_scheme_coupling(spark):
+    """Review fix: each scheme strips only ITS OWN default port —
+    https://x:80 and http://x:443 are real non-default endpoints and
+    must not merge with the portless origin."""
+    from otit_swt_spark.pipelines.urltools import canonicalize_urls
+
+    df = spark.createDataFrame([
+        (1, "https://Example.com:80/x"),
+        (2, "http://Example.com:443/x"),
+        (3, "http://Example.com:80/x"),
+        (4, "https://Example.com:443/x"),
+    ], "i long, url string")
+    out = {r["i"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    assert out[1] == "https://example.com:80/x"
+    assert out[2] == "http://example.com:443/x"
+    assert out[3] == "http://example.com/x"
+    assert out[4] == "https://example.com/x"
+
+
+def test_html_extract_unclosed_title_does_not_swallow_body(spark):
+    """Review fix: an unclosed <title> (html.parser never synthesizes
+    the close tag) must not route the whole body into the title and
+    silently drop the document."""
+    from otit_swt_spark.pipelines.htmltext import extract_main_text
+
+    t, x = extract_main_text(
+        "<html><head><title>My Title<body><p>A genuinely long body "
+        "paragraph of prose that must survive extraction.</p>")
+    assert t == "My Title"
+    assert x.startswith("A genuinely long body paragraph")
+
+
+def test_robots_filter_preserves_rider_columns(spark):
+    """Review fix: every input column rides through the permission
+    filter (the documented 'returns the input rows' contract)."""
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/ok", "anchor-1", 42)],
+        "doc_id long, url string, anchor string, extra long")
+    rules = spark.createDataFrame([("a.com", "disallow", "/private")],
+                                  "domain string, directive string, "
+                                  "path_prefix string")
+    r = robots_filter(urls, rules).first()
+    assert r["anchor"] == "anchor-1" and r["extra"] == 42
+    assert r["url"] == "http://a.com/ok" and r["matched_prefix"] is None
