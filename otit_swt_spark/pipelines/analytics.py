@@ -762,13 +762,20 @@ def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
                  .alias("__h"),
                  F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                         F.lit(salt)).alias("__s")))
-    w1 = W.partitionBy(group_col, "__s").orderBy("__h")
-    w2 = W.partitionBy(group_col).orderBy("__h")
+    # windows order by (__h, v): hash ties (60-bit collisions, or the
+    # same id re-delivered with a changed value) rank deterministically
+    # instead of by arrival order; the post-top-k collapse to min(v)
+    # per (group, __h) is the SAME tie-break quantile_sketch_merge
+    # applies, so batch and merged-stream sketches agree under ties.
+    # The collapse runs on <= k rows per group — bounded, not a full
+    # extra shuffle of the input.
+    w1 = W.partitionBy(group_col, "__s").orderBy("__h", "v")
+    w2 = W.partitionBy(group_col).orderBy("__h", "v")
     return (d.withColumn("__r1", F.row_number().over(w1))
             .where(F.col("__r1") <= k)
             .withColumn("__r2", F.row_number().over(w2))
             .where(F.col("__r2") <= k)
-            .select(group_col, "__h", "v"))
+            .groupBy(group_col, "__h").agg(F.min("v").alias("v")))
 
 
 def quantile_sketch_merge(a: DataFrame, b: DataFrame,
@@ -785,9 +792,14 @@ def quantile_sketch_merge(a: DataFrame, b: DataFrame,
     from pyspark.sql import Window as W
 
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    # min(v) per (group, __h), NOT dropDuplicates on (group, __h): if
+    # the same id is re-delivered with a changed value (or two ids
+    # collide in the 60-bit hash) dropDuplicates would pick the
+    # surviving v nondeterministically — min(v) is the deterministic
+    # tie-break, mirrored in the batch sketch's post-top-k collapse
     u = (a.select(*gcols, "__h", "v")
          .unionByName(b.select(*gcols, "__h", "v"))
-         .dropDuplicates([*gcols, "__h"]))
+         .groupBy(*gcols, "__h").agg(F.min("v").alias("v")))
     w = W.partitionBy(*gcols).orderBy("__h")
     return (u.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= k).drop("__r"))

@@ -114,14 +114,35 @@ class _TitleAwareBlocks(_TextBlocks):
     its text to the title field before the drop check sees it. An
     UNCLOSED <title> must not swallow the document: html.parser does
     not treat title as RCDATA (no close tag is ever synthesized), so
-    any subsequent start tag also ends title mode."""
+    any subsequent start tag also ends title mode. Only the FIRST
+    <title> that is either inside <head> or outside every dropped
+    subtree is captured — <title> elements inside other drop contexts
+    (<svg><title>icon</title></svg> accessibility labels, common inline
+    icon markup) are NOT the page title."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._head_depth = 0
+        self._title_done = False
 
     def handle_starttag(self, tag, attrs):
+        if tag == "head":
+            self._head_depth += 1
+        elif tag == "body":
+            self._head_depth = 0  # mirror the implicit-</head> rule
         if tag == "title":
-            self._in_title = True
+            if not self._title_done and (
+                    self._head_depth > 0 or self._drop_depth == 0):
+                self._in_title = True
+                self._title_done = True
             return
         self._in_title = False
         super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "head" and self._head_depth:
+            self._head_depth -= 1
+        super().handle_endtag(tag)
 
 
 def extract_main_text(html: str, min_block_chars: int = 25,

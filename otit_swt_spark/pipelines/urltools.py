@@ -87,7 +87,15 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     the URL path, the LONGEST prefix wins; a length tie resolves to
     allow (least-restrictive, RFC 9309 §2.2.2); no matching rule means
     allowed. Wildcard-free literal prefixes only — the documented
-    subset; '' or '/' disallow blocks the whole host.
+    subset; a '/' disallow blocks the whole host.
+
+    Prefix matching operates on the PATH PLUS QUERY (``/search?q=``
+    rules match), per RFC 9309 §2.2.2's match-on-path-and-query; only
+    the fragment is excluded. An EMPTY disallow prefix matches nothing
+    (RFC 9309: ``Disallow:`` with no value means allow-all, so an empty
+    prefix must never block); an empty allow prefix is a harmless no-op
+    (loses every longest-match tie except against no rule at all, where
+    the default is already allow).
 
     ``rules``: ``(domain, directive, path_prefix)`` with directive in
     {'allow', 'disallow'} — robots files are dimension-sized, so the
@@ -95,18 +103,26 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     per-URL aggregate. Returns the input rows that are ALLOWED, every
     input column preserved (``id_col`` must uniquely key rows — rider
     columns are constant within an id, so the post-join ``first()`` is
-    deterministic), with the deciding rule attached
+    deterministic; duplicate ids FAIL FAST via a distinct-count guard
+    piggybacked on the same aggregate rather than silently picking an
+    arbitrary row), with the deciding rule attached
     (``matched_prefix``, NULL when no rule matched)."""
     path = F.regexp_extract(F.trim(F.col(url_col)),
-                            r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+                            r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     u = (urls.withColumn("__dom", registered_domain(F.col(url_col)))
-         .withColumn("__path", path))
+         .withColumn("__path", path)
+         .withColumn("__rid", F.monotonically_increasing_id()))
     r = (rules.select(
         F.col("domain").alias("__rdom"),
         F.when(F.lower(F.col("directive")) == "allow", F.lit(1))
         .otherwise(F.lit(0)).alias("__allow"),
-        F.coalesce(F.col("path_prefix"), F.lit("")).alias("__pfx")))
+        F.coalesce(F.col("path_prefix"), F.lit("")).alias("__pfx"))
+        # RFC 9309: an empty Disallow value is allow-all, i.e. NOT a
+        # rule — without this drop the '' prefix would match (and with
+        # longest-match, block) every path on the host: inverted
+        # semantics for the very common "User-agent: *\nDisallow:" body
+        .where((F.col("__allow") == 1) | (F.col("__pfx") != "")))
     joined = (u.join(F.broadcast(r),
                      (F.col("__dom") == F.col("__rdom"))
                      & F.col("__path").startswith(F.col("__pfx")),
@@ -119,9 +135,20 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     riders = [c for c in urls.columns if c != id_col]
     agg = (joined.groupBy(id_col)
            .agg(*[F.first(F.col(c)).alias(c) for c in riders],
-                best.alias("__best")))
-    return (agg.where(F.col("__best").isNull()
-                      | (F.col("__best.a") == 1))
+                best.alias("__best"),
+                # one input row == one __rid, so >1 distinct rids under
+                # one id means the id-uniqueness contract is violated
+                F.count_distinct("__rid").alias("__nid")))
+    allowed = F.col("__best").isNull() | (F.col("__best.a") == 1)
+    # the guard lives inside the filter so it fires for EVERY duplicate
+    # id, including ones whose best rule is a disallow
+    guarded = F.when(
+        F.col("__nid") > 1,
+        F.raise_error(F.concat(
+            F.lit("robots_filter: duplicate id in '" + id_col + "': "),
+            F.col(id_col).cast("string"))).cast("boolean")
+    ).otherwise(allowed)
+    return (agg.where(guarded)
             .select(id_col, *riders,
                     F.col("__best.p").alias("matched_prefix")))
 
@@ -171,6 +198,11 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                          & (F.col("__v") == "*"))
             .select("domain", F.col("__grp").alias("__wg")).distinct())
     return (staged.where(F.col("__f") != "user-agent")
+            # RFC 9309: 'Disallow:' with an empty value is the allow-all
+            # idiom, not a rule — emitting it would invert the semantics
+            # downstream (empty prefix would longest-match-block every
+            # path). Empty 'Allow:' stays: a harmless no-op.
+            .where(~((F.col("__f") == "disallow") & (F.col("__v") == "")))
             .join(wild, (staged["domain"] == wild["domain"])
                   & (staged["__grp"] == wild["__wg"]), "left_semi")
             .select("domain", F.col("__f").alias("directive"),

@@ -4214,7 +4214,12 @@ def test_parse_robots_differential_fuzz(spark):
                 in_ua_run = False
                 if "*" in group_agents:
                     d = "allow" if low.startswith("allow") else "disallow"
-                    rules.append((d, line.split(":", 1)[1].strip()))
+                    v = line.split(":", 1)[1].strip()
+                    # RFC 9309: empty Disallow is the allow-all idiom,
+                    # not a rule (ADVICE r9 medium fix, mirrored here)
+                    if d == "disallow" and v == "":
+                        continue
+                    rules.append((d, v))
             # RFC 9309: ignorable lines (blank, comments, unknown fields
             # like Crawl-delay) neither terminate a user-agent run nor a
             # group — only rules end the run, only a later user-agent
@@ -4279,3 +4284,133 @@ def test_robots_filter_preserves_rider_columns(spark):
     r = robots_filter(urls, rules).first()
     assert r["anchor"] == "anchor-1" and r["extra"] == 42
     assert r["url"] == "http://a.com/ok" and r["matched_prefix"] is None
+
+
+def test_robots_empty_disallow_is_allow_all(spark):
+    """ADVICE r9 (medium): the extremely common allow-all idiom
+    'User-agent: *\\nDisallow:' must allow EVERYTHING — an empty
+    disallow value is not a rule (RFC 9309), and before the fix it
+    longest-matched-blocked every path on the host."""
+    from otit_swt_spark.pipelines.urltools import parse_robots, \
+        robots_filter
+
+    df = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow:\n"),
+         ("b.com", "User-agent: *\nDisallow:\nAllow:\nDisallow: /x\n")],
+        "domain string, robots_txt string")
+    rules = parse_robots(df)
+    got = {(r["domain"], r["directive"], r["path_prefix"])
+           for r in rules.collect()}
+    # the empty disallow rows are dropped; empty allow survives (no-op)
+    assert got == {("b.com", "allow", ""), ("b.com", "disallow", "/x")}
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/anything"), (2, "http://a.com/"),
+         (3, "http://b.com/ok"), (4, "http://b.com/x/blocked")],
+        "doc_id long, url string")
+    kept = {r["doc_id"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {1, 2, 3}
+
+    # defense in depth: a MANUAL empty-disallow rule handed straight to
+    # robots_filter (bypassing the parser) must also match nothing
+    manual = spark.createDataFrame([("a.com", "disallow", "")],
+                                   "domain string, directive string, "
+                                   "path_prefix string")
+    kept2 = {r["doc_id"] for r in robots_filter(urls, manual).collect()}
+    assert kept2 == {1, 2, 3, 4}
+
+
+def test_robots_filter_matches_path_plus_query(spark):
+    """ADVICE r9 (low): RFC 9309 prefix matching operates on path +
+    query — 'Disallow: /search?q=' must block /search?q=foo while
+    leaving the bare /search page crawlable."""
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/search?q=foo"),
+         (2, "http://a.com/search"),
+         (3, "http://a.com/search?page=2"),
+         (4, "http://a.com/search?q=bar#frag")],   # fragment excluded
+        "doc_id long, url string")
+    rules = spark.createDataFrame([("a.com", "disallow", "/search?q=")],
+                                  "domain string, directive string, "
+                                  "path_prefix string")
+    kept = {r["doc_id"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {2, 3}
+
+
+def test_robots_filter_duplicate_id_raises(spark):
+    """VERDICT r9 #7: the id-uniqueness contract fails fast instead of
+    silently picking an arbitrary rider row via first()."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/x"), (1, "http://a.com/y")],
+        "doc_id long, url string")
+    rules = spark.createDataFrame([("a.com", "allow", "/")],
+                                  "domain string, directive string, "
+                                  "path_prefix string")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                       match="duplicate id"):
+        robots_filter(urls, rules).collect()
+
+
+def test_html_title_ignores_svg_title(spark):
+    """ADVICE r9 (low): <title> inside a dropped non-head subtree
+    (<svg><title>icon</title></svg>, inline-icon accessibility markup)
+    must not be concatenated into the page title; only the first
+    document title is captured."""
+    from otit_swt_spark.pipelines.htmltext import extract_main_text
+
+    t, x = extract_main_text(
+        "<html><head><title>Real Title</title></head><body>"
+        "<svg><title>icon label</title><path d='m0 0'/></svg>"
+        "<p>A genuinely long body paragraph of prose that must "
+        "survive extraction intact.</p>"
+        "<title>second title must not append</title></body></html>")
+    assert t == "Real Title"
+    assert "icon label" not in x
+    # svg appearing BEFORE the head title must not steal the slot
+    t2, _ = extract_main_text(
+        "<html><body><svg><title>icon</title></svg></body>"
+        "<head><title>Late Title</title></head></html>")
+    assert t2 == "Late Title"
+
+
+def test_quantile_sketch_deterministic_under_value_ties(spark):
+    """ADVICE r9 (low): the same id re-delivered with a changed value
+    (identical __h, different v) resolves to min(v) deterministically
+    in BOTH the batch sketch and the merge — not to whichever row
+    dropDuplicates happened to keep."""
+    from otit_swt_spark.pipelines.analytics import quantile_sketch, \
+        quantile_sketch_merge
+
+    rows = [(i, "g", float(i)) for i in range(1, 41)]
+    base = spark.createDataFrame(rows, "id long, g string, v double")
+    # redeliver id=7 with a different value in the same frame
+    dup = base.union(spark.createDataFrame([(7, "g", 3.5)],
+                                           "id long, g string, v double"))
+    sk = quantile_sketch(dup, "v", "id", "g", k=16)
+    got = {r["__h"]: r["v"] for r in sk.collect()}
+    sk_clean = quantile_sketch(
+        base.withColumn("v", F.when(F.col("id") == 7, 3.5)
+                        .otherwise(F.col("v"))), "v", "id", "g", k=16)
+    # min(3.5, 7.0) = 3.5 must be the surviving value wherever id=7 kept
+    h7 = {r["__h"] for r in sk_clean.collect()
+          if r["v"] == 3.5}
+    for h in h7 & set(got):
+        assert got[h] == 3.5
+
+    # merge side: two sketches disagreeing on one hash's v -> min wins
+    a = quantile_sketch(base, "v", "id", "g", k=16)
+    b = quantile_sketch(
+        base.withColumn("v", F.when(F.col("id") == 7, 3.5)
+                        .otherwise(F.col("v"))), "v", "id", "g", k=16)
+    m = {r["__h"]: r["v"] for r in
+         quantile_sketch_merge(a, b, "g", k=16).collect()}
+    for h in h7 & set(m):
+        assert m[h] == 3.5
