@@ -2006,6 +2006,47 @@ def q_multimodal_features(spark, sf_dir):
     return extract_image_features(media, fake=True)
 
 
+def q_image_hashes(spark, sf_dir):
+    """Perceptual image hashes (integer aHash + dHash) over REAL decoded
+    24-bit BMP payloads synthesized deterministically from doc ids
+    (multimodal.synth_gray_bmp): the decode -> floor-partition downscale
+    -> cross-multiplied threshold math is pure int64, so the oracle
+    replays both 64-bit hashes bit-for-bit from the pixel formula —
+    the image twin of simhash64. Decode rides the scan (one
+    mapInPandas, zero shuffle)."""
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    d = _t(spark, sf_dir, "documents")
+    return image_hashes(synth_gray_bmp(d)).orderBy("media_id")
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Perceptual near-dup image pairs: aHash 16-bit-chunk Hamming
+    banding (pigeonhole guarantees recall for distance <= 3) +
+    lead()-window candidate pairing + exact Hamming verify — the SAME
+    banding machinery as the simhash text path
+    (dedup.hamming_banded_pairs) — with the dHash distance attached as
+    the brightness-shift-robust second opinion."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    d = _t(spark, sf_dir, "documents")
+    h = image_hashes(synth_gray_bmp(d))
+    pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
+                                 max_distance=3)
+    da = h.select(F.col("media_id").alias("id_a"),
+                  F.col("dhash").alias("__dh_a"))
+    db = h.select(F.col("media_id").alias("id_b"),
+                  F.col("dhash").alias("__dh_b"))
+    return (pairs.join(da, "id_a").join(db, "id_b")
+            .select("id_a", "id_b", "hamming",
+                    F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b")))
+                    .alias("dhash_hamming"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_zscore_anomalies(spark, sf_dir):
     """Per-user z-score outlier events (|z| > 2 sample stddevs): one
     grouped-stats shuffle + a broadcast join back."""
@@ -3532,6 +3573,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_budget_select": q_token_budget_select,
         "cross_dedup_flags": q_cross_dedup_flags,
         "zscore_anomalies": q_zscore_anomalies,
+        "image_hashes_docs": q_image_hashes,
+        "image_phash_neardup": q_image_phash_neardup,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -4833,6 +4876,52 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN ({_sim_bit(j)}) > 0 THEN "
         f"{(1 << j) if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
         for j in range(64))
+
+    # Perceptual image-hash oracles: multimodal.synth_gray_bmp's pixels
+    # are a pure int64 function of (doc_id, pixel index) — its documented
+    # formula — so DuckDB replays decode -> floor-partition downscale ->
+    # cross-multiplied threshold -> 64-bit pack exactly, never touching
+    # the BMP bytes the Spark side really encodes and decodes.
+    _img_pack = ("CAST(sum(CASE WHEN b = 0 THEN 0 "
+                 "WHEN j = 63 THEN -9223372036854775807 - 1 "
+                 "ELSE (1::BIGINT << j) END) AS BIGINT)")
+    _img_chain = f"""
+            WITH ids AS (SELECT doc_id AS id FROM documents),
+            px AS (
+                SELECT id, i,
+                       CASE WHEN i < 64
+                            THEN least(base + 16 * ((id // 24) % 3), 255)
+                            ELSE base END AS p
+                FROM (
+                    SELECT id, i,
+                           (((id % 24) * 2654435761 + i * 2246822519
+                             + 3266489917) % 2147483648) // 8388608 AS base
+                    FROM ids CROSS JOIN (SELECT unnest(range(0, 1024)) AS i)
+                )
+            ), acell AS (
+                SELECT id, ((i // 32) // 4) * 8 + ((i % 32) // 4) AS j,
+                       sum(p) AS s
+                FROM px GROUP BY 1, 2
+            ), atot AS (
+                SELECT id, sum(s) AS t FROM acell GROUP BY 1
+            ), abits AS (
+                SELECT id, j, CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS b
+                FROM acell JOIN atot USING (id)
+            ), afp AS (
+                SELECT id, {_img_pack} AS fp FROM abits GROUP BY 1
+            ), dcell AS (
+                SELECT id, (i // 32) // 4 AS r, ((i % 32) * 9) // 32 AS c,
+                       sum(p) AS s, count(*) AS n
+                FROM px GROUP BY 1, 2, 3
+            ), dbits AS (
+                SELECT a.id, a.r * 8 + a.c AS j,
+                       CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS b
+                FROM dcell a JOIN dcell b
+                  ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+                WHERE a.c < 8
+            ), dfp AS (
+                SELECT id, {_img_pack} AS fp FROM dbits GROUP BY 1
+            )"""
 
     # shared CTE chain for the near-dedup family: replayable MinHash
     # signatures + banding + lead()-window pairing, exact 3-gram Jaccard
@@ -8178,6 +8267,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sigs a ON a.id = p.id_a
             JOIN sigs b ON b.id = p.id_b
+        """,
+        "image_hashes_docs": f"""
+            {_img_chain}
+            SELECT a.id AS media_id, a.fp AS ahash, d.fp AS dhash
+            FROM afp a JOIN dfp d ON d.id = a.id
+            ORDER BY media_id
+        """,
+        "image_phash_neardup": f"""
+            {_img_chain},
+            chunks AS (
+                SELECT id, c, (fp >> (c * 16)) & 65535 AS key
+                FROM afp, (SELECT unnest(range(0, 4)) AS c)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM chunks WINDOW w AS (PARTITION BY c, key ORDER BY id)
+            ), pairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            )
+            SELECT p.id_a, p.id_b,
+                   bit_count(xor(a.fp, b.fp)) AS hamming,
+                   bit_count(xor(da.fp, db.fp)) AS dhash_hamming
+            FROM pairs p
+            JOIN afp a ON a.id = p.id_a
+            JOIN afp b ON b.id = p.id_b
+            JOIN dfp da ON da.id = p.id_a
+            JOIN dfp db ON db.id = p.id_b
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY id_a, id_b
         """,
         "simhash_pairs": f"""
             WITH toks AS (

@@ -329,6 +329,56 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_banded_pairs(fp: DataFrame, id_col: str = "id",
+                         fp_col: str = "fp", max_distance: int = 3,
+                         max_pairs_per_entry: int = 8) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint frame ``(id, fp)`` —
+    the banding + verify stage shared by the SimHash text path and the
+    perceptual image-hash path (multimodal.image_hashes): block on the
+    four 16-bit chunks (pigeonhole: any pair within Hamming distance 3
+    agrees on at least one chunk, so recall is GUARANTEED for
+    ``max_distance <= 3`` up to the per-entry cap), generate candidates
+    by lead()-window successor pairing inside each bucket (a degenerate
+    bucket yields a linear, not quadratic, number of pairs; rank-adjacent
+    pairs keep it one connected component), then verify by exact
+    Hamming distance. Output: ``(id_a, id_b, hamming)``.
+
+    NULL fingerprints (e.g. undecodable images) are dropped up front —
+    they have no distance to anything."""
+    from pyspark.sql import Window as W
+
+    sh = (fp.where(F.col(fp_col).isNotNull())
+          .select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh")))
+    chunks = sh.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("sh", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    w = W.partitionBy("chunk", "key").orderBy("id")
+    succ = F.array(*[F.lead("id", d).over(w)
+                     for d in range(1, max_pairs_per_entry + 1)])
+    pairs = (
+        chunks
+        .select(F.col("id").alias("id_a"), succ.alias("succ"))
+        .select("id_a", F.explode("succ").alias("id_b"))
+        .filter(F.col("id_b").isNotNull())
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("id_a", "id_b",
+                hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         max_distance: int = 3,
                         max_pairs_per_entry: int = 8) -> DataFrame:
@@ -353,41 +403,11 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("id", simhash64_from(F.col("__sh_arr")).alias("sh"))
         .persist()
     )
-    chunks = sh.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for c in range(4)
-        ])).alias("ck"),
-    ).select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-
-    # Windowed successor pairing (same as the MinHash path): lead() over the
-    # sorted bucket keeps per-row state at max_pairs_per_entry ids, so a
-    # degenerate bucket (millions of identical docs on one 16-bit key) never
-    # materializes as a single giant collect_list array row — the window sort
-    # spills, pair count stays linear, rank-adjacent pairs keep the bucket one
-    # connected component.
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("chunk", "key").orderBy("id")
-    succ = F.array(*[F.lead("id", d).over(w)
-                     for d in range(1, max_pairs_per_entry + 1)])
-    pairs = (
-        chunks
-        .select(F.col("id").alias("id_a"), succ.alias("succ"))
-        .select("id_a", F.explode("succ").alias("id_b"))
-        .filter(F.col("id_b").isNotNull())
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.join(sh_a, "id_a").join(sh_b, "id_b")
-        .select("id_a", "id_b",
-                hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .filter(F.col("hamming") <= max_distance)
-    )
+    # banding + lead()-window pairing + Hamming verify live in
+    # hamming_banded_pairs, shared with the perceptual image-hash path
+    return hamming_banded_pairs(sh, id_col="id", fp_col="sh",
+                                max_distance=max_distance,
+                                max_pairs_per_entry=max_pairs_per_entry)
 
 
 def _components_driver(edges: DataFrame) -> DataFrame:

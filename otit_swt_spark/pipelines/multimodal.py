@@ -384,3 +384,228 @@ def extract_video_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         kernel, schema="media_id long, mime string, duration_s double, "
                        "timescale long, n_tracks long")
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing: average-hash (aHash) + difference-hash (dHash)
+# over the decoded-pixel path.  Public-knowledge algorithms (the classic
+# pHash-family downscale-and-threshold hashes); this implementation is a
+# DETERMINISTIC INTEGER variant so a SQL engine can replay the hash
+# bit-for-bit from the pixel values:
+#
+# - downscale = floor-partition block averaging (pixel (x, y) of an HxW
+#   image belongs to grid cell (y*rows//H, x*cols//W)) — no interpolation,
+#   no float resample kernel;
+# - thresholding compares block averages by integer cross-multiplication
+#   (sum_a * cnt_b > sum_b * cnt_a), never by dividing;
+# - the 64 bits pack little-endian (bit j = grid cell j) into one signed
+#   64-bit value, bit 63 landing on the sign bit exactly like
+#   dedup.simhash64, so the same Hamming/banding machinery applies.
+#
+# Reference parity: the reference engine has no image stage (its inputs are
+# structured stores, SURVEY §2.1); this is additive LLM-data-pipeline
+# surface — the image twin of the text near-dup family (dedup.simhash64 /
+# minhash), with the BMP container as the codec-free decodable format in
+# this environment (PIL engages automatically when importable).
+# --------------------------------------------------------------------------
+
+IMAGE_HASH_SCHEMA = "media_id long, ahash long, dhash long"
+
+
+def encode_bmp24_gray(gray) -> bytes:
+    """Serialize an HxW uint8 grayscale array as an uncompressed 24-bit
+    BMP (r=g=b, bottom-up row order, rows padded to 4 bytes) — the
+    synthesis half of the BMP pixel path, used by tests and the
+    oracle-gated entries to build REAL decodable payloads."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    flipped = a[::-1]                       # bottom-up storage
+    for c in range(3):                      # b, g, r all = gray
+        body[:, c:w * 3:3] = flipped
+    size = 54 + h * stride
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       h * stride, 2835, 2835, 0, 0)
+    return header + info + body.tobytes()
+
+
+def decode_bmp24_gray(payload: bytes):
+    """Decode an uncompressed 24-bit BMP into an HxW int64 luma array
+    (integer luma = (299 r + 587 g + 114 b) // 1000, exact for the
+    r=g=b images this path synthesizes). Handles bottom-up (positive
+    height) and top-down (negative) row order and 4-byte row padding.
+    Returns None when the payload is not a decodable 24bpp BMP."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    offset = struct.unpack("<I", payload[10:14])[0]
+    rows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < offset + rows * stride:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=rows * stride, offset=offset)
+    raw = raw.reshape(rows, stride)[:, :w * 3].astype(np.int64)
+    b = raw[:, 0::3]
+    g = raw[:, 1::3]
+    r = raw[:, 2::3]
+    luma = (r * 299 + g * 587 + b * 114) // 1000
+    return luma[::-1] if h > 0 else luma    # back to top-down image space
+
+
+def image_gray_pixels(payload: bytes):
+    """Luma pixels for any decodable image: codec-free BMP fast path,
+    PIL fallback for compressed containers when importable (same soft
+    import as :func:`_deep_image_decode`); None when undecodable —
+    corrupt files must not kill the pipeline."""
+    px = decode_bmp24_gray(payload)
+    if px is not None:
+        return px
+    img_mod = _pil_image()
+    if img_mod is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with img_mod.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.int64)
+    except Exception:
+        return None
+
+
+def _pack_bits64(bits) -> int:
+    """Pack a flat length-64 boolean sequence into the signed 64-bit value
+    whose bit j is bits[j] (bit 63 = sign), matching dedup.simhash64's
+    layout so hamming64/banding apply unchanged."""
+    v = 0
+    for j, b in enumerate(bits):
+        if b:
+            v |= 1 << j
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def ahash64_gray(gray) -> int:
+    """Average-hash: floor-partition the image into an 8x8 grid; bit
+    j = (cell by*8+bx) is 1 when the cell's average luma exceeds the
+    GLOBAL average (integer cross-multiplied: cell_sum * total_cnt >
+    total_sum * cell_cnt). Exact for images up to ~16k x 16k within
+    int64 (documented bound)."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.int64)
+    h, w = a.shape
+    ri = (np.arange(h, dtype=np.int64) * 8) // h
+    ci = (np.arange(w, dtype=np.int64) * 8) // w
+    cell = ri[:, None] * 8 + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=a.ravel().astype(np.float64),
+                       minlength=64).astype(np.int64)
+    cnts = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
+    total_sum = int(sums.sum())
+    total_cnt = int(cnts.sum())
+    bits = sums * total_cnt > total_sum * cnts
+    return _pack_bits64(bits.tolist())
+
+
+def dhash64_gray(gray) -> int:
+    """Difference-hash: floor-partition into an 8-row x 9-column grid;
+    bit j = r*8 + c is 1 when band (r, c)'s average luma exceeds band
+    (r, c+1)'s — the horizontal-gradient signature, robust to global
+    brightness shifts that flip aHash wholesale."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.int64)
+    h, w = a.shape
+    ri = (np.arange(h, dtype=np.int64) * 8) // h
+    ci = (np.arange(w, dtype=np.int64) * 9) // w
+    cell = ri[:, None] * 9 + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=a.ravel().astype(np.float64),
+                       minlength=72).astype(np.int64).reshape(8, 9)
+    cnts = np.bincount(cell.ravel(), minlength=72) \
+        .astype(np.int64).reshape(8, 9)
+    left_s, right_s = sums[:, :8], sums[:, 1:]
+    left_c, right_c = cnts[:, :8], cnts[:, 1:]
+    bits = left_s * right_c > right_s * left_c     # (8, 8), j = r*8 + c
+    return _pack_bits64(bits.ravel().tolist())
+
+
+def image_hashes(media: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Distributed perceptual hashing: one Arrow-batched ``mapInPandas``
+    pass turning ``(id, payload)`` into ``(id, ahash, dhash)`` — decode
+    rides the scan (per-row stateless, zero shuffle, linear in corpus
+    bytes: the correct 100 TB shape, same as htmltext.html_extract).
+    Undecodable payloads yield NULL hashes rather than failing the job.
+    Feed the result to ``dedup.hamming_banded_pairs`` for near-dup
+    pairing — the image twin of the simhash text path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ah, dh = [], []
+            for p in pdf[payload_col]:
+                px = image_gray_pixels(p) if p is not None else None
+                if px is None or px.size == 0 or min(px.shape) < 1:
+                    ah.append(None)
+                    dh.append(None)
+                else:
+                    ah.append(ahash64_gray(px))
+                    dh.append(dhash64_gray(px))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "ahash": pd.array(ah, dtype="Int64"),
+                                "dhash": pd.array(dh, dtype="Int64")})
+
+    return media.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(kernel, IMAGE_HASH_SCHEMA)
+
+
+def synth_gray_bmp(df: DataFrame, id_col: str = "doc_id",
+                   n_groups: int = 24, n_variants: int = 3,
+                   size: int = 32) -> DataFrame:
+    """Deterministic synthetic image corpus for the perceptual-hash path:
+    one REAL uncompressed 24-bit BMP payload per input row, whose pixels
+    are a pure integer function of the row id — so a SQL oracle can
+    replay the downstream hash bit-for-bit without decoding bytes.
+
+    Construction (all int64 arithmetic, replayable verbatim in SQL):
+    ``g = id % n_groups`` picks a base image
+    ``base(g, i) = ((g*2654435761 + i*2246822519 + 3266489917)
+    % 2147483648) // 8388608`` (i = y*size + x, value 0..255), and
+    ``v = (id // n_groups) % n_variants`` perturbs the first two pixel
+    rows: ``px = min(base + 16*v, 255) for i < 2*size`` — same group =
+    near-duplicate images (a few Hamming bits apart), different groups =
+    unrelated (~32 bits). Output: ``(media_id, payload)``."""
+    import numpy as np
+
+    npx = size * size
+    nvar = 2 * size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npx, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d % n_groups
+                v = (d // n_groups) % n_variants
+                base = ((g * 2654435761 + i * 2246822519 + 3266489917)
+                        % 2147483648) // 8388608
+                px = base.copy()
+                px[:nvar] = np.minimum(base[:nvar] + 16 * v, 255)
+                payloads.append(encode_bmp24_gray(
+                    px.reshape(size, size).astype(np.uint8)))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return df.select(F.col(id_col)) \
+        .mapInPandas(kernel, "media_id long, payload binary")

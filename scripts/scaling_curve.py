@@ -63,13 +63,41 @@ QUERIES = [
     "embedding_topk",
     "mapper_expand_lineitem",
     "dup_ngram_spans",
+    "image_phash_neardup",
 ]
+
+
+def perturb_text(text, replica: int):
+    """Deterministic token-level perturbation for document replicas
+    (round-10 fix): key-shifted copies with IDENTICAL text made the
+    dedup-family curves measure the amplifier (true-duplicate pair mass
+    grows quadratically in replica count), not the operator. Replica
+    r > 0 drops ~1/4 of tokens and rewrites ~1/6 with a replica suffix,
+    both keyed on xxhash64(token, r) — a pure function of TOKEN VALUE,
+    so two organically-near-duplicate docs inside one replica are
+    perturbed identically (organic pair structure preserved) while
+    cross-replica 3-gram overlap collapses (shingle survival ~0.33 of
+    the union -> below every banding threshold). Replica 0 stays
+    verbatim."""
+    if replica == 0:
+        return text
+    toks = F.split(F.coalesce(text, F.lit("")), r"\s+")
+    kept = F.filter(
+        toks, lambda t: F.pmod(F.xxhash64(t, F.lit(replica)),
+                               F.lit(4)) != 0)
+    rewritten = F.transform(
+        kept, lambda t: F.when(
+            F.pmod(F.xxhash64(t, F.lit(replica * 7919)), F.lit(6)) == 0,
+            F.concat(t, F.lit(f"_r{replica}"))).otherwise(t))
+    return F.array_join(rewritten, " ")
 
 
 def build_amplified(spark, times: int, graph: bool = False) -> str:
     facts = {**FACTS, **GRAPH_FACTS} if graph else FACTS
+    # v2: document replicas are content-perturbed (see perturb_text) —
+    # new cache dir so stale identical-text amplifications never reload
     out = os.path.join("/tmp", "otit_swt_scale",
-                       f"sf0.1{'g' if graph else ''}x{times}")
+                       f"sf0.1{'g' if graph else ''}x{times}v2")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -91,6 +119,11 @@ def build_amplified(spark, times: int, graph: bool = False) -> str:
                 # distinct users per replica so per-user series stay sane
                 shifted = shifted.withColumn(
                     "user_id", F.col("user_id") + F.lit(i * SHIFT))
+            if t == "documents":
+                # content-perturbed replicas: dedup curves measure the
+                # OPERATOR's growth, not quadratic identical-text pair mass
+                shifted = shifted.withColumn(
+                    "text", perturb_text(F.col("text"), i))
             rep = rep.unionByName(shifted)
         rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     open(marker, "w").close()

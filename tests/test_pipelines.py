@@ -4414,3 +4414,131 @@ def test_quantile_sketch_deterministic_under_value_ties(spark):
          quantile_sketch_merge(a, b, "g", k=16).collect()}
     for h in h7 & set(m):
         assert m[h] == 3.5
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (round 10): BMP pixel path, integer aHash/dHash,
+# Hamming-banded near-dup pairing, and the banding recall guarantee.
+# --------------------------------------------------------------------------
+
+def test_bmp24_roundtrip_and_orientations():
+    """encode/decode are exact inverses for arbitrary sizes (padding,
+    odd widths), and a top-down (negative height) BMP decodes to the
+    same image space."""
+    import struct
+
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (decode_bmp24_gray,
+                                                     encode_bmp24_gray)
+
+    rng = np.random.RandomState(11)
+    for h, w in [(32, 32), (17, 23), (8, 9), (5, 7), (64, 1)]:
+        a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        d = decode_bmp24_gray(encode_bmp24_gray(a))
+        assert d is not None and (d == a).all(), (h, w)
+    # top-down variant: flip the height sign and un-reverse the rows
+    a = rng.randint(0, 256, (6, 4)).astype(np.uint8)
+    buf = bytearray(encode_bmp24_gray(a[::-1]))
+    buf[22:26] = struct.pack("<i", -6)
+    d = decode_bmp24_gray(bytes(buf))
+    assert d is not None and (d == a).all()
+
+
+def test_image_hash_brightness_invariance():
+    """The cross-multiplied integer thresholds make BOTH hashes exactly
+    invariant to a global brightness shift (no clamping) — the property
+    that makes them perceptual rather than byte hashes."""
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (ahash64_gray,
+                                                     dhash64_gray)
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(60, 180, (32, 32)).astype(np.int64)
+    for shift in (-40, -7, 13, 50):
+        assert ahash64_gray(base + shift) == ahash64_gray(base)
+        assert dhash64_gray(base + shift) == dhash64_gray(base)
+    # and to positive contrast scaling
+    assert ahash64_gray(base * 3) == ahash64_gray(base)
+    assert dhash64_gray(base * 3) == dhash64_gray(base)
+
+
+def test_image_hashes_null_on_undecodable(spark):
+    """Corrupt / unknown payloads yield NULL hashes instead of failing
+    the job; NULL fingerprints are dropped by the pairer."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (encode_bmp24_gray,
+                                                     image_hashes)
+    import numpy as np
+
+    good = encode_bmp24_gray(
+        np.arange(1024, dtype=np.int64).reshape(32, 32).astype(np.uint8)
+        % 256)
+    media = spark.createDataFrame(
+        [(1, good), (2, b"not an image"), (3, b""), (4, None)],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in image_hashes(media).collect()}
+    assert rows[1]["ahash"] is not None and rows[1]["dhash"] is not None
+    for i in (2, 3, 4):
+        assert rows[i]["ahash"] is None and rows[i]["dhash"] is None
+    assert hamming_banded_pairs(image_hashes(media), id_col="media_id",
+                                fp_col="ahash").count() == 0
+
+
+def test_hamming_banded_pairs_recall_guarantee(spark):
+    """The pigeonhole guarantee, measured: for fingerprints within
+    Hamming distance <= 3 at least one 16-bit chunk is equal, so (with
+    buckets smaller than the successor cap) banded recall vs EXACT
+    all-pairs is 1.0 — and the verify stage makes precision 1.0. The
+    image twin of the ann_recall_multitable gate."""
+    import itertools
+    import random
+
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+
+    rng = random.Random(42)
+    fps = {}
+    next_id = 0
+    for _ in range(40):                       # 40 well-separated bases
+        base = rng.getrandbits(64)
+        for _ in range(3):                    # 3 near-copies each
+            v = base
+            for _ in range(rng.randrange(0, 4)):   # flip <= 3 bits
+                v ^= 1 << rng.randrange(64)
+            fps[next_id] = v - (1 << 64) if v >= 1 << 63 else v
+            next_id += 1
+    exact = {(a, b) for a, b in itertools.combinations(sorted(fps), 2)
+             if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    df = spark.createDataFrame(list(fps.items()), "id long, fp long")
+    got = {(r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"]
+           else (r["id_b"], r["id_a"])
+           for r in hamming_banded_pairs(df, max_distance=3).collect()}
+    assert exact, "test construction must produce true near-dup pairs"
+    assert got >= exact                      # recall = 1.0
+    for a, b in got:                         # precision = 1.0 (verified)
+        assert bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_image_phash_end_to_end_vs_exact(spark):
+    """End-to-end on REAL BMP payloads: banded near-dup pairs equal the
+    exact all-pairs Hamming <= 3 set computed from the collected hashes
+    (buckets here are below the successor cap, so no pairs are capped
+    away)."""
+    import itertools
+
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    docs = spark.range(0, 72).withColumnRenamed("id", "doc_id")
+    h = image_hashes(synth_gray_bmp(docs, n_groups=24, n_variants=3))
+    hashes = {r["media_id"]: r["ahash"] for r in h.collect()}
+    exact = {(a, b) for a, b in itertools.combinations(sorted(hashes), 2)
+             if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+             <= 3}
+    got = {(r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"]
+           else (r["id_b"], r["id_a"])
+           for r in hamming_banded_pairs(h, id_col="media_id",
+                                         fp_col="ahash").collect()}
+    assert exact and got == exact
