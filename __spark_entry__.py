@@ -3159,6 +3159,87 @@ def q_html_extract(spark, sf_dir):
     return html_extract(pages, html_col="html", id_col="doc_id")
 
 
+# Constant bodies for the raw-HTML corpus composite (q_corpus_from_html):
+# the syndicated press-release paragraph (identical across its copies, so
+# exact dedup fires) and the boilerplate closing sentence every organic
+# page carries (real pages end with prose like this; it also makes the
+# Gopher stopword rule discriminate on the DOCUMENT body, not reject the
+# whole synthetic corpus whose vocabulary lacks function words).
+_SYND_BODY = (
+    "The company announced today that it will expand its regional "
+    "operations and hire more staff over the coming year. Officials "
+    "said the move is part of a broader plan to improve service and "
+    "reach new customers in nearby markets across the region.")
+_PAGE_TAIL = ("That report will be of use to teams working with the "
+              "data and it will have more detail soon.")
+
+
+def q_corpus_from_html(spark, sf_dir):
+    """END-TO-END corpus prep from RAW CRAWL HTML — the full chain a
+    pretraining ingest runs, one stage earlier than corpus_pipeline:
+    deterministic pages (title/nav/h1/body/footer/script around each
+    document's text; every 13th page a syndicated press release with
+    identical body; every 10th fetch a refetch of the previous page's
+    URL) -> html_extract main text -> URL canonicalization + keep first
+    fetch per canonical URL -> Gopher quality filter -> exact text
+    dedup (kills the syndicated copies) -> 200-char chunks with token
+    counts. Every stage is map-side or a bounded key aggregate; the
+    oracle replays extraction invariant, URL prediction, Gopher flags,
+    both dedups and the chunker."""
+    from otit_swt_spark.pipelines.htmltext import html_extract
+    from otit_swt_spark.pipelines.textstats import (
+        chunk_text, gopher_rules, n_tokens)
+    from otit_swt_spark.pipelines.urltools import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    is_synd = (F.col("doc_id") % 13) == 5
+    h1 = F.when(is_synd, F.lit("Syndicated Release")).otherwise(
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+    body = F.when(is_synd, F.lit(_SYND_BODY)).otherwise(
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" " + _PAGE_TAIL)))
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(body, "&", "&amp;"),
+                         "<", "&lt;"),
+        ">", "&gt;")
+    page = F.concat(
+        F.lit('<html><head><title>'), h1,
+        F.lit('</title><style>p{}</style><script>var x=1;</script>'
+              '</head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav><h1>'), h1,
+        F.lit('</h1><p>'), esc,
+        F.lit('</p><footer>(c) 2026 <a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer>'
+              '<script>trailing()</script></body></html>'))
+    url_id = (F.col("doc_id")
+              - F.when((F.col("doc_id") % 10) == 1, F.lit(1))
+              .otherwise(F.lit(0)))
+    messy = F.concat(
+        F.lit("HTTP://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM:80/item/"), url_id.cast("string"),
+        F.lit("?utm_source=x&b=2&a=1#frag"))
+    pages = d.select("doc_id", page.alias("html"), messy.alias("url"))
+
+    ext = html_extract(pages.select("doc_id", "html"))
+    canon = canonicalize_urls(pages.select("doc_id", "url"))
+    url_keep = (canon.groupBy("canonical_url")
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    good = (gopher_rules(ext, min_words=30)
+            .where(F.col("passes")).select("doc_id"))
+    kept = (ext.select("doc_id", "text")
+            .join(url_keep, "doc_id", "left_semi")
+            .join(good, "doc_id", "left_semi"))
+    keep_ids = (kept.select("doc_id", F.md5(F.col("text")).alias("__dig"))
+                .groupBy("__dig").agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    deduped = kept.join(keep_ids, "doc_id", "left_semi")
+    chunks = chunk_text(deduped, chunk_chars=200)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk",
+        n_tokens(F.col("chunk")).alias("n_tokens"))
+
+
 def q_es_weighted_sample(spark, sf_dir):
     """Exact-size weighted sample without replacement (Efraimidis-
     Spirakis): deterministic md5-seeded uniforms, rank by ln(u)/weight
@@ -3575,6 +3656,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zscore_anomalies": q_zscore_anomalies,
         "image_hashes_docs": q_image_hashes,
         "image_phash_neardup": q_image_phash_neardup,
+        "corpus_from_html": q_corpus_from_html,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -8939,5 +9021,87 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(n_hits / CAST(n_candidates AS DOUBLE), 6)
                     ELSE 1.0 END AS precision
         FROM agg
+    """
+    # corpus_from_html: full raw-HTML corpus-prep replay — extraction
+    # invariant (h1 + normalized body survive the boilerplate strip),
+    # canonical-URL prediction, Gopher flags on the extracted text
+    # (rounded exactly like gopher_rules), both keep-min dedups, chunker.
+    d["corpus_from_html"] = rf"""
+        WITH src AS (
+            SELECT doc_id, text, lower(source) AS s FROM documents
+            WHERE source IS NOT NULL
+        ), built AS (
+            SELECT doc_id, s,
+                   CASE WHEN doc_id % 13 = 5 THEN 'Syndicated Release'
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS h1,
+                   trim(regexp_replace(
+                       CASE WHEN doc_id % 13 = 5 THEN '{_SYND_BODY}'
+                            ELSE coalesce(text, '') || ' {_PAGE_TAIL}'
+                       END, '\s+', ' ', 'g')) AS norm,
+                   doc_id - CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END
+                       AS url_id
+            FROM src
+        ), ext AS (
+            SELECT doc_id,
+                   CASE WHEN length(norm) >= 25
+                        THEN h1 || chr(10) || chr(10) || norm
+                        ELSE h1 END AS text,
+                   'http://' || s || '.example.com/item/'
+                       || CAST(url_id AS VARCHAR) || '?a=1&b=2'
+                       AS canonical_url
+            FROM built
+        ), url_keep AS (
+            SELECT min(doc_id) AS doc_id FROM ext GROUP BY canonical_url
+        ), gw AS (
+            SELECT doc_id, text AS t,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS words,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines,
+                   ' ' || regexp_replace(lower(text), '\s+', ' ', 'g')
+                       || ' ' AS low
+            FROM ext
+        ), gpass AS (
+            SELECT doc_id FROM gw
+            WHERE len(words) BETWEEN 30 AND 100000
+              AND round(CAST(list_sum(list_transform(words,
+                      x -> length(x))) AS DOUBLE) / len(words), 6)
+                  BETWEEN 3.0 AND 10.0
+              AND round(CAST((length(t) - length(replace(t, '#', '')))
+                      + ((length(t) - length(replace(t, '...', ''))) // 3)
+                      AS DOUBLE) / len(words), 6) <= 0.1
+              AND round(CAST(len(list_filter(lines, x ->
+                      regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+                      / len(lines), 6) <= 0.9
+              AND round(CAST(len(list_filter(lines, x ->
+                      regexp_matches(trim(x), '(\.\.\.|…)$'))) AS DOUBLE)
+                      / len(lines), 6) <= 0.3
+              AND round(CAST(len(list_filter(words, x ->
+                      regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(words), 6) >= 0.8
+              AND (CASE WHEN low LIKE '% the %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% be %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% to %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% of %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% and %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% that %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% have %' THEN 1 ELSE 0 END
+                 + CASE WHEN low LIKE '% with %' THEN 1 ELSE 0 END) >= 2
+        ), kept AS (
+            SELECT e.doc_id, e.text FROM ext e
+            JOIN url_keep USING (doc_id)
+            JOIN gpass USING (doc_id)
+        ), keep_ids AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ), deduped AS (
+            SELECT k.doc_id, k.text FROM kept k JOIN keep_ids USING (doc_id)
+        )
+        SELECT doc_id, i AS chunk_idx,
+               substr(text, CAST(i*200+1 AS INT), 200) AS chunk,
+               len(regexp_extract_all(
+                   substr(text, CAST(i*200+1 AS INT), 200), '\S+', 0))
+                   AS n_tokens
+        FROM deduped CROSS JOIN generate_series(0, 1000) AS gs(i)
+        WHERE i <= greatest(CAST(ceil(length(text)/200.0) AS BIGINT) - 1, 0)
     """
     return d

@@ -199,6 +199,10 @@ EXTENDED = [
     "robots_filter_docs",
     "gopher_filter_docs",
     "robots_parse_docs",
+    # round-10 additions
+    "image_hashes_docs",
+    "image_phash_neardup",
+    "corpus_from_html",
 ]
 
 

@@ -64,6 +64,7 @@ QUERIES = [
     "mapper_expand_lineitem",
     "dup_ngram_spans",
     "image_phash_neardup",
+    "corpus_from_html",
 ]
 
 
