@@ -172,14 +172,23 @@ def extract_main_text(html: str, min_block_chars: int = 25,
 
 def html_extract(df: DataFrame, html_col: str = "html",
                  id_col: str = "doc_id", min_block_chars: int = 25,
-                 max_link_density: float = 0.5) -> DataFrame:
+                 max_link_density: float = 0.5,
+                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distributed main-text extraction: one ``mapInPandas`` pass turning
     ``(id, html)`` into ``(id, title, text, n_chars)``. Stateless per
     row — no shuffle, linear scan, Arrow-batched; the id column is
     passed through (its input type preserved) so the result joins back
-    to any sibling metadata without re-keying."""
+    to any sibling metadata without re-keying. ``keep_cols`` rider
+    columns ride the same pass untouched (types preserved) — the
+    streaming crawl chain needs the fetch URL downstream and a
+    stream-stream re-join would demand watermark state for what is a
+    purely map-side pass-through."""
     id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, title string, text string, n_chars long"
+    keep = [c for c in keep_cols if c not in (id_col, html_col)]
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    schema = (f"{id_col} {id_type}, title string, text string,"
+              f" n_chars long{keep_schema}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,14 +198,17 @@ def html_extract(df: DataFrame, html_col: str = "html",
                                          max_link_density)
                 titles.append(t)
                 texts.append(x)
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 id_col: pdf[id_col],
                 "title": titles,
                 "text": texts,
                 "n_chars": [len(x) for x in texts],
             })
+            for c in keep:
+                out[c] = pdf[c]
+            yield out
 
-    return df.select(id_col, html_col).mapInPandas(run, schema)
+    return df.select(id_col, html_col, *keep).mapInPandas(run, schema)
 
 
 class _LinkCollector(_TitleAwareBlocks):

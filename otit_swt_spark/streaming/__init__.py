@@ -10,6 +10,10 @@ date-partitioned parquet sinks that register directly as
 engine, plus an ``applyInPandasWithState`` stateful gap-detection operator.
 """
 
+from otit_swt_spark.streaming.crawl import (
+    robots_rules_by_domain,
+    stream_crawl_chain,
+)
 from otit_swt_spark.streaming.dedup import (
     build_lsh_index,
     stream_exact_dedup,
@@ -40,6 +44,8 @@ from otit_swt_spark.streaming.ingest import (
 
 __all__ = [
     "build_lsh_index",
+    "robots_rules_by_domain",
+    "stream_crawl_chain",
     "ewma_stream",
     "finalize_markov",
     "holt_stream",

@@ -1072,3 +1072,89 @@ def test_stream_windowed_quantile_sketch_retention(spark, tmp_path):
                stored.where(F.col("window_start")
                             == pd.Timestamp(wstart)).collect()}
         assert got == want and len(got) == 64, wstart
+
+
+def test_stream_crawl_chain_parity(spark, tmp_path):
+    """Streaming crawl chain (extract -> canonicalize -> robots) vs the
+    BATCH operators composed the batch way (html_extract ->
+    canonicalize_urls -> robots_filter): identical row sets on the same
+    pages, plus the semantic checks — query-aware disallow fires,
+    empty-Disallow domain and rule-less domain pass with NULL prefix,
+    boilerplate never reaches the extracted text."""
+    from otit_swt_spark.pipelines.htmltext import html_extract
+    from otit_swt_spark.pipelines.urltools import (
+        canonicalize_urls, robots_filter)
+    from otit_swt_spark.streaming.crawl import stream_crawl_chain
+
+    body = ("The quarterly report shows that regional demand grew and "
+            "teams expect the trend to continue through the year.")
+    pages_rows = []
+    for i in range(12):
+        if i % 4 == 3:
+            url = (f"http://site-b.net/private/p{i}?q=1")
+        elif i % 4 == 2:
+            url = (f"https://WWW.Site-C.org:443/story/{i}#top")
+        else:
+            url = (f"http://WWW.Site-A.com:80/docs/item{i}"
+                   f"?utm_source=x&b=2&a=1#f")
+        html = (f'<html><head><title>T{i}</title>'
+                f'<script>var x=1;</script></head><body>'
+                f'<nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+                f'<h1>Story {i}</h1><p>{body}</p>'
+                f'<footer><a href="/t">Terms</a></footer></body></html>')
+        pages_rows.append((i, url, html))
+    pages = spark.createDataFrame(
+        pages_rows, "doc_id int, url string, html string")
+    rules = spark.createDataFrame(
+        [("site-a.com", "allow", "/docs"),
+         ("site-a.com", "disallow", "/"),
+         # query-aware disallow: matches item5's path+query (the raw
+         # fetch URL's query, utm params included — robots matching
+         # happens BEFORE canonicalization)
+         ("site-a.com", "disallow", "/docs/item5?utm"),
+         # the RFC 9309 bare-Disallow allow-all idiom: must NOT block
+         ("site-b.net", "disallow", "")],
+        "domain string, directive string, path_prefix string")
+
+    # batch twin: the actual batch operators, composed the batch way
+    ext = html_extract(pages, keep_cols=("url",))
+    canon = canonicalize_urls(ext)
+    out_b = robots_filter(canon, rules)
+    cols = ["doc_id", "url", "title", "text", "n_chars",
+            "canonical_url", "domain", "matched_prefix"]
+    bset = {tuple(r[c] for c in cols) for r in out_b.collect()}
+
+    # the same chain as ONE stateless streaming stage, two micro-batches
+    src = str(tmp_path / "crawl_src")
+    pages.where(F.col("doc_id") < 6).coalesce(1).write.parquet(src)
+    pages.where(F.col("doc_id") >= 6).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id int, url string, html string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out_s = stream_crawl_chain(stream, rules)
+    sink = str(tmp_path / "crawl_sink")
+    q = (out_s.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "crawl_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    sset = {tuple(r[c] for c in cols) for r in got.collect()}
+    assert sset == bset and sset
+
+    by_id = {t[0]: t for t in sset}
+    assert 5 not in by_id                       # query-aware disallow
+    for i in (0, 1, 4, 8, 9):                   # site-a /docs allowed
+        assert by_id[i][7] == "/docs"
+    for i in (3, 7, 11):                        # bare-Disallow domain
+        assert by_id[i][7] is None and by_id[i][6] == "site-b.net"
+    for i in (2, 6, 10):                        # rule-less domain
+        assert by_id[i][7] is None and by_id[i][6] == "site-c.org"
+    for t in sset:                              # boilerplate stripped
+        assert "Home" not in t[3] and "Terms" not in t[3]
+        assert t[2].startswith("T")             # <title> captured
+        assert "report shows" in t[3]
+    # canonicalization: tracking params gone, params sorted, port/www
+    # stripped, fragment dropped
+    assert by_id[0][5] == "http://site-a.com/docs/item0?a=1&b=2"
+    assert by_id[6][5] == "https://site-c.org/story/6"
