@@ -2047,6 +2047,88 @@ def q_image_phash_neardup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_audio_hashes(spark, sf_dir):
+    """Audio energy-envelope fingerprints (integer band aHash + temporal-
+    gradient dHash) over REAL decoded mono 16-bit PCM WAV payloads
+    synthesized deterministically from doc ids
+    (multimodal.synth_pcm_wav): decode (stdlib wave) -> 64/65
+    floor-partition time bands -> cross-multiplied |amplitude|
+    thresholds, all pure int64, so the oracle replays both 64-bit
+    hashes bit-for-bit from the sample formula — the audio twin of
+    image_hashes. Decode rides the scan (one mapInPandas, zero
+    shuffle)."""
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     synth_pcm_wav)
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_hashes(synth_pcm_wav(d)).orderBy("media_id")
+
+
+def q_audio_phash_neardup(spark, sf_dir):
+    """Near-dup audio pairs: envelope-aHash 16-bit-chunk Hamming banding
+    (pigeonhole recall guarantee at distance <= 3) + lead()-window
+    candidate pairing + exact Hamming verify — the SAME banding
+    machinery as the simhash text path and the image phash path
+    (dedup.hamming_banded_pairs) — with the gain-robust temporal-
+    gradient dHash distance attached as the second opinion."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     synth_pcm_wav)
+
+    d = _t(spark, sf_dir, "documents")
+    h = audio_hashes(synth_pcm_wav(d))
+    pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
+                                 max_distance=3)
+    da = h.select(F.col("media_id").alias("id_a"),
+                  F.col("dhash").alias("__dh_a"))
+    db = h.select(F.col("media_id").alias("id_b"),
+                  F.col("dhash").alias("__dh_b"))
+    return (pairs.join(da, "id_a").join(db, "id_b")
+            .select("id_a", "id_b", "hamming",
+                    F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b")))
+                    .alias("dhash_hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_clip_hashes(spark, sf_dir):
+    """Video clip fingerprints: the frames-table shape a real decoder
+    emits (multimodal.synth_video_frames: 6 REAL BMP frames per clip,
+    temporally correlated — shared base scene + a moving brightened
+    strip) -> the EXISTING per-frame image hasher
+    (multimodal.image_hashes, decode rides the scan) -> bitwise
+    MAJORITY vote across frames into one 64-bit clip hash
+    (multimodal.clip_majority_hash: 64 codegen'd bit-count aggregates,
+    one shuffle on the clip id, no UDF). The oracle replays frame
+    pixels, per-frame aHash and the vote bit-for-bit."""
+    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
+                                                     image_hashes,
+                                                     synth_video_frames)
+
+    d = _t(spark, sf_dir, "documents")
+    frames = synth_video_frames(d)
+    h = image_hashes(frames, id_col="media_id")
+    return clip_majority_hash(h, "ahash", "media_id").orderBy("media_id")
+
+
+def q_video_phash_neardup(spark, sf_dir):
+    """Near-dup video pairs: majority clip hashes -> the SAME 16-bit-
+    chunk Hamming banding + lead()-window pairing + exact verify used
+    by the simhash/image/audio paths (dedup.hamming_banded_pairs).
+    Completes the perceptual near-dup family across all three media
+    kinds on one shared banding machine."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
+                                                     image_hashes,
+                                                     synth_video_frames)
+
+    d = _t(spark, sf_dir, "documents")
+    h = image_hashes(synth_video_frames(d), id_col="media_id")
+    clip = clip_majority_hash(h, "ahash", "media_id")
+    return hamming_banded_pairs(clip, id_col="media_id",
+                                fp_col="clip_hash",
+                                max_distance=3).orderBy("id_a", "id_b")
+
+
 def q_zscore_anomalies(spark, sf_dir):
     """Per-user z-score outlier events (|z| > 2 sample stddevs): one
     grouped-stats shuffle + a broadcast join back."""
@@ -3657,6 +3739,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "image_hashes_docs": q_image_hashes,
         "image_phash_neardup": q_image_phash_neardup,
         "corpus_from_html": q_corpus_from_html,
+        "audio_hashes_docs": q_audio_hashes,
+        "audio_phash_neardup": q_audio_phash_neardup,
+        "video_clip_hashes": q_video_clip_hashes,
+        "video_phash_neardup": q_video_phash_neardup,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -5003,6 +5089,98 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.c < 8
             ), dfp AS (
                 SELECT id, {_img_pack} AS fp FROM dbits GROUP BY 1
+            )"""
+
+    # audio twin of _img_chain: replay synth_pcm_wav's sample formula
+    # (shared pseudo-noise carrier x group-keyed per-band gain envelope,
+    # squared-mix to break the LCG lattice, variant gain bump on the
+    # first two bands), then the 64-band |amplitude| aHash and 65-band
+    # temporal-gradient dHash with cross-multiplied integer thresholds.
+    _aud_chain = f"""
+            WITH ids AS (SELECT doc_id AS id FROM documents),
+            sm AS (
+                SELECT id, i,
+                       (((i * 2246822519 + 3266489917) % 2048) - 1024)
+                       * (1 + (h * h % 2147483648) // 134217728
+                          + CASE WHEN i < 64
+                                 THEN (id // 24) % 3 ELSE 0 END) AS s
+                FROM (
+                    SELECT id, i,
+                           ((id % 24) * 2654435761
+                            + (i // 32) * 2246822519
+                            + 1013904223) % 2147483648 AS h
+                    FROM ids CROSS JOIN (SELECT unnest(range(0, 2048)) AS i)
+                )
+            ), aband AS (
+                SELECT id, i // 32 AS j, sum(abs(s)) AS sa
+                FROM sm GROUP BY 1, 2
+            ), atot AS (
+                SELECT id, sum(sa) AS t FROM aband GROUP BY 1
+            ), abits AS (
+                SELECT id, j, CASE WHEN sa * 64 > t THEN 1 ELSE 0 END AS b
+                FROM aband JOIN atot USING (id)
+            ), afp AS (
+                SELECT id, {_img_pack} AS fp FROM abits GROUP BY 1
+            ), dband AS (
+                SELECT id, (i * 65) // 2048 AS j,
+                       sum(abs(s)) AS sa, count(*) AS n
+                FROM sm GROUP BY 1, 2
+            ), dbits AS (
+                SELECT a.id, a.j,
+                       CASE WHEN a.sa * b.n > b.sa * a.n
+                            THEN 1 ELSE 0 END AS b
+                FROM dband a JOIN dband b
+                  ON b.id = a.id AND b.j = a.j + 1
+                WHERE a.j < 64
+            ), dfp AS (
+                SELECT id, {_img_pack} AS fp FROM dbits GROUP BY 1
+            )"""
+
+    # video twin: replay synth_video_frames' pixel formula (shared base
+    # scene per group, variant bump on rows 0-1 of every frame, a moving
+    # +48 strip at rows 4+4f..8+4f per frame), the per-frame 8x8 aHash,
+    # and the strict-majority bit vote into the 64-bit clip hash.
+    _vid_chain = f"""
+            WITH ids AS (SELECT doc_id AS id FROM documents),
+            px AS (
+                SELECT id, f, i,
+                       CASE WHEN (i // 32) >= 4 + 4 * f
+                             AND (i // 32) < 8 + 4 * f
+                            THEN least(vb + 48, 255) ELSE vb END AS p
+                FROM (
+                    SELECT id, f, i,
+                           CASE WHEN i < 64
+                                THEN least(base + 16 * ((id // 24) % 3),
+                                           255)
+                                ELSE base END AS vb
+                    FROM (
+                        SELECT id, fr.f, pi.i,
+                               (((id % 24) * 2654435761
+                                 + pi.i * 2246822519
+                                 + 3266489917) % 2147483648)
+                               // 8388608 AS base
+                        FROM ids
+                        CROSS JOIN (SELECT unnest(range(0, 6)) AS f) fr
+                        CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) pi
+                    )
+                )
+            ), vcell AS (
+                SELECT id, f, ((i // 32) // 4) * 8 + ((i % 32) // 4) AS j,
+                       sum(p) AS s
+                FROM px GROUP BY 1, 2, 3
+            ), vtot AS (
+                SELECT id, f, sum(s) AS t FROM vcell GROUP BY 1, 2
+            ), vbits AS (
+                SELECT id, f, j, CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS b
+                FROM vcell JOIN vtot USING (id, f)
+            ), votes AS (
+                SELECT id, j, sum(b) AS v, count(*) AS nf
+                FROM vbits GROUP BY 1, 2
+            ), clipbits AS (
+                SELECT id, j, CASE WHEN v * 2 > nf THEN 1 ELSE 0 END AS b
+                FROM votes
+            ), clipfp AS (
+                SELECT id, {_img_pack} AS fp FROM clipbits GROUP BY 1
             )"""
 
     # shared CTE chain for the near-dedup family: replayable MinHash
@@ -8377,6 +8555,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN afp b ON b.id = p.id_b
             JOIN dfp da ON da.id = p.id_a
             JOIN dfp db ON db.id = p.id_b
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "audio_hashes_docs": f"""
+            {_aud_chain}
+            SELECT a.id AS media_id, a.fp AS ahash, d.fp AS dhash
+            FROM afp a JOIN dfp d ON d.id = a.id
+            ORDER BY media_id
+        """,
+        "audio_phash_neardup": f"""
+            {_aud_chain},
+            chunks AS (
+                SELECT id, c, (fp >> (c * 16)) & 65535 AS key
+                FROM afp, (SELECT unnest(range(0, 4)) AS c)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM chunks WINDOW w AS (PARTITION BY c, key ORDER BY id)
+            ), pairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            )
+            SELECT p.id_a, p.id_b,
+                   bit_count(xor(a.fp, b.fp)) AS hamming,
+                   bit_count(xor(da.fp, db.fp)) AS dhash_hamming
+            FROM pairs p
+            JOIN afp a ON a.id = p.id_a
+            JOIN afp b ON b.id = p.id_b
+            JOIN dfp da ON da.id = p.id_a
+            JOIN dfp db ON db.id = p.id_b
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "video_clip_hashes": f"""
+            {_vid_chain}
+            SELECT id AS media_id, fp AS clip_hash,
+                   CAST(6 AS BIGINT) AS n_frames
+            FROM clipfp
+            ORDER BY media_id
+        """,
+        "video_phash_neardup": f"""
+            {_vid_chain},
+            chunks AS (
+                SELECT id, c, (fp >> (c * 16)) & 65535 AS key
+                FROM clipfp, (SELECT unnest(range(0, 4)) AS c)
+            ), leads AS (
+                SELECT id AS id_a, [{_mh_leads}] AS succ
+                FROM chunks WINDOW w AS (PARTITION BY c, key ORDER BY id)
+            ), pairs AS (
+                SELECT DISTINCT id_a, s AS id_b
+                FROM (SELECT id_a, unnest(succ) AS s FROM leads)
+                WHERE s IS NOT NULL
+            )
+            SELECT p.id_a, p.id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+            FROM pairs p
+            JOIN clipfp a ON a.id = p.id_a
+            JOIN clipfp b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY id_a, id_b
         """,

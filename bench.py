@@ -203,6 +203,10 @@ EXTENDED = [
     "image_hashes_docs",
     "image_phash_neardup",
     "corpus_from_html",
+    "audio_hashes_docs",
+    "audio_phash_neardup",
+    "video_clip_hashes",
+    "video_phash_neardup",
 ]
 
 

@@ -609,3 +609,249 @@ def synth_gray_bmp(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col)) \
         .mapInPandas(kernel, "media_id long, payload binary")
+
+
+AUDIO_HASH_SCHEMA = "media_id long, ahash long, dhash long"
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Serialize an int16 sample vector as a mono 16-bit PCM WAV (RIFF +
+    fmt + data, little-endian) — the synthesis half of the WAV sample
+    path, the audio twin of :func:`encode_bmp24_gray`: tests and the
+    oracle-gated entries build REAL decodable payloads from it."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    body = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def wav_pcm16_samples(payload: bytes):
+    """Decode a 16-bit PCM WAV into a mono int64 sample vector (stdlib
+    ``wave`` + numpy; multi-channel mixes down by integer mean,
+    ``sum // n_channels``, so the result stays exact). Returns None for
+    anything that is not decodable 16-bit PCM — corrupt files must not
+    kill the pipeline (the BMP discipline applied to audio)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            if w.getsampwidth() != 2:
+                return None
+            nch = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    a = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    if nch > 1:
+        a = a[: (a.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
+    return a
+
+
+def ahash64_audio(samples) -> int:
+    """Average-energy hash: floor-partition the waveform into 64 equal
+    time bands; bit j = band j's mean |amplitude| exceeds the GLOBAL
+    mean |amplitude| (integer cross-multiplied: band_sum * total_cnt >
+    total_sum * band_cnt — exact, no float thresholds). Invariant to
+    positive volume scaling, the audio analog of
+    :func:`ahash64_gray`."""
+    import numpy as np
+
+    a = np.abs(np.asarray(samples, dtype=np.int64))
+    n = a.size
+    band = (np.arange(n, dtype=np.int64) * 64) // n
+    sums = np.bincount(band, weights=a.astype(np.float64),
+                       minlength=64).astype(np.int64)
+    cnts = np.bincount(band, minlength=64).astype(np.int64)
+    total_sum = int(sums.sum())
+    bits = sums * n > total_sum * cnts
+    return _pack_bits64(bits.tolist())
+
+
+def dhash64_audio(samples) -> int:
+    """Temporal-gradient hash: floor-partition into 65 bands; bit j is 1
+    when band j's mean |amplitude| exceeds band j+1's — the
+    louder-or-quieter-than-next envelope signature, robust to global
+    gain changes that could flip aHash bits wholesale (the dHash
+    discipline applied to audio)."""
+    import numpy as np
+
+    a = np.abs(np.asarray(samples, dtype=np.int64))
+    n = a.size
+    band = (np.arange(n, dtype=np.int64) * 65) // n
+    sums = np.bincount(band, weights=a.astype(np.float64),
+                       minlength=65).astype(np.int64)
+    cnts = np.bincount(band, minlength=65).astype(np.int64)
+    bits = sums[:64] * cnts[1:] > sums[1:] * cnts[:64]
+    return _pack_bits64(bits.tolist())
+
+
+def audio_hashes(media: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Distributed audio fingerprinting: one Arrow-batched
+    ``mapInPandas`` pass turning ``(id, payload)`` into ``(id, ahash,
+    dhash)`` — decode rides the scan (per-row stateless, zero shuffle,
+    linear in corpus bytes, the :func:`image_hashes` shape). Undecodable
+    payloads yield NULL hashes. Feed the result to
+    ``dedup.hamming_banded_pairs`` for near-dup pairing — the audio
+    member of the perceptual near-dup family."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ah, dh = [], []
+            for p in pdf[payload_col]:
+                sm = wav_pcm16_samples(p) if p is not None else None
+                if sm is None or sm.size < 65:
+                    ah.append(None)
+                    dh.append(None)
+                else:
+                    ah.append(ahash64_audio(sm))
+                    dh.append(dhash64_audio(sm))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "ahash": pd.array(ah, dtype="Int64"),
+                                "dhash": pd.array(dh, dtype="Int64")})
+
+    return media.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(kernel, AUDIO_HASH_SCHEMA)
+
+
+def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id",
+                  n_groups: int = 24, n_variants: int = 3,
+                  n_samples: int = 2048, rate: int = 8000) -> DataFrame:
+    """Deterministic synthetic audio corpus for the fingerprint path:
+    one REAL mono 16-bit PCM WAV payload per input row, whose samples
+    are a pure integer function of the row id — so a SQL oracle can
+    replay the downstream hashes bit-for-bit without touching bytes
+    (the :func:`synth_gray_bmp` construction applied to audio).
+
+    Construction (all int64 arithmetic, replayable verbatim in SQL):
+    a shared pseudo-noise CARRIER ``c(i) = ((i*2246822519 + 3266489917)
+    % 2048) - 1024`` is shaped by a group-dependent per-band GAIN
+    ENVELOPE — what an energy-envelope fingerprint actually measures:
+    with ``k = i // (n_samples/64)`` the band index and
+    ``h = (g*2654435761 + k*2246822519 + 1013904223) % 2^31``,
+    ``gain = 1 + (h*h % 2^31) // 2^27`` (1..16; the SQUARE breaks the
+    LCG lattice — a linear mix leaves group pairs with near-identical
+    envelopes, measured Hamming 1 before the fix), and ``s = c * gain``.
+    ``v = (id // n_groups) % n_variants`` adds ``v`` to the gain of the
+    first two bands — same group = near-duplicate clips (measured
+    ahash Hamming <= 2), different groups = unrelated (>= 22). Output:
+    ``(media_id, payload)``."""
+    import numpy as np
+
+    band_w = n_samples // 64
+    nvar = 2 * band_w
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        carrier = ((i * 2246822519 + 3266489917) % 2048) - 1024
+        k = i // band_w
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d % n_groups
+                v = (d // n_groups) % n_variants
+                h = (g * 2654435761 + k * 2246822519 + 1013904223) \
+                    % 2147483648
+                gain = 1 + (h * h % 2147483648) // 134217728
+                gain[:nvar] += v
+                payloads.append(encode_wav_pcm16(
+                    (carrier * gain).astype(np.int16), rate=rate))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return df.select(F.col(id_col)) \
+        .mapInPandas(kernel, "media_id long, payload binary")
+
+
+def synth_video_frames(df: DataFrame, id_col: str = "doc_id",
+                       n_groups: int = 24, n_variants: int = 3,
+                       n_frames: int = 6, size: int = 32) -> DataFrame:
+    """Deterministic synthetic video corpus for the clip-hash path: each
+    input row becomes ``n_frames`` rows ``(media_id, frame_idx,
+    payload)`` of REAL 24-bit BMP frames — the frames-table shape
+    ``frame_sample_stub`` produces from a real decoder, with pixels a
+    pure integer function of (id, frame, pixel) so a SQL oracle replays
+    the downstream per-frame hash and clip vote bit-for-bit.
+
+    Frames are TEMPORALLY CORRELATED the way real video is: every frame
+    shares the group's base image (the :func:`synth_gray_bmp` formula)
+    and frame f brightens a moving 4-row strip (rows ``4+4f ..
+    8+4f``) — motion over a static scene. ``v = (id // n_groups) %
+    n_variants`` perturbs rows 0-1 of EVERY frame (``min(base + 16*v,
+    255)``), so same-group clips are near-duplicates of each other
+    frame-for-frame and the majority vote keeps their clip hashes a few
+    bits apart, while different groups land far apart (median ~33
+    bits)."""
+    import numpy as np
+
+    npx = size * size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npx, dtype=np.int64)
+        row = i // size
+        for pdf in batches:
+            ids, fidx, payloads = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d % n_groups
+                v = (d // n_groups) % n_variants
+                base = ((g * 2654435761 + i * 2246822519 + 3266489917)
+                        % 2147483648) // 8388608
+                base = np.where(i < 2 * size,
+                                np.minimum(base + 16 * v, 255), base)
+                for f in range(n_frames):
+                    px = np.where((row >= 4 + 4 * f) & (row < 8 + 4 * f),
+                                  np.minimum(base + 48, 255), base)
+                    ids.append(d)
+                    fidx.append(f)
+                    payloads.append(encode_bmp24_gray(
+                        px.reshape(size, size).astype(np.uint8)))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": fidx,
+                                "payload": payloads})
+
+    return df.select(F.col(id_col)) \
+        .mapInPandas(kernel, "media_id long, frame_idx int, payload binary")
+
+
+def clip_majority_hash(frames_hashed: DataFrame, hash_col: str = "ahash",
+                       id_col: str = "media_id") -> DataFrame:
+    """Temporal aggregation of per-frame perceptual hashes into ONE
+    64-bit clip fingerprint by bitwise MAJORITY vote (strict: ties go
+    to 0) — the published frame-hash-then-aggregate video signature
+    shape, robust to any minority of deviating frames (scene motion,
+    inserted frames). Entirely JVM-side: 64 codegen'd bit-count
+    aggregates in ONE grouped pass (no UDF, one shuffle on the clip
+    id), then an integer repack — the same signed-64 layout as
+    simhash64/ahash64 so ``dedup.hamming_banded_pairs`` applies
+    unchanged. NULL per-frame hashes (undecodable frames) are excluded
+    from the vote; a clip with zero decodable frames is dropped.
+    Output: ``(id, clip_hash, n_frames)``."""
+    h = F.col(hash_col)
+    votes = [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)))
+        .alias(f"__b{j}") for j in range(64)
+    ]
+    agg = (frames_hashed.where(h.isNotNull())
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_frames"), *votes))
+    packed = None
+    for j in range(64):
+        bit = F.when(
+            F.col(f"__b{j}") * 2 > F.col("n_frames"),
+            F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col),
+                      packed.cast("long").alias("clip_hash"),
+                      F.col("n_frames"))

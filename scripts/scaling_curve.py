@@ -65,6 +65,8 @@ QUERIES = [
     "dup_ngram_spans",
     "image_phash_neardup",
     "corpus_from_html",
+    "audio_phash_neardup",
+    "video_phash_neardup",
 ]
 
 

@@ -4542,3 +4542,178 @@ def test_image_phash_end_to_end_vs_exact(spark):
            for r in hamming_banded_pairs(h, id_col="media_id",
                                          fp_col="ahash").collect()}
     assert exact and got == exact
+
+
+# --------------------------------------------------------------------------
+# Audio energy-envelope fingerprints (round 10): WAV PCM sample path,
+# integer band aHash / temporal-gradient dHash, Hamming-banded pairing.
+# --------------------------------------------------------------------------
+
+def test_wav_pcm16_roundtrip_and_monomix():
+    """encode/decode are exact inverses for mono int16 clips, and a
+    stereo WAV mixes down by integer channel mean."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (encode_wav_pcm16,
+                                                     wav_pcm16_samples)
+
+    rng = np.random.RandomState(5)
+    for n in (65, 127, 2048, 4096):
+        a = rng.randint(-32768, 32768, n).astype(np.int16)
+        d = wav_pcm16_samples(encode_wav_pcm16(a))
+        assert d is not None and (d == a.astype(np.int64)).all(), n
+    # stereo: write two channels with the stdlib, expect (l + r) // 2
+    l = rng.randint(-32768, 32768, 300).astype(np.int16)
+    r = rng.randint(-32768, 32768, 300).astype(np.int16)
+    inter = np.empty(600, dtype=np.int16)
+    inter[0::2], inter[1::2] = l, r
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    d = wav_pcm16_samples(buf.getvalue())
+    want = (l.astype(np.int64) + r.astype(np.int64)) // 2
+    assert (d == want).all()
+    # 8-bit payloads are not the PCM16 contract -> None, not garbage
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(100)))
+    assert wav_pcm16_samples(buf8.getvalue()) is None
+
+
+def test_audio_hash_gain_invariance():
+    """Cross-multiplied integer thresholds make BOTH hashes exactly
+    invariant to positive volume scaling — the property that makes them
+    envelope fingerprints rather than byte hashes."""
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (ahash64_audio,
+                                                     dhash64_audio)
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(-3000, 3000, 2048).astype(np.int64) \
+        * (1 + rng.randint(0, 8, 2048))
+    for scale in (2, 3, 10):
+        assert ahash64_audio(base * scale) == ahash64_audio(base)
+        assert dhash64_audio(base * scale) == dhash64_audio(base)
+
+
+def test_audio_hashes_null_on_undecodable(spark):
+    """Corrupt / truncated / non-WAV payloads yield NULL hashes instead
+    of failing the job; NULL fingerprints are dropped by the pairer."""
+    import numpy as np
+
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     encode_wav_pcm16)
+
+    good = encode_wav_pcm16(
+        (np.arange(2048) % 5000 - 2500).astype(np.int16))
+    media = spark.createDataFrame(
+        [(1, good), (2, b"not audio"), (3, b""), (4, None),
+         (5, good[:50])],                       # truncated header
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_hashes(media).collect()}
+    assert rows[1]["ahash"] is not None and rows[1]["dhash"] is not None
+    for i in (2, 3, 4, 5):
+        assert rows[i]["ahash"] is None and rows[i]["dhash"] is None
+    assert hamming_banded_pairs(audio_hashes(media), id_col="media_id",
+                                fp_col="ahash").count() == 0
+
+
+def test_audio_phash_end_to_end_vs_exact(spark):
+    """End-to-end on REAL WAV payloads: banded near-dup pairs equal the
+    exact all-pairs Hamming <= 3 set computed from the collected
+    hashes, same-group variants land inside the radius and cross-group
+    clips far outside it (the synth corpus' documented separation)."""
+    import itertools
+
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     synth_pcm_wav)
+
+    docs = spark.range(0, 72).withColumnRenamed("id", "doc_id")
+    h = audio_hashes(synth_pcm_wav(docs, n_groups=24, n_variants=3))
+    hashes = {r["media_id"]: r["ahash"] for r in h.collect()}
+    exact = {(a, b) for a, b in itertools.combinations(sorted(hashes), 2)
+             if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+             <= 3}
+    got = {(r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"]
+           else (r["id_b"], r["id_a"])
+           for r in hamming_banded_pairs(h, id_col="media_id",
+                                         fp_col="ahash").collect()}
+    assert exact and got == exact
+    # every same-group variant pair is a near-dup; no cross-group pair is
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if a % 24 == b % 24:
+            assert d <= 3, (a, b, d)
+        else:
+            assert d > 3, (a, b, d)
+
+
+def test_clip_majority_hash_vote(spark):
+    """Bitwise majority over hand-built frame hashes: strict majority
+    (tie -> 0), bit 63 (the sign bit) handled, NULL frames excluded
+    from the vote, all-NULL clips dropped."""
+    from otit_swt_spark.pipelines.multimodal import clip_majority_hash
+
+    def s64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # clip 1: bit0 in 2/3 frames (majority), bit1 in 1/3 (minority),
+    # bit63 in 3/3; clip 2: 2 frames split a bit 1-1 -> tie -> 0;
+    # clip 3: one real frame + one NULL -> vote over the single frame;
+    # clip 4: all NULL -> dropped
+    rows = [
+        (1, s64((1 << 63) | 1)), (1, s64((1 << 63) | 1 | 2)),
+        (1, s64(1 << 63)),
+        (2, 4), (2, 8),
+        (3, 5), (3, None),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ahash long")
+    out = {r["media_id"]: r for r in clip_majority_hash(df).collect()}
+    assert out[1]["clip_hash"] == s64((1 << 63) | 1)
+    assert out[1]["n_frames"] == 3
+    assert out[2]["clip_hash"] == 0          # 1-1 ties both go to 0
+    assert out[3]["clip_hash"] == 5 and out[3]["n_frames"] == 1
+    assert 4 not in out
+
+
+def test_video_clip_end_to_end_vs_exact(spark):
+    """End-to-end on REAL BMP frame tables: banded clip near-dup pairs
+    equal the exact all-pairs Hamming <= 3 set, and a minority of
+    deviating frames (the moving strip) never flips a majority bit —
+    clips of the same group stay within the radius."""
+    import itertools
+
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
+                                                     image_hashes,
+                                                     synth_video_frames)
+
+    docs = spark.range(0, 72).withColumnRenamed("id", "doc_id")
+    frames = synth_video_frames(docs, n_groups=24, n_variants=3)
+    assert frames.count() == 72 * 6
+    clip = clip_majority_hash(
+        image_hashes(frames, id_col="media_id"), "ahash", "media_id")
+    hashes = {r["media_id"]: r["clip_hash"] for r in clip.collect()}
+    assert all(r["n_frames"] == 6 for r in clip.collect())
+    exact = {(a, b) for a, b in itertools.combinations(sorted(hashes), 2)
+             if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+             <= 3}
+    got = {(r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"]
+           else (r["id_b"], r["id_a"])
+           for r in hamming_banded_pairs(clip, id_col="media_id",
+                                         fp_col="clip_hash").collect()}
+    assert exact and got == exact
