@@ -734,3 +734,38 @@ def test_quantile_sketch_single_mega_group(spark):
            quantile_estimate(sk, "g", probs=(0.5, 0.95, 0.99)).collect()}
     for p, q in est.items():
         assert abs(q - p) < 0.06, (p, q)
+
+
+def test_media_phash_mega_duplicate_group(spark):
+    """200k synthetic images where EVERY clip falls into one of only 24
+    perceptual groups (8.3k-member duplicate buckets — far beyond any
+    real corpus' duplicate-cluster size): the banding successor cap
+    must keep emitted pair counts linear in rows, not quadratic in
+    bucket size, and the map-side hash pass must stream through
+    without collecting."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    docs = spark.range(0, 200_000).withColumnRenamed("id", "doc_id")
+    h = image_hashes(synth_gray_bmp(docs))
+    pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
+                                 max_distance=3)
+    n = pairs.count()
+    # cap contract: <= 8 successors x 4 chunks per id
+    assert 0 < n <= 200_000 * 32
+
+
+def test_audio_phash_mega_duplicate_group(spark):
+    """Same stress for the audio path: 120k WAV clips in 24 envelope
+    groups; decode + hash ride the scan, pairs stay cap-bounded."""
+    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     synth_pcm_wav)
+
+    docs = spark.range(0, 120_000).withColumnRenamed("id", "doc_id")
+    h = audio_hashes(synth_pcm_wav(docs))
+    pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
+                                 max_distance=3)
+    n = pairs.count()
+    assert 0 < n <= 120_000 * 32

@@ -1158,3 +1158,33 @@ def test_stream_crawl_chain_parity(spark, tmp_path):
     # stripped, fragment dropped
     assert by_id[0][5] == "http://site-a.com/docs/item0?a=1&b=2"
     assert by_id[6][5] == "https://site-c.org/story/6"
+
+
+def test_stream_media_hashes_parity(spark, tmp_path):
+    """Perceptual media hashing is stream-legal by construction (one
+    stateless mapInPandas, no shuffle): image_hashes over a file
+    stream of BMP payloads equals the batch pass row-for-row — the
+    media twin of the crawl-chain parity proof."""
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    media = synth_gray_bmp(docs)
+    bset = {(r["media_id"], r["ahash"], r["dhash"])
+            for r in image_hashes(media).collect()}
+
+    src = str(tmp_path / "media_src")
+    media.where(F.col("media_id") < 24).coalesce(1).write.parquet(src)
+    media.where(F.col("media_id") >= 24).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("media_id long, payload binary")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = image_hashes(stream)
+    sink = str(tmp_path / "media_sink")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "media_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sset = {(r["media_id"], r["ahash"], r["dhash"])
+            for r in spark.read.parquet(sink).collect()}
+    assert sset == bset and len(sset) == 48
