@@ -2021,19 +2021,16 @@ def q_image_hashes(spark, sf_dir):
     return image_hashes(synth_gray_bmp(d)).orderBy("media_id")
 
 
-def q_image_phash_neardup(spark, sf_dir):
-    """Perceptual near-dup image pairs: aHash 16-bit-chunk Hamming
-    banding (pigeonhole guarantees recall for distance <= 3) +
-    lead()-window candidate pairing + exact Hamming verify — the SAME
-    banding machinery as the simhash text path
-    (dedup.hamming_banded_pairs) — with the dHash distance attached as
-    the brightness-shift-robust second opinion."""
+def _phash_neardup_pairs(h):
+    """Shared pairing tail for the image/audio phash entries: PERSIST
+    the fingerprint frame — banding + the two dhash-attach joins
+    reference it five times, and without the persist the expensive
+    synth + decode + hash mapInPandas pass re-executes per reference
+    (the simhash_dedup_pairs persist rationale, dedup.py) — then band
+    on ahash and attach the dhash distance as the second opinion."""
     from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
-    from otit_swt_spark.pipelines.multimodal import (image_hashes,
-                                                     synth_gray_bmp)
 
-    d = _t(spark, sf_dir, "documents")
-    h = image_hashes(synth_gray_bmp(d))
+    h = h.persist()
     pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
                                  max_distance=3)
     da = h.select(F.col("media_id").alias("id_a"),
@@ -2045,6 +2042,20 @@ def q_image_phash_neardup(spark, sf_dir):
                     F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b")))
                     .alias("dhash_hamming"))
             .orderBy("id_a", "id_b"))
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Perceptual near-dup image pairs: aHash 16-bit-chunk Hamming
+    banding (pigeonhole guarantees recall for distance <= 3) +
+    lead()-window candidate pairing + exact Hamming verify — the SAME
+    banding machinery as the simhash text path
+    (dedup.hamming_banded_pairs) — with the dHash distance attached as
+    the brightness-shift-robust second opinion."""
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+
+    d = _t(spark, sf_dir, "documents")
+    return _phash_neardup_pairs(image_hashes(synth_gray_bmp(d)))
 
 
 def q_audio_hashes(spark, sf_dir):
@@ -2071,23 +2082,11 @@ def q_audio_phash_neardup(spark, sf_dir):
     machinery as the simhash text path and the image phash path
     (dedup.hamming_banded_pairs) — with the gain-robust temporal-
     gradient dHash distance attached as the second opinion."""
-    from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
     from otit_swt_spark.pipelines.multimodal import (audio_hashes,
                                                      synth_pcm_wav)
 
     d = _t(spark, sf_dir, "documents")
-    h = audio_hashes(synth_pcm_wav(d))
-    pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
-                                 max_distance=3)
-    da = h.select(F.col("media_id").alias("id_a"),
-                  F.col("dhash").alias("__dh_a"))
-    db = h.select(F.col("media_id").alias("id_b"),
-                  F.col("dhash").alias("__dh_b"))
-    return (pairs.join(da, "id_a").join(db, "id_b")
-            .select("id_a", "id_b", "hamming",
-                    F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b")))
-                    .alias("dhash_hamming"))
-            .orderBy("id_a", "id_b"))
+    return _phash_neardup_pairs(audio_hashes(synth_pcm_wav(d)))
 
 
 def q_video_clip_hashes(spark, sf_dir):
@@ -2123,7 +2122,10 @@ def q_video_phash_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     h = image_hashes(synth_video_frames(d), id_col="media_id")
-    clip = clip_majority_hash(h, "ahash", "media_id")
+    # persist the clip frame: banding references it three times, and
+    # without this the 6-frames-per-clip synthesis + per-frame hashing
+    # + the bit-vote shuffle re-execute per reference
+    clip = clip_majority_hash(h, "ahash", "media_id").persist()
     return hamming_banded_pairs(clip, id_col="media_id",
                                 fp_col="clip_hash",
                                 max_distance=3).orderBy("id_a", "id_b")
@@ -7711,11 +7713,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE value IS NOT NULL AND event_id IS NOT NULL
             ), kept AS (
-                SELECT g, v FROM (
-                    SELECT g, v, row_number() OVER (
+                SELECT g, hv, min(v) AS v FROM (
+                    SELECT g, hv, v, dense_rank() OVER (
                         PARTITION BY g ORDER BY hv) AS rn
                     FROM h
-                ) WHERE rn <= 256
+                ) WHERE rn <= 256 GROUP BY 1, 2
             ), arr AS (
                 SELECT g, list(v ORDER BY v) AS a,
                        count(*) AS n_kept

@@ -762,18 +762,22 @@ def quantile_sketch(df: DataFrame, value_col: str, id_col: str,
                  .alias("__h"),
                  F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                         F.lit(salt)).alias("__s")))
-    # windows order by (__h, v): hash ties (60-bit collisions, or the
-    # same id re-delivered with a changed value) rank deterministically
-    # instead of by arrival order; the post-top-k collapse to min(v)
-    # per (group, __h) is the SAME tie-break quantile_sketch_merge
-    # applies, so batch and merged-stream sketches agree under ties.
-    # The collapse runs on <= k rows per group — bounded, not a full
-    # extra shuffle of the input.
-    w1 = W.partitionBy(group_col, "__s").orderBy("__h", "v")
-    w2 = W.partitionBy(group_col).orderBy("__h", "v")
-    return (d.withColumn("__r1", F.row_number().over(w1))
+    # DENSE rank on __h, not row_number: the sketch's k is a count of
+    # DISTINCT hashes, so duplicate (group, __h) rows (the same id
+    # re-delivered, possibly with a changed value, or a 60-bit
+    # collision) must not each consume a top-k slot — a row_number cut
+    # collapsed AFTER the cut could hold < k distinct hashes and
+    # disagree with quantile_sketch_merge, which collapses FIRST and
+    # then cuts. dense_rank keeps every row of the first k distinct
+    # hashes; the min(v) collapse then applies the same deterministic
+    # tie-break the merge uses, so batch == merged-stream bit-for-bit
+    # even under redelivery. Per-window state stays bounded by k
+    # distinct hashes (x duplicate multiplicity, input-bounded).
+    w1 = W.partitionBy(group_col, "__s").orderBy("__h")
+    w2 = W.partitionBy(group_col).orderBy("__h")
+    return (d.withColumn("__r1", F.dense_rank().over(w1))
             .where(F.col("__r1") <= k)
-            .withColumn("__r2", F.row_number().over(w2))
+            .withColumn("__r2", F.dense_rank().over(w2))
             .where(F.col("__r2") <= k)
             .groupBy(group_col, "__h").agg(F.min("v").alias("v")))
 

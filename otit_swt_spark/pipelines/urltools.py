@@ -109,7 +109,13 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     (``matched_prefix``, NULL when no rule matched)."""
     path = F.regexp_extract(F.trim(F.col(url_col)),
                             r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # RFC 9309's match string for an empty path is "/" (plus the query
+    # if present): a query-only URL like http://a.com?q=1 captures
+    # "?q=1", which must match "/"-anchored rules — prepend the slash
+    # or a whole-host "Disallow: /" silently lets such URLs through
+    path = (F.when(path == "", F.lit("/"))
+            .when(~path.startswith("/"), F.concat(F.lit("/"), path))
+            .otherwise(path))
     u = (urls.withColumn("__dom", registered_domain(F.col(url_col)))
          .withColumn("__path", path)
          .withColumn("__rid", F.monotonically_increasing_id()))

@@ -96,7 +96,11 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
 
     u = F.trim(F.col(url_col))
     path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # same RFC 9309 empty-path rule as robots_filter: a query-only URL
+    # captures "?q=1" and must still match "/"-anchored rules
+    path = (F.when(path == "", F.lit("/"))
+            .when(~path.startswith("/"), F.concat(F.lit("/"), path))
+            .otherwise(path))
     staged = (ext
               .withColumn("canonical_url", canonical_url(F.col(url_col)))
               .withColumn("domain", registered_domain(F.col(url_col)))

@@ -902,7 +902,7 @@ def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
     live "what is this feed's p95 value" monitor whose state is <= k
     rows per group FOREVER, with no per-window exact sort. Bottom-k
     union is idempotent and commutative (duplicate (group, hash) rows
-    collapse in the dropDuplicates), so at-least-once redelivery
+    collapse to min(v) in the merge), so at-least-once redelivery
     re-unions the same sampled rows harmlessly — no batch-id replay
     guard needed, same argument as the theta/HLL sinks. Finalize with
     ``pipelines.analytics.quantile_estimate`` on the stored frame; the
@@ -926,7 +926,12 @@ def stream_quantile_sketch(df: DataFrame, value_col: str, id_col: str,
                          _md5_60(F.concat(
                              F.lit(seed + ":"),
                              F.col(id_col).cast("string"))).alias("__h")))
-        # batch-local pre-shrink: at most k rows per group leave the batch
+        # batch-local pre-shrink: collapse duplicate (group, __h) rows
+        # to min(v) FIRST (the deterministic tie-break — a row_number
+        # cut over tied __h rows straddling the k boundary would keep
+        # an arrival-order-dependent v), then at most k rows per group
+        # leave the batch
+        delta = delta.groupBy(group_col, "__h").agg(F.min("v").alias("v"))
         wl = W.partitionBy(group_col).orderBy("__h")
         delta = (delta.withColumn("__rn", F.row_number().over(wl))
                  .where(F.col("__rn") <= k).drop("__rn"))
@@ -1023,6 +1028,10 @@ def stream_windowed_quantile_sketch(df: DataFrame, value_col: str,
                          _md5_60(F.concat(
                              F.lit(seed + ":"),
                              F.col(id_col).cast("string"))).alias("__h")))
+        # collapse duplicate (group, window, __h) rows to min(v) before
+        # the cut — same determinism argument as the global sink
+        delta = (delta.groupBy(group_col, "window_start", "__h")
+                 .agg(F.min("v").alias("v")))
         wl = W.partitionBy(group_col, "window_start").orderBy("__h")
         delta = (delta.withColumn("__rn", F.row_number().over(wl))
                  .where(F.col("__rn") <= k).drop("__rn"))

@@ -4717,3 +4717,49 @@ def test_video_clip_end_to_end_vs_exact(spark):
            for r in hamming_banded_pairs(clip, id_col="media_id",
                                          fp_col="clip_hash").collect()}
     assert exact and got == exact
+
+
+def test_robots_filter_blocks_query_only_urls(spark):
+    """Round-10 self-review regression: a query-only URL (empty path,
+    e.g. http://a.com?q=1) has RFC 9309 match string '/?q=1' and must
+    be caught by a whole-host 'Disallow: /' — the path+query capture
+    yields '?q=1', which needs the leading slash prepended or no
+    '/'-anchored rule can ever match it."""
+    from otit_swt_spark.pipelines.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.com?q=1"), (2, "http://a.com/"),
+         (3, "http://a.com"), (4, "http://a.com/ok?q=1")],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/"), ("a.com", "allow", "/ok")],
+        "domain string, directive string, path_prefix string")
+    got = {r["doc_id"]: r["matched_prefix"]
+           for r in robots_filter(urls, rules).collect()}
+    # 1, 2, 3 all resolve to '/' disallow -> dropped; 4 -> allow /ok
+    assert got == {4: "/ok"}
+
+
+def test_quantile_sketch_redelivery_batch_merge_parity(spark):
+    """Round-10 self-review regression: the k-cut counts DISTINCT
+    hashes (dense rank), so a redelivered id must not consume two
+    top-k slots — the batch sketch over the union of two deliveries
+    equals the merge of their per-delivery sketches row-for-row, and
+    both hold exactly k distinct hashes."""
+    from otit_swt_spark.pipelines.analytics import (quantile_sketch,
+                                                    quantile_sketch_merge)
+
+    base = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 6)],
+        "id long, g string, v double")
+    redeliver = spark.createDataFrame(
+        [(1, "g", 99.0)], "id long, g string, v double")
+
+    batch = quantile_sketch(base.union(redeliver), "v", "id", "g", k=2)
+    merged = quantile_sketch_merge(
+        quantile_sketch(base, "v", "id", "g", k=2),
+        quantile_sketch(redeliver, "v", "id", "g", k=2), "g", k=2)
+    bset = {(r["__h"], r["v"]) for r in batch.collect()}
+    mset = {(r["__h"], r["v"]) for r in merged.collect()}
+    assert bset == mset
+    assert len(bset) == 2                       # k DISTINCT hashes kept

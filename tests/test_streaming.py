@@ -1103,6 +1103,9 @@ def test_stream_crawl_chain_parity(spark, tmp_path):
                 f'<h1>Story {i}</h1><p>{body}</p>'
                 f'<footer><a href="/t">Terms</a></footer></body></html>')
         pages_rows.append((i, url, html))
+    # query-only URL (empty path): RFC 9309 match string is '/?ref=x',
+    # so site-a's 'Disallow: /' must catch it in BOTH chains
+    pages_rows.append((12, "http://site-a.com?ref=x", pages_rows[0][2]))
     pages = spark.createDataFrame(
         pages_rows, "doc_id int, url string, html string")
     rules = spark.createDataFrame(
@@ -1129,6 +1132,7 @@ def test_stream_crawl_chain_parity(spark, tmp_path):
     pages.where(F.col("doc_id") < 6).coalesce(1).write.parquet(src)
     pages.where(F.col("doc_id") >= 6).coalesce(1) \
         .write.mode("append").parquet(src)
+    assert 12 not in {r["doc_id"] for r in out_b.collect()}
     stream = (spark.readStream
               .schema("doc_id int, url string, html string")
               .option("maxFilesPerTrigger", "1").parquet(src))
