@@ -547,7 +547,8 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", min_words: int = 50,
-                 max_words: int = 100_000) -> DataFrame:
+                 max_words: int = 100_000,
+                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """The Gopher document-quality rules (Rae et al. 2021, Appendix A —
     the published filter set most pretraining pipelines start from), as
     per-rule boolean flags plus the conjunction, so downstream callers
@@ -600,8 +601,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     for w in ("the", "be", "to", "of", "and", "that", "have", "with"):
         hit = F.when(low.contains(f" {w} "), 1).otherwise(0)
         stop_hits = hit if stop_hits is None else stop_hits + hit
+    # keep_cols ride the projection untouched: the whole function is ONE
+    # stateless select, so a streaming corpus chain can filter on
+    # ``passes`` while the document text (and any metadata) stays on the
+    # row — a flags-then-join-back shape would be a stream-stream join
+    # needing watermark state for what is purely map-side work.
+    riders = [F.col(c) for c in keep_cols
+              if c not in (id_col, "passes")]
     out = df.select(
-        F.col(id_col),
+        F.col(id_col), *riders,
         n_words.alias("n_words"),
         (F.round(mean_wl, 6) + F.lit(0.0)).alias("mean_word_len"),
         (F.round(sym_ratio, 6) + F.lit(0.0)).alias("symbol_ratio"),

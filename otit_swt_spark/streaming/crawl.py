@@ -62,7 +62,8 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
                        html_col: str = "html", url_col: str = "url",
                        id_col: str = "doc_id",
                        min_block_chars: int = 25,
-                       max_link_density: float = 0.5) -> DataFrame:
+                       max_link_density: float = 0.5,
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """``(id, url, html)`` fetched pages -> allowed, extracted,
     canonicalized rows ``(id, url, title, text, n_chars,
     canonical_url, domain, matched_prefix)``.
@@ -82,17 +83,20 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
 
     ``rules`` may be the raw ``(domain, directive, path_prefix)`` frame
     (grouped here via :func:`robots_rules_by_domain`) — it must be a
-    BATCH frame; only ``pages`` may stream.
+    BATCH frame; only ``pages`` may stream. ``keep_cols`` rider columns
+    (e.g. the ingest timestamp a downstream watermarked dedup needs)
+    pass through the whole chain untouched.
     """
     from otit_swt_spark.pipelines.htmltext import html_extract
 
     grouped = (rules if "rules" in rules.columns
                else robots_rules_by_domain(rules))
 
+    riders = tuple(c for c in keep_cols if c not in (id_col, url_col))
     ext = html_extract(pages, html_col=html_col, id_col=id_col,
                        min_block_chars=min_block_chars,
                        max_link_density=max_link_density,
-                       keep_cols=(url_col,))
+                       keep_cols=(url_col, *riders))
 
     u = F.trim(F.col(url_col))
     path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
@@ -132,4 +136,4 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
     return (resolved.where(allowed)
             .select(id_col, url_col, "title", "text", "n_chars",
                     "canonical_url", "domain",
-                    F.col("__best.p").alias("matched_prefix")))
+                    F.col("__best.p").alias("matched_prefix"), *riders))

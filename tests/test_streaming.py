@@ -1192,3 +1192,85 @@ def test_stream_media_hashes_parity(spark, tmp_path):
     sset = {(r["media_id"], r["ahash"], r["dhash"])
             for r in spark.read.parquet(sink).collect()}
     assert sset == bset and len(sset) == 48
+
+
+def test_stream_corpus_end_to_end(spark, tmp_path):
+    """The WHOLE corpus-prep chain as one streaming job: raw fetched
+    pages -> extract/canonicalize/robots (stateless) -> Gopher quality
+    filter (stateless, text riding via keep_cols) -> watermarked exact
+    dedup (the single stateful stage) -> chunking (stateless explode)
+    -> parquet sink. Output equals the batch composition of the same
+    operators on the same rows — the streaming twin of
+    corpus_from_html. Duplicates arrive in a LATER micro-batch than
+    their originals so first-arrival == keep-min-id and the parity is
+    exact."""
+    import pandas as pd
+
+    from otit_swt_spark.pipelines.textstats import chunk_text, gopher_rules
+    from otit_swt_spark.streaming.crawl import stream_crawl_chain
+    from otit_swt_spark.streaming.dedup import stream_exact_dedup
+
+    prose = ("The regional office said the new plan will be rolled out "
+             "to every team over the coming months and that early "
+             "results have been strong, with demand growing across the "
+             "area and more staff joining each week to support it.")
+    rows_in = []
+    for i in range(16):
+        key = i - 8 if i in (8, 9) else i       # 8,9 duplicate 0,1
+        body = "too short to keep" if i in (3, 11) else f"{prose} k{key}"
+        path = "private/x" if i == 5 else f"docs/p{i}"
+        html = (f"<html><head><title>T{key}</title></head><body>"
+                f"<nav><a href='/'>Home</a></nav><h1>Story {key}</h1>"
+                f"<p>{body}</p></body></html>")
+        rows_in.append((i, f"http://site-a.com/{path}", html,
+                        (pd.Timestamp("2026-01-01 00:00:00")
+                         + pd.Timedelta(minutes=i)).to_pydatetime()))
+    pages = spark.createDataFrame(
+        rows_in, "doc_id int, url string, html string, "
+                 "ingest_time timestamp")
+    rules = spark.createDataFrame(
+        [("site-a.com", "disallow", "/private"),
+         ("site-a.com", "allow", "/")],
+        "domain string, directive string, path_prefix string")
+
+    def stateless_stages(df):
+        out = stream_crawl_chain(df, rules, keep_cols=("ingest_time",))
+        return (gopher_rules(out, min_words=30,
+                             keep_cols=("text", "canonical_url",
+                                        "ingest_time"))
+                .where(F.col("passes")))
+
+    # batch twin: same stateless stages + keep-min-id exact dedup
+    g_b = stateless_stages(pages)
+    keep = (g_b.select("doc_id", F.md5(F.col("text")).alias("__d"))
+            .groupBy("__d").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    ded_b = g_b.join(keep, "doc_id", "left_semi")
+    want = {(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in
+            chunk_text(ded_b, chunk_chars=120).collect()}
+
+    # streaming run: originals in micro-batch 1, duplicates in batch 2
+    src = str(tmp_path / "corpus_src")
+    pages.where(F.col("doc_id") < 8).coalesce(1).write.parquet(src)
+    pages.where(F.col("doc_id") >= 8).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id int, url string, html string, "
+                      "ingest_time timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    ded_s = stream_exact_dedup(stateless_stages(stream))
+    chunks = chunk_text(ded_s, chunk_chars=120)
+    sink = str(tmp_path / "corpus_sink")
+    q = (chunks.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "corpus_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in
+           spark.read.parquet(sink).collect()}
+    assert got == want and got
+
+    kept_ids = {t[0] for t in got}
+    assert 5 not in kept_ids                     # robots-blocked
+    assert not {3, 11} & kept_ids                # Gopher-rejected
+    assert not {8, 9} & kept_ids                 # deduped copies
+    assert {0, 1, 2, 4, 6, 7} <= kept_ids        # originals survive
