@@ -2337,6 +2337,67 @@ def q_robots_parse_docs(spark, sf_dir):
     return parsed.orderBy("domain", "directive", "path_prefix")
 
 
+def q_sitemap_parse_docs(spark, sf_dir):
+    """Distributed sitemap.xml parsing (sitemaps.org protocol): per-doc
+    synthetic sitemaps (a full <url> entry with escaped-ampersand loc,
+    lastmod and priority; a loc-only entry; a loc-LESS entry that must
+    drop) -> one row per discovered URL with typed lastmod/priority.
+    The URL-discovery stage feeding the crawl frontier; pure regexp
+    expressions, no XML library, map-side at any scale."""
+    from otit_swt_spark.pipelines.urltools import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    ds = F.col("doc_id").cast("string")
+    lm = F.concat(F.lit("2026-01-"),
+                  F.lpad(((F.col("doc_id") % 28) + 1).cast("string"),
+                         2, "0"),
+                  F.lit("T03:04:05"))
+    prio = F.concat(F.lit("0."), (F.col("doc_id") % 10).cast("string"))
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://'),
+        dom, F.lit("/item/"), ds, F.lit("?a=1&amp;b=2 </loc><lastmod>"),
+        lm, F.lit("</lastmod><priority>"), prio,
+        F.lit("</priority></url><url><loc>http://"), dom,
+        F.lit("/alt/"), ds,
+        F.lit("</loc></url><url><lastmod>2026-01-01</lastmod></url>"
+              "</urlset>"))
+    out = parse_sitemap(d.select(dom.alias("domain"),
+                                 body.alias("sitemap_xml")))
+    return out.orderBy("loc")
+
+
+def q_crawl_frontier_batch(spark, sf_dir):
+    """Polite crawl-frontier scheduling: a frontier derived from the
+    documents table (every 3rd URL fetched (doc_id % 10) seconds before
+    'now', the rest never fetched) -> the next 50-URL batch honoring
+    the 5s per-domain politeness delay and a 4-URL per-domain cap,
+    ranked by (priority DESC, url) — fully deterministic (explicit
+    'now', string tie-breaks), one bounded per-domain window + a global
+    TakeOrdered."""
+    import datetime
+
+    from otit_swt_spark.pipelines.urltools import frontier_next_batch
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    fr = d.select(
+        F.concat(F.lit("http://"), dom, F.lit("/item/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        dom.alias("domain"),
+        ((F.col("doc_id") % 100).cast("double") / F.lit(100.0))
+        .alias("priority"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.expr("timestamp'2026-01-01 01:00:00'"
+                      " - make_dt_interval(0, 0, 0, doc_id % 10)"))
+        .alias("last_fetch"))
+    return frontier_next_batch(
+        fr, datetime.datetime(2026, 1, 1, 1, 0, 0),
+        batch_size=50, per_domain_cap=4, min_delay_s=5.0)
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3745,6 +3806,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "audio_phash_neardup": q_audio_phash_neardup,
         "video_clip_hashes": q_video_clip_hashes,
         "video_phash_neardup": q_video_phash_neardup,
+        "sitemap_parse_docs": q_sitemap_parse_docs,
+        "crawl_frontier_batch": q_crawl_frontier_batch,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -8616,6 +8679,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN clipfp b ON b.id = p.id_b
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY id_a, id_b
+        """,
+        "sitemap_parse_docs": """
+            WITH src AS (
+                SELECT doc_id,
+                       'site-' || lower(source) || '.com' AS domain
+                FROM documents WHERE source IS NOT NULL
+            ), rows_ AS (
+                SELECT domain,
+                       'http://' || domain || '/item/'
+                           || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+                       CAST('2026-01-'
+                            || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                    2, '0')
+                            || 'T03:04:05' AS TIMESTAMP) AS lastmod,
+                       CAST('0.' || CAST(doc_id % 10 AS VARCHAR)
+                            AS DOUBLE) AS priority
+                FROM src
+                UNION ALL
+                SELECT domain,
+                       'http://' || domain || '/alt/'
+                           || CAST(doc_id AS VARCHAR),
+                       NULL, NULL
+                FROM src
+            )
+            SELECT domain, loc, lastmod, priority FROM rows_
+            ORDER BY loc
+        """,
+        "crawl_frontier_batch": """
+            WITH fr AS (
+                SELECT 'http://site-' || lower(source) || '.com/item/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       'site-' || lower(source) || '.com' AS domain,
+                       CAST(doc_id % 100 AS DOUBLE) / 100.0 AS priority,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN TIMESTAMP '2026-01-01 01:00:00'
+                                 - to_seconds(CAST(doc_id % 10 AS BIGINT))
+                            END AS last_fetch
+                FROM documents WHERE source IS NOT NULL
+            ), elig AS (
+                SELECT * FROM fr
+                WHERE last_fetch IS NULL
+                   OR last_fetch <= TIMESTAMP '2026-01-01 01:00:00'
+                                    - INTERVAL 5 SECOND
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY priority DESC, url) AS r
+                FROM elig
+            )
+            SELECT url, domain, priority, last_fetch
+            FROM ranked WHERE r <= 4
+            ORDER BY priority DESC, url LIMIT 50
         """,
         "simhash_pairs": f"""
             WITH toks AS (

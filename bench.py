@@ -207,6 +207,8 @@ EXTENDED = [
     "audio_phash_neardup",
     "video_clip_hashes",
     "video_phash_neardup",
+    "sitemap_parse_docs",
+    "crawl_frontier_batch",
 ]
 
 

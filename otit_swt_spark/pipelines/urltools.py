@@ -213,3 +213,81 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                   & (staged["__grp"] == wild["__wg"]), "left_semi")
             .select("domain", F.col("__f").alias("directive"),
                     F.col("__v").alias("path_prefix")))
+
+
+def parse_sitemap(df: DataFrame, domain_col: str = "domain",
+                  body_col: str = "sitemap_xml") -> DataFrame:
+    """Distributed sitemap.xml parsing (sitemaps.org protocol, public
+    standard): ``(domain, xml_body)`` -> one row per ``<url>`` entry
+    with its ``<loc>``, optional ``<lastmod>`` and ``<priority>`` —
+    the URL-discovery stage that feeds the crawl frontier alongside
+    the content-area outlink graph.
+
+    Entirely built-in regexp expressions (no XML library, no UDF): each
+    ``<url>...</url>`` block is extracted with ``regexp_extract_all``
+    and its child tags read positionally within the block, so the parse
+    is one codegen'd projection + explode — map-side at any scale, and
+    replayable in any SQL engine with the same regex semantics.
+    Entity-unescapes the four XML escapes that appear in ``<loc>``
+    values. Rows without a ``<loc>`` are dropped; ``lastmod`` /
+    ``priority`` are NULL when absent (priority's protocol default of
+    0.5 is left to the caller — NULL preserves "not stated")."""
+    blocks = F.regexp_extract_all(
+        F.coalesce(F.col(body_col), F.lit("")),
+        F.lit(r"(?s)<url\s*>(.*?)</url\s*>"), F.lit(1))
+    b = (df.select(F.col(domain_col).alias("domain"),
+                   F.explode(blocks).alias("__b")))
+    loc = F.regexp_extract(F.col("__b"),
+                           r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>", 1)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        F.col("__b"), r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", 1)
+    prio = F.regexp_extract(
+        F.col("__b"), r"(?s)<priority\s*>\s*(.*?)\s*</priority\s*>", 1)
+    return (b.select(
+        "domain", loc.alias("loc"),
+        F.when(lastmod == "", None).otherwise(
+            F.try_to_timestamp(lastmod)).alias("lastmod"),
+        F.when(prio == "", None).otherwise(
+            prio.try_cast("double")).alias("priority"))
+        .where(F.col("loc") != ""))
+
+
+def frontier_next_batch(frontier: DataFrame, now,
+                        url_col: str = "url", domain_col: str = "domain",
+                        priority_col: str = "priority",
+                        last_fetch_col: str = "last_fetch",
+                        batch_size: int = 1000,
+                        per_domain_cap: int = 4,
+                        min_delay_s: float = 5.0) -> DataFrame:
+    """Polite crawl-frontier scheduling: from ``(url, domain, priority,
+    last_fetch)`` pick the next fetch batch — only domains whose last
+    fetch is at least ``min_delay_s`` old (or never fetched), at most
+    ``per_domain_cap`` URLs per domain (politeness), ranked per domain
+    and then globally by ``(priority DESC, url)`` up to ``batch_size``.
+    The scheduling stage between URL discovery (sitemaps + outlinks,
+    deduped by canonical URL) and the fetcher fleet.
+
+    Scale shape: one window PARTITIONED BY domain (frames bounded by a
+    single domain's frontier) + one global TakeOrdered of
+    ``batch_size`` rows — no global sort materializes. Deterministic:
+    every tie breaks on the URL string, so the same frontier always
+    yields the same batch (replayable, and two schedulers can't
+    disagree). ``now`` is an explicit timestamp — scheduling must not
+    read the wall clock inside the plan or replays diverge."""
+    from pyspark.sql import Window as W
+
+    eligible = frontier.where(
+        F.col(last_fetch_col).isNull()
+        | (F.col(last_fetch_col)
+           <= F.lit(now) - F.expr(f"INTERVAL {min_delay_s} SECONDS")))
+    w = (W.partitionBy(domain_col)
+         .orderBy(F.col(priority_col).desc_nulls_last(), url_col))
+    return (eligible
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= per_domain_cap)
+            .drop("__r")
+            .orderBy(F.col(priority_col).desc_nulls_last(), url_col)
+            .limit(batch_size))

@@ -67,6 +67,8 @@ QUERIES = [
     "corpus_from_html",
     "audio_phash_neardup",
     "video_phash_neardup",
+    "sitemap_parse_docs",
+    "crawl_frontier_batch",
 ]
 
 

@@ -4763,3 +4763,59 @@ def test_quantile_sketch_redelivery_batch_merge_parity(spark):
     mset = {(r["__h"], r["v"]) for r in merged.collect()}
     assert bset == mset
     assert len(bset) == 2                       # k DISTINCT hashes kept
+
+
+def test_parse_sitemap_protocol_semantics(spark):
+    """sitemaps.org parsing: loc whitespace trimmed, XML entities in loc
+    unescaped, lastmod/priority typed (NULL when absent or
+    unparseable), loc-less entries dropped, multiple <url> blocks per
+    body, NULL bodies harmless."""
+    from otit_swt_spark.pipelines.urltools import parse_sitemap
+
+    xml = ("<?xml version='1.0'?><urlset>"
+           "<url ><loc> http://a.com/p?x=1&amp;y=2 </loc>"
+           "<lastmod>2026-01-02T03:04:05</lastmod>"
+           "<priority>0.8</priority></url>"
+           "<url><loc>http://a.com/&lt;odd&gt;</loc>"
+           "<lastmod>not a date</lastmod><priority>high</priority></url>"
+           "<url><lastmod>2026-01-01</lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("a.com", xml), ("b.com", None)],
+                               "domain string, sitemap_xml string")
+    got = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert set(got) == {"http://a.com/p?x=1&y=2", "http://a.com/<odd>"}
+    full = got["http://a.com/p?x=1&y=2"]
+    assert str(full["lastmod"]) == "2026-01-02 03:04:05"
+    assert full["priority"] == 0.8
+    odd = got["http://a.com/<odd>"]
+    assert odd["lastmod"] is None and odd["priority"] is None
+
+
+def test_frontier_next_batch_politeness(spark):
+    """Frontier scheduling: domains inside the politeness delay are
+    skipped, per-domain cap and global batch size hold, never-fetched
+    domains are eligible, and ties break on the URL string so the
+    batch is deterministic."""
+    import datetime
+
+    from otit_swt_spark.pipelines.urltools import frontier_next_batch
+
+    now = datetime.datetime(2026, 1, 1, 0, 0, 12)
+    rows = [
+        ("http://a.com/1", "a.com", 0.9, None),
+        ("http://a.com/2", "a.com", 0.9, None),
+        ("http://a.com/3", "a.com", 0.5, None),
+        ("http://b.com/1", "b.com", 0.7,
+         datetime.datetime(2026, 1, 1, 0, 0, 0)),     # 12s ago: eligible
+        ("http://c.com/1", "c.com", 1.0,
+         datetime.datetime(2026, 1, 1, 0, 0, 10)),    # 2s ago: skipped
+    ]
+    fr = spark.createDataFrame(
+        rows, "url string, domain string, priority double, "
+              "last_fetch timestamp")
+    out = [r["url"] for r in
+           frontier_next_batch(fr, now, batch_size=3, per_domain_cap=2,
+                               min_delay_s=5.0).collect()]
+    # c.com excluded; a.com capped at 2 (0.9s before the 0.5);
+    # global order (priority desc, url) -> a1, a2, b1
+    assert out == ["http://a.com/1", "http://a.com/2", "http://b.com/1"]
