@@ -185,6 +185,10 @@ def html_extract(df: DataFrame, html_col: str = "html",
     purely map-side pass-through."""
     id_type = df.schema[id_col].dataType.simpleString()
     keep = [c for c in keep_cols if c not in (id_col, html_col)]
+    clash = sorted({"title", "text", "n_chars"} & set(keep))
+    if clash:
+        raise ValueError(
+            f"keep_cols collide with html_extract output columns: {clash}")
     keep_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep)
     schema = (f"{id_col} {id_type}, title string, text string,"

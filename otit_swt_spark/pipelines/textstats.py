@@ -606,8 +606,16 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     # ``passes`` while the document text (and any metadata) stays on the
     # row — a flags-then-join-back shape would be a stream-stream join
     # needing watermark state for what is purely map-side work.
-    riders = [F.col(c) for c in keep_cols
-              if c not in (id_col, "passes")]
+    produced = {"passes", "n_words", "mean_word_len", "symbol_ratio",
+                "bullet_frac", "ellipsis_frac", "alpha_word_frac",
+                "stopword_hits", "ok_word_count", "ok_mean_word_len",
+                "ok_symbol_ratio", "ok_bullet", "ok_ellipsis",
+                "ok_alpha", "ok_stopwords"}
+    clash = sorted(produced & set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"keep_cols collide with gopher_rules output columns: {clash}")
+    riders = [F.col(c) for c in keep_cols if c != id_col]
     out = df.select(
         F.col(id_col), *riders,
         n_words.alias("n_words"),

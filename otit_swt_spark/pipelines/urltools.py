@@ -228,10 +228,12 @@ def parse_sitemap(df: DataFrame, domain_col: str = "domain",
     and its child tags read positionally within the block, so the parse
     is one codegen'd projection + explode — map-side at any scale, and
     replayable in any SQL engine with the same regex semantics.
-    Entity-unescapes the four XML escapes that appear in ``<loc>``
-    values. Rows without a ``<loc>`` are dropped; ``lastmod`` /
-    ``priority`` are NULL when absent (priority's protocol default of
-    0.5 is left to the caller — NULL preserves "not stated")."""
+    Entity-unescapes the five predefined XML escapes that appear in
+    ``<loc>`` values (numeric character references are out of the
+    documented scope — sitemaps in the wild use the named five). Rows
+    without a ``<loc>`` are dropped; ``lastmod`` / ``priority`` are
+    NULL when absent (priority's protocol default of 0.5 is left to
+    the caller — NULL preserves "not stated")."""
     blocks = F.regexp_extract_all(
         F.coalesce(F.col(body_col), F.lit("")),
         F.lit(r"(?s)<url\s*>(.*?)</url\s*>"), F.lit(1))
@@ -240,7 +242,7 @@ def parse_sitemap(df: DataFrame, domain_col: str = "domain",
     loc = F.regexp_extract(F.col("__b"),
                            r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>", 1)
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&amp;", "&")):
+                    ("&apos;", "'"), ("&amp;", "&")):
         loc = F.replace(loc, F.lit(ent), F.lit(ch))
     lastmod = F.regexp_extract(
         F.col("__b"), r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", 1)
@@ -277,12 +279,18 @@ def frontier_next_batch(frontier: DataFrame, now,
     yields the same batch (replayable, and two schedulers can't
     disagree). ``now`` is an explicit timestamp — scheduling must not
     read the wall clock inside the plan or replays diverge."""
+    import datetime
+
     from pyspark.sql import Window as W
 
+    # compute the cutoff driver-side: interpolating min_delay_s into an
+    # INTERVAL literal breaks for floats that repr in scientific
+    # notation (1e-05 is a ParseException), and a literal timestamp is
+    # simpler than routing through F.expr anyway
+    cutoff = now - datetime.timedelta(seconds=min_delay_s)
     eligible = frontier.where(
         F.col(last_fetch_col).isNull()
-        | (F.col(last_fetch_col)
-           <= F.lit(now) - F.expr(f"INTERVAL {min_delay_s} SECONDS")))
+        | (F.col(last_fetch_col) <= F.lit(cutoff)))
     w = (W.partitionBy(domain_col)
          .orderBy(F.col(priority_col).desc_nulls_last(), url_col))
     return (eligible

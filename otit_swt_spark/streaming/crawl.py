@@ -93,6 +93,14 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
                else robots_rules_by_domain(rules))
 
     riders = tuple(c for c in keep_cols if c not in (id_col, url_col))
+    produced = {"title", "text", "n_chars", "canonical_url", "domain",
+                "matched_prefix"}
+    clash = sorted(produced & set(riders))
+    if clash:
+        # a colliding rider would be silently overwritten by the derived
+        # column (or make the plan ambiguous) — fail loudly instead
+        raise ValueError(
+            f"keep_cols collide with chain output columns: {clash}")
     ext = html_extract(pages, html_col=html_col, id_col=id_col,
                        min_block_chars=min_block_chars,
                        max_link_density=max_link_density,

@@ -4819,3 +4819,49 @@ def test_frontier_next_batch_politeness(spark):
     # c.com excluded; a.com capped at 2 (0.9s before the 0.5);
     # global order (priority desc, url) -> a1, a2, b1
     assert out == ["http://a.com/1", "http://a.com/2", "http://b.com/1"]
+
+
+def test_parse_sitemap_apos_and_frontier_tiny_delay(spark):
+    """Second self-review regressions: &apos; (the fifth predefined XML
+    entity) unescapes in <loc>; frontier_next_batch accepts a
+    politeness delay whose float repr is scientific notation (the
+    INTERVAL-literal interpolation it replaced threw ParseException);
+    keep_cols colliding with produced columns fail loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from otit_swt_spark.pipelines.textstats import gopher_rules
+    from otit_swt_spark.pipelines.urltools import (frontier_next_batch,
+                                                   parse_sitemap)
+    from otit_swt_spark.streaming.crawl import stream_crawl_chain
+
+    df = spark.createDataFrame(
+        [("a.com", "<urlset><url><loc>http://a.com/O&apos;Brien</loc>"
+                   "</url></urlset>")],
+        "domain string, sitemap_xml string")
+    assert [r["loc"] for r in parse_sitemap(df).collect()] \
+        == ["http://a.com/O'Brien"]
+
+    fr = spark.createDataFrame(
+        [("http://a.com/1", "a.com", 0.5,
+          datetime.datetime(2026, 1, 1, 0, 0, 0))],
+        "url string, domain string, priority double, "
+        "last_fetch timestamp")
+    out = frontier_next_batch(fr, datetime.datetime(2026, 1, 1, 0, 1, 0),
+                              min_delay_s=1e-05)
+    assert out.count() == 1
+
+    pages = spark.createDataFrame(
+        [(1, "http://a.com/", "<html><body><p>x</p></body></html>",
+          "rogue")],
+        "doc_id int, url string, html string, domain string")
+    rules = spark.createDataFrame(
+        [("a.com", "allow", "/")],
+        "domain string, directive string, path_prefix string")
+    with _pytest.raises(ValueError, match="collide"):
+        stream_crawl_chain(pages, rules, keep_cols=("domain",))
+    with _pytest.raises(ValueError, match="collide"):
+        gopher_rules(spark.createDataFrame(
+            [(1, "x", 3)], "doc_id long, text string, n_words int"),
+            keep_cols=("n_words",))
