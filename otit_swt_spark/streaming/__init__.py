@@ -16,6 +16,8 @@ from otit_swt_spark.streaming.crawl import (
 )
 from otit_swt_spark.streaming.dedup import (
     build_lsh_index,
+    build_phash_index,
+    stream_phash_neardup_flags,
     stream_exact_dedup,
     stream_near_dup_flags,
 )
@@ -44,6 +46,8 @@ from otit_swt_spark.streaming.ingest import (
 
 __all__ = [
     "build_lsh_index",
+    "build_phash_index",
+    "stream_phash_neardup_flags",
     "robots_rules_by_domain",
     "stream_crawl_chain",
     "ewma_stream",

@@ -88,3 +88,83 @@ def stream_near_dup_flags(
                 .dropDuplicatesWithinWatermark([id_col, "corpus_id"]))
     return (hits.dropDuplicates([id_col, "corpus_id"])
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def build_phash_index(corpus_hashes: DataFrame,
+                      id_col: str = "media_id",
+                      fp_col: str = "ahash") -> DataFrame:
+    """Static banded index of a reference corpus' 64-bit perceptual
+    fingerprints (image aHash, audio envelope hash, video clip hash —
+    any ``dedup.hamming_banded_pairs``-compatible frame):
+    ``(corpus_id, chunk, key, corpus_fp)``, one row per 16-bit chunk.
+    The media twin of :func:`build_lsh_index`; write it partitioned by
+    ``chunk`` for pruned probes. NULL fingerprints (undecodable media)
+    never enter the index."""
+    sh = (corpus_hashes.where(F.col(fp_col).isNotNull())
+          .select(F.col(id_col).alias("corpus_id"),
+                  F.col(fp_col).alias("corpus_fp")))
+    return sh.select(
+        "corpus_id", "corpus_fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("corpus_fp", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("corpus_id", "corpus_fp",
+             F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+
+def stream_phash_neardup_flags(
+    stream_hashes: DataFrame,
+    static_index: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "ahash",
+    max_distance: int = 3,
+    event_time: str = "ingest_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Flag streaming media whose perceptual fingerprint lands within
+    ``max_distance`` Hamming bits of a static reference corpus — the
+    media twin of :func:`stream_near_dup_flags`, and the streaming
+    counterpart of ``dedup.hamming_banded_pairs``: probe the banded
+    chunk index (pigeonhole recall guarantee for distance <= 3), then
+    verify by exact Hamming. The stream side is one stateless
+    stream-static inner join + a codegen'd bit_count filter; the only
+    state is the (id, corpus_id) pair dedup (a pair can hit via
+    several chunks), evicted at the watermark horizon. Batch input
+    instead dedups exactly and keeps the verified distance. Output:
+    ``(id_col, corpus_id, hamming)`` for batch;
+    ``(id_col, event_time, corpus_id)`` pairs for streams."""
+    streaming = stream_hashes.isStreaming
+    if streaming and event_time not in stream_hashes.columns:
+        stream_hashes = stream_hashes.withColumn(
+            event_time, F.current_timestamp())
+    carry = (event_time,) if streaming else ()
+    probe = (stream_hashes.where(F.col(fp_col).isNotNull())
+             .select(F.col(id_col).alias("__pid"), *carry,
+                     F.col(fp_col).alias("__pfp")))
+    chunks = probe.select(
+        "__pid", *carry, "__pfp",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("__pfp", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("__pid", *carry, "__pfp",
+             F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    hits = (chunks.join(static_index, ["chunk", "key"])
+            .withColumn("__ham", F.bit_count(
+                F.col("__pfp").bitwiseXOR(F.col("corpus_fp"))))
+            .where(F.col("__ham") <= max_distance)
+            .where(F.col("__pid") != F.col("corpus_id")))
+    if streaming:
+        return (hits.select(F.col("__pid").alias(id_col), *carry,
+                            "corpus_id")
+                .withWatermark(event_time, watermark)
+                .dropDuplicatesWithinWatermark([id_col, "corpus_id"]))
+    return (hits.select(F.col("__pid").alias(id_col), "corpus_id",
+                        F.col("__ham").alias("hamming"))
+            .dropDuplicates([id_col, "corpus_id"]))

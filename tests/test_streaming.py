@@ -1274,3 +1274,51 @@ def test_stream_corpus_end_to_end(spark, tmp_path):
     assert not {3, 11} & kept_ids                # Gopher-rejected
     assert not {8, 9} & kept_ids                 # deduped copies
     assert {0, 1, 2, 4, 6, 7} <= kept_ids        # originals survive
+
+
+def test_stream_phash_neardup_flags(spark, tmp_path):
+    """Streaming media near-dup flagging against a static banded
+    fingerprint index: variant clips of indexed base images are
+    flagged (pigeonhole recall at distance <= 3), unrelated groups and
+    undecodable payloads are not, and the batch path reports the exact
+    verified Hamming distance."""
+    from otit_swt_spark.pipelines.multimodal import (image_hashes,
+                                                     synth_gray_bmp)
+    from otit_swt_spark.streaming.dedup import (build_phash_index,
+                                                stream_phash_neardup_flags)
+
+    base_docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    index = build_phash_index(image_hashes(synth_gray_bmp(base_docs)))
+
+    # ids 24..47 are variant-1 near-dups of groups 0..23
+    probe_docs = spark.range(24, 48).withColumnRenamed("id", "doc_id")
+    probe_hashes = image_hashes(synth_gray_bmp(probe_docs))
+
+    # batch path: exact verified distances, one row per (probe, base)
+    got_b = stream_phash_neardup_flags(probe_hashes, index)
+    rows_b = {(r["media_id"], r["corpus_id"]): r["hamming"]
+              for r in got_b.collect()}
+    for pid in range(24, 48):
+        assert (pid, pid % 24) in rows_b        # own group flagged
+        assert rows_b[(pid, pid % 24)] <= 3
+    # no self-pairs, all hits within the verify radius
+    assert all(h <= 3 for h in rows_b.values())
+
+    # streaming path over two micro-batches == batch pair set
+    src = str(tmp_path / "phash_src")
+    probe_hashes.where(F.col("media_id") < 36).coalesce(1) \
+        .write.parquet(src)
+    probe_hashes.where(F.col("media_id") >= 36).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream
+              .schema("media_id long, ahash long, dhash long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_phash_neardup_flags(stream, index)
+    sink = str(tmp_path / "phash_sink")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "phash_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    pairs_s = {(r["media_id"], r["corpus_id"])
+               for r in spark.read.parquet(sink).collect()}
+    assert pairs_s == set(rows_b)
