@@ -2398,6 +2398,51 @@ def q_crawl_frontier_batch(spark, sf_dir):
         batch_size=50, per_domain_cap=4, min_delay_s=5.0)
 
 
+def q_crawl_discovery_batch(spark, sf_dir):
+    """URL-discovery -> fetch-scheduling composite, the front half of
+    the crawl stack in one query: per-doc sitemap bodies whose <loc>
+    values are MESSY (uppercase scheme/host, :80, tracking params,
+    fragment, escaped ampersand; every 5th loc a duplicate variant of
+    the previous doc's) -> parse_sitemap -> canonicalize_urls ->
+    collapse per canonical URL (max priority, min representative loc)
+    -> polite frontier scheduling (3 per domain, top 40). The oracle
+    replays sitemap prediction, canonicalization, the collapse and the
+    scheduler's window + TakeOrdered."""
+    import datetime
+
+    from otit_swt_spark.pipelines.urltools import (canonicalize_urls,
+                                                   frontier_next_batch,
+                                                   parse_sitemap)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    url_id = (F.col("doc_id")
+              - F.when((F.col("doc_id") % 5) == 1, F.lit(1))
+              .otherwise(F.lit(0)))
+    body = F.concat(
+        F.lit("<urlset><url><loc>HTTP://WWW.Site-"),
+        F.upper(F.col("source")),
+        F.lit(".com:80/item/"), url_id.cast("string"),
+        F.lit("?utm_source=s&amp;b=2&amp;a=1#f</loc><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url></urlset>"))
+    parsed = parse_sitemap(d.select(dom.alias("domain"),
+                                    body.alias("sitemap_xml")))
+    canon = canonicalize_urls(parsed, url_col="loc")
+    frontier = (canon.groupBy("canonical_url")
+                .agg(F.first("domain").alias("domain"),
+                     F.max("priority").alias("priority"),
+                     F.min("loc").alias("loc")))
+    batch = frontier_next_batch(
+        frontier.withColumn("last_fetch",
+                            F.lit(None).cast("timestamp")),
+        datetime.datetime(2026, 1, 1, 0, 0, 0),
+        url_col="canonical_url",
+        batch_size=40, per_domain_cap=3, min_delay_s=5.0)
+    return batch.select("canonical_url", "domain", "priority", "loc")
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3808,6 +3853,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "video_phash_neardup": q_video_phash_neardup,
         "sitemap_parse_docs": q_sitemap_parse_docs,
         "crawl_frontier_batch": q_crawl_frontier_batch,
+        "crawl_discovery_batch": q_crawl_discovery_batch,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -8731,6 +8777,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, priority, last_fetch
             FROM ranked WHERE r <= 4
             ORDER BY priority DESC, url LIMIT 50
+        """,
+        "crawl_discovery_batch": """
+            WITH src AS (
+                SELECT doc_id, lower(source) AS s, upper(source) AS su,
+                       doc_id - CASE WHEN doc_id % 5 = 1
+                                     THEN 1 ELSE 0 END AS url_id,
+                       doc_id % 10 AS pr
+                FROM documents WHERE source IS NOT NULL
+            ), canon AS (
+                SELECT 'http://site-' || s || '.com/item/'
+                           || CAST(url_id AS VARCHAR) || '?a=1&b=2'
+                           AS canonical_url,
+                       'site-' || s || '.com' AS domain,
+                       CAST('0.' || CAST(pr AS VARCHAR) AS DOUBLE)
+                           AS priority,
+                       'HTTP://WWW.Site-' || su || '.com:80/item/'
+                           || CAST(url_id AS VARCHAR)
+                           || '?utm_source=s&b=2&a=1#f' AS loc
+                FROM src
+            ), coll AS (
+                SELECT canonical_url, min(domain) AS domain,
+                       max(priority) AS priority, min(loc) AS loc
+                FROM canon GROUP BY 1
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY priority DESC, canonical_url) AS r
+                FROM coll
+            )
+            SELECT canonical_url, domain, priority, loc
+            FROM ranked WHERE r <= 3
+            ORDER BY priority DESC, canonical_url LIMIT 40
         """,
         "simhash_pairs": f"""
             WITH toks AS (

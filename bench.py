@@ -209,6 +209,7 @@ EXTENDED = [
     "video_phash_neardup",
     "sitemap_parse_docs",
     "crawl_frontier_batch",
+    "crawl_discovery_batch",
 ]
 
 
