@@ -69,6 +69,7 @@ QUERIES = [
     "video_phash_neardup",
     "sitemap_parse_docs",
     "crawl_frontier_batch",
+    "crawl_discovery_batch",
 ]
 
 
