@@ -329,6 +329,31 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def chunk_entries_for(fp: DataFrame, id_col: str = "id",
+                      fp_col: str = "fp",
+                      extra: tuple = ()) -> DataFrame:
+    """Explode a 64-bit fingerprint frame into its four 16-bit banding
+    chunks: ``(id, *extra, chunk, key)`` — the ONE chunking scheme
+    shared by :func:`hamming_banded_pairs` and the streaming media
+    index/probe pair (``streaming.dedup.build_phash_index`` /
+    ``stream_phash_neardup_flags``); a change here changes index and
+    probe keys together, never one side. NULL fingerprints are dropped
+    (they have no distance to anything)."""
+    sh = (fp.where(F.col(fp_col).isNotNull())
+          .select(F.col(id_col).alias("id"), *extra,
+                  F.col(fp_col).alias("sh")))
+    return sh.select(
+        "id", *extra, "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("sh", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", *extra, "sh", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+
+
 def hamming_banded_pairs(fp: DataFrame, id_col: str = "id",
                          fp_col: str = "fp", max_distance: int = 3,
                          max_pairs_per_entry: int = 8) -> DataFrame:
@@ -349,16 +374,8 @@ def hamming_banded_pairs(fp: DataFrame, id_col: str = "id",
 
     sh = (fp.where(F.col(fp_col).isNotNull())
           .select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh")))
-    chunks = sh.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("sh", c * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for c in range(4)
-        ])).alias("ck"),
-    ).select("id", F.col("ck.chunk").alias("chunk"),
-             F.col("ck.key").alias("key"))
+    chunks = chunk_entries_for(fp, id_col, fp_col) \
+        .select("id", "chunk", "key")
     w = W.partitionBy("chunk", "key").orderBy("id")
     succ = F.array(*[F.lead("id", d).over(w)
                      for d in range(1, max_pairs_per_entry + 1)])

@@ -100,19 +100,11 @@ def build_phash_index(corpus_hashes: DataFrame,
     The media twin of :func:`build_lsh_index`; write it partitioned by
     ``chunk`` for pruned probes. NULL fingerprints (undecodable media)
     never enter the index."""
-    sh = (corpus_hashes.where(F.col(fp_col).isNotNull())
-          .select(F.col(id_col).alias("corpus_id"),
-                  F.col(fp_col).alias("corpus_fp")))
-    return sh.select(
-        "corpus_id", "corpus_fp",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("corpus_fp", c * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for c in range(4)
-        ])).alias("ck"),
-    ).select("corpus_id", "corpus_fp",
-             F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    from otit_swt_spark.pipelines.dedup import chunk_entries_for
+
+    return (chunk_entries_for(corpus_hashes, id_col, fp_col)
+            .select(F.col("id").alias("corpus_id"),
+                    F.col("sh").alias("corpus_fp"), "chunk", "key"))
 
 
 def stream_phash_neardup_flags(
@@ -136,28 +128,27 @@ def stream_phash_neardup_flags(
     instead dedups exactly and keeps the verified distance. Output:
     ``(id_col, corpus_id, hamming)`` for batch;
     ``(id_col, event_time, corpus_id)`` pairs for streams."""
+    from otit_swt_spark.pipelines.dedup import chunk_entries_for, hamming64
+
+    if max_distance > 3:
+        # the 4x16-bit pigeonhole only GUARANTEES recall for distance
+        # <= 3; beyond that a pair can differ in every chunk and never
+        # probe the index — fail fast instead of silently losing matches
+        raise ValueError(
+            "stream_phash_neardup_flags guarantees recall only for "
+            f"max_distance <= 3 (got {max_distance})")
     streaming = stream_hashes.isStreaming
     if streaming and event_time not in stream_hashes.columns:
         stream_hashes = stream_hashes.withColumn(
             event_time, F.current_timestamp())
     carry = (event_time,) if streaming else ()
-    probe = (stream_hashes.where(F.col(fp_col).isNotNull())
-             .select(F.col(id_col).alias("__pid"), *carry,
-                     F.col(fp_col).alias("__pfp")))
-    chunks = probe.select(
-        "__pid", *carry, "__pfp",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("__pfp", c * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for c in range(4)
-        ])).alias("ck"),
-    ).select("__pid", *carry, "__pfp",
-             F.col("ck.chunk").alias("chunk"),
-             F.col("ck.key").alias("key"))
+    chunks = (chunk_entries_for(stream_hashes, id_col, fp_col,
+                                extra=carry)
+              .select(F.col("id").alias("__pid"), *carry,
+                      F.col("sh").alias("__pfp"), "chunk", "key"))
     hits = (chunks.join(static_index, ["chunk", "key"])
-            .withColumn("__ham", F.bit_count(
-                F.col("__pfp").bitwiseXOR(F.col("corpus_fp"))))
+            .withColumn("__ham", hamming64(F.col("__pfp"),
+                                           F.col("corpus_fp")))
             .where(F.col("__ham") <= max_distance)
             .where(F.col("__pid") != F.col("corpus_id")))
     if streaming:

@@ -1290,8 +1290,9 @@ def test_stream_phash_neardup_flags(spark, tmp_path):
     base_docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
     index = build_phash_index(image_hashes(synth_gray_bmp(base_docs)))
 
-    # ids 24..47 are variant-1 near-dups of groups 0..23
-    probe_docs = spark.range(24, 48).withColumnRenamed("id", "doc_id")
+    # probes 0..23 ARE the indexed ids (exercises self-pair exclusion);
+    # 24..47 are variant-1 near-dups of groups 0..23
+    probe_docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
     probe_hashes = image_hashes(synth_gray_bmp(probe_docs))
 
     # batch path: exact verified distances, one row per (probe, base)
@@ -1301,8 +1302,12 @@ def test_stream_phash_neardup_flags(spark, tmp_path):
     for pid in range(24, 48):
         assert (pid, pid % 24) in rows_b        # own group flagged
         assert rows_b[(pid, pid % 24)] <= 3
-    # no self-pairs, all hits within the verify radius
-    assert all(h <= 3 for h in rows_b.values())
+    # self-pairs excluded even though probe 0..23 hash-match index 0..23
+    assert all(a != b for a, b in rows_b)
+    # recall guarantee boundary is enforced, not silently degraded
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_distance"):
+        stream_phash_neardup_flags(probe_hashes, index, max_distance=5)
 
     # streaming path over two micro-batches == batch pair set
     src = str(tmp_path / "phash_src")
