@@ -299,3 +299,32 @@ def frontier_next_batch(frontier: DataFrame, now,
             .drop("__r")
             .orderBy(F.col(priority_col).desc_nulls_last(), url_col)
             .limit(batch_size))
+
+
+def parse_sitemap_index(df: DataFrame, domain_col: str = "domain",
+                        body_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap INDEX parsing (the ``<sitemapindex>`` form large sites
+    serve: a list of child sitemap files): ``(domain, xml)`` -> one row
+    per ``<sitemap>`` entry with its ``<loc>`` and optional
+    ``<lastmod>``. Feed each loc back through a fetch +
+    :func:`parse_sitemap` pass — the protocol's one level of nesting
+    (index files must not reference other index files). Same
+    regexp-only, map-side shape and entity handling as
+    :func:`parse_sitemap`."""
+    blocks = F.regexp_extract_all(
+        F.coalesce(F.col(body_col), F.lit("")),
+        F.lit(r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"), F.lit(1))
+    b = (df.select(F.col(domain_col).alias("domain"),
+                   F.explode(blocks).alias("__b")))
+    loc = F.regexp_extract(F.col("__b"),
+                           r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>", 1)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        F.col("__b"), r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", 1)
+    return (b.select(
+        "domain", loc.alias("loc"),
+        F.when(lastmod == "", None).otherwise(
+            F.try_to_timestamp(lastmod)).alias("lastmod"))
+        .where(F.col("loc") != ""))

@@ -4865,3 +4865,33 @@ def test_parse_sitemap_apos_and_frontier_tiny_delay(spark):
         gopher_rules(spark.createDataFrame(
             [(1, "x", 3)], "doc_id long, text string, n_words int"),
             keep_cols=("n_words",))
+
+
+def test_parse_sitemap_index(spark):
+    """<sitemapindex> form: one row per child sitemap with typed
+    lastmod; loc-less and NULL bodies drop; <url> blocks (the non-index
+    form) are NOT picked up by the index parser and vice versa."""
+    from otit_swt_spark.pipelines.urltools import (parse_sitemap,
+                                                   parse_sitemap_index)
+
+    xml = ("<sitemapindex>"
+           "<sitemap><loc>http://a.com/sitemap-1.xml</loc>"
+           "<lastmod>2026-02-03T04:05:06</lastmod></sitemap>"
+           "<sitemap><loc> http://a.com/sitemap-2.xml </loc></sitemap>"
+           "<sitemap><lastmod>2026-01-01</lastmod></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([("a.com", xml), ("b.com", None)],
+                               "domain string, sitemap_xml string")
+    got = {r["loc"]: r["lastmod"] for r in
+           parse_sitemap_index(df).collect()}
+    assert set(got) == {"http://a.com/sitemap-1.xml",
+                        "http://a.com/sitemap-2.xml"}
+    assert str(got["http://a.com/sitemap-1.xml"]) == "2026-02-03 04:05:06"
+    assert got["http://a.com/sitemap-2.xml"] is None
+    # the two parsers don't cross-match each other's block type
+    assert parse_sitemap(df).count() == 0
+    urlset = spark.createDataFrame(
+        [("a.com", "<urlset><url><loc>http://a.com/p</loc></url>"
+                   "</urlset>")],
+        "domain string, sitemap_xml string")
+    assert parse_sitemap_index(urlset).count() == 0
