@@ -2443,6 +2443,47 @@ def q_crawl_discovery_batch(spark, sf_dir):
     return batch.select("canonical_url", "domain", "priority", "loc")
 
 
+def q_frontier_unseen_batch(spark, sf_dir):
+    """Seen-set frontier filtering -> scheduling: the crawled-URL
+    ledger as a replayable BLOOM FILTER (analytics.bloom_build — every
+    4th URL is already crawled), discovery URLs probed against it
+    (bloom_probe: no false negatives, deterministic md5 bits so the
+    occasional false positive is IDENTICAL in both engines), the
+    maybe-seen URLs dropped, the rest scheduled politely
+    (frontier_next_batch: 5 per domain, top 60 by priority). The
+    membership stage a 100 TB frontier runs between discovery and
+    fetch — the bit frame stays <= n_bits rows no matter how many URLs
+    were ever crawled."""
+    import datetime
+
+    from otit_swt_spark.pipelines.analytics import (bloom_build,
+                                                    bloom_probe)
+    from otit_swt_spark.pipelines.urltools import frontier_next_batch
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    fr = d.select(
+        F.concat(F.lit("http://"), dom, F.lit("/item/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        dom.alias("domain"),
+        ((F.col("doc_id") % 100).cast("double") / F.lit(100.0))
+        .alias("priority"),
+        (F.col("doc_id") % 4 == 0).alias("__crawled"))
+    bloom = bloom_build(fr.where(F.col("__crawled")).select("url"),
+                        "url", n_bits=4096, k=5)
+    flags = bloom_probe(bloom, fr.select("url"), "url",
+                        n_bits=4096, k=5)
+    unseen = (fr.join(flags, "url")
+              .where(~F.col("maybe_present"))
+              .select("url", "domain", "priority",
+                      F.lit(None).cast("timestamp").alias("last_fetch")))
+    return frontier_next_batch(
+        unseen, datetime.datetime(2026, 1, 1, 0, 0, 0),
+        batch_size=60, per_domain_cap=5, min_delay_s=5.0) \
+        .select("url", "domain", "priority")
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3854,6 +3895,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sitemap_parse_docs": q_sitemap_parse_docs,
         "crawl_frontier_batch": q_crawl_frontier_batch,
         "crawl_discovery_batch": q_crawl_discovery_batch,
+        "frontier_unseen_batch": q_frontier_unseen_batch,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -8809,6 +8851,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, domain, priority, loc
             FROM ranked WHERE r <= 3
             ORDER BY priority DESC, canonical_url LIMIT 40
+        """,
+        "frontier_unseen_batch": """
+            WITH fr AS (
+                SELECT 'http://site-' || lower(source) || '.com/item/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       'site-' || lower(source) || '.com' AS domain,
+                       CAST(doc_id % 100 AS DOUBLE) / 100.0 AS priority,
+                       doc_id % 4 = 0 AS crawled
+                FROM documents WHERE source IS NOT NULL
+            ), pos5 AS (
+                SELECT url, crawled, ('0x' || substr(md5('bl0:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p0, ('0x' || substr(md5('bl1:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p1, ('0x' || substr(md5('bl2:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p2, ('0x' || substr(md5('bl3:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p3, ('0x' || substr(md5('bl4:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p4
+                FROM fr
+            ), seen AS (
+                SELECT DISTINCT pos FROM (
+                    SELECT unnest([p0, p1, p2, p3, p4]) AS pos
+                    FROM pos5 WHERE crawled
+                )
+            ), pr AS (
+                SELECT url, unnest([p0, p1, p2, p3, p4]) AS pos
+                FROM pos5
+            ), flag AS (
+                SELECT pr.url,
+                       bool_and(s.pos IS NOT NULL) AS maybe_present
+                FROM pr LEFT JOIN seen s USING (pos) GROUP BY 1
+            ), unseen AS (
+                SELECT f.url, f.domain, f.priority
+                FROM fr f JOIN flag USING (url)
+                WHERE NOT maybe_present
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY priority DESC, url) AS r
+                FROM unseen
+            )
+            SELECT url, domain, priority
+            FROM ranked WHERE r <= 5
+            ORDER BY priority DESC, url LIMIT 60
         """,
         "simhash_pairs": f"""
             WITH toks AS (

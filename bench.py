@@ -210,6 +210,7 @@ EXTENDED = [
     "sitemap_parse_docs",
     "crawl_frontier_batch",
     "crawl_discovery_batch",
+    "frontier_unseen_batch",
 ]
 
 

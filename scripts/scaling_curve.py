@@ -70,6 +70,7 @@ QUERIES = [
     "sitemap_parse_docs",
     "crawl_frontier_batch",
     "crawl_discovery_batch",
+    "frontier_unseen_batch",
 ]
 
 
