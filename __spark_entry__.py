@@ -2013,24 +2013,76 @@ def q_image_hashes(spark, sf_dir):
     -> cross-multiplied threshold math is pure int64, so the oracle
     replays both 64-bit hashes bit-for-bit from the pixel formula —
     the image twin of simhash64. Decode rides the scan (one
-    mapInPandas, zero shuffle)."""
-    from otit_swt_spark.pipelines.multimodal import (image_hashes,
-                                                     synth_gray_bmp)
+    mapInPandas, zero shuffle); the frame is shared (pinned) with the
+    near-dup twin via _media_fp."""
+    return _media_fp(spark, sf_dir, "image").orderBy("media_id")
 
-    d = _t(spark, sf_dir, "documents")
-    return image_hashes(synth_gray_bmp(d)).orderBy("media_id")
+
+#: Bounded pin cache for the expensive media fingerprint frames shared
+#: between a hash-listing entry and its near-dup twin (image/audio/video).
+#: persist() is load-bearing INSIDE one action too — banding + the
+#: dhash-attach joins reference the frame up to five times in one plan —
+#: but a long-lived session running many entries must not accumulate
+#: cached blocks forever (r10 advice), so pins are LRU-evicted
+#: (unpersisted) past _PIN_CAP. An eager localCheckpoint-then-unpersist
+#: was rejected: it executes at plan-build time and collapses the plan to
+#: Scan ExistingRDD, blinding the plan guard and the PLAN_AUDIT artifacts.
+_PIN_LRU: dict[tuple, DataFrame] = {}
+_PIN_CAP = 8
+
+
+def _pin(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    df = _PIN_LRU.get(key)
+    if df is not None:
+        return df
+    df = build().persist()
+    _PIN_LRU[key] = df
+    while len(_PIN_LRU) > _PIN_CAP:
+        oldest = next(iter(_PIN_LRU))
+        _PIN_LRU.pop(oldest).unpersist()
+    return df
+
+
+def _media_fp(spark, sf_dir: str, kind: str) -> DataFrame:
+    """The per-modality fingerprint frame (media_id, ahash, dhash | clip
+    hash), built once per (app, sf, kind) and pinned: the synth + decode
+    + hash mapInPandas pass is the dominant cost of every media entry,
+    and each modality's listing entry and near-dup twin consume the SAME
+    frame — one synthesis serves both (r10 brief item 7)."""
+    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
+                                                     clip_majority_hash,
+                                                     image_hashes,
+                                                     synth_gray_bmp,
+                                                     synth_pcm_wav,
+                                                     synth_video_frames)
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        if kind == "image":
+            return image_hashes(synth_gray_bmp(d))
+        if kind == "audio":
+            return audio_hashes(synth_pcm_wav(d))
+        if kind == "video_clip":
+            frames = synth_video_frames(d)
+            h = image_hashes(frames, id_col="media_id")
+            return clip_majority_hash(h, "ahash", "media_id")
+        raise ValueError(f"unknown media kind {kind!r}")
+
+    return _pin(key, build)
 
 
 def _phash_neardup_pairs(h):
-    """Shared pairing tail for the image/audio phash entries: PERSIST
-    the fingerprint frame — banding + the two dhash-attach joins
-    reference it five times, and without the persist the expensive
-    synth + decode + hash mapInPandas pass re-executes per reference
-    (the simhash_dedup_pairs persist rationale, dedup.py) — then band
-    on ahash and attach the dhash distance as the second opinion."""
+    """Shared pairing tail for the image/audio phash entries: the
+    fingerprint frame arrives PINNED (persisted) from :func:`_media_fp`
+    — banding + the two dhash-attach joins reference it five times, and
+    without the persist the expensive synth + decode + hash mapInPandas
+    pass re-executes per reference (the simhash_dedup_pairs persist
+    rationale, dedup.py) — then band on ahash and attach the dhash
+    distance as the second opinion."""
     from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
 
-    h = h.persist()
     pairs = hamming_banded_pairs(h, id_col="media_id", fp_col="ahash",
                                  max_distance=3)
     da = h.select(F.col("media_id").alias("id_a"),
@@ -2051,11 +2103,7 @@ def q_image_phash_neardup(spark, sf_dir):
     banding machinery as the simhash text path
     (dedup.hamming_banded_pairs) — with the dHash distance attached as
     the brightness-shift-robust second opinion."""
-    from otit_swt_spark.pipelines.multimodal import (image_hashes,
-                                                     synth_gray_bmp)
-
-    d = _t(spark, sf_dir, "documents")
-    return _phash_neardup_pairs(image_hashes(synth_gray_bmp(d)))
+    return _phash_neardup_pairs(_media_fp(spark, sf_dir, "image"))
 
 
 def q_audio_hashes(spark, sf_dir):
@@ -2067,12 +2115,9 @@ def q_audio_hashes(spark, sf_dir):
     thresholds, all pure int64, so the oracle replays both 64-bit
     hashes bit-for-bit from the sample formula — the audio twin of
     image_hashes. Decode rides the scan (one mapInPandas, zero
-    shuffle)."""
-    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
-                                                     synth_pcm_wav)
-
-    d = _t(spark, sf_dir, "documents")
-    return audio_hashes(synth_pcm_wav(d)).orderBy("media_id")
+    shuffle); the frame is shared (pinned) with the near-dup twin via
+    _media_fp."""
+    return _media_fp(spark, sf_dir, "audio").orderBy("media_id")
 
 
 def q_audio_phash_neardup(spark, sf_dir):
@@ -2082,11 +2127,7 @@ def q_audio_phash_neardup(spark, sf_dir):
     machinery as the simhash text path and the image phash path
     (dedup.hamming_banded_pairs) — with the gain-robust temporal-
     gradient dHash distance attached as the second opinion."""
-    from otit_swt_spark.pipelines.multimodal import (audio_hashes,
-                                                     synth_pcm_wav)
-
-    d = _t(spark, sf_dir, "documents")
-    return _phash_neardup_pairs(audio_hashes(synth_pcm_wav(d)))
+    return _phash_neardup_pairs(_media_fp(spark, sf_dir, "audio"))
 
 
 def q_video_clip_hashes(spark, sf_dir):
@@ -2098,15 +2139,10 @@ def q_video_clip_hashes(spark, sf_dir):
     MAJORITY vote across frames into one 64-bit clip hash
     (multimodal.clip_majority_hash: 64 codegen'd bit-count aggregates,
     one shuffle on the clip id, no UDF). The oracle replays frame
-    pixels, per-frame aHash and the vote bit-for-bit."""
-    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
-                                                     image_hashes,
-                                                     synth_video_frames)
-
-    d = _t(spark, sf_dir, "documents")
-    frames = synth_video_frames(d)
-    h = image_hashes(frames, id_col="media_id")
-    return clip_majority_hash(h, "ahash", "media_id").orderBy("media_id")
+    pixels, per-frame aHash and the vote bit-for-bit. The clip frame is
+    shared (pinned) with the near-dup twin via _media_fp, so the ~30k-
+    frame synth+hash pass runs once per session, not once per entry."""
+    return _media_fp(spark, sf_dir, "video_clip").orderBy("media_id")
 
 
 def q_video_phash_neardup(spark, sf_dir):
@@ -2116,16 +2152,12 @@ def q_video_phash_neardup(spark, sf_dir):
     Completes the perceptual near-dup family across all three media
     kinds on one shared banding machine."""
     from otit_swt_spark.pipelines.dedup import hamming_banded_pairs
-    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
-                                                     image_hashes,
-                                                     synth_video_frames)
 
-    d = _t(spark, sf_dir, "documents")
-    h = image_hashes(synth_video_frames(d), id_col="media_id")
-    # persist the clip frame: banding references it three times, and
-    # without this the 6-frames-per-clip synthesis + per-frame hashing
-    # + the bit-vote shuffle re-execute per reference
-    clip = clip_majority_hash(h, "ahash", "media_id").persist()
+    # the clip frame arrives PINNED from _media_fp: banding references
+    # it three times, and without the persist the 6-frames-per-clip
+    # synthesis + per-frame hashing + bit-vote shuffle re-execute per
+    # reference
+    clip = _media_fp(spark, sf_dir, "video_clip")
     return hamming_banded_pairs(clip, id_col="media_id",
                                 fp_col="clip_hash",
                                 max_distance=3).orderBy("id_a", "id_b")

@@ -372,6 +372,10 @@ def hamming_banded_pairs(fp: DataFrame, id_col: str = "id",
     they have no distance to anything."""
     from pyspark.sql import Window as W
 
+    # NOT dead code (r10 advice): this one-row-per-id projection feeds
+    # the sh_a/sh_b verify joins below. chunk_entries_for's output also
+    # carries the fingerprint but at 4 rows per id — deriving the verify
+    # side from it would need a dedup shuffle this projection avoids.
     sh = (fp.where(F.col(fp_col).isNotNull())
           .select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh")))
     chunks = chunk_entries_for(fp, id_col, fp_col) \

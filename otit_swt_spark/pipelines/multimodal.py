@@ -657,6 +657,25 @@ def wav_pcm16_samples(payload: bytes):
     return a
 
 
+def _band_sums_int64(a, band, n_bands):
+    """Exact per-band int64 sums over a sorted band-index vector.
+
+    ``np.bincount(..., weights=...)`` accumulates weights in float64, so
+    band sums would silently lose integer exactness past 2^53; this
+    instead takes prefix-sum differences in int64 (``band`` is
+    monotonic by construction — ``i*k//n``), which is exact until a
+    band sum itself exceeds 2^63 (|amplitude| <= 32768, i.e. ~2.8e14
+    samples — unreachable for real clips). Empty bands sum to 0."""
+    import numpy as np
+
+    csum = np.concatenate((np.zeros(1, dtype=np.int64),
+                           np.cumsum(a, dtype=np.int64)))
+    edges = np.searchsorted(band, np.arange(n_bands + 1))
+    sums = csum[edges[1:]] - csum[edges[:-1]]
+    cnts = (edges[1:] - edges[:-1]).astype(np.int64)
+    return sums, cnts
+
+
 def ahash64_audio(samples) -> int:
     """Average-energy hash: floor-partition the waveform into 64 equal
     time bands; bit j = band j's mean |amplitude| exceeds the GLOBAL
@@ -669,9 +688,7 @@ def ahash64_audio(samples) -> int:
     a = np.abs(np.asarray(samples, dtype=np.int64))
     n = a.size
     band = (np.arange(n, dtype=np.int64) * 64) // n
-    sums = np.bincount(band, weights=a.astype(np.float64),
-                       minlength=64).astype(np.int64)
-    cnts = np.bincount(band, minlength=64).astype(np.int64)
+    sums, cnts = _band_sums_int64(a, band, 64)
     total_sum = int(sums.sum())
     bits = sums * n > total_sum * cnts
     return _pack_bits64(bits.tolist())
@@ -688,9 +705,7 @@ def dhash64_audio(samples) -> int:
     a = np.abs(np.asarray(samples, dtype=np.int64))
     n = a.size
     band = (np.arange(n, dtype=np.int64) * 65) // n
-    sums = np.bincount(band, weights=a.astype(np.float64),
-                       minlength=65).astype(np.int64)
-    cnts = np.bincount(band, minlength=65).astype(np.int64)
+    sums, cnts = _band_sums_int64(a, band, 65)
     bits = sums[:64] * cnts[1:] > sums[1:] * cnts[:64]
     return _pack_bits64(bits.tolist())
 
@@ -747,6 +762,14 @@ def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id",
     ahash Hamming <= 2), different groups = unrelated (>= 22). Output:
     ``(media_id, payload)``."""
     import numpy as np
+
+    # peak sample = carrier peak (1024) x max gain (16 + v, v <=
+    # n_variants-1); past int16 range the .astype(np.int16) below would
+    # WRAP silently, corrupting samples instead of failing — so fail.
+    if 1024 * (16 + n_variants - 1) > 32767:
+        raise ValueError(
+            f"synth_pcm_wav: n_variants={n_variants} drives peak amplitude "
+            f"{1024 * (16 + n_variants - 1)} past int16 (max n_variants=16)")
 
     band_w = n_samples // 64
     nvar = 2 * band_w
