@@ -2516,6 +2516,37 @@ def q_frontier_unseen_batch(spark, sf_dir):
         .select("url", "domain", "priority")
 
 
+def q_frontier_unseen_flags(spark, sf_dir):
+    """Stateless Bloom membership flags — the STREAMING frontier's probe
+    form, exercised in batch: the crawled-URL ledger
+    (analytics.bloom_build, every 4th URL) is packed into ONE broadcast
+    row of 63-bit words (bloom_word_map; 63-bit width keeps shiftleft
+    off the sign bit so the packing replays exactly in DuckDB) and
+    every discovery URL is flag-tested per row (bloom_unseen_flags: k
+    md5-salted bit tests, a dummy-key broadcast equi-join, NO
+    aggregate) — exactly the append-legal plan
+    streaming.crawl.stream_frontier_unseen runs per micro-batch against
+    the stream_bloom_seen ledger. Decision-identical to bloom_probe
+    (same salts/positions; no false negatives)."""
+    from otit_swt_spark.pipelines.analytics import (bloom_build,
+                                                    bloom_unseen_flags,
+                                                    bloom_word_map)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    fr = d.select(
+        F.concat(F.lit("http://"), dom, F.lit("/item/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 4 == 0).alias("__crawled"))
+    bloom = bloom_build(fr.where(F.col("__crawled")).select("url"),
+                        "url", n_bits=4096, k=5)
+    return (bloom_unseen_flags(fr.select("url"),
+                               bloom_word_map(bloom, n_bits=4096),
+                               "url", n_bits=4096, k=5)
+            .orderBy("url"))
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3928,6 +3959,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_frontier_batch": q_crawl_frontier_batch,
         "crawl_discovery_batch": q_crawl_discovery_batch,
         "frontier_unseen_batch": q_frontier_unseen_batch,
+        "frontier_unseen_flags": q_frontier_unseen_flags,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -8920,6 +8952,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, priority
             FROM ranked WHERE r <= 5
             ORDER BY priority DESC, url LIMIT 60
+        """,
+        "frontier_unseen_flags": """
+            WITH fr AS (
+                SELECT 'http://site-' || lower(source) || '.com/item/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       doc_id % 4 = 0 AS crawled
+                FROM documents WHERE source IS NOT NULL
+            ), pos5 AS (
+                SELECT url, crawled, ('0x' || substr(md5('bl0:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p0, ('0x' || substr(md5('bl1:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p1, ('0x' || substr(md5('bl2:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p2, ('0x' || substr(md5('bl3:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p3, ('0x' || substr(md5('bl4:' || url), 1, 8))::UBIGINT::BIGINT % 4096 AS p4
+                FROM fr
+            ), seen AS (
+                SELECT DISTINCT pos FROM (
+                    SELECT unnest([p0, p1, p2, p3, p4]) AS pos
+                    FROM pos5 WHERE crawled
+                )
+            ), words AS (
+                -- the 63-bit word packing bloom_word_map broadcasts:
+                -- word = pos DIV 63, bit = pos % 63 (never the sign bit)
+                SELECT pos // 63 AS w,
+                       bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+                FROM seen GROUP BY 1
+            ), pr AS (
+                SELECT url, unnest([p0, p1, p2, p3, p4]) AS pos
+                FROM pos5
+            ), tested AS (
+                SELECT pr.url,
+                       (coalesce(wd.bits, 0::BIGINT)
+                        & (1::BIGINT << CAST(pr.pos % 63 AS INT))) != 0
+                           AS hit
+                FROM pr LEFT JOIN words wd ON wd.w = pr.pos // 63
+            )
+            SELECT url, bool_and(hit) AS maybe_present
+            FROM tested GROUP BY url ORDER BY url
         """,
         "simhash_pairs": f"""
             WITH toks AS (

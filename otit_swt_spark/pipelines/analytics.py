@@ -463,6 +463,61 @@ def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str,
     return hit
 
 
+def bloom_word_map(bloom: DataFrame, n_bits: int = 4096) -> DataFrame:
+    """Pack a Bloom bit frame ``(pos)`` into ONE row carrying a map
+    ``word -> 63-bit word of set bits`` (``word = pos DIV 63``,
+    ``bit = pos % 63``). Words are deliberately 63 bits wide so the
+    packing never touches the sign bit — ``shiftleft(1, bit)`` with
+    ``bit <= 62`` is exact, replayable signed-long arithmetic in Spark
+    AND DuckDB (``1::BIGINT << 63`` would overflow or go negative
+    depending on the engine).
+
+    This is the broadcastable constant-size ledger form a STATELESS
+    membership probe needs: :func:`bloom_probe` resolves membership
+    with a per-key aggregate, which a streaming frontier cannot run in
+    append mode, but any number of rows can cross-join this one
+    broadcast row and test their ``k`` bits map-side
+    (:func:`bloom_unseen_flags`). ``ceil(n_bits/63)`` map entries —
+    ~66 for the default 4096-bit filter, ~1M for a 2^26-bit crawl
+    ledger (8 MB broadcast, well under executor budgets)."""
+    words = (bloom.select(
+        F.expr("CAST(pos DIV 63 AS BIGINT)").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        .alias("m"))
+        .groupBy("w").agg(F.expr("bit_or(m)").alias("bits")))
+    return words.agg(F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("w", "bits"))))
+        .alias("bloom_words"))
+
+
+def bloom_unseen_flags(keys: DataFrame, bloom_words: DataFrame,
+                       key_col: str, n_bits: int = 4096,
+                       k: int = 5) -> DataFrame:
+    """Per-row Bloom membership WITHOUT aggregation: cross-join the
+    one-row broadcast word map (:func:`bloom_word_map`) and test all
+    ``k`` md5-salted positions per row — ``maybe_present`` iff every
+    position's bit is set. Identical decision to :func:`bloom_probe`
+    (same salts, same positions, no false negatives), but stateless and
+    append-mode legal, so it runs unchanged on a STREAM — the form
+    ``streaming.crawl.stream_frontier_unseen`` builds on. The one-row
+    attach goes through a dummy-key BROADCAST EQUI-join (not a cross
+    join) because stream-static cross joins are rejected by the
+    streaming planner; bound = 1 row x probe rows either way."""
+    tests = []
+    for i in range(k):
+        p = (f"(CAST(conv(substring(md5(concat('bl{i}:', "
+             f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+             f"% {n_bits})")
+        tests.append(
+            f"(coalesce(element_at(bloom_words, CAST({p} DIV 63 AS "
+            f"BIGINT)), CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS "
+            f"BIGINT), CAST({p} % 63 AS INT))) != 0")
+    one = F.broadcast(bloom_words.withColumn("__j", F.lit(1)))
+    return (keys.withColumn("__j", F.lit(1)).join(one, "__j")
+            .withColumn("maybe_present", F.expr(" AND ".join(tests)))
+            .drop("bloom_words", "__j"))
+
+
 def hll_sketch(df: DataFrame, key_col: str, b: int = 10) -> DataFrame:
     """Deterministic HyperLogLog register frame ``(bucket, max_rho)``
     (Flajolet et al. 2007): 60-bit md5 hash, top ``b`` bits pick the

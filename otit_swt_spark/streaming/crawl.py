@@ -145,3 +145,35 @@ def stream_crawl_chain(pages: DataFrame, rules: DataFrame,
             .select(id_col, url_col, "title", "text", "n_chars",
                     "canonical_url", "domain",
                     F.col("__best.p").alias("matched_prefix"), *riders))
+
+
+def stream_frontier_unseen(urls: DataFrame, bloom: DataFrame,
+                           key_col: str = "url", n_bits: int = 4096,
+                           k: int = 5) -> DataFrame:
+    """Stream-static Bloom seen-set probe: keep only URLs whose key is
+    DEFINITELY unseen in the crawled-URL ledger — the streaming
+    counterpart of the batch ``frontier_unseen_batch`` stage, closing
+    the crawl loop around the incrementally-maintained ledger
+    (``streaming.ingest.stream_bloom_seen``).
+
+    ``bloom`` is the stored bit frame (``spark.read.parquet(ledger)``).
+    It is packed to ONE broadcast row on the static side
+    (``analytics.bloom_word_map``) and membership becomes a per-row
+    k-bit test (``analytics.bloom_unseen_flags``) — no aggregate, no
+    state store, append-mode legal; the identical plan runs on a batch
+    frame, which is what the parity test replays. Bloom has no false
+    negatives, so no seen URL ever re-enters the frontier; a false
+    positive only suppresses a fetch (re-discoverable later), the safe
+    direction for a crawler.
+
+    The static side is planned at query start: a long-running
+    continuous probe re-reads the ledger per micro-batch's plan
+    resolution, but for a strict read-your-own-writes loop run the
+    sink and the probe as alternating availableNow passes (the batch
+    cadence a polite crawler already operates on)."""
+    from otit_swt_spark.pipelines.analytics import (bloom_unseen_flags,
+                                                    bloom_word_map)
+
+    flags = bloom_unseen_flags(urls, bloom_word_map(bloom, n_bits),
+                               key_col, n_bits, k)
+    return flags.where(~F.col("maybe_present")).drop("maybe_present")

@@ -486,6 +486,49 @@ def stream_hll(df: DataFrame, key_col: str, path: str, checkpoint: str):
             .start())
 
 
+def stream_bloom_seen(df: DataFrame, key_col: str, path: str,
+                      checkpoint: str, n_bits: int = 4096, k: int = 5):
+    """Maintain a Bloom seen-set LEDGER from a stream: per micro-batch,
+    build the batch's set-bit frame (``pipelines.analytics.bloom_build``)
+    and merge it into the stored frame by set union — the
+    incrementally-maintained crawled-URL ledger a continuous 100 TB
+    frontier needs (the batch loop rebuilds the filter from the full
+    ledger per call, which stops scaling once the ledger outgrows a
+    scan; this sink's work per batch is bounded by batch size +
+    ``n_bits``).
+
+    Bit union is idempotent AND commutative, so like :func:`stream_hll`
+    (and unlike the CMS/incremental-agg sinks) this needs NO batch-id
+    replay guard: at-least-once redelivery re-sets the same bits
+    harmlessly. Sink state is <= ``n_bits`` rows forever regardless of
+    how many keys were ever seen. Probe the stored frame with
+    ``pipelines.analytics.bloom_probe`` (batch) or
+    ``streaming.crawl.stream_frontier_unseen`` (stream-static,
+    stateless). Returns the started StreamingQuery."""
+    from otit_swt_spark import fsutil
+    from otit_swt_spark.pipelines.analytics import bloom_build
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta = bloom_build(batch_df, key_col, n_bits, k)
+        if fsutil.exists(spark, path):
+            merged = (spark.read.parquet(path).unionByName(delta)
+                      .distinct())
+        else:
+            merged = delta
+        # the frame is tiny (<= n_bits rows): materialize before the
+        # overwrite so the read above never races its own rewrite
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+
+    return (df.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_scd2(df: DataFrame, path: str, checkpoint: str,
                 key_col: str, ts_col: str, attr_cols: list,
                 order_col: str):

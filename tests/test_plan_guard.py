@@ -83,7 +83,12 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # one-row (unigram-total, bigram-total) broadcast cross
             "pmi_collocations",
             # one-row (n, W) stats x one-row median broadcast cross
-            "weighted_median_lineitem"}
+            "weighted_median_lineitem",
+            # one-row Bloom word-map broadcast attached to every probe
+            # row (analytics.bloom_unseen_flags): the dummy-key equi-
+            # join folds to a constant and Catalyst plans the 1-row
+            # broadcast as a nested loop; bound = 1 x probe rows
+            "frontier_unseen_flags"}
 
 
 def test_all_entries_plan_invariants(spark):

@@ -1327,3 +1327,102 @@ def test_stream_phash_neardup_flags(spark, tmp_path):
     pairs_s = {(r["media_id"], r["corpus_id"])
                for r in spark.read.parquet(sink).collect()}
     assert pairs_s == set(rows_b)
+
+
+def test_stream_bloom_seen_accumulates_and_replay_idempotent(spark, tmp_path):
+    """The Bloom seen-set sink folded over micro-batches must equal the
+    batch filter built on the UNION of all batches bit-for-bit
+    (set-union mergeability through foreachBatch), and a full replay of
+    the same source against the stored ledger must leave the bit frame
+    unchanged — bit union is idempotent, so the sink carries no batch-id
+    guard (the stream_hll discipline)."""
+    from otit_swt_spark.pipelines.analytics import bloom_build
+    from otit_swt_spark.streaming.ingest import stream_bloom_seen
+
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "ledger")
+    b1 = pd.DataFrame({"url": [f"http://a.com/{i}" for i in range(300)]})
+    b2 = pd.DataFrame({"url": [f"http://b.com/{i}" for i in range(150)]
+                       + [f"http://a.com/{i}" for i in range(100, 200)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("url string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_bloom_seen(stream, "url", led, str(tmp_path / "ck1"),
+                          n_bits=2048, k=5)
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    want = {r["pos"] for r in
+            bloom_build(full, "url", n_bits=2048, k=5).collect()}
+    got = {r["pos"] for r in spark.read.parquet(led).collect()}
+    assert got == want
+
+    # simulate at-least-once redelivery of EVERYTHING: a fresh
+    # checkpoint reprocesses the whole source against the existing
+    # ledger; the stored frame must be unchanged
+    stream2 = (spark.readStream.schema("url string")
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = stream_bloom_seen(stream2, "url", led, str(tmp_path / "ck2"),
+                           n_bits=2048, k=5)
+    q2.awaitTermination(120)
+    again = {r["pos"] for r in spark.read.parquet(led).collect()}
+    assert again == want
+
+
+def test_stream_frontier_unseen_parity_and_loop(spark, tmp_path):
+    """stream_frontier_unseen (stateless word-map probe) must make the
+    IDENTICAL per-URL decision as the batch bloom_probe path, both on a
+    batch frame and as a real append-mode stream against the ledger the
+    stream_bloom_seen sink maintains — the closed streaming crawl loop:
+    batch 1's fetched URLs enter the ledger, batch 2's discovery stream
+    is filtered against it with no false negatives."""
+    from otit_swt_spark.pipelines.analytics import bloom_build, bloom_probe
+    from otit_swt_spark.streaming.crawl import stream_frontier_unseen
+    from otit_swt_spark.streaming.ingest import stream_bloom_seen
+
+    crawled = pd.DataFrame(
+        {"url": [f"http://s.com/p/{i}" for i in range(0, 400, 2)]})
+    disc = pd.DataFrame(
+        {"url": [f"http://s.com/p/{i}" for i in range(400)],
+         "priority": [i % 10 for i in range(400)]})
+
+    # maintain the ledger through the streaming sink
+    src = str(tmp_path / "fetched")
+    led = str(tmp_path / "ledger")
+    spark.createDataFrame(crawled).coalesce(1).write.parquet(src)
+    q = stream_bloom_seen(
+        (spark.readStream.schema("url string").parquet(src)),
+        "url", led, str(tmp_path / "ck"), n_bits=2048, k=5)
+    q.awaitTermination(120)
+    ledger = spark.read.parquet(led)
+
+    disc_df = spark.createDataFrame(disc)
+    # batch parity: stateless probe == bloom_probe decisions
+    want_flags = {r["url"]: r["maybe_present"] for r in bloom_probe(
+        ledger, disc_df.select("url"), "url", n_bits=2048, k=5).collect()}
+    got_batch = {r["url"] for r in stream_frontier_unseen(
+        disc_df, ledger, "url", n_bits=2048, k=5).collect()}
+    assert got_batch == {u for u, m in want_flags.items() if not m}
+    # Bloom ledger == batch filter of the crawled set, so: no crawled
+    # URL survives the probe (no false negatives)
+    assert not (set(crawled["url"]) & got_batch)
+    assert ledger.count() == bloom_build(
+        spark.createDataFrame(crawled), "url", n_bits=2048, k=5).count()
+
+    # the SAME operator as a real append-mode stream
+    dsrc = str(tmp_path / "disc")
+    spark.createDataFrame(disc).coalesce(1).write.parquet(dsrc)
+    stream = (spark.readStream
+              .schema("url string, priority bigint").parquet(dsrc))
+    out = str(tmp_path / "out")
+    sq = (stream_frontier_unseen(stream, ledger, "url",
+                                 n_bits=2048, k=5)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", str(tmp_path / "ck_probe"))
+          .trigger(availableNow=True).start())
+    sq.awaitTermination(120)
+    got_stream = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got_stream == got_batch
