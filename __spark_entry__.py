@@ -2163,6 +2163,38 @@ def q_video_phash_neardup(spark, sf_dir):
                                 max_distance=3).orderBy("id_a", "id_b")
 
 
+def q_video_frames_from_gif(spark, sf_dir):
+    """REAL container frame extraction (round-11): each clip is ONE
+    animated-GIF binary payload (multimodal.synth_gray_gif — a real
+    GIF89a whose frames are pixel-identical to synth_video_frames'
+    formula), split into frames by ACTUAL decoding
+    (multimodal.gif_video_frames: variable-width LZW per the GIF89a
+    spec Appendix F, sub-rect compositing, interlace, disposal), then
+    per-frame aHashed. The oracle replays the whole
+    synth -> decode -> frame-split -> hash chain from the pixel formula
+    in SQL, so a single wrong LZW bit or a mis-ordered frame fails the
+    value hash; the decoder is additionally anchored against real-world
+    GIFs from third-party encoders in pytest. Frame key rides as
+    media_id*8 + frame_idx through the shared hasher (n_frames=6 < 8),
+    then splits back. Decode rides the scan — one mapInPandas, zero
+    shuffle before the hash."""
+    from otit_swt_spark.pipelines.multimodal import (gif_video_frames,
+                                                     image_hashes,
+                                                     synth_gray_gif)
+
+    d = _t(spark, sf_dir, "documents")
+    frames = gif_video_frames(synth_gray_gif(d))
+    fid = frames.select(
+        (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),
+        "payload")
+    h = image_hashes(fid, id_col="fid")
+    return (h.select(
+        F.expr("CAST(media_id DIV 8 AS BIGINT)").alias("media_id"),
+        (F.col("media_id") % 8).cast("int").alias("frame_idx"),
+        F.col("ahash"))
+        .orderBy("media_id", "frame_idx"))
+
+
 def q_zscore_anomalies(spark, sf_dir):
     """Per-user z-score outlier events (|z| > 2 sample stddevs): one
     grouped-stats shuffle + a broadcast join back."""
@@ -3954,6 +3986,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "audio_hashes_docs": q_audio_hashes,
         "audio_phash_neardup": q_audio_phash_neardup,
         "video_clip_hashes": q_video_clip_hashes,
+        "video_frames_from_gif": q_video_frames_from_gif,
         "video_phash_neardup": q_video_phash_neardup,
         "sitemap_parse_docs": q_sitemap_parse_docs,
         "crawl_frontier_batch": q_crawl_frontier_batch,
@@ -8811,6 +8844,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS n_frames
             FROM clipfp
             ORDER BY media_id
+        """,
+        "video_frames_from_gif": f"""
+            {_vid_chain},
+            framefp AS (
+                SELECT id, f, {_img_pack} AS fp
+                FROM vbits GROUP BY 1, 2
+            )
+            SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+                   fp AS ahash
+            FROM framefp
+            ORDER BY media_id, frame_idx
         """,
         "video_phash_neardup": f"""
             {_vid_chain},

@@ -878,3 +878,385 @@ def clip_majority_hash(frames_hashed: DataFrame, hash_col: str = "ahash",
     return agg.select(F.col(id_col),
                       packed.cast("long").alias("clip_hash"),
                       F.col("n_frames"))
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: real container frame extraction (round-11 brief item 3).
+# GIF89a is a public format (CompuServe GIF89a spec, 1990; LZW per the
+# spec's Appendix F); the codec below is header + variable-width LZW
+# parsing in pure Python/NumPy, the same stdlib-feasible tier as the BMP
+# and WAV paths — so the video family can start from ONE binary payload
+# column instead of a pre-split frames table.
+# ---------------------------------------------------------------------------
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compress (variable code width, LSB-first bit
+    packing, CLEAR/EOI codes, 12-bit cap). Width discipline matches the
+    canonical giflib pairing: both sides count codes processed and widen
+    when the next-assignable code exceeds ``2^width`` (strictly
+    greater); the encoder emits CLEAR when the table fills rather than
+    running deferred-clear, so any spec decoder stays in sync."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int):
+    """GIF-flavor LZW decompress — the exact inverse width discipline of
+    :func:`_lzw_encode_gif` (count codes read; widen when the
+    next-assignable code exceeds ``2^width``), plus the KwKwK
+    first-use case (``code == next_code``). Returns the index bytes, or
+    None for a corrupt stream (code beyond the table) — corrupt files
+    must not kill the pipeline."""
+    if not 1 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # Width counter mirrors the ENCODER's next-assignable code: bumped
+    # once per DATA CODE READ (the encoder bumps once per data code
+    # emitted), NOT per table add — the decoder's table add lags one
+    # code behind the encoder's, so counting adds widens one code late
+    # and desyncs the stream right at the 512/1024/2048 boundaries
+    # (caught by the round-trip test at exactly n=257 random bytes).
+    counter = eoi + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            del table[eoi + 1:]
+            code_size = min_code_size + 1
+            counter = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        counter += 1
+        if counter > (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, pos: int):
+    """Concatenate a GIF data-sub-block chain starting at ``pos``;
+    returns (bytes, position after the 0x00 terminator) or None."""
+    chunks = []
+    n = len(payload)
+    while True:
+        if pos >= n:
+            return None
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(chunks), pos
+        if pos + ln > n:
+            return None
+        chunks.append(payload[pos:pos + ln])
+        pos += ln
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif_gray_frames(frames, delay_cs: int = 10) -> bytes:
+    """Serialize a list of HxW uint8 grayscale arrays as a REAL animated
+    GIF89a: logical screen descriptor, 256-entry global gray palette
+    (index i -> (i,i,i), so decoded luma == index exactly), a NETSCAPE
+    loop extension, and per frame a graphic-control extension + image
+    descriptor + real LZW-compressed index data — the synthesis half of
+    the GIF frame path (the :func:`encode_bmp24_gray` discipline
+    applied to a multi-frame container)."""
+    import numpy as np
+
+    assert frames, "need at least one frame"
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, i, i))
+    out += pal
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        assert a.shape == (h, w), "all frames must share the screen size"
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"                            # GCE: no transparency
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8])                            # LZW min code size
+        lzw = _lzw_encode_gif(a.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_gray_frames(payload: bytes):
+    """Decode an animated GIF into a list of HxW int64 LUMA frames —
+    REAL container frame extraction: logical-screen/palette parsing,
+    graphic-control transparency, per-image sub-rectangle placement,
+    interlace reordering, LZW decompression, and frame compositing
+    under disposal methods 0/1 (keep) and 2 (restore background), the
+    common animated-GIF cases. Luma = (299 r + 587 g + 114 b) // 1000
+    exactly like the BMP path, so a gray palette decodes to the palette
+    index itself. Returns None when the payload is not a decodable
+    GIF87a/GIF89a — corrupt files must not kill the pipeline."""
+    import numpy as np
+
+    if payload is None or len(payload) < 13 \
+            or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, bg = struct.unpack("<HHBB", payload[6:12])
+    if w == 0 or h == 0:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos) \
+            .reshape(n, 3).astype(np.int64)
+        pos += 3 * n
+    luma_of = {}
+
+    def pal_luma(pal):
+        key = id(pal)
+        if key not in luma_of:
+            luma_of[key] = (pal[:, 0] * 299 + pal[:, 1] * 587
+                            + pal[:, 2] * 114) // 1000
+        return luma_of[key]
+
+    bg_idx = bg if gct is not None and bg < len(gct) else 0
+    canvas = np.full((h, w), bg_idx, dtype=np.int64)
+    canvas_pal = gct
+    frames = []
+    transparent = None
+    disposal = 0
+    n_bytes = len(payload)
+    while pos < n_bytes:
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:                                # trailer
+            break
+        if b0 == 0x21:                                # extension
+            if pos >= n_bytes:
+                return None
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and pos + 1 <= n_bytes:  # graphic control
+                got = _gif_subblocks(payload, pos)
+                if got is None:
+                    return None
+                blk, pos = got
+                if len(blk) >= 4:
+                    flags = blk[0]
+                    disposal = (flags >> 2) & 7
+                    transparent = blk[3] if flags & 1 else None
+            else:                                     # skip other exts
+                got = _gif_subblocks(payload, pos)
+                if got is None:
+                    return None
+                _, pos = got
+            continue
+        if b0 != 0x2C:                                # image descriptor
+            return None
+        if pos + 9 > n_bytes:
+            return None
+        left, top, iw, ih, ipk = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipk & 0x80:                                # local color table
+            n = 2 << (ipk & 7)
+            if pos + 3 * n > n_bytes:
+                return None
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos) \
+                .reshape(n, 3).astype(np.int64)
+            pos += 3 * n
+        if pal is None or pos >= n_bytes:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        got = _gif_subblocks(payload, pos)
+        if got is None:
+            return None
+        lzw, pos = got
+        idx = _lzw_decode_gif(lzw, mcs)
+        if idx is None or len(idx) < iw * ih or iw == 0 or ih == 0 \
+                or left + iw > w or top + ih > h:
+            return None
+        img = np.frombuffer(idx[:iw * ih], np.uint8).reshape(ih, iw) \
+            .astype(np.int64)
+        if ipk & 0x40:                                # interlaced
+            de = np.empty_like(img)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, ih, step)
+                for r in rows:
+                    de[r] = img[src]
+                    src += 1
+            img = de
+        if img.max(initial=0) >= len(pal):
+            return None
+        region = canvas[top:top + ih, left:left + iw]
+        before = region.copy()
+        if transparent is not None:
+            patch = np.where(img == transparent, region, img)
+        else:
+            patch = img
+        canvas[top:top + ih, left:left + iw] = patch
+        canvas_pal = pal
+        frames.append(pal_luma(pal)[canvas])
+        if disposal == 2:                             # restore background
+            canvas[top:top + ih, left:left + iw] = bg_idx
+        elif disposal == 3:                           # restore previous
+            canvas[top:top + ih, left:left + iw] = before
+        transparent = None
+        disposal = 0
+    return frames if frames else None
+
+
+def synth_gray_gif(df: DataFrame, id_col: str = "doc_id",
+                   n_groups: int = 24, n_variants: int = 3,
+                   n_frames: int = 6, size: int = 32) -> DataFrame:
+    """Deterministic synthetic VIDEO corpus as ONE binary payload per
+    row: a real animated GIF89a whose frames are pixel-identical to
+    :func:`synth_video_frames`'s formula (shared base scene + the
+    moving brightened strip + the variant-perturbed top rows), palette
+    index i -> (i,i,i) so decoded luma == the formula value exactly.
+    The container form a real ingest pipeline starts from — the GIF
+    twin of :func:`synth_gray_bmp` — and because the pixel math is
+    unchanged, the SQL oracle for the downstream hashes replays the
+    WHOLE synth->decode->split->hash chain without touching bytes.
+    Output: ``(media_id, payload)``."""
+    import numpy as np
+
+    npx = size * size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npx, dtype=np.int64)
+        row = i // size
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d % n_groups
+                v = (d // n_groups) % n_variants
+                base = ((g * 2654435761 + i * 2246822519 + 3266489917)
+                        % 2147483648) // 8388608
+                base = np.where(i < 2 * size,
+                                np.minimum(base + 16 * v, 255), base)
+                frames = []
+                for f in range(n_frames):
+                    px = np.where((row >= 4 + 4 * f) & (row < 8 + 4 * f),
+                                  np.minimum(base + 48, 255), base)
+                    frames.append(px.reshape(size, size).astype(np.uint8))
+                payloads.append(encode_gif_gray_frames(frames))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return df.select(F.col(id_col)) \
+        .mapInPandas(kernel, "media_id long, payload binary")
+
+
+def gif_video_frames(media: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload",
+                     max_frames: int = 64) -> DataFrame:
+    """REAL container frame extraction: one Arrow-batched
+    ``mapInPandas`` pass splitting each animated-GIF payload into its
+    composited frames ``(id, frame_idx, payload)`` — the frames-table
+    shape :func:`synth_video_frames` fakes, now produced from ONE
+    binary column by actual decoding (:func:`gif_gray_frames`: LZW,
+    interlace, sub-rect compositing, disposal). Frames are re-encoded
+    as 24-bit BMP so the whole existing per-frame pipeline
+    (:func:`image_hashes` -> :func:`clip_majority_hash`) applies
+    unchanged. Decode rides the scan (per-row stateless, zero shuffle,
+    linear in corpus bytes — the 100 TB shape); undecodable payloads
+    yield zero rows, and ``max_frames`` caps pathological inputs (a
+    million-frame bomb must not blow up a task)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, payloads = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = gif_gray_frames(p) if p is not None else None
+                if not frames:
+                    continue
+                for f, px in enumerate(frames[:max_frames]):
+                    ids.append(int(mid))
+                    fidx.append(f)
+                    payloads.append(encode_bmp24_gray(
+                        np.clip(px, 0, 255).astype(np.uint8)))
+            yield pd.DataFrame({"media_id": pd.array(ids, dtype="int64"),
+                                "frame_idx": pd.array(fidx, dtype="int32"),
+                                "payload": payloads})
+
+    return media.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(kernel, "media_id long, frame_idx int, payload binary")

