@@ -2039,7 +2039,13 @@ def _pin(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     _PIN_LRU[key] = df
     while len(_PIN_LRU) > _PIN_CAP:
         oldest = next(iter(_PIN_LRU))
-        _PIN_LRU.pop(oldest).unpersist()
+        evicted = _PIN_LRU.pop(oldest)
+        try:
+            evicted.unpersist()
+        except Exception:
+            # the evicted frame may belong to an already-stopped session
+            # (multi-session test runs); its blocks died with the JVM
+            pass
     return df
 
 

@@ -503,6 +503,13 @@ def bloom_unseen_flags(keys: DataFrame, bloom_words: DataFrame,
     attach goes through a dummy-key BROADCAST EQUI-join (not a cross
     join) because stream-static cross joins are rejected by the
     streaming planner; bound = 1 row x probe rows either way."""
+    for rider in ("bloom_words", "__j", "maybe_present"):
+        if rider in keys.columns:
+            # fail fast instead of silently overwriting/colliding with a
+            # caller column (the r10 rider-collision discipline)
+            raise ValueError(
+                f"bloom_unseen_flags: probe frame already has a "
+                f"{rider!r} column")
     tests = []
     for i in range(k):
         p = (f"(CAST(conv(substring(md5(concat('bl{i}:', "

@@ -1084,18 +1084,19 @@ def gif_gray_frames(payload: bytes):
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos) \
             .reshape(n, 3).astype(np.int64)
         pos += 3 * n
-    luma_of = {}
-
     def pal_luma(pal):
-        key = id(pal)
-        if key not in luma_of:
-            luma_of[key] = (pal[:, 0] * 299 + pal[:, 1] * 587
-                            + pal[:, 2] * 114) // 1000
-        return luma_of[key]
+        # <= 256 rows; no memo — a cache keyed on id(pal) can serve a
+        # STALE vector after GC reuses the id of a dropped local table
+        return (pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114) // 1000
 
+    # The canvas composes in LUMA space, not index space: successive
+    # images may carry different LOCAL color tables, and a canvas of
+    # indices resolved through the latest frame's palette would recolor
+    # pixels painted by earlier frames. Resolving each patch through ITS
+    # OWN palette at composite time is what real decoders do.
     bg_idx = bg if gct is not None and bg < len(gct) else 0
-    canvas = np.full((h, w), bg_idx, dtype=np.int64)
-    canvas_pal = gct
+    bg_luma = int(pal_luma(gct)[bg_idx]) if gct is not None else 0
+    canvas = np.full((h, w), bg_luma, dtype=np.int64)
     frames = []
     transparent = None
     disposal = 0
@@ -1166,15 +1167,15 @@ def gif_gray_frames(payload: bytes):
             return None
         region = canvas[top:top + ih, left:left + iw]
         before = region.copy()
+        patch = pal_luma(pal)[img]
         if transparent is not None:
-            patch = np.where(img == transparent, region, img)
-        else:
-            patch = img
+            # transparency compares INDICES; covered pixels keep the
+            # luma already on the canvas
+            patch = np.where(img == transparent, region, patch)
         canvas[top:top + ih, left:left + iw] = patch
-        canvas_pal = pal
-        frames.append(pal_luma(pal)[canvas])
+        frames.append(canvas.copy())
         if disposal == 2:                             # restore background
-            canvas[top:top + ih, left:left + iw] = bg_idx
+            canvas[top:top + ih, left:left + iw] = bg_luma
         elif disposal == 3:                           # restore previous
             canvas[top:top + ih, left:left + iw] = before
         transparent = None

@@ -5029,6 +5029,29 @@ def test_gif_subrect_transparency_disposal_interlace():
     got = gif_gray_frames(bytes(il))[0]
     assert (got == seq).all() and (got == img.astype(np.int64)).all()
 
+    # LOCAL color table: frame 2's patch resolves through ITS OWN
+    # palette while pixels painted by frame 1 keep frame 1's colors —
+    # the luma-space canvas semantics (an index-space canvas resolved
+    # through the latest palette would recolor frame-1 pixels)
+    lc = bytearray()
+    lc += b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    for i in range(256):
+        lc += bytes((i, i, i))                        # GCT: luma == index
+    f1 = np.full((4, 4), 100, dtype=np.uint8)
+    lc += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([8])
+    z = _lzw_encode_gif(f1.tobytes(), 8)
+    lc += bytes([len(z)]) + z + b"\x00"
+    # frame 2: 2x2 patch at (0,0), LCT with 2 entries: index0 -> white
+    lc += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80)
+    lc += bytes((255, 255, 255, 0, 0, 0))             # LCT size 2
+    z = _lzw_encode_gif(bytes([0, 0, 0, 0]), 2)   # spec min code size >= 2
+    lc += bytes([2]) + bytes([len(z)]) + z + b"\x00" + b"\x3b"
+    fr = gif_gray_frames(bytes(lc))
+    assert fr is not None and len(fr) == 2
+    want2 = np.full((4, 4), 100, dtype=np.int64)
+    want2[:2, :2] = 255                               # LCT white patch
+    assert (fr[1] == want2).all(), fr[1]
+
 
 def test_gif_video_frames_matches_frames_table(spark):
     """The GIF container path (synth_gray_gif -> gif_video_frames ->
