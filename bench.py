@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from otit_swt_spark.metrics import (  # noqa: E402
     shuffle_write_delta,
     stage_shuffle_writes,
@@ -222,6 +223,24 @@ EXTENDED = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound reference job (hash-fold 100M longs over all
+    cores), median of 3, reported as ``calib_sec``: when every entry
+    drifts uniformly round-over-round with IDENTICAL plans and shuffle
+    bytes (the r9->r10->r11 pattern on entries untouched since round
+    1), entry_sec / calib_sec is the load-normalized comparable that
+    separates host contention from real regressions — the measured
+    load explanation the r10 verdict asked the bench file to carry."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 100_000_000, 1, 32) \
+            .select(F.sum(F.xxhash64("id"))).collect()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -287,6 +306,10 @@ def main() -> None:
     # the headline total stays comparable across rounds even when the
     # production / --extended sets are timed alongside
     total = round(sum(times[n] for n in HEADLINE), 3)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
@@ -298,6 +321,11 @@ def main() -> None:
         "headline_spread_total": round(
             sum(spread[n] for n in HEADLINE), 3),
         "shuffle_mb": shuffle_mb,
+        # host-load instrumentation (round 11): calib_sec is a fixed
+        # CPU-bound reference job; uniform entry drift that tracks
+        # calib_sec (and loadavg) is contention, not regression
+        "calib_sec": _calibrate(spark),
+        "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,
     }))

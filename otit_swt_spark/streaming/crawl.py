@@ -177,3 +177,93 @@ def stream_frontier_unseen(urls: DataFrame, bloom: DataFrame,
     flags = bloom_unseen_flags(urls, bloom_word_map(bloom, n_bits),
                                key_col, n_bits, k)
     return flags.where(~F.col("maybe_present")).drop("maybe_present")
+
+
+_SCHED_OUT = "url string, domain string, priority double, fetch_at timestamp"
+
+
+def stream_frontier_schedule(urls: DataFrame,
+                             per_domain_cap: int = 5,
+                             min_delay_s: float = 5.0,
+                             event_time: str = "discovered_at",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Stateful polite fetch scheduling — the streaming twin of
+    ``pipelines.urltools.frontier_next_batch``, completing the
+    streaming crawl loop (discovery -> ``stream_frontier_unseen`` ->
+    THIS -> fetch -> ``stream_bloom_seen`` ledger). Per micro-batch and
+    domain: the top ``per_domain_cap`` URLs by ``(priority DESC, url)``
+    are emitted with assigned ``fetch_at`` slots spaced
+    ``min_delay_s`` apart, and the domain's LAST ASSIGNED SLOT carries
+    across batches in one state row per domain — so politeness holds
+    ACROSS trigger boundaries, which a stateless per-batch window
+    cannot guarantee (two adjacent micro-batches would both schedule at
+    their local epoch).
+
+    Deterministic and replay-safe: slots derive from event time (the
+    batch's max ``event_time`` per domain) and carried state, never the
+    wall clock — the frontier_next_batch discipline. Batch input runs
+    the identical kernel per domain via ``applyInPandas`` from empty
+    state (the session_gaps delegation pattern). State is one float per
+    domain, evicted by the same keyed-state machinery as the other
+    stateful ops; per-trigger load is bounded by
+    ``per_domain_cap x #domains``."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType([T.StructField("last", T.DoubleType())])
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["priority", "url"],
+                              ascending=[False, True],
+                              kind="mergesort").head(per_domain_cap)
+        return pdf
+
+    def slots(pdf: pd.DataFrame, last: float | None):
+        base = pdf[event_time].max().timestamp()
+        start = base if last is None else max(last + min_delay_s, base)
+        fetch = [start + k * min_delay_s for k in range(len(pdf))]
+        return fetch, (fetch[-1] if fetch else last)
+
+    if not urls.isStreaming:
+        def batch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            sel = pick(pdf)
+            fetch, _ = slots(sel, None)
+            return pd.DataFrame({
+                "url": sel["url"], "domain": sel["domain"],
+                "priority": sel["priority"],
+                "fetch_at": pd.to_datetime(fetch, unit="s")})
+
+        return urls.groupBy("domain").applyInPandas(batch_kernel,
+                                                    _SCHED_OUT)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        chunks = list(pdf_iter)
+        if chunks:
+            # concat BEFORE ranking: a domain split across Arrow batches
+            # would otherwise emit per-chunk top-k (the session_gaps /
+            # ewma chunk-boundary fix)
+            sel = pick(pd.concat(chunks, ignore_index=True))
+            fetch, last = slots(sel, last)
+            state.update((last,))
+            yield pd.DataFrame({
+                "url": sel["url"], "domain": sel["domain"],
+                "priority": sel["priority"],
+                "fetch_at": pd.to_datetime(fetch, unit="s")})
+        else:
+            if last is not None:
+                state.update((last,))
+            yield pd.DataFrame({
+                "url": pd.Series([], dtype="string"),
+                "domain": pd.Series([], dtype="string"),
+                "priority": pd.Series([], dtype="float64"),
+                "fetch_at": pd.Series([], dtype="datetime64[ns]")})
+
+    return (urls.withWatermark(event_time, watermark)
+            .groupBy("domain")
+            .applyInPandasWithState(
+                fold, _SCHED_OUT, state_schema, "append",
+                GroupStateTimeout.NoTimeout))

@@ -1426,3 +1426,66 @@ def test_stream_frontier_unseen_parity_and_loop(spark, tmp_path):
     sq.awaitTermination(120)
     got_stream = {r["url"] for r in spark.read.parquet(out).collect()}
     assert got_stream == got_batch
+
+
+def test_stream_frontier_schedule_politeness_across_batches(spark, tmp_path):
+    """The stateful scheduler keeps per-domain politeness ACROSS micro-
+    batch boundaries: batch 2's first slot for a domain is at least
+    min_delay after batch 1's LAST assigned slot (carried state), slots
+    within a batch are min_delay apart, only the top per_domain_cap by
+    (priority DESC, url) are scheduled, and the batch delegation runs
+    the identical kernel."""
+    from otit_swt_spark.streaming.crawl import stream_frontier_schedule
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame({
+        "url": [f"http://a.com/{i}" for i in range(6)]
+        + ["http://b.com/0"],
+        "domain": ["a.com"] * 6 + ["b.com"],
+        "priority": [0.1 * i for i in range(6)] + [0.9],
+        "discovered_at": [t0] * 7,
+    })
+    t1 = pd.Timestamp("2026-01-01 00:00:01")   # inside a.com's delay span
+    b2 = pd.DataFrame({
+        "url": ["http://a.com/99"],
+        "domain": ["a.com"],
+        "priority": [1.0],
+        "discovered_at": [t1],
+    })
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("url string, domain string, priority double, "
+                      "discovered_at timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (stream_frontier_schedule(stream, per_domain_cap=3,
+                                  min_delay_s=5.0)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+
+    a = got[got["domain"] == "a.com"].sort_values("fetch_at")
+    # cap: 3 from batch 1 + 1 from batch 2
+    assert len(a) == 4
+    # batch 1 selected the top-3 priorities (urls 5,4,3)
+    assert set(a["url"][:3]) == {f"http://a.com/{i}" for i in (5, 4, 3)}
+    ts = [x.timestamp() for x in a["fetch_at"]]
+    deltas = [round(b - x, 6) for x, b in zip(ts, ts[1:])]
+    # consecutive slots always >= min_delay apart, INCLUDING across the
+    # batch boundary (slot 3 -> 4), and exactly 5s within batch 1
+    assert deltas[:2] == [5.0, 5.0] and deltas[2] >= 5.0
+    assert len(got[got["domain"] == "b.com"]) == 1
+
+    # batch delegation: identical kernel from empty state
+    bd = stream_frontier_schedule(
+        spark.createDataFrame(b1), per_domain_cap=3,
+        min_delay_s=5.0).toPandas()
+    ba = bd[bd["domain"] == "a.com"].sort_values("fetch_at")
+    assert list(ba["url"]) == [f"http://a.com/{i}" for i in (5, 4, 3)]
+    bts = [x.timestamp() for x in ba["fetch_at"]]
+    assert [round(b - x, 6) for x, b in zip(bts, bts[1:])] == [5.0, 5.0]
