@@ -234,8 +234,10 @@ def _calibrate(spark) -> float:
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
+        # bit_xor, not sum: ANSI mode overflows a long sum of 100M
+        # random 64-bit hashes
         spark.range(0, 100_000_000, 1, 32) \
-            .select(F.sum(F.xxhash64("id"))).collect()
+            .select(F.expr("bit_xor(xxhash64(id))")).collect()
         samples.append(time.perf_counter() - t0)
     samples.sort()
     return round(samples[1], 3)

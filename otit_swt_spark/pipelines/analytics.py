@@ -510,10 +510,14 @@ def bloom_unseen_flags(keys: DataFrame, bloom_words: DataFrame,
             raise ValueError(
                 f"bloom_unseen_flags: probe frame already has a "
                 f"{rider!r} column")
+    if "`" in key_col:
+        raise ValueError("key_col must not contain backticks")
     tests = []
     for i in range(k):
+        # backtick-quoted: key_col reaches a SQL expr string here (the
+        # other bloom fns go through F.col and are immune to specials)
         p = (f"(CAST(conv(substring(md5(concat('bl{i}:', "
-             f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+             f"CAST(`{key_col}` AS STRING))), 1, 8), 16, 10) AS BIGINT) "
              f"% {n_bits})")
         tests.append(
             f"(coalesce(element_at(bloom_words, CAST({p} DIV 63 AS "

@@ -769,3 +769,42 @@ def test_audio_phash_mega_duplicate_group(spark):
                                  max_distance=3)
     n = pairs.count()
     assert 0 < n <= 120_000 * 32
+
+
+def test_bloom_word_map_probe_at_crawl_ledger_scale(spark):
+    """The stateless frontier probe at a REAL crawl-ledger size: a
+    2^26-bit Bloom (the scale where the bit-frame shuffle-join path of
+    bloom_probe is mandatory and a forced broadcast OOMed the driver —
+    see bloom_probe's comment) packs into <= 2^26/63 word rows, the
+    one-row map broadcasts (~8 MB, inside executor budgets), and a 1M-
+    key probe stays a single map-side pass with NO false negatives."""
+    from pyspark.sql import functions as F
+
+    from otit_swt_spark.pipelines.analytics import (bloom_build,
+                                                    bloom_unseen_flags,
+                                                    bloom_word_map)
+
+    n_bits = 1 << 26
+    seen = spark.range(0, 2_000_000).select(
+        F.concat(F.lit("http://x.com/"), F.col("id").cast("string"))
+        .alias("url"))
+    bloom = bloom_build(seen, "url", n_bits=n_bits, k=5)
+    words = bloom_word_map(bloom, n_bits=n_bits)
+    probes = spark.range(1_000_000, 3_000_000).select(
+        F.concat(F.lit("http://x.com/"), F.col("id").cast("string"))
+        .alias("url"))
+    flags = bloom_unseen_flags(probes, words, "url", n_bits=n_bits, k=5)
+    # every seen key must flag maybe_present (no false negatives);
+    # unseen keys may rarely false-positive — count, don't enumerate
+    agg = flags.select(
+        F.sum(F.when((F.col("url").substr(14, 10).cast("long")
+                      < 2_000_000) & ~F.col("maybe_present"), 1)
+              .otherwise(0)).alias("false_neg"),
+        F.sum(F.when((F.col("url").substr(14, 10).cast("long")
+                      >= 2_000_000) & F.col("maybe_present"), 1)
+              .otherwise(0)).alias("false_pos"),
+        F.count(F.lit(1)).alias("n")).first()
+    assert agg["n"] == 2_000_000
+    assert agg["false_neg"] == 0
+    # 2M keys in 2^26 bits, k=5: fp rate ~ (1-e^-0.149)^5 ~ 5e-5
+    assert agg["false_pos"] < 2_000

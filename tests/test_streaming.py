@@ -1489,3 +1489,40 @@ def test_stream_frontier_schedule_politeness_across_batches(spark, tmp_path):
     assert list(ba["url"]) == [f"http://a.com/{i}" for i in (5, 4, 3)]
     bts = [x.timestamp() for x in ba["fetch_at"]]
     assert [round(b - x, 6) for x, b in zip(bts, bts[1:])] == [5.0, 5.0]
+
+
+def test_stream_gif_frame_split_parity(spark, tmp_path):
+    """Container frame extraction is stream-legal by construction (one
+    stateless mapInPandas, no shuffle): gif_video_frames over a file
+    stream of animated-GIF payloads equals the batch split row-for-row
+    — so a streaming media ingest can go payload -> frames -> per-frame
+    hashes -> near-dup flags without a batch detour."""
+    from otit_swt_spark.pipelines.multimodal import (gif_video_frames,
+                                                     image_hashes,
+                                                     synth_gray_gif)
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    media = synth_gray_gif(docs)
+    bset = {(r["media_id"], r["ahash"], r["dhash"]) for r in image_hashes(
+        gif_video_frames(media).select(
+            (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),
+            "payload"), id_col="fid").collect()}
+
+    src = str(tmp_path / "gif_src")
+    media.where(F.col("media_id") < 12).coalesce(1).write.parquet(src)
+    media.where(F.col("media_id") >= 12).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("media_id long, payload binary")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    frames = gif_video_frames(stream).select(
+        (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),
+        "payload")
+    sink = str(tmp_path / "gif_sink")
+    q = (image_hashes(frames, id_col="fid")
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "gif_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sset = {(r["media_id"], r["ahash"], r["dhash"])
+            for r in spark.read.parquet(sink).collect()}
+    assert sset == bset and len(sset) == 24 * 6
