@@ -2585,6 +2585,64 @@ def q_frontier_unseen_flags(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_crawl_frontier_delays(spark, sf_dir):
+    """Per-domain Crawl-delay politeness, robots.txt -> scheduler:
+    synthetic per-domain robots bodies carry a bot-only group whose
+    Crawl-delay: 99 must be IGNORED, a *-group delay that varies by
+    domain ((n%4)*10+2 seconds), a trailing comment to strip, and a
+    non-numeric 'Crawl-delay: fast' on every 5th domain that must be
+    DROPPED (falling back to the scheduler default 5s).
+    robots_crawl_delays extracts the binding delays (RFC 9309 group
+    semantics, max per domain, capped), frontier_next_batch then
+    applies the PER-ROW eligibility cutoff via make_dt_interval on the
+    joined delay column — the per-domain politeness real crawlers
+    (Bing, Yandex) honor. The oracle predicts the delays from the
+    construction and replays eligibility + per-domain ranking."""
+    import datetime
+
+    from otit_swt_spark.pipelines.urltools import (frontier_next_batch,
+                                                   robots_crawl_delays)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    n = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    delay_txt = F.when(n % 5 == 0, F.lit("fast")) \
+        .otherwise(((n % 4) * 10 + 2).cast("string"))
+    doms = (d.select(dom.alias("domain"), delay_txt.alias("__dt"))
+            .distinct())
+    body = F.concat(
+        F.lit("User-agent: Googlebot\n"
+              "Crawl-delay: 99\n"
+              "Disallow: /g\n"
+              "\n"
+              "User-agent: *\n"
+              "Disallow: /private\n"
+              "crawl-delay: "), F.col("__dt"), F.lit(" # polite\n"))
+    delays = robots_crawl_delays(
+        doms.select("domain", body.alias("robots_txt")))
+    fr = d.select(
+        F.concat(F.lit("http://"), dom, F.lit("/item/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        dom.alias("domain"),
+        ((F.col("doc_id") % 100).cast("double") / F.lit(100.0))
+        .alias("priority"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(datetime.datetime(2026, 1, 1, 1, 0, 0))
+               - F.make_dt_interval(
+                   secs=(F.col("doc_id") % 40).cast("double")))
+        .alias("last_fetch"))
+    joined = fr.join(F.broadcast(delays), "domain", "left")
+    batch = frontier_next_batch(
+        joined, datetime.datetime(2026, 1, 1, 1, 0, 0),
+        batch_size=48, per_domain_cap=3, min_delay_s=5.0,
+        delay_col="crawl_delay_s")
+    return batch.select(
+        "url", "domain", "priority",
+        F.coalesce(F.col("crawl_delay_s"), F.lit(5.0))
+        .alias("effective_delay_s"))
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -3999,6 +4057,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_discovery_batch": q_crawl_discovery_batch,
         "frontier_unseen_batch": q_frontier_unseen_batch,
         "frontier_unseen_flags": q_frontier_unseen_flags,
+        "crawl_frontier_delays": q_crawl_frontier_delays,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -9002,6 +9061,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, priority
             FROM ranked WHERE r <= 5
             ORDER BY priority DESC, url LIMIT 60
+        """,
+        "crawl_frontier_delays": """
+            WITH doms AS (
+                SELECT DISTINCT
+                       'site-' || lower(source) || '.com' AS domain,
+                       CAST(regexp_extract(source, '(\\d+)$', 1) AS INT)
+                           AS n
+                FROM documents WHERE source IS NOT NULL
+            ), delays AS (
+                -- robots_crawl_delays' prediction: the *-group delay
+                -- (n%4)*10+2 binds; 'Crawl-delay: fast' (n%5=0) drops;
+                -- the Googlebot group's 99 never binds
+                SELECT domain,
+                       CASE WHEN n % 5 = 0 THEN NULL
+                            ELSE CAST((n % 4) * 10 + 2 AS DOUBLE)
+                       END AS crawl_delay_s
+                FROM doms
+            ), fr AS (
+                SELECT 'http://site-' || lower(source) || '.com/item/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       'site-' || lower(source) || '.com' AS domain,
+                       CAST(doc_id % 100 AS DOUBLE) / 100.0 AS priority,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN TIMESTAMP '2026-01-01 01:00:00'
+                                 - to_seconds(CAST(doc_id % 40 AS BIGINT))
+                            END AS last_fetch
+                FROM documents WHERE source IS NOT NULL
+            ), j AS (
+                SELECT fr.*, d.crawl_delay_s
+                FROM fr LEFT JOIN delays d USING (domain)
+            ), elig AS (
+                SELECT * FROM j
+                WHERE last_fetch IS NULL
+                   OR last_fetch <= TIMESTAMP '2026-01-01 01:00:00'
+                        - to_seconds(CAST(coalesce(crawl_delay_s, 5.0)
+                                          AS BIGINT))
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY priority DESC, url) AS r
+                FROM elig
+            )
+            SELECT url, domain, priority,
+                   coalesce(crawl_delay_s, 5.0) AS effective_delay_s
+            FROM ranked WHERE r <= 3
+            ORDER BY priority DESC, url LIMIT 48
         """,
         "frontier_unseen_flags": """
             WITH fr AS (

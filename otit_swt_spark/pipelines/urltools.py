@@ -159,23 +159,15 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                     F.col("__best.p").alias("matched_prefix")))
 
 
-def parse_robots(df: DataFrame, domain_col: str = "domain",
-                 body_col: str = "robots_txt") -> DataFrame:
-    """Distributed robots.txt parser: ``(domain, body)`` -> the
-    ``(domain, directive, path_prefix)`` rules frame
-    :func:`robots_filter` consumes, honoring RFC 9309 GROUP semantics —
-    consecutive ``User-agent`` lines form one group, a group's rules
-    apply to every agent named in it, and only groups naming ``*`` are
-    kept (per-bot groups are ignored). Comments (``# ...``), blank
-    lines, directive case, and surrounding whitespace are handled.
-
-    Shape: posexplode the lines, then two windows PARTITIONED BY
-    domain and ordered by line position — group ids via a running sum
-    of group-start indicators (a ``User-agent`` line whose predecessor
-    wasn't one), wildcard membership via a per-(domain, group) max.
-    Window frames are bounded by a single robots file's line count, so
-    the parse distributes across domains and never builds a global
-    window."""
+def _robots_wildcard_groups(df: DataFrame, domain_col: str,
+                            body_col: str, fields: str):
+    """Shared RFC 9309 group machinery for the robots parsers: explode
+    lines, strip comments, parse ``fields`` directives, assign group
+    ids (a run of consecutive ``User-agent`` lines starts one group),
+    and return ``(staged, wild)`` — the parsed directive rows and the
+    (domain, group) pairs whose group names ``*``. Window frames are
+    bounded by a single robots file's line count, so the parse
+    distributes across domains and never builds a global window."""
     from pyspark.sql import Window as W
 
     lines = (df.select(
@@ -184,9 +176,9 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                              "\n")).alias("pos", "__raw")))
     clean = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
     field = F.lower(F.regexp_extract(
-        clean, r"^(?i)(user-agent|allow|disallow)\s*:", 1))
+        clean, rf"^(?i)({fields})\s*:", 1))
     value = F.trim(F.regexp_extract(
-        clean, r"^(?i)(?:user-agent|allow|disallow)\s*:\s*(.*)$", 1))
+        clean, rf"^(?i)(?:{fields})\s*:\s*(.*)$", 1))
     parsed = (lines.select("domain", "pos", field.alias("__f"),
                            value.alias("__v"))
               .where(F.col("__f") != ""))
@@ -203,6 +195,25 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
     wild = (staged.where((F.col("__f") == "user-agent")
                          & (F.col("__v") == "*"))
             .select("domain", F.col("__grp").alias("__wg")).distinct())
+    return staged, wild
+
+
+def parse_robots(df: DataFrame, domain_col: str = "domain",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """Distributed robots.txt parser: ``(domain, body)`` -> the
+    ``(domain, directive, path_prefix)`` rules frame
+    :func:`robots_filter` consumes, honoring RFC 9309 GROUP semantics —
+    consecutive ``User-agent`` lines form one group, a group's rules
+    apply to every agent named in it, and only groups naming ``*`` are
+    kept (per-bot groups are ignored). Comments (``# ...``), blank
+    lines, directive case, and surrounding whitespace are handled.
+
+    Shape: posexplode the lines, then two windows PARTITIONED BY
+    domain and ordered by line position — group ids via a running sum
+    of group-start indicators (a ``User-agent`` line whose predecessor
+    wasn't one), wildcard membership via a per-(domain, group) max."""
+    staged, wild = _robots_wildcard_groups(
+        df, domain_col, body_col, "user-agent|allow|disallow")
     return (staged.where(F.col("__f") != "user-agent")
             # RFC 9309: 'Disallow:' with an empty value is the allow-all
             # idiom, not a rule — emitting it would invert the semantics
@@ -213,6 +224,35 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                   & (staged["__grp"] == wild["__wg"]), "left_semi")
             .select("domain", F.col("__f").alias("directive"),
                     F.col("__v").alias("path_prefix")))
+
+
+def robots_crawl_delays(df: DataFrame, domain_col: str = "domain",
+                        body_col: str = "robots_txt",
+                        cap_s: float = 60.0) -> DataFrame:
+    """Per-domain ``Crawl-delay`` extraction from robots.txt bodies:
+    ``(domain, body)`` -> ``(domain, crawl_delay_s)``. Crawl-delay is
+    not part of RFC 9309 but is honored by major crawlers (Bing,
+    Yandex); the SAME group semantics apply — only a delay stated in a
+    group naming ``*`` binds a generic crawler, per-bot groups are
+    ignored (a separate parse from :func:`parse_robots` so the
+    (directive, path_prefix) rules frame every existing consumer reads
+    stays byte-identical). Multiple delays take the MAX (most
+    conservative), non-numeric values are dropped, and values are
+    capped at ``cap_s`` — a hostile ``Crawl-delay: 86400`` must not
+    park a scheduler. Feed the result to ``frontier_next_batch`` /
+    ``streaming.crawl.stream_frontier_schedule`` via their per-domain
+    ``delay_col``."""
+    staged, wild = _robots_wildcard_groups(
+        df, domain_col, body_col, "user-agent|crawl-delay")
+    delays = (staged.where(F.col("__f") == "crawl-delay")
+              .join(wild, (staged["domain"] == wild["domain"])
+                    & (staged["__grp"] == wild["__wg"]), "left_semi")
+              .select("domain", F.col("__v").try_cast("double")
+                      .alias("__d"))
+              .where(F.col("__d").isNotNull() & (F.col("__d") >= 0)))
+    return (delays.groupBy("domain")
+            .agg(F.least(F.max("__d"), F.lit(float(cap_s)))
+                 .alias("crawl_delay_s")))
 
 
 def parse_sitemap(df: DataFrame, domain_col: str = "domain",
@@ -263,7 +303,8 @@ def frontier_next_batch(frontier: DataFrame, now,
                         last_fetch_col: str = "last_fetch",
                         batch_size: int = 1000,
                         per_domain_cap: int = 4,
-                        min_delay_s: float = 5.0) -> DataFrame:
+                        min_delay_s: float = 5.0,
+                        delay_col: str | None = None) -> DataFrame:
     """Polite crawl-frontier scheduling: from ``(url, domain, priority,
     last_fetch)`` pick the next fetch batch — only domains whose last
     fetch is at least ``min_delay_s`` old (or never fetched), at most
@@ -278,19 +319,33 @@ def frontier_next_batch(frontier: DataFrame, now,
     every tie breaks on the URL string, so the same frontier always
     yields the same batch (replayable, and two schedulers can't
     disagree). ``now`` is an explicit timestamp — scheduling must not
-    read the wall clock inside the plan or replays diverge."""
+    read the wall clock inside the plan or replays diverge.
+
+    ``delay_col`` (optional): a per-row domain delay in seconds (e.g.
+    robots.txt ``Crawl-delay`` attached via
+    :func:`robots_crawl_delays`); NULL falls back to ``min_delay_s``.
+    The per-row cutoff is built with ``make_dt_interval`` on the
+    column, keeping the whole predicate codegen'd and replayable."""
     import datetime
 
     from pyspark.sql import Window as W
 
-    # compute the cutoff driver-side: interpolating min_delay_s into an
-    # INTERVAL literal breaks for floats that repr in scientific
-    # notation (1e-05 is a ParseException), and a literal timestamp is
-    # simpler than routing through F.expr anyway
-    cutoff = now - datetime.timedelta(seconds=min_delay_s)
-    eligible = frontier.where(
-        F.col(last_fetch_col).isNull()
-        | (F.col(last_fetch_col) <= F.lit(cutoff)))
+    if delay_col is not None:
+        delay = F.coalesce(F.col(delay_col),
+                           F.lit(float(min_delay_s)))
+        eligible = frontier.where(
+            F.col(last_fetch_col).isNull()
+            | (F.col(last_fetch_col)
+               <= F.lit(now) - F.make_dt_interval(secs=delay)))
+    else:
+        # compute the cutoff driver-side: interpolating min_delay_s into
+        # an INTERVAL literal breaks for floats that repr in scientific
+        # notation (1e-05 is a ParseException), and a literal timestamp
+        # is simpler than routing through F.expr anyway
+        cutoff = now - datetime.timedelta(seconds=min_delay_s)
+        eligible = frontier.where(
+            F.col(last_fetch_col).isNull()
+            | (F.col(last_fetch_col) <= F.lit(cutoff)))
     w = (W.partitionBy(domain_col)
          .orderBy(F.col(priority_col).desc_nulls_last(), url_col))
     return (eligible

@@ -186,7 +186,8 @@ def stream_frontier_schedule(urls: DataFrame,
                              per_domain_cap: int = 5,
                              min_delay_s: float = 5.0,
                              event_time: str = "discovered_at",
-                             watermark: str = "1 hour") -> DataFrame:
+                             watermark: str = "1 hour",
+                             delay_col: str | None = None) -> DataFrame:
     """Stateful polite fetch scheduling — the streaming twin of
     ``pipelines.urltools.frontier_next_batch``, completing the
     streaming crawl loop (discovery -> ``stream_frontier_unseen`` ->
@@ -206,7 +207,13 @@ def stream_frontier_schedule(urls: DataFrame,
     state (the session_gaps delegation pattern). State is one float per
     domain, evicted by the same keyed-state machinery as the other
     stateful ops; per-trigger load is bounded by
-    ``per_domain_cap x #domains``."""
+    ``per_domain_cap x #domains``.
+
+    ``delay_col`` (optional): a per-row domain delay in seconds (e.g.
+    robots.txt ``Crawl-delay`` attached via
+    ``pipelines.urltools.robots_crawl_delays``); the group's max
+    non-null value governs its slot spacing, NULL falls back to
+    ``min_delay_s`` — the per-domain politeness a real crawler honors."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -219,10 +226,17 @@ def stream_frontier_schedule(urls: DataFrame,
                               kind="mergesort").head(per_domain_cap)
         return pdf
 
+    def group_delay(pdf: pd.DataFrame) -> float:
+        if delay_col is None or delay_col not in pdf.columns:
+            return min_delay_s
+        d = pdf[delay_col].dropna()
+        return float(d.max()) if len(d) else min_delay_s
+
     def slots(pdf: pd.DataFrame, last: float | None):
+        delay = group_delay(pdf)
         base = pdf[event_time].max().timestamp()
-        start = base if last is None else max(last + min_delay_s, base)
-        fetch = [start + k * min_delay_s for k in range(len(pdf))]
+        start = base if last is None else max(last + delay, base)
+        fetch = [start + k * delay for k in range(len(pdf))]
         return fetch, (fetch[-1] if fetch else last)
 
     if not urls.isStreaming:

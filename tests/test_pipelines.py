@@ -5082,3 +5082,65 @@ def test_gif_video_frames_matches_frames_table(spark):
         image_hashes(synth_video_frames(d),
                      id_col="media_id"), "ahash", "media_id").collect()}
     assert cg == ct and len(cg) == 120
+
+
+def test_robots_crawl_delays_group_semantics(spark):
+    """Crawl-delay extraction honors the RFC 9309 group machinery: a
+    bot-only group's delay never binds, the *-group's does (case-
+    insensitive, comment-stripped), non-numeric and negative values are
+    dropped, multiple binding delays take the MAX, and values are
+    capped (a hostile 86400 must not park the scheduler). The rules
+    frame parse (parse_robots) is a separate pass and stays
+    byte-identical for existing consumers."""
+    import pandas as pd
+
+    from otit_swt_spark.pipelines.urltools import robots_crawl_delays
+
+    bodies = pd.DataFrame({
+        "domain": ["a.com", "b.com", "c.com", "d.com", "e.com"],
+        "robots_txt": [
+            # bot-only 99 ignored; *-group 7 binds (comment + case)
+            "User-agent: Googlebot\nCrawl-delay: 99\nDisallow: /x\n\n"
+            "User-agent: *\nDisallow: /p\nCRAWL-DELAY: 7 # polite\n",
+            # non-numeric dropped -> domain absent
+            "User-agent: *\nCrawl-delay: fast\n",
+            # two binding delays -> max; negative dropped
+            "User-agent: *\nCrawl-delay: 3\nCrawl-delay: -4\n\n"
+            "User-agent: *\nCrawl-delay: 11\n",
+            # hostile value capped at 60
+            "User-agent: *\nCrawl-delay: 86400\n",
+            # only a bot group -> absent
+            "User-agent: Bingbot\nCrawl-delay: 9\n",
+        ]})
+    got = {r["domain"]: r["crawl_delay_s"] for r in
+           robots_crawl_delays(spark.createDataFrame(bodies)).collect()}
+    assert got == {"a.com": 7.0, "c.com": 11.0, "d.com": 60.0}
+
+
+def test_frontier_next_batch_per_domain_delay(spark):
+    """frontier_next_batch with delay_col applies the PER-ROW cutoff:
+    a domain with Crawl-delay 20 rejects a 10s-old fetch the default-5s
+    domain accepts; NULL delay falls back to min_delay_s."""
+    import datetime
+
+    import pandas as pd
+
+    from otit_swt_spark.pipelines.urltools import frontier_next_batch
+
+    now = datetime.datetime(2026, 1, 1, 0, 1, 0)
+    fetched = now - datetime.timedelta(seconds=10)
+    fr = pd.DataFrame({
+        "url": ["http://slow.com/1", "http://fast.com/1",
+                "http://slow.com/2"],
+        "domain": ["slow.com", "fast.com", "slow.com"],
+        "priority": [0.9, 0.8, 0.7],
+        "last_fetch": [fetched, fetched, None],
+        "crawl_delay_s": [20.0, None, 20.0],
+    })
+    got = {r["url"] for r in frontier_next_batch(
+        spark.createDataFrame(fr), now, per_domain_cap=5,
+        min_delay_s=5.0, delay_col="crawl_delay_s").collect()}
+    # slow.com/1 fetched 10s ago < 20s delay -> held back;
+    # fast.com/1 10s >= default 5s -> eligible;
+    # slow.com/2 never fetched -> eligible
+    assert got == {"http://fast.com/1", "http://slow.com/2"}

@@ -1526,3 +1526,32 @@ def test_stream_gif_frame_split_parity(spark, tmp_path):
     sset = {(r["media_id"], r["ahash"], r["dhash"])
             for r in spark.read.parquet(sink).collect()}
     assert sset == bset and len(sset) == 24 * 6
+
+
+def test_stream_frontier_schedule_per_domain_delay(spark):
+    """The scheduler's delay_col: a domain carrying a robots Crawl-delay
+    spaces its slots by THAT delay while others keep the default — the
+    same kernel batch or stream, so the batch delegation proves the
+    spacing arithmetic."""
+    from otit_swt_spark.streaming.crawl import stream_frontier_schedule
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    df = pd.DataFrame({
+        "url": [f"http://slow.com/{i}" for i in range(3)]
+        + [f"http://fast.com/{i}" for i in range(3)],
+        "domain": ["slow.com"] * 3 + ["fast.com"] * 3,
+        "priority": [0.9, 0.8, 0.7] * 2,
+        "discovered_at": [t0] * 6,
+        "crawl_delay_s": [20.0] * 3 + [None] * 3,
+    })
+    got = stream_frontier_schedule(
+        spark.createDataFrame(df), per_domain_cap=3, min_delay_s=5.0,
+        delay_col="crawl_delay_s").toPandas()
+
+    def spacing(dom):
+        ts = sorted(x.timestamp()
+                    for x in got[got["domain"] == dom]["fetch_at"])
+        return [round(b - a, 6) for a, b in zip(ts, ts[1:])]
+
+    assert spacing("slow.com") == [20.0, 20.0]
+    assert spacing("fast.com") == [5.0, 5.0]
