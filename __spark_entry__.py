@@ -2643,6 +2643,97 @@ def q_crawl_frontier_delays(spark, sf_dir):
         .alias("effective_delay_s"))
 
 
+def q_crawl_cycle_batch(spark, sf_dir):
+    """The WHOLE batch crawl cycle as one query — every stage the crawl
+    pillar ships, composed: messy sitemap discovery (uppercase host,
+    :80, tracking params, fragment, every 5th loc a duplicate variant)
+    -> parse_sitemap -> canonicalize_urls -> canonical collapse ->
+    RFC 9309 robots permission filter (Disallow: /private in the
+    *-group; a Googlebot-only 'Disallow: /' that must be ignored) ->
+    Bloom seen-set filtering (every 4th url_id already crawled;
+    deterministic md5 bits replay in SQL) -> per-domain Crawl-delay
+    politeness (robots_crawl_delays; 'fast' drops to the 5s default)
+    -> frontier_next_batch eligibility + ranking. One oracle replays
+    discovery prediction, the robots decision, the Bloom probe, the
+    delay extraction and the scheduler — a regression anywhere in the
+    chain hash-mismatches here even if each stage's own entry stays
+    green on its narrower input."""
+    import datetime
+
+    from otit_swt_spark.pipelines.analytics import (bloom_build,
+                                                    bloom_probe)
+    from otit_swt_spark.pipelines.urltools import (canonicalize_urls,
+                                                   frontier_next_batch,
+                                                   parse_robots,
+                                                   parse_sitemap,
+                                                   robots_crawl_delays,
+                                                   robots_filter)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    s = F.lower(F.col("source"))
+    dom = F.concat(F.lit("site-"), s, F.lit(".com"))
+    n = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    url_id = (F.col("doc_id")
+              - F.when((F.col("doc_id") % 5) == 1, F.lit(1))
+              .otherwise(F.lit(0)))
+    path = F.when(url_id % 7 == 0,
+                  F.concat(F.lit("/private/"), url_id.cast("string"))) \
+        .otherwise(F.concat(F.lit("/item/"), url_id.cast("string")))
+    body = F.concat(
+        F.lit("<urlset><url><loc>HTTP://WWW.Site-"),
+        F.upper(F.col("source")), F.lit(".com:80"), path,
+        F.lit("?utm_source=s&amp;b=2&amp;a=1#f</loc><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url></urlset>"))
+    parsed = parse_sitemap(d.select(dom.alias("domain"),
+                                    body.alias("sitemap_xml")))
+    canon = canonicalize_urls(parsed, url_col="loc")
+    coll = (canon
+            .withColumn("__uid", F.regexp_extract(
+                "canonical_url", r"/(\d+)\?", 1).cast("long"))
+            .groupBy("canonical_url")
+            .agg(F.min("domain").alias("domain"),
+                 F.max("priority").alias("priority"),
+                 F.min("__uid").alias("__uid")))
+
+    delay_txt = F.when(n % 5 == 0, F.lit("fast")) \
+        .otherwise(((n % 4) * 10 + 2).cast("string"))
+    robots = (d.select(dom.alias("domain"), delay_txt.alias("__dt"))
+              .distinct()
+              .select("domain", F.concat(
+                  F.lit("User-agent: Googlebot\nDisallow: /\n\n"
+                        "User-agent: *\nDisallow: /private\n"
+                        "Crawl-delay: "), F.col("__dt"), F.lit("\n"))
+                  .alias("robots_txt")))
+    allowed = robots_filter(coll, parse_robots(robots),
+                            url_col="canonical_url",
+                            id_col="canonical_url")
+
+    crawled = coll.where(F.col("__uid") % 4 == 0).select("canonical_url")
+    bloom = bloom_build(crawled, "canonical_url", n_bits=4096, k=5)
+    flags = bloom_probe(bloom, allowed.select("canonical_url"),
+                        "canonical_url", n_bits=4096, k=5)
+    unseen = (allowed.join(flags, "canonical_url")
+              .where(~F.col("maybe_present")))
+
+    now = datetime.datetime(2026, 1, 1, 1, 0, 0)
+    frontier = (unseen
+                .join(F.broadcast(robots_crawl_delays(robots)),
+                      "domain", "left")
+                .withColumn("last_fetch", F.when(
+                    F.col("__uid") % 3 == 0,
+                    F.lit(now) - F.make_dt_interval(
+                        secs=(F.col("__uid") % 30).cast("double")))))
+    batch = frontier_next_batch(
+        frontier, now, url_col="canonical_url",
+        batch_size=40, per_domain_cap=3, min_delay_s=5.0,
+        delay_col="crawl_delay_s")
+    return batch.select(
+        "canonical_url", "domain", "priority",
+        F.coalesce(F.col("crawl_delay_s"), F.lit(5.0))
+        .alias("effective_delay_s"))
+
+
 def q_gopher_filter_docs(spark, sf_dir):
     """The Gopher document-quality rules (Rae et al. 2021 App. A) as
     auditable per-rule flags + the pass conjunction — word-count band,
@@ -4058,6 +4149,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "frontier_unseen_batch": q_frontier_unseen_batch,
         "frontier_unseen_flags": q_frontier_unseen_flags,
         "crawl_frontier_delays": q_crawl_frontier_delays,
+        "crawl_cycle_batch": q_crawl_cycle_batch,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -9061,6 +9153,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, priority
             FROM ranked WHERE r <= 5
             ORDER BY priority DESC, url LIMIT 60
+        """,
+        "crawl_cycle_batch": """
+            WITH src AS (
+                SELECT doc_id, lower(source) AS s,
+                       CAST(regexp_extract(source, '(\\d+)$', 1) AS INT)
+                           AS n,
+                       doc_id - CASE WHEN doc_id % 5 = 1
+                                     THEN 1 ELSE 0 END AS url_id,
+                       doc_id % 10 AS pr
+                FROM documents WHERE source IS NOT NULL
+            ), canon AS (
+                SELECT 'http://site-' || s || '.com'
+                           || CASE WHEN url_id % 7 = 0
+                                   THEN '/private/' ELSE '/item/' END
+                           || CAST(url_id AS VARCHAR) || '?a=1&b=2'
+                           AS canonical_url,
+                       'site-' || s || '.com' AS domain, n,
+                       CAST('0.' || CAST(pr AS VARCHAR) AS DOUBLE)
+                           AS priority,
+                       url_id
+                FROM src
+            ), coll AS (
+                SELECT canonical_url, min(domain) AS domain,
+                       min(n) AS n, max(priority) AS priority,
+                       min(url_id) AS uid
+                FROM canon GROUP BY 1
+            ), allowed AS (
+                -- robots: *-group 'Disallow: /private' longest-matches
+                -- those paths; the Googlebot 'Disallow: /' never binds
+                SELECT * FROM coll WHERE uid % 7 <> 0
+            ), seen AS (
+                SELECT DISTINCT pos FROM (
+                    SELECT unnest([
+                        ('0x' || substr(md5('bl0:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl1:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl2:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl3:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl4:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096]) AS pos
+                    FROM coll WHERE uid % 4 = 0
+                )
+            ), probes AS (
+                SELECT canonical_url, unnest([
+                        ('0x' || substr(md5('bl0:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl1:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl2:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl3:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096,
+                        ('0x' || substr(md5('bl4:' || canonical_url), 1, 8))::UBIGINT::BIGINT % 4096]) AS pos
+                FROM allowed
+            ), flag AS (
+                SELECT probes.canonical_url,
+                       bool_and(sn.pos IS NOT NULL) AS maybe_present
+                FROM probes LEFT JOIN seen sn USING (pos) GROUP BY 1
+            ), unseen AS (
+                SELECT a.* FROM allowed a
+                JOIN flag f USING (canonical_url)
+                WHERE NOT maybe_present
+            ), delays AS (
+                SELECT DISTINCT domain,
+                       CASE WHEN n % 5 = 0 THEN NULL
+                            ELSE CAST((n % 4) * 10 + 2 AS DOUBLE)
+                       END AS cds
+                FROM coll
+            ), j AS (
+                SELECT u.*, d.cds,
+                       CASE WHEN uid % 3 = 0
+                            THEN TIMESTAMP '2026-01-01 01:00:00'
+                                 - to_seconds(CAST(uid % 30 AS BIGINT))
+                            END AS last_fetch
+                FROM unseen u LEFT JOIN delays d USING (domain)
+            ), elig AS (
+                SELECT * FROM j
+                WHERE last_fetch IS NULL
+                   OR last_fetch <= TIMESTAMP '2026-01-01 01:00:00'
+                        - to_seconds(CAST(coalesce(cds, 5.0) AS BIGINT))
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY priority DESC, canonical_url) AS r
+                FROM elig
+            )
+            SELECT canonical_url, domain, priority,
+                   coalesce(cds, 5.0) AS effective_delay_s
+            FROM ranked WHERE r <= 3
+            ORDER BY priority DESC, canonical_url LIMIT 40
         """,
         "crawl_frontier_delays": """
             WITH doms AS (
