@@ -2188,7 +2188,14 @@ def q_video_frames_from_gif(spark, sf_dir):
                                                      image_hashes,
                                                      synth_gray_gif)
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition BEFORE the synth: the GIF codec is pure-Python LZW
+    # (unlike the numpy-vectorized BMP/WAV synths), and documents is one
+    # parquet file, so without this the whole encode+decode pass runs on
+    # ONE core — the x16 curve measured 52s single-partition vs ~3s
+    # spread across the session's parallelism (same fix as simhash's
+    # shingle staging)
+    d = _t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     frames = gif_video_frames(synth_gray_gif(d))
     fid = frames.select(
         (F.col("media_id") * 8 + F.col("frame_idx")).alias("fid"),

@@ -220,6 +220,11 @@ EXTENDED = [
     "crawl_frontier_batch",
     "crawl_discovery_batch",
     "frontier_unseen_batch",
+    # round-11 additions
+    "frontier_unseen_flags",
+    "crawl_frontier_delays",
+    "crawl_cycle_batch",
+    "video_frames_from_gif",
 ]
 
 

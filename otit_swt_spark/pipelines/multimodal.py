@@ -1000,6 +1000,40 @@ def _lzw_decode_gif(data: bytes, min_code_size: int):
     return bytes(out)
 
 
+def _lzw_encode_gif_literal(data: bytes, min_code_size: int = 8) -> bytes:
+    """Fully-vectorized VALID GIF LZW stream of pure literal codes: a
+    CLEAR before every block of <= 254 literals keeps the code width
+    pinned at ``min_code_size+1`` bits (the decoder's width counter
+    reaches exactly 2^width at the block boundary — never past it), so
+    packing is a fixed-width numpy bit transpose instead of the
+    per-symbol dict walk of :func:`_lzw_encode_gif`. ~25x faster at
+    +12.5% stream size; any spec decoder accepts it (the classic
+    "uncompressed GIF" construction). Used by the SYNTH path, where
+    encode cost is scaffolding — the compressing encoder remains the
+    round-trip test subject for decoder dictionary growth."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    block = (1 << width) - clear - 4        # 254 for min_code_size=8
+    a = np.frombuffer(data, np.uint8)
+    parts = [np.array([clear], np.uint16)]
+    for i in range(0, a.size, block):
+        parts.append(a[i:i + block].astype(np.uint16))
+        if i + block < a.size:
+            parts.append(np.array([clear], np.uint16))
+    parts.append(np.array([eoi], np.uint16))
+    codes = np.concatenate(parts)
+    bits = ((codes[:, None] >> np.arange(width, dtype=np.uint16)) & 1) \
+        .astype(np.uint8).ravel()           # LSB-first per code
+    pad = (-bits.size) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits.reshape(-1, 8)[:, ::-1], axis=1) \
+        .ravel().tobytes()                  # LSB-first within each byte
+
+
 def _gif_subblocks(payload: bytes, pos: int):
     """Concatenate a GIF data-sub-block chain starting at ``pos``;
     returns (bytes, position after the 0x00 terminator) or None."""
@@ -1021,7 +1055,8 @@ def _gif_subblocks(payload: bytes, pos: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def encode_gif_gray_frames(frames, delay_cs: int = 10) -> bytes:
+def encode_gif_gray_frames(frames, delay_cs: int = 10,
+                           compress: bool = True) -> bytes:
     """Serialize a list of HxW uint8 grayscale arrays as a REAL animated
     GIF89a: logical screen descriptor, 256-entry global gray palette
     (index i -> (i,i,i), so decoded luma == index exactly), a NETSCAPE
@@ -1048,7 +1083,8 @@ def encode_gif_gray_frames(frames, delay_cs: int = 10) -> bytes:
             + b"\x00\x00"                            # GCE: no transparency
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         out += bytes([8])                            # LZW min code size
-        lzw = _lzw_encode_gif(a.tobytes(), 8)
+        lzw = (_lzw_encode_gif(a.tobytes(), 8) if compress
+               else _lzw_encode_gif_literal(a.tobytes(), 8))
         for i in range(0, len(lzw), 255):
             blk = lzw[i:i + 255]
             out += bytes([len(blk)]) + blk
@@ -1218,7 +1254,12 @@ def synth_gray_gif(df: DataFrame, id_col: str = "doc_id",
                     px = np.where((row >= 4 + 4 * f) & (row < 8 + 4 * f),
                                   np.minimum(base + 48, 255), base)
                     frames.append(px.reshape(size, size).astype(np.uint8))
-                payloads.append(encode_gif_gray_frames(frames))
+                # literal-code LZW: encode cost is synthesis scaffolding,
+                # and the vectorized literal form is ~25x faster while
+                # decoding identically (compress=True covers the
+                # dict-growth paths in the unit round-trips)
+                payloads.append(encode_gif_gray_frames(frames,
+                                                       compress=False))
             yield pd.DataFrame({"media_id": pdf[id_col],
                                 "payload": payloads})
 
