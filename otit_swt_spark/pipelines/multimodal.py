@@ -1016,7 +1016,12 @@ def _lzw_encode_gif_literal(data: bytes, min_code_size: int = 8) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    block = (1 << width) - clear - 4        # 254 for min_code_size=8
+    block = (1 << width) - clear - 4        # 252 for min_code_size=8
+    if block <= 0:
+        # a tiny alphabet leaves no literal room inside one width —
+        # the compressing encoder handles those; this fast path is for
+        # the byte-wide synth palette
+        raise ValueError("literal LZW needs min_code_size >= 3")
     a = np.frombuffer(data, np.uint8)
     parts = [np.array([clear], np.uint16)]
     for i in range(0, a.size, block):

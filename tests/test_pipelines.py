@@ -4920,6 +4920,17 @@ def test_gif_lzw_roundtrip_width_boundaries():
         d = bytes(rng.randint(0, 1 << mcs, size=3000).astype(np.uint8))
         assert _lzw_decode_gif(_lzw_encode_gif(d, mcs), mcs) == d, mcs
 
+    # the vectorized literal-code fast path (synth scaffolding) decodes
+    # identically, including at its <=252-literal clear-block boundaries
+    from otit_swt_spark.pipelines.multimodal import _lzw_encode_gif_literal
+
+    for n in [1, 251, 252, 253, 504, 1024, 6144, 20000]:
+        d = bytes(rng.randint(0, 256, size=n).astype(np.uint8))
+        assert _lzw_decode_gif(_lzw_encode_gif_literal(d), 8) == d, n
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _lzw_encode_gif_literal(b"\x00", 2)   # no literal room at width 3
+
 
 def test_gif_frames_roundtrip_and_real_world_anchor():
     """encode_gif_gray_frames -> gif_gray_frames is pixel-exact for
