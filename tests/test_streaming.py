@@ -1555,3 +1555,76 @@ def test_stream_frontier_schedule_per_domain_delay(spark):
 
     assert spacing("slow.com") == [20.0, 20.0]
     assert spacing("fast.com") == [5.0, 5.0]
+
+
+def test_stream_crawl_cycle_end_to_end(spark, tmp_path):
+    """The streaming crawl cycle end-to-end, mirroring the oracle-gated
+    crawl_cycle_batch composite: sitemap XML payload stream ->
+    parse_sitemap -> canonicalize_urls (both stateless projections,
+    stream-legal unchanged) -> stream_frontier_unseen against a ledger
+    maintained by stream_bloom_seen -> stream_frontier_schedule. A
+    single-batch stream must equal the identical batch composition
+    row-for-row (same kernels, empty scheduler state, same event-time
+    base)."""
+    from otit_swt_spark.pipelines.analytics import bloom_build
+    from otit_swt_spark.pipelines.urltools import (canonicalize_urls,
+                                                   parse_sitemap)
+    from otit_swt_spark.streaming.crawl import (stream_frontier_schedule,
+                                                stream_frontier_unseen)
+    from otit_swt_spark.streaming.ingest import stream_bloom_seen
+
+    rows = pd.DataFrame({
+        "domain": [f"site-{chr(97 + i % 3)}.com" for i in range(30)],
+        "sitemap_xml": [
+            f"<urlset><url><loc>HTTP://WWW.Site-{chr(97 + i % 3)}"
+            f".com:80/item/{i}?utm_source=x&amp;b=2&amp;a=1#f</loc>"
+            f"<priority>0.{i % 10}</priority></url></urlset>"
+            for i in range(30)],
+    })
+    crawled = pd.DataFrame({
+        "url": [f"http://site-{chr(97 + i % 3)}.com/item/{i}?a=1&b=2"
+                for i in range(0, 30, 4)]})
+
+    led = str(tmp_path / "ledger")
+    csrc = str(tmp_path / "crawled")
+    spark.createDataFrame(crawled).coalesce(1).write.parquet(csrc)
+    q = stream_bloom_seen(
+        spark.readStream.schema("url string").parquet(csrc),
+        "url", led, str(tmp_path / "ckl"), n_bits=2048, k=5)
+    q.awaitTermination(120)
+    ledger = spark.read.parquet(led)
+    # sink ledger == batch bloom of the same keys
+    assert ({r["pos"] for r in ledger.collect()}
+            == {r["pos"] for r in bloom_build(
+                spark.createDataFrame(crawled), "url",
+                n_bits=2048, k=5).collect()})
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def cycle(frame):
+        canon = canonicalize_urls(parse_sitemap(frame), url_col="loc")
+        disc = canon.select(
+            F.col("canonical_url").alias("url"), "domain", "priority",
+            F.lit(t0).alias("discovered_at"))
+        unseen = stream_frontier_unseen(disc, ledger, "url",
+                                        n_bits=2048, k=5)
+        return stream_frontier_schedule(unseen, per_domain_cap=4,
+                                        min_delay_s=3.0)
+
+    src = str(tmp_path / "sitemaps")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    sq = (cycle(spark.readStream
+                .schema("domain string, sitemap_xml string").parquet(src))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", str(tmp_path / "cks"))
+          .trigger(availableNow=True).start())
+    sq.awaitTermination(120)
+
+    got = {(r["url"], r["domain"], r["priority"], r["fetch_at"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["url"], r["domain"], r["priority"], r["fetch_at"])
+            for r in cycle(spark.createDataFrame(rows)).collect()}
+    assert got == want and len(got) > 0
+    # no crawled URL re-enters
+    assert not ({u for u, *_ in got} & set(crawled["url"]))
