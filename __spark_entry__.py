@@ -2650,6 +2650,61 @@ def q_crawl_frontier_delays(spark, sf_dir):
         .alias("effective_delay_s"))
 
 
+def q_robots_sitemaps_docs(spark, sf_dir):
+    """Sitemap discovery from robots.txt — how sitemaps are FOUND on
+    the open web (sitemaps.org robots submission): per-domain bodies
+    carry a Sitemap line inside a bot-only group (must STILL bind —
+    Sitemap is a standalone record, group-independent per RFC 9309's
+    unknown-line handling), a mixed-case one with a trailing comment, a
+    RELATIVE value that must be dropped (the protocol requires absolute
+    URLs) and an exact duplicate to collapse. One map-side regexp
+    pass."""
+    from otit_swt_spark.pipelines.urltools import robots_sitemaps
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    body = F.concat(
+        F.lit("User-agent: Googlebot\nDisallow: /g\nSitemap: http://"),
+        dom, F.lit("/maps/a.xml\n\nUser-agent: *\nDisallow: /p\n"
+                   "SITEMAP: http://"),
+        dom, F.lit("/maps/b.xml # primary\n"
+                   "Sitemap: /relative/ignored.xml\n"
+                   "sitemap: http://"),
+        dom, F.lit("/maps/b.xml\n"))
+    return (robots_sitemaps(
+        d.select(dom.alias("domain"), body.alias("robots_txt"))
+        .distinct())
+        .orderBy("domain", "sitemap_url"))
+
+
+def q_recrawl_stale_batch(spark, sf_dir):
+    """Freshness-gated recrawl: keep URLs never fetched or whose
+    sitemap lastmod is newer than our last fetch (reason column:
+    never_fetched | stale); fetched URLs with no lastmod claim are
+    conservative-skipped. The gate between periodic discovery and the
+    polite scheduler that saves a lastmod-honoring crawler most of its
+    refetch traffic — pure map-side filter."""
+    from otit_swt_spark.pipelines.urltools import recrawl_candidates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dom = F.concat(F.lit("site-"), F.lower(F.col("source")),
+                   F.lit(".com"))
+    lastmod = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.to_timestamp(F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit(" 03:04:05"))))
+    last_fetch = F.when(F.col("doc_id") % 3 != 0,
+                        F.lit("2026-01-15 00:00:00").cast("timestamp"))
+    fr = d.select(
+        F.concat(F.lit("http://"), dom, F.lit("/item/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        lastmod.alias("lastmod"), last_fetch.alias("last_fetch"))
+    return recrawl_candidates(fr).orderBy("url")
+
+
 def q_crawl_cycle_batch(spark, sf_dir):
     """The WHOLE batch crawl cycle as one query — every stage the crawl
     pillar ships, composed: messy sitemap discovery (uppercase host,
@@ -4157,6 +4212,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "frontier_unseen_flags": q_frontier_unseen_flags,
         "crawl_frontier_delays": q_crawl_frontier_delays,
         "crawl_cycle_batch": q_crawl_cycle_batch,
+        "robots_sitemaps_docs": q_robots_sitemaps_docs,
+        "recrawl_stale_batch": q_recrawl_stale_batch,
         "attribution_last_touch": q_attribution_last_touch,
         "readability": q_readability,
         "temperature_sample": q_temperature_sample,
@@ -9160,6 +9217,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, priority
             FROM ranked WHERE r <= 5
             ORDER BY priority DESC, url LIMIT 60
+        """,
+        "robots_sitemaps_docs": """
+            WITH doms AS (
+                SELECT DISTINCT 'site-' || lower(source) || '.com'
+                           AS domain
+                FROM documents WHERE source IS NOT NULL
+            )
+            -- prediction from the construction: the bot-group line
+            -- still binds (Sitemap is group-independent), the relative
+            -- value drops, the duplicate b.xml collapses
+            SELECT domain, sitemap_url FROM (
+                SELECT domain,
+                       'http://' || domain || '/maps/a.xml'
+                           AS sitemap_url
+                FROM doms
+                UNION ALL
+                SELECT domain, 'http://' || domain || '/maps/b.xml'
+                FROM doms
+            )
+            ORDER BY domain, sitemap_url
+        """,
+        "recrawl_stale_batch": """
+            WITH fr AS (
+                SELECT 'http://site-' || lower(source) || '.com/item/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 7 <> 0
+                            THEN CAST('2026-01-'
+                                 || lpad(CAST(doc_id % 28 + 1
+                                              AS VARCHAR), 2, '0')
+                                 || ' 03:04:05' AS TIMESTAMP)
+                            END AS lastmod,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN TIMESTAMP '2026-01-15 00:00:00'
+                            END AS last_fetch
+                FROM documents WHERE source IS NOT NULL
+            )
+            SELECT url, lastmod, last_fetch,
+                   CASE WHEN last_fetch IS NULL THEN 'never_fetched'
+                        WHEN lastmod IS NOT NULL
+                             AND lastmod > last_fetch THEN 'stale'
+                   END AS reason
+            FROM fr
+            WHERE last_fetch IS NULL
+               OR (lastmod IS NOT NULL AND lastmod > last_fetch)
+            ORDER BY url
         """,
         "crawl_cycle_batch": """
             WITH src AS (

@@ -225,6 +225,8 @@ EXTENDED = [
     "crawl_frontier_delays",
     "crawl_cycle_batch",
     "video_frames_from_gif",
+    "robots_sitemaps_docs",
+    "recrawl_stale_batch",
 ]
 
 

@@ -226,6 +226,52 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                     F.col("__v").alias("path_prefix")))
 
 
+def robots_sitemaps(df: DataFrame, domain_col: str = "domain",
+                    body_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` discovery from robots.txt bodies: ``(domain, body)``
+    -> ``(domain, sitemap_url)``, one row per Sitemap line — how
+    sitemaps are actually FOUND on the open web (sitemaps.org's
+    robots.txt submission method). Unlike allow/disallow/crawl-delay,
+    Sitemap is a STANDALONE record: it binds regardless of any
+    User-agent group (RFC 9309 treats unknown lines as non-group
+    records; sitemaps.org specifies file scope), so no group machinery
+    applies — one map-side regexp pass, comments stripped, case
+    handled, duplicates collapsed. Values must be absolute URLs per the
+    protocol; non-URL values are dropped. Feed the result to
+    :func:`parse_sitemap_index` / :func:`parse_sitemap` after
+    fetching."""
+    lines = (df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.coalesce(F.col(body_col), F.lit("")),
+                          "\n")).alias("__raw")))
+    clean = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
+    url = F.trim(F.regexp_extract(clean, r"^(?i)sitemap\s*:\s*(.*)$", 1))
+    return (lines.select("domain", url.alias("sitemap_url"))
+            .where(F.col("sitemap_url").rlike(r"^https?://"))
+            .distinct())
+
+
+def recrawl_candidates(frontier: DataFrame,
+                       url_col: str = "url",
+                       lastmod_col: str = "lastmod",
+                       last_fetch_col: str = "last_fetch") -> DataFrame:
+    """Freshness gate between discovery and scheduling: keep URLs that
+    NEED (re)fetching — never fetched, or the publisher's declared
+    ``lastmod`` (sitemaps.org) is newer than our last fetch. The
+    complement (fetched and unchanged since) is the crawl traffic a
+    lastmod-honoring crawler saves; a NULL lastmod on a fetched URL is
+    conservative-skipped (no freshness claim -> recrawl is the
+    frontier's periodic-revisit policy's job, not this gate's). Pure
+    map-side filter with a ``reason`` column for auditability; compose
+    with :func:`frontier_next_batch` for the polite schedule."""
+    reason = (F.when(F.col(last_fetch_col).isNull(), F.lit("never_fetched"))
+              .when(F.col(lastmod_col).isNotNull()
+                    & (F.col(lastmod_col) > F.col(last_fetch_col)),
+                    F.lit("stale")))
+    return (frontier.withColumn("reason", reason)
+            .where(F.col("reason").isNotNull()))
+
+
 def robots_crawl_delays(df: DataFrame, domain_col: str = "domain",
                         body_col: str = "robots_txt",
                         cap_s: float = 60.0) -> DataFrame:
