@@ -2034,6 +2034,12 @@ _PIN_CAP = 8
 def _pin(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     df = _PIN_LRU.get(key)
     if df is not None:
+        # re-insert on hit so dict insertion order tracks RECENCY (true
+        # LRU): without this the cache is FIFO and the hottest pinned
+        # frame gets evicted by insertion age past _PIN_CAP, silently
+        # re-running its synth+hash pass (round-12 advice fix)
+        _PIN_LRU.pop(key)
+        _PIN_LRU[key] = df
         return df
     df = build().persist()
     _PIN_LRU[key] = df

@@ -319,7 +319,7 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    print(json.dumps({
+    metrics = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
@@ -337,7 +337,33 @@ def main() -> None:
         "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,
-    }))
+    }
+    # Full detail goes to a FILE the driver/judge can read whole
+    # (round-12 fix: the r11 stdout line grew past the driver's
+    # byte-bounded tail window and BENCH_r11 recorded parsed:null —
+    # the diagnostics truncated the very line they were meant to
+    # explain). stdout keeps the driver contract, but LAST and
+    # COMPACT: headline+production timings only; spread/shuffle/
+    # per-entry forensics live in BENCH_METRICS.json.
+    metrics_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_METRICS.json")
+    with open(metrics_path, "w") as fh:
+        json.dump(metrics, fh, indent=1)
+        fh.write("\n")
+    print(f"# full metrics (spread/shuffle bands): {metrics_path}",
+          file=sys.stderr)
+    compact = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "production_total": metrics["production_total"],
+        "calib_sec": metrics["calib_sec"],
+        "loadavg_end": load1,
+        "sf": float(sf),
+        "cpus": cpus,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -175,10 +175,17 @@ def _robots_wildcard_groups(df: DataFrame, domain_col: str,
         F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")),
                              "\n")).alias("pos", "__raw")))
     clean = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
+    # Group boundaries are computed over EVERY directive-shaped line,
+    # not just the fields the caller asked for: ANY rule line ends a
+    # run of User-agent lines (RFC 9309 §2.1), so 'User-agent: *\n
+    # Disallow: /x\n\nUser-agent: Bot\nCrawl-delay: 50' is TWO groups
+    # even when the caller only extracts user-agent|crawl-delay.
+    # Filtering first merged such runs and leaked a bot-only group's
+    # Crawl-delay onto the * group (round-12 fix).
     field = F.lower(F.regexp_extract(
-        clean, rf"^(?i)({fields})\s*:", 1))
+        clean, r"^([A-Za-z][A-Za-z0-9-]*)\s*:", 1))
     value = F.trim(F.regexp_extract(
-        clean, rf"^(?i)(?:{fields})\s*:\s*(.*)$", 1))
+        clean, r"^[A-Za-z][A-Za-z0-9-]*\s*:\s*(.*)$", 1))
     parsed = (lines.select("domain", "pos", field.alias("__f"),
                            value.alias("__v"))
               .where(F.col("__f") != ""))
@@ -188,13 +195,14 @@ def _robots_wildcard_groups(df: DataFrame, domain_col: str,
     prev_ua = F.coalesce(
         F.lag(is_ua).over(W.partitionBy("domain").orderBy("pos")),
         F.lit(0))
-    staged = (parsed
-              .withColumn("__start",
-                          ((is_ua == 1) & (prev_ua == 0)).cast("int"))
-              .withColumn("__grp", F.sum("__start").over(w)))
-    wild = (staged.where((F.col("__f") == "user-agent")
-                         & (F.col("__v") == "*"))
+    grouped = (parsed
+               .withColumn("__start",
+                           ((is_ua == 1) & (prev_ua == 0)).cast("int"))
+               .withColumn("__grp", F.sum("__start").over(w)))
+    wild = (grouped.where((F.col("__f") == "user-agent")
+                          & (F.col("__v") == "*"))
             .select("domain", F.col("__grp").alias("__wg")).distinct())
+    staged = grouped.where(F.col("__f").isin(fields.split("|")))
     return staged, wild
 
 
@@ -264,6 +272,13 @@ def recrawl_candidates(frontier: DataFrame,
     frontier's periodic-revisit policy's job, not this gate's). Pure
     map-side filter with a ``reason`` column for auditability; compose
     with :func:`frontier_next_batch` for the polite schedule."""
+    if "reason" in frontier.columns:
+        # same rider-collision discipline as bloom_unseen_flags: silently
+        # overwriting a caller's 'reason' would both lose their column
+        # and filter on the wrong values
+        raise ValueError(
+            "recrawl_candidates: frontier already has a 'reason' column; "
+            "rename or drop it first")
     reason = (F.when(F.col(last_fetch_col).isNull(), F.lit("never_fetched"))
               .when(F.col(lastmod_col).isNotNull()
                     & (F.col(lastmod_col) > F.col(last_fetch_col)),

@@ -4198,19 +4198,25 @@ def test_parse_robots_differential_fuzz(spark):
         return "\n".join(out)
 
     def reference(body):
+        import re
+
         rules = []
         group_agents, in_ua_run = [], False
         for raw in body.split("\n"):
             line = raw.split("#", 1)[0].strip()
             low = line.lower()
-            if low.startswith("user-agent") and ":" in line:
+            if not re.match(r"^[a-z][a-z0-9-]*\s*:", low):
+                # blank lines / comments / non-directive junk are
+                # ignorable: they neither terminate a user-agent run
+                # nor a group (RFC 9309 allows blank lines inside)
+                continue
+            if low.startswith("user-agent"):
                 agent = line.split(":", 1)[1].strip()
                 if in_ua_run:
                     group_agents.append(agent)
                 else:
                     group_agents, in_ua_run = [agent], True
-            elif (low.startswith("allow") or low.startswith("disallow")) \
-                    and ":" in line:
+            elif low.startswith("allow") or low.startswith("disallow"):
                 in_ua_run = False
                 if "*" in group_agents:
                     d = "allow" if low.startswith("allow") else "disallow"
@@ -4220,10 +4226,16 @@ def test_parse_robots_differential_fuzz(spark):
                     if d == "disallow" and v == "":
                         continue
                     rules.append((d, v))
-            # RFC 9309: ignorable lines (blank, comments, unknown fields
-            # like Crawl-delay) neither terminate a user-agent run nor a
-            # group — only rules end the run, only a later user-agent
-            # line after rules starts a new group
+            else:
+                # ANY other directive line (Crawl-delay, Sitemap,
+                # unknown fields) ends the user-agent run without
+                # emitting a rule — Google's reference parser sets its
+                # group separator in HandleSitemap/HandleUnknownAction,
+                # so a later User-agent starts a NEW group (the
+                # round-12 group-boundary fix; previously modeled as
+                # ignorable, which merged runs split only by
+                # non-extracted directives)
+                in_ua_run = False
         return rules
 
     bodies = [(f"d{i}.com", gen_body()) for i in range(60)]
@@ -5126,6 +5138,63 @@ def test_robots_crawl_delays_group_semantics(spark):
     got = {r["domain"]: r["crawl_delay_s"] for r in
            robots_crawl_delays(spark.createDataFrame(bodies)).collect()}
     assert got == {"a.com": 7.0, "c.com": 11.0, "d.com": 60.0}
+
+
+def test_robots_group_boundary_over_unextracted_directives(spark):
+    """The round-12 leak shape: two User-agent runs separated ONLY by
+    directives the caller doesn't extract (Disallow when pulling
+    crawl-delay; Sitemap when pulling allow/disallow) are still TWO
+    groups — any rule line ends a UA run per RFC 9309 §2.1, whether or
+    not it survives the field filter. Before the fix the filtered
+    stream saw the UA lines as consecutive, merged the groups, and a
+    bot-only Crawl-delay bound the * group."""
+    import pandas as pd
+
+    from otit_swt_spark.pipelines.urltools import (parse_robots,
+                                                   robots_crawl_delays)
+
+    bodies = pd.DataFrame({
+        "domain": ["f.com", "g.com"],
+        "robots_txt": [
+            # * group separated from SlowBot's ONLY by a Disallow ->
+            # SlowBot's 50 must NOT bind the generic crawler
+            "User-agent: *\nDisallow: /private\n\n"
+            "User-agent: SlowBot\nCrawl-delay: 50\n",
+            # symmetric: * group with a delay, bot run opened by a line
+            # robots_crawl_delays doesn't extract
+            "User-agent: *\nDisallow: /a\nCrawl-delay: 4\n\n"
+            "User-agent: Bot\nDisallow: /b\nCrawl-delay: 50\n",
+        ]})
+    df = spark.createDataFrame(bodies)
+    got = {r["domain"]: r["crawl_delay_s"]
+           for r in robots_crawl_delays(df).collect()}
+    assert got == {"g.com": 4.0}
+
+    # parse_robots analogue: a Sitemap line (not in its field set) still
+    # ends the * UA run, so Bot's Disallow stays out of the * rules
+    bodies2 = pd.DataFrame({
+        "domain": ["h.com"],
+        "robots_txt": ["User-agent: *\nSitemap: http://h.com/s.xml\n"
+                       "User-agent: Bot\nDisallow: /botonly\n"]})
+    rules = {(r["directive"], r["path_prefix"]) for r in
+             parse_robots(spark.createDataFrame(bodies2)).collect()}
+    assert rules == set()  # * group has no allow/disallow of its own
+
+
+def test_recrawl_candidates_reason_collision_guard(spark):
+    """recrawl_candidates raises on a pre-existing 'reason' column
+    instead of silently overwriting it (the rider-collision discipline
+    bloom_unseen_flags established in round 10)."""
+    import pytest
+
+    from otit_swt_spark.pipelines.urltools import recrawl_candidates
+
+    fr = spark.createDataFrame(
+        [("http://a/", None, None, "manual")],
+        "url string, lastmod timestamp, last_fetch timestamp, "
+        "reason string")
+    with pytest.raises(ValueError, match="reason"):
+        recrawl_candidates(fr)
 
 
 def test_frontier_next_batch_per_domain_delay(spark):
