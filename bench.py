@@ -259,6 +259,10 @@ def main() -> None:
     extended = [n for n in EXTENDED if n not in PRODUCTION]
     names = (HEADLINE + PRODUCTION
              + (extended if "--extended" in sys.argv else []))
+    # machine-speed probe at RUN START too (round 12): the r12
+    # interleaved re-measure showed calib drifting 2x WITHIN a session,
+    # so a single trailing sample can misattribute early-entry walls
+    calib_start = _calibrate(spark)
     # raw _QUERIES, not the memoized queries() registry: the memo returns
     # the SAME DataFrame on re-invocation, so iterative entries (kmeans
     # driver-side fit, localCheckpoint lineage, the winnow materialize)
@@ -334,6 +338,7 @@ def main() -> None:
         # CPU-bound reference job; uniform entry drift that tracks
         # calib_sec (and loadavg) is contention, not regression
         "calib_sec": _calibrate(spark),
+        "calib_sec_start": calib_start,
         "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,
@@ -359,6 +364,7 @@ def main() -> None:
         "queries": times,
         "production_total": metrics["production_total"],
         "calib_sec": metrics["calib_sec"],
+        "calib_sec_start": calib_start,
         "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,

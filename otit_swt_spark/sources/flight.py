@@ -112,6 +112,122 @@ def flight_sql_read(
     return ep_df.mapInPandas(fetch, schema=spark_schema)
 
 
+def _sql_str_literal(v) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_ts_literal(dtv) -> str:
+    """Render a Python datetime as an ANSI/PostgreSQL timestamp literal.
+    tz-aware values are normalized to UTC and rendered naive — the same
+    UTC convention the engine's session and the partition-prune rewrite
+    use, and what Dremio-style stores expect for TIMESTAMP columns."""
+    import datetime as _dt
+
+    if dtv.tzinfo is not None:
+        dtv = dtv.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return "TIMESTAMP " + _sql_str_literal(dtv.isoformat(sep=" "))
+
+
+def render_restricted_sql(
+    base_query: str,
+    *,
+    identifier_column: str,
+    timestamp_column: str,
+    value_column: str = "value",
+    ids: list[str] | None = None,
+    ts_lower=None,
+    ts_upper=None,
+    value_eq=None,
+) -> str:
+    """Render the composed time-series restriction into PostgreSQL-dialect
+    SQL executed BY the external store, wrapping the user's registered
+    query as a derived table.
+
+    Reference parity: timeseries_sql_rewrite.rs:115-205 (create_query —
+    external-id IN-list + timestamp bounds + value conditions rendered
+    with sea-query's PostgresQueryBuilder) as executed through
+    arrow_flight_sql_database.rs:121-230. Against a remote 100 TB TSDB
+    this is THE fetch lever: the store sends only the series and window
+    the query touches instead of the whole registered result set.
+
+    Identifiers are double-quoted (PG dialect), string literals
+    single-quote-escaped; bounds are INCLUSIVE supersets (strict bounds
+    are relaxed by the caller) because every constraint is re-applied
+    Spark-side — the rendered WHERE only has to be implied-by, never
+    equivalent-to, the query's filters."""
+    conds: list[str] = []
+    qid = '"' + identifier_column.replace('"', '""') + '"'
+    qts = '"' + timestamp_column.replace('"', '""') + '"'
+    qval = '"' + value_column.replace('"', '""') + '"'
+    if ids is not None:
+        in_list = ", ".join(_sql_str_literal(i) for i in sorted(ids))
+        conds.append(f"{qid} IN ({in_list})" if in_list else "1 = 0")
+    if ts_lower is not None:
+        conds.append(f"{qts} >= {_sql_ts_literal(ts_lower)}")
+    if ts_upper is not None:
+        conds.append(f"{qts} <= {_sql_ts_literal(ts_upper)}")
+    if value_eq is not None:
+        if isinstance(value_eq, bool):
+            conds.append(f"{qval} = {'TRUE' if value_eq else 'FALSE'}")
+        elif isinstance(value_eq, (int, float)):
+            conds.append(f"{qval} = {value_eq!r}")
+        else:
+            conds.append(f"{qval} = {_sql_str_literal(value_eq)}")
+    if not conds:
+        return base_query
+    return (f"SELECT * FROM ({base_query}) ts_pushdown "
+            f"WHERE {' AND '.join(conds)}")
+
+
+class FlightTimeSeriesTable(TimeSeriesTable):
+    """A TimeSeriesTable backed by a REMOTE Flight SQL store, fetched
+    lazily so the compiler can render the composed restriction (id
+    IN-list, timestamp bounds, value equality) into the remote query
+    BEFORE anything is pulled — the reference's ArrowFlightSQLDatabase
+    (arrow_flight_sql_database.rs:121-230) + timeseries_sql_rewrite.rs
+    pushdown, restructured so the restricted result still streams to
+    EXECUTORS per endpoint rather than through the driver."""
+
+    supports_pushdown = True
+
+    def __init__(self, spark: SparkSession, location: str, query: str, *,
+                 username: str | None = None, password: str | None = None,
+                 distributed: bool = True, **ts_kwargs):
+        super().__init__(path=f"flight://{location}", **ts_kwargs)
+        self._spark = spark
+        self.location = location
+        self.base_query = query
+        self._username = username
+        self._password = password
+        self._distributed = distributed
+
+    def _read(self, spark: SparkSession, sql: str) -> DataFrame:
+        return flight_sql_read(spark, self.location, sql,
+                               username=self._username,
+                               password=self._password,
+                               distributed=self._distributed)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self._df is None:
+            self._df = self._read(spark, self.base_query)
+        return self._df
+
+    def restricted_normalized(self, spark: SparkSession, *,
+                              ids: list[str] | None = None,
+                              ts_lower=None, ts_upper=None,
+                              value_eq=None) -> DataFrame:
+        sql = render_restricted_sql(
+            self.base_query,
+            identifier_column=self.identifier_column,
+            timestamp_column=self.timestamp_column,
+            value_column=self.value_column,
+            ids=ids, ts_lower=ts_lower, ts_upper=ts_upper,
+            value_eq=value_eq)
+        if sql == self.base_query:
+            return self.normalized(spark)
+        return self._normalize(self._read(spark, sql))
+
+
 def flight_timeseries(
     spark: SparkSession,
     location: str,
@@ -127,11 +243,13 @@ def flight_timeseries(
 ) -> TimeSeriesTable:
     """Register a Flight SQL result set as a TimeSeriesTable (the
     reference's ArrowFlightSQLDatabase role in its TimeSeriesQueryable
-    registry)."""
-    df = flight_sql_read(spark, location, query, username=username,
-                         password=password, distributed=distributed)
-    return TimeSeriesTable(
-        df,
+    registry). Returns the LAZY pushdown-capable table: nothing is
+    fetched at registration; per query the compiler renders the id
+    IN-list / timestamp bounds into the remote SQL and the store sends
+    only the touched slice."""
+    return FlightTimeSeriesTable(
+        spark, location, query,
+        username=username, password=password, distributed=distributed,
         identifier_column=identifier_column,
         timestamp_column=timestamp_column,
         value_column=value_column,

@@ -54,6 +54,33 @@ from otit_swt_spark.terms import (
 RID = "__rid"
 
 
+def _pushdown_value_literal(lit):
+    """A chain hasValue literal as a plain Python value safe to render
+    into a remote SQL equality — numeric / boolean / plain-string only;
+    anything else returns None (no value pushdown, Spark-side filter
+    still applies)."""
+    from otit_swt_spark.terms import XSD, XSD_BOOLEAN as XB, XSD_STRING as XS
+
+    dt = lit.datatype
+    if dt == XB:
+        return lit.lexical in ("true", "1")
+    if dt in (XSD + "integer", XSD + "long", XSD + "int",
+              XSD + "short", XSD + "byte", XSD + "nonNegativeInteger",
+              XSD + "unsignedInt", XSD + "unsignedLong"):
+        try:
+            return int(lit.lexical)
+        except ValueError:
+            return None
+    if dt in (XSD + "double", XSD + "float", XSD + "decimal"):
+        try:
+            return float(lit.lexical)
+        except ValueError:
+            return None
+    if dt in (XS, None):
+        return lit.lexical
+    return None
+
+
 def _pattern_free_expr_vars(p: A.GraphPattern) -> set[str]:
     """Variables referenced by expressions inside ``p`` (BIND/FILTER/
     ORDER BY/aggregate/nested-LeftJoin expressions) but not bound by ``p``
@@ -197,6 +224,12 @@ class Compiler:
         self._counter = itertools.count()
         self._ts_df: DataFrame | None = None
         self._ts_hint: str | None = None
+        #: stack of FILTER-derived timestamp-bound hints (var -> (lower,
+        #: upper) datetimes) consulted when a pushdown-capable TS backend
+        #: is registered; ``None`` entries are scope BARRIERS (MINUS right
+        #: sides, EXISTS inners, subselects) past which outer hints must
+        #: not leak — see _ts_relation_for_join
+        self._ts_bound_hints: list[dict | None] = []
         #: endpoint IRI -> GraphStore for SERVICE patterns (in-process
         #: federation; reference rewrites SERVICE to its static side,
         #: rewriting/graph_patterns/service_pattern.rs:1)
@@ -235,26 +268,163 @@ class Compiler:
         if self._ts_df is None:
             if not self.ts_tables:
                 raise ValueError("query touches time-series data but no TimeSeriesTable registered")
-            dfs, hints = [], []
-            for t in self.ts_tables:
-                df = t.normalized(self.spark)
-                hints.append(
-                    {"long": "long", "bigint": "long", "int": "long", "smallint": "long",
-                     "tinyint": "long", "double": "double", "float": "double",
-                     "boolean": "bool", "string": "string"}.get(
-                        df.schema["value"].dataType.simpleString(), "double")
-                )
-                dfs.append(df)
-            hint = hints[0] if len(set(hints)) == 1 else "double"
-            if len(set(hints)) != 1:
-                dfs = [d.withColumn("value", F.col("value").cast("double")) for d in dfs]
-            elif hint == "long":
-                dfs = [d.withColumn("value", F.col("value").cast("long")) for d in dfs]
-            out = dfs[0]
-            for d in dfs[1:]:
-                out = out.unionByName(d)
-            self._ts_df, self._ts_hint = out, hint
+            self._ts_df, self._ts_hint = self._harmonize_ts_union(
+                [t.normalized(self.spark) for t in self.ts_tables])
         return self._ts_df, self._ts_hint
+
+    @staticmethod
+    def _harmonize_ts_union(dfs: list[DataFrame]) -> tuple[DataFrame, str]:
+        hints = []
+        for df in dfs:
+            hints.append(
+                {"long": "long", "bigint": "long", "int": "long", "smallint": "long",
+                 "tinyint": "long", "double": "double", "float": "double",
+                 "boolean": "bool", "string": "string"}.get(
+                    df.schema["value"].dataType.simpleString(), "double")
+            )
+        hint = hints[0] if len(set(hints)) == 1 else "double"
+        if len(set(hints)) != 1:
+            dfs = [d.withColumn("value", F.col("value").cast("double")) for d in dfs]
+        elif hint == "long":
+            dfs = [d.withColumn("value", F.col("value").cast("long")) for d in dfs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out, hint
+
+    #: pushdown id-list cap (same bound-join discipline as
+    #: SERVICE_BOUND_JOIN_MAX): above this many distinct external ids the
+    #: IN-list is omitted from the remote query — an unconstrained fetch
+    #: plus the Spark-side join stays correct, and the driver collect
+    #: stays bounded
+    TS_ID_PUSHDOWN_MAX = 1000
+
+    def _extract_ts_bound_hints(self, expr: A.Expr) -> dict:
+        """(var -> (lower, upper)) timestamp bounds from the top-level
+        conjunction of a FILTER — the piece of the filter a pushdown-capable
+        TS backend (sources/flight.py) can execute remotely. Strict bounds
+        are relaxed to inclusive (the remote WHERE only needs to be IMPLIED
+        by the filter, which re-applies exactly afterwards); xsd:date
+        literals widen to the day's [00:00, 24:00) superset."""
+        import datetime as _dt
+
+        from otit_swt_spark.terms import XSD_DATE, XSD_DATETIME
+
+        def conjuncts(e):
+            if isinstance(e, A.EAnd):
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        hints: dict[str, tuple] = {}
+        for c in conjuncts(expr):
+            if not isinstance(c, A.ECmp):
+                continue
+            op = c.op
+            if isinstance(c.left, A.EVar) and isinstance(c.right, A.ELiteral):
+                var, lit = c.left.name, c.right.value
+            elif isinstance(c.right, A.EVar) and isinstance(c.left, A.ELiteral):
+                var, lit = c.right.name, c.left.value
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            else:
+                continue
+            if lit.datatype not in (XSD_DATETIME, XSD_DATE):
+                continue
+            try:
+                dtv = _dt.datetime.fromisoformat(
+                    lit.lexical.replace("Z", "+00:00"))
+            except ValueError:
+                continue
+            if dtv.tzinfo is not None:
+                dtv = dtv.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            lo_v, hi_v = dtv, dtv
+            if lit.datatype == XSD_DATE:
+                hi_v = dtv + _dt.timedelta(days=1)
+            lo, hi = hints.get(var, (None, None))
+            if op in (">", ">=", "="):
+                lo = lo_v if lo is None else max(lo, lo_v)
+            if op in ("<", "<=", "="):
+                hi = hi_v if hi is None else min(hi, hi_v)
+            hints[var] = (lo, hi)
+        return hints
+
+    def _lookup_ts_bounds(self, var: str) -> tuple:
+        """Intersect the bounds every enclosing FILTER scope has published
+        for ``var``, stopping at the first scope barrier (None)."""
+        lo = hi = None
+        for entry in reversed(self._ts_bound_hints):
+            if entry is None:
+                break
+            b = entry.get(var)
+            if b is None:
+                continue
+            elo, ehi = b
+            if elo is not None:
+                lo = elo if lo is None else max(lo, elo)
+            if ehi is not None:
+                hi = ehi if hi is None else min(hi, ehi)
+        return lo, hi
+
+    def _ts_relation_for_join(self, sm: "SolutionMapping",
+                              tj: dict) -> tuple[DataFrame, str]:
+        """The (id, timestamp, value) relation for ONE ts join, with the
+        composed restriction — bounded external-id IN-list from the static
+        side, timestamp bounds from enclosing FILTERs, literal value/time
+        equality from the chain itself — pushed into backends that can
+        execute it remotely (reference timeseries_sql_rewrite.rs:115-205 /
+        arrow_flight_sql_database.rs:121-230 parity). Every constraint is
+        re-applied Spark-side afterwards, so the pushdown is a pure
+        fetch-volume optimization. Tables without pushdown support load
+        exactly as before; with none registered this is ts_relation()."""
+        import datetime as _dt
+
+        if not self.ts_tables:
+            raise ValueError("query touches time-series data but no TimeSeriesTable registered")
+        if not any(getattr(t, "supports_pushdown", False)
+                   for t in self.ts_tables):
+            return self.ts_relation()
+
+        ts_lower = ts_upper = value_eq = None
+        t_term, v_term = tj.get("t"), tj.get("v")
+        if isinstance(t_term, Variable):
+            ts_lower, ts_upper = self._lookup_ts_bounds(t_term.name)
+        elif isinstance(t_term, Literal):
+            try:
+                dtv = _dt.datetime.fromisoformat(
+                    t_term.lexical.replace("Z", "+00:00"))
+                if dtv.tzinfo is not None:
+                    dtv = dtv.astimezone(
+                        _dt.timezone.utc).replace(tzinfo=None)
+                ts_lower = ts_upper = dtv
+            except ValueError:
+                pass
+        if isinstance(v_term, Literal):
+            value_eq = _pushdown_value_literal(v_term)
+
+        # the reference's bound join: distinct external ids from the static
+        # side, rendered into the remote SQL — bounded by the cap
+        ids = None
+        eid = tj.get("eid")
+        if eid and eid in sm.df.columns:
+            cap = self.TS_ID_PUSHDOWN_MAX
+            rows = (sm.df.select(eid).where(F.col(eid).isNotNull())
+                    .distinct().limit(cap + 1).collect())
+            if len(rows) <= cap:
+                ids = sorted({r[0] for r in rows})
+
+        if ids is None and ts_lower is None and ts_upper is None \
+                and value_eq is None:
+            return self.ts_relation()
+        dfs = []
+        for t in self.ts_tables:
+            if getattr(t, "supports_pushdown", False):
+                dfs.append(t.restricted_normalized(
+                    self.spark, ids=ids, ts_lower=ts_lower,
+                    ts_upper=ts_upper, value_eq=value_eq))
+            else:
+                dfs.append(t.normalized(self.spark))
+        return self._harmonize_ts_union(dfs)
 
     # --------------------------------------------------------------- joining
 
@@ -409,7 +579,17 @@ class Compiler:
             left = self.compile_pattern(p.left, input)
             return self.compile_pattern(p.right, left)
         if isinstance(p, A.Filter):
-            sm = self.compile_pattern(p.inner, input)
+            # Publish this FILTER's timestamp bounds to TS-chain lowering
+            # inside `inner`: a pushdown-capable backend renders them into
+            # its remote query. Sound because the filter re-applies every
+            # constraint afterwards — rows the remote store withholds are
+            # exactly rows the filter would drop (or, through OPTIONAL,
+            # rows whose t-var arrives unbound and fails the comparison).
+            self._ts_bound_hints.append(self._extract_ts_bound_hints(p.expr))
+            try:
+                sm = self.compile_pattern(p.inner, input)
+            finally:
+                self._ts_bound_hints.pop()
             return self.apply_filter(sm, p.expr)
         if isinstance(p, A.Extend):
             sm = self.compile_pattern(p.inner, input)
@@ -449,7 +629,14 @@ class Compiler:
             sm = self.compile_pattern(p.inner, input)
             return self.apply_order(sm, p.keys)
         if isinstance(p, A.Project):
-            sm = self.compile_pattern(p.inner, None)
+            # barrier: a subselect's variables are a fresh scope — an outer
+            # FILTER's bound on ?t must not restrict an inner chain whose
+            # t-var merely shares the name
+            self._ts_bound_hints.append(None)
+            try:
+                sm = self.compile_pattern(p.inner, None)
+            finally:
+                self._ts_bound_hints.pop()
             sm = self.apply_project(sm, p.variables)
             return self.join_solutions(input, sm) if input is not None else sm
         if isinstance(p, A.Distinct):
@@ -874,7 +1061,7 @@ class Compiler:
                 sm = replace(sm, df=sm.df.withColumn(term.name, F.col(src)), vars=vars2)
             return sm
 
-        ts_df, value_hint = self.ts_relation()
+        ts_df, value_hint = self._ts_relation_for_join(sm, tj)
         eid = tj["eid"]
         cols = [F.col("id").alias(eid)]
         vars2: dict[str, VarMeta] = {eid: VarMeta("native", "string")}
@@ -1116,7 +1303,13 @@ class Compiler:
         exists_cols: dict[int, Column] = {}
         flags: list[str] = []
         for node in exists_nodes:
-            inner = self.compile_pattern(node.pattern, None)
+            # same barrier as the EExists fast path: membership tests must
+            # see the UNRESTRICTED chain
+            self._ts_bound_hints.append(None)
+            try:
+                inner = self.compile_pattern(node.pattern, None)
+            finally:
+                self._ts_bound_hints.pop()
             shared = [v for v in inner.vars if v in sm.vars and not v.startswith("__")]
             if not shared:
                 nonempty = not inner.df.isEmpty()
@@ -1144,7 +1337,13 @@ class Compiler:
         # does a row-id membership test; Spark's LeftSemi/LeftAnti avoid both
         # the row id and the dedup+outer-join of the general flag path).
         if isinstance(expr, A.EExists):
-            inner = self.compile_pattern(expr.pattern, None)
+            # barrier: restricting a chain inside [NOT] EXISTS by an outer
+            # bound would change membership, not just fetch volume
+            self._ts_bound_hints.append(None)
+            try:
+                inner = self.compile_pattern(expr.pattern, None)
+            finally:
+                self._ts_bound_hints.pop()
             shared = [v for v in inner.vars
                       if v in sm.vars and not v.startswith("__")]
             if shared:
@@ -1433,6 +1632,11 @@ class Compiler:
         # (monotonically_increasing_id is not stable across the two plan
         # branches); null shared vars don't match, which coincides with the
         # unbound-variable compatibility rule here.
+        # Barrier on the right side: an outer FILTER's timestamp bound must
+        # not restrict a chain fetched INSIDE the removal set — dropping
+        # out-of-bound right rows would stop them subtracting left rows,
+        # changing the MINUS result.
+        self._ts_bound_hints.append(None)
         try:
             right = self.compile_pattern(p.right, None)
         except ValueError:
@@ -1445,6 +1649,8 @@ class Compiler:
             df = left2_df.join(right.df.select(RID).distinct(), RID,
                                "left_anti").drop(RID)
             return replace(left, df=df)
+        finally:
+            self._ts_bound_hints.pop()
         shared = [v for v in right.vars
                   if v in left.vars and not v.startswith("__")]
         if not shared:

@@ -24,6 +24,14 @@ class TimeSeriesTable:
     """Declares where time-series rows live and which columns carry the
     identifier / timestamp / value."""
 
+    #: True when the backing store can execute a RESTRICTED remote query
+    #: (id IN-list + timestamp bounds rendered into the store's own SQL,
+    #: the reference's timeseries_sql_rewrite.rs:115-205 behavior). The
+    #: compiler consults this before collecting the bounded id list; for
+    #: Spark-native tables (parquet / in-memory) it stays False — Catalyst
+    #: pushdown already covers them and no driver-side collect is spent.
+    supports_pushdown = False
+
     def __init__(
         self,
         df: DataFrame | None = None,
@@ -65,7 +73,9 @@ class TimeSeriesTable:
         these — the Spark analog of the reference's partition rewrite
         (hybrid/src/timeseries_database/timeseries_sql_rewrite/
         partitioning_support.rs)."""
-        df = self.load(spark)
+        return self._normalize(self.load(spark))
+
+    def _normalize(self, df: DataFrame) -> DataFrame:
         cols = [
             F.col(self.identifier_column).cast("string").alias("id"),
             F.col(self.timestamp_column).alias("timestamp"),
@@ -78,6 +88,18 @@ class TimeSeriesTable:
                 (F.col(col).cast("int") if col
                  else F.lit(None).cast("int")).alias(f"__part_{part}"))
         return df.select(*cols)
+
+    def restricted_normalized(self, spark: SparkSession, *,
+                              ids: list[str] | None = None,
+                              ts_lower=None, ts_upper=None,
+                              value_eq=None) -> DataFrame:
+        """Normalized relation with the given restriction pushed into the
+        BACKING STORE where the backend supports it (``supports_pushdown``).
+        The base implementation ignores the restriction — the compiler
+        re-applies every constraint Spark-side regardless, so pushdown is
+        purely a fetch-volume optimization and this fallback is always
+        sound."""
+        return self.normalized(spark)
 
     def value_xsd(self, spark: SparkSession) -> str:
         if self.value_datatype:

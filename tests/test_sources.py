@@ -164,6 +164,211 @@ def test_flight_timeseries_feeds_engine(spark, flight_server):
     assert rows(df) == [("ts1", 3.0), ("ts2", 30.0)]
 
 
+def test_render_restricted_sql_text_and_duckdb_executes(spark):
+    """The TSQ restriction renderer (reference timeseries_sql_rewrite.rs
+    :115-205 parity): id IN-list sorted + quote-escaped, inclusive
+    timestamp bounds as TIMESTAMP literals, value equality typed; empty
+    restriction returns the base query untouched. The rendered text is
+    real PostgreSQL-dialect SQL — proven by executing it in DuckDB."""
+    import duckdb
+
+    from otit_swt_spark.sources.flight import render_restricted_sql
+
+    import datetime as dt
+
+    base = "SELECT id, timestamp, value FROM ts"
+    assert render_restricted_sql(
+        base, identifier_column="id", timestamp_column="timestamp") == base
+
+    sql = render_restricted_sql(
+        base, identifier_column="id", timestamp_column="timestamp",
+        ids=["b'2", "a1"], ts_lower=dt.datetime(2022, 6, 1, 8, 46, 56),
+        ts_upper=dt.datetime(2022, 6, 1, 8, 46, 58), value_eq=10.0)
+    assert "\"id\" IN ('a1', 'b''2')" in sql
+    assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:56'" in sql
+    assert "\"timestamp\" <= TIMESTAMP '2022-06-01 08:46:58'" in sql
+    assert "\"value\" = 10.0" in sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ts AS SELECT * FROM (VALUES "
+                "('a1', TIMESTAMP '2022-06-01 08:46:56', 10.0), "
+                "('a1', TIMESTAMP '2022-06-01 08:46:55', 10.0), "
+                "('a1', TIMESTAMP '2022-06-01 08:46:57', 99.0), "
+                "('zz', TIMESTAMP '2022-06-01 08:46:56', 10.0)"
+                ") t(id, timestamp, value)")
+    got = con.execute(sql).fetchall()
+    assert got == [("a1", dt.datetime(2022, 6, 1, 8, 46, 56), 10.0)]
+
+    # empty id list renders a contradiction, not invalid SQL
+    none_sql = render_restricted_sql(
+        base, identifier_column="id", timestamp_column="timestamp", ids=[])
+    assert con.execute(none_sql).fetchall() == []
+
+
+@pytest.fixture()
+def flight_pushdown_server():
+    """In-process Flight SQL server that EXECUTES the received query with
+    DuckDB and serves the result across two endpoints — so a pushdown
+    test can assert both the remote query text and the actual number of
+    rows that crossed the wire. Table: ts1/ts2/ts3 x 8 timestamps."""
+    flight = pytest.importorskip("pyarrow.flight")
+    import threading
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE ts AS
+        SELECT 'ts' || s.i AS id,
+               TIMESTAMP '2022-06-01 08:46:52' + INTERVAL (t.j) SECOND
+                   AS timestamp,
+               CAST(s.i * 100 + t.j AS DOUBLE) AS value
+        FROM (SELECT unnest(range(1, 4)) AS i) s,
+             (SELECT unnest(range(0, 8)) AS j) t
+    """)
+
+    class Server(flight.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self.queries = []
+            self.rows_served = 0
+            self._results = {}
+            self._lock = threading.Lock()
+            self._n = 0
+
+        def get_flight_info(self, context, descriptor):
+            q = descriptor.command.decode()
+            with self._lock:
+                self.queries.append(q)
+                table = con.execute(q).arrow()
+                self._n += 1
+                n = self._n
+            loc = flight.Location.for_grpc_tcp("127.0.0.1", self.port)
+            half = table.num_rows // 2
+            self._results[f"q{n}-0"] = table.slice(0, half)
+            self._results[f"q{n}-1"] = table.slice(half)
+            endpoints = [
+                flight.FlightEndpoint(f"q{n}-0".encode(), [loc]),
+                flight.FlightEndpoint(f"q{n}-1".encode(), [loc]),
+            ]
+            return flight.FlightInfo(table.schema, descriptor, endpoints,
+                                     table.num_rows, -1)
+
+        def do_get(self, context, ticket):
+            t = self._results[ticket.ticket.decode()]
+            with self._lock:
+                self.rows_served += t.num_rows
+            return flight.RecordBatchStream(t)
+
+    server = Server()
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+
+
+def test_flight_tsq_pushdown_shrinks_fetch(spark, flight_pushdown_server):
+    """Reference parity for the composed-TSQ remote rewrite
+    (timeseries_sql_rewrite.rs:115-205 via arrow_flight_sql_database.rs
+    :121-230): the external-id IN-list from the static side and the
+    FILTER's timestamp bounds are rendered into the Flight SQL text, the
+    STORE executes them, and the fetched row count shrinks from the full
+    registered result (24 rows: 3 series x 8 points) to exactly the
+    touched slice — while the answer matches the unrestricted plan."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t >= "2022-06-01T08:46:56"^^xsd:dateTime
+               && ?t < "2022-06-01T08:46:59"^^xsd:dateTime)
+    } GROUP BY ?ts_id""")
+    # graph knows ts1/ts2 only; the window keeps seconds 56,57,58
+    assert rows(df) == [("ts1", 104.0 + 105 + 106, 3),
+                        ("ts2", 204.0 + 205 + 206, 3)]
+    remote = srv.queries[-1]
+    assert "\"id\" IN ('ts1', 'ts2')" in remote
+    assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:56'" in remote
+    # strict upper bound relaxed to an inclusive superset
+    assert "\"timestamp\" <= TIMESTAMP '2022-06-01 08:46:59'" in remote
+    # fetch volume: 2 series x 4 points (inclusive superset) = 8, not 24
+    assert srv.rows_served == 8
+
+
+def test_flight_pushdown_id_list_without_time_filter(spark,
+                                                     flight_pushdown_server):
+    """Without any FILTER the id IN-list alone still pushes: the store
+    serves 16 of its 24 rows (ts3 never crosses the wire), and the
+    aggregate matches the construction."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 8), ("ts2", 8)]
+    assert "\"id\" IN ('ts1', 'ts2')" in srv.queries[-1]
+    assert "timestamp" not in srv.queries[-1].split("WHERE")[-1]
+    assert srv.rows_served == 16
+
+
+def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
+    """Scope safety: a chain compiled inside NOT EXISTS must fetch
+    UNRESTRICTED by the enclosing FILTER's bounds — restricting the
+    membership set would change which rows pass, not just fetch volume.
+    ts1 has points at every second 52..59, so NOT EXISTS over a same-?t
+    chain on ts2 (same grid) removes everything; if the outer >=56 bound
+    leaked into the inner fetch the pre-56 rows would spuriously
+    survive... and the outer filter would drop them anyway — the
+    observable here is the REMOTE QUERY TEXT of the inner fetch."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id ?t WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        FILTER(?t >= "2022-06-01T08:46:58"^^xsd:dateTime
+               && NOT EXISTS {
+                   ?ts2 otit_swt:hasExternalId "ts2" .
+                   ?ts2 otit_swt:hasDataPoint ?d2 .
+                   ?d2 otit_swt:hasTimestamp ?t .
+               })
+    }""")
+    assert df.count() == 0  # ts2 shares every grid second with ts1
+    inner_queries = [q for q in srv.queries
+                     if "IN ('ts2')" in q or "'ts2'" in q]
+    # the inner (EXISTS) fetch carried no timestamp bound
+    assert inner_queries and all(
+        "timestamp" not in q.split("WHERE")[-1].replace('"timestamp"', "X")
+        or '>= TIMESTAMP' not in q for q in inner_queries)
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of join: inclusive match, latest-earlier wins, unmatched
     left rows null-pad, tolerance nulls stale matches."""
@@ -791,7 +996,10 @@ def test_engine_flight_registration(spark, flight_server):
         f"grpc://127.0.0.1:{flight_server.port}", "SELECT * FROM ts",
         distributed=False)
     assert len(eng.ts_tables) == 1
-    assert eng.ts_tables[0]._df.count() == 4
+    tbl = eng.ts_tables[0]
+    # lazy (pushdown-capable) registration: nothing fetched until load
+    assert tbl.supports_pushdown and tbl._df is None
+    assert tbl.load(spark).count() == 4
 
 
 def test_resample_pre_epoch_buckets(spark):
