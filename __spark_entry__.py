@@ -3461,6 +3461,32 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(e, query_id=0, k=10, m=8, codebook_size=16, iters=2)
 
 
+def q_pq_topk_indexed(spark, sf_dir):
+    """The PRODUCTION PQ serving path (r11 verdict item 5): pq_index
+    trains the codebooks ONCE and persists the 32×-smaller code table +
+    codebook sidecar; pq_topk_indexed then answers ADC queries with m
+    lookups + adds over the persisted codes — no retraining, no float
+    vectors at query time. The index is built once per (sf, params) and
+    reused across invocations (deterministic Lloyd fit → identical
+    artifact), which is exactly the amortization the one-shot pq_topk
+    entry lacks. Oracle: the same full SQL retrain/encode/ADC replay as
+    pq_topk at k=12 — proving the indexed round-trip loses nothing."""
+    import os
+    import tempfile
+
+    from otit_swt_spark.pipelines.embedding import pq_index, pq_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
+                        f"pq_index_{tag}_m8k16i2")
+    if not os.path.exists(os.path.join(path, "_codebooks.json")):
+        pq_index(e, path, m=8, codebook_size=16, iters=2)
+    qv = [float(x)
+          for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk_indexed(spark, path, qv, k=12)
+
+
 def q_holt_forecast(spark, sf_dir):
     """Per-user Holt linear-trend forecast (double exponential smoothing)
     over the event stream: sequential per-key fold (the documented Arrow
@@ -4168,6 +4194,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fuzzy_part_names": q_fuzzy_part_names,
         "ssjoin_part_names": q_ssjoin_part_names,
         "pq_topk": q_pq_topk,
+        "pq_topk_indexed": q_pq_topk_indexed,
         "ivf_pq_topk": q_ivf_pq_topk,
         "holt_forecast": q_holt_forecast,
         "scd2_user_events": q_scd2_user_events,
@@ -6915,6 +6942,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "pq_topk_indexed": _pq_topk_oracle(topk=12),
         "ivf_pq_topk": _ivf_pq_topk_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "diversity_sample": _diversity_sample_oracle(),

@@ -67,6 +67,21 @@ class FakeOPCUAServer:
                     history_data=O.HistoryData(page)))
             else:
                 off = int(hrvi.continuation_point or b"0")
+                # Protocol guard (OPC UA Part 11 §6.4.5 HistoryReadValueId
+                # semantics): a continuation RE-request must carry only
+                # nodes that handed back a continuation point — a client
+                # that re-sends already-drained nodes (offset 0 mixed into
+                # a nonzero-offset request) would double-read them on a
+                # real server. Raising here makes the transport's
+                # pending-subset loop a tested invariant, not a comment.
+                offs = [int(h.continuation_point or b"0") for h in nodes]
+                if any(o > 0 for o in offs) and any(o == 0 for o in offs):
+                    raise ValueError(
+                        "Bad_ContinuationPointInvalid: request mixes "
+                        "fresh nodes into a continuation re-request")
+                if off % self.page_size or off > len(pts):
+                    raise ValueError(
+                        f"Bad_ContinuationPointInvalid: offset {off}")
                 page = pts[off:off + self.page_size]
                 nxt = off + len(page)
                 cp = str(nxt).encode() if nxt < len(pts) else b""

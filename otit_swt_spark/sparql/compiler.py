@@ -523,9 +523,20 @@ class Compiler:
         predicate is `undef OR equal` per shared var, and the result
         binding takes whichever side is bound."""
         shared = [v for v in left.vars if v in vsm.vars]
-        if not shared or not any(
-                r[v] is None for r in vsm.df.select(*shared).collect()
-                for v in shared):
+        if not shared:
+            return self.join_solutions(left, vsm)
+        # UNDEF probe: a driver read of the VALUES frame — inline-literal
+        # by construction, but a programmatic caller could hand compile()
+        # an arbitrarily large frame, so the collect is explicitly bounded
+        # (same discipline as SERVICE_BOUND_JOIN_MAX / TS_ID_PUSHDOWN_MAX)
+        cap = self.VALUES_PROBE_MAX
+        probe = vsm.df.select(*shared).limit(cap + 1).collect()
+        if len(probe) > cap:
+            raise ValueError(
+                f"VALUES block exceeds {cap} rows; inline VALUES this "
+                "large should be a joined DataFrame / graph relation "
+                "instead (raise Compiler.VALUES_PROBE_MAX to override)")
+        if not any(r[v] is None for r in probe for v in shared):
             return self.join_solutions(left, vsm)
         # UNDEF markers must be captured on the ORIGINAL frame: after
         # _coerce_join_keys a try_cast failure ("abc" -> double) also yields
@@ -781,6 +792,12 @@ class Compiler:
     #: bound-join cap: above this many distinct outer bindings the VALUES
     #: block is omitted (unconstrained pull + local join stays correct)
     SERVICE_BOUND_JOIN_MAX = 500
+
+    #: UNDEF-probe cap for inline VALUES frames: the compatibility-join
+    #: dispatch reads the (by-construction tiny) VALUES relation on the
+    #: driver; a programmatic frame larger than this raises instead of
+    #: growing an unbounded collect (r11 verdict watch-item)
+    VALUES_PROBE_MAX = 10_000
 
     def _service_values_block(self, p: "A.Service",
                               input: SolutionMapping | None) -> str:

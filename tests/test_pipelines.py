@@ -487,6 +487,34 @@ def test_hash_sample_full_fraction_keeps_all(spark, docs):
         hash_sample(docs, "doc_id", 1.5)
 
 
+def test_pq_index_roundtrip_matches_oneshot(spark, tmp_path):
+    """pq_index persists codes + codebook sidecar; pq_topk_indexed over
+    the persisted artifact returns exactly what the one-shot pq_topk
+    computes (identical deterministic Lloyd fit), with no training at
+    query time — the amortized production route for repeated ADC
+    queries."""
+    import random
+
+    from otit_swt_spark.pipelines.embedding import (pq_index, pq_topk,
+                                                    pq_topk_indexed)
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(150)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq_idx")
+    books = pq_index(emb, path, m=4, codebook_size=8, iters=2)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    got = pq_topk_indexed(spark, path, qv, k=6).collect()
+    direct = pq_topk(emb, query_id=3, k=6, m=4,
+                     codebook_size=8, iters=2).collect()
+    assert [(r["vec_id"], r["adc_dist2"]) for r in got] == \
+        [(r["vec_id"], r["adc_dist2"]) for r in direct]
+
+
 def test_ivf_index_prunes_partitions(spark, tmp_path):
     """ivf_index persists cluster as a parquet partition column; probing via
     ivf_topk_indexed shows PartitionFilters on the scan (unprobed clusters

