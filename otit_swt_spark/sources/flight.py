@@ -194,7 +194,9 @@ class FlightTimeSeriesTable(TimeSeriesTable):
                  username: str | None = None, password: str | None = None,
                  distributed: bool = True, **ts_kwargs):
         super().__init__(path=f"flight://{location}", **ts_kwargs)
-        self._spark = spark
+        # NOTE: deliberately no SparkSession attribute — the table object
+        # is driver-side state, and keeping the session off it guarantees
+        # an accidental closure capture can never try to pickle it
         self.location = location
         self.base_query = query
         self._username = username

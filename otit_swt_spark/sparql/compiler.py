@@ -1510,10 +1510,20 @@ class Compiler:
             fast = self._leftjoin_rebind_fastpath(left, p)
             if fast is not None:
                 return fast
+            # the OPTIONAL's embedded condition constrains which right
+            # rows can MATCH (LeftJoin(Ω1,Ω2,F) ≡ leftjoin over
+            # Filter(F,Ω2) for the matched branch; rows it excludes only
+            # ever null-pad) — so its timestamp bounds may restrict a
+            # pushdown-capable chain fetch inside the right side
+            self._ts_bound_hints.append(
+                self._extract_ts_bound_hints(p.expr)
+                if p.expr is not None else {})
             try:
                 right = self.compile_pattern(p.right, None)
             except ValueError:
                 right = None  # right side needs left-bound context
+            finally:
+                self._ts_bound_hints.pop()
             if right is not None:
                 if p.expr is None:
                     return self.join_solutions(left, right, how="left")
@@ -1525,7 +1535,17 @@ class Compiler:
         # row values themselves, so no materialization is needed.
         left2_df = _with_deterministic_rid(left.df)
         left2 = replace(left, df=left2_df)
-        right = self.compile_pattern(p.right, left2)
+        # same embedded-condition bounds as the fast path: the general
+        # form applies expr as a filter over the matched branch, so an
+        # expr-implied restriction on the right-side chain fetch only
+        # removes rows that filter would drop
+        self._ts_bound_hints.append(
+            self._extract_ts_bound_hints(p.expr)
+            if p.expr is not None else {})
+        try:
+            right = self.compile_pattern(p.right, left2)
+        finally:
+            self._ts_bound_hints.pop()
         if p.expr is not None:
             right = self.apply_filter(right, p.expr)
         matched = right

@@ -330,6 +330,40 @@ def test_flight_pushdown_id_list_without_time_filter(spark,
     assert srv.rows_served == 16
 
 
+def test_flight_pushdown_optional_condition(spark, flight_pushdown_server):
+    """An OPTIONAL's embedded FILTER pushes its timestamp bound into the
+    chain fetched INSIDE the optional branch: LeftJoin(Ω1,Ω2,F) only
+    matches Ω2 rows satisfying F, so rows the remote store withholds
+    could only ever null-pad — which they now do. ts1/ts2 have points at
+    seconds 52..59; the >=58 bound leaves 2 matched points per series
+    and the left rows survive either way."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        OPTIONAL {
+            ?ts otit_swt:hasDataPoint ?dp .
+            ?dp otit_swt:hasTimestamp ?t .
+            ?dp otit_swt:hasValue ?v .
+            FILTER(?t >= "2022-06-01T08:46:58"^^xsd:dateTime)
+        }
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 2), ("ts2", 2)]
+    remote = srv.queries[-1]
+    assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:58'" in remote
+    assert "\"id\" IN ('ts1', 'ts2')" in remote
+    # 2 series x seconds 58,59 = 4 rows fetched, not 24
+    assert srv.rows_served == 4
+
+
 def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
     """Scope safety: a chain compiled inside NOT EXISTS must fetch
     UNRESTRICTED by the enclosing FILTER's bounds — restricting the
