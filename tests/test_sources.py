@@ -330,6 +330,34 @@ def test_flight_pushdown_id_list_without_time_filter(spark,
     assert srv.rows_served == 16
 
 
+def test_flight_pushdown_id_cap_falls_back_unconstrained(
+        spark, flight_pushdown_server, monkeypatch):
+    """Above TS_ID_PUSHDOWN_MAX distinct external ids the IN-list is
+    omitted (bounded driver collect, unconstrained fetch + Spark join
+    stays correct) — with the cap forced to 1, the remote query carries
+    no id restriction, all 24 rows cross the wire, and the answer is
+    unchanged."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+    from otit_swt_spark.sparql.compiler import Compiler
+
+    monkeypatch.setattr(Compiler, "TS_ID_PUSHDOWN_MAX", 1)
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 8), ("ts2", 8)]
+    assert "IN (" not in srv.queries[-1]
+    assert srv.rows_served == 24
+
+
 def test_flight_pushdown_optional_condition(spark, flight_pushdown_server):
     """An OPTIONAL's embedded FILTER pushes its timestamp bound into the
     chain fetched INSIDE the optional branch: LeftJoin(Ω1,Ω2,F) only
@@ -395,12 +423,14 @@ def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
                })
     }""")
     assert df.count() == 0  # ts2 shares every grid second with ts1
-    inner_queries = [q for q in srv.queries
-                     if "IN ('ts2')" in q or "'ts2'" in q]
-    # the inner (EXISTS) fetch carried no timestamp bound
-    assert inner_queries and all(
-        "timestamp" not in q.split("WHERE")[-1].replace('"timestamp"', "X")
-        or '>= TIMESTAMP' not in q for q in inner_queries)
+    # the INNER (EXISTS) fetch is the one whose IN-list is exactly
+    # ('ts2'); the outer chain fetch legitimately carries the bound and
+    # the two-id list — scope the no-bound assertion to the inner one
+    inner_queries = [q for q in srv.queries if "IN ('ts2')" in q]
+    assert inner_queries
+    assert all(">= TIMESTAMP" not in q for q in inner_queries)
+    outer = [q for q in srv.queries if "IN ('ts1', 'ts2')" in q]
+    assert outer and all(">= TIMESTAMP" in q for q in outer)
 
 
 def test_asof_join_semantics(spark):
