@@ -3487,6 +3487,26 @@ def q_pq_topk_indexed(spark, sf_dir):
     return pq_topk_indexed(spark, path, qv, k=12)
 
 
+def q_iaa_kappa(spark, sf_dir):
+    """Inter-annotator agreement (Cohen's kappa) — the labeled-data QA
+    gate: two deterministic document labelers (length-threshold
+    rubrics with deliberately different cutpoints, so they agree
+    partially) scored for chance-corrected agreement. The statistic is
+    evaluated on the integer identity κ = (n·agree − Σ r_k·c_k) /
+    (n² − Σ r_k·c_k), so the oracle replays it bit-for-bit with no
+    float-summation order anywhere."""
+    from otit_swt_spark.pipelines.analytics import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    ann_a = (F.when(F.length("text") > 400, "long")
+             .when(F.length("text") > 150, "med").otherwise("short"))
+    ann_b = (F.when(F.length("text") > 350, "long")
+             .when(F.length("text") > 120, "med").otherwise("short"))
+    return cohens_kappa(
+        d.select(ann_a.alias("ann_a"), ann_b.alias("ann_b")),
+        "ann_a", "ann_b")
+
+
 def q_holt_forecast(spark, sf_dir):
     """Per-user Holt linear-trend forecast (double exponential smoothing)
     over the event stream: sequential per-key fold (the documented Arrow
@@ -4195,6 +4215,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ssjoin_part_names": q_ssjoin_part_names,
         "pq_topk": q_pq_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
+        "iaa_kappa": q_iaa_kappa,
         "ivf_pq_topk": q_ivf_pq_topk,
         "holt_forecast": q_holt_forecast,
         "scd2_user_events": q_scd2_user_events,
@@ -6943,6 +6964,33 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_indexed": _pq_topk_oracle(topk=12),
+        "iaa_kappa": """
+            WITH pairs AS (
+                SELECT CASE WHEN length(text) > 400 THEN 'long'
+                            WHEN length(text) > 150 THEN 'med'
+                            ELSE 'short' END AS a,
+                       CASE WHEN length(text) > 350 THEN 'long'
+                            WHEN length(text) > 120 THEN 'med'
+                            ELSE 'short' END AS b
+                FROM documents
+            ), tot AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+                FROM pairs
+            ), ra AS (SELECT a AS k, count(*) AS rk FROM pairs GROUP BY a),
+               cb AS (SELECT b AS k, count(*) AS ck FROM pairs GROUP BY b),
+               ch AS (SELECT coalesce(sum(rk * ck), 0) AS s
+                      FROM ra JOIN cb USING (k))
+            SELECT n,
+                   round(agree::DOUBLE / n::DOUBLE, 6) + 0.0 AS po,
+                   round(s::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) + 0.0
+                       AS pe,
+                   CASE WHEN n * n = s THEN NULL
+                        ELSE round((n * agree - s)::DOUBLE
+                                   / (n * n - s)::DOUBLE, 6) + 0.0
+                   END AS kappa
+            FROM tot, ch
+        """,
         "ivf_pq_topk": _ivf_pq_topk_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "diversity_sample": _diversity_sample_oracle(),

@@ -1478,6 +1478,49 @@ def chi_square_independence(df: DataFrame, col_a: str,
         F.col("n").cast("long").alias("n"))
 
 
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement
+    between two categorical labelers over the same items: the labeled-
+    data QA gate a training pipeline runs before trusting human (or
+    model-as-judge) labels. κ = (p_o − p_e)/(1 − p_e) with p_o the
+    observed agreement rate and p_e the expected-by-chance rate from the
+    per-annotator marginals.
+
+    Evaluated as the INTEGER identity
+    ``κ = (n·agree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)`` so every input
+    to the one final division is an exact integer — no float-summation
+    order anywhere, which is what lets a SQL oracle replay the statistic
+    bit-for-bit. Plan: one grouped count per marginal (map-side combine),
+    a broadcast join of the two tiny marginal frames on the category,
+    one row out ``(n, po, pe, kappa)``. NULL contract matches
+    chi_square_independence: a NULL label on either side excludes the
+    item. Degenerate corpus where p_e = 1 (both annotators constant and
+    equal) returns kappa NULL (0/0 has no chance correction to apply)."""
+    pairs = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()) \
+        .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .alias("agree"))
+    ra = pairs.groupBy(F.col("a").alias("k")).agg(F.count(F.lit(1)).alias("rk"))
+    cb = pairs.groupBy(F.col("b").alias("k")).agg(F.count(F.lit(1)).alias("ck"))
+    chance = (ra.join(cb, "k")
+              .agg(F.coalesce(F.sum(F.col("rk") * F.col("ck")),
+                              F.lit(0)).alias("s")))
+    out = tot.crossJoin(F.broadcast(chance))
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("s").cast("double") / (n * n)
+    kappa = ((F.col("n") * F.col("agree") - F.col("s")).cast("double")
+             / (F.col("n") * F.col("n") - F.col("s")).cast("double"))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(po, 6) + F.lit(0.0)).alias("po"),
+        (F.round(pe, 6) + F.lit(0.0)).alias("pe"),
+        F.when(F.col("n") * F.col("n") == F.col("s"), F.lit(None))
+        .otherwise(F.round(kappa, 6) + F.lit(0.0)).alias("kappa"))
+
+
 def mutual_information(df: DataFrame, col_a: str,
                        col_b: str) -> DataFrame:
     """Mutual information between two categorical columns, with the

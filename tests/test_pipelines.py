@@ -487,6 +487,24 @@ def test_hash_sample_full_fraction_keeps_all(spark, docs):
         hash_sample(docs, "doc_id", 1.5)
 
 
+def test_cohens_kappa_known_values(spark):
+    """Hand-computed kappa: a=[y,y,n,n], b=[y,n,n,n] -> agree 3/4,
+    marginals (2,2)x(1,3), S=8, kappa=(12-8)/(16-8)=0.5. NULL labels
+    excluded; the degenerate both-constant-equal corpus returns NULL
+    kappa (p_e = 1)."""
+    from otit_swt_spark.pipelines.analytics import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("y", "y"), ("y", "n"), ("n", "n"), ("n", "n"), (None, "y")],
+        "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (4, 0.75, 0.5, 0.5)
+
+    const = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    r2 = cohens_kappa(const, "a", "b").collect()[0]
+    assert r2["po"] == 1.0 and r2["kappa"] is None
+
+
 def test_pq_index_roundtrip_matches_oneshot(spark, tmp_path):
     """pq_index persists codes + codebook sidecar; pq_topk_indexed over
     the persisted artifact returns exactly what the one-shot pq_topk

@@ -205,6 +205,52 @@ def test_render_restricted_sql_text_and_duckdb_executes(spark):
     assert con.execute(none_sql).fetchall() == []
 
 
+def test_render_restricted_sql_differential_fuzz():
+    """Differential fuzz of the TSQ restriction renderer: 40 random
+    restrictions (ids with quotes/backslashes/unicode, random inclusive
+    bounds, value equality of each supported type) executed by DuckDB
+    against a random table, compared to an independent pure-Python
+    filter. Proves escaping and bound inclusivity, not just shape."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from otit_swt_spark.sources.flight import render_restricted_sql
+
+    rng = random.Random(42)
+    id_pool = ["a", "b'c", 'd"e', "uni-é", "x\\y", "plain_1", "ts 2"]
+    base_dt = dt.datetime(2024, 1, 1)
+    rows_ = [(rng.choice(id_pool),
+              base_dt + dt.timedelta(seconds=rng.randrange(0, 100)),
+              float(rng.randrange(-5, 6)))
+             for _ in range(300)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ts (id VARCHAR, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO ts VALUES (?, ?, ?)", rows_)
+
+    for trial in range(40):
+        ids = (rng.sample(id_pool, rng.randrange(1, 4))
+               if rng.random() < 0.7 else None)
+        lo = (base_dt + dt.timedelta(seconds=rng.randrange(0, 100))
+              if rng.random() < 0.6 else None)
+        hi = (base_dt + dt.timedelta(seconds=rng.randrange(0, 100))
+              if rng.random() < 0.6 else None)
+        veq = rng.choice([None, None, 2.0, -3, True])
+        sql = render_restricted_sql(
+            "SELECT id, ts, v FROM ts", identifier_column="id",
+            timestamp_column="ts", value_column="v",
+            ids=ids, ts_lower=lo, ts_upper=hi, value_eq=veq)
+        got = sorted(con.execute(sql).fetchall())
+        want = sorted(
+            r for r in rows_
+            if (ids is None or r[0] in ids)
+            and (lo is None or r[1] >= lo)
+            and (hi is None or r[1] <= hi)
+            and (veq is None or r[2] == float(veq)))
+        assert got == want, (trial, sql)
+
+
 @pytest.fixture()
 def flight_pushdown_server():
     """In-process Flight SQL server that EXECUTES the received query with
@@ -390,6 +436,45 @@ def test_flight_pushdown_optional_condition(spark, flight_pushdown_server):
     assert "\"id\" IN ('ts1', 'ts2')" in remote
     # 2 series x seconds 58,59 = 4 rows fetched, not 24
     assert srv.rows_served == 4
+
+
+def test_flight_pushdown_synchronized_join(spark, flight_pushdown_server):
+    """The synchronized-join shape (reference timeseries_sql_rewrite.rs
+    sync joins 356-428): two datapoint chains on one series sharing ?t.
+    Each chain's fetch independently composes its restriction, so BOTH
+    remote queries carry the id IN-list and the FILTER's bound — the
+    store sends 2 x (2 series x 3 points) instead of 2 x 24."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id ?t ?v1 ?v2 WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp1 .
+        ?dp1 otit_swt:hasTimestamp ?t .
+        ?dp1 otit_swt:hasValue ?v1 .
+        ?ts otit_swt:hasDataPoint ?dp2 .
+        ?dp2 otit_swt:hasTimestamp ?t .
+        ?dp2 otit_swt:hasValue ?v2 .
+        FILTER(?t >= "2022-06-01T08:46:57"^^xsd:dateTime)
+    }""")
+    # seconds 57,58,59 on ts1+ts2; the self-sync yields v1 == v2
+    got = df.collect()
+    assert len(got) == 6 and all(r["v1"] == r["v2"] for r in got)
+    # EVERY remote query this plan issued carried the full restriction
+    # (the self-join may re-scan a source stage, so rows_served counts a
+    # re-fetch of the same 6-row slice — what matters is that nothing
+    # unrestricted ever crossed the wire: each fetch is 6 rows, not 24)
+    assert len(srv.queries) == 2 and all(
+        "IN ('ts1', 'ts2')" in q and ">= TIMESTAMP" in q
+        for q in srv.queries)
+    assert srv.rows_served % 6 == 0 and srv.rows_served < 24
 
 
 def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
