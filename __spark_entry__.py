@@ -3507,6 +3507,26 @@ def q_iaa_kappa(spark, sf_dir):
         "ann_a", "ann_b")
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (calibration QA for a model-as-judge /
+    quality scorer): a deterministic confidence score (length/500 capped
+    at 1) against a deterministic noisy label whose rate grows with
+    length (doc_id%100 < length/5), so bins show real confidence-vs-
+    accuracy gaps. Per-bin count + DECIMAL-sum mean confidence +
+    empirical accuracy + |acc−conf| gap; returned as rows (no cross-bin
+    float fold), each value replayed bit-for-bit by the SQL oracle."""
+    from otit_swt_spark.pipelines.analytics import reliability_bins
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.least(F.lit(1.0), F.length("text") / F.lit(500.0))
+    label = F.when((F.col("doc_id") % 100)
+                   < F.least(F.lit(100), F.floor(F.length("text") / 5)),
+                   1).otherwise(0)
+    return reliability_bins(
+        d.select(score.alias("score"), label.alias("label")),
+        "score", "label", bins=10)
+
+
 def q_holt_forecast(spark, sf_dir):
     """Per-user Holt linear-trend forecast (double exponential smoothing)
     over the event stream: sequential per-key fold (the documented Arrow
@@ -4216,6 +4236,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pq_topk": q_pq_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
         "iaa_kappa": q_iaa_kappa,
+        "calibration_bins": q_calibration_bins,
         "ivf_pq_topk": q_ivf_pq_topk,
         "holt_forecast": q_holt_forecast,
         "scd2_user_events": q_scd2_user_events,
@@ -6964,6 +6985,29 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_indexed": _pq_topk_oracle(topk=12),
+        "calibration_bins": """
+            WITH rows_ AS (
+                SELECT least(1.0, length(text) / 500.0) AS s,
+                       CASE WHEN (doc_id % 100)
+                                 < least(100, floor(length(text) / 5))
+                            THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), b AS (
+                SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y
+                FROM rows_
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS conf,
+                   round(CAST(sum(y) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS acc,
+                   round(abs(CAST(sum(y) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                             - CAST(sum(CAST(s AS DECIMAL(38,12)))
+                                    AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)), 6) + 0.0 AS gap
+            FROM b GROUP BY bin ORDER BY bin
+        """,
         "iaa_kappa": """
             WITH pairs AS (
                 SELECT CASE WHEN length(text) > 400 THEN 'long'

@@ -1521,6 +1521,45 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .otherwise(F.round(kappa, 6) + F.lit(0.0)).alias("kappa"))
 
 
+def reliability_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer (model-as-
+    judge / quality-classifier calibration QA): equal-width bins over
+    [0,1] with per-bin count, mean confidence, empirical accuracy and
+    the |acc − conf| gap — the inputs to ECE/MCE, returned as ROWS
+    instead of one folded number so no cross-bin float summation exists
+    anywhere (each bin is integer counts + one DECIMAL(38,12) score sum,
+    which is what lets a SQL oracle replay every value bit-for-bit; the
+    caller folds ECE = Σ n_b/N·gap_b if they want the scalar). Scores
+    outside [0,1] raise rather than silently clamp; score 1.0 lands in
+    the top bin. NULL score or label excludes the row."""
+    b = int(bins)
+    if b < 2:
+        raise ValueError("reliability_bins: bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    rows = df.where(F.col(score_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+    guard = F.when((s < 0) | (s > 1), F.raise_error(F.concat(
+        F.lit(f"reliability_bins: {score_col} outside [0,1]: "),
+        s.cast("string"))).cast("double")).otherwise(s)
+    binned = rows.select(
+        F.least(F.floor(guard * b), F.lit(b - 1)).cast("int").alias("bin"),
+        s.alias("__s"),
+        F.col(label_col).cast("int").alias("__y"))
+    out = (binned.groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__s").cast("decimal(38,12)")).alias("__ss"),
+                F.sum("__y").alias("__sy")))
+    conf = F.col("__ss").cast("double") / F.col("n").cast("double")
+    acc = F.col("__sy").cast("double") / F.col("n").cast("double")
+    return (out.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        (F.round(conf, 6) + F.lit(0.0)).alias("conf"),
+        (F.round(acc, 6) + F.lit(0.0)).alias("acc"),
+        (F.round(F.abs(acc - conf), 6) + F.lit(0.0)).alias("gap"))
+        .orderBy("bin"))
+
+
 def mutual_information(df: DataFrame, col_a: str,
                        col_b: str) -> DataFrame:
     """Mutual information between two categorical columns, with the

@@ -505,6 +505,29 @@ def test_cohens_kappa_known_values(spark):
     assert r2["po"] == 1.0 and r2["kappa"] is None
 
 
+def test_reliability_bins_known_values(spark):
+    """Hand-computed bins: scores .05,.15,.15,.95,1.0 with labels
+    0,1,0,1,1 -> bin0 (n=1, conf .05, acc 0), bin1 (n=2, conf .15,
+    acc .5), bin9 (n=3... no, .95 and 1.0 both land in bin 9). NULLs
+    excluded; out-of-range scores raise."""
+    from otit_swt_spark.pipelines.analytics import reliability_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 1), (0.15, 0), (0.95, 1), (1.0, 1),
+         (None, 1), (0.5, None)],
+        "score double, label int")
+    got = {r["bin"]: (r["n"], r["conf"], r["acc"], r["gap"])
+           for r in reliability_bins(df, "score", "label").collect()}
+    assert got == {0: (1, 0.05, 0.0, 0.05),
+                   1: (2, 0.15, 0.5, 0.35),
+                   9: (2, 0.975, 1.0, 0.025)}
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([(1.5, 1)], "score double, label int")
+    with _pytest.raises(Exception, match="outside"):
+        reliability_bins(bad, "score", "label").collect()
+
+
 def test_pq_index_roundtrip_matches_oneshot(spark, tmp_path):
     """pq_index persists codes + codebook sidecar; pq_topk_indexed over
     the persisted artifact returns exactly what the one-shot pq_topk
