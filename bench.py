@@ -231,6 +231,9 @@ EXTENDED = [
     # (or reuses) the persisted index, so the timed reps measure the
     # production regime: ADC over persisted codes, no training
     "pq_topk_indexed",
+    # round-12 label/score QA additions
+    "iaa_kappa",
+    "calibration_bins",
 ]
 
 

@@ -88,7 +88,10 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             # row (analytics.bloom_unseen_flags): the dummy-key equi-
             # join folds to a constant and Catalyst plans the 1-row
             # broadcast as a nested loop; bound = 1 x probe rows
-            "frontier_unseen_flags"}
+            "frontier_unseen_flags",
+            # one-row (n, agree) totals x one-row chance-mass broadcast
+            # cross (analytics.cohens_kappa); bound = 1 x 1
+            "iaa_kappa"}
 
 
 def test_all_entries_plan_invariants(spark):
