@@ -477,6 +477,57 @@ def test_flight_pushdown_synchronized_join(spark, flight_pushdown_server):
     assert srv.rows_served % 6 == 0 and srv.rows_served < 24
 
 
+def test_flight_pushdown_mixed_with_parquet_table(spark,
+                                                  flight_pushdown_server,
+                                                  tmp_path):
+    """Mixed backends: a pushdown-capable Flight table UNIONed with a
+    plain parquet TimeSeriesTable. The Flight fetch is restricted (id
+    IN-list + bound rendered remotely), the parquet side loads normally
+    and is filtered by Catalyst, and the union answers match the
+    construction — the path where only SOME registered stores can
+    execute a remote restriction."""
+    import pandas as pd
+
+    from otit_swt_spark.sources.flight import flight_timeseries
+    from otit_swt_spark.timeseries import TimeSeriesTable
+
+    srv = flight_pushdown_server
+    # parquet side carries ts2 rows at the same grid with DISTINCT values
+    # (+1000) so the per-series sums prove both stores contributed
+    pq = tmp_path / "ts_local.parquet"
+    base = pd.Timestamp("2022-06-01 08:46:52")
+    pdf = pd.DataFrame({
+        "id": ["ts2"] * 8,
+        "timestamp": [base + pd.Timedelta(seconds=i) for i in range(8)],
+        "value": [1000.0 + i for i in range(8)],
+    })
+    spark.createDataFrame(pdf).write.parquet(str(pq))
+
+    ts_flight = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                                  "SELECT id, timestamp, value FROM ts")
+    ts_parquet = TimeSeriesTable(path=str(pq))
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = (Engine(spark, graph)
+           .add_timeseries_table(ts_flight)
+           .add_timeseries_table(ts_parquet))
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t >= "2022-06-01T08:46:58"^^xsd:dateTime)
+    } GROUP BY ?ts_id""")
+    # flight: ts1 {106,107}, ts2 {206,207}; parquet ts2: {1006,1007}
+    assert rows(df) == [("ts1", 106.0 + 107, 2),
+                        ("ts2", 206.0 + 207 + 1006 + 1007, 4)]
+    assert "\"id\" IN ('ts1', 'ts2')" in srv.queries[-1]
+    assert ">= TIMESTAMP '2022-06-01 08:46:58'" in srv.queries[-1]
+    assert srv.rows_served == 4  # flight served only its restricted slice
+
+
 def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
     """Scope safety: a chain compiled inside NOT EXISTS must fetch
     UNRESTRICTED by the enclosing FILTER's bounds — restricting the
