@@ -3507,6 +3507,33 @@ def q_iaa_kappa(spark, sf_dir):
         "ann_a", "ann_b")
 
 
+def q_iaa_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over THREE deterministic document
+    labelers with MISSING data — the third annotator skips every doc_id
+    divisible by 3, the crowdsourced-annotation shape Cohen's kappa
+    cannot score. Long-format (item, label) rows; the coincidence-matrix
+    identities keep everything integer except the per-item
+    observed-agreement rational (DECIMAL-summed), so the SQL oracle
+    replays alpha bit-for-bit."""
+    from otit_swt_spark.pipelines.analytics import krippendorff_alpha
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rubric(lo, hi):
+        return (F.when(F.length("text") > hi, "long")
+                .when(F.length("text") > lo, "med").otherwise("short"))
+
+    a1 = d.select(F.col("doc_id").alias("item"),
+                  rubric(150, 400).alias("label"))
+    a2 = d.select(F.col("doc_id").alias("item"),
+                  rubric(120, 350).alias("label"))
+    a3 = (d.where(F.col("doc_id") % 3 != 0)
+          .select(F.col("doc_id").alias("item"),
+                  rubric(135, 420).alias("label")))
+    return krippendorff_alpha(
+        a1.unionByName(a2).unionByName(a3), "item", "label")
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins (calibration QA for a model-as-judge /
     quality scorer): a deterministic confidence score (length/500 capped
@@ -4236,6 +4263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pq_topk": q_pq_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
         "iaa_kappa": q_iaa_kappa,
+        "iaa_alpha": q_iaa_alpha,
         "calibration_bins": q_calibration_bins,
         "ivf_pq_topk": q_ivf_pq_topk,
         "holt_forecast": q_holt_forecast,
@@ -6985,6 +7013,55 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_indexed": _pq_topk_oracle(topk=12),
+        "iaa_alpha": """
+            WITH lab AS (
+                SELECT doc_id AS u,
+                       CASE WHEN length(text) > 400 THEN 'long'
+                            WHEN length(text) > 150 THEN 'med'
+                            ELSE 'short' END AS c
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN length(text) > 350 THEN 'long'
+                            WHEN length(text) > 120 THEN 'med'
+                            ELSE 'short' END
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN length(text) > 420 THEN 'long'
+                            WHEN length(text) > 135 THEN 'med'
+                            ELSE 'short' END
+                FROM documents WHERE doc_id % 3 <> 0
+            ), cnt AS (
+                SELECT u, c, count(*) AS k FROM lab GROUP BY u, c
+            ), per_item AS (
+                SELECT u, sum(k) AS m, sum(k * k) AS sq
+                FROM cnt GROUP BY u HAVING sum(k) >= 2
+            ), tot AS (
+                SELECT sum(m) AS n, count(*) AS items,
+                       sum(CAST(CAST(sq - m AS DOUBLE)
+                                / CAST(m - 1 AS DOUBLE)
+                                AS DECIMAL(38,12))) AS ao
+                FROM per_item
+            ), ncs AS (
+                SELECT c, sum(k) AS nc
+                FROM cnt JOIN per_item USING (u) GROUP BY c
+            ), sn AS (
+                SELECT coalesce(sum(nc * (nc - 1)), 0) AS snn FROM ncs
+            )
+            SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_labels,
+                   CAST(items AS BIGINT) AS n_items,
+                   CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                             - CAST(snn AS DOUBLE) = 0 THEN NULL
+                        ELSE round(1 - ((CAST(n AS DOUBLE)
+                                         - CAST(ao AS DOUBLE))
+                                        * (CAST(n AS DOUBLE) - 1))
+                                   / (CAST(n AS DOUBLE)
+                                      * (CAST(n AS DOUBLE) - 1)
+                                      - CAST(snn AS DOUBLE)), 6) + 0.0
+                   END AS alpha
+            FROM tot, sn
+        """,
         "calibration_bins": """
             WITH rows_ AS (
                 SELECT least(1.0, length(text) / 500.0) AS s,

@@ -233,6 +233,7 @@ EXTENDED = [
     "pq_topk_indexed",
     # round-12 label/score QA additions
     "iaa_kappa",
+    "iaa_alpha",
     "calibration_bins",
 ]
 

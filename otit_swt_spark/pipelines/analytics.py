@@ -1521,6 +1521,53 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .otherwise(F.round(kappa, 6) + F.lit(0.0)).alias("kappa"))
 
 
+def krippendorff_alpha(df: DataFrame, item_col: str,
+                       label_col: str) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — inter-annotator agreement
+    for ANY number of raters with missing labels, over long-format
+    ``(item, label)`` rows (one row per assigned label; absent rows ARE
+    the missing data, so no rater column is needed). The companion to
+    :func:`cohens_kappa` when annotation is crowdsourced: items with
+    fewer than 2 labels are excluded per the definition.
+
+    Via the coincidence-matrix identities, everything is integer except
+    the observed-agreement mass A_o = Σ_u (Σ_c cnt_u(c)² − m_u)/(m_u−1),
+    a per-item rational summed in DECIMAL(38,12) (order-independent);
+    the final α = 1 − (n − A_o)(n − 1) / (n(n−1) − Σ_c n_c(n_c−1)) is
+    one fixed-order double expression, so a SQL oracle replays it
+    bit-for-bit. Returns one row ``(n_labels, n_items, alpha)`` with
+    alpha NULL when every pairable label is identical (no expected
+    disagreement to correct against)."""
+    cnt = (df.where(F.col(item_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+           .groupBy(F.col(item_col).alias("u"),
+                    F.col(label_col).alias("c"))
+           .agg(F.count(F.lit(1)).alias("k")))
+    per_item = (cnt.groupBy("u")
+                .agg(F.sum("k").alias("m"),
+                     F.sum(F.col("k") * F.col("k")).alias("sq"))
+                .where(F.col("m") >= 2))
+    ao_term = ((F.col("sq") - F.col("m")).cast("double")
+               / (F.col("m") - 1).cast("double"))
+    totals = per_item.agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).alias("items"),
+        F.sum(ao_term.cast("decimal(38,12)")).alias("ao"))
+    nc = (cnt.join(per_item.select("u"), "u", "left_semi")
+          .groupBy("c").agg(F.sum("k").alias("nc"))
+          .agg(F.coalesce(F.sum(F.col("nc") * (F.col("nc") - 1)),
+                          F.lit(0)).alias("snn")))
+    out = totals.crossJoin(F.broadcast(nc))
+    n = F.col("n").cast("double")
+    denom = n * (n - 1) - F.col("snn").cast("double")
+    alpha = 1 - ((n - F.col("ao").cast("double")) * (n - 1)) / denom
+    return out.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_labels"),
+        F.col("items").cast("long").alias("n_items"),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(F.round(alpha, 6) + F.lit(0.0)).alias("alpha"))
+
+
 def reliability_bins(df: DataFrame, score_col: str, label_col: str,
                      bins: int = 10) -> DataFrame:
     """Reliability-diagram bins for a probabilistic scorer (model-as-

@@ -505,6 +505,27 @@ def test_cohens_kappa_known_values(spark):
     assert r2["po"] == 1.0 and r2["kappa"] is None
 
 
+def test_krippendorff_alpha_known_values(spark):
+    """Hand-computed nominal alpha: items u1=[a,a], u2=[a,b], u3=[b,b,b]
+    -> A_o=5, n=7, sum n_c(n_c-1)=18, alpha = 1 - 2*6/(42-18) = 0.5.
+    A single-label item is excluded (m<2); the all-agree degenerate
+    corpus returns NULL (no expected disagreement)."""
+    from otit_swt_spark.pipelines.analytics import krippendorff_alpha
+
+    df = spark.createDataFrame(
+        [("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+         ("u3", "b"), ("u3", "b"), ("u3", "b"), ("u4", "a")],
+        "item string, label string")
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert (r["n_labels"], r["n_items"], r["alpha"]) == (7, 3, 0.5)
+
+    allsame = spark.createDataFrame(
+        [("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "x")],
+        "item string, label string")
+    r2 = krippendorff_alpha(allsame, "item", "label").collect()[0]
+    assert r2["alpha"] is None and r2["n_labels"] == 4
+
+
 def test_reliability_bins_known_values(spark):
     """Hand-computed bins: scores .05,.15,.15,.95,1.0 with labels
     0,1,0,1,1 -> bin0 (n=1, conf .05, acc 0), bin1 (n=2, conf .15,

@@ -91,7 +91,10 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "frontier_unseen_flags",
             # one-row (n, agree) totals x one-row chance-mass broadcast
             # cross (analytics.cohens_kappa); bound = 1 x 1
-            "iaa_kappa"}
+            "iaa_kappa",
+            # one-row totals x one-row marginal-mass broadcast cross
+            # (analytics.krippendorff_alpha); bound = 1 x 1
+            "iaa_alpha"}
 
 
 def test_all_entries_plan_invariants(spark):
