@@ -3507,6 +3507,28 @@ def q_iaa_kappa(spark, sf_dir):
         "ann_a", "ann_b")
 
 
+def q_bitext_candidates(spark, sf_dir):
+    """Bitext / parallel-corpus candidate mining (Gale-Church length
+    screen + digit-anchor overlap): docs are blocked into pseudo-article
+    keys (doc_id div 7 — the tight blocking key the operator's cost
+    model requires), given deterministic translation-invariant anchors
+    (a key-derived ref number every sibling shares + a per-doc version
+    digit), and every cross-language same-key pair is scored by length
+    ratio and anchor Jaccard. The oracle replays the blocking join, the
+    ratio window, and the (key, anchor) overlap counts exactly."""
+    from otit_swt_spark.pipelines.bitext import bitext_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.floor(F.col("doc_id") / 7).cast("long")
+    t2 = F.concat(F.col("text"), F.lit(" ref "),
+                  (key % 1000).cast("string"),
+                  F.lit(" v"), (F.col("doc_id") % 10).cast("string"))
+    docs = d.select(F.col("doc_id"), key.cast("string").alias("akey"),
+                    F.col("lang"), t2.alias("text"))
+    return (bitext_candidates(docs, key_col="akey")
+            .orderBy("key", "id_a", "id_b"))
+
+
 def q_iaa_alpha(spark, sf_dir):
     """Krippendorff's alpha (nominal) over THREE deterministic document
     labelers with MISSING data — the third annotator skips every doc_id
@@ -4264,6 +4286,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pq_topk_indexed": q_pq_topk_indexed,
         "iaa_kappa": q_iaa_kappa,
         "iaa_alpha": q_iaa_alpha,
+        "bitext_candidates": q_bitext_candidates,
         "calibration_bins": q_calibration_bins,
         "ivf_pq_topk": q_ivf_pq_topk,
         "holt_forecast": q_holt_forecast,
@@ -7013,6 +7036,63 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_indexed": _pq_topk_oracle(topk=12),
+        "bitext_candidates": """
+            WITH base AS (
+                SELECT CAST(doc_id // 7 AS VARCHAR) AS key, doc_id AS id,
+                       lang,
+                       text || ' ref '
+                            || CAST((doc_id // 7) % 1000 AS VARCHAR)
+                            || ' v' || CAST(doc_id % 10 AS VARCHAR) AS t
+                FROM documents
+            ), lens AS (
+                SELECT key, id, lang, CAST(length(t) AS BIGINT) AS len, t
+                FROM base
+            ), an AS (
+                SELECT DISTINCT key, id, anchor FROM (
+                    SELECT key, id,
+                           unnest(regexp_extract_all(t, '[0-9]+'))
+                               AS anchor
+                    FROM lens)
+            ), na AS (
+                SELECT id, count(*) AS na FROM an GROUP BY id
+            ), sh AS (
+                SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+                FROM an x JOIN an y
+                  ON x.key = y.key AND x.anchor = y.anchor
+                     AND x.id <> y.id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a.key, a.id AS id_a, b.id AS id_b,
+                       a.lang AS lang_a, b.lang AS lang_b,
+                       a.len AS len_a, b.len AS len_b
+                FROM lens a JOIN lens b ON a.key = b.key
+                WHERE a.lang < b.lang AND b.len > 0
+                  AND CAST(a.len AS DOUBLE) / CAST(b.len AS DOUBLE)
+                      >= 0.5
+                  AND CAST(a.len AS DOUBLE) / CAST(b.len AS DOUBLE)
+                      <= 2.0
+            )
+            SELECT p.key, p.id_a, p.id_b, lang_a, lang_b,
+                   round(CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE),
+                         6) + 0.0 AS len_ratio,
+                   CAST(coalesce(na1.na, 0) AS BIGINT) AS anchors_a,
+                   CAST(coalesce(na2.na, 0) AS BIGINT) AS anchors_b,
+                   CAST(coalesce(sh.shared, 0) AS BIGINT)
+                       AS anchors_shared,
+                   CASE WHEN coalesce(na1.na, 0) + coalesce(na2.na, 0)
+                             - coalesce(sh.shared, 0) = 0 THEN 0.0
+                        ELSE round(CAST(coalesce(sh.shared, 0) AS DOUBLE)
+                                   / CAST(coalesce(na1.na, 0)
+                                          + coalesce(na2.na, 0)
+                                          - coalesce(sh.shared, 0)
+                                          AS DOUBLE), 6) + 0.0
+                   END AS anchor_jaccard
+            FROM pairs p
+            LEFT JOIN na na1 ON na1.id = p.id_a
+            LEFT JOIN na na2 ON na2.id = p.id_b
+            LEFT JOIN sh ON sh.id_a = p.id_a AND sh.id_b = p.id_b
+            ORDER BY p.key, p.id_a, p.id_b
+        """,
         "iaa_alpha": """
             WITH lab AS (
                 SELECT doc_id AS u,

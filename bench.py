@@ -235,6 +235,7 @@ EXTENDED = [
     "iaa_kappa",
     "iaa_alpha",
     "calibration_bins",
+    "bitext_candidates",
 ]
 
 

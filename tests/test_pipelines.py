@@ -505,6 +505,34 @@ def test_cohens_kappa_known_values(spark):
     assert r2["po"] == 1.0 and r2["kappa"] is None
 
 
+def test_bitext_candidates_known_values(spark):
+    """Hand-checked candidate pairs: same-key cross-language docs pass
+    the length-ratio window and score digit-anchor Jaccard; an
+    out-of-window pair is dropped, anchor-free pairs score 0.0, and a
+    single-doc key yields nothing."""
+    from otit_swt_spark.pipelines.bitext import bitext_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "k1", "de", "Vertrag 2024 Nr 17"),
+         (2, "k1", "en", "Contract 2024 no 17"),
+         (3, "k1", "en", "short"),
+         (4, "k2", "de", "abc"),
+         (5, "k2", "en", "abcd"),
+         (6, "k3", "fr", "seul 99")],
+        "doc_id long, key string, lang string, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in bitext_candidates(
+        docs, key_col="key").collect()}
+    # (1,2): ratio 18/19, anchors {2024,17} both sides -> jaccard 1.0
+    assert set(got) == {(1, 2), (4, 5)}   # (1,3) ratio 3.6 filtered
+    r12 = got[(1, 2)]
+    assert (r12["lang_a"], r12["lang_b"]) == ("de", "en")
+    assert r12["len_ratio"] == round(18 / 19, 6)
+    assert (r12["anchors_a"], r12["anchors_b"],
+            r12["anchors_shared"], r12["anchor_jaccard"]) == (2, 2, 2, 1.0)
+    r45 = got[(4, 5)]
+    assert r45["len_ratio"] == 0.75 and r45["anchor_jaccard"] == 0.0
+
+
 def test_krippendorff_alpha_known_values(spark):
     """Hand-computed nominal alpha: items u1=[a,a], u2=[a,b], u3=[b,b,b]
     -> A_o=5, n=7, sum n_c(n_c-1)=18, alpha = 1 - 2*6/(42-18) = 0.5.
