@@ -328,6 +328,58 @@ def stream_incremental_agg(df: DataFrame, path: str, keys: list,
             .start())
 
 
+def stream_reliability_bins(df: DataFrame, path: str, checkpoint: str,
+                            score_col: str = "score",
+                            label_col: str = "label",
+                            bins: int = 10):
+    """Streaming calibration monitor — the live twin of
+    ``pipelines.analytics.reliability_bins``: derive the score's bin
+    MAP-SIDE on the stream, then fold per-bin (count, DECIMAL score-sum,
+    label-sum) partials through the incremental-agg MV machinery
+    (replay-guarded foreachBatch). The stored state is ~``bins`` tiny
+    rows however long the stream runs; read the live reliability
+    diagram back with :func:`reliability_bins_from_partials`, which
+    reproduces the batch operator's values exactly (same DECIMAL sums,
+    same fixed-order final expressions). Out-of-range scores fail the
+    batch rather than silently clamping, matching the batch contract."""
+    b = int(bins)
+    if b < 2:
+        raise ValueError("stream_reliability_bins: bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    guard = F.when((s < 0) | (s > 1), F.raise_error(F.concat(
+        F.lit(f"stream_reliability_bins: {score_col} outside [0,1]: "),
+        s.cast("string"))).cast("double")).otherwise(s)
+    binned = (df.where(F.col(score_col).isNotNull()
+                       & F.col(label_col).isNotNull())
+              .select(F.least(F.floor(guard * b), F.lit(b - 1))
+                      .cast("int").alias("bin"),
+                      s.alias(score_col),
+                      F.col(label_col).cast("int").alias(label_col)))
+    return stream_incremental_agg(binned, path, ["bin"],
+                                  [score_col, label_col], checkpoint)
+
+
+def reliability_bins_from_partials(spark, path: str,
+                                   score_col: str = "score",
+                                   label_col: str = "label") -> DataFrame:
+    """Derive ``(bin, n, conf, acc, gap)`` from the partials table
+    :func:`stream_reliability_bins` maintains — value-identical to the
+    batch ``reliability_bins`` over the same rows (the per-bin DECIMAL
+    score sum and integer label sum are exactly what the batch operator
+    aggregates; the final divisions use the same expression order)."""
+    t = spark.read.parquet(path)
+    conf = (F.col(f"sum_{score_col}").cast("double")
+            / F.col("n").cast("double"))
+    acc = (F.col(f"sum_{label_col}").cast("double")
+           / F.col("n").cast("double"))
+    return (t.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        (F.round(conf, 6) + F.lit(0.0)).alias("conf"),
+        (F.round(acc, 6) + F.lit(0.0)).alias("acc"),
+        (F.round(F.abs(acc - conf), 6) + F.lit(0.0)).alias("gap"))
+        .orderBy("bin"))
+
+
 def stream_interval_join(clicks: DataFrame, views: DataFrame,
                          key: str = "id",
                          left_ts: str = "timestamp",

@@ -352,6 +352,37 @@ def test_ewma_stream_multichunk_group(spark, tmp_path):
     assert got == want
 
 
+def test_stream_reliability_bins_matches_batch(spark, tmp_path):
+    """The streaming calibration monitor folded over two micro-batches
+    equals the batch reliability_bins over the union — bin for bin,
+    value for value (same DECIMAL partials, same final expressions)."""
+    from otit_swt_spark.pipelines.analytics import reliability_bins
+    from otit_swt_spark.streaming.ingest import (
+        reliability_bins_from_partials,
+        stream_reliability_bins,
+    )
+
+    b1 = pd.DataFrame({"score": [0.05, 0.15, 0.95],
+                       "label": [0, 1, 1]})
+    b2 = pd.DataFrame({"score": [0.15, 1.0, 0.97],
+                       "label": [0, 1, 0]})
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("score double, label long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_reliability_bins(stream, agg, ck)
+    q.awaitTermination(120)
+
+    got = rows(reliability_bins_from_partials(spark, agg))
+    both = spark.createDataFrame(pd.concat([b1, b2]))
+    want = rows(reliability_bins(both, "score", "label"))
+    assert got == want and len(got) == 3  # bins 0, 1, 9
+
+
 def test_stream_incremental_agg(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1) folded through
     foreachBatch must equal one full recompute."""
