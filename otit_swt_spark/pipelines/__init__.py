@@ -10,7 +10,9 @@ PII scrubbing, deterministic + stratified + weighted sampling, event
 analytics (funnels, retention, histograms, session paths, Welch A/B
 readouts), graph analytics (co-occurrence edges, degrees, triangles,
 PageRank), skew-relief salted joins, keyed merge/upsert + incremental
-aggregate maintenance, and multimodal binary-column plumbing.
+aggregate maintenance, multimodal binary-column plumbing, annotation QA
+(Cohen's kappa, Krippendorff's alpha, reliability-diagram calibration
+bins), and bitext / parallel-corpus candidate mining.
 
 All built from JVM-side pyspark.sql.functions (no Python row UDFs in hot
 paths); shuffles happen only on the intended keys (band buckets / group
