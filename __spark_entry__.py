@@ -3477,9 +3477,20 @@ def q_pq_topk_indexed(spark, sf_dir):
     from otit_swt_spark.pipelines.embedding import pq_index, pq_topk_indexed
 
     e = _t(spark, sf_dir, "embeddings")
+    # cache key carries a DATA fingerprint (mtime+size of the source
+    # parquet) beside the sf tag and params, so a regenerated dataset —
+    # or a same-named directory with different content — rebuilds
+    # instead of silently serving codes trained on stale data (local
+    # tempdir cache, so plain os.stat is the right probe here)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "nofp"
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
-                        f"pq_index_{tag}_m8k16i2")
+                        f"pq_index_{tag}_m8k16i2_{fp}")
     if not os.path.exists(os.path.join(path, "_codebooks.json")):
         pq_index(e, path, m=8, codebook_size=16, iters=2)
     qv = [float(x)

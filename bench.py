@@ -370,7 +370,10 @@ def main() -> None:
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        # headline+production ONLY, even under --extended: the stdout
+        # line's size must stay bounded forever (the r11 truncation) —
+        # extended timings live in the metrics file
+        "queries": {n: times[n] for n in HEADLINE + PRODUCTION},
         "production_total": metrics["production_total"],
         "calib_sec": metrics["calib_sec"],
         "calib_sec_start": calib_start,

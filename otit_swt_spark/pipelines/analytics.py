@@ -1580,26 +1580,46 @@ def reliability_bins(df: DataFrame, score_col: str, label_col: str,
     caller folds ECE = Σ n_b/N·gap_b if they want the scalar). Scores
     outside [0,1] raise rather than silently clamp; score 1.0 lands in
     the top bin. NULL score or label excludes the row."""
+    binned = _reliability_binned(df, score_col, label_col, bins,
+                                 "reliability_bins")
+    out = (binned.groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(score_col).cast("decimal(38,12)"))
+                .alias(f"sum_{score_col}"),
+                F.sum(label_col).alias(f"sum_{label_col}")))
+    return _reliability_select(out, score_col, label_col)
+
+
+def _reliability_binned(df: DataFrame, score_col: str, label_col: str,
+                        bins: int, err_prefix: str) -> DataFrame:
+    """Shared bin/guard projection for the batch operator and its
+    streaming twin (streaming.ingest.stream_reliability_bins) — one
+    definition so the two can never drift."""
     b = int(bins)
     if b < 2:
-        raise ValueError("reliability_bins: bins must be >= 2")
+        raise ValueError(f"{err_prefix}: bins must be >= 2")
     s = F.col(score_col).cast("double")
     rows = df.where(F.col(score_col).isNotNull()
                     & F.col(label_col).isNotNull())
     guard = F.when((s < 0) | (s > 1), F.raise_error(F.concat(
-        F.lit(f"reliability_bins: {score_col} outside [0,1]: "),
+        F.lit(f"{err_prefix}: {score_col} outside [0,1]: "),
         s.cast("string"))).cast("double")).otherwise(s)
-    binned = rows.select(
+    return rows.select(
         F.least(F.floor(guard * b), F.lit(b - 1)).cast("int").alias("bin"),
-        s.alias("__s"),
-        F.col(label_col).cast("int").alias("__y"))
-    out = (binned.groupBy("bin")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("__s").cast("decimal(38,12)")).alias("__ss"),
-                F.sum("__y").alias("__sy")))
-    conf = F.col("__ss").cast("double") / F.col("n").cast("double")
-    acc = F.col("__sy").cast("double") / F.col("n").cast("double")
-    return (out.select(
+        s.alias(score_col),
+        F.col(label_col).cast("int").alias(label_col))
+
+
+def _reliability_select(t: DataFrame, score_col: str,
+                        label_col: str) -> DataFrame:
+    """Shared final projection over per-bin partials ``(bin, n,
+    sum_<score>, sum_<label>)`` — same fixed expression order for the
+    batch operator and the streaming partials reader."""
+    conf = (F.col(f"sum_{score_col}").cast("double")
+            / F.col("n").cast("double"))
+    acc = (F.col(f"sum_{label_col}").cast("double")
+           / F.col("n").cast("double"))
+    return (t.select(
         "bin", F.col("n").cast("long").alias("n"),
         (F.round(conf, 6) + F.lit(0.0)).alias("conf"),
         (F.round(acc, 6) + F.lit(0.0)).alias("acc"),

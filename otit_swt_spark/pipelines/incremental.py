@@ -25,17 +25,21 @@ _DEC = "decimal(38,6)"
 
 
 def partial_agg(df: DataFrame, keys: list[str], sum_cols: list[str],
-                weight_col: str | None = None) -> DataFrame:
+                weight_col: str | None = None,
+                dec: str = _DEC) -> DataFrame:
     """Decomposable partials per group: ``n`` plus, per measure, the exact
     decimal ``sum_<col>`` and the NON-NULL value count ``cnt_<col>``
     (means must divide by the non-null count, like SQL AVG — not by the
     row count). ``weight_col`` (+1 insert / -1 retract) turns the same
-    pass into a CDC delta aggregate."""
+    pass into a CDC delta aggregate. ``dec`` sets the sum precision —
+    default decimal(38,6); a consumer whose batch twin sums at a finer
+    scale (e.g. reliability bins at 38,12) must pass the SAME type here
+    or the per-row quantization differs."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     aggs = [F.sum(w).alias("n")]
     for c in sum_cols:
-        aggs.append(F.sum((F.col(c).cast(_DEC) * w).cast(_DEC))
-                    .cast(_DEC).alias(f"sum_{c}"))
+        aggs.append(F.sum((F.col(c).cast(dec) * w).cast(dec))
+                    .cast(dec).alias(f"sum_{c}"))
         aggs.append(F.sum(F.when(F.col(c).isNotNull(), w).otherwise(0))
                     .cast("long").alias(f"cnt_{c}"))
     return df.groupBy(*keys).agg(*aggs)
@@ -44,12 +48,15 @@ def partial_agg(df: DataFrame, keys: list[str], sum_cols: list[str],
 def combine_partials(stored: DataFrame, delta: DataFrame,
                      keys: list[str]) -> DataFrame:
     """Merge two partial-aggregate frames by group: counts and sums add;
-    groups whose count reaches zero disappear (full retraction)."""
+    groups whose count reaches zero disappear (full retraction). Sum
+    columns keep the STORED table's decimal type (schema-preserving —
+    the table's creation-time precision is authoritative, whatever
+    ``dec`` it was built with)."""
     merged = stored.unionByName(delta, allowMissingColumns=False)
     sums = [F.sum("n").alias("n")]
     for c in stored.columns:
         if c.startswith("sum_"):
-            sums.append(F.sum(c).cast(_DEC).alias(c))
+            sums.append(F.sum(c).cast(stored.schema[c].dataType).alias(c))
         elif c.startswith("cnt_"):
             sums.append(F.sum(c).cast("long").alias(c))
     return (merged.groupBy(*keys).agg(*sums)
@@ -59,7 +66,8 @@ def combine_partials(stored: DataFrame, delta: DataFrame,
 def incremental_agg_upsert(spark: SparkSession, path: str, delta: DataFrame,
                            keys: list[str], sum_cols: list[str],
                            partition_col: str | None = None,
-                           weight_col: str | None = None) -> None:
+                           weight_col: str | None = None,
+                           dec: str = _DEC) -> None:
     """Fold a raw delta batch into the aggregate table at ``path``
     (creating it on first call). With ``partition_col`` (which must be one
     of ``keys``): only the stored partitions the delta touches are read
@@ -68,7 +76,7 @@ def incremental_agg_upsert(spark: SparkSession, path: str, delta: DataFrame,
     are deleted explicitly."""
     if partition_col is not None and partition_col not in keys:
         raise ValueError("partition_col must be one of the group keys")
-    d = partial_agg(delta, keys, sum_cols, weight_col)
+    d = partial_agg(delta, keys, sum_cols, weight_col, dec=dec)
     if not fsutil.exists(spark, path):
         # creation only: a first batch whose inserts and retractions cancel
         # must not persist a phantom n=0 group. The UPDATE path must NOT

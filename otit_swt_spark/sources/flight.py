@@ -190,13 +190,14 @@ class FlightTimeSeriesTable(TimeSeriesTable):
 
     supports_pushdown = True
 
-    def __init__(self, spark: SparkSession, location: str, query: str, *,
+    def __init__(self, location: str, query: str, *,
                  username: str | None = None, password: str | None = None,
                  distributed: bool = True, **ts_kwargs):
         super().__init__(path=f"flight://{location}", **ts_kwargs)
-        # NOTE: deliberately no SparkSession attribute — the table object
-        # is driver-side state, and keeping the session off it guarantees
-        # an accidental closure capture can never try to pickle it
+        # NOTE: deliberately no SparkSession anywhere on this object —
+        # it is driver-side state, every method takes the session
+        # explicitly, and keeping it off the instance guarantees an
+        # accidental closure capture can never try to pickle it
         self.location = location
         self.base_query = query
         self._username = username
@@ -250,7 +251,7 @@ def flight_timeseries(
     IN-list / timestamp bounds into the remote SQL and the store sends
     only the touched slice."""
     return FlightTimeSeriesTable(
-        spark, location, query,
+        location, query,
         username=username, password=password, distributed=distributed,
         identifier_column=identifier_column,
         timestamp_column=timestamp_column,

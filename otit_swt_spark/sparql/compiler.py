@@ -72,10 +72,16 @@ def _pushdown_value_literal(lit):
         except ValueError:
             return None
     if dt in (XSD + "double", XSD + "float", XSD + "decimal"):
+        import math
+
         try:
-            return float(lit.lexical)
+            v = float(lit.lexical)
         except ValueError:
             return None
+        # NaN/INF have no portable SQL literal (repr renders bare 'nan'
+        # and binds as a column name) — leave them to the Spark-side
+        # filter, where NaN = NaN even matches rows
+        return v if math.isfinite(v) else None
     if dt in (XS, None):
         return lit.lexical
     return None
@@ -525,18 +531,14 @@ class Compiler:
         shared = [v for v in left.vars if v in vsm.vars]
         if not shared:
             return self.join_solutions(left, vsm)
-        # UNDEF probe: a driver read of the VALUES frame — inline-literal
-        # by construction, but a programmatic caller could hand compile()
-        # an arbitrarily large frame, so the collect is explicitly bounded
-        # (same discipline as SERVICE_BOUND_JOIN_MAX / TS_ID_PUSHDOWN_MAX)
-        cap = self.VALUES_PROBE_MAX
-        probe = vsm.df.select(*shared).limit(cap + 1).collect()
-        if len(probe) > cap:
-            raise ValueError(
-                f"VALUES block exceeds {cap} rows; inline VALUES this "
-                "large should be a joined DataFrame / graph relation "
-                "instead (raise Compiler.VALUES_PROBE_MAX to override)")
-        if not any(r[v] is None for r in probe for v in shared):
+        # UNDEF probe: does ANY shared cell hold UNDEF? Answered with a
+        # filter + limit(1) so the driver reads AT MOST ONE row however
+        # large a programmatic VALUES frame is (round 12: replaced a
+        # capped full collect — a bound of 1 needs no cap)
+        undef_any = F.lit(False)
+        for v in shared:
+            undef_any = undef_any | F.col(v).isNull()
+        if not vsm.df.where(undef_any).limit(1).collect():
             return self.join_solutions(left, vsm)
         # UNDEF markers must be captured on the ORIGINAL frame: after
         # _coerce_join_keys a try_cast failure ("abc" -> double) also yields
@@ -792,12 +794,6 @@ class Compiler:
     #: bound-join cap: above this many distinct outer bindings the VALUES
     #: block is omitted (unconstrained pull + local join stays correct)
     SERVICE_BOUND_JOIN_MAX = 500
-
-    #: UNDEF-probe cap for inline VALUES frames: the compatibility-join
-    #: dispatch reads the (by-construction tiny) VALUES relation on the
-    #: driver; a programmatic frame larger than this raises instead of
-    #: growing an unbounded collect (r11 verdict watch-item)
-    VALUES_PROBE_MAX = 10_000
 
     def _service_values_block(self, p: "A.Service",
                               input: SolutionMapping | None) -> str:

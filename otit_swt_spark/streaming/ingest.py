@@ -286,7 +286,8 @@ def ewma_stream(df: DataFrame, alpha: float = 0.2,
 def stream_incremental_agg(df: DataFrame, path: str, keys: list,
                            sum_cols: list, checkpoint: str,
                            partition_col: str | None = None,
-                           weight_col: str | None = None):
+                           weight_col: str | None = None,
+                           dec: str | None = None):
     """Maintain a grouped-aggregate parquet table from a stream: every
     micro-batch folds into the stored (count, decimal-sum) partials via
     ``pipelines.incremental.incremental_agg_upsert`` inside
@@ -316,10 +317,11 @@ def stream_incremental_agg(df: DataFrame, path: str, keys: list,
             except ValueError:
                 pass  # unreadable marker: fold (at-least-once fallback)
         if not batch_df.isEmpty():
+            kwargs = {} if dec is None else {"dec": dec}
             incremental_agg_upsert(spark, path, batch_df,
                                    keys, sum_cols,
                                    partition_col=partition_col,
-                                   weight_col=weight_col)
+                                   weight_col=weight_col, **kwargs)
         fsutil.write_text(spark, marker, str(batch_id))
 
     return (df.writeStream.foreachBatch(fold_batch)
@@ -342,21 +344,16 @@ def stream_reliability_bins(df: DataFrame, path: str, checkpoint: str,
     reproduces the batch operator's values exactly (same DECIMAL sums,
     same fixed-order final expressions). Out-of-range scores fail the
     batch rather than silently clamping, matching the batch contract."""
-    b = int(bins)
-    if b < 2:
-        raise ValueError("stream_reliability_bins: bins must be >= 2")
-    s = F.col(score_col).cast("double")
-    guard = F.when((s < 0) | (s > 1), F.raise_error(F.concat(
-        F.lit(f"stream_reliability_bins: {score_col} outside [0,1]: "),
-        s.cast("string"))).cast("double")).otherwise(s)
-    binned = (df.where(F.col(score_col).isNotNull()
-                       & F.col(label_col).isNotNull())
-              .select(F.least(F.floor(guard * b), F.lit(b - 1))
-                      .cast("int").alias("bin"),
-                      s.alias(score_col),
-                      F.col(label_col).cast("int").alias(label_col)))
+    from otit_swt_spark.pipelines.analytics import _reliability_binned
+
+    binned = _reliability_binned(df, score_col, label_col, bins,
+                                 "stream_reliability_bins")
+    # dec MUST match the batch operator's per-row cast (decimal(38,12))
+    # or the two quantize differently before summing and the
+    # value-identical contract breaks in the 7th decimal
     return stream_incremental_agg(binned, path, ["bin"],
-                                  [score_col, label_col], checkpoint)
+                                  [score_col, label_col], checkpoint,
+                                  dec="decimal(38,12)")
 
 
 def reliability_bins_from_partials(spark, path: str,
@@ -367,17 +364,10 @@ def reliability_bins_from_partials(spark, path: str,
     batch ``reliability_bins`` over the same rows (the per-bin DECIMAL
     score sum and integer label sum are exactly what the batch operator
     aggregates; the final divisions use the same expression order)."""
-    t = spark.read.parquet(path)
-    conf = (F.col(f"sum_{score_col}").cast("double")
-            / F.col("n").cast("double"))
-    acc = (F.col(f"sum_{label_col}").cast("double")
-           / F.col("n").cast("double"))
-    return (t.select(
-        "bin", F.col("n").cast("long").alias("n"),
-        (F.round(conf, 6) + F.lit(0.0)).alias("conf"),
-        (F.round(acc, 6) + F.lit(0.0)).alias("acc"),
-        (F.round(F.abs(acc - conf), 6) + F.lit(0.0)).alias("gap"))
-        .orderBy("bin"))
+    from otit_swt_spark.pipelines.analytics import _reliability_select
+
+    return _reliability_select(spark.read.parquet(path),
+                               score_col, label_col)
 
 
 def stream_interval_join(clicks: DataFrame, views: DataFrame,

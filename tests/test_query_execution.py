@@ -353,34 +353,28 @@ def test_values_undef_plus_uncoercible(engine):
     assert all(z == 2 for (_, _, z) in got)
 
 
-def test_values_probe_cap(engine, monkeypatch):
-    """The UNDEF-compatibility dispatch reads the VALUES frame on the
-    driver; the read is capped (VALUES_PROBE_MAX) so a pathological
-    programmatic VALUES block raises instead of growing an unbounded
-    collect. The cap is far above any inline query's size, so golden
-    behavior is untouched."""
-    import pytest
-
-    from otit_swt_spark.sparql.compiler import Compiler
-
-    monkeypatch.setattr(Compiler, "VALUES_PROBE_MAX", 2)
-    big_values = " ".join(f'("v{i}" {i})' for i in range(4))
-    with pytest.raises(ValueError, match="VALUES block exceeds 2"):
-        engine.query(PREFIXES + """
-        SELECT ?w ?z WHERE {
-            ?w types:hasSensor ?s .
-            VALUES (?w ?z) { %s }
-        }
-        """ % big_values)
-    # at/below the cap the plan compiles and runs
-    monkeypatch.setattr(Compiler, "VALUES_PROBE_MAX", 10)
+def test_values_probe_bounded_one_row(engine):
+    """The UNDEF-compatibility dispatch probes the VALUES frame with a
+    filter + limit(1) — the driver reads at most ONE row regardless of
+    VALUES size, so a large programmatic VALUES block just works (no
+    cap, no unbounded collect) and UNDEF is still detected."""
+    big_values = " ".join(f'("v{i}" {i})' for i in range(200))
     df = engine.query(PREFIXES + """
+    SELECT ?w ?v2 ?z WHERE {
+        ?w types:hasSensor ?s .
+        BIND("v3" AS ?v2)
+        VALUES (?v2 ?z) { %s }
+    }
+    """ % big_values)
+    assert sorted((r[1], r[2]) for r in df.collect()) == [("v3", 3)] * 2
+    # UNDEF detection unchanged
+    df2 = engine.query(PREFIXES + """
     SELECT ?w ?z WHERE {
         ?w types:hasSensor ?s .
         VALUES (?w ?z) { (UNDEF 7) }
     }
     """)
-    assert sorted(r[1] for r in df.collect()) == [7, 7]
+    assert sorted(r[1] for r in df2.collect()) == [7, 7]
 
 
 def test_if(engine):

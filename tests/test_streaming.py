@@ -362,10 +362,14 @@ def test_stream_reliability_bins_matches_batch(spark, tmp_path):
         stream_reliability_bins,
     )
 
-    b1 = pd.DataFrame({"score": [0.05, 0.15, 0.95],
-                       "label": [0, 1, 1]})
-    b2 = pd.DataFrame({"score": [0.15, 1.0, 0.97],
-                       "label": [0, 1, 0]})
+    # scores with >6 decimal places on purpose: the partials fold MUST
+    # quantize per-row at the batch operator's decimal(38,12) — the
+    # incremental machinery's default decimal(38,6) would round
+    # 0.0000006 to 0.000001 before summing and diverge (r12 review fix)
+    b1 = pd.DataFrame({"score": [0.05, 0.15, 0.95, 0.0000006],
+                       "label": [0, 1, 1, 0]})
+    b2 = pd.DataFrame({"score": [0.15, 1.0, 0.97, 0.0000006],
+                       "label": [0, 1, 0, 1]})
     src = str(tmp_path / "src")
     agg = str(tmp_path / "agg")
     ck = str(tmp_path / "ck")
