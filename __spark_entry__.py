@@ -3488,13 +3488,23 @@ def q_pq_topk_indexed(spark, sf_dir):
         fp = f"{int(st.st_mtime)}_{st.st_size}"
     except OSError:
         fp = "nofp"
+    # the absolute path is hashed in beside the basename tag so two
+    # DIFFERENT datasets whose directories share a basename (and happen
+    # to collide on mtime+size) can never serve each other's codes
+    import hashlib
     tag = os.path.basename(sf_dir.rstrip("/"))
+    ph = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), "otit_swt_spark_cache",
-                        f"pq_index_{tag}_m8k16i2_{fp}")
+                        f"pq_index_{tag}_{ph}_m8k16i2_{fp}")
     if not os.path.exists(os.path.join(path, "_codebooks.json")):
         pq_index(e, path, m=8, codebook_size=16, iters=2)
-    qv = [float(x)
-          for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            "pq_topk_indexed: query vector vec_id=0 not found in "
+            f"{src} — cannot build the ADC query")
+    qv = [float(x) for x in qrow["embedding"]]
     return pq_topk_indexed(spark, path, qv, k=12)
 
 

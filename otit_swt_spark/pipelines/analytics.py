@@ -1601,7 +1601,7 @@ def _reliability_binned(df: DataFrame, score_col: str, label_col: str,
     s = F.col(score_col).cast("double")
     rows = df.where(F.col(score_col).isNotNull()
                     & F.col(label_col).isNotNull())
-    guard = F.when((s < 0) | (s > 1), F.raise_error(F.concat(
+    guard = F.when((s < 0) | (s > 1) | F.isnan(s), F.raise_error(F.concat(
         F.lit(f"{err_prefix}: {score_col} outside [0,1]: "),
         s.cast("string"))).cast("double")).otherwise(s)
     return rows.select(

@@ -182,8 +182,22 @@ def _robots_wildcard_groups(df: DataFrame, domain_col: str,
     # even when the caller only extracts user-agent|crawl-delay.
     # Filtering first merged such runs and leaked a bot-only group's
     # Crawl-delay onto the * group (round-12 fix).
-    field = F.lower(F.regexp_extract(
+    raw_field = F.lower(F.regexp_extract(
         clean, r"^([A-Za-z][A-Za-z0-9-]*)\s*:", 1))
+    # A bare URL line ('http://example.com/x') also matches the
+    # field regex (field 'http', value '//example.com/x'); RFC 9309
+    # says crawlers should IGNORE such malformed lines, not let them
+    # terminate a User-agent run and split the group (round-13 fix).
+    # Scheme shape = colon immediately followed by '//'; a KNOWN
+    # directive keeps its rule reading even then ('Disallow://foo'
+    # is a rule with path '//foo', not a 'disallow:' URL scheme).
+    known_directives = ("user-agent", "allow", "disallow", "crawl-delay",
+                        "sitemap", "host", "clean-param", "request-rate",
+                        "visit-time", "noindex")
+    field = F.when(
+        clean.rlike(r"^[A-Za-z][A-Za-z0-9-]*://")
+        & ~raw_field.isin(*known_directives),
+        F.lit("")).otherwise(raw_field)
     value = F.trim(F.regexp_extract(
         clean, r"^[A-Za-z][A-Za-z0-9-]*\s*:\s*(.*)$", 1))
     parsed = (lines.select("domain", "pos", field.alias("__f"),

@@ -203,6 +203,7 @@ class FlightTimeSeriesTable(TimeSeriesTable):
         self._username = username
         self._password = password
         self._distributed = distributed
+        self._value_xsd_cache: str | None = None
 
     def _read(self, spark: SparkSession, sql: str) -> DataFrame:
         return flight_sql_read(spark, self.location, sql,
@@ -214,6 +215,33 @@ class FlightTimeSeriesTable(TimeSeriesTable):
         if self._df is None:
             self._df = self._read(spark, self.base_query)
         return self._df
+
+    def value_xsd(self, spark: SparkSession) -> str:
+        """Value datatype WITHOUT triggering a remote data fetch: the
+        declared hint wins; otherwise one get_flight_info round-trip
+        yields the result schema (no record batches move). The base
+        implementation would call load() — a full fetch of the
+        unrestricted base query, the exact thing the lazy table exists
+        to avoid."""
+        if self.value_datatype:
+            return self.value_datatype
+        if self._value_xsd_cache is None:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            from otit_swt_spark.terms import xsd_for_spark_type
+
+            flight = _require_flight()
+            client = flight.FlightClient(self.location)
+            opts = _call_options(flight, self._username, self._password,
+                                 client)
+            descriptor = flight.FlightDescriptor.for_command(
+                self.base_query.encode("utf-8"))
+            info = client.get_flight_info(descriptor, opts) \
+                if opts is not None else client.get_flight_info(descriptor)
+            schema = from_arrow_schema(info.schema)
+            self._value_xsd_cache = xsd_for_spark_type(
+                schema[self.value_column].dataType)
+        return self._value_xsd_cache
 
     def restricted_normalized(self, spark: SparkSession, *,
                               ids: list[str] | None = None,

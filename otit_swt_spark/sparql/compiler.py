@@ -425,9 +425,24 @@ class Compiler:
         dfs = []
         for t in self.ts_tables:
             if getattr(t, "supports_pushdown", False):
+                v_eq = value_eq
+                if isinstance(v_eq, str) and not isinstance(v_eq, bool):
+                    # A string equality renders as value = 'lit'; against
+                    # a numeric remote value column that HARD-ERRORS on
+                    # PostgreSQL-dialect stores (invalid input syntax)
+                    # where the Spark-side null-safe comparison would just
+                    # return empty. Push string equality only when this
+                    # table's value type is known to be string; otherwise
+                    # leave it to the Spark-side filter.
+                    from otit_swt_spark.terms import XSD_STRING
+                    try:
+                        if t.value_xsd(self.spark) != XSD_STRING:
+                            v_eq = None
+                    except Exception:
+                        v_eq = None
                 dfs.append(t.restricted_normalized(
                     self.spark, ids=ids, ts_lower=ts_lower,
-                    ts_upper=ts_upper, value_eq=value_eq))
+                    ts_upper=ts_upper, value_eq=v_eq))
             else:
                 dfs.append(t.normalized(self.spark))
         return self._harmonize_ts_union(dfs)
