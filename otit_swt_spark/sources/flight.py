@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from otit_swt_spark.timeseries import TimeSeriesTable
 
@@ -179,6 +179,76 @@ def render_restricted_sql(
             f"WHERE {' AND '.join(conds)}")
 
 
+def render_grouped_sql(
+    base_query: str,
+    *,
+    identifier_column: str,
+    timestamp_column: str,
+    value_column: str = "value",
+    granule: tuple = ("all",),
+    ids: list[str] | None = None,
+    ts_lower=None,
+    ts_upper=None,
+    agg_cast: str = "DOUBLE",
+) -> str:
+    """Render the reference's GroupedTimeSeriesQuery
+    (timeseries_sql_rewrite.rs:470-560 create_grouped_query, decided by
+    preparing/graph_patterns/group_pattern.rs:18-105) as a remote
+    PARTIAL aggregation: the store groups by (id, time granule) and
+    returns COUNT/SUM/MIN/MAX partials plus each group's MIN(timestamp)
+    as a representative instant — Spark recomputes the exact grouping
+    keys from the representative and re-aggregates, so the remote
+    grouping only has to REFINE the query's granularity, never replicate
+    its expression semantics. Against a remote 100 TB TSDB this is THE
+    downsampling lever: a 10-minute AVG over a year fetches ~52k rows
+    per series instead of every point.
+
+    Unlike render_restricted_sql's implied-by bounds, ``ts_lower`` /
+    ``ts_upper`` arrive as ``(value, strict)`` pairs and render EXACTLY:
+    a relaxed bound would fold out-of-window boundary points into
+    surviving groups' partials, which no Spark-side re-filter could
+    undo.
+
+    granule: ``("all",)`` — one row per id; ``("bucket", K)`` —
+    FLOOR(epoch/K) tumbling buckets (K whole seconds, epoch-aligned like
+    the engine's DateTimeAsSeconds bucketing); ``("trunc", unit)`` —
+    DATE_TRUNC calendar buckets. All forms are plain ANSI/PostgreSQL
+    SQL a Dremio/DuckDB/PG-dialect Flight store executes as-is."""
+    qid = '"' + identifier_column.replace('"', '""') + '"'
+    qts = '"' + timestamp_column.replace('"', '""') + '"'
+    qval = '"' + value_column.replace('"', '""') + '"'
+    conds: list[str] = []
+    if ids is not None:
+        in_list = ", ".join(_sql_str_literal(i) for i in sorted(ids))
+        conds.append(f"{qid} IN ({in_list})" if in_list else "1 = 0")
+    if ts_lower is not None:
+        v, strict = ts_lower
+        conds.append(f"{qts} {'>' if strict else '>='} {_sql_ts_literal(v)}")
+    if ts_upper is not None:
+        v, strict = ts_upper
+        conds.append(f"{qts} {'<' if strict else '<='} {_sql_ts_literal(v)}")
+    keys = [qid]
+    if granule[0] == "bucket":
+        keys.append(f"FLOOR(EXTRACT(EPOCH FROM {qts}) / {int(granule[1])})")
+    elif granule[0] == "trunc":
+        unit = str(granule[1])
+        if unit not in ("year", "month", "day", "hour", "minute", "second"):
+            raise ValueError(f"unsupported granule unit {unit!r}")
+        keys.append(f"DATE_TRUNC('{unit}', {qts})")
+    elif granule[0] != "all":
+        raise ValueError(f"unsupported granule {granule!r}")
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    return (
+        f"SELECT {qid}, MIN({qts}) AS {qts}, "
+        f'CAST(COUNT(*) AS BIGINT) AS "__gp_cnt", '
+        f'CAST(COUNT({qval}) AS BIGINT) AS "__gp_n", '
+        f'CAST(SUM({qval}) AS {agg_cast}) AS "__gp_sum", '
+        f'CAST(MIN({qval}) AS {agg_cast}) AS "__gp_min", '
+        f'CAST(MAX({qval}) AS {agg_cast}) AS "__gp_max" '
+        f"FROM ({base_query}) ts_pushdown{where} "
+        f"GROUP BY {', '.join(keys)}")
+
+
 class FlightTimeSeriesTable(TimeSeriesTable):
     """A TimeSeriesTable backed by a REMOTE Flight SQL store, fetched
     lazily so the compiler can render the composed restriction (id
@@ -257,6 +327,41 @@ class FlightTimeSeriesTable(TimeSeriesTable):
         if sql == self.base_query:
             return self.normalized(spark)
         return self._normalize(self._read(spark, sql))
+
+    def grouped_restricted_normalized(self, spark: SparkSession, *,
+                                      granule: tuple,
+                                      ids: list[str] | None = None,
+                                      ts_lower=None, ts_upper=None,
+                                      agg_type: str = "double"):
+        """Execute the grouped pushdown on the remote store — one row
+        per (id, granule) crosses the wire instead of one per point.
+        The value column is NULL-typed: _analyze_group_pushdown proved
+        nothing downstream reads it, every consumer aggregates the
+        partial columns instead."""
+        cast = {"long": "BIGINT", "double": "DOUBLE"}.get(agg_type)
+        if cast is None:
+            return None
+        sql = render_grouped_sql(
+            self.base_query,
+            identifier_column=self.identifier_column,
+            timestamp_column=self.timestamp_column,
+            value_column=self.value_column,
+            granule=granule, ids=ids,
+            ts_lower=ts_lower, ts_upper=ts_upper, agg_cast=cast)
+        df = self._read(spark, sql)
+        spark_t = {"long": "long", "double": "double"}[agg_type]
+        return df.select(
+            F.col(self.identifier_column).cast("string").alias("id"),
+            F.col(self.timestamp_column).alias("timestamp"),
+            F.lit(None).cast(spark_t).alias("value"),
+            F.lit(None).cast("int").alias("__part_year"),
+            F.lit(None).cast("int").alias("__part_month"),
+            F.lit(None).cast("int").alias("__part_day"),
+            F.col("__gp_cnt").cast("long").alias("__gp_cnt"),
+            F.col("__gp_n").cast("long").alias("__gp_n"),
+            F.col("__gp_sum").cast(spark_t).alias("__gp_sum"),
+            F.col("__gp_min").cast(spark_t).alias("__gp_min"),
+            F.col("__gp_max").cast(spark_t).alias("__gp_max"))
 
 
 def flight_timeseries(

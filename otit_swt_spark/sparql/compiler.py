@@ -87,6 +87,116 @@ def _pushdown_value_literal(lit):
     return None
 
 
+_TIME_UNITS = ("year", "month", "day", "hour", "minute", "second")
+
+
+def _expr_substitute(e: A.Expr, mapping: dict) -> A.Expr:
+    """Replace ``EVar`` nodes named in ``mapping`` with their defining
+    ASTs — BIND inlining, so the grouped-pushdown analysis sees e.g. a
+    tumbling bucket built through an intermediate ``?secs`` variable as
+    one closed expression over the timestamp variable."""
+    if isinstance(e, A.EVar):
+        return mapping.get(e.name, e)
+    if isinstance(e, (A.EOr, A.EAnd)):
+        return type(e)(_expr_substitute(e.left, mapping),
+                       _expr_substitute(e.right, mapping))
+    if isinstance(e, (A.ECmp, A.EArith)):
+        return type(e)(e.op, _expr_substitute(e.left, mapping),
+                       _expr_substitute(e.right, mapping))
+    if isinstance(e, (A.ENot, A.ENeg)):
+        return type(e)(_expr_substitute(e.inner, mapping))
+    if isinstance(e, A.EIn):
+        return A.EIn(_expr_substitute(e.expr, mapping),
+                     tuple(_expr_substitute(o, mapping) for o in e.options),
+                     e.negated)
+    if isinstance(e, A.EFunc):
+        return A.EFunc(e.name, tuple(_expr_substitute(a, mapping)
+                                     for a in e.args))
+    return e  # literals / IRIs / EExists (rejected upstream)
+
+
+def _collect_time_accessors(e: A.Expr, tname: str, acc: set) -> bool:
+    """True iff every reference to the timestamp variable ``tname``
+    inside ``e`` goes through a GRANULE-RESPECTING accessor: a calendar
+    extract (YEAR..SECONDS — all integer-valued in this engine), the
+    whole-second epoch conversion, or a ``FLOOR(epoch / K)`` tumbling
+    bucket with integer K. Such an expression is a pure function of
+    (granule, other bindings), so evaluating it on a remote group's
+    representative row yields exactly its value on every point of the
+    group. Accessors are recorded in ``acc`` as ``("unit", u)`` /
+    ``("bucket", K)`` for granule resolution."""
+    from otit_swt_spark.terms import DATETIME_AS_SECONDS
+
+    def is_epoch(x):
+        return (isinstance(x, A.EFunc) and x.name == DATETIME_AS_SECONDS
+                and len(x.args) == 1 and isinstance(x.args[0], A.EVar)
+                and x.args[0].name == tname)
+
+    if isinstance(e, A.EVar):
+        return e.name != tname
+    if isinstance(e, (A.ELiteral, A.EIri)):
+        return True
+    if isinstance(e, A.EFunc):
+        unit = {"YEAR": "year", "MONTH": "month", "DAY": "day",
+                "HOURS": "hour", "MINUTES": "minute",
+                "SECONDS": "second"}.get(e.name)
+        if unit and len(e.args) == 1 and isinstance(e.args[0], A.EVar) \
+                and e.args[0].name == tname:
+            acc.add(("unit", unit))
+            return True
+        if is_epoch(e):
+            # DateTimeAsSeconds truncates to whole seconds — a function
+            # of the 'second' granule
+            acc.add(("unit", "second"))
+            return True
+        if e.name == "FLOOR" and len(e.args) == 1:
+            a0 = e.args[0]
+            if isinstance(a0, A.EArith) and a0.op == "/" \
+                    and is_epoch(a0.left) and isinstance(a0.right, A.ELiteral):
+                try:
+                    k = float(a0.right.value.lexical)
+                except (TypeError, ValueError):
+                    k = 0.0
+                if k > 0 and k == int(k):
+                    acc.add(("bucket", int(k)))
+                    return True
+        return all(_collect_time_accessors(a, tname, acc) for a in e.args)
+    if isinstance(e, (A.EOr, A.EAnd, A.ECmp, A.EArith)):
+        return (_collect_time_accessors(e.left, tname, acc)
+                and _collect_time_accessors(e.right, tname, acc))
+    if isinstance(e, (A.ENot, A.ENeg)):
+        return _collect_time_accessors(e.inner, tname, acc)
+    if isinstance(e, A.EIn):
+        return _collect_time_accessors(e.expr, tname, acc) and all(
+            _collect_time_accessors(o, tname, acc) for o in e.options)
+    return False  # EExists / aggregates / unknown nodes: refuse
+
+
+def _resolve_granule(acc: set) -> tuple:
+    """Fold collected accessors into ONE remote GROUP BY granule that
+    REFINES every accessor — finer-or-equal grouping is always sound
+    because the Spark side recomputes the exact keys from each group's
+    representative timestamp and re-aggregates the partials. A single
+    pure bucket width groups exactly (rows-served == buckets); mixed
+    forms fall back to the finest calendar unit that still refines
+    everything (a K-second bucket is a function of the minute/hour/day
+    truncation whenever 60/3600/86400 divides K — epoch 0 is midnight,
+    so epoch buckets align with calendar boundaries in the engine's
+    naive-UTC convention)."""
+    if not acc:
+        return ("all",)
+    buckets = {k for kind, k in acc if kind == "bucket"}
+    units = {u for kind, u in acc if kind == "unit"}
+    if buckets and not units and len(buckets) == 1:
+        return ("bucket", next(iter(buckets)))
+    for k in buckets:
+        units.add("day" if k % 86400 == 0 else
+                  "hour" if k % 3600 == 0 else
+                  "minute" if k % 60 == 0 else "second")
+    order = {u: i for i, u in enumerate(_TIME_UNITS)}
+    return ("trunc", max(units, key=lambda u: order[u]))
+
+
 def _pattern_free_expr_vars(p: A.GraphPattern) -> set[str]:
     """Variables referenced by expressions inside ``p`` (BIND/FILTER/
     ORDER BY/aggregate/nested-LeftJoin expressions) but not bound by ``p``
@@ -236,6 +346,10 @@ class Compiler:
         #: sides, EXISTS inners, subselects) past which outer hints must
         #: not leak — see _ts_relation_for_join
         self._ts_bound_hints: list[dict | None] = []
+        #: active grouped-pushdown specs (innermost last) — published by
+        #: compile_group when its static analysis proves the GROUP BY can
+        #: aggregate remotely, consumed by _ts_relation_for_join
+        self._group_pushdown_stack: list[dict] = []
         #: endpoint IRI -> GraphStore for SERVICE patterns (in-process
         #: federation; reference rewrites SERVICE to its static side,
         #: rewriting/graph_patterns/service_pattern.rs:1)
@@ -419,6 +533,22 @@ class Compiler:
             if len(rows) <= cap:
                 ids = sorted({r[0] for r in rows})
 
+        # grouped pushdown (reference GroupedTimeSeriesQuery,
+        # preparing/graph_patterns/group_pattern.rs:18-105): when the
+        # enclosing GROUP BY proved eligible, the store aggregates
+        # partials per (id, granule) remotely — rows-served ~ groups
+        spec = (self._group_pushdown_stack[-1]
+                if self._group_pushdown_stack else None)
+        if (spec is not None and not spec["fired"]
+                and isinstance(tj.get("t"), Variable)
+                and tj["t"].name == spec["t"]
+                and isinstance(tj.get("v"), Variable)
+                and tj["v"].name == spec["v"]):
+            grouped = self._grouped_ts_relation(spec, ids)
+            if grouped is not None:
+                spec["fired"] = True
+                return grouped
+
         if ids is None and ts_lower is None and ts_upper is None \
                 and value_eq is None:
             return self.ts_relation()
@@ -446,6 +576,301 @@ class Compiler:
             else:
                 dfs.append(t.normalized(self.spark))
         return self._harmonize_ts_union(dfs)
+
+    def _analyze_group_pushdown(self, p: A.Group,
+                                input: SolutionMapping | None) -> dict | None:
+        """Static eligibility proof for the reference's GROUP BY pushdown
+        (preparing/graph_patterns/group_pattern.rs:18-105 — a Group whose
+        inner resolves to exactly ONE time-series query is handed to the
+        remote store; SQL parity target timeseries_sql_rewrite.rs:470-560
+        create_grouped_query). Spark-first restructuring: instead of
+        translating the SPARQL aggregate list into remote SQL verbatim,
+        the store aggregates PARTIALS — COUNT/SUM/MIN/MAX per (series id,
+        time granule) — and the ordinary Spark GROUP BY re-aggregates
+        them (sum of sums, min of mins, sum/count for AVG). The granule
+        is chosen to REFINE every timestamp-derived grouping key, so the
+        result is exact regardless of remote expression semantics.
+
+        Conditions (each one guarantees partial rows behave exactly like
+        point rows under the rest of the plan):
+        - inner tree contains only BGP/Filter/Extend/Join nodes;
+        - exactly one hasDataPoint chain, timestamp+value both variables,
+          none of dp/t/v reused anywhere else or pre-bound by ``input``;
+        - every BIND is EXISTS-free and value-free, and any reference to
+          the timestamp goes through granule-respecting accessors
+          (_collect_time_accessors);
+        - every FILTER conjunct that touches the timestamp is either a
+          direct t-vs-dateTime-literal bound (rendered into the remote
+          WHERE with EXACT strictness) or granule-constant;
+        - group keys never name t/v/dp directly;
+        - every aggregate is non-DISTINCT COUNT(*) or
+          COUNT/SUM/AVG/MIN/MAX over the bare value variable.
+
+        Returns the mutable spec consumed by _ts_relation_for_join (which
+        still decides per-backend and may decline), or None — in which
+        case the compiled plan is identical to the non-pushdown one."""
+        import datetime as _dt
+
+        if not any(getattr(t, "supports_pushdown", False)
+                   for t in self.ts_tables):
+            return None
+
+        triples: list[A.TriplePattern] = []
+        extends: list[tuple[str, A.Expr]] = []
+        filters: list[A.Expr] = []
+
+        def walk(node) -> bool:
+            if isinstance(node, A.BGP):
+                triples.extend(node.patterns)
+                return True
+            if isinstance(node, A.Filter):
+                filters.append(node.expr)
+                return walk(node.inner)
+            if isinstance(node, A.Extend):
+                extends.append((node.var, node.expr))
+                return walk(node.inner)
+            if isinstance(node, A.Join):
+                return walk(node.left) and walk(node.right)
+            return False
+
+        if not walk(p.inner):
+            return None
+
+        chains: dict[str, dict[str, list]] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in triples:
+            pv = tp.p.value if isinstance(tp.p, IRI) else None
+            if pv == HAS_DATA_POINT and isinstance(tp.o, Variable):
+                chains.setdefault(tp.o.name, {}).setdefault(
+                    "ts_var", []).append(tp.s)
+            elif pv == HAS_TIMESTAMP and isinstance(tp.s, Variable):
+                chains.setdefault(tp.s.name, {}).setdefault(
+                    "t", []).append(tp.o)
+            elif pv == HAS_VALUE and isinstance(tp.s, Variable):
+                chains.setdefault(tp.s.name, {}).setdefault(
+                    "v", []).append(tp.o)
+            else:
+                rest.append(tp)
+        if len(chains) != 1:
+            return None
+        dp, info = next(iter(chains.items()))
+        if any(len(v) != 1 for v in info.values()) or set(info) != {
+                "ts_var", "t", "v"}:
+            return None
+        t_term, v_term = info["t"][0], info["v"][0]
+        if not (isinstance(t_term, Variable) and isinstance(v_term, Variable)):
+            return None
+        tname, vname = t_term.name, v_term.name
+        special = {dp, tname, vname}
+        if len(special) != 3:
+            return None
+        ts_var = info["ts_var"][0]
+        if isinstance(ts_var, Variable) and ts_var.name in special:
+            return None
+        if input is not None and (special & set(input.vars)
+                                  or dp in input.ts_chains):
+            return None
+        for tp in rest:
+            terms = [tp.s, tp.o] + ([tp.p] if isinstance(tp.p, Variable)
+                                    else [])
+            if any(isinstance(x, Variable) and x.name in special
+                   for x in terms):
+                return None
+
+        acc: set = set()
+        derived: dict[str, A.Expr] = {}
+        derived_acc: dict[str, set] = {}
+        for var, expr in reversed(extends):  # innermost definition first
+            if _contains_exists(expr) or var in special:
+                return None
+            sub = _expr_substitute(expr, derived)
+            used = A.expr_variables(sub)
+            if vname in used or dp in used:
+                return None
+            if tname in used:
+                # validate now, but fold the accessors into the granule
+                # only if the var is actually USED as a group key or in
+                # a filter — an intermediate BIND (?secs feeding the
+                # bucket) must not force a finer granule than its
+                # consumers need
+                var_acc: set = set()
+                if not _collect_time_accessors(sub, tname, var_acc):
+                    return None
+                derived[var] = sub
+                derived_acc[var] = var_acc
+
+        ts_lo = ts_hi = None  # (datetime, strict)
+
+        def tighten(lo: bool, val, strict: bool):
+            nonlocal ts_lo, ts_hi
+            cur = ts_lo if lo else ts_hi
+            better = (cur is None
+                      or (val > cur[0] if lo else val < cur[0])
+                      or (val == cur[0] and strict and not cur[1]))
+            if better:
+                if lo:
+                    ts_lo = (val, strict)
+                else:
+                    ts_hi = (val, strict)
+
+        def parse_bound(c) -> bool:
+            if not isinstance(c, A.ECmp):
+                return False
+            op, lhs, rhs = c.op, c.left, c.right
+            if isinstance(rhs, A.EVar) and isinstance(lhs, A.ELiteral):
+                lhs, rhs = rhs, lhs
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            if not (isinstance(lhs, A.EVar) and lhs.name == tname
+                    and isinstance(rhs, A.ELiteral)):
+                return False
+            lit = rhs.value
+            if lit.datatype != XSD_DATETIME or op not in (
+                    "<", "<=", ">", ">=", "="):
+                return False
+            try:
+                dtv = _dt.datetime.fromisoformat(
+                    lit.lexical.replace("Z", "+00:00"))
+            except ValueError:
+                return False
+            if dtv.tzinfo is not None:
+                dtv = dtv.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if op in (">", ">=", "="):
+                tighten(True, dtv, op == ">")
+            if op in ("<", "<=", "="):
+                tighten(False, dtv, op == "<")
+            return True
+
+        def conjuncts(e):
+            if isinstance(e, A.EAnd):
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        for fexpr in filters:
+            if _contains_exists(fexpr):
+                return None
+            sub = _expr_substitute(fexpr, derived)
+            used = A.expr_variables(sub)
+            if vname in used or dp in used:
+                return None
+            if tname not in used:
+                continue
+            for c in conjuncts(sub):
+                if tname not in A.expr_variables(c):
+                    continue
+                if parse_bound(c):
+                    continue
+                if not _collect_time_accessors(c, tname, acc):
+                    return None
+
+        if any(v in special for v in p.by):
+            return None
+        for v in p.by:
+            acc |= derived_acc.get(v, set())
+        for a in p.aggregates:
+            if a.distinct:
+                return None
+            if a.name == "COUNT" and a.expr is None:
+                continue
+            if a.name in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
+                    and isinstance(a.expr, A.EVar) and a.expr.name == vname:
+                continue
+            return None
+
+        return {
+            "t": tname, "v": vname, "dp": dp,
+            "granule": _resolve_granule(acc),
+            "ts_lower": ts_lo, "ts_upper": ts_hi,
+            "cols": {k: self.fresh(f"gp_{k}")
+                     for k in ("cnt", "n", "sum", "min", "max")},
+            "fired": False,
+        }
+
+    def _grouped_ts_relation(self, spec: dict, ids) -> tuple | None:
+        """The (id, representative timestamp, NULL value, partials)
+        relation for a grouped pushdown. Capable backends execute
+        COUNT/SUM/MIN/MAX per (id, granule) REMOTELY; non-capable tables
+        contribute one partial row per point (cnt=1, sum=min=max=value),
+        so the union re-aggregates uniformly and exactly. Returns None —
+        and the caller falls back to the point fetch — when any table's
+        value type is outside the exact-re-aggregation set (strings sort
+        by store collation, decimals carry engine-specific precision
+        rules) or no backend actually produced a grouped frame."""
+        hint_map = {}
+        from otit_swt_spark.terms import XSD
+        for n in ("integer", "long", "int", "short", "byte",
+                  "nonNegativeInteger", "unsignedInt", "unsignedLong"):
+            hint_map[XSD + n] = "long"
+        hint_map[XSD + "double"] = "double"
+        hint_map[XSD + "float"] = "double"
+
+        hints = []
+        for t in self.ts_tables:
+            try:
+                x = t.value_xsd(self.spark)
+            except Exception:
+                return None
+            h = hint_map.get(x)
+            if h is None:
+                return None
+            hints.append(h)
+        hint = "long" if all(h == "long" for h in hints) else "double"
+
+        any_grouped = False
+        dfs = []
+        for t in self.ts_tables:
+            g = None
+            if getattr(t, "supports_pushdown", False):
+                g = t.grouped_restricted_normalized(
+                    self.spark, granule=spec["granule"], ids=ids,
+                    ts_lower=spec["ts_lower"], ts_upper=spec["ts_upper"],
+                    agg_type=hint)
+            if g is not None:
+                any_grouped = True
+                dfs.append(g)
+            else:
+                v = F.col("value").cast(hint)
+                dfs.append(t.normalized(self.spark).select(
+                    "id", "timestamp", v.alias("value"),
+                    F.col("__part_year"), F.col("__part_month"),
+                    F.col("__part_day"),
+                    F.lit(1).cast("long").alias("__gp_cnt"),
+                    F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("__gp_n"),
+                    v.alias("__gp_sum"), v.alias("__gp_min"),
+                    v.alias("__gp_max")))
+        if not any_grouped:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out, hint
+
+    def _partial_reagg(self, a: A.EAggregate, sm: SolutionMapping,
+                       spec: dict) -> tuple[Column, VarMeta]:
+        """Final aggregation over remote partials — the Spark half of the
+        grouped pushdown. _analyze_group_pushdown guarantees only these
+        shapes reach here; metas mirror _compile_aggregate's exactly so
+        downstream projection/typing can't tell the paths apart."""
+        c = spec["cols"]
+        val_hint = sm.vars[c["sum"]].hint
+        if a.expr is None:  # COUNT(*)
+            return F.sum(F.col(c["cnt"])).cast("long"), \
+                VarMeta("native", "long")
+        if a.name == "COUNT":
+            return F.sum(F.col(c["n"])).cast("long"), VarMeta("native", "long")
+        if a.name == "SUM":
+            return F.sum(F.col(c["sum"])), VarMeta("native", val_hint)
+        if a.name == "AVG":
+            n = F.sum(F.col(c["n"]))
+            return F.when(n > 0, F.sum(F.col(c["sum"]).cast("double")) / n), \
+                VarMeta("native", "double")
+        if a.name == "MIN":
+            return F.min(F.col(c["min"])), VarMeta("native", val_hint)
+        if a.name == "MAX":
+            return F.max(F.col(c["max"])), VarMeta("native", val_hint)
+        raise AssertionError(f"unexpected pushdown aggregate {a.name}")
 
     # --------------------------------------------------------------- joining
 
@@ -1089,11 +1514,24 @@ class Compiler:
                 sm = replace(sm, df=sm.df.withColumn(term.name, F.col(src)), vars=vars2)
             return sm
 
+        spec = (self._group_pushdown_stack[-1]
+                if self._group_pushdown_stack else None)
+        pre_fired = spec["fired"] if spec is not None else True
         ts_df, value_hint = self._ts_relation_for_join(sm, tj)
+        fired_now = spec is not None and spec["fired"] and not pre_fired
         eid = tj["eid"]
         cols = [F.col("id").alias(eid)]
         vars2: dict[str, VarMeta] = {eid: VarMeta("native", "string")}
         chain_info: dict = {}
+        if fired_now:
+            # carry the remote partial-aggregate columns as native vars
+            # (fresh names — they ride through joins/filters untouched
+            # until compile_group's re-aggregation consumes them)
+            for key in ("cnt", "n", "sum", "min", "max"):
+                name = spec["cols"][key]
+                cols.append(F.col(f"__gp_{key}").alias(name))
+                vars2[name] = VarMeta(
+                    "native", "long" if key in ("cnt", "n") else value_hint)
         for key, hint, src in (("t", "timestamp", "timestamp"), ("v", value_hint, "value")):
             term = tj.get(key)
             if term is None:
@@ -1781,7 +2219,19 @@ class Compiler:
     # -- group / aggregates ----------------------------------------------------
 
     def compile_group(self, p: A.Group, input: SolutionMapping | None) -> SolutionMapping:
-        sm = self.compile_pattern(p.inner, input)
+        # grouped pushdown (reference group_pattern.rs:18-105): publish
+        # the statically-proven spec for the duration of the inner
+        # compile; if the TS fetch fired it, aggregate over the remote
+        # partials instead of raw points
+        spec = self._analyze_group_pushdown(p, input)
+        if spec is not None:
+            self._group_pushdown_stack.append(spec)
+        try:
+            sm = self.compile_pattern(p.inner, input)
+        finally:
+            if spec is not None:
+                self._group_pushdown_stack.pop()
+        fired = spec is not None and spec["fired"]
         group_cols = []
         for v in p.by:
             group_cols.append(v)
@@ -1791,6 +2241,11 @@ class Compiler:
         dt_vars = {v for v in sm.dt_vars if v in p.by}
         lang_vars = {v for v in sm.lang_vars if v in p.by}
         for a in p.aggregates:
+            if fired:
+                col, meta = self._partial_reagg(a, sm, spec)
+                aggs.append(col.alias(a.var))
+                vars2[a.var] = meta
+                continue
             col, meta, extras = self._compile_aggregate(a, sm)
             aggs.append(col.alias(a.var))
             vars2[a.var] = meta

@@ -101,6 +101,22 @@ class TimeSeriesTable:
         sound."""
         return self.normalized(spark)
 
+    def grouped_restricted_normalized(self, spark: SparkSession, *,
+                                      granule: tuple,
+                                      ids: list[str] | None = None,
+                                      ts_lower=None, ts_upper=None,
+                                      agg_type: str = "double"):
+        """Remote GROUPED fetch: one row per (id, granule) carrying
+        COUNT/SUM/MIN/MAX partials and the group's MIN(timestamp) as a
+        representative instant, instead of one row per point (the
+        reference's GroupedTimeSeriesQuery, timeseries_sql_rewrite.rs
+        :470-560). ``granule`` is ``("all",)``, ``("bucket", K)`` or
+        ``("trunc", unit)``; ``ts_lower``/``ts_upper`` are EXACT
+        ``(value, strict)`` bounds. Backends that can't aggregate
+        remotely return None and the compiler degrades to per-point
+        partials — correctness never depends on this method."""
+        return None
+
     def value_xsd(self, spark: SparkSession) -> str:
         if self.value_datatype:
             return self.value_datatype

@@ -313,14 +313,16 @@ def flight_pushdown_server():
     server.shutdown()
 
 
-def test_flight_tsq_pushdown_shrinks_fetch(spark, flight_pushdown_server):
-    """Reference parity for the composed-TSQ remote rewrite
-    (timeseries_sql_rewrite.rs:115-205 via arrow_flight_sql_database.rs
-    :121-230): the external-id IN-list from the static side and the
-    FILTER's timestamp bounds are rendered into the Flight SQL text, the
-    STORE executes them, and the fetched row count shrinks from the full
-    registered result (24 rows: 3 series x 8 points) to exactly the
-    touched slice — while the answer matches the unrestricted plan."""
+def test_flight_tsq_grouped_pushdown_shrinks_fetch_to_groups(
+        spark, flight_pushdown_server):
+    """Reference parity for the GROUP BY pushdown (preparing/
+    graph_patterns/group_pattern.rs:18-105 rendered per
+    timeseries_sql_rewrite.rs:470-560): a single-chain GROUP BY over
+    supported aggregates sends a GROUPED remote query — the store
+    aggregates COUNT/SUM/AVG partials per series inside the exact
+    (strictness-preserving) time window, and rows-served collapses to
+    the number of GROUPS (2), not points (24 registered / 6 matching).
+    The answer is the exact one the raw-point plan computes."""
     from otit_swt_spark.sources.flight import flight_timeseries
 
     srv = flight_pushdown_server
@@ -331,7 +333,9 @@ def test_flight_tsq_pushdown_shrinks_fetch(spark, flight_pushdown_server):
     df = eng.query("""
     PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
     PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
-    SELECT ?ts_id (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE {
+    SELECT ?ts_id (SUM(?v) AS ?total) (COUNT(?v) AS ?n)
+           (AVG(?v) AS ?mean) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+           (COUNT(*) AS ?rows) WHERE {
         ?ts otit_swt:hasExternalId ?ts_id .
         ?ts otit_swt:hasDataPoint ?dp .
         ?dp otit_swt:hasTimestamp ?t .
@@ -340,9 +344,53 @@ def test_flight_tsq_pushdown_shrinks_fetch(spark, flight_pushdown_server):
                && ?t < "2022-06-01T08:46:59"^^xsd:dateTime)
     } GROUP BY ?ts_id""")
     # graph knows ts1/ts2 only; the window keeps seconds 56,57,58
-    assert rows(df) == [("ts1", 104.0 + 105 + 106, 3),
-                        ("ts2", 204.0 + 205 + 206, 3)]
+    assert rows(df) == [("ts1", 104.0 + 105 + 106, 3, 105.0, 104.0, 106.0, 3),
+                        ("ts2", 204.0 + 205 + 206, 3, 205.0, 204.0, 206.0, 3)]
     remote = srv.queries[-1]
+    assert "\"id\" IN ('ts1', 'ts2')" in remote
+    assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:56'" in remote
+    # the grouped form renders the STRICT upper bound exactly (a relaxed
+    # bound would fold second 59 into the surviving groups' partials)
+    assert "\"timestamp\" < TIMESTAMP '2022-06-01 08:46:59'" in remote
+    assert 'GROUP BY "id"' in remote
+    assert "SUM(\"value\")" in remote
+    # fetch volume: one partial row per group = 2 series
+    assert srv.rows_served == 2
+
+
+def test_flight_tsq_point_fetch_when_not_groupable(
+        spark, flight_pushdown_server):
+    """An aggregate outside the pushdown set (MAX over the TIMESTAMP
+    variable — multiplicity-safe only for the value var) falls back to
+    the composed-restriction POINT fetch (timeseries_sql_rewrite.rs
+    :115-205): id IN-list + relaxed inclusive bounds render remotely,
+    the store serves the touched points (8), and the strict bound is
+    re-applied by Spark."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (SUM(?v) AS ?total) (MAX(?t) AS ?last) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        FILTER(?t >= "2022-06-01T08:46:56"^^xsd:dateTime
+               && ?t < "2022-06-01T08:46:59"^^xsd:dateTime)
+    } GROUP BY ?ts_id""")
+    import datetime as dt
+
+    last = dt.datetime(2022, 6, 1, 8, 46, 58)
+    assert rows(df) == [("ts1", 104.0 + 105 + 106, last),
+                        ("ts2", 204.0 + 205 + 206, last)]
+    remote = srv.queries[-1]
+    assert "GROUP BY" not in remote
     assert "\"id\" IN ('ts1', 'ts2')" in remote
     assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:56'" in remote
     # strict upper bound relaxed to an inclusive superset
@@ -525,7 +573,162 @@ def test_flight_pushdown_mixed_with_parquet_table(spark,
                         ("ts2", 206.0 + 207 + 1006 + 1007, 4)]
     assert "\"id\" IN ('ts1', 'ts2')" in srv.queries[-1]
     assert ">= TIMESTAMP '2022-06-01 08:46:58'" in srv.queries[-1]
-    assert srv.rows_served == 4  # flight served only its restricted slice
+    # the GROUP BY pushes to the capable store — one partial row per
+    # group (2) crosses the wire, while the parquet side contributes
+    # per-point partials through the same re-aggregation
+    assert 'GROUP BY "id"' in srv.queries[-1]
+    assert srv.rows_served == 2
+
+
+def test_flight_grouped_pushdown_tumbling_bucket(spark,
+                                                 flight_pushdown_server):
+    """The engine-DSL tumbling form — FLOOR(DateTimeAsSeconds(?t)/K)*K
+    built through an intermediate BIND — pushes as an epoch-bucket
+    GROUP BY: the remote query groups by FLOOR(EXTRACT(EPOCH ...)/4)
+    and serves exactly one partial row per (series, 4s bucket). The
+    fixture's grid (seconds :52-:59, minute boundary => epoch % 4 == 0
+    at :52) splits into buckets [52-55] and [56-59] per series."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id ?bucket (COUNT(?v) AS ?n) (AVG(?v) AS ?mean) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        BIND(otit_swt:DateTimeAsSeconds(?t) AS ?secs)
+        BIND((xsd:integer(FLOOR(?secs / 4.0)) * 4) AS ?bucket)
+    } GROUP BY ?ts_id ?bucket""")
+    got = rows(df)
+    assert len(got) == 4
+    # per-series: seconds 52-55 hold values base+0..3, 56-59 base+4..7
+    by_series = {}
+    for ts_id, bucket, n, mean in got:
+        assert n == 4
+        by_series.setdefault(ts_id, []).append((bucket, mean))
+    assert sorted(by_series) == ["ts1", "ts2"]
+    for base, ts_id in ((100, "ts1"), (200, "ts2")):
+        means = sorted(m for _, m in by_series[ts_id])
+        assert means == [base + 1.5, base + 5.5]
+        b0, b1 = sorted(b for b, _ in by_series[ts_id])
+        assert b1 - b0 == 4
+    remote = srv.queries[-1]
+    assert 'GROUP BY "id", FLOOR(EXTRACT(EPOCH FROM "timestamp") / 4)' \
+        in remote
+    assert srv.rows_served == 4
+
+
+def test_flight_grouped_pushdown_calendar_trunc(spark,
+                                                flight_pushdown_server):
+    """Wind-power-style calendar keys (YEAR/MINUTES extracts + the
+    10*FLOOR(MINUTES/10) sub-hour bucket, query_execution_benchmark_case
+    .rs:97-124) push as a DATE_TRUNC('minute') refinement: the remote
+    store serves one partial row per (series, minute) — the fixture
+    spans one minute, so 2 rows — and Spark recomputes the exact keys
+    from each group's representative timestamp."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id ?year ?minute_10 (AVG(?v) AS ?mean) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        BIND(YEAR(?t) AS ?year)
+        BIND(10 * FLOOR(MINUTES(?t) / 10.0) AS ?minute_10)
+    } GROUP BY ?ts_id ?year ?minute_10""")
+    assert rows(df) == [("ts1", 2022, 40, 103.5),
+                        ("ts2", 2022, 40, 203.5)]
+    remote = srv.queries[-1]
+    assert "GROUP BY \"id\", DATE_TRUNC('minute', \"timestamp\")" in remote
+    assert srv.rows_served == 2
+
+
+def test_flight_grouped_pushdown_blocked_by_distinct_and_optional(
+        spark, flight_pushdown_server):
+    """Eligibility guards: a DISTINCT aggregate and a chain under
+    OPTIONAL both refuse the grouped form and the remote query stays a
+    plain (restricted) point fetch — results identical either way."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(DISTINCT ?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 8), ("ts2", 8)]
+    assert "GROUP BY" not in srv.queries[-1]
+    df2 = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (COUNT(?v) AS ?n) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        OPTIONAL {
+            ?ts otit_swt:hasDataPoint ?dp .
+            ?dp otit_swt:hasTimestamp ?t .
+            ?dp otit_swt:hasValue ?v .
+        }
+    } GROUP BY ?ts_id""")
+    assert rows(df2) == [("ts1", 8), ("ts2", 8)]
+    assert "GROUP BY" not in srv.queries[-1]
+
+
+def test_render_grouped_sql_text():
+    """Grouped-render unit contract: exact strictness on bounds, the
+    three granule forms, and the fixed partial-column aliases."""
+    import datetime as dt
+
+    from otit_swt_spark.sources.flight import render_grouped_sql
+
+    sql = render_grouped_sql(
+        "SELECT * FROM ts",
+        identifier_column="id", timestamp_column="timestamp",
+        granule=("bucket", 600),
+        ids=["b", "a"],
+        ts_lower=(dt.datetime(2022, 6, 1, 8, 0, 0), False),
+        ts_upper=(dt.datetime(2022, 6, 1, 9, 0, 0), True),
+        agg_cast="DOUBLE")
+    assert "\"id\" IN ('a', 'b')" in sql
+    assert "\"timestamp\" >= TIMESTAMP '2022-06-01 08:00:00'" in sql
+    assert "\"timestamp\" < TIMESTAMP '2022-06-01 09:00:00'" in sql
+    assert 'GROUP BY "id", FLOOR(EXTRACT(EPOCH FROM "timestamp") / 600)' \
+        in sql
+    for alias in ("__gp_cnt", "__gp_n", "__gp_sum", "__gp_min", "__gp_max"):
+        assert f'"{alias}"' in sql
+    assert 'MIN("timestamp") AS "timestamp"' in sql
+
+    sql2 = render_grouped_sql(
+        "SELECT * FROM ts", identifier_column="id",
+        timestamp_column="ts", granule=("trunc", "minute"))
+    assert "GROUP BY \"id\", DATE_TRUNC('minute', \"ts\")" in sql2
+    assert "WHERE" not in sql2
+
+    sql3 = render_grouped_sql(
+        "SELECT * FROM ts", identifier_column="id",
+        timestamp_column="ts", granule=("all",), agg_cast="BIGINT")
+    assert sql3.rstrip().endswith('GROUP BY "id"')
+    assert "CAST(SUM(\"value\") AS BIGINT)" in sql3
 
 
 def test_flight_pushdown_exists_barrier(spark, flight_pushdown_server):
