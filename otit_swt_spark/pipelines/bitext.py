@@ -32,7 +32,8 @@ def bitext_candidates(docs: DataFrame,
                       lang_col: str = "lang",
                       text_col: str = "text",
                       ratio_low: float = 0.5,
-                      ratio_high: float = 2.0) -> DataFrame:
+                      ratio_high: float = 2.0,
+                      max_docs_per_key: int | None = None) -> DataFrame:
     """Cross-language translation-pair candidates: for every pair of
     documents sharing ``key_col`` with ``lang_a < lang_b``, emit
     ``(key, id_a, id_b, lang_a, lang_b, len_ratio, anchors_a, anchors_b,
@@ -46,13 +47,32 @@ def bitext_candidates(docs: DataFrame,
     blocking key plus one ``(key, anchor)`` equi-join — cost is
     O(Σ_key n_a·n_b), so the caller's key must bound per-key document
     counts (an article id or canonical URL, never a whole domain);
-    a pair mass explosion is a blocking-key bug, not a shuffle bug."""
+    a pair mass explosion is a blocking-key bug, not a shuffle bug.
+
+    ``max_docs_per_key`` is the guard rail for exactly that bug: when
+    set, only the ``max_docs_per_key`` lowest-id documents of each key
+    participate (the hub-clip pattern graphalgo.py uses for
+    high-degree vertices), so one degenerate key — an empty string, a
+    boilerplate URL — degrades DETERMINISTICALLY to a bounded O(k²)
+    instead of quadratic pair mass. Default None keeps the operator
+    exact."""
     base = docs.select(
         F.col(key_col).alias("key"),
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.length(F.col(text_col)).cast("long").alias("len"),
         F.col(text_col).alias("__t"))
+    if max_docs_per_key is not None:
+        k = int(max_docs_per_key)
+        if k < 2:
+            raise ValueError("max_docs_per_key must be >= 2 "
+                             "(a pair needs two documents)")
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy("key").orderBy("id"))
+        base = (base.withColumn("__rn", rn)
+                .where(F.col("__rn") <= k).drop("__rn"))
     a = base.select("key", F.col("id").alias("id_a"),
                     F.col("lang").alias("lang_a"),
                     F.col("len").alias("len_a"))

@@ -533,6 +533,38 @@ def test_bitext_candidates_known_values(spark):
     assert r45["len_ratio"] == 0.75 and r45["anchor_jaccard"] == 0.0
 
 
+def test_bitext_candidates_hostile_key_clip(spark):
+    """max_docs_per_key guard (round-12 verdict item 4): a degenerate
+    blocking key holding 40 docs would pair quadratically (400
+    cross-language pairs); with the clip only the k lowest-id docs per
+    key participate — deterministic, bounded, and keys under the cap
+    are untouched (their pairs match the unclipped run exactly)."""
+    from otit_swt_spark.pipelines.bitext import bitext_candidates
+
+    hostile = [(i, "", "de" if i % 2 == 0 else "en", f"doc {i} text x")
+               for i in range(40)]
+    good = [(100, "k1", "de", "Vertrag 2024"), (101, "k1", "en",
+                                                "Contract 2024")]
+    docs = spark.createDataFrame(
+        hostile + good, "doc_id long, key string, lang string, text string")
+
+    unclipped = bitext_candidates(docs, key_col="key")
+    assert unclipped.where(F.col("key") == "").count() == 400
+
+    clipped = bitext_candidates(docs, key_col="key", max_docs_per_key=6)
+    hostile_pairs = clipped.where(F.col("key") == "").collect()
+    # 6 lowest ids (0..5): 3 de x 3 en = 9 pairs, all ids < 6
+    assert len(hostile_pairs) == 9
+    assert all(r["id_a"] < 6 and r["id_b"] < 6 for r in hostile_pairs)
+    # the under-cap key is byte-identical to the unclipped run
+    k1_c = sorted(map(tuple, clipped.where(F.col("key") == "k1").collect()))
+    k1_u = sorted(map(tuple, unclipped.where(F.col("key") == "k1").collect()))
+    assert k1_c == k1_u and len(k1_c) == 1
+
+    with pytest.raises(ValueError):
+        bitext_candidates(docs, key_col="key", max_docs_per_key=1)
+
+
 def test_krippendorff_alpha_known_values(spark):
     """Hand-computed nominal alpha: items u1=[a,a], u2=[a,b], u3=[b,b,b]
     -> A_o=5, n=7, sum n_c(n_c-1)=18, alpha = 1 - 2*6/(42-18) = 0.5.
