@@ -91,6 +91,48 @@ TIMED_OVERRIDES = {
     "lsh_recall_eval": _timed_lsh_recall_eval,
 }
 
+# The reference's own benchmark workload (BASELINE.md measurement plan;
+# hybrid/tests/query_execution_benchmark_case.rs:82-274): 8 turbines x
+# 3 signals at the reference's full 3-day/10s scale (25 920 points per
+# series, 622k rows), 10-minute AVG downsample — single-signal with the
+# reference's 13h window, and the 3-signal synchronized-join variant.
+# Timed as its own tier so headline/production totals stay comparable.
+WINDPOWER = ["windpower_10min_avg", "windpower_multi_sync"]
+
+_WIND_ENGINE = None
+
+
+def _wind_engine(spark):
+    global _WIND_ENGINE
+    if _WIND_ENGINE is None:
+        from otit_swt_spark.windpower import REFERENCE_POINTS, build_engine
+
+        _WIND_ENGINE = build_engine(spark, points=REFERENCE_POINTS)
+        # eager-materialize the tall frame so the timed number is the
+        # query, not the pandas->Arrow upload (a real deployment reads
+        # the store once and queries it many times)
+        _WIND_ENGINE.ts_tables[0].load(spark).cache().count()
+    return _WIND_ENGINE
+
+
+def _windpower_10min_avg(spark, sf_dir):
+    from otit_swt_spark.windpower import query_10min_avg
+
+    return _wind_engine(spark).query(query_10min_avg(
+        t_lo="2022-08-01T08:46:53", t_hi="2022-08-01T21:46:53"))
+
+
+def _windpower_multi_sync(spark, sf_dir):
+    from otit_swt_spark.windpower import query_multi_sync
+
+    return _wind_engine(spark).query(query_multi_sync())
+
+
+WINDPOWER_FNS = {
+    "windpower_10min_avg": _windpower_10min_avg,
+    "windpower_multi_sync": _windpower_multi_sync,
+}
+
 # Round-3/4 additions, timed only with --extended so the default headline
 # total stays comparable across rounds.
 EXTENDED = [
@@ -266,7 +308,7 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
 
     extended = [n for n in EXTENDED if n not in PRODUCTION]
-    names = (HEADLINE + PRODUCTION
+    names = (HEADLINE + PRODUCTION + WINDPOWER
              + (extended if "--extended" in sys.argv else []))
     # machine-speed probe at RUN START too (round 12): the r12
     # interleaved re-measure showed calib drifting 2x WITHIN a session,
@@ -279,6 +321,7 @@ def main() -> None:
     # scaling_curve.py made this switch first; the bench now matches.
     qs = dict(entry_mod._QUERIES)
     qs.update(TIMED_OVERRIDES)
+    qs.update(WINDPOWER_FNS)
     # the five most variance-prone extended entries get median-of-3 so
     # their round-over-round deltas are signal too; the rest keep
     # best-of-2 to bound total harness time.
@@ -303,6 +346,7 @@ def main() -> None:
         # shuffle bytes — median-of-5 + the spread band is the
         # instrument that separates session load from real regressions.
         reps = (5 if name in HEADLINE or name in PRODUCTION
+                or name in WINDPOWER
                 else 3 if name in MEDIAN3 else 2)
         samples = []
         for _ in range(reps):
@@ -339,6 +383,9 @@ def main() -> None:
         "queries": times,
         "production": {n: times[n] for n in PRODUCTION},
         "production_total": round(sum(times[n] for n in PRODUCTION), 3),
+        # the reference's own benchmark workload, its own tier
+        "windpower": {n: times[n] for n in WINDPOWER},
+        "windpower_total": round(sum(times[n] for n in WINDPOWER), 3),
         "spread_sec": spread,
         "headline_spread_total": round(
             sum(spread[n] for n in HEADLINE), 3),
@@ -373,8 +420,9 @@ def main() -> None:
         # headline+production ONLY, even under --extended: the stdout
         # line's size must stay bounded forever (the r11 truncation) —
         # extended timings live in the metrics file
-        "queries": {n: times[n] for n in HEADLINE + PRODUCTION},
+        "queries": {n: times[n] for n in HEADLINE + PRODUCTION + WINDPOWER},
         "production_total": metrics["production_total"],
+        "windpower_total": metrics["windpower_total"],
         "calib_sec": metrics["calib_sec"],
         "calib_sec_start": calib_start,
         "loadavg_end": load1,
