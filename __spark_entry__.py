@@ -3528,6 +3528,42 @@ def q_iaa_kappa(spark, sf_dir):
         "ann_a", "ann_b")
 
 
+def q_iaa_tau(spark, sf_dir):
+    """Kendall tau-b ordinal agreement — the IAA gate for ORDERED
+    labels (quality tiers 1-3 from two deliberately-different length
+    rubrics, the ordinal twins of iaa_kappa's categorical raters).
+    Computed from the k×k contingency table (grouped counts + a
+    broadcast cell self-join, never an O(n²) item join); every input
+    to τ = 2(C−D)/(√(n(n−1)−t₁)·√(n(n−1)−t₂)) is an exact integer, so
+    the oracle replays the fixed expression bit-for-bit."""
+    from otit_swt_spark.pipelines.analytics import kendall_tau_b
+
+    d = _t(spark, sf_dir, "documents")
+    ra = (F.when(F.length("text") > 400, 3)
+          .when(F.length("text") > 150, 2).otherwise(1))
+    rb = (F.when(F.length("text") > 350, 3)
+          .when(F.length("text") > 120, 2).otherwise(1))
+    return kendall_tau_b(d.select(ra.alias("ra"), rb.alias("rb")),
+                         "ra", "rb")
+
+
+def q_filter_mcnemar(spark, sf_dir):
+    """McNemar's paired test between two document FILTERS judged on the
+    same corpus (a char-length gate vs an 'e'-count proxy gate): only
+    the discordant counts b/c enter χ² = (b−c)²/(b+c), so the operator
+    answers 'did swapping filters CHANGE decisions or just relabel
+    symmetric errors?' — exact integer flag-sums into one division,
+    replayed bit-for-bit by the oracle."""
+    from otit_swt_spark.pipelines.analytics import mcnemar_test
+
+    d = _t(spark, sf_dir, "documents")
+    fa = (F.length("text") > 200)
+    fb = ((F.length("text")
+           - F.length(F.regexp_replace("text", "e", ""))) > 30)
+    return mcnemar_test(d.select(fa.alias("fa"), fb.alias("fb")),
+                        "fa", "fb")
+
+
 def q_bitext_candidates(spark, sf_dir):
     """Bitext / parallel-corpus candidate mining (Gale-Church length
     screen + digit-anchor overlap): docs are blocked into pseudo-article
@@ -4306,6 +4342,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pq_topk": q_pq_topk,
         "pq_topk_indexed": q_pq_topk_indexed,
         "iaa_kappa": q_iaa_kappa,
+        "iaa_tau": q_iaa_tau,
+        "filter_mcnemar": q_filter_mcnemar,
         "iaa_alpha": q_iaa_alpha,
         "bitext_candidates": q_bitext_candidates,
         "calibration_bins": q_calibration_bins,
@@ -7212,6 +7250,65 @@ def oracle_sql() -> dict[str, str]:
                                    / (n * n - s)::DOUBLE, 6) + 0.0
                    END AS kappa
             FROM tot, ch
+        """,
+        "iaa_tau": """
+            WITH pairs AS (
+                SELECT CASE WHEN length(text) > 400 THEN 3
+                            WHEN length(text) > 150 THEN 2
+                            ELSE 1 END AS a,
+                       CASE WHEN length(text) > 350 THEN 3
+                            WHEN length(text) > 120 THEN 2
+                            ELSE 1 END AS b
+                FROM documents
+            ), cells AS (
+                SELECT a, b, count(*) AS k FROM pairs GROUP BY a, b
+            ), conc AS (
+                SELECT coalesce(sum(x.k * y.k), 0) AS c
+                FROM cells x, cells y WHERE y.a > x.a AND y.b > x.b
+            ), disc AS (
+                SELECT coalesce(sum(x.k * y.k), 0) AS d
+                FROM cells x, cells y WHERE y.a > x.a AND y.b < x.b
+            ), ta AS (
+                SELECT coalesce(sum(m * (m - 1)), 0) AS t1
+                FROM (SELECT sum(k) AS m FROM cells GROUP BY a)
+            ), tb AS (
+                SELECT coalesce(sum(m * (m - 1)), 0) AS t2
+                FROM (SELECT sum(k) AS m FROM cells GROUP BY b)
+            ), tot AS (SELECT count(*) AS n FROM pairs)
+            SELECT n,
+                   CAST(c AS BIGINT) AS concordant,
+                   CAST(d AS BIGINT) AS discordant,
+                   CASE WHEN n * (n - 1) - t1 = 0 OR n * (n - 1) - t2 = 0
+                        THEN NULL
+                        ELSE round(CAST(2 * (c - d) AS DOUBLE)
+                                   / (sqrt(CAST(n * (n - 1) - t1 AS DOUBLE))
+                                      * sqrt(CAST(n * (n - 1) - t2
+                                                  AS DOUBLE))), 6) + 0.0
+                   END AS tau_b
+            FROM tot, conc, disc, ta, tb
+        """,
+        "filter_mcnemar": """
+            WITH pairs AS (
+                SELECT (length(text) > 200) AS a,
+                       (length(text) - length(replace(text, 'e', '')) > 30)
+                           AS b
+                FROM documents
+            ), flags AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS bp,
+                       sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS oa,
+                       sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS ob
+                FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL
+            )
+            SELECT n,
+                   CAST(coalesce(bp, 0) AS BIGINT) AS both_pass,
+                   CAST(coalesce(oa, 0) AS BIGINT) AS only_a,
+                   CAST(coalesce(ob, 0) AS BIGINT) AS only_b,
+                   CASE WHEN coalesce(oa + ob, 0) = 0 THEN NULL
+                        ELSE round(CAST((oa - ob) * (oa - ob) AS DOUBLE)
+                                   / CAST(oa + ob AS DOUBLE), 6) + 0.0
+                   END AS chi2
+            FROM flags
         """,
         "ivf_pq_topk": _ivf_pq_topk_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),

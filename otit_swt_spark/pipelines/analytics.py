@@ -1568,6 +1568,99 @@ def krippendorff_alpha(df: DataFrame, item_col: str,
         .otherwise(F.round(alpha, 6) + F.lit(0.0)).alias("alpha"))
 
 
+def kendall_tau_b(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Kendall's tau-b — rank correlation between two ORDINAL raters
+    (quality tiers, 1-5 ratings, curriculum deciles) over the same
+    items: the IAA gate for ordered labels, where kappa's all-or-
+    nothing agreement wastes the ordering. Ties are corrected on both
+    margins (the -b variant).
+
+    Computed from the CONTINGENCY TABLE, not item pairs: concordant /
+    discordant masses are Σ n_xy·n_x'y' over cell pairs strictly
+    ordered the same/opposite way on both axes — one grouped count
+    (map-side combine) plus a broadcast self-join of the tiny k×k cell
+    frame, never an O(n²) item join, so the statistic runs at corpus
+    scale for any bounded label alphabet. Every input to
+    τ = (C − D)/(√(n₀−n₁)·√(n₂ diff)) is an exact integer (n₀ =
+    n(n−1)/2, n₁/n₂ the per-margin tie masses); the two square roots
+    are taken BEFORE multiplying so nothing exceeds the 2^53 double-
+    exact range at any realistic n, and the identical fixed expression
+    replays bit-for-bit in a SQL oracle. NULL on either side excludes
+    the item; τ is NULL when either margin is constant (no order
+    information). Values must CAST to a comparable type — pass numeric
+    ordinals, not label strings, when the order matters.
+
+    Returns one row ``(n, concordant, discordant, tau_b)``."""
+    pairs = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()) \
+        .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    cells = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k"))
+    x, y = cells.alias("x"), cells.alias("y")
+    conc = (x.join(F.broadcast(y),
+                   (F.col("y.a") > F.col("x.a"))
+                   & (F.col("y.b") > F.col("x.b")))
+            .agg(F.coalesce(F.sum(F.col("x.k") * F.col("y.k")),
+                            F.lit(0)).alias("c")))
+    disc = (x.join(F.broadcast(y),
+                   (F.col("y.a") > F.col("x.a"))
+                   & (F.col("y.b") < F.col("x.b")))
+            .agg(F.coalesce(F.sum(F.col("x.k") * F.col("y.k")),
+                            F.lit(0)).alias("d")))
+    ta = (cells.groupBy("a").agg(F.sum("k").alias("m"))
+          .agg(F.coalesce(F.sum(F.col("m") * (F.col("m") - 1)),
+                          F.lit(0)).alias("t1")))
+    tb = (cells.groupBy("b").agg(F.sum("k").alias("m"))
+          .agg(F.coalesce(F.sum(F.col("m") * (F.col("m") - 1)),
+                          F.lit(0)).alias("t2")))
+    tot = pairs.agg(F.count(F.lit(1)).alias("n"))
+    out = (tot.crossJoin(F.broadcast(conc)).crossJoin(F.broadcast(disc))
+           .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb)))
+    # n0/n1/n2 carry a uniform factor 2 (n(n-1), Σm(m-1)); each sqrt
+    # then carries √2, so the numerator takes the matching factor 2
+    n0 = (F.col("n") * (F.col("n") - 1)).cast("double")
+    den_a = n0 - F.col("t1").cast("double")
+    den_b = n0 - F.col("t2").cast("double")
+    tau = ((2 * (F.col("c") - F.col("d"))).cast("double")
+           / (F.sqrt(den_a) * F.sqrt(den_b)))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.when((den_a == 0) | (den_b == 0), F.lit(None))
+        .otherwise(F.round(tau, 6) + F.lit(0.0)).alias("tau_b"))
+
+
+def mcnemar_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes — the A/B gate for two
+    FILTERS or classifiers judged on the same documents (did switching
+    the quality filter actually change decisions, or just shuffle
+    errors symmetrically?). Only the DISCORDANT counts matter:
+    b = |a-pass ∧ b-fail|, c = |a-fail ∧ b-pass|, χ² = (b−c)²/(b+c)
+    (1 df, without continuity correction — the classic form).
+
+    One grouped flag-sum pass, exact integers into a single division
+    (bit-for-bit SQL replay); χ² is NULL when b+c = 0 (the two systems
+    never disagree — no test to run). NULL on either side excludes the
+    pair. Returns ``(n, both_pass, only_a, only_b, chi2)``."""
+    pairs = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()) \
+        .select(F.col(col_a).cast("boolean").alias("a"),
+                F.col(col_b).cast("boolean").alias("b"))
+    flag = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    out = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        flag(F.col("a") & F.col("b")).alias("both"),
+        flag(F.col("a") & ~F.col("b")).alias("only_a"),
+        flag(~F.col("a") & F.col("b")).alias("only_b"))
+    b, c = F.col("only_a"), F.col("only_b")
+    chi2 = (((b - c) * (b - c)).cast("double") / (b + c).cast("double"))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("both"), F.lit(0)).cast("long").alias("both_pass"),
+        F.coalesce(b, F.lit(0)).cast("long").alias("only_a"),
+        F.coalesce(c, F.lit(0)).cast("long").alias("only_b"),
+        F.when(F.coalesce(b + c, F.lit(0)) == 0, F.lit(None))
+        .otherwise(F.round(chi2, 6) + F.lit(0.0)).alias("chi2"))
+
+
 def reliability_bins(df: DataFrame, score_col: str, label_col: str,
                      bins: int = 10) -> DataFrame:
     """Reliability-diagram bins for a probabilistic scorer (model-as-

@@ -505,6 +505,49 @@ def test_cohens_kappa_known_values(spark):
     assert r2["po"] == 1.0 and r2["kappa"] is None
 
 
+def test_kendall_tau_b_known_values(spark):
+    """Hand-computed tau-b on 10 ordinal pairs: brute-force C=19, D=5,
+    margins a=(4,4,... ) -> tau_b = 0.424242; perfect agreement -> 1.0;
+    a constant margin (no order information) -> NULL; NULL pairs are
+    excluded from n."""
+    from otit_swt_spark.pipelines.analytics import kendall_tau_b
+
+    data = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3), (3, 1), (2, 3),
+            (1, 1), (3, 3), (2, 2)]
+    df = spark.createDataFrame(data, "a int, b int")
+    r = kendall_tau_b(df, "a", "b").collect()[0]
+    assert (r["n"], r["concordant"], r["discordant"]) == (10, 19, 5)
+    assert r["tau_b"] == 0.424242
+
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (None, 2)], "a int, b int")
+    r2 = kendall_tau_b(perfect, "a", "b").collect()[0]
+    assert (r2["n"], r2["tau_b"]) == (3, 1.0)
+
+    const = spark.createDataFrame([(1, 1), (1, 2), (1, 3)], "a int, b int")
+    r3 = kendall_tau_b(const, "a", "b").collect()[0]
+    assert r3["tau_b"] is None and r3["n"] == 3
+
+
+def test_mcnemar_test_known_values(spark):
+    """Hand-computed McNemar: b=2 (a-only), c=1 (b-only) ->
+    chi2 = (2-1)^2/3 = 0.333333; never-disagreeing systems -> NULL chi2;
+    NULL on either side excludes the pair."""
+    from otit_swt_spark.pipelines.analytics import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (True, False), (False, True),
+         (False, False), (None, True)], "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["both_pass"], r["only_a"], r["only_b"]) == (5, 1, 2, 1)
+    assert r["chi2"] == 0.333333
+
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean")
+    r2 = mcnemar_test(agree, "a", "b").collect()[0]
+    assert r2["chi2"] is None and r2["both_pass"] == 1
+
+
 def test_bitext_candidates_known_values(spark):
     """Hand-checked candidate pairs: same-key cross-language docs pass
     the length-ratio window and score digit-anchor Jaccard; an
