@@ -89,6 +89,22 @@ def _pushdown_value_literal(lit):
 
 _TIME_UNITS = ("year", "month", "day", "hour", "minute", "second")
 
+_COMPARABLE_NUM = {"long", "double", "int", "float"}
+
+
+def _ts_literal_eq(col: "Column", col_hint: str | None, term) -> "Column":
+    """Type-safe equality for a literal hasTimestamp/hasValue pattern.
+    SPARQL `=` between literals of incomparable datatypes is a type
+    error, which as a PATTERN restriction means 'matches nothing' — it
+    must not become an ANSI cast error at constant folding (a string
+    hasValue literal against a double value column crashed the whole
+    plan with CAST_INVALID_INPUT; round-13 fix)."""
+    t = literal_typed(term)
+    if (col_hint is None or t.hint == col_hint
+            or (t.hint in _COMPARABLE_NUM and col_hint in _COMPARABLE_NUM)):
+        return col == t.col
+    return F.lit(False)
+
 
 def _expr_substitute(e: A.Expr, mapping: dict) -> A.Expr:
     """Replace ``EVar`` nodes named in ``mapping`` with their defining
@@ -1500,8 +1516,9 @@ class Compiler:
                     continue
                 if not isinstance(term, Variable):
                     src = pre.get(key)
-                    t = compile_expr(A.ELiteral(term), sm) if isinstance(term, Literal) else None
-                    sm = replace(sm, df=sm.df.filter(F.col(src) == t.col))
+                    hint = sm.vars[src].hint if src in sm.vars else None
+                    sm = replace(sm, df=sm.df.filter(
+                        _ts_literal_eq(F.col(src), hint, term)))
                     continue
                 src = pre.get(key)
                 if src is None:
@@ -1541,8 +1558,7 @@ class Compiler:
                 vars2[term.name] = VarMeta("native", hint)
                 chain_info[key] = term.name
             else:
-                lit = literal_typed(term)
-                ts_df = ts_df.filter(F.col(src) == lit.col)
+                ts_df = ts_df.filter(_ts_literal_eq(F.col(src), hint, term))
         # Date-partitioned tables: carry the hidden partition columns so
         # apply_filter can derive partition predicates from timestamp
         # filters (reference partitioning_support.rs parity — partition

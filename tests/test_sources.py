@@ -525,6 +525,36 @@ def test_flight_pushdown_synchronized_join(spark, flight_pushdown_server):
     assert srv.rows_served % 6 == 0 and srv.rows_served < 24
 
 
+def test_flight_pushdown_string_value_not_rendered_on_numeric_column(
+        spark, flight_pushdown_server):
+    """Round-12 advice: a string hasValue literal against a NUMERIC
+    remote value column must NOT render into the remote SQL —
+    "value" = 'abc' hard-errors on PostgreSQL-dialect stores (invalid
+    input syntax) where the Spark-side null-safe comparison just
+    returns empty. The compiler now consults value_xsd (one
+    get_flight_info round-trip, no data fetch) before pushing string
+    equality; the id IN-list still pushes."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id ?t WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue "abc" .
+    }""")
+    assert df.count() == 0  # no error: the equality stayed Spark-side
+    remote = srv.queries[-1]
+    assert "'abc'" not in remote
+    assert "IN ('ts1', 'ts2')" in remote
+
+
 def test_flight_pushdown_mixed_with_parquet_table(spark,
                                                   flight_pushdown_server,
                                                   tmp_path):
