@@ -606,6 +606,9 @@ class Compiler:
         them (sum of sums, min of mins, sum/count for AVG). The granule
         is chosen to REFINE every timestamp-derived grouping key, so the
         result is exact regardless of remote expression semantics.
+        (For float SUM/AVG, "exact" means the same multiset of addends —
+        the fold ORDER differs, exactly as it already does between any
+        two shuffle layouts of the plain Spark aggregation.)
 
         Conditions (each one guarantees partial rows behave exactly like
         point rows under the rest of the plan):
