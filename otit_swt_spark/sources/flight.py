@@ -190,6 +190,7 @@ def render_grouped_sql(
     ts_lower=None,
     ts_upper=None,
     agg_cast: str = "DOUBLE",
+    value_aggs: bool = True,
 ) -> str:
     """Render the reference's GroupedTimeSeriesQuery
     (timeseries_sql_rewrite.rs:470-560 create_grouped_query, decided by
@@ -238,13 +239,22 @@ def render_grouped_sql(
     elif granule[0] != "all":
         raise ValueError(f"unsupported granule {granule!r}")
     where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    # a count-only query (COUNT(*)/COUNT(v), incl. value-less chains)
+    # must not render SUM/MIN/MAX casts — against a VARCHAR value
+    # column those would hard-error remotely for no benefit
+    if value_aggs:
+        val_cols = (f'CAST(SUM({qval}) AS {agg_cast}) AS "__gp_sum", '
+                    f'CAST(MIN({qval}) AS {agg_cast}) AS "__gp_min", '
+                    f'CAST(MAX({qval}) AS {agg_cast}) AS "__gp_max"')
+    else:
+        val_cols = (f'CAST(NULL AS {agg_cast}) AS "__gp_sum", '
+                    f'CAST(NULL AS {agg_cast}) AS "__gp_min", '
+                    f'CAST(NULL AS {agg_cast}) AS "__gp_max"')
     return (
         f"SELECT {qid}, MIN({qts}) AS {qts}, "
         f'CAST(COUNT(*) AS BIGINT) AS "__gp_cnt", '
         f'CAST(COUNT({qval}) AS BIGINT) AS "__gp_n", '
-        f'CAST(SUM({qval}) AS {agg_cast}) AS "__gp_sum", '
-        f'CAST(MIN({qval}) AS {agg_cast}) AS "__gp_min", '
-        f'CAST(MAX({qval}) AS {agg_cast}) AS "__gp_max" '
+        f"{val_cols} "
         f"FROM ({base_query}) ts_pushdown{where} "
         f"GROUP BY {', '.join(keys)}")
 
@@ -332,7 +342,8 @@ class FlightTimeSeriesTable(TimeSeriesTable):
                                       granule: tuple,
                                       ids: list[str] | None = None,
                                       ts_lower=None, ts_upper=None,
-                                      agg_type: str = "double"):
+                                      agg_type: str = "double",
+                                      value_aggs: bool = True):
         """Execute the grouped pushdown on the remote store — one row
         per (id, granule) crosses the wire instead of one per point.
         The value column is NULL-typed: _analyze_group_pushdown proved
@@ -347,7 +358,8 @@ class FlightTimeSeriesTable(TimeSeriesTable):
             timestamp_column=self.timestamp_column,
             value_column=self.value_column,
             granule=granule, ids=ids,
-            ts_lower=ts_lower, ts_upper=ts_upper, agg_cast=cast)
+            ts_lower=ts_lower, ts_upper=ts_upper, agg_cast=cast,
+            value_aggs=value_aggs)
         df = self._read(spark, sql)
         spark_t = {"long": "long", "double": "double"}[agg_type]
         return df.select(

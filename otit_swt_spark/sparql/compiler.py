@@ -555,15 +555,18 @@ class Compiler:
         # partials per (id, granule) remotely — rows-served ~ groups
         spec = (self._group_pushdown_stack[-1]
                 if self._group_pushdown_stack else None)
-        if (spec is not None and not spec["fired"]
-                and isinstance(tj.get("t"), Variable)
-                and tj["t"].name == spec["t"]
-                and isinstance(tj.get("v"), Variable)
-                and tj["v"].name == spec["v"]):
-            grouped = self._grouped_ts_relation(spec, ids)
-            if grouped is not None:
-                spec["fired"] = True
-                return grouped
+        if spec is not None and not spec["fired"] \
+                and isinstance(tj.get("t"), Variable) \
+                and tj["t"].name == spec["t"]:
+            v_ok = ((spec["v"] is None and tj.get("v") is None)
+                    or (spec["v"] is not None
+                        and isinstance(tj.get("v"), Variable)
+                        and tj["v"].name == spec["v"]))
+            if v_ok:
+                grouped = self._grouped_ts_relation(spec, ids)
+                if grouped is not None:
+                    spec["fired"] = True
+                    return grouped
 
         if ids is None and ts_lower is None and ts_upper is None \
                 and value_eq is None:
@@ -673,15 +676,22 @@ class Compiler:
         if len(chains) != 1:
             return None
         dp, info = next(iter(chains.items()))
-        if any(len(v) != 1 for v in info.values()) or set(info) != {
-                "ts_var", "t", "v"}:
+        # a value-less chain (hasDataPoint+hasTimestamp only) is still
+        # groupable for COUNT(*)-shaped queries — event counting per
+        # bucket over a remote store
+        if any(len(v) != 1 for v in info.values()) or not (
+                {"ts_var", "t"} <= set(info) <= {"ts_var", "t", "v"}):
             return None
-        t_term, v_term = info["t"][0], info["v"][0]
-        if not (isinstance(t_term, Variable) and isinstance(v_term, Variable)):
+        t_term = info["t"][0]
+        v_term = info["v"][0] if "v" in info else None
+        if not isinstance(t_term, Variable):
             return None
-        tname, vname = t_term.name, v_term.name
-        special = {dp, tname, vname}
-        if len(special) != 3:
+        if v_term is not None and not isinstance(v_term, Variable):
+            return None
+        tname = t_term.name
+        vname = v_term.name if v_term is not None else None
+        special = {dp, tname} | ({vname} if vname is not None else set())
+        if len(special) != (3 if vname is not None else 2):
             return None
         ts_var = info["ts_var"][0]
         if isinstance(ts_var, Variable) and ts_var.name in special:
@@ -787,13 +797,18 @@ class Compiler:
             return None
         for v in p.by:
             acc |= derived_acc.get(v, set())
+        needs: set[str] = set()
         for a in p.aggregates:
             if a.distinct:
                 return None
             if a.name == "COUNT" and a.expr is None:
+                needs.add("cnt")
                 continue
             if a.name in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
                     and isinstance(a.expr, A.EVar) and a.expr.name == vname:
+                needs |= {"COUNT": {"n"}, "SUM": {"sum"},
+                          "AVG": {"sum", "n"}, "MIN": {"min"},
+                          "MAX": {"max"}}[a.name]
                 continue
             return None
 
@@ -801,6 +816,7 @@ class Compiler:
             "t": tname, "v": vname, "dp": dp,
             "granule": _resolve_granule(acc),
             "ts_lower": ts_lo, "ts_upper": ts_hi,
+            "needs": needs,
             "cols": {k: self.fresh(f"gp_{k}")
                      for k in ("cnt", "n", "sum", "min", "max")},
             "fired": False,
@@ -816,25 +832,32 @@ class Compiler:
         value type is outside the exact-re-aggregation set (strings sort
         by store collation, decimals carry engine-specific precision
         rules) or no backend actually produced a grouped frame."""
-        hint_map = {}
-        from otit_swt_spark.terms import XSD
-        for n in ("integer", "long", "int", "short", "byte",
-                  "nonNegativeInteger", "unsignedInt", "unsignedLong"):
-            hint_map[XSD + n] = "long"
-        hint_map[XSD + "double"] = "double"
-        hint_map[XSD + "float"] = "double"
+        # value-typed partials (SUM/MIN/MAX) demand an exactly
+        # re-aggregatable value type; a count-only spec (COUNT(*) /
+        # COUNT(?v), incl. value-less chains) needs no such gate —
+        # counting works for any remote value type
+        value_aggs = bool({"sum", "min", "max"} & spec["needs"])
+        hint = "double"
+        if value_aggs:
+            hint_map = {}
+            from otit_swt_spark.terms import XSD
+            for n in ("integer", "long", "int", "short", "byte",
+                      "nonNegativeInteger", "unsignedInt", "unsignedLong"):
+                hint_map[XSD + n] = "long"
+            hint_map[XSD + "double"] = "double"
+            hint_map[XSD + "float"] = "double"
 
-        hints = []
-        for t in self.ts_tables:
-            try:
-                x = t.value_xsd(self.spark)
-            except Exception:
-                return None
-            h = hint_map.get(x)
-            if h is None:
-                return None
-            hints.append(h)
-        hint = "long" if all(h == "long" for h in hints) else "double"
+            hints = []
+            for t in self.ts_tables:
+                try:
+                    x = t.value_xsd(self.spark)
+                except Exception:
+                    return None
+                h = hint_map.get(x)
+                if h is None:
+                    return None
+                hints.append(h)
+            hint = "long" if all(h == "long" for h in hints) else "double"
 
         any_grouped = False
         dfs = []
@@ -844,18 +867,19 @@ class Compiler:
                 g = t.grouped_restricted_normalized(
                     self.spark, granule=spec["granule"], ids=ids,
                     ts_lower=spec["ts_lower"], ts_upper=spec["ts_upper"],
-                    agg_type=hint)
+                    agg_type=hint, value_aggs=value_aggs)
             if g is not None:
                 any_grouped = True
                 dfs.append(g)
             else:
-                v = F.col("value").cast(hint)
+                raw = F.col("value")
+                v = raw.cast(hint) if value_aggs else F.lit(None).cast(hint)
                 dfs.append(t.normalized(self.spark).select(
                     "id", "timestamp", v.alias("value"),
                     F.col("__part_year"), F.col("__part_month"),
                     F.col("__part_day"),
                     F.lit(1).cast("long").alias("__gp_cnt"),
-                    F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                    F.when(raw.isNotNull(), F.lit(1)).otherwise(F.lit(0))
                     .cast("long").alias("__gp_n"),
                     v.alias("__gp_sum"), v.alias("__gp_min"),
                     v.alias("__gp_max")))

@@ -105,7 +105,8 @@ class TimeSeriesTable:
                                       granule: tuple,
                                       ids: list[str] | None = None,
                                       ts_lower=None, ts_upper=None,
-                                      agg_type: str = "double"):
+                                      agg_type: str = "double",
+                                      value_aggs: bool = True):
         """Remote GROUPED fetch: one row per (id, granule) carrying
         COUNT/SUM/MIN/MAX partials and the group's MIN(timestamp) as a
         representative instant, instead of one row per point (the

@@ -724,6 +724,36 @@ def test_flight_grouped_pushdown_blocked_by_distinct_and_optional(
     assert "GROUP BY" not in srv.queries[-1]
 
 
+def test_flight_grouped_pushdown_count_only_valueless_chain(
+        spark, flight_pushdown_server):
+    """COUNT-only widening: a value-LESS chain (hasDataPoint +
+    hasTimestamp, no hasValue) still pushes the GROUP BY — event
+    counting per bucket needs no value type gate, and the remote query
+    renders NULL value partials instead of SUM/MIN/MAX casts (which
+    would hard-error on a VARCHAR value column)."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (COUNT(*) AS ?events) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        FILTER(?t >= "2022-06-01T08:46:54"^^xsd:dateTime)
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 6), ("ts2", 6)]
+    remote = srv.queries[-1]
+    assert 'GROUP BY "id"' in remote
+    assert "SUM(" not in remote and 'CAST(NULL AS DOUBLE)' in remote
+    assert srv.rows_served == 2
+
+
 def test_render_grouped_sql_text():
     """Grouped-render unit contract: exact strictness on bounds, the
     three granule forms, and the fixed partial-column aliases."""
