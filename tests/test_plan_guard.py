@@ -94,7 +94,12 @@ CROSS_OK = {"embedding_topk", "feature_embed_topk", "quantized_topk",
             "iaa_kappa",
             # one-row totals x one-row marginal-mass broadcast cross
             # (analytics.krippendorff_alpha); bound = 1 x 1
-            "iaa_alpha"}
+            "iaa_alpha",
+            # k x k contingency-cell broadcast self-join under strict
+            # inequality conditions (analytics.kendall_tau_b) plus
+            # 1 x 1 scalar crosses; bound = label-alphabet squared
+            # (k = 3 here), never data-scale
+            "iaa_tau"}
 
 
 def test_all_entries_plan_invariants(spark):
