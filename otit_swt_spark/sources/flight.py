@@ -259,6 +259,85 @@ def render_grouped_sql(
         f"GROUP BY {', '.join(keys)}")
 
 
+def render_sync_grouped_sql(
+    base_query: str,
+    *,
+    identifier_column: str,
+    timestamp_column: str,
+    value_column: str = "value",
+    n_chains: int,
+    value_aggs: list[bool],
+    granule: tuple = ("all",),
+    id_tuples: list[tuple] | None = None,
+    ts_lower=None,
+    ts_upper=None,
+    agg_cast: str = "DOUBLE",
+) -> str:
+    """Render the SYNCHRONIZED grouped pushdown: the store inner-joins
+    the registered relation against itself on the timestamp (the
+    reference's inner_join_selects, timeseries_sql_rewrite.rs:356-428),
+    pins the chain identities to the (id_1..id_n) tuples the static
+    side binds — a row-value IN list, PostgreSQL/DuckDB dialect — and
+    aggregates per-chain COUNT/SUM/MIN/MAX partials per (tuple,
+    granule) exactly like render_grouped_sql. COUNT(*) counts JOINED
+    rows, so duplicate timestamps multiply precisely as the engine's
+    Spark-side synchronized join multiplies them."""
+    if n_chains < 2:
+        raise ValueError("sync grouped render needs >= 2 chains")
+    if len(value_aggs) != n_chains:
+        raise ValueError("value_aggs must have one flag per chain")
+    qid = '"' + identifier_column.replace('"', '""') + '"'
+    qts = '"' + timestamp_column.replace('"', '""') + '"'
+    qval = '"' + value_column.replace('"', '""') + '"'
+    sel = [f'c{i}.{qid} AS "id_{i + 1}"' for i in range(n_chains)]
+    sel.append(f"MIN(c0.{qts}) AS {qts}")
+    sel.append('CAST(COUNT(*) AS BIGINT) AS "__gp_cnt"')
+    for i in range(n_chains):
+        sel.append(f'CAST(COUNT(c{i}.{qval}) AS BIGINT) AS "__gp_n_{i + 1}"')
+        if value_aggs[i]:
+            sel.append(f'CAST(SUM(c{i}.{qval}) AS {agg_cast}) '
+                       f'AS "__gp_sum_{i + 1}"')
+            sel.append(f'CAST(MIN(c{i}.{qval}) AS {agg_cast}) '
+                       f'AS "__gp_min_{i + 1}"')
+            sel.append(f'CAST(MAX(c{i}.{qval}) AS {agg_cast}) '
+                       f'AS "__gp_max_{i + 1}"')
+        else:
+            for k in ("sum", "min", "max"):
+                sel.append(f'CAST(NULL AS {agg_cast}) AS "__gp_{k}_{i + 1}"')
+    joins = "".join(
+        f" JOIN ({base_query}) c{i} ON c{i}.{qts} = c0.{qts}"
+        for i in range(1, n_chains))
+    conds: list[str] = []
+    if id_tuples is not None:
+        lhs = "(" + ", ".join(f"c{i}.{qid}" for i in range(n_chains)) + ")"
+        vals = ", ".join(
+            "(" + ", ".join(_sql_str_literal(x) for x in t) + ")"
+            for t in id_tuples)
+        conds.append(f"{lhs} IN ({vals})" if vals else "1 = 0")
+    if ts_lower is not None:
+        v, strict = ts_lower
+        conds.append(f"c0.{qts} {'>' if strict else '>='} "
+                     f"{_sql_ts_literal(v)}")
+    if ts_upper is not None:
+        v, strict = ts_upper
+        conds.append(f"c0.{qts} {'<' if strict else '<='} "
+                     f"{_sql_ts_literal(v)}")
+    keys = [f"c{i}.{qid}" for i in range(n_chains)]
+    if granule[0] == "bucket":
+        keys.append(f"FLOOR(EXTRACT(EPOCH FROM c0.{qts}) "
+                    f"/ {int(granule[1])})")
+    elif granule[0] == "trunc":
+        unit = str(granule[1])
+        if unit not in ("year", "month", "day", "hour", "minute", "second"):
+            raise ValueError(f"unsupported granule unit {unit!r}")
+        keys.append(f"DATE_TRUNC('{unit}', c0.{qts})")
+    elif granule[0] != "all":
+        raise ValueError(f"unsupported granule {granule!r}")
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    return (f"SELECT {', '.join(sel)} FROM ({base_query}) c0{joins}"
+            f"{where} GROUP BY {', '.join(keys)}")
+
+
 class FlightTimeSeriesTable(TimeSeriesTable):
     """A TimeSeriesTable backed by a REMOTE Flight SQL store, fetched
     lazily so the compiler can render the composed restriction (id
@@ -374,6 +453,43 @@ class FlightTimeSeriesTable(TimeSeriesTable):
             F.col("__gp_sum").cast(spark_t).alias("__gp_sum"),
             F.col("__gp_min").cast(spark_t).alias("__gp_min"),
             F.col("__gp_max").cast(spark_t).alias("__gp_max"))
+
+    def sync_grouped_restricted_normalized(self, spark: SparkSession, *,
+                                           n_chains: int,
+                                           value_aggs: list[bool],
+                                           granule: tuple,
+                                           id_tuples: list[tuple],
+                                           ts_lower=None, ts_upper=None,
+                                           agg_type: str = "double"):
+        """Execute the synchronized grouped pushdown remotely — one row
+        per ((id_1..id_n), granule) crosses the wire instead of N point
+        streams. Returns the (id_1..id_n, representative timestamp,
+        __gp_cnt, per-chain partials) frame the compiler's
+        _apply_sync_grouped_joins consumes."""
+        cast = {"long": "BIGINT", "double": "DOUBLE"}.get(agg_type)
+        if cast is None:
+            return None
+        sql = render_sync_grouped_sql(
+            self.base_query,
+            identifier_column=self.identifier_column,
+            timestamp_column=self.timestamp_column,
+            value_column=self.value_column,
+            n_chains=n_chains, value_aggs=value_aggs,
+            granule=granule, id_tuples=id_tuples,
+            ts_lower=ts_lower, ts_upper=ts_upper, agg_cast=cast)
+        df = self._read(spark, sql)
+        spark_t = {"long": "long", "double": "double"}[agg_type]
+        cols = [F.col(f"id_{i + 1}").cast("string").alias(f"id_{i + 1}")
+                for i in range(n_chains)]
+        cols.append(F.col(self.timestamp_column).alias("timestamp"))
+        cols.append(F.col("__gp_cnt").cast("long").alias("__gp_cnt"))
+        for i in range(n_chains):
+            cols.append(F.col(f"__gp_n_{i + 1}").cast("long")
+                        .alias(f"__gp_n_{i + 1}"))
+            for k in ("sum", "min", "max"):
+                cols.append(F.col(f"__gp_{k}_{i + 1}").cast(spark_t)
+                            .alias(f"__gp_{k}_{i + 1}"))
+        return df.select(*cols)
 
 
 def flight_timeseries(

@@ -556,6 +556,7 @@ class Compiler:
         spec = (self._group_pushdown_stack[-1]
                 if self._group_pushdown_stack else None)
         if spec is not None and not spec["fired"] \
+                and not spec.get("sync") \
                 and isinstance(tj.get("t"), Variable) \
                 and tj["t"].name == spec["t"]:
             v_ok = ((spec["v"] is None and tj.get("v") is None)
@@ -673,32 +674,50 @@ class Compiler:
                     "v", []).append(tp.o)
             else:
                 rest.append(tp)
-        if len(chains) != 1:
+        if not chains:
             return None
-        dp, info = next(iter(chains.items()))
-        # a value-less chain (hasDataPoint+hasTimestamp only) is still
-        # groupable for COUNT(*)-shaped queries — event counting per
-        # bucket over a remote store
-        if any(len(v) != 1 for v in info.values()) or not (
-                {"ts_var", "t"} <= set(info) <= {"ts_var", "t", "v"}):
+        # per-chain validation (shared by the single- and multi-chain
+        # forms): exactly one ts_var/t each, at most one v, all terms
+        # variables; a value-less chain (hasDataPoint+hasTimestamp
+        # only) is still groupable for COUNT(*)-shaped queries
+        chain_list: list[tuple[str, str, str | None]] = []  # (dp, t, v)
+        for dp, info in chains.items():
+            if any(len(v) != 1 for v in info.values()) or not (
+                    {"ts_var", "t"} <= set(info) <= {"ts_var", "t", "v"}):
+                return None
+            t_term = info["t"][0]
+            v_term = info["v"][0] if "v" in info else None
+            if not isinstance(t_term, Variable):
+                return None
+            if v_term is not None and not isinstance(v_term, Variable):
+                return None
+            chain_list.append((dp, t_term.name,
+                               v_term.name if v_term is not None else None))
+
+        sync = len(chain_list) > 1
+        if sync:
+            # multi-chain: groupable only as a SYNCHRONIZED join — every
+            # chain must share ONE timestamp variable (the reference's
+            # InnerSynchronized shape, preparing/synchronization.rs:5-55,
+            # grouped remotely per timeseries_sql_rewrite.rs:356-428 +
+            # 470-560)
+            tnames = {t for _, t, _ in chain_list}
+            if len(tnames) != 1:
+                return None
+        tname = chain_list[0][1]
+        vnames = [v for _, _, v in chain_list if v is not None]
+        dps = [dp for dp, _, _ in chain_list]
+        special = set(dps) | {tname} | set(vnames)
+        if len(special) != len(dps) + 1 + len(vnames):
             return None
-        t_term = info["t"][0]
-        v_term = info["v"][0] if "v" in info else None
-        if not isinstance(t_term, Variable):
-            return None
-        if v_term is not None and not isinstance(v_term, Variable):
-            return None
-        tname = t_term.name
-        vname = v_term.name if v_term is not None else None
-        special = {dp, tname} | ({vname} if vname is not None else set())
-        if len(special) != (3 if vname is not None else 2):
-            return None
-        ts_var = info["ts_var"][0]
-        if isinstance(ts_var, Variable) and ts_var.name in special:
-            return None
+        for dp, info in chains.items():
+            ts_var = info["ts_var"][0]
+            if isinstance(ts_var, Variable) and ts_var.name in special:
+                return None
         if input is not None and (special & set(input.vars)
-                                  or dp in input.ts_chains):
+                                  or set(dps) & set(input.ts_chains)):
             return None
+        vname_set = set(vnames)
         for tp in rest:
             terms = [tp.s, tp.o] + ([tp.p] if isinstance(tp.p, Variable)
                                     else [])
@@ -714,7 +733,7 @@ class Compiler:
                 return None
             sub = _expr_substitute(expr, derived)
             used = A.expr_variables(sub)
-            if vname in used or dp in used:
+            if used & vname_set or used & set(dps):
                 return None
             if tname in used:
                 # validate now, but fold the accessors into the granule
@@ -781,7 +800,7 @@ class Compiler:
                 return None
             sub = _expr_substitute(fexpr, derived)
             used = A.expr_variables(sub)
-            if vname in used or dp in used:
+            if used & vname_set or used & set(dps):
                 return None
             if tname not in used:
                 continue
@@ -797,28 +816,48 @@ class Compiler:
             return None
         for v in p.by:
             acc |= derived_acc.get(v, set())
-        needs: set[str] = set()
+        agg_needs = {"COUNT": {"n"}, "SUM": {"sum"}, "AVG": {"sum", "n"},
+                     "MIN": {"min"}, "MAX": {"max"}}
+        chain_needs: dict[str, set] = {v: set() for v in vnames}
+        count_star = False
         for a in p.aggregates:
             if a.distinct:
                 return None
             if a.name == "COUNT" and a.expr is None:
-                needs.add("cnt")
+                count_star = True
                 continue
-            if a.name in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
-                    and isinstance(a.expr, A.EVar) and a.expr.name == vname:
-                needs |= {"COUNT": {"n"}, "SUM": {"sum"},
-                          "AVG": {"sum", "n"}, "MIN": {"min"},
-                          "MAX": {"max"}}[a.name]
+            if a.name in agg_needs and isinstance(a.expr, A.EVar) \
+                    and a.expr.name in chain_needs:
+                chain_needs[a.expr.name] |= agg_needs[a.name]
                 continue
             return None
 
+        granule = _resolve_granule(acc)
+        if not sync:
+            dp, _, vname = chain_list[0]
+            needs = set(chain_needs.get(vname, set()))
+            if count_star:
+                needs.add("cnt")
+            return {
+                "t": tname, "v": vname, "dp": dp,
+                "granule": granule,
+                "ts_lower": ts_lo, "ts_upper": ts_hi,
+                "needs": needs,
+                "cols": {k: self.fresh(f"gp_{k}")
+                         for k in ("cnt", "n", "sum", "min", "max")},
+                "fired": False,
+            }
         return {
-            "t": tname, "v": vname, "dp": dp,
-            "granule": _resolve_granule(acc),
+            "sync": True, "t": tname,
+            "granule": granule,
             "ts_lower": ts_lo, "ts_upper": ts_hi,
-            "needs": needs,
-            "cols": {k: self.fresh(f"gp_{k}")
-                     for k in ("cnt", "n", "sum", "min", "max")},
+            "cnt_col": self.fresh("gp_cnt"),
+            "chains": {dp: {
+                "v": v,
+                "needs": set(chain_needs.get(v, set())) if v else set(),
+                "cols": {k: self.fresh(f"gp_{k}")
+                         for k in ("n", "sum", "min", "max")},
+            } for dp, _, v in chain_list},
             "fired": False,
         }
 
@@ -896,11 +935,18 @@ class Compiler:
         grouped pushdown. _analyze_group_pushdown guarantees only these
         shapes reach here; metas mirror _compile_aggregate's exactly so
         downstream projection/typing can't tell the paths apart."""
-        c = spec["cols"]
+        if spec.get("sync"):
+            if a.expr is None:  # COUNT(*)
+                return F.sum(F.col(spec["cnt_col"])).cast("long"), \
+                    VarMeta("native", "long")
+            c = next(ch["cols"] for ch in spec["chains"].values()
+                     if ch["v"] == a.expr.name)
+        else:
+            if a.expr is None:  # COUNT(*)
+                return F.sum(F.col(spec["cols"]["cnt"])).cast("long"), \
+                    VarMeta("native", "long")
+            c = spec["cols"]
         val_hint = sm.vars[c["sum"]].hint
-        if a.expr is None:  # COUNT(*)
-            return F.sum(F.col(c["cnt"])).cast("long"), \
-                VarMeta("native", "long")
         if a.name == "COUNT":
             return F.sum(F.col(c["n"])).cast("long"), VarMeta("native", "long")
         if a.name == "SUM":
@@ -1429,9 +1475,132 @@ class Compiler:
                 return SolutionMapping(self.spark.range(1).select(), {})
             sm = SolutionMapping(self.spark.range(1).select(), {})
 
+        spec = (self._group_pushdown_stack[-1]
+                if self._group_pushdown_stack else None)
+        if (spec is not None and spec.get("sync") and not spec["fired"]
+                and ts_joins):
+            synced = self._apply_sync_grouped_joins(sm, ts_joins, spec)
+            if synced is not None:
+                return synced
         for tj in ts_joins:
             sm = self._apply_ts_join(sm, tj)
         return sm
+
+    def _apply_sync_grouped_joins(self, sm: SolutionMapping,
+                                  ts_joins: list[dict],
+                                  spec: dict) -> SolutionMapping | None:
+        """Combined fetch for a SYNCHRONIZED grouped pushdown: the N
+        chains sharing one timestamp variable become ONE remote query —
+        the store inner-joins the base relation against itself on the
+        timestamp, restricted to the (id_1..id_n) tuples the static side
+        actually binds, and aggregates per-chain partials per (tuple,
+        granule) — reference timeseries_sql_rewrite.rs:356-428
+        (inner_join_selects) composed with :470-560
+        (create_grouped_query). Fires only for the single-remote-store
+        registry (an N-way remote join across DIFFERENT stores has no
+        single executor); any mismatch returns None and the per-chain
+        restricted point fetch runs instead — which is always correct,
+        just fetches points rather than buckets."""
+        if len(self.ts_tables) != 1:
+            return None
+        table = self.ts_tables[0]
+        if not getattr(table, "supports_pushdown", False):
+            return None
+        chain_specs = spec["chains"]
+        if {tj.get("dp") for tj in ts_joins} != set(chain_specs):
+            return None
+        for tj in ts_joins:
+            if "rebind" in tj or not isinstance(tj.get("t"), Variable) \
+                    or tj["t"].name != spec["t"]:
+                return None
+            ch = chain_specs[tj["dp"]]
+            v_term = tj.get("v")
+            if ch["v"] is None:
+                if v_term is not None:
+                    return None
+            elif not (isinstance(v_term, Variable)
+                      and v_term.name == ch["v"]):
+                return None
+            if tj.get("eid") not in sm.df.columns:
+                return None
+
+        ordered = list(ts_joins)
+        eids = [tj["eid"] for tj in ordered]
+        cap = self.TS_ID_PUSHDOWN_MAX
+        cond = F.lit(True)
+        for e in eids:
+            cond = cond & F.col(e).isNotNull()
+        rows = (sm.df.select(*eids).where(cond)
+                .distinct().limit(cap + 1).collect())
+        if len(rows) > cap:
+            return None
+        id_tuples = sorted({tuple(r) for r in rows})
+
+        # value-typed partials demand an exactly re-aggregatable value
+        # type (same gate as the single-chain path)
+        value_aggs = [bool({"sum", "min", "max"}
+                           & chain_specs[tj["dp"]]["needs"])
+                      for tj in ordered]
+        hint = "double"
+        if any(value_aggs):
+            from otit_swt_spark.terms import XSD
+            hint_map = {XSD + "double": "double", XSD + "float": "double"}
+            for n in ("integer", "long", "int", "short", "byte",
+                      "nonNegativeInteger", "unsignedInt", "unsignedLong"):
+                hint_map[XSD + n] = "long"
+            try:
+                hint = hint_map.get(table.value_xsd(self.spark))
+            except Exception:
+                return None
+            if hint is None:
+                return None
+
+        fn = getattr(table, "sync_grouped_restricted_normalized", None)
+        if fn is None:
+            return None
+        df = fn(self.spark, n_chains=len(ordered),
+                value_aggs=value_aggs, granule=spec["granule"],
+                id_tuples=id_tuples, ts_lower=spec["ts_lower"],
+                ts_upper=spec["ts_upper"], agg_type=hint)
+        if df is None:
+            return None
+
+        cols = []
+        vars2: dict[str, VarMeta] = {}
+        for i, tj in enumerate(ordered):
+            cols.append(F.col(f"id_{i + 1}").alias(tj["eid"]))
+            vars2[tj["eid"]] = VarMeta("native", "string")
+        cols.append(F.col("timestamp").alias(spec["t"]))
+        vars2[spec["t"]] = VarMeta("native", "timestamp")
+        cols.append(F.col("__gp_cnt").alias(spec["cnt_col"]))
+        vars2[spec["cnt_col"]] = VarMeta("native", "long")
+        for i, tj in enumerate(ordered):
+            ch = chain_specs[tj["dp"]]
+            if ch["v"] is not None:
+                # proven unread outside the rewritten aggregates
+                cols.append(F.lit(None).cast(hint).alias(ch["v"]))
+                vars2[ch["v"]] = VarMeta("native", hint)
+            for key in ("n", "sum", "min", "max"):
+                name = ch["cols"][key]
+                cols.append(F.col(f"__gp_{key}_{i + 1}").alias(name))
+                vars2[name] = VarMeta(
+                    "native", "long" if key == "n" else hint)
+        tsm = SolutionMapping(df.select(*cols), vars2)
+        out = self.join_solutions(sm, tsm)
+        out_vars = dict(out.vars)
+        odf = out.df
+        for e in eids:
+            out_vars.pop(e, None)
+            odf = odf.drop(e)
+        out = replace(out, df=odf, vars=out_vars)
+        for tj in ordered:
+            ch = chain_specs[tj["dp"]]
+            info = {"t": spec["t"]}
+            if ch["v"] is not None:
+                info["v"] = ch["v"]
+            out.ts_chains[tj["dp"]] = info
+        spec["fired"] = True
+        return out
 
     def _order_patterns(self, patterns: list[A.TriplePattern]
                         ) -> list[A.TriplePattern]:

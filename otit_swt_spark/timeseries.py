@@ -118,6 +118,21 @@ class TimeSeriesTable:
         partials — correctness never depends on this method."""
         return None
 
+    def sync_grouped_restricted_normalized(self, spark: SparkSession, *,
+                                           n_chains: int,
+                                           value_aggs: list[bool],
+                                           granule: tuple,
+                                           id_tuples: list[tuple],
+                                           ts_lower=None, ts_upper=None,
+                                           agg_type: str = "double"):
+        """Remote SYNCHRONIZED grouped fetch for N chains sharing one
+        timestamp variable (reference timeseries_sql_rewrite.rs:356-428
+        inner joins + :470-560 grouping): one row per ((id_1..id_n),
+        granule) carrying joined COUNT(*) and per-chain partials.
+        Backends that can't execute the remote join return None and the
+        compiler falls back to per-chain restricted point fetches."""
+        return None
+
     def value_xsd(self, spark: SparkSession) -> str:
         if self.value_datatype:
             return self.value_datatype

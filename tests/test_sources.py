@@ -724,6 +724,166 @@ def test_flight_grouped_pushdown_blocked_by_distinct_and_optional(
     assert "GROUP BY" not in srv.queries[-1]
 
 
+def test_flight_sync_grouped_pushdown_two_signals(spark,
+                                                  flight_pushdown_server):
+    """The wind-power MULTI-signal shape (reference
+    test_multi_should_pushdown_query, benchmark_case.rs:180-235): two
+    chains on different series synchronized on ?t, bucketed and
+    averaged. The store executes the timestamp self-JOIN pinned to the
+    static side's (id_1, id_2) tuple AND the GROUP BY
+    (timeseries_sql_rewrite.rs:356-428 + 470-560) — rows-served
+    collapses to tuples x buckets (1 x 2) instead of 2 x 8 points, and
+    COUNT(*) counts JOINED rows exactly as the Spark-side synchronized
+    join would."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, """
+        PREFIX ot: <https://github.com/magbak/otit_swt#>
+        PREFIX w: <urn:wp:>
+        INSERT DATA {
+            w:gen1 w:hasProd w:tsa . w:tsa ot:hasExternalId "ts1" .
+            w:gen1 w:hasSpeed w:tsb . w:tsb ot:hasExternalId "ts2" .
+            w:gen1 w:label "G1" .
+        }""")
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    PREFIX w: <urn:wp:>
+    SELECT ?g ?bucket (AVG(?prod) AS ?prod_avg) (AVG(?speed) AS ?speed_avg)
+           (COUNT(*) AS ?n) WHERE {
+        ?gen w:label ?g .
+        ?gen w:hasProd ?tsa .
+        ?tsa otit_swt:hasDataPoint ?dpa .
+        ?dpa otit_swt:hasTimestamp ?t .
+        ?dpa otit_swt:hasValue ?prod .
+        ?gen w:hasSpeed ?tsb .
+        ?tsb otit_swt:hasDataPoint ?dpb .
+        ?dpb otit_swt:hasTimestamp ?t .
+        ?dpb otit_swt:hasValue ?speed .
+        BIND(otit_swt:DateTimeAsSeconds(?t) AS ?secs)
+        BIND((xsd:integer(FLOOR(?secs / 4.0)) * 4) AS ?bucket)
+    } GROUP BY ?g ?bucket""")
+    got = sorted([tuple(r) for r in df.collect()], key=lambda r: r[1])
+    # grid seconds :52-:59, 4s buckets [52-55] / [56-59]; ts1 values
+    # 100+j, ts2 200+j -> bucket means 101.5/201.5 and 105.5/205.5
+    assert [(g, pa, sa, n) for g, _, pa, sa, n in got] == [
+        ("G1", 101.5, 201.5, 4), ("G1", 105.5, 205.5, 4)]
+    remote = srv.queries[-1]
+    assert "JOIN" in remote and 'c1."timestamp" = c0."timestamp"' in remote
+    assert "(c0.\"id\", c1.\"id\") IN (('ts1', 'ts2'))" in remote
+    assert 'GROUP BY c0."id", c1."id", FLOOR(EXTRACT(EPOCH FROM ' \
+        'c0."timestamp") / 4)' in remote
+    assert srv.rows_served == 2
+
+
+def test_flight_sync_grouped_pushdown_self_series(spark,
+                                                  flight_pushdown_server):
+    """Self-synchronized grouped variant: two datapoint chains on ONE
+    series sharing ?t (the sparql_sync_join shape under a GROUP BY) —
+    the remote join pins (id, id) pairs, one partial row per series
+    comes back, and MIN/MAX/COUNT re-aggregate exactly."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id (MIN(?v1) AS ?lo) (MAX(?v2) AS ?hi) (COUNT(*) AS ?n)
+    WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp1 .
+        ?dp1 otit_swt:hasTimestamp ?t .
+        ?dp1 otit_swt:hasValue ?v1 .
+        ?ts otit_swt:hasDataPoint ?dp2 .
+        ?dp2 otit_swt:hasTimestamp ?t .
+        ?dp2 otit_swt:hasValue ?v2 .
+        FILTER(?t >= "2022-06-01T08:46:56"^^xsd:dateTime)
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 104.0, 107.0, 4), ("ts2", 204.0, 207.0, 4)]
+    remote = srv.queries[-1]
+    assert "JOIN" in remote and "GROUP BY" in remote
+    assert "IN (('ts1', 'ts1'), ('ts2', 'ts2'))" in remote
+    assert "c0.\"timestamp\" >= TIMESTAMP '2022-06-01 08:46:56'" in remote
+    assert srv.rows_served == 2
+
+
+def test_flight_sync_grouped_fallback_mixed_registry(spark,
+                                                     flight_pushdown_server,
+                                                     tmp_path):
+    """A SECOND registered table disables the remote sync-join (an
+    N-way join across different stores has no single executor): the
+    per-chain restricted point fetch runs instead and the answer is
+    identical."""
+    import pandas as pd
+
+    from otit_swt_spark.sources.flight import flight_timeseries
+    from otit_swt_spark.timeseries import TimeSeriesTable
+
+    srv = flight_pushdown_server
+    pq = tmp_path / "ts_empty.parquet"
+    base = pd.Timestamp("2030-01-01")
+    spark.createDataFrame(pd.DataFrame({
+        "id": ["zzz"], "timestamp": [base], "value": [0.0]})) \
+        .write.parquet(str(pq))
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = (Engine(spark, graph).add_timeseries_table(ts)
+           .add_timeseries_table(TimeSeriesTable(path=str(pq))))
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?ts_id (AVG(?v1) AS ?m1) (AVG(?v2) AS ?m2) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp1 .
+        ?dp1 otit_swt:hasTimestamp ?t .
+        ?dp1 otit_swt:hasValue ?v1 .
+        ?ts otit_swt:hasDataPoint ?dp2 .
+        ?dp2 otit_swt:hasTimestamp ?t .
+        ?dp2 otit_swt:hasValue ?v2 .
+    } GROUP BY ?ts_id""")
+    assert rows(df) == [("ts1", 103.5, 103.5), ("ts2", 203.5, 203.5)]
+    assert all("JOIN" not in q for q in srv.queries)
+
+
+def test_render_sync_grouped_sql_text():
+    """Sync-grouped render unit contract: per-chain aliases, the
+    row-tuple IN list, exact strict bounds on c0, per-chain partial
+    columns with NULL value-aggs where unneeded."""
+    import datetime as dt
+
+    from otit_swt_spark.sources.flight import render_sync_grouped_sql
+
+    sql = render_sync_grouped_sql(
+        "SELECT * FROM ts",
+        identifier_column="id", timestamp_column="ts",
+        n_chains=2, value_aggs=[True, False],
+        granule=("bucket", 600),
+        id_tuples=[("a", "b"), ("c", "d")],
+        ts_lower=(dt.datetime(2022, 1, 1), False),
+        ts_upper=(dt.datetime(2022, 1, 2), True),
+        agg_cast="DOUBLE")
+    assert 'JOIN (SELECT * FROM ts) c1 ON c1."ts" = c0."ts"' in sql
+    assert "(c0.\"id\", c1.\"id\") IN (('a', 'b'), ('c', 'd'))" in sql
+    assert 'c0."ts" >= TIMESTAMP' in sql and 'c0."ts" < TIMESTAMP' in sql
+    assert 'CAST(SUM(c0."value") AS DOUBLE) AS "__gp_sum_1"' in sql
+    assert 'CAST(NULL AS DOUBLE) AS "__gp_sum_2"' in sql
+    assert 'GROUP BY c0."id", c1."id", FLOOR(EXTRACT(EPOCH FROM c0."ts") ' \
+        '/ 600)' in sql
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        render_sync_grouped_sql(
+            "q", identifier_column="id", timestamp_column="ts",
+            n_chains=1, value_aggs=[True])
+
+
 def test_flight_grouped_pushdown_count_only_valueless_chain(
         spark, flight_pushdown_server):
     """COUNT-only widening: a value-LESS chain (hasDataPoint +
