@@ -144,6 +144,35 @@ def minhash_signature_udf(k: int = 64, shingle_n: int = 3):
     return sig
 
 
+def shingle_set_udf(shingle_n: int = 3):
+    """Per-document DISTINCT word-shingle set (sorted array<string>) as an
+    Arrow-batched pandas UDF — the vectorized twin of the expression-form
+    :func:`shingles` for consumers that need the SET of grams (exact
+    Jaccard truth, set-similarity joins). Tokenization is identical to
+    :func:`minhash_signature_udf` (Python ``str.split`` == the ``\\s+``
+    regex split with empty tokens dropped — the form the DuckDB oracle
+    replays). Emitting the per-doc set directly means a downstream
+    ``explode`` yields already-distinct ``(id, tok)`` rows, so callers can
+    skip a global ``distinct()`` shuffle outright (guide §2.3/§2.4), and
+    the per-row work runs at C speed instead of through the interpreted
+    higher-order-function expression tree (guide §4.2)."""
+
+    @F.pandas_udf("array<string>")
+    def gram_set(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) <= shingle_n:
+                grams = {" ".join(toks)}
+            else:
+                grams = {" ".join(toks[i:i + shingle_n])
+                         for i in range(len(toks) - shingle_n + 1)}
+            out.append(sorted(grams))
+        return pd.Series(out)
+
+    return gram_set
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content digest: keeps the minimum id per digest.
     Shuffles only (digest, id) pairs."""
@@ -1063,10 +1092,15 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
                                     F.col(id_col).cast("string")))
             < F.lit(sample_fraction))
 
-    grams = (df.select(F.col(id_col).alias("id"),
-                       F.explode(shingles(F.col(text_col), shingle_n))
-                       .alias("tok"))
-             .distinct())
+    # Truth-side gram pass through the vectorized set UDF: the per-doc
+    # DISTINCT gram set explodes into already-unique (id, tok) rows, so
+    # the global distinct() shuffle the expression form needed is gone
+    # (guide §2.4), and the gram computation runs vectorized instead of
+    # through the interpreted HOF tree (guide §4.2 — measured 9-12 s
+    # single-task at sf0.1 for the expression form vs sub-second here).
+    grams = (df.select(F.col(id_col).alias("id"), F.col(text_col))
+             .select("id", F.explode(
+                 shingle_set_udf(shingle_n)(F.col(text_col))).alias("tok")))
     truth = _ssjoin_pairs(grams, threshold).select("id_a", "id_b")
     cand = (minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands,
                               shingle_n=shingle_n)
