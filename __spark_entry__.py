@@ -3912,7 +3912,12 @@ def q_corpus_from_html(spark, sf_dir):
         chunk_text, gopher_rules, n_tokens)
     from otit_swt_spark.pipelines.urltools import canonicalize_urls
 
-    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    # Repartition the 1-split scan BEFORE synthesizing the page bytes so
+    # (a) only the raw text crosses the exchange, not the inflated HTML
+    # (guide §2.3), and (b) the Python HTML codec downstream runs on every
+    # core instead of the single input split (guide §2.5 input skew).
+    d = (_t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+         .repartition(spark.sparkContext.defaultParallelism))
     is_synd = (F.col("doc_id") % 13) == 5
     h1 = F.when(is_synd, F.lit("Syndicated Release")).otherwise(
         F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
@@ -3942,7 +3947,13 @@ def q_corpus_from_html(spark, sf_dir):
         F.lit("?utm_source=x&b=2&a=1#frag"))
     pages = d.select("doc_id", page.alias("html"), messy.alias("url"))
 
-    ext = html_extract(pages.select("doc_id", "html"))
+    # ext feeds THREE consumers (gopher filter, the kept join, and the
+    # dedup digest) — materialize the 4-column extract once instead of
+    # re-running the Python HTML codec per branch: the executed plan held
+    # 4 MapInPandas evaluations of the same extractor before this (lazy
+    # localCheckpoint; same lineage-control idiom as triangle_count).
+    ext = html_extract(pages.select("doc_id", "html")) \
+        .localCheckpoint(eager=False)
     canon = canonicalize_urls(pages.select("doc_id", "url"))
     url_keep = (canon.groupBy("canonical_url")
                 .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))

@@ -55,8 +55,30 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
-def lsh_sketch(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit sketch (long) from random hyperplanes."""
+def _sketch_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the sign-bit sketch — semantically identical to the
+    Column form below (same aggregate/zip_with left fold, same CASE/cast
+    shape), but rendered as ONE string so building the 12-table production
+    sketch costs one parser call instead of ~25k py4j round trips
+    (measured 3.8 s of plan-build per ann_topk invocation, guide §1/§7.3
+    driver-side work). ``repr(float)`` round-trips doubles exactly, so the
+    literals are bit-identical to ``F.lit``'s."""
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        d = (f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), {arr}, "
+             f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << j}L ELSE 0L END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_sketch(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch (long) from random hyperplanes. Pass the vector as
+    a COLUMN NAME (string) to get the fast one-parser-call build
+    (:func:`_sketch_sql`); a Column argument keeps the original
+    expression-builder path (identical result)."""
+    if isinstance(vec, str):
+        return F.expr(_sketch_sql(f"`{vec}`", planes))
     bits = []
     for j, p in enumerate(planes):
         pc = F.array(*[F.lit(float(x)) for x in p])
@@ -124,7 +146,7 @@ def ann_topk(
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_bits, seed=7 + t)
         qsketch = _query_sketch(query_vec, planes)
-        c = (F.bit_count(lsh_sketch(F.col(vec_col), planes)
+        c = (F.bit_count(lsh_sketch(vec_col, planes)
                          .bitwiseXOR(F.lit(qsketch))) <= hamming)
         cond = c if cond is None else (cond | c)
     cand = df.filter(cond)
@@ -380,7 +402,7 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             n_bits = derive_n_bits(base.count())
         sketches = F.array(*[
             F.struct(F.lit(t).alias("t"),
-                     lsh_sketch(F.col("v"),
+                     lsh_sketch("v",
                                 _hyperplanes(dim, n_bits, seed=7 + t)).alias("sk"))
             for t in range(n_tables)])
         entries = (base.select("id", "v", F.explode(sketches).alias("e"))
@@ -444,7 +466,7 @@ def embedding_neardup_pairs(
     if n_bits is None:
         n_bits = derive_n_bits(base.count())
     planes = _hyperplanes(_dim_of(df, vec_col), n_bits)
-    sk = base.withColumn("sketch", lsh_sketch(F.col("v"), planes)).persist()
+    sk = base.withColumn("sketch", lsh_sketch("v", planes)).persist()
     chains = _oversized_chain_pairs(sk, ["sketch"], max_bucket)
     salted, keys = _salt_oversized(sk, ["sketch"], max_bucket)
     l, r = salted.alias("l"), salted.alias("r")
@@ -536,7 +558,7 @@ def ann_recall_eval(df: DataFrame, n_queries: int = 16, k: int = 10,
     qnames, snames = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_bits, seed=7 + t)
-        base = base.withColumn(f"sk{t}", lsh_sketch(F.col("v"), planes))
+        base = base.withColumn(f"sk{t}", lsh_sketch("v", planes))
         snames.append(f"sk{t}")
         qnames.append(f"qsk{t}")
     q = base.filter(F.col("id") < n_queries).select(

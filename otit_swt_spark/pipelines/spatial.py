@@ -135,9 +135,14 @@ def dbscan_clusters(df: DataFrame, id_col: str, x: str = "x",
 
     pts = df.select(F.col(id_col).alias("id"), F.col(x).alias("x"),
                     F.col(y).alias("y"))
+    # the eps-neighbor pair set feeds THREE consumers (degree count, the
+    # core-core edge filter, and the border join) — materialize the grid
+    # join once instead of re-running it per branch (lazy localCheckpoint,
+    # the same lineage-control idiom as triangle_count/pagerank)
     pairs = (radius_join(pts, pts, eps)
              .where(F.col("id_l") != F.col("id_r"))
-             .select(F.col("id_l").alias("a"), F.col("id_r").alias("b")))
+             .select(F.col("id_l").alias("a"), F.col("id_r").alias("b"))
+             .localCheckpoint(eager=False))
     deg = pairs.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("__n"))
     core = deg.where(F.col("__n") >= min_pts).select(F.col("a").alias("id"))
     cedges = (pairs

