@@ -305,12 +305,21 @@ def pq_fit(df: DataFrame, m: int = 8, codebook_size: int = 16,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    return [
-        kmeans_fit(
+    # The m per-subspace fits are INDEPENDENT job chains (seed collect +
+    # one aggregate per Lloyd round each); run them overlapped from a
+    # small driver thread pool so later subspaces back-fill the cluster
+    # while earlier ones wait on their driver reads (guide §2.6 —
+    # "overlap independent jobs"). Each fit's result is deterministic and
+    # unaffected by scheduling; the returned list stays subspace-ordered.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(j: int):
+        return kmeans_fit(
             base.select("id", F.slice("v", j * sub + 1, sub).alias("sv")),
             k=codebook_size, iters=iters, id_col="id", vec_col="sv")
-        for j in range(m)
-    ]
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
@@ -405,10 +414,15 @@ def ivf_pq_topk(df: DataFrame, query_id, k: int = 10,
     cent_lookup = F.element_at(
         F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]),
         F.col("list_id") + 1)
+    # materialize the residual frame once: it feeds the m subspace fits
+    # (each a multi-job chain), the encode pass and the list_id join —
+    # without this every consumer re-evaluates the interpreted coarse
+    # assignment + residual zip_with over the corpus
     resid = (base.withColumn("list_id", cl)
              .withColumn("rv", F.zip_with("v", cent_lookup,
                                           lambda a, b: a - b))
-             .select("id", "list_id", "rv"))
+             .select("id", "list_id", "rv")
+             .localCheckpoint(eager=False))
     books = pq_fit(resid, m=m, codebook_size=codebook_size, iters=iters,
                    id_col="id", vec_col="rv")
     codes = pq_encode(resid, books, id_col="id", vec_col="rv") \
