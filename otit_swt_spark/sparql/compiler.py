@@ -517,8 +517,11 @@ class Compiler:
 
         if not self.ts_tables:
             raise ValueError("query touches time-series data but no TimeSeriesTable registered")
-        if not any(getattr(t, "supports_pushdown", False)
-                   for t in self.ts_tables):
+        if "probed_ids" not in tj and not any(
+                getattr(t, "supports_pushdown", False)
+                for t in self.ts_tables):
+            # no pre-probe ran (caller outside compile_bgp) and nothing
+            # to push remotely: the plain union is already optimal
             return self.ts_relation()
 
         ts_lower = ts_upper = value_eq = None
@@ -539,15 +542,20 @@ class Compiler:
             value_eq = _pushdown_value_literal(v_term)
 
         # the reference's bound join: distinct external ids from the static
-        # side, rendered into the remote SQL — bounded by the cap
+        # side, rendered into the remote SQL — bounded by the cap.
+        # compile_bgp pre-probes all chains in one job (_probe_chain_ids);
+        # the per-chain probe below only remains for callers outside it.
         ids = None
-        eid = tj.get("eid")
-        if eid and eid in sm.df.columns:
-            cap = self.TS_ID_PUSHDOWN_MAX
-            rows = (sm.df.select(eid).where(F.col(eid).isNotNull())
-                    .distinct().limit(cap + 1).collect())
-            if len(rows) <= cap:
-                ids = sorted({r[0] for r in rows})
+        if "probed_ids" in tj:
+            ids = tj["probed_ids"]
+        else:
+            eid = tj.get("eid")
+            if eid and eid in sm.df.columns:
+                cap = self.TS_ID_PUSHDOWN_MAX
+                rows = (sm.df.select(eid).where(F.col(eid).isNotNull())
+                        .distinct().limit(cap + 1).collect())
+                if len(rows) <= cap:
+                    ids = sorted({r[0] for r in rows})
 
         # grouped pushdown (reference GroupedTimeSeriesQuery,
         # preparing/graph_patterns/group_pattern.rs:18-105): when the
@@ -594,7 +602,22 @@ class Compiler:
                     self.spark, ids=ids, ts_lower=ts_lower,
                     ts_upper=ts_upper, value_eq=v_eq))
             else:
-                dfs.append(t.normalized(self.spark))
+                # Spark-native table: apply the SAME restriction as a
+                # plain filter over the normalized relation. The id set
+                # comes from a join, so Catalyst cannot derive it — the
+                # explicit IN-list prunes the chain before its exchange
+                # and reaches PushedFilters on a parquet-backed scan;
+                # the timestamp bounds push down the ordinary way. Both
+                # are supersets of the join's own constraints, which are
+                # still applied, so results are unchanged (guide §3.2).
+                df = t.normalized(self.spark)
+                if ids is not None:
+                    df = df.where(F.col("id").isin(ids))
+                if ts_lower is not None:
+                    df = df.where(F.col("timestamp") >= F.lit(ts_lower))
+                if ts_upper is not None:
+                    df = df.where(F.col("timestamp") <= F.lit(ts_upper))
+                dfs.append(df)
         return self._harmonize_ts_union(dfs)
 
     def _analyze_group_pushdown(self, p: A.Group,
@@ -1482,9 +1505,43 @@ class Compiler:
             synced = self._apply_sync_grouped_joins(sm, ts_joins, spec)
             if synced is not None:
                 return synced
+        self._probe_chain_ids(sm, ts_joins)
         for tj in ts_joins:
             sm = self._apply_ts_join(sm, tj)
         return sm
+
+    def _probe_chain_ids(self, sm: SolutionMapping,
+                         ts_joins: list[dict]) -> None:
+        """ONE bounded driver probe for the external-id sets of ALL the
+        BGP's ts chains, taken from the static side BEFORE any chain is
+        joined (every chain's eid column is bound by the BGP itself, so
+        the pre-chain frame carries them all). Replaces the per-chain
+        probe inside _ts_relation_for_join — one job instead of N, and
+        the probed subtree is the cheap KG-only plan, not the partially
+        chain-joined one. The per-chain sets feed (a) the remote IN-list
+        pushdown exactly as before and (b) a NEW Spark-side semi-filter
+        on non-pushdown tables (guide §3.2): the id restriction comes
+        from a join, so Catalyst cannot derive it itself — filtering the
+        chain relation before its exchange cuts the shuffled rows to the
+        chain's matching series, and against a parquet-backed table the
+        IN-list lands in PushedFilters at the scan. Sets are supersets
+        of the per-call sets (later chains only restrict), and every
+        constraint is re-applied by the join, so results are unchanged."""
+        eligible = [tj for tj in ts_joins
+                    if "rebind" not in tj and tj.get("eid")
+                    and tj["eid"] in sm.df.columns]
+        if not eligible:
+            return
+        cap = self.TS_ID_PUSHDOWN_MAX
+        eids = [tj["eid"] for tj in eligible]
+        rows = (sm.df.select(*eids).distinct().limit(cap + 1).collect())
+        if len(rows) > cap:
+            for tj in eligible:
+                tj["probed_ids"] = None
+            return
+        for tj in eligible:
+            tj["probed_ids"] = sorted(
+                {r[tj["eid"]] for r in rows if r[tj["eid"]] is not None})
 
     def _apply_sync_grouped_joins(self, sm: SolutionMapping,
                                   ts_joins: list[dict],
