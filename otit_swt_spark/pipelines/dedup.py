@@ -647,11 +647,21 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): the verify
     stage after LSH. Joins text back in (broadcast-eligible when the pair
-    set is small), computes |A∩B| / |A∪B| with array ops."""
-    texts = (with_shingles(docs.select(F.col(id_col).alias("id"),
-                                       F.col(text_col)),
-                           text_col, n, out_col="__g")
-             .select("id", F.array_distinct("__g").alias("grams")))
+    set is small), computes |A∩B| / |A∪B| with array ops.
+
+    The per-doc DISTINCT gram set comes from :func:`shingle_set_udf` —
+    one Arrow-batched pass at C speed instead of the interpreted
+    higher-order shingle tree (guide §4.2; identical tokenization, and
+    the intersect/union sizes are order-insensitive so sorted-set vs
+    first-seen order changes nothing). The scan is repartitioned first
+    (a single small parquet file reads as ONE input split — the UDF
+    would otherwise run on one core) and the gram frame persisted so
+    the two pair-side joins below evaluate it once."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    texts = (docs.select(F.col(id_col).alias("id"), F.col(text_col))
+             .repartition(par)
+             .select("id", shingle_set_udf(n)(F.col(text_col)).alias("grams"))
+             .persist())
     out = (
         df_pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
