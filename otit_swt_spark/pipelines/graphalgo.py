@@ -208,25 +208,34 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     fixed-iteration form)."""
     from pyspark.sql import Window as W
 
-    und = undirect(edges)
+    # materialize the undirected edge list once: each round's send()
+    # references it, so an un-checkpointed edge frame re-derives the
+    # upstream edge generation (often a co-occurrence self-join) once
+    # PER ROUND — same lineage-control idiom as pagerank above
+    und = undirect(edges).localCheckpoint(eager=False)
 
     def send(ed, labels):
         # each neighbor's current community, re-keyed to the receiving node
         return (ed.join(labels.withColumnRenamed("id", "dst"), "dst")
                 .select(F.col("src").alias("id"), "community"))
 
-    # two-stage merge (count per label -> deterministic argmax window) —
-    # the shape a single-agg-expression Pregel API can't express and the
+    # two-stage merge (count per label -> deterministic argmax) — the
+    # shape a single-agg-expression Pregel API can't express and the
     # reason aggregate_messages hands merge() the raw message frame.
     # Every node in `und` has >= 1 neighbor, so the pick covers all ids.
+    # The argmax is a struct-min AGGREGATION, not a row_number window:
+    # min over (-count, community) is exactly "count desc, community asc"
+    # but partial-aggregates map-side and stays splittable on hub nodes
+    # (a window cannot partial-aggregate — the same skew hazard that
+    # ruled out window-based degrees in kcore), and it drops the
+    # window's per-round sort.
     def merge(msgs):
         nbr = (msgs.groupBy("id", "community")
                .agg(F.count(F.lit(1)).alias("__n")))
-        w = (W.partitionBy("id")
-             .orderBy(F.desc("__n"), F.col("community").asc()))
-        return (nbr.withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") == 1)
-                .select("id", "community"))
+        pick = F.min(F.struct((-F.col("__n")).alias("__negn"),
+                              F.col("community").alias("community")))
+        return (nbr.groupBy("id").agg(pick.alias("__p"))
+                .select("id", F.col("__p.community").alias("community")))
 
     init = (und.select(F.col("src").alias("id")).distinct()
             .withColumn("community", F.col("id")))
