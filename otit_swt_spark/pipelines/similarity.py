@@ -388,12 +388,18 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     from pyspark.sql import Window as W
 
     dim = _dim_of(df, vec_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # stage each vector's norm ONCE: the pair join otherwise re-runs the
+    # interpreted norm fold per PAIR (2 folds x O(n^2) pairs instead of
+    # n) — the norm value is the identical double either way, so
+    # cos_sim is bit-unchanged (guide §4.2: shrink interpreted-HOF work)
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("nv", norm(F.col("v").cast("array<double>"))))
     if exact:
         l, r = base.alias("l"), base.alias("r")
         pairs = (l.join(r, F.col("l.id") != F.col("r.id"))
                  .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
-                         F.col("l.v").alias("va"), F.col("r.v").alias("vb")))
+                         F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+                         F.col("l.nv").alias("na"), F.col("r.nv").alias("nb")))
     else:
         if n_bits is None:
             # persist BEFORE counting so the sizing pass and the sketch
@@ -405,8 +411,8 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                      lsh_sketch("v",
                                 _hyperplanes(dim, n_bits, seed=7 + t)).alias("sk"))
             for t in range(n_tables)])
-        entries = (base.select("id", "v", F.explode(sketches).alias("e"))
-                   .select("id", "v", F.col("e.t").alias("t"),
+        entries = (base.select("id", "v", "nv", F.explode(sketches).alias("e"))
+                   .select("id", "v", "nv", F.col("e.t").alias("t"),
                            F.col("e.sk").alias("sk")))
         entries, keys = _salt_oversized(entries, ["t", "sk"], max_bucket)
         l, r = entries.alias("l"), entries.alias("r")
@@ -415,12 +421,14 @@ def all_pairs_topk_per_vector(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
         pairs = (l.join(r, cond)
                  .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"),
-                         F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+                         F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+                         F.col("l.nv").alias("na"), F.col("r.nv").alias("nb"))
                  .dropDuplicates(["src", "dst"]))
     scored = pairs.select(
         "src", "dst",
-        cosine(F.col("va").cast("array<double>"),
-               F.col("vb").cast("array<double>")).alias("cos_sim"),
+        F.try_divide(dot(F.col("va").cast("array<double>"),
+                         F.col("vb").cast("array<double>")),
+                     F.col("na") * F.col("nb")).alias("cos_sim"),
     )
     w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
