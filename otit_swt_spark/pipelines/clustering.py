@@ -131,7 +131,7 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
     reports the lowest id among DETECTED mates (which may exceed the true
     cluster-wide minimum); pair volume is bounded at ~n*max_cell_size/2
     per cluster — linear in n for fixed cell size."""
-    from otit_swt_spark.pipelines.similarity import cosine
+    from otit_swt_spark.pipelines.similarity import dot, norm
     from pyspark.sql import Window as W
 
     assigned = kmeans_assign(df, k, iters, id_col, vec_col) \
@@ -155,14 +155,21 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
              .select("cluster", F.col("id").alias("id_a"),
                      F.col("__prev").alias("id_b")))
     cand = cand.unionByName(chain).dropDuplicates(["id_a", "id_b"])
-    vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+    # per-vector norm staged once: cosine() would re-run the interpreted
+    # norm fold per candidate PAIR; dot/(na*nb) uses the identical
+    # doubles, so the rounded cos_sim is bit-unchanged (guide §4.2)
+    vecs = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("nv", norm(F.col("v"))))
     dup_pairs = (cand
                  .join(vecs.select(F.col("id").alias("id_a"),
-                                   F.col("v").alias("va")), "id_a")
+                                   F.col("v").alias("va"),
+                                   F.col("nv").alias("na")), "id_a")
                  .join(vecs.select(F.col("id").alias("id_b"),
-                                   F.col("v").alias("vb")), "id_b")
-                 .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                                   F.col("v").alias("vb"),
+                                   F.col("nv").alias("nb")), "id_b")
+                 .filter(F.round(F.try_divide(dot(F.col("va"), F.col("vb")),
+                                              F.col("na") * F.col("nb")), 6)
                          >= min_cosine)
                  .groupBy("id_a")
                  .agg(F.min("id_b").alias("dup_of")))

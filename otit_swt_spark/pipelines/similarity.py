@@ -485,13 +485,20 @@ def embedding_neardup_pairs(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .unionByName(chains)
             .dropDuplicates(["id_a", "id_b"]))
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # per-vector norm staged once (same doubles -> bit-identical rounded
+    # cos_sim), not re-folded per candidate pair — guide §4.2
+    normed = base.withColumn("nv", norm(F.col("v").cast("array<double>")))
+    va = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                       F.col("nv").alias("na"))
+    vb = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                       F.col("nv").alias("nb"))
     out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va").cast("array<double>"),
-                               F.col("vb").cast("array<double>")), 6).alias("cos_sim"))
+                F.round(F.try_divide(
+                    dot(F.col("va").cast("array<double>"),
+                        F.col("vb").cast("array<double>")),
+                    F.col("na") * F.col("nb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
     if eager:
