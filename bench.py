@@ -314,6 +314,25 @@ def main() -> None:
     # interleaved re-measure showed calib drifting 2x WITHIN a session,
     # so a single trailing sample can misattribute early-entry walls
     calib_start = _calibrate(spark)
+    # Start-probe load-guard (round 14, additions only — the r13 32-core
+    # driver record was lost to a loaded start: calib_sec_start 0.615 =
+    # 6x the 0.104 idle unit, and 10 phantom "regressions" followed).
+    # When the start probe exceeds 2x the idle unit, wait for the
+    # transient (a just-exited JVM's page reclaim, a sibling build) and
+    # re-probe ONCE; the record then carries both probes plus a loud
+    # `contaminated` flag so no reader mistakes contention for
+    # regression. Timing methodology is unchanged.
+    IDLE_CALIB_SEC = 0.104  # measured idle unit on this box (r11-r13)
+    calib_start_retry = None
+    contaminated = False
+    if calib_start > 2 * IDLE_CALIB_SEC:
+        time.sleep(45)
+        calib_start_retry = _calibrate(spark)
+        contaminated = calib_start_retry > 2 * IDLE_CALIB_SEC
+        print(f"# load-guard: calib_sec_start {calib_start} > "
+              f"2x idle unit {IDLE_CALIB_SEC}; retry probe "
+              f"{calib_start_retry} -> contaminated={contaminated}",
+              file=sys.stderr)
     # raw _QUERIES, not the memoized queries() registry: the memo returns
     # the SAME DataFrame on re-invocation, so iterative entries (kmeans
     # driver-side fit, localCheckpoint lineage, the winnow materialize)
@@ -395,6 +414,8 @@ def main() -> None:
         # calib_sec (and loadavg) is contention, not regression
         "calib_sec": _calibrate(spark),
         "calib_sec_start": calib_start,
+        "calib_sec_start_retry": calib_start_retry,
+        "contaminated": contaminated,
         "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,
@@ -425,6 +446,8 @@ def main() -> None:
         "windpower_total": metrics["windpower_total"],
         "calib_sec": metrics["calib_sec"],
         "calib_sec_start": calib_start,
+        "calib_sec_start_retry": calib_start_retry,
+        "contaminated": contaminated,
         "loadavg_end": load1,
         "sf": float(sf),
         "cpus": cpus,

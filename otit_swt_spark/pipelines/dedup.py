@@ -12,10 +12,30 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 MERSENNE = (1 << 61) - 1
+
+# The ASCII whitespace class of Java/RE2 ``\s`` — the split the
+# expression form (F.split(..., r"\s+")) and every DuckDB oracle
+# (string_split_regex(..., '\s+')) perform. Python ``str.split()`` with
+# no argument splits on *Unicode* whitespace (U+00A0, U+2028, ...) and
+# would silently diverge from those forms on non-ASCII corpora — the
+# r13-advice parity gap.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ws_tokens(t: str | None) -> list[str]:
+    """Lowercased ASCII-whitespace tokens with empty tokens dropped —
+    the exact token stream of the oracle's
+    ``list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')``.
+    ``None`` tokenizes like the empty string (no tokens), so each UDF's
+    short-text fallback emits the same ``""`` whole-doc gram the
+    oracle's ``coalesce(..., '')`` produces."""
+    return [w for w in _ASCII_WS.split((t or "").lower()) if w]
 
 
 def _md5_31(s: Column) -> Column:
@@ -127,7 +147,7 @@ def minhash_signature_udf(k: int = 64, shingle_n: int = 3):
         out = []
         empty = np.full(k, MERSENNE, dtype=np.int64)
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_tokens(t)
             if len(toks) <= shingle_n:
                 grams = [" ".join(toks)]
             else:
@@ -148,10 +168,11 @@ def shingle_set_udf(shingle_n: int = 3):
     """Per-document DISTINCT word-shingle set (sorted array<string>) as an
     Arrow-batched pandas UDF — the vectorized twin of the expression-form
     :func:`shingles` for consumers that need the SET of grams (exact
-    Jaccard truth, set-similarity joins). Tokenization is identical to
-    :func:`minhash_signature_udf` (Python ``str.split`` == the ``\\s+``
-    regex split with empty tokens dropped — the form the DuckDB oracle
-    replays). Emitting the per-doc set directly means a downstream
+    Jaccard truth, set-similarity joins). Tokenization is
+    :func:`_ws_tokens` — the ASCII ``\\s+`` split with empty tokens
+    dropped that :func:`minhash_signature_udf` and the DuckDB oracles
+    share (tests/test_tokenize_parity.py locks all three on DuckDB
+    itself). Emitting the per-doc set directly means a downstream
     ``explode`` yields already-distinct ``(id, tok)`` rows, so callers can
     skip a global ``distinct()`` shuffle outright (guide §2.3/§2.4), and
     the per-row work runs at C speed instead of through the interpreted
@@ -161,7 +182,7 @@ def shingle_set_udf(shingle_n: int = 3):
     def gram_set(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_tokens(t)
             if len(toks) <= shingle_n:
                 grams = {" ".join(toks)}
             else:
@@ -658,10 +679,15 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     would otherwise run on one core) and the gram frame persisted so
     the two pair-side joins below evaluate it once."""
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # materialize-once via lazy localCheckpoint, NOT persist: the r13
+    # advice flagged that this persist was never unpersisted, so repeated
+    # calls in a long-lived session accumulated CacheManager entries
+    # until LRU eviction (guide §5). The checkpoint blocks are released
+    # by the ContextCleaner when the frame is garbage-collected.
     texts = (docs.select(F.col(id_col).alias("id"), F.col(text_col))
              .repartition(par)
              .select("id", shingle_set_udf(n)(F.col(text_col)).alias("grams"))
-             .persist())
+             .localCheckpoint(eager=False))
     out = (
         df_pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -687,7 +713,7 @@ def _gram_md5_udf(n: int):
     def gram_md5s(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = _ws_tokens(t)
             if len(toks) < n:
                 grams = [" ".join(toks)]
             else:

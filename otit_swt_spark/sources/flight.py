@@ -259,6 +259,53 @@ def render_grouped_sql(
         f"GROUP BY {', '.join(keys)}")
 
 
+def render_grouped_probe_sql(
+    base_query: str,
+    *,
+    identifier_column: str,
+    timestamp_column: str,
+    granule: tuple,
+    ids: list[str] | None = None,
+    ts_lower=None,
+    ts_upper=None,
+) -> str:
+    """One-row cost probe for the grouped pushdown: how many points does
+    the restricted window hold, and how many (id, granule) groups would
+    the grouped form return? Rendered over the IDENTICAL restriction and
+    grouping keys as :func:`render_grouped_sql` (same bounds strictness,
+    same bucket arithmetic), so the comparison is exact. Plain ANSI SQL —
+    the same dialect envelope as the grouped query itself."""
+    qid = '"' + identifier_column.replace('"', '""') + '"'
+    qts = '"' + timestamp_column.replace('"', '""') + '"'
+    conds: list[str] = []
+    if ids is not None:
+        in_list = ", ".join(_sql_str_literal(i) for i in sorted(ids))
+        conds.append(f"{qid} IN ({in_list})" if in_list else "1 = 0")
+    if ts_lower is not None:
+        v, strict = ts_lower
+        conds.append(f"{qts} {'>' if strict else '>='} {_sql_ts_literal(v)}")
+    if ts_upper is not None:
+        v, strict = ts_upper
+        conds.append(f"{qts} {'<' if strict else '<='} {_sql_ts_literal(v)}")
+    keys = [qid]
+    if granule[0] == "bucket":
+        keys.append(f"FLOOR(EXTRACT(EPOCH FROM {qts}) / {int(granule[1])})")
+    elif granule[0] == "trunc":
+        unit = str(granule[1])
+        if unit not in ("year", "month", "day", "hour", "minute", "second"):
+            raise ValueError(f"unsupported granule unit {unit!r}")
+        keys.append(f"DATE_TRUNC('{unit}', {qts})")
+    elif granule[0] != "all":
+        raise ValueError(f"unsupported granule {granule!r}")
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    return (
+        'SELECT CAST(COALESCE(SUM("__pp_cnt"), 0) AS BIGINT) AS "__pts", '
+        'CAST(COUNT(*) AS BIGINT) AS "__bkts" FROM ('
+        f'SELECT COUNT(*) AS "__pp_cnt" '
+        f"FROM ({base_query}) ts_pushdown{where} "
+        f"GROUP BY {', '.join(keys)}) ts_probe")
+
+
 def render_sync_grouped_sql(
     base_query: str,
     *,
@@ -364,11 +411,39 @@ class FlightTimeSeriesTable(TimeSeriesTable):
         self._distributed = distributed
         self._value_xsd_cache: str | None = None
 
+    # Grouped pushdown fires only when it actually shrinks the fetch:
+    # opt out when the grouped row count exceeds this fraction of the
+    # point count (a grouped partial row carries cnt/n/sum/min/max — at
+    # buckets ~= points it ships MORE bytes than the raw points it
+    # replaces). 0.5 ~= the partial-row/point-row width ratio.
+    GROUPED_PUSHDOWN_MAX_RATIO = 0.5
+
     def _read(self, spark: SparkSession, sql: str) -> DataFrame:
         return flight_sql_read(spark, self.location, sql,
                                username=self._username,
                                password=self._password,
                                distributed=self._distributed)
+
+    def _probe_one_row(self, sql: str):
+        """Driver-side one-row fetch (no Spark job): get_flight_info +
+        do_get on the first endpoint — the probe result is a single row
+        of two BIGINTs, never worth a distributed read."""
+        flight = _require_flight()
+        client = flight.FlightClient(self.location)
+        opts = _call_options(flight, self._username, self._password, client)
+        descriptor = flight.FlightDescriptor.for_command(sql.encode("utf-8"))
+        info = client.get_flight_info(descriptor, opts) \
+            if opts is not None else client.get_flight_info(descriptor)
+        rows = []
+        for ep in info.endpoints:
+            reader = client.do_get(ep.ticket, opts) \
+                if opts is not None else client.do_get(ep.ticket)
+            t = reader.read_all()
+            if t.num_rows:
+                rows.append(t)
+        if not rows:
+            return None
+        return rows[0].to_pylist()[0]
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self._df is None:
@@ -431,6 +506,27 @@ class FlightTimeSeriesTable(TimeSeriesTable):
         cast = {"long": "BIGINT", "double": "DOUBLE"}.get(agg_type)
         if cast is None:
             return None
+        # Cost model (r13-verdict item 8): a sub-point-interval bucket
+        # (or a calendar trunc finer than the sampling rate) makes
+        # buckets ~= points, and the grouped form then ships as many —
+        # and WIDER — rows than the raw fetch. One cheap remote COUNT
+        # probe over the identical restriction decides; on opt-out the
+        # caller falls back to the (always-correct) point fetch.
+        # granule ("all",) is one row per id — always worthwhile.
+        if granule[0] != "all":
+            try:
+                probe = self._probe_one_row(render_grouped_probe_sql(
+                    self.base_query,
+                    identifier_column=self.identifier_column,
+                    timestamp_column=self.timestamp_column,
+                    granule=granule, ids=ids,
+                    ts_lower=ts_lower, ts_upper=ts_upper))
+            except Exception:
+                probe = None  # unprobeable store: keep the pushdown
+            if probe is not None and probe["__pts"] and \
+                    (probe["__bkts"]
+                     > self.GROUPED_PUSHDOWN_MAX_RATIO * probe["__pts"]):
+                return None
         sql = render_grouped_sql(
             self.base_query,
             identifier_column=self.identifier_column,

@@ -517,9 +517,10 @@ class Compiler:
 
         if not self.ts_tables:
             raise ValueError("query touches time-series data but no TimeSeriesTable registered")
-        if "probed_ids" not in tj and not any(
-                getattr(t, "supports_pushdown", False)
-                for t in self.ts_tables):
+        if "probed_ids" not in tj and "probe_overflow" not in tj \
+                and not any(
+                    getattr(t, "supports_pushdown", False)
+                    for t in self.ts_tables):
             # no pre-probe ran (caller outside compile_bgp) and nothing
             # to push remotely: the plain union is already optimal
             return self.ts_relation()
@@ -1536,8 +1537,16 @@ class Compiler:
         eids = [tj["eid"] for tj in eligible]
         rows = (sm.df.select(*eids).distinct().limit(cap + 1).collect())
         if len(rows) > cap:
+            # Overflow of the TUPLE-distinct says nothing about the
+            # per-chain sets (the tuple cardinality is a cross-product
+            # and counts null-bearing rows) — leave probed_ids UNSET so
+            # _ts_relation_for_join's bounded per-chain probe still
+            # runs, instead of disabling pushdown for every chain
+            # (r13-advice fix). probe_overflow keeps that path's early
+            # plain-union return from swallowing the per-chain probe +
+            # Spark-side bounds restriction on non-pushdown registries.
             for tj in eligible:
-                tj["probed_ids"] = None
+                tj["probe_overflow"] = True
             return
         for tj in eligible:
             tj["probed_ids"] = sorted(

@@ -652,7 +652,10 @@ def test_flight_grouped_pushdown_tumbling_bucket(spark,
     remote = srv.queries[-1]
     assert 'GROUP BY "id", FLOOR(EXTRACT(EPOCH FROM "timestamp") / 4)' \
         in remote
-    assert srv.rows_served == 4
+    # 4 partial rows + the 1-row cost probe (r14: the probe decides
+    # buckets-vs-points before the grouped fetch fires)
+    assert srv.rows_served == 5
+    assert any('"__bkts"' in q for q in srv.queries)
 
 
 def test_flight_grouped_pushdown_calendar_trunc(spark,
@@ -685,7 +688,8 @@ def test_flight_grouped_pushdown_calendar_trunc(spark,
                         ("ts2", 2022, 40, 203.5)]
     remote = srv.queries[-1]
     assert "GROUP BY \"id\", DATE_TRUNC('minute', \"timestamp\")" in remote
-    assert srv.rows_served == 2
+    # 2 partial rows + the 1-row cost probe
+    assert srv.rows_served == 3
 
 
 def test_flight_grouped_pushdown_blocked_by_distinct_and_optional(
@@ -2290,3 +2294,82 @@ def test_wap_compact_small_files(spark, tmp_path):
             wap.read_table(spark, root, version=before).collect()} == rows_before
     # second compact is a no-op: current version unchanged
     assert wap.compact(spark, root) == v
+
+
+def test_flight_pushdown_tuple_overflow_keeps_per_chain_probe(
+        spark, flight_pushdown_server, monkeypatch):
+    """r14 fix of the r13-advice gap: when the ONE combined pre-probe of
+    all chains' eid columns overflows the cap (tuple-distinct is a
+    cross-product — here 2x2=4 > cap 3), the per-chain fallback probe in
+    _ts_relation_for_join must still run (each chain's own set, 2 ids,
+    fits). Before the fix probed_ids=None disabled it and both fetches
+    went unconstrained (24 rows each); now both remote queries carry the
+    id IN-list and only the two graph-known series cross the wire."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+    from otit_swt_spark.sparql.compiler import Compiler
+
+    monkeypatch.setattr(Compiler, "TS_ID_PUSHDOWN_MAX", 3)
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    SELECT ?id1 ?id2 ?t1 ?v1 ?v2 WHERE {
+        ?a otit_swt:hasExternalId ?id1 .
+        ?a otit_swt:hasDataPoint ?dp1 .
+        ?dp1 otit_swt:hasValue ?v1 .
+        ?dp1 otit_swt:hasTimestamp ?t1 .
+        ?b otit_swt:hasExternalId ?id2 .
+        ?b otit_swt:hasDataPoint ?dp2 .
+        ?dp2 otit_swt:hasValue ?v2 .
+        ?dp2 otit_swt:hasTimestamp ?t2 .
+        FILTER(?t1 = ?t2 && ?id1 < ?id2)
+    }""")
+    assert df.count() == 8  # ts1-ts2 pairs at the 8 shared timestamps
+    # EVERY remote fetch carries the per-chain IN-list — before the fix
+    # the two chain queries were the bare base query (no restriction)
+    assert len(srv.queries) == 2, srv.queries
+    for q in srv.queries:
+        assert "\"id\" IN ('ts1', 'ts2')" in q, q
+
+
+def test_flight_grouped_pushdown_opts_out_when_buckets_near_points(
+        spark, flight_pushdown_server):
+    """r14 cost model (r13-verdict item 8): a 1-second tumbling bucket
+    over the fixture's 1-second-spaced points makes buckets == points —
+    the grouped form would ship as many (and wider) rows than the raw
+    fetch. The probe sees __bkts == __pts > ratio and the table declines
+    the grouped form; the engine falls back to the restricted POINT
+    fetch (the remote query has no GROUP BY) and the answer is exactly
+    the raw-plan one."""
+    from otit_swt_spark.sources.flight import flight_timeseries
+
+    srv = flight_pushdown_server
+    ts = flight_timeseries(spark, f"grpc://127.0.0.1:{srv.port}",
+                           "SELECT id, timestamp, value FROM ts")
+    graph = GraphStore.from_sparql_insert(spark, TESTDATA_SPARQL)
+    eng = Engine(spark, graph).add_timeseries_table(ts)
+    df = eng.query("""
+    PREFIX otit_swt: <https://github.com/magbak/otit_swt#>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ts_id ?bucket (COUNT(?v) AS ?n) (AVG(?v) AS ?mean) WHERE {
+        ?ts otit_swt:hasExternalId ?ts_id .
+        ?ts otit_swt:hasDataPoint ?dp .
+        ?dp otit_swt:hasTimestamp ?t .
+        ?dp otit_swt:hasValue ?v .
+        BIND(otit_swt:DateTimeAsSeconds(?t) AS ?secs)
+        BIND((xsd:integer(FLOOR(?secs / 1.0)) * 1) AS ?bucket)
+    } GROUP BY ?ts_id ?bucket""")
+    got = rows(df)
+    assert len(got) == 16  # one bucket per point, 8 per series
+    assert all(n == 1 for _, _, n, _ in got)
+    # the probe ran, saw bkts == pts, and NO grouped query followed:
+    # the last data query is the plain restricted point fetch
+    assert any('"__bkts"' in q for q in srv.queries)
+    assert not any("__gp_cnt" in q for q in srv.queries)
+    data_queries = [q for q in srv.queries if "__bkts" not in q]
+    assert "GROUP BY" not in data_queries[-1]
+    # wire volume: 16 restricted points + 1 probe row
+    assert srv.rows_served == 17
