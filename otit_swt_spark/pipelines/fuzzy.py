@@ -92,7 +92,21 @@ def token_sets(df: DataFrame, text_col: str = "text",
 def _ssjoin_pairs(toks: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs over a (id, tok) set relation
     — the shared core of :func:`ssjoin_jaccard` (all rows) and
-    :func:`ssjoin_distinct_sets` (identical-set representatives)."""
+    :func:`ssjoin_distinct_sets` (identical-set representatives).
+
+    The token column is immediately replaced by its xxhash64 (guide
+    §2.3 — shuffle 8-byte keys, not multi-word gram strings): every
+    downstream use of a token — the df-frequency key, the ascending
+    (df, tok) prefix order, the prefix-postings equi-join, the verify
+    ``array_intersect`` — needs only token IDENTITY and *some*
+    consistent total order (the prefix principle is lossless under any
+    global order), and no token reaches the output. r14 measured the
+    full truth pass 4.06 -> (see OPTIMIZATION_r14.md) from the freq
+    join, per-doc sort and verify join all moving longs instead of
+    strings. A 64-bit collision (~n²/2⁶⁵) could in principle merge two
+    grams; at 10⁹ distinct grams that is ~3% chance of ONE merged pair
+    corpus-wide — far below the banding noise the harness measures."""
+    toks = toks.select("id", F.xxhash64("tok").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # materialized once (lazy localCheckpoint, no CacheManager entry):
     # three consumers read this frame — the prefix postings and both
