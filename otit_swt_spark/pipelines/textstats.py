@@ -309,6 +309,93 @@ def _bpe_train_driver(rows, n_merges: int) -> list[tuple[int, str, str, int]]:
     return merges
 
 
+def _apply_merges(syms: list, mlist) -> list:
+    """Greedy left-to-right application of an ORDERED merge list to one
+    word's symbolization — the exact fold of :func:`_bpe_train_driver`
+    and the old per-merge ``F.aggregate`` expression (append, or replace
+    the tail symbol when (tail, next) equals the merge)."""
+    for l, r in mlist:
+        if len(syms) < 2:
+            break
+        merged = l + r
+        acc = [syms[0]]
+        for x in syms[1:]:
+            if acc[-1] == l and x == r:
+                acc[-1] = merged
+            else:
+                acc.append(x)
+        syms = acc
+    return syms
+
+
+def _bpe_apply_udf(mlist: list[tuple[str, str]]):
+    """Arrow-batched pandas UDF applying an ordered merge list to the
+    ``syms`` column — one vectorized pass instead of len(mlist) nested
+    interpreted higher-order folds (guide §4.2; the bpe_segment
+    precedent measured ~20x on the same fold)."""
+    ml = [(str(l), str(r)) for l, r in mlist]
+
+    @F.pandas_udf("array<string>")
+    def apply_merges(syms: pd.Series) -> pd.Series:
+        return pd.Series([_apply_merges(list(s), ml) for s in syms])
+
+    return apply_merges
+
+
+def _bpe_safe_batch(rows, truncated: bool, max_take: int,
+                    created: set) -> list[tuple[str, str, int]]:
+    """Greedy prefix of the (count desc, l, r)-sorted pair-count table
+    that PROVABLY equals the next ``len(batch)`` merges of the strictly
+    sequential argmax loop. Safety argument (equivalence-tested in
+    tests/test_bpe_equivalence.py against the driver loop):
+
+    after applying a set of pairwise symbol-disjoint merges,
+      (a) a pair disjoint from every applied merge keeps its exact count
+          (none of its occurrences touch a merged symbol);
+      (b) a pair sharing a symbol with an applied merge can only LOSE
+          occurrences (its adjacencies were consumed);
+      (c) a NEW pair involving a merged symbol lr inherits at most the
+          old count of a parent pair that contained l or r; and
+      (d) if lr did not exist as a symbol before the merge, no existing
+          pair's count can GROW.
+    So an accepted pair p is still the global argmax at its own turn
+    whenever its count STRICTLY exceeds the old count of every pair
+    sharing a symbol with an earlier-accepted merge (and the truncation
+    boundary, which upper-bounds every unseen pair). Strictness also
+    excludes ties, so the (count desc, l, r) tie-break never has to
+    compare against a changed or newly-created pair. When an accepted
+    merge's symbol lr ALREADY exists (violates (d) — counts of
+    lr-containing pairs may grow unpredictably), the batch stops at it:
+    that merge itself is proven, the rest waits for the recount."""
+    batch: list[tuple[str, str, int]] = []
+    used: set = set()
+    boundary = float("-inf")
+    if truncated and rows:
+        boundary = int(rows[-1]["c"])
+    for row in rows:
+        if len(batch) >= max_take:
+            break
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if l in used or r in used:
+            continue
+        if batch:
+            danger = boundary
+            accepted = {(b[0], b[1]) for b in batch}
+            for q in rows:
+                if (q["l"], q["r"]) in accepted:
+                    continue
+                if q["l"] in used or q["r"] in used:
+                    danger = max(danger, int(q["c"]))
+            if c <= danger:
+                break  # later rows only get smaller — nothing can pass
+        batch.append((l, r, c))
+        if l + r in created:
+            break  # (d) violated for LATER candidates; this one is safe
+        created = created | {l + r}
+        used.update((l, r, l + r))
+    return batch
+
+
 def bpe_train(df: DataFrame, n_merges: int = 6,
               text_col: str = "text",
               driver_vocab_max: int = 200_000) -> list[tuple[int, str, str, int]]:
@@ -342,11 +429,25 @@ def bpe_train(df: DataFrame, n_merges: int = 6,
         head = words.limit(driver_vocab_max + 1).collect()
         if len(head) <= driver_vocab_max:
             return _bpe_train_driver(head, n_merges)
+    # Distributed path above the cap — the actual 100 TB path (r13
+    # verdict item 4). Two changes vs the one-merge-per-round loop:
+    # (1) BATCHED rounds: each pair-count aggregate collects the top
+    #     candidates and _bpe_safe_batch accepts the longest prefix of
+    #     provably-sequential-equal merges (pairwise symbol-disjoint,
+    #     each strictly above every interacting count), so n_merges
+    #     costs ~n_merges/|batch| aggregates instead of n_merges;
+    # (2) the re-symbolization applies the whole batch in ONE Arrow
+    #     pass (guide §4.2) instead of one interpreted F.aggregate fold
+    #     per merge.
+    # Equivalence with the sequential driver loop is randomized-tested
+    # (tie-heavy alphabets, overlapping self-pairs) in
+    # tests/test_bpe_equivalence.py.
+    cand_limit = max(64, 4 * n_merges)
     chars = F.transform(F.sequence(F.lit(1), F.length("w")),
                         lambda i: F.col("w").substr(i, F.lit(1)))
     state = words.select("wc", chars.alias("syms"))
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(n_merges):
+    while len(merges) < n_merges:
         pairs = F.transform(
             F.sequence(F.lit(1), F.size("syms") - 1),
             lambda i: F.struct(F.element_at("syms", i.cast("int")).alias("l"),
@@ -356,25 +457,19 @@ def bpe_train(df: DataFrame, n_merges: int = 6,
                .select("wc", F.explode(pairs).alias("p"))
                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                .agg(F.sum("wc").alias("c"))
-               .orderBy(F.col("c").desc(), "l", "r").limit(1).collect())
+               .orderBy(F.col("c").desc(), "l", "r")
+               .limit(cand_limit + 1).collect())
         if not top:
             break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((step, l, r, c))
-        merged = l + r
-        head = F.slice("syms", 1, 1)
-        tail = F.when(F.size("syms") > 1,
-                      F.slice("syms", 2, F.size("syms") - 1)
-                      ).otherwise(F.array().cast("array<string>"))
-        fold = F.aggregate(
-            tail, head,
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.lit(merged)))
-            ).otherwise(F.concat(acc, F.array(x))))
-        state = state.select("wc", fold.alias("syms")) \
-            .localCheckpoint(eager=False)
+        batch = _bpe_safe_batch(top[:cand_limit], len(top) > cand_limit,
+                                n_merges - len(merges),
+                                {m[1] + m[2] for m in merges})
+        for l, r, c in batch:
+            merges.append((len(merges), l, r, c))
+        state = (state.select(
+            "wc", _bpe_apply_udf([(l, r) for l, r, _ in batch])
+            (F.col("syms")).alias("syms"))
+            .localCheckpoint(eager=False))
     return merges
 
 
@@ -401,22 +496,7 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
 
     @F.pandas_udf("array<string>")
     def seg_udf(ws: pd.Series) -> pd.Series:
-        out = []
-        for w in ws:
-            syms = list(w)
-            for l, r in mlist:
-                if len(syms) < 2:
-                    break
-                merged = l + r
-                acc = [syms[0]]
-                for x in syms[1:]:
-                    if acc[-1] == l and x == r:
-                        acc[-1] = merged
-                    else:
-                        acc.append(x)
-                syms = acc
-            out.append(syms)
-        return pd.Series(out)
+        return pd.Series([_apply_merges(list(w), mlist) for w in ws])
 
     segd = words.withColumn("__syms", seg_udf(F.col("w")))
     return segd.select(F.col("w").alias("word"), "wc",
