@@ -73,8 +73,11 @@ def _time(spark, fn, sf_dir, reps: int = 3) -> dict:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     samples = []
     for _ in range(reps):
-        df = fn(spark, sf_dir)
+        # time BUILD + exec like bench.py: lazy localCheckpoints execute
+        # their query stages at build (AQE toRdd), so timing only the
+        # final noop under-counts every checkpoint-bearing entry
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
     samples.sort()
