@@ -301,6 +301,15 @@ def pq_fit(df: DataFrame, m: int = 8, codebook_size: int = 16,
 
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
+    # Land the input ONCE before anything reads it (r13-advice item 5):
+    # the m subspace fits each run multi-job chains over `base` from
+    # concurrent driver threads, and their first actions could race to
+    # recompute the upstream frame (e.g. ivf's residual zip_with) before
+    # a lazy checkpoint materializes. Eager here is semantically inert —
+    # pq_fit always executes jobs at build anyway (the dim probe below).
+    # Measured ivf_pq_topk interleaved medians 16.2 -> 14.3 s
+    # (overlapping spreads; direction-only evidence).
+    base = base.localCheckpoint(eager=True)
     dim = len(base.select("v").first()["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
