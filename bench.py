@@ -281,6 +281,22 @@ EXTENDED = [
 ]
 
 
+def _cpu_steal_ticks() -> int | None:
+    """Cumulative steal ticks from /proc/stat (field 8) — the hypervisor
+    time stolen from this VM. Round-14 addition (additions only): the
+    box shows intermittent multi-minute steal windows (historical steal
+    ≈ 75% of user ticks) that inflate arbitrary entries mid-run with
+    IDENTICAL plans and shuffle bytes; the start→end steal delta is the
+    one signal that separates those windows from real regressions, the
+    same role calib_sec plays for sustained load."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _calibrate(spark) -> float:
     """Fixed CPU-bound reference job (hash-fold 100M longs over all
     cores), median of 3, reported as ``calib_sec``: when every entry
@@ -310,6 +326,8 @@ def main() -> None:
     extended = [n for n in EXTENDED if n not in PRODUCTION]
     names = (HEADLINE + PRODUCTION + WINDPOWER
              + (extended if "--extended" in sys.argv else []))
+    steal_t0 = _cpu_steal_ticks()
+    wall_t0 = time.perf_counter()
     # machine-speed probe at RUN START too (round 12): the r12
     # interleaved re-measure showed calib drifting 2x WITHIN a session,
     # so a single trailing sample can misattribute early-entry walls
@@ -417,6 +435,14 @@ def main() -> None:
         "calib_sec_start_retry": calib_start_retry,
         "contaminated": contaminated,
         "loadavg_end": load1,
+        # hypervisor steal over the whole run, as % of one CPU-second
+        # per wall second (r14): >> 0 means entries were stolen from
+        # mid-run — read spreads before calling any delta a regression
+        "steal_pct_of_one_cpu": (
+            None if steal_t0 is None or _cpu_steal_ticks() is None
+            else round((_cpu_steal_ticks() - steal_t0)
+                       / os.sysconf("SC_CLK_TCK")
+                       / (time.perf_counter() - wall_t0) * 100, 1)),
         "sf": float(sf),
         "cpus": cpus,
     }
@@ -449,6 +475,7 @@ def main() -> None:
         "calib_sec_start_retry": calib_start_retry,
         "contaminated": contaminated,
         "loadavg_end": load1,
+        "steal_pct_of_one_cpu": metrics["steal_pct_of_one_cpu"],
         "sf": float(sf),
         "cpus": cpus,
     }
