@@ -439,8 +439,9 @@ def main() -> None:
         # per wall second (r14): >> 0 means entries were stolen from
         # mid-run — read spreads before calling any delta a regression
         "steal_pct_of_one_cpu": (
-            None if steal_t0 is None or _cpu_steal_ticks() is None
-            else round((_cpu_steal_ticks() - steal_t0)
+            None if steal_t0 is None or (steal_t1 := _cpu_steal_ticks())
+            is None
+            else round((steal_t1 - steal_t0)
                        / os.sysconf("SC_CLK_TCK")
                        / (time.perf_counter() - wall_t0) * 100, 1)),
         "sf": float(sf),
